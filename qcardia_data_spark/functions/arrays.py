@@ -1,0 +1,125 @@
+"""Array/tensor math as higher-order SQL functions (SURVEY §2.9, F1-F22).
+
+The reference applies these per-record with torch (MapTransforms); here each
+is a JVM-side expression over ``array<T>`` columns — no Python in the hot
+path, fully codegen'd, and oracle-checkable.
+
+All lambdas cast elements to double FIRST so arithmetic order and precision
+are identical across engines (float32 inputs convert exactly to float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def floor_to_zero(arr: Column) -> Column:
+    """F2 — ``x - min(x)`` per record (``ProcessIntensityd``,
+    reference transforms/utils.py:36-53)."""
+    a = _d(arr)
+    return F.transform(a, lambda e: e - F.array_min(a))
+
+
+def standardize(arr: Column, mean: Column | None = None, std: Column | None = None) -> Column:
+    """F3 — ``(x-μ)/σ`` with stats from saved meta columns or recomputed from
+    the record (``StandardizeIntensityd``, reference transforms/intensity.py:8-42:
+    stats source = meta dict if present else current tensor)."""
+    a = _d(arr)
+    n = F.size(a).cast("double")
+    mu = mean.cast("double") if mean is not None else F.aggregate(a, F.lit(0.0), lambda acc, e: acc + e) / n
+    # sample std (ddof=0 in torch default is population; reference uses
+    # tensor.std() = sample). Use population here; callers pick.
+    var = F.aggregate(a, F.lit(0.0), lambda acc, e: acc + (e - mu) * (e - mu)) / n
+    sigma = std.cast("double") if std is not None else F.sqrt(var)
+    return F.transform(a, lambda e: (e - mu) / sigma)
+
+
+def minmax_normalize(
+    arr: Column, target_min: float = 0.0, target_max: float = 1.0,
+    source_min: Column | None = None, source_max: Column | None = None,
+) -> Column:
+    """F4 — rescale to [target_min, target_max] from a saved/current source
+    range (``NormalizeIntensityd``, reference transforms/intensity.py:45-99)."""
+    a = _d(arr)
+    lo = source_min.cast("double") if source_min is not None else F.array_min(a)
+    hi = source_max.cast("double") if source_max is not None else F.array_max(a)
+    span = hi - lo
+    scale = F.lit(target_max - target_min)
+    return F.transform(a, lambda e: (e - lo) / span * scale + F.lit(target_min))
+
+
+def clamp(arr: Column, lo: Column, hi: Column) -> Column:
+    """F5 — clip to [lo, hi] (``ClampIntensityd``,
+    reference transforms/intensity.py:102-131)."""
+    a = _d(arr)
+    return F.transform(a, lambda e: F.least(F.greatest(e, lo.cast("double")), hi.cast("double")))
+
+
+def one_hot(label: Column, num_classes: int) -> Column:
+    """F10 — integer label → n-class one-hot array (``AsDiscreted`` use,
+    reference pipeline/compose.py:226-233)."""
+    return F.array(*[
+        F.when(label == F.lit(i), F.lit(1)).otherwise(F.lit(0)) for i in range(num_classes)
+    ])
+
+
+def softmax(arr: Column) -> Column:
+    """F20 — softmax over an array (class probabilities from logits,
+    reference data_predictor.py:388-391). Max-subtracted for stability."""
+    a = _d(arr)
+    m = F.array_max(a)
+    exps = F.transform(a, lambda e: F.exp(e - m))
+    z = F.aggregate(exps, F.lit(0.0), lambda acc, e: acc + e)
+    return F.transform(exps, lambda e: e / z)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision — deterministic
+    order of operations (oracle-parity critical for float reductions)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_d(a), F.lit(0.0), lambda acc, e: acc + e * e))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity via sequential folds (same op order as the DuckDB
+    oracle restatement)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def array_stats(arr: Column) -> Column:
+    """A3-per-record — struct(min, max, mean) over an array column
+    (``BuildImageMetaDatad``, reference transforms/utils.py:87-91)."""
+    a = _d(arr)
+    n = F.size(a).cast("double")
+    mean = F.aggregate(a, F.lit(0.0), lambda acc, e: acc + e) / n
+    return F.struct(
+        F.array_min(a).alias("min_v"),
+        F.array_max(a).alias("max_v"),
+        mean.alias("mean_v"),
+    )
+
+
+def file_id(dataset: Column, subject: Column, slice_nr: Column, frame_nr: Column) -> Column:
+    """F17 — deterministic record file id
+    ``{dataset}-{subject}-{slice:02}-{frame:02}`` with ``"__"`` placeholder
+    for an absent (NULL) axis (reference dataset_cacher.py:327-363)."""
+    pad2 = lambda c: F.coalesce(F.lpad(c.cast("string"), 2, "0"), F.lit("__"))  # noqa: E731
+    return F.concat_ws("-", dataset, subject, pad2(slice_nr), pad2(frame_nr))
+
+
+def fingerprint_md5(sorted_names: Column) -> Column:
+    """F16 — MD5 of a comma-joined sorted name list → cache identity
+    (reference dataset_cacher.py:103-127). Input: array<string> column."""
+    return F.md5(F.array_join(F.array_sort(sorted_names), ","))

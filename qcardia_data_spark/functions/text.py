@@ -1,0 +1,124 @@
+"""[ext] Text analysis over document tables (SURVEY §2.14).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as pure
+SQL expressions (JVM-side, oracle-checkable). These are the text-pipeline
+primitives a 100 TB pretraining-data pipeline runs over every document, so
+staying out of Python here matters more than anywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small + SQL-expressible; a production pipeline
+# swaps in fastText — the *plumbing* (score columns → argmax) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse whitespace runs + trim + lowercase — the canonical text form
+    used by fingerprinting and shingling."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    The exact-dedup key."""
+    return F.md5(normalize_ws(text))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish tokenization: split into word pieces / numbers / single
+    non-space symbols (regex analog of a GPT-2-style pre-tokenizer)."""
+    return F.filter(
+        F.split(normalize_ws(text), r"[^a-z0-9]+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def quality_scores(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, mean word length, punctuation ratio,
+    stopword ratio, alpha ratio. Returned as named expressions so callers
+    select only what they need (keeps column pruning effective)."""
+    t = normalize_ws(text)
+    n_chars = F.length(t)
+    toks = word_tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:'\"()\[\]-]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[a-z]", ""))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS["en"])))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(n_tokens > 0, (n_alpha.cast("double")) / n_tokens).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+    }
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    # NB: must be a 1-arg lambda — F.filter treats 2-arg lambdas (even with
+    # defaults) as (element, index) callbacks.
+    return lambda w: w.isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the scoring half of language ID)."""
+    toks = word_tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hits, ties broken by
+    language code order, 'und' when nothing matches."""
+    scores = lang_scores(text)
+    pairs = F.array(*[
+        F.struct((-s).alias("neg"), F.lit(lang).alias("lang"), s.alias("score"))
+        for lang, s in scores.items()
+    ])
+    # sort ascending by (negated score, lang) → first element is argmax with
+    # deterministic tie-break
+    best = F.array_sort(pairs)[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) — input to MinHash/Jaccard dedup.
+
+    Built with sequence+transform over the token array: JVM-side, no UDF.
+    """
+    toks = word_tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Document fingerprint via min-of-rolling-window hashes (winnowing-lite):
+    md5 each ``window``-token shingle, keep the minimum — robust to small
+    edits, SQL-expressible, constant output size."""
+    sh = shingles(text, window)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    return F.array_min(hashed)

@@ -1,0 +1,67 @@
+"""Join operators (SURVEY §2.3, J1-J5).
+
+Physical strategy is left to Catalyst/AQE except where we *know* better:
+dimension enrichment joins are explicitly broadcast (J2) so the fact table
+never shuffles — at 100 TB that is the difference between a map-side join
+and a petabyte shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def left_join_on(df: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J1 — left equi-join on multiple keys (weight attach,
+    reference pipeline/utils.py:130-134). Prefer :func:`qcardia_data_spark.
+    operators.windows.count_over` when the right side is an aggregate of the
+    left — it avoids the join entirely."""
+    return df.join(right, on=list(on), how="left")
+
+
+def broadcast_enrich(fact: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """J2 — broadcast lookup join: per-record enrichment from a small
+    dimension (``build_df_entry``, reference dataset_cacher.py:393-415).
+
+    The dim side is broadcast explicitly: fact-side data never moves.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def anti_join(df: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J3 — left anti join / set difference on keys
+    (``development = all − test``, reference data_split.py:59-67)."""
+    return df.join(right, on=list(on), how="left_anti")
+
+
+def semi_join(df: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J4 — left semi join / membership routing
+    (cache-file → split assignment, reference pipeline/utils.py:62-72)."""
+    return df.join(right, on=list(on), how="left_semi")
+
+
+def first_match_per_key(
+    df: DataFrame, key: str, pos: str, matches,
+) -> DataFrame:
+    """J5 — "find-frame" join: earliest ``pos`` per ``key`` where ``matches``
+    holds (content-equality frame lookup, reference reformat/utils.py:76-89,
+    first match wins at :86-89).
+
+    filter → groupBy(key).min(pos): one shuffle, map-side partial min.
+    """
+    return (
+        df.filter(matches)
+        .groupBy(key)
+        .agg(F.min(pos).alias(f"first_{pos}"))
+    )
+
+
+def orphan_check(df: DataFrame, universe: DataFrame, on: Sequence[str]) -> int:
+    """P7 — data-quality existence check: count rows of ``df`` whose key has
+    no match in ``universe`` (subject-not-in-any-split assert, reference
+    pipeline/utils.py:71-72). Returns the orphan count (0 = healthy)."""
+    return df.join(universe, on=list(on), how="left_anti").count()

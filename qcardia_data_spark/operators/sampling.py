@@ -1,0 +1,85 @@
+"""Sampling & split operators (SURVEY §2.10, X1-X5).
+
+All sampling is key-derived-deterministic (see operators.windows.keyed_rand):
+reproducible across runs, task retries, and engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.operators.windows import keyed_rand, row_number_per_group, seeded_split
+
+
+def subject_level_split(
+    df: DataFrame, subject_col: str, valid_fraction: float, seed: str | int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """X1 — seeded train/valid partition at SUBJECT granularity
+    (reference data_split.py:73-84; config ``valid_partition``).
+
+    Splits the distinct-subject frame, then broadcast-joins the assignment
+    back — records of one subject can never straddle splits (the
+    ``randomSplit`` leak SURVEY §7.3 warns about). The distinct-subject
+    frame is tiny relative to records, so the join back is map-side.
+    """
+    subjects = df.select(subject_col).distinct()
+    assigned = seeded_split(subjects, subject_col, valid_fraction, seed, out)
+    return df.join(F.broadcast(assigned), on=subject_col, how="left")
+
+
+def split_from_table(df: DataFrame, split_table: DataFrame, on: Sequence[str]) -> DataFrame:
+    """X2 — honor an explicit split assignment table when present
+    (split YAML fast path, reference data_split.py:43-49)."""
+    return df.join(F.broadcast(split_table), on=list(on), how="left")
+
+
+def stratified_sample_n(
+    df: DataFrame, group: Sequence[str], key: str, n: int, seed: str | int = 0,
+) -> DataFrame:
+    """X3/A2 — deterministic n-per-group stratified sample
+    (``sample_from_csv_by_group``, reference utils.py:9-29; 15-per-vendor
+    test split, test_splits.py:18-24).
+
+    Window row_number over keyed_rand — one shuffle on the strata key.
+    """
+    ranked = row_number_per_group(
+        df, group, [keyed_rand(seed, F.col(key)), F.col(key)], out="_rn"
+    )
+    return ranked.filter(F.col("_rn") <= n).drop("_rn")
+
+
+def weighted_sample(
+    df: DataFrame, group: Sequence[str], key: str, target_per_group_total: int,
+    seed: str | int = 0,
+) -> DataFrame:
+    """X4 — inverse-frequency-weighted sampling to equalize group mix
+    (``WeightedRandomSampler`` wiring, reference data_module.py:88-99,147-157).
+
+    Deterministic restatement: every group contributes an equal share of the
+    target (total/num_groups, the steady-state expectation of inverse-
+    frequency weighting), drawn as its keyed_rand-first rows. Groups smaller
+    than the share contribute all rows.
+    """
+    from pyspark.sql.window import Window
+
+    n_groups = Window.partitionBy()
+    share = F.ceil(
+        F.lit(target_per_group_total)
+        / F.size(F.collect_set(F.struct(*group)).over(n_groups))
+    )
+    ranked = row_number_per_group(
+        df, group, [keyed_rand(seed, F.col(key)), F.col(key)], out="_rn"
+    ).withColumn("_share", share)
+    return ranked.filter(F.col("_rn") <= F.col("_share")).drop("_rn", "_share")
+
+
+def random_subset(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:
+    """X5 — k random subjects for prediction runs (reference
+    data_predictor.py:178-182), deterministic under retry."""
+    from qcardia_data_spark.operators.sorts import seeded_sample_n
+
+    return seeded_sample_n(df, key, k, seed)

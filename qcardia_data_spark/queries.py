@@ -1,0 +1,1338 @@
+"""Declared query registry: one entry per implemented operator (SURVEY §2).
+
+Each entry pairs an idiomatic-Spark DataFrame program with an equivalent
+ANSI-SQL oracle string (run by DuckDB on the same parquet). Column names are
+alias-matched on both sides (the driver sorts columns by name before value
+hashing). Seeded/random operators derive determinism from md5(key) — an
+identical function in both engines — so they are value-checkable, not just
+shape-checkable.
+
+Registry shape: ``QUERIES[name] = (spark_fn, oracle_sql_or_None)``.
+``None`` oracle ⇒ genuinely non-SQL-expressible (driver runs rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from qcardia_data_spark.catalog import load_table
+from qcardia_data_spark.functions import arrays as A
+from qcardia_data_spark.functions import dedup as D
+from qcardia_data_spark.functions import similarity as SIM
+from qcardia_data_spark.functions import text as T
+from qcardia_data_spark.operators import aggregates as agg
+from qcardia_data_spark.operators import generators as gen
+from qcardia_data_spark.operators import joins as J
+from qcardia_data_spark.operators import projections as P
+from qcardia_data_spark.operators import sampling as X
+from qcardia_data_spark.operators import setops as U
+from qcardia_data_spark.operators import sorts as O
+from qcardia_data_spark.operators import windows as W
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — exercises scan pushdown,
+# map-side partial agg, one shuffle on the 2-value group key. [A3/A9/F22]
+# ---------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE)            AS sum_qty,
+           sum(l_extendedprice)                        AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))     AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                             AS avg_qty,
+           avg(l_extendedprice)                        AS avg_price,
+           avg(l_discount)                             AS avg_disc,
+           count(*)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans & projections (S1/S4, P1-P12)
+# ---------------------------------------------------------------------------
+@_q(
+    "s4_scan_project_filter",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 1000.0",
+)
+def s4_scan(spark, sf_dir):
+    # filter + projection reach the parquet reader (PushedFilters/ReadSchema)
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000.0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "p1_reorder_columns",
+    "SELECT c_mktsegment, c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+)
+def p1_reorder(spark, sf_dir):
+    return P.select_ordered(_t(spark, sf_dir, "customer"), ["c_mktsegment", "c_custkey"])
+
+
+@_q(
+    "p2_drop_columns",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part",
+)
+def p2_drop(spark, sf_dir):
+    return P.drop_columns(_t(spark, sf_dir, "part"), ["p_retailprice"])
+
+
+@_q(
+    "p3_rename_columns",
+    "SELECT c_custkey AS subject_id, c_mktsegment AS pathology, c_acctbal FROM customer",
+)
+def p3_rename(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return P.rename_columns(df, {"c_custkey": "subject_id", "c_mktsegment": "pathology"})
+
+
+@_q(
+    "p4_eq_filter",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_linenumber = 1",
+)
+def p4_eq(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@_q(
+    "p5_in_list",
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+)
+def p5_in(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@_q(
+    "p6_conditional_skip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F' OR o_orderpriority = '1-URGENT'
+    """,
+)
+def p6_skip(spark, sf_dir):
+    # special_mode row skip (reference dataset_cacher.py:346-353): keep rows
+    # matching the mode predicate
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") | (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@_q(
+    "p7_orphan_check",
+    """
+    SELECT count(*) AS n_orphans FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def p7_orphans(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        J.anti_join(orders, cust, ["o_custkey"])
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+@_q(
+    "p8_string_normalize",
+    """
+    SELECT c_custkey,
+           lpad(regexp_replace(regexp_replace(c_name, 'Customer#', '', 'g'), '^0+', '', 'g'), 9, '*') AS norm_id
+    FROM customer
+    """,
+)
+def p8_norm(spark, sf_dir):
+    df = P.normalize_strings(
+        _t(spark, sf_dir, "customer").select("c_custkey", F.col("c_name").alias("norm_id")),
+        "norm_id",
+        [("Customer#", ""), ("^0+", "")],
+    )
+    return df.withColumn("norm_id", F.lpad("norm_id", 9, "*"))
+
+
+@_q(
+    "p9_derived_flags",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity > 25 AS is_high,
+           l_discount > 0.0 AS is_discounted
+    FROM lineitem
+    """,
+)
+def p9_flags(spark, sf_dir):
+    return P.with_flags(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        {
+            "is_high": F.col("l_quantity") > 25,
+            "is_discounted": F.col("l_discount") > 0.0,
+        },
+    ).select("l_orderkey", "l_linenumber", "is_high", "is_discounted")
+
+
+@_q(
+    "p10_cyclic_renumber",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST((l_linenumber - 1) % 7 AS INTEGER) AS frame_nr
+    FROM lineitem
+    """,
+)
+def p10_cyclic(spark, sf_dir):
+    df = P.cyclic_renumber(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber"),
+        "frame_nr", F.col("l_linenumber"), F.lit(1), F.lit(7),
+    )
+    return df.withColumn("frame_nr", F.col("frame_nr").cast("int"))
+
+
+@_q(
+    "p12_composite_key_roundtrip",
+    """
+    SELECT n_nationkey,
+           concat(n_name, '-', CAST(n_nationkey AS VARCHAR)) AS subject_key,
+           n_name AS decoded_dataset,
+           CAST(n_nationkey AS VARCHAR) AS decoded_subject
+    FROM nation
+    """,
+)
+def p12_key(spark, sf_dir):
+    df = P.encode_composite_key(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        "subject_key", ["n_name", "n_nationkey"],
+    )
+    df = P.decode_composite_key(df, "subject_key", ["decoded_dataset", "decoded_subject"])
+    return df.select("n_nationkey", "subject_key", "decoded_dataset", "decoded_subject")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5)
+# ---------------------------------------------------------------------------
+@_q(
+    "j1_weight_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+           CAST(t.total AS DOUBLE) / g.cnt AS weight
+    FROM lineitem l
+    JOIN (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2) g
+      USING (l_returnflag, l_linestatus)
+    CROSS JOIN (SELECT count(*) AS total FROM lineitem) t
+    """,
+)
+def j1_weight_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    weights = agg.group_weights(li, ["l_returnflag", "l_linestatus"])
+    return J.left_join_on(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"),
+        weights.select("l_returnflag", "l_linestatus", "weight"),
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+@_q(
+    "j2_broadcast_star_join",
+    """
+    SELECT r.r_name, o.o_orderstatus,
+           sum(o.o_totalprice) AS revenue, count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, o.o_orderstatus
+    """,
+)
+def j2_star(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # dims broadcast: the orders fact never shuffles for the join
+    enriched = J.broadcast_enrich(
+        o, c.select("c_custkey", "c_nationkey"), o["o_custkey"] == c["c_custkey"], "inner"
+    )
+    enriched = J.broadcast_enrich(
+        enriched, n.select("n_nationkey", "n_regionkey"),
+        enriched["c_nationkey"] == n["n_nationkey"], "inner",
+    )
+    enriched = J.broadcast_enrich(
+        enriched, r.select("r_regionkey", "r_name"),
+        enriched["n_regionkey"] == r["r_regionkey"], "inner",
+    )
+    return enriched.groupBy("r_name", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_q(
+    "j3_anti_join",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j3_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.anti_join(c, o, ["c_custkey"]).select("c_custkey")
+
+
+@_q(
+    "j4_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+    """,
+)
+def j4_semi(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("s_suppkey"))
+    return J.semi_join(s, li, ["s_suppkey"]).select("s_suppkey", "s_name")
+
+
+@_q(
+    "j5_first_match",
+    """
+    SELECT l_orderkey, min(l_linenumber) AS first_l_linenumber
+    FROM lineitem l
+    WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem li
+                        WHERE li.l_orderkey = l.l_orderkey)
+    GROUP BY l_orderkey
+    """,
+)
+def j5_first_match(spark, sf_dir):
+    # content-equality "find the frame inside the cine" (reference
+    # reformat/utils.py:76-89): first position whose value matches the target
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    with_max = li.withColumn("_maxq", F.max("l_quantity").over(w))
+    return J.first_match_per_key(
+        with_max, "l_orderkey", "l_linenumber", F.col("l_quantity") == F.col("_maxq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A10)
+# ---------------------------------------------------------------------------
+@_q(
+    "a1_group_weights_nullsafe",
+    """
+    SELECT seg, cnt, CAST(t.total AS DOUBLE) / cnt AS weight
+    FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS cnt
+          FROM customer GROUP BY 1) g
+    CROSS JOIN (SELECT count(*) AS total FROM customer) t
+    """,
+)
+def a1_weights(spark, sf_dir):
+    # NULL group kept (reference dropna=False, pipeline/utils.py:121-127);
+    # nullif manufactures a NULL stratum from the synthetic data
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    return agg.group_weights(c, ["seg"])
+
+
+@_q(
+    "a2_stratified_sample",
+    """
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(concat_ws('|', '42', CAST(c_custkey AS VARCHAR))), c_custkey
+             ) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+)
+def a2_strat(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return X.stratified_sample_n(c, ["c_mktsegment"], "c_custkey", 3, seed=42)
+
+
+@_q(
+    "a3_summary_stats",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+           avg(l_extendedprice) AS mean_v, stddev_samp(l_extendedprice) AS std_v
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_stats(spark, sf_dir):
+    return agg.summary_stats(_t(spark, sf_dir, "lineitem"), "l_extendedprice", ["l_returnflag"])
+
+
+@_q(
+    "a4_quantile_summary",
+    """
+    SELECT l_linestatus,
+           avg(l_quantity) AS mean_v, stddev_samp(l_quantity) AS std_v,
+           quantile_cont(l_quantity, 0.00) AS q0000,
+           quantile_cont(l_quantity, 0.25) AS q0250,
+           quantile_cont(l_quantity, 0.50) AS q0500,
+           quantile_cont(l_quantity, 0.75) AS q0750,
+           quantile_cont(l_quantity, 1.00) AS q1000
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a4_quantiles(spark, sf_dir):
+    return agg.quantile_summary(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", ["l_linestatus"],
+        qs=(0.0, 0.25, 0.5, 0.75, 1.0),
+    )
+
+
+@_q(
+    "a5_distinct_set_per_group",
+    """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), '_') AS present
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_distinct_set(spark, sf_dir):
+    return agg.distinct_set_per_group(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_orderstatus"
+    )
+
+
+@_q(
+    "a6_argmax_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn = 1
+    """,
+)
+def a6_argmax(spark, sf_dir):
+    return agg.argmax_per_group(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [F.desc("c_acctbal"), F.col("c_custkey")],
+        ["c_custkey", "c_acctbal"],
+    )
+
+
+@_q(
+    "a7_count_if",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_match
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_count_if(spark, sf_dir):
+    return agg.count_if_agg(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], F.col("l_discount") > 0.05
+    )
+
+
+@_q(
+    "a8_histogram_cdf",
+    """
+    WITH hist AS (
+      SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                  WHEN l_extendedprice >= 120000.0 THEN 65
+                  ELSE CAST(floor(l_extendedprice / 120000.0 * 64) AS BIGINT) + 1
+             END AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1)
+    SELECT bucket, n,
+           CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+           CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(n) OVER () AS cdf
+    FROM hist
+    """,
+)
+def a8_hist(spark, sf_dir):
+    return agg.histogram_cdf(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 64, 0.0, 120000.0)
+
+
+@_q(
+    "a9_grouped_counts",
+    """
+    SELECT o_orderstatus, count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a9_counts(spark, sf_dir):
+    return agg.grouped_counts(_t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey")
+
+
+@_q(
+    "a10_two_level_agg",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS fine_sum
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    SELECT c_mktsegment,
+           avg(fine_sum) AS mean_fine_sum,
+           stddev_samp(fine_sum) AS std_fine_sum,
+           count(*) AS n_fine_groups
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def a10_two_level(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = J.broadcast_enrich(o, c, o["o_custkey"] == c["c_custkey"], "inner")
+    return agg.two_level_agg(joined, ["o_custkey"], ["c_mktsegment"], "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W5)
+# ---------------------------------------------------------------------------
+@_q(
+    "w1_count_over_partition",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS BIGINT) AS cnt,
+           CAST(count(*) OVER () AS DOUBLE)
+             / count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS weight
+    FROM lineitem
+    """,
+)
+def w1_count_over(spark, sf_dir):
+    df = agg.group_weights_window(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"]
+    )
+    return df.select("l_orderkey", "l_linenumber", "cnt", "weight")
+
+
+@_q(
+    "w2_seeded_split",
+    """
+    SELECT c_custkey, CASE WHEN rn <= round(n * 0.2) THEN 'valid' ELSE 'train' END AS split
+    FROM (SELECT c_custkey,
+                 row_number() OVER (
+                   ORDER BY md5(concat_ws('|', '7', CAST(c_custkey AS VARCHAR))), c_custkey) AS rn,
+                 count(*) OVER () AS n
+          FROM customer)
+    """,
+)
+def w2_split(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return W.seeded_split(c, "c_custkey", 0.2, seed=7)
+
+
+@_q(
+    "w3_rownum_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, rn FROM (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_quantity DESC, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 2
+    """,
+)
+def w3_rownum(spark, sf_dir):
+    df = W.row_number_per_group(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        [F.desc("l_quantity"), F.col("l_linenumber")],
+    )
+    return df.filter(F.col("rn") <= 2).select("l_orderkey", "l_linenumber", "rn")
+
+
+@_q(
+    "w4_cumulative_sum",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+    FROM lineitem
+    """,
+)
+def w4_cumsum(spark, sf_dir):
+    # running money sums use exact DECIMAL accumulation (fp accumulation
+    # order is engine-specific; decimal is exact and portable), surfaced as
+    # double for the comparator
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_rev",
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")),
+    )
+    df = W.cumulative_sum(
+        li, ["l_returnflag"],
+        [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+         F.col("l_extendedprice"), F.col("l_discount")],
+        "_rev",
+    )
+    return df.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", F.col("cum").cast("double").alias("cum")
+    )
+
+
+@_q(
+    "w5_first_match_over",
+    """
+    SELECT l_orderkey, l_linenumber,
+           min(CASE WHEN l_quantity > 30 THEN l_linenumber END)
+             OVER (PARTITION BY l_orderkey) AS first_pos
+    FROM lineitem
+    """,
+)
+def w5_first_match(spark, sf_dir):
+    df = W.first_match_over(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey"], "l_linenumber",
+        F.col("l_quantity") > 30,
+    )
+    return df.select("l_orderkey", "l_linenumber", "first_pos")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1-O5)
+# ---------------------------------------------------------------------------
+@_q(
+    "o1_top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_topk(spark, sf_dir):
+    return O.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")], 10,
+    )
+
+
+@_q(
+    "o2_natural_sort",
+    r"""
+    SELECT c_custkey, c_name, rank FROM (
+      SELECT c_custkey, c_name,
+             row_number() OVER (
+               ORDER BY regexp_replace(regexp_replace(c_name, '(\d+)', '000000000000\1', 'g'),
+                                       '0*(\d{12})', '\1', 'g'),
+                        c_name) AS rank
+      FROM customer)
+    """,
+)
+def o2_natural(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    key = O.natural_sort_key(F.col("c_name"))
+    return c.withColumn("rank", F.row_number().over(Window.orderBy(key, F.col("c_name"))))
+
+
+@_q(
+    "o3_dense_rank_desc",
+    """
+    SELECT DISTINCT l_quantity,
+           dense_rank() OVER (ORDER BY l_quantity DESC) AS rank
+    FROM lineitem
+    """,
+)
+def o3_dense(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select("l_quantity").distinct()
+    return O.dense_rank_desc(df, "l_quantity")
+
+
+@_q(
+    "o4_seeded_sample_k",
+    """
+    SELECT c_custkey, c_name FROM customer
+    ORDER BY md5(concat_ws('|', '13', CAST(c_custkey AS VARCHAR))), c_custkey
+    LIMIT 5
+    """,
+)
+def o4_seeded(spark, sf_dir):
+    return O.seeded_sample_n(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"), "c_custkey", 5, seed=13
+    )
+
+
+@_q(
+    "o5_first_k_preview",
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_name LIMIT 5",
+)
+def o5_preview(spark, sf_dir):
+    return O.top_k(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"), [F.col("n_name")], 5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1-U3)
+# ---------------------------------------------------------------------------
+@_q(
+    "u1_union_by_name",
+    """
+    SELECT * FROM (
+      SELECT c_custkey AS entity_key, c_acctbal AS acctbal,
+             c_mktsegment AS mktsegment, 'customer' AS src FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS entity_key, s_acctbal AS acctbal, 'supplier' AS src
+      FROM supplier)
+    """,
+)
+def u1_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return U.union_by_name([c, s])
+
+
+@_q(
+    "u2_except",
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+)
+def u2_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return U.except_keys(c, o)
+
+
+@_q(
+    "u3_intersect",
+    "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+)
+def u3_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return U.intersect_keys(c, o)
+
+
+# ---------------------------------------------------------------------------
+# Generators / explode family (G1-G6) over the embeddings array column
+# ---------------------------------------------------------------------------
+@_q(
+    "g1_posexplode",
+    """
+    SELECT vec_id, CAST(total_pos AS INTEGER) AS total_pos,
+           CAST(pos AS INTEGER) AS pos, CAST(val AS DOUBLE) AS val
+    FROM (SELECT vec_id, len(embedding) AS total_pos,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings WHERE vec_id < 50)
+    """,
+)
+def g1_posexplode(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    out = gen.explode_with_position(emb, "embedding", keep_other=["vec_id"])
+    return out.select(
+        "vec_id",
+        F.col("total_pos").cast("int").alias("total_pos"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@_q(
+    "g3_explode_2d",
+    """
+    SELECT vec_id,
+           CAST(pos // 8 AS INTEGER) AS frame_nr,
+           CAST(pos % 8 AS INTEGER) AS slice_nr,
+           CAST(val AS DOUBLE) AS val
+    FROM (SELECT vec_id,
+                 unnest(range(len(embedding))) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings WHERE vec_id < 20)
+    """,
+)
+def g3_explode_2d(spark, sf_dir):
+    # 64-vector viewed as 8×8 (frames × slices) then exploded twice —
+    # the DimensionsTo2Dd composite split (reference dimensions.py:77-93)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    nested = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.slice(F.col("embedding"), i * 8 + 1, 8),
+        ).alias("grid"),
+    )
+    out = gen.explode_2d(nested, "grid", keep_other=["vec_id"])
+    return out.select(
+        "vec_id",
+        F.col("frame_nr").cast("int").alias("frame_nr"),
+        F.col("slice_nr").cast("int").alias("slice_nr"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@_q(
+    "g5_replicate_rows",
+    """
+    SELECT n_nationkey, n_name, CAST(copy_nr AS INTEGER) AS copy_nr
+    FROM nation, (SELECT unnest(range(0, 4)) AS copy_nr)
+    """,
+)
+def g5_replicate(spark, sf_dir):
+    out = gen.replicate_rows(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"), 3)
+    return out.withColumn("copy_nr", F.col("copy_nr").cast("int"))
+
+
+@_q(
+    "g6_flatten",
+    """
+    SELECT vec_id, CAST(len(flat) AS INTEGER) AS n,
+           CAST(flat[1] AS DOUBLE) AS first_v, CAST(flat[64] AS DOUBLE) AS last_v
+    FROM (SELECT vec_id,
+                 flatten([embedding[1:32], embedding[33:64]]) AS flat
+          FROM embeddings WHERE vec_id < 50)
+    """,
+)
+def g6_flatten(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    nested = emb.select(
+        "vec_id",
+        F.array(F.slice("embedding", 1, 32), F.slice("embedding", 33, 32)).alias("halves"),
+    )
+    out = gen.flatten_nested(nested, "halves", "flat")
+    return out.select(
+        "vec_id",
+        F.size("flat").cast("int").alias("n"),
+        F.element_at("flat", 1).cast("double").alias("first_v"),
+        F.element_at("flat", 64).cast("double").alias("last_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array/tensor functions (F2-F20) — higher-order SQL fns over embeddings.
+# Float reductions are pre-rounded to 6 decimals on BOTH sides so the
+# driver's 9-sig-digit hash is insensitive to fold-order ULP noise.
+# ---------------------------------------------------------------------------
+@_q(
+    "f2_floor_to_zero",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)
+                      - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))), 6) AS s
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def f2_floor(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    floored = A.floor_to_zero(F.col("embedding"))
+    s = F.aggregate(floored, F.lit(0.0), lambda acc, e: acc + e)
+    return emb.select("vec_id", F.round(s, 6).alias("s"))
+
+
+@_q(
+    "f4_minmax_normalize",
+    """
+    SELECT vec_id,
+           round(norm[1], 6) AS first_v,
+           round(list_sum(norm) / 64, 6) AS mean_v
+    FROM (SELECT vec_id,
+                 list_transform(embedding,
+                    x -> (CAST(x AS DOUBLE) - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))
+                         / (list_max(list_transform(embedding, y -> CAST(y AS DOUBLE)))
+                            - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS norm
+          FROM embeddings WHERE vec_id < 100)
+    """,
+)
+def f4_minmax(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    norm = A.minmax_normalize(F.col("embedding"))
+    mean = F.aggregate(norm, F.lit(0.0), lambda acc, e: acc + e) / F.lit(64)
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(norm, 1), 6).alias("first_v"),
+        F.round(mean, 6).alias("mean_v"),
+    )
+
+
+@_q(
+    "f5_clamp",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> least(greatest(CAST(x AS DOUBLE), -0.5), 0.5))), 6) AS s
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def f5_clamp(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    clamped = A.clamp(F.col("embedding"), F.lit(-0.5), F.lit(0.5))
+    s = F.aggregate(clamped, F.lit(0.0), lambda acc, e: acc + e)
+    return emb.select("vec_id", F.round(s, 6).alias("s"))
+
+
+@_q(
+    "f10_one_hot",
+    """
+    SELECT vec_id, label,
+           concat(CASE WHEN label = 0 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 1 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 2 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 3 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 4 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 5 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 6 THEN '1' ELSE '0' END,
+                  CASE WHEN label = 7 THEN '1' ELSE '0' END) AS onehot
+    FROM embeddings
+    """,
+)
+def f10_one_hot(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    oh = A.one_hot(F.col("label"), 8)
+    return emb.select(
+        "vec_id", "label",
+        F.array_join(F.transform(oh, lambda v: v.cast("string")), "").alias("onehot"),
+    )
+
+
+@_q(
+    "f20_softmax",
+    """
+    SELECT vec_id,
+           round(list_sum(probs), 6) AS total_p,
+           round(probs[1], 6) AS first_p
+    FROM (SELECT vec_id,
+                 list_transform(logits, e -> exp(e - mx) / z) AS probs
+          FROM (SELECT vec_id, logits, mx,
+                       list_sum(list_transform(logits, e -> exp(e - mx))) AS z
+                FROM (SELECT vec_id,
+                             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS logits,
+                             list_max(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS mx
+                      FROM embeddings WHERE vec_id < 100)))
+    """,
+)
+def f20_softmax(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    probs = A.softmax(F.slice("embedding", 1, 8))
+    total = F.aggregate(probs, F.lit(0.0), lambda acc, e: acc + e)
+    return emb.select(
+        "vec_id",
+        F.round(total, 6).alias("total_p"),
+        F.round(F.element_at(probs, 1), 6).alias("first_p"),
+    )
+
+
+@_q(
+    "f16_md5_fingerprint",
+    """
+    SELECT c_mktsegment,
+           md5(array_to_string(list_sort(list(c_name)), ',')) AS fp
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def f16_fingerprint(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        A.fingerprint_md5(F.collect_list("c_name")).alias("fp")
+    )
+
+
+@_q(
+    "f17_file_id",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('-', 'li', CAST(l_orderkey AS VARCHAR),
+                     coalesce(lpad(CAST(nullif(l_linenumber % 2, 0) AS VARCHAR), 2, '0'), '__'),
+                     lpad(CAST(l_linenumber AS VARCHAR), 2, '0')) AS file_id
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def f17_file_id(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        A.file_id(
+            F.lit("li"), F.col("l_orderkey"),
+            F.nullif(F.col("l_linenumber") % 2, F.lit(0)),
+            F.col("l_linenumber"),
+        ).alias("file_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling & splits (X1, X4)
+# ---------------------------------------------------------------------------
+@_q(
+    "x1_subject_level_split",
+    """
+    WITH subj AS (SELECT DISTINCT o_custkey FROM orders),
+    assigned AS (
+      SELECT o_custkey,
+             CASE WHEN rn <= round(n * 0.25) THEN 'valid' ELSE 'train' END AS split
+      FROM (SELECT o_custkey,
+                   row_number() OVER (
+                     ORDER BY md5(concat_ws('|', 'split1', CAST(o_custkey AS VARCHAR))), o_custkey) AS rn,
+                   count(*) OVER () AS n
+            FROM subj))
+    SELECT split, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_subjects
+    FROM orders JOIN assigned USING (o_custkey)
+    GROUP BY split
+    """,
+)
+def x1_split(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    assigned = X.subject_level_split(o, "o_custkey", 0.25, seed="split1")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_subjects"),
+    )
+
+
+@_q(
+    "x4_weighted_sample",
+    """
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(concat_ws('|', '3', CAST(c_custkey AS VARCHAR))), c_custkey) AS rn,
+             t.ng
+      FROM customer
+      CROSS JOIN (SELECT count(DISTINCT c_mktsegment) AS ng FROM customer) t)
+    WHERE rn <= ceil(50.0 / ng)
+    """,
+)
+def x4_weighted(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return X.weighted_sample(c, ["c_mktsegment"], "c_custkey", 50, seed=3)
+
+
+# ---------------------------------------------------------------------------
+# [ext] Text analysis over documents
+# ---------------------------------------------------------------------------
+@_q(
+    "text_token_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           round(CAST(len(norm) - len(regexp_replace(norm, '[a-z]', '', 'g')) AS DOUBLE)
+                 / len(norm), 6) AS alpha_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.word_tokens(F.col("text"))
+    norm = T.normalize_ws(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "to", "in")))
+    n_alpha = F.length(norm) - F.length(F.regexp_replace(norm, r"[a-z]", ""))
+    return docs.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_alpha.cast("double") / F.length(norm), 6).alias("alpha_ratio"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS en,
+             len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS es,
+             len(list_filter(toks, x -> x IN ('le','la','les','des','est'))) AS fr
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+                WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                WHEN en >= es AND en >= fr THEN 'en'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "dedup_exact",
+    r"""
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+@_q(
+    "dedup_minhash_lsh",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    bands AS (SELECT doc_id, shingle, band
+              FROM sh, (SELECT unnest(range(8)) AS band) b),
+    sig AS (SELECT doc_id, band,
+                   min(md5(concat(shingle, '#', CAST(band AS VARCHAR)))) AS sig
+            FROM bands GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sig sa JOIN sig sb
+               ON sa.band = sb.band AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.a
+              JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+              GROUP BY c.a, c.b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (SELECT c.a, c.b,
+                   CAST(coalesce(i.i, 0) AS DOUBLE)
+                     / (na.n + nb.n - coalesce(i.i, 0)) AS j
+            FROM cand c
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            JOIN sizes na ON na.doc_id = c.a
+            JOIN sizes nb ON nb.doc_id = c.b),
+    losers AS (SELECT DISTINCT b AS doc_id FROM jac WHERE j >= 0.6)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_minhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.near_dedup_minhash(
+        docs, "doc_id", "text", n_bands=8, shingle_n=3, threshold=0.6
+    ).select("doc_id")
+
+
+@_q(
+    "dedup_simhash",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    h AS (SELECT doc_id, md5(unnest(toks)) AS hx FROM t),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (strpos('0123456789abcdef', substr(hx, b.bit + 1, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32_md5(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# [ext] Similarity search over embeddings
+# ---------------------------------------------------------------------------
+@_q(
+    "sim_bruteforce_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    pairs AS (SELECT e.vec_id,
+                     unnest(e.embedding) AS x, unnest(q.qe) AS y
+              FROM embeddings e, q),
+    s AS (SELECT vec_id,
+                 sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+                 sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+          FROM pairs GROUP BY vec_id)
+    SELECT vec_id, round(dp / (sqrt(sx) * sqrt(sy)), 6) AS score
+    FROM s ORDER BY dp / (sqrt(sx) * sqrt(sy)) DESC, vec_id LIMIT 10
+    """,
+)
+def sim_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = SIM.cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@_q("sim_lsh_topk", None)  # xxhash64 buckets are not DuckDB-expressible → rows-only check
+def sim_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = SIM.ann_lsh_topk(emb, qvec, k=10, n_planes=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# [ext] Event-time analytics over events (batch form of the streaming ops;
+# streaming/ wires the same logic through readStream + watermarks)
+# ---------------------------------------------------------------------------
+@_q(
+    "ev_tumbling_window",
+    """
+    SELECT date_diff('second', TIMESTAMP '1970-01-01',
+                     time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS win_start_s,
+           event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start_s"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@_q(
+    "ev_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+      FROM g)
+    SELECT user_id, CAST(session_nr AS BIGINT) AS session_nr,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM s GROUP BY user_id, session_nr
+    """,
+)
+def ev_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = gapped.withColumn("session_nr", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", "session_nr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+    )
+
+
+@_q(
+    "ev_latest_dedup",
+    """
+    SELECT user_id, event_type, event_id, round(value, 6) AS value
+    FROM (SELECT user_id, event_type, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def ev_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 6).alias("value"))
+    )
