@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set spans the engine's load-bearing paths: scan+agg (q1), star
+join (j2), window (w4), explode (g1), text dedup (minhash LSH), similarity
+(brute-force + LSH), sessionization. Each query is collected (full
+materialization) and timed individually after a session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from qcardia_data_spark import get_spark
+from qcardia_data_spark.queries import QUERIES
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_broadcast_star_join",
+    "a4_quantile_summary",
+    "a8_histogram_cdf",
+    "w1_count_over_partition",
+    "w4_cumulative_sum",
+    "g1_posexplode",
+    "x1_subject_level_split",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "ev_sessionize",
+    "ev_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="qds-bench")
+    # warm up the JVM/codegen with a trivial job so q1 doesn't pay startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: full pipeline executes on executors, nothing ships to
+        # the driver — measures engine throughput, not collect() serialization
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
+    """(id, shingle) rows — one row per distinct shingle per doc.
+
+    Row form on purpose: tokenize once, posexplode, build n-grams with
+    window ``lead`` — each token is regexp-split exactly once. The array
+    form (``shingles()``) re-evaluates the tokenizer inside the per-index
+    lambda (no subexpression elimination across higher-order lambdas),
+    which measured ~30× slower at bench scale. One shuffle on the doc id.
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("pos", "w")
+    )
+    byid = Window.partitionBy(id_col)
+    order = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(order) for j in range(1, shingle_n)]
+    sh = (
+        tok.withColumn("k", F.count(F.lit(1)).over(byid))
+        .withColumn("shingle", F.concat_ws(" ", *parts))
+        .filter(F.col("pos") <= F.col("k") - shingle_n)
+    )
+    return sh.select(id_col, "shingle").distinct()
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_bands: int = 8, shingle_n: int = 3,
 ) -> DataFrame:
@@ -37,15 +62,18 @@ def minhash_signatures(
 
     Equivalent to one minhash per band (band width r=1) — collision
     probability per band = Jaccard(a,b); P(candidate) = 1-(1-J)^bands.
-    Output: (id, band, sig) — long-thin, shuffle-friendly.
+    Output: (id, band, sig) — long-thin, shuffle-friendly. Map-side partial
+    min makes the shuffle O(docs × bands) regardless of shingle count.
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    with_band = sh.select(id_col, "sh", bands)
-    sig = F.array_min(
-        F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, F.lit("#"), F.col("band").cast("string"))))
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    banded = sh.select(
+        id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     )
-    return with_band.select(id_col, "band", sig.alias("sig")).filter(F.col("sig").isNotNull())
+    hashed = banded.select(
+        id_col, "band",
+        F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string"))).alias("h"),
+    )
+    return hashed.groupBy(id_col, "band").agg(F.min("h").alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -63,22 +91,31 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def jaccard_verify(
-    candidates: DataFrame, docs: DataFrame, id_col: str, text_col: str,
-    threshold: float = 0.6, shingle_n: int = 3,
+def jaccard_verify_rows(
+    candidates: DataFrame, sh: DataFrame, id_col: str, threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs only; keeps pairs ≥ threshold.
+    """Exact shingle Jaccard over candidate pairs, from (id, shingle) rows.
 
-    At scale the shingle-set join is two broadcast-or-shuffle hash joins on
-    doc id — proportional to candidates, not to the corpus.
+    intersection = count of shared shingles (join on shingle value);
+    union = |A| + |B| − intersection. Cost proportional to candidate pairs'
+    shingles, never to the corpus cross product.
     """
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    joined = candidates.join(a, "a").join(b, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col(id_col).alias("a"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        candidates.join(s1, "a")
+        .join(s2, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    joined = (
+        candidates.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return joined.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
@@ -92,11 +129,32 @@ def near_dedup_minhash(
     verified pair (min-id representative survives). This is the standard
     single-pass approximation of connected-components dedup; iterate to a
     fixpoint for full transitive closure (cheap: candidate graph is sparse).
+
+    The (id, shingle) row set is computed once and persisted — it feeds both
+    the signature build and the Jaccard verify (at 100 TB you would
+    checkpoint this intermediate instead).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col)
-    dups = jaccard_verify(cands, df, id_col, text_col, threshold, shingle_n)
-    losers = dups.select(F.col("b").alias(id_col)).distinct()
+    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    try:
+        banded = sh.select(
+            id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+        )
+        sigs = (
+            banded.select(
+                id_col, "band",
+                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string"))).alias("h"),
+            )
+            .groupBy(id_col, "band")
+            .agg(F.min("h").alias("sig"))
+        )
+        cands = lsh_candidate_pairs(sigs, id_col)
+        dups = jaccard_verify_rows(cands, sh, id_col, threshold)
+        # losers is tiny (one id column, only verified duplicates): persist
+        # and force it while the shingle cache is alive, then drop the cache
+        losers = dups.select(F.col("b").alias(id_col)).distinct().persist()
+        losers.count()
+    finally:
+        sh.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -152,3 +210,27 @@ def simhash32_md5(text: Column) -> Column:
     for b in range(32):
         sig = sig + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Row-form simhash32_md5: explode tokens → md5 once per token → 32
+    vote sums in one groupBy. Identical output to the Column form, ~10×
+    faster (the Column form re-evaluates md5 inside each of the 32 aggregate
+    lambdas; codegen can't CSE across higher-order-function lambdas).
+
+    One shuffle on ``id_col`` with map-side partial aggregation.
+    """
+    toks = df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w"))
+    hashed = toks.select(id_col, F.md5("w").alias("h"))
+
+    def vote(b: int) -> Column:
+        digit = F.conv(F.substring(F.col("h"), b + 1, 1), 16, 10).cast("int")
+        return F.sum(F.when(digit % 2 == 1, 1).otherwise(-1)).alias(f"v{b}")
+
+    votes = hashed.groupBy(id_col).agg(*[vote(b) for b in range(32)])
+    sig = F.lit(0).cast("long")
+    for b in range(32):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(id_col, sig.alias("simhash"))

@@ -1213,7 +1213,7 @@ def dedup_minhash_q(spark, sf_dir):
 )
 def dedup_simhash_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32_md5(F.col("text")).alias("simhash"))
+    return D.simhash32_table(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
