@@ -1,0 +1,95 @@
+"""Config-driven pipeline facade — the reference's ``DataModule`` lifecycle
+re-expressed on Spark (SURVEY §3.1 stages 1-8).
+
+Reference flow (``src/qcardia_data/pipeline/data_module.py``):
+``DataModule(config)`` → ``setup()`` (resolve split, fingerprint, cache,
+build transforms, route files, compute weights) → ``train_dataloader()``.
+
+Engine flow: ``DataModule(spark, config)`` → ``setup()`` (compile source
+pipeline, materialize to a fingerprint-keyed parquet cache, resolve the
+subject-level split, route records) → ``frame("train")`` (filtered, weighted
+lazy DataFrame — the serving surface; iterate with ``toLocalIterator`` or
+feed ``foreachBatch``).
+
+Config keys::
+
+    sf_dir: str                  # catalog root for table sources
+    cache_root: str              # where materialized caches live
+    pipeline: [ ...spec ops... ] # the heavy build (plans.spec grammar)
+    subject_col: str             # group-level split key
+    split: {valid_fraction: float, seed: any}  # or {assignments: {subject: split}}
+    weight_cols: [str]           # inverse-frequency weighting strata
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.operators.aggregates import group_weights_window
+from qcardia_data_spark.operators.windows import seeded_split
+from qcardia_data_spark.plans.cache import materialize, read_cache, route_splits
+from qcardia_data_spark.plans.spec import compile_pipeline
+
+
+class DataModule:
+    def __init__(self, spark: SparkSession, config: dict):
+        self.spark = spark
+        self.config = config
+        self._routed: DataFrame | None = None
+        self.cache_path: str | None = None
+        self.was_built: bool | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def setup(self) -> "DataModule":
+        cfg = self.config
+        self.cache_path, self.was_built = materialize(
+            self.spark,
+            build=lambda: compile_pipeline(self.spark, cfg["pipeline"], cfg.get("sf_dir")),
+            cache_root=cfg["cache_root"],
+            spec={"pipeline": cfg["pipeline"]},
+        )
+        records = read_cache(self.spark, self.cache_path)
+        assignment = self._resolve_split(records)
+        self._routed = route_splits(records, assignment, on=[cfg["subject_col"]])
+        return self
+
+    def _resolve_split(self, records: DataFrame) -> DataFrame:
+        """Subject-level split: explicit assignment table when provided
+        (reference data_split.py:43-49 honors split files), else the seeded
+        shuffle split over *distinct subjects* (data_split.py:73-84)."""
+        cfg = self.config
+        subject = cfg["subject_col"]
+        split_cfg = cfg.get("split", {})
+        if "assignments" in split_cfg:
+            rows = [(k, v) for k, v in split_cfg["assignments"].items()]
+            return self.spark.createDataFrame(rows, [subject, "split"])
+        subjects = records.select(subject).distinct()
+        return seeded_split(
+            subjects, subject,
+            float(split_cfg.get("valid_fraction", 0.2)),
+            split_cfg.get("seed", 0),
+        )
+
+    # -- serving -----------------------------------------------------------
+    def frame(self, split: str) -> DataFrame:
+        """Lazy, filtered, weighted record frame for one split (the
+        dataloader analog; weights = inverse group frequency over
+        ``weight_cols``, reference pipeline/utils.py:88-135)."""
+        if self._routed is None:
+            raise RuntimeError("call setup() first")
+        out = self._routed.filter(F.col("split") == split)
+        weight_cols = self.config.get("weight_cols")
+        if weight_cols:
+            out = group_weights_window(out, weight_cols)
+        return out
+
+    def summary(self) -> DataFrame:
+        """Files & subjects per split (reference ``print_dataset_summary``,
+        pipeline/utils.py:74-83)."""
+        if self._routed is None:
+            raise RuntimeError("call setup() first")
+        return self._routed.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct(self.config["subject_col"]).alias("n_subjects"),
+        )

@@ -1,0 +1,161 @@
+"""Declarative pipeline spec → DataFrame compiler.
+
+The reference's "query language" is its YAML config: a dict that drives
+split resolution, cache construction, and the transform Compose
+(reference ``demo/data-config.yaml``; consumed at
+``src/qcardia_data/pipeline/data_module.py:44-99`` and
+``pipeline/compose.py:26-234``). This module is the engine's equivalent: a
+JSON/YAML-able list of ops compiled into a lazy DataFrame DAG. Compilation
+is pure plan construction (driver-side, zero jobs) — execution happens only
+when the caller acts on the result, exactly Spark's model.
+
+Conditional plan pruning mirrors the reference's Compose construction
+(no-op stages are dropped at build time, compose.py:130-144): an op with
+``"when": false`` is skipped during compilation, not at runtime.
+
+Spec grammar (one dict per op, applied in order):
+
+    {"op": "source", "table": "lineitem"}              # or {"path": ...}
+    {"op": "select", "cols": [...]}
+    {"op": "filter", "expr": "l_quantity > 25"}
+    {"op": "with_columns", "cols": {"rev": "l_extendedprice * (1-l_discount)"}}
+    {"op": "rename", "mapping": {"a": "b"}}
+    {"op": "drop", "cols": [...]}
+    {"op": "join", "table"/"pipeline": ..., "on": [...], "how": "left",
+     "broadcast": true}
+    {"op": "group_agg", "by": [...], "aggs": {"out": "sum(expr)"}}
+    {"op": "window", "cols": {"out": "count(*)"}, "partition_by": [...],
+     "order_by": [...]}
+    {"op": "explode", "col": "arr", "pos": "frame_nr", "val": "frame"}
+    {"op": "union", "pipeline": [...]}                 # unionByName
+    {"op": "distinct"} / {"op": "dropDuplicates", "cols": [...]}
+    {"op": "sort", "by": [...]} / {"op": "limit", "n": 10}
+    {"op": "sample_group", "group": [...], "key": ..., "n": ..., "seed": ...}
+    {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.catalog import load_table
+from qcardia_data_spark.operators import sampling as X
+from qcardia_data_spark.operators.setops import union_by_name
+
+
+class SpecError(ValueError):
+    pass
+
+
+def compile_pipeline(
+    spark: SparkSession, ops: Sequence[dict], sf_dir: str | None = None,
+) -> DataFrame:
+    """Compile an op list into a lazy DataFrame. Raises SpecError on an
+    unknown op or a malformed entry — at plan time, never mid-job."""
+    df: DataFrame | None = None
+    for i, op in enumerate(ops):
+        if not isinstance(op, dict) or "op" not in op:
+            raise SpecError(f"op #{i} malformed: {op!r}")
+        if op.get("when") is False:  # build-time pruning of disabled stages
+            continue
+        kind = op["op"]
+        if kind == "source":
+            df = _source(spark, op, sf_dir)
+            continue
+        if df is None:
+            raise SpecError(f"op #{i} ({kind}) before any source")
+        df = _apply(spark, df, op, sf_dir)
+    if df is None:
+        raise SpecError("empty pipeline: no source op")
+    return df
+
+
+def _source(spark: SparkSession, op: dict, sf_dir: str | None) -> DataFrame:
+    if "table" in op:
+        if sf_dir is None:
+            raise SpecError("table source requires sf_dir")
+        return load_table(spark, sf_dir, op["table"])
+    if "path" in op:
+        fmt = op.get("format", "parquet")
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", op.get("header", True))
+            if "schema" in op:
+                reader = reader.schema(op["schema"])
+        return reader.load(op["path"])
+    raise SpecError(f"source needs 'table' or 'path': {op!r}")
+
+
+def _cols(exprs: Sequence[str]) -> list[Column]:
+    return [F.expr(e) for e in exprs]
+
+
+def _apply(spark: SparkSession, df: DataFrame, op: dict, sf_dir: str | None) -> DataFrame:
+    kind = op["op"]
+    if kind == "select":
+        return df.select(*_cols(op["cols"]))
+    if kind == "filter":
+        return df.filter(F.expr(op["expr"]))
+    if kind == "with_columns":
+        return df.withColumns({k: F.expr(v) for k, v in op["cols"].items()})
+    if kind == "rename":
+        return df.withColumnsRenamed(op["mapping"])
+    if kind == "drop":
+        return df.drop(*op["cols"])
+    if kind == "join":
+        right = _side(spark, op, sf_dir)
+        if op.get("broadcast"):
+            right = F.broadcast(right)
+        return df.join(right, on=op["on"], how=op.get("how", "inner"))
+    if kind == "group_agg":
+        aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]
+        return df.groupBy(*op.get("by", [])).agg(*aggs)
+    if kind == "window":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*op.get("partition_by", []))
+        if op.get("order_by"):
+            w = w.orderBy(*_cols(op["order_by"]))
+            if op.get("running", False):
+                w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = df
+        for name, e in op["cols"].items():
+            out = out.withColumn(name, F.expr(e).over(w))
+        return out
+    if kind == "explode":
+        pos, val = op.get("pos", "pos"), op.get("val", "val")
+        others = [c for c in df.columns if c != op["col"]]
+        return df.select(*others, F.posexplode(op["col"]).alias(pos, val))
+    if kind == "union":
+        other = _side(spark, op, sf_dir)
+        return union_by_name([df, other])
+    if kind == "distinct":
+        return df.distinct()
+    if kind == "dropDuplicates":
+        return df.dropDuplicates(op.get("cols"))
+    if kind == "sort":
+        return df.orderBy(*_cols(op["by"]))
+    if kind == "limit":
+        return df.limit(int(op["n"]))
+    if kind == "sample_group":
+        return X.stratified_sample_n(
+            df, op["group"], op["key"], int(op["n"]), op.get("seed", 0)
+        )
+    if kind == "split_subjects":
+        return X.subject_level_split(
+            df, op["key"], float(op["valid_fraction"]), op.get("seed", 0)
+        )
+    raise SpecError(f"unknown op {kind!r}")
+
+
+def _side(spark: SparkSession, op: dict, sf_dir: str | None) -> DataFrame:
+    if "pipeline" in op:
+        return compile_pipeline(spark, op["pipeline"], sf_dir)
+    if "table" in op:
+        if sf_dir is None:
+            raise SpecError("table side requires sf_dir")
+        return load_table(spark, sf_dir, op["table"])
+    raise SpecError(f"join/union side needs 'table' or 'pipeline': {op!r}")

@@ -1,0 +1,107 @@
+"""Streaming operators over the events stream.
+
+Every transformation here is expressed once and runs identically under
+``spark.read`` (batch backfill) and ``spark.readStream`` (live) — the
+Structured Streaming contract. Tests drive the stream with
+``trigger(availableNow=True)`` into a memory sink and assert batch/stream
+result equality.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped deterministically); session windows and dropDuplicates keep
+per-key state in the state store, sized by watermark horizon — the
+standard production shape for event pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.catalog import load_table, table_path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (one-file-per-trigger backfill).
+
+    Schema comes from the batch catalog (incl. the nanos→micros ts
+    conversion); the stream applies the same conversion.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource requires a directory-rooted glob (a bare file path
+    # makes it derive a non-directory basePath); `events.*` matches exactly
+    # the events parquet under sf_dir.
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.*"))
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # keep batch/stream schemas aligned
+    return raw.select(*batch.columns)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type. Late events beyond
+    the watermark are dropped; windows finalize (append mode) once the
+    watermark passes their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap`` of each other (built-in session_window — no custom state
+    store needed, SURVEY §7.3)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup: first event per key wins; state for a key
+    is dropped once the watermark passes (bounded memory)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame with availableNow (process everything,
+    then stop) into a memory sink; returns a batch DataFrame of the result."""
+    name = f"qds_mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

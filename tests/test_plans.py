@@ -1,0 +1,140 @@
+"""Plan layer tests: fingerprint stability, cache hit/miss/repair,
+spec compilation, and the DataModule lifecycle (SURVEY §5.3/§5.5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.plans import cache as C
+from qcardia_data_spark.plans.data_module import DataModule
+from qcardia_data_spark.plans.fingerprint import (
+    cache_name,
+    normalize_spec,
+    spec_fingerprint,
+    subject_set_fingerprint,
+)
+from qcardia_data_spark.plans.spec import SpecError, compile_pipeline
+
+
+def test_fingerprint_is_order_insensitive():
+    a = {"x": 1, "y": [1, 2], "z": {"a": True, "b": "s"}}
+    b = {"z": {"b": "s", "a": True}, "y": (1, 2), "x": 1.0}
+    assert spec_fingerprint(a) == spec_fingerprint(b)
+
+
+def test_fingerprint_drops_empty_and_none():
+    assert spec_fingerprint({"x": 1, "noise": None, "e": {}}) == spec_fingerprint({"x": 1})
+    assert normalize_spec({"a": [None]}) == {"a": [None]}  # nested None survives lists
+
+
+def test_fingerprint_distinguishes_real_changes():
+    assert spec_fingerprint({"x": 1}) != spec_fingerprint({"x": 2})
+
+
+def test_subject_fingerprint_sorted():
+    assert subject_set_fingerprint(["b", "a"]) == subject_set_fingerprint(["a", "b"])
+    assert cache_name({"p": 1}, ["a"]) != cache_name({"p": 1}, ["a", "b"])
+
+
+def test_cache_hit_miss_and_partial_repair(spark, sf_dir, tmp_path):
+    root = str(tmp_path)
+    spec = {"q": "nation-count"}
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+
+    p1, built1 = C.materialize(spark, build, root, spec)
+    assert built1 and len(builds) == 1
+    p2, built2 = C.materialize(spark, build, root, spec)
+    assert p1 == p2 and not built2 and len(builds) == 1  # hit costs no build
+
+    # simulate a crashed writer: remove _SUCCESS → PARTIAL → repaired
+    os.remove(os.path.join(p1, "_SUCCESS"))
+    assert C.cache_state(p1) is C.CacheState.PARTIAL
+    p3, built3 = C.materialize(spark, build, root, spec)
+    assert built3 and len(builds) == 2
+    assert C.read_cache(spark, p3).count() == 25
+
+
+def test_route_splits_orphan_check(spark):
+    records = spark.createDataFrame([("s1", 1), ("s2", 2), ("s3", 3)], ["subj", "v"])
+    assignment = spark.createDataFrame([("s1", "train"), ("s2", "valid")], ["subj", "split"])
+    with pytest.raises(ValueError, match="1 records belong to no split"):
+        C.route_splits(records, assignment, ["subj"])
+    ok = C.route_splits(records.filter("subj != 's3'"), assignment, ["subj"])
+    assert {r["split"] for r in ok.collect()} == {"train", "valid"}
+
+
+def test_spec_compiler_matches_handwritten(spark, sf_dir):
+    ops = [
+        {"op": "source", "table": "lineitem"},
+        {"op": "filter", "expr": "l_quantity > 25"},
+        {"op": "with_columns", "cols": {"rev": "l_extendedprice * (1 - l_discount)"}},
+        {"op": "group_agg", "by": ["l_returnflag"], "aggs": {"total_rev": "sum(rev)", "n": "count(*)"}},
+        {"op": "sort", "by": ["l_returnflag"]},
+    ]
+    got = compile_pipeline(spark, ops, sf_dir).collect()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    want = (
+        li.filter("l_quantity > 25")
+        .withColumn("rev", F.expr("l_extendedprice * (1 - l_discount)"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("rev").alias("total_rev"), F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_spec_compiler_prunes_disabled_ops(spark, sf_dir):
+    ops = [
+        {"op": "source", "table": "nation"},
+        {"op": "filter", "expr": "n_nationkey < 0", "when": False},  # pruned at build
+    ]
+    assert compile_pipeline(spark, ops, sf_dir).count() == 25
+
+
+def test_spec_compiler_errors_at_plan_time(spark, sf_dir):
+    with pytest.raises(SpecError, match="unknown op"):
+        compile_pipeline(spark, [{"op": "source", "table": "nation"}, {"op": "zap"}], sf_dir)
+    with pytest.raises(SpecError, match="before any source"):
+        compile_pipeline(spark, [{"op": "limit", "n": 1}], sf_dir)
+
+
+def test_data_module_lifecycle(spark, sf_dir, tmp_path):
+    config = {
+        "sf_dir": sf_dir,
+        "cache_root": str(tmp_path),
+        "pipeline": [
+            {"op": "source", "table": "orders"},
+            {"op": "select", "cols": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]},
+        ],
+        "subject_col": "o_custkey",
+        "split": {"valid_fraction": 0.25, "seed": "dm1"},
+        "weight_cols": ["o_orderstatus"],
+    }
+    dm = DataModule(spark, config).setup()
+    assert dm.was_built
+
+    # subject-level isolation: no customer appears in both splits
+    train = dm.frame("train")
+    valid = dm.frame("valid")
+    overlap = train.select("o_custkey").intersect(valid.select("o_custkey")).count()
+    assert overlap == 0
+    assert train.count() + valid.count() == 1500
+
+    # weights are inverse-frequency within the split
+    r = train.limit(1).collect()[0]
+    assert r["weight"] > 0
+
+    # second setup() is a cache hit and identical split (determinism)
+    dm2 = DataModule(spark, config).setup()
+    assert not dm2.was_built
+    s1 = {(r["o_custkey"], r["split"]) for r in dm.frame("valid").select("o_custkey", "split").collect()}
+    s2 = {(r["o_custkey"], r["split"]) for r in dm2.frame("valid").select("o_custkey", "split").collect()}
+    assert s1 == s2

@@ -1,0 +1,78 @@
+"""Streaming tests: batch/stream result equality under availableNow
+(the Structured Streaming correctness contract), session windows, stateful
+dedup, and the custom applyInPandasWithState operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.catalog import load_table
+from qcardia_data_spark.streaming import events as S
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    # complete mode: append would (correctly) hold back the final windows
+    # still inside the watermark horizon — for batch equality we want all
+    stream_out = S.run_to_memory(S.tumbling_counts(S.events_stream(spark, sf_dir)), "complete")
+    batch_out = S.tumbling_counts(_batch_events(spark, sf_dir))
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_sliding_windows_overlap(spark, sf_dir):
+    out = S.sliding_counts(_batch_events(spark, sf_dir), "1 hour", "30 minutes")
+    tumb = S.tumbling_counts(_batch_events(spark, sf_dir), "1 hour")
+    # every event lands in 2 overlapping windows → total count doubles
+    n_slide = out.agg(F.sum("n_events")).collect()[0][0]
+    n_tumb = tumb.agg(F.sum("n_events")).collect()[0][0]
+    assert n_slide == 2 * n_tumb
+
+
+def test_session_windows(spark, sf_dir):
+    sess = S.session_counts(_batch_events(spark, sf_dir), gap="30 minutes")
+    rows = sess.collect()
+    assert rows
+    # sessions for one user never overlap (gap semantics)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["sess_start"], r["sess_end"]))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert s2 >= e1  # next session starts after previous ends
+
+
+def test_streaming_dedup(spark, sf_dir):
+    ev = _batch_events(spark, sf_dir)
+    duplicated = ev.union(ev)  # every event twice
+    out = S.run_to_memory(
+        S.dedup_within_watermark(S.events_stream(spark, sf_dir).union(S.events_stream(spark, sf_dir)), ["event_id"])
+    )
+    assert out.count() == ev.count()
+    assert duplicated.count() == 2 * ev.count()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    from qcardia_data_spark.streaming.stateful import running_user_totals
+
+    out = S.run_to_memory(running_user_totals(S.events_stream(spark, sf_dir)), "update")
+    # final update per user equals the batch aggregate
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    got = {(r["user_id"], r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    want = {(r["user_id"], r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert got == want
