@@ -1,0 +1,132 @@
+"""Multimodal columns: binary payloads with typed metadata + lazy decode
+(the S2/S3 pattern generalized; SURVEY §2.14 "multimodal columns").
+
+Design (the 100 TB shape): images/audio/video live as ``binary`` columns (or
+path references into object storage) beside a typed metadata struct. Decode
+/ feature-extract / resize / frame-sample are Arrow-batched ``mapInPandas``
+stages that run AFTER metadata predicates — a filter on
+``meta.width >= 256`` prunes files before a single byte is decoded.
+
+The real codec libraries (nibabel/pydicom/PIL/ffmpeg) are not in this
+container, so the codec boundary is stubbed: ``decode_image`` dispatches to
+a clearly-marked deterministic fake (seeded by the payload hash) and raises
+``NotImplementedError`` for real formats. Everything Spark-side — schemas,
+batch iteration, partitioning, the UDF signatures — is real and tested.
+
+Reference parity: NIfTI/DICOM loading (reference ``mm1.py:47-48``,
+``setup/reformat/utils.py:132-215``) is exactly this pattern: bytes →
+decode → per-record arrays + affine metadata. The DICOM slice grouping
+(group files by projected patient position, ``get_slices_from_positions``,
+reference reformat/utils.py:218-241) is reproduced relationally in
+:func:`group_slices_by_position`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("pixels", ArrayType(FloatType())),  # flattened h*w*t
+    StructField("payload_bytes", LongType()),
+])
+
+
+def _fake_decode(content: bytes, height: int = 8, width: int = 8, n_frames: int = 2) -> np.ndarray:
+    """Deterministic fake codec: pixels derived from the payload's sha256 —
+    same bytes always decode to the same "image". STUB for nibabel/pydicom/
+    PIL decode; swap this single function for the real codec in production."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.rand(height, width, n_frames).astype(np.float32)
+
+
+def decode_image(fmt: str = "fake", height: int = 8, width: int = 8, n_frames: int = 2):
+    """Build a mapInPandas decode stage for binaryFile rows
+    (path, modificationTime, length, content) → DECODED_SCHEMA rows.
+
+    Arrow-batched: each pandas batch decodes serially inside one Python
+    worker; parallelism comes from file-partitioned input. Real formats
+    (``nii``, ``dcm``, ``png``…) raise NotImplementedError at the codec
+    boundary only.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if fmt != "fake":
+                    raise NotImplementedError(
+                        f"codec {fmt!r} requires external libs absent from this "
+                        "environment; plumbing is real, codec is stubbed"
+                    )
+                arr = _fake_decode(bytes(content), height, width, n_frames)
+                rows.append({
+                    "path": path,
+                    "height": arr.shape[0],
+                    "width": arr.shape[1],
+                    "n_frames": arr.shape[2],
+                    "pixels": arr.ravel().tolist(),
+                    "payload_bytes": len(content),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    def stage(binary_df: DataFrame) -> DataFrame:
+        # declare needed columns explicitly → upstream column pruning stays
+        # alive (the UDF cannot be introspected by Catalyst)
+        return binary_df.select("path", "content").mapInPandas(decode, DECODED_SCHEMA)
+
+    return stage
+
+
+def frame_sample(decoded: DataFrame, keep_frames: Sequence[int]) -> DataFrame:
+    """Frame-sampling on the flattened pixel array WITHOUT decoding again:
+    pure slicing arithmetic on (h, w, t) layout — the predicate-below-
+    explode rule (SURVEY §4.1) applied to multimodal payloads."""
+    h, w = F.col("height"), F.col("width")
+    picks = F.array(*[F.lit(i) for i in keep_frames])
+    # pixel (y, x, f) lives at index ((y*w)+x)*n_frames + f of the C-order
+    # flattened array; per kept frame, gather the h*w plane
+    frame_plane = lambda fr: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), h * w - 1),
+        lambda i: F.element_at(F.col("pixels"), i * F.col("n_frames") + fr + 1),
+    )
+    pairs = F.transform(picks, lambda fr: F.struct(fr.alias("frame_nr"), frame_plane(fr).alias("plane")))
+    out = decoded.select("path", "height", "width", F.explode(pairs).alias("pf"))
+    return out.select("path", "height", "width", "pf.frame_nr", F.col("pf.plane").alias("pixels"))
+
+
+def group_slices_by_position(
+    files: DataFrame, pos_cols: Sequence[str], normal: Sequence[float],
+    tol: float = 1e-3,
+) -> DataFrame:
+    """S3 DICOM slice grouping, relationally: project each file's patient
+    position onto the stack normal, bucket by tolerance, index slices by
+    descending position (reference ``get_slices_from_positions``,
+    reformat/utils.py:218-241 + the descending unique sort at :235-237)."""
+    from pyspark.sql.window import Window
+
+    proj = sum(F.col(c) * F.lit(float(n)) for c, n in zip(pos_cols, normal))
+    bucketed = files.withColumn("slice_pos", F.round(proj / tol) * tol)
+    return bucketed.withColumn(
+        "slice_nr", F.dense_rank().over(Window.orderBy(F.desc("slice_pos"))) - 1
+    )

@@ -1,0 +1,66 @@
+"""Readers (S1-S5).
+
+- S1 CSV metadata scan: subject CSVs with string-typed ids (the reference
+  forces ``SubjectID`` to str, ``utils.py:132-133`` — numeric-looking ids
+  like "001" must not collapse to 1).
+- S2/S3 binary scans: ``binaryFile`` datasource — (path, length, content)
+  rows; decoding is a separate lazy stage (sources.multimodal).
+- S4 cached-record scan: plain parquet (plans.cache.read_cache).
+- S5 YAML/JSON spec scan: driver-side, tiny, feeds the spec compiler.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def csv_metadata_scan(
+    spark: SparkSession, path: str, string_cols: Sequence[str] = ("SubjectID",),
+) -> DataFrame:
+    """S1 — header CSV with schema inference EXCEPT ``string_cols``, which
+    are forced to string after the fact (reference reads with
+    ``dtype={'SubjectID': str}``)."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    for c in string_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("string"))
+    return df
+
+
+def binary_file_scan(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S2/S3 — binary payload scan: one row per file with (path,
+    modificationTime, length, content). ``pathGlobFilter`` prunes at listing
+    time — files that don't match are never opened."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def spec_scan(path: str) -> dict:
+    """S5 — driver-side spec file load (YAML if available, else JSON).
+    Mirrors ``load_yaml_config`` (reference utils.py:122-129)."""
+    text = open(path).read()
+    try:
+        import yaml  # optional dep
+
+        return yaml.safe_load(text)
+    except ImportError:
+        return json.loads(text)
+
+
+def split_table_from_dict(spark: SparkSession, split_dict: dict) -> DataFrame:
+    """S5 — split dict ``{split: {dataset: [subject,...]}}`` (the reference's
+    persisted split YAML shape, data_split.py:80-86) → DataFrame
+    (split, dataset, subject_id)."""
+    rows = [
+        (split, dataset, str(subject))
+        for split, datasets in split_dict.items()
+        for dataset, subjects in datasets.items()
+        for subject in subjects
+    ]
+    return spark.createDataFrame(rows, ["split", "dataset", "subject_id"])

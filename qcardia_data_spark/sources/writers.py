@@ -1,0 +1,65 @@
+"""Sinks (S6-S11).
+
+Order-sensitive materialization follows the engine rule (SURVEY §7.3):
+canonical sort before write. Small results (summaries, split dicts) are
+driver-side JSON; bulk records are parquet with Spark's atomic commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_records(
+    df: DataFrame, path: str, order_by: Sequence[str],
+    partition_by: Sequence[str] = (), mode: str = "overwrite",
+) -> None:
+    """S6 — bulk record sink: canonical sort, then parquet (atomic commit,
+    ``_SUCCESS`` marker). ``partition_by`` maps to directory partitioning so
+    downstream split/subject filters prune whole files."""
+    writer = df.orderBy(*order_by).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_metadata_table(
+    df: DataFrame, path: str, ordered_cols: Sequence[str],
+    int32_cols: Sequence[str] = (), mode: str = "overwrite",
+) -> None:
+    """S7 — metadata table sink with explicit column order + int32 casts
+    (reference dataset_cacher.py:379-391 reorders columns and downcasts
+    slice/frame counters)."""
+    out = df
+    for c in int32_cols:
+        out = out.withColumn(c, F.col(c).cast("int"))
+    rest = [c for c in out.columns if c not in set(ordered_cols)]
+    out.select(*ordered_cols, *rest).orderBy(*ordered_cols).write.mode(mode).parquet(path)
+
+
+def write_small_json(obj: Mapping | Sequence, path: str) -> None:
+    """S9 — driver-side JSON sink for collected small results (split dicts,
+    summaries — reference ``data_to_file``, utils.py:105-119)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True, default=str)
+
+
+def collect_split_dict(assignment: DataFrame, subject_col: str = "subject_id") -> dict:
+    """Inverse of readers.split_table_from_dict: assignment frame →
+    ``{split: {dataset: [subjects]}}`` with sorted subject lists (the
+    reference sorts everywhere for determinism, O1)."""
+    rows = assignment.collect()
+    out: dict = {}
+    for r in rows:
+        dataset = r["dataset"] if "dataset" in assignment.columns else "default"
+        out.setdefault(r["split"], {}).setdefault(dataset, []).append(str(r[subject_col]))
+    for datasets in out.values():
+        for k in datasets:
+            datasets[k] = sorted(datasets[k])
+    return out
