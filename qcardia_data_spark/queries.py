@@ -536,6 +536,182 @@ def a10_two_level(spark, sf_dir):
     return agg.two_level_agg(joined, ["o_custkey"], ["c_mktsegment"], "o_totalprice")
 
 
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping(spark, sf_dir):
+    # TPC-H Q3 shape: selective dim filter broadcast into the fact join,
+    # decimal-exact revenue, TakeOrderedAndProject top-k
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"])),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@_q(
+    "a11_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a11_rollup(spark, sf_dir):
+    # hierarchical totals (flag, flag×status, grand) in one pass — Spark
+    # expands rollup into grouping sets with partial agg reuse
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q("a12_approx_count_distinct", None)  # HLL sketches are engine-specific → rows-only
+def a12_approx(spark, sf_dir):
+    # the at-scale distinct-count path: mergeable HLL sketch, no exact
+    # shuffle of all keys (exact twin is a9_grouped_counts)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@_q(
+    "p11_nullify_placeholders",
+    """
+    SELECT doc_id, nullif(source, 'src0') AS source_key
+    FROM documents
+    """,
+)
+def p11_nullify(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("source_key")
+    )
+    return P.nullify_placeholders(df, ["source_key"], placeholders=("src0",))
+
+
+@_q(
+    "f3_standardize",
+    """
+    SELECT vec_id,
+           round((d[1] - mu) / sigma, 6) AS first_std,
+           round(list_sum(list_transform(d, x -> (x - mu) / sigma)), 6) AS sum_std
+    FROM (SELECT vec_id, d, mu,
+                 sqrt(list_sum(list_transform(d, x -> (x - mu) * (x - mu))) / len(d)) AS sigma
+          FROM (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+                       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding) AS mu
+                FROM embeddings WHERE vec_id < 100))
+    """,
+)
+def f3_standardize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    std = A.standardize(F.col("embedding"))
+    s = F.aggregate(std, F.lit(0.0), lambda acc, e: acc + e)
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(std, 1), 6).alias("first_std"),
+        F.round(s, 6).alias("sum_std"),
+    )
+
+
+@_q(
+    "f22_unit_conversion",
+    """
+    SELECT p_partkey,
+           CAST(round(p_size * 2.54, 6) AS DOUBLE) AS size_cm,
+           CAST(round(p_retailprice / nullif(p_size, 0), 6) AS DOUBLE) AS price_per_unit
+    FROM part
+    """,
+)
+def f22_units(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_size") * 2.54, 6).alias("size_cm"),
+        F.round(F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)), 6).alias(
+            "price_per_unit"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1-W5)
 # ---------------------------------------------------------------------------
@@ -1214,6 +1390,40 @@ def dedup_minhash_q(spark, sf_dir):
 def dedup_simhash_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.simhash32_table(docs, "doc_id", "text")
+
+
+@_q(
+    "text_rolling_fingerprint",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh AS (
+      SELECT doc_id, pos, k,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER win, lead(w, 2) OVER win, lead(w, 3) OVER win,
+                       lead(w, 4) OVER win, lead(w, 5) OVER win, lead(w, 6) OVER win,
+                       lead(w, 7) OVER win) AS shingle
+      FROM tok
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+    SELECT doc_id, min(md5(shingle)) AS fp
+    FROM sh WHERE pos <= k - 8
+    GROUP BY doc_id
+    """,
+)
+def text_rolling_fp(spark, sf_dir):
+    # winnowing-lite doc fingerprint: min over 8-token-window hashes —
+    # robust to small edits, constant size (SURVEY §2.14 fingerprinting)
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs, "doc_id", "text", shingle_n=8)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
 
 
 # ---------------------------------------------------------------------------

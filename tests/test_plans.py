@@ -126,7 +126,8 @@ def test_data_module_lifecycle(spark, sf_dir, tmp_path):
     valid = dm.frame("valid")
     overlap = train.select("o_custkey").intersect(valid.select("o_custkey")).count()
     assert overlap == 0
-    assert train.count() + valid.count() == 1500
+    n_orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    assert train.count() + valid.count() == n_orders
 
     # weights are inverse-frequency within the split
     r = train.limit(1).collect()[0]
