@@ -18,3 +18,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_TEST_DIR
+
+
+@pytest.fixture(scope="session")
+def shared_spark(spark):
+    """Session-scoped alias usable inside hypothesis @given tests."""
+    return spark

@@ -1,0 +1,115 @@
+"""Edge-semantics unit tests for the operator kernel (SURVEY §5.2/§5.4):
+NULL-keeping group weights, singleton-collapse explode, union-by-name with
+missing columns, composite-key inverse property, natural sort, first-match
+semantics, weighted sampling share math."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.operators import aggregates as agg
+from qcardia_data_spark.operators import generators as gen
+from qcardia_data_spark.operators import projections as P
+from qcardia_data_spark.operators import sampling as X
+from qcardia_data_spark.operators import setops as U
+from qcardia_data_spark.operators import sorts as O
+
+
+def test_group_weights_keeps_null_groups(spark):
+    # reference: groupby(dropna=False) — pipeline/utils.py:121-127
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], ["g"]
+    )
+    out = {r["g"]: (r["cnt"], r["weight"]) for r in agg.group_weights(df, ["g"]).collect()}
+    assert out[None] == (3, 2.0)
+    assert out["a"] == (2, 3.0)
+    assert out["b"] == (1, 6.0)
+
+
+def test_singleton_collapse_matches_reference(spark):
+    # reference: dimensions.py:23-28 — 1-element axis not exploded, pos NULL
+    df = spark.createDataFrame(
+        [("multi", [1.0, 2.0, 3.0]), ("single", [9.0])], ["k", "arr"]
+    )
+    singles, multis = gen.collapse_singleton(df, "arr", "pos", "total_pos")
+    exploded = gen.explode_with_position(multis, "arr", keep_other=["k"])
+    merged = U.union_by_name([
+        exploded,
+        singles.select("k", F.element_at("arr", 1).alias("val")),
+    ])
+    rows = {(r["k"], r["pos"]): r["val"] for r in merged.collect()}
+    assert rows[("multi", 0)] == 1.0 and rows[("multi", 2)] == 3.0
+    assert rows[("single", None)] == 9.0  # collapsed: NULL ordinal ("__" file-id)
+
+
+def test_explode_keep_positions_prefilters(spark):
+    df = spark.createDataFrame([("a", [10.0, 20.0, 30.0, 40.0])], ["k", "arr"])
+    out = gen.explode_with_position(df, "arr", keep_positions=[0, 2], keep_other=["k"])
+    got = {(r["pos"], r["val"]) for r in out.collect()}
+    assert got == {(0, 10.0), (2, 30.0)}
+    assert out.collect()[0]["total_pos"] == 4  # total reflects pre-filter axis
+
+
+def test_union_by_name_missing_columns_null(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, 3.5)], ["id", "only_b"])
+    out = U.union_by_name([a, b]).orderBy("id").collect()
+    assert out[0]["only_b"] is None and out[1]["only_a"] is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz", min_size=1, max_size=5),
+            st.text(alphabet="0123456789-", min_size=1, max_size=8),
+        ),
+        min_size=1, max_size=8, unique=True,
+    )
+)
+def test_composite_key_roundtrip_property(shared_spark, pairs):
+    # P12 inverse property (reference utils.py:65-102): dataset names contain
+    # no '-', subject ids may — split limit must preserve the tail
+    df = shared_spark.createDataFrame(pairs, ["dataset", "subject"])
+    enc = P.encode_composite_key(df, "key", ["dataset", "subject"])
+    dec = P.decode_composite_key(enc, "key", ["d2", "s2"])
+    for r in dec.collect():
+        assert (r["d2"], r["s2"]) == (r["dataset"], r["subject"])
+
+
+def test_natural_sort_orders_numerically(spark):
+    df = spark.createDataFrame([(f"file{i}",) for i in (2, 10, 1, 20, 3)], ["name"])
+    out = [r["name"] for r in O.natural_sort(df, "name").collect()]
+    assert out == ["file1", "file2", "file3", "file10", "file20"]
+
+
+def test_first_match_semantics(spark):
+    from qcardia_data_spark.operators.joins import first_match_per_key
+
+    df = spark.createDataFrame(
+        [("s", 0, 5.0), ("s", 1, 7.0), ("s", 2, 7.0), ("t", 0, 1.0)],
+        ["subject", "frame", "vol"],
+    )
+    out = first_match_per_key(df, "subject", "frame", F.col("vol") == 7.0)
+    got = {r["subject"]: r["first_frame"] for r in out.collect()}
+    assert got == {"s": 1}  # first match wins; 't' has none → absent
+
+
+def test_weighted_sample_equal_shares(spark):
+    rows = [(f"g{i % 4}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    out = X.weighted_sample(df, ["g"], "k", target_per_group_total=20, seed=5)
+    per_group = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert set(per_group.values()) == {5}  # ceil(20/4) from each group
+
+
+def test_seeded_split_is_exact_fraction(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    from qcardia_data_spark.operators.windows import seeded_split
+
+    out = seeded_split(df, "k", 0.2, seed=9)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"valid": 40, "train": 160}
