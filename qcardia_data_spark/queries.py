@@ -1452,6 +1452,89 @@ def sim_bruteforce(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+@_q(
+    "dedup_embedding_cosine",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id),
+    s AS (SELECT a, b,
+                 sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+                 sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+          FROM pairs GROUP BY a, b),
+    dup AS (SELECT b FROM s WHERE dp / (sqrt(sx) * sqrt(sy)) >= 0.8)
+    SELECT vec_id FROM sub WHERE vec_id NOT IN (SELECT b FROM dup)
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # embedding near-dup, exact on a bounded subset (the oracle-checkable
+    # twin of the LSH-bucketed scale path sim_ann_join below): all-pairs
+    # cosine ≥ τ → min-id survives
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    from qcardia_data_spark.functions.arrays import cosine
+
+    dups = pairs.filter(cosine(F.col("va"), F.col("vb")) >= 0.8).select("b").distinct()
+    return emb.join(dups.withColumnRenamed("b", "vec_id"), "vec_id", "left_anti").select("vec_id")
+
+
+@_q("sim_ann_join", None)  # hyperplane buckets (xxhash64) → rows-only check
+def sim_ann_join(spark, sf_dir):
+    # all-pairs ANN join: O(N) bucket-tagged shuffle instead of O(N²) cross
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.pairwise_topk_join(
+        emb.select(F.col("vec_id").alias("a"), "embedding"),
+        emb.select(F.col("vec_id").alias("b"), "embedding"),
+        k=3, id_left="a", id_right="b", n_planes=6,
+    )
+    return out.select("a", "b", F.round("score", 6).alias("score"))
+
+
+@_q(
+    "text_term_freq",
+    r"""
+    WITH t AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS w
+      FROM documents)
+    SELECT source, w AS term, count(*) AS tf FROM t
+    GROUP BY source, w HAVING count(*) >= 5
+    """,
+)
+def text_term_freq(spark, sf_dir):
+    # term-frequency table (the TF half of TF-IDF, SURVEY §2.14) — long-thin
+    # (source, term) rows, map-side combine on the shuffle
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(T.word_tokens(F.col("text"))).alias("term"))
+    return toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf")).filter(
+        F.col("tf") >= 5
+    )
+
+
+@_q(
+    "a13_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a13_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("double").alias("total"))
+    )
+
+
 @_q("sim_lsh_topk", None)  # xxhash64 buckets are not DuckDB-expressible → rows-only check
 def sim_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -1483,6 +1566,30 @@ def ev_tumbling(spark, sf_dir):
             F.col("w.start").cast("long").alias("win_start_s"),
             "event_type", "n_events", "sum_value",
         )
+    )
+
+
+@_q(
+    "ev_sliding_window",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    w AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS win_start,
+             event_type
+      FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) k)
+    SELECT date_diff('second', TIMESTAMP '1970-01-01', win_start) AS win_start_s,
+           event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def ev_sliding(spark, sf_dir):
+    # sliding windows (1h width / 30min slide): each event contributes to 2
+    # overlapping windows; Spark's window() generates them directly
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("win_start_s"), "event_type", "n_events")
     )
 
 
