@@ -1,0 +1,69 @@
+"""End-to-end reformat pipeline test (SURVEY §3.2): binary scan → decode →
+explode → ED/ES → crop → file-id records + metadata, wrapped in the
+idempotent cache layer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.plans.cache import materialize
+from qcardia_data_spark.reformat import reformat_volumes
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    for i in range(5):
+        (d / f"subj{i}.bin").write_bytes(f"volume-{i}".encode() * 10)
+    return str(d)
+
+
+def test_reformat_end_to_end(spark, raw_dir):
+    records, metadata = reformat_volumes(spark, raw_dir, dataset="mmX", n_frames=4)
+    recs = records.collect()
+    assert len(recs) == 20  # 5 subjects × 4 frames
+    by_subject: dict = {}
+    for r in recs:
+        by_subject.setdefault(r["subject"], []).append(r)
+    for subj, rows in by_subject.items():
+        eds = [r for r in rows if r["is_ed"]]
+        ess = [r for r in rows if r["is_es"]]
+        assert len(eds) == 1 and len(ess) == 1
+        # ED has the max annotated volume, ES the min annotated volume
+        vols = {r["frame_nr"]: r["volume"] for r in rows if r["volume"] > 0}
+        assert vols[eds[0]["frame_nr"]] == max(vols.values())
+        assert vols[ess[0]["frame_nr"]] == min(vols.values())
+        for r in rows:
+            assert r["file_id"] == f"mmX-{subj}-__-{r['frame_nr']:02d}"
+            assert r["height"] <= 8 and r["width"] <= 8
+
+    meta = {r["subject"]: r for r in metadata.collect()}
+    assert set(meta) == {f"subj{i}" for i in range(5)}
+    assert all(m["total_nr_frames"] == 4 for m in meta.values())
+
+
+def test_reformat_is_deterministic(spark, raw_dir):
+    r1, _ = reformat_volumes(spark, raw_dir, dataset="mmX")
+    r2, _ = reformat_volumes(spark, raw_dir, dataset="mmX")
+    k = ["subject", "frame_nr"]
+    assert {tuple(r) for r in r1.select(*k, "volume").collect()} == {
+        tuple(r) for r in r2.select(*k, "volume").collect()
+    }
+
+
+def test_reformat_under_cache_layer(spark, raw_dir, tmp_path):
+    calls = []
+
+    def build():
+        calls.append(1)
+        records, _ = reformat_volumes(spark, raw_dir, dataset="mmX")
+        return records.drop("pixels")
+
+    spec = {"reformat": {"dir": raw_dir, "dataset": "mmX"}}
+    p1, built1 = materialize(spark, build, str(tmp_path), spec)
+    p2, built2 = materialize(spark, build, str(tmp_path), spec)
+    assert built1 and not built2 and len(calls) == 1
+    assert spark.read.parquet(p1).count() == 20
