@@ -77,6 +77,34 @@ def weighted_sample(
     return ranked.filter(F.col("_rn") <= F.col("_share")).drop("_rn", "_share")
 
 
+def weighted_rejection_sample(
+    df: DataFrame, group: Sequence[str], key: str, accept_scale: float = 1.0,
+    seed: str | int = 0,
+) -> DataFrame:
+    """X4 (faithful form) — inverse-frequency rejection sampling: accept a
+    row iff ``u(key) < accept_scale · w/max_w`` where ``w = total/group_cnt``
+    (the ``WeightedRandomSampler`` equalization semantics, reference
+    data_module.py:88-99,147-157).
+
+    The rarest group is accepted with probability ``accept_scale``; a group
+    k× more frequent at ``accept_scale/k`` — expected output is balanced
+    across groups. Fully deterministic under retry (keyed uniform).
+    """
+    from pyspark.sql.window import Window
+
+    from qcardia_data_spark.functions.transforms import keyed_uniform
+
+    w = Window.partitionBy(*group)
+    total = Window.partitionBy()
+    weighted = df.withColumn(
+        "_w", F.count(F.lit(1)).over(total).cast("double") / F.count(F.lit(1)).over(w)
+    ).withColumn("_maxw", F.max("_w").over(total))
+    accept = keyed_uniform(seed, "wsample", F.col(key)) < (
+        F.lit(accept_scale) * F.col("_w") / F.col("_maxw")
+    )
+    return weighted.filter(accept).drop("_w", "_maxw")
+
+
 def random_subset(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:
     """X5 — k random subjects for prediction runs (reference
     data_predictor.py:178-182), deterministic under retry."""
