@@ -22,6 +22,8 @@ from qcardia_data_spark.queries import QUERIES
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "j2_broadcast_star_join",
     "a4_quantile_summary",
     "a8_histogram_cdf",
@@ -33,8 +35,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_ann_join",
     "ev_sessionize",
     "ev_tumbling_window",
 ]

@@ -32,26 +32,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
     """(id, shingle) rows — one row per distinct shingle per doc.
 
-    Row form on purpose: tokenize once, posexplode, build n-grams with
-    window ``lead`` — each token is regexp-split exactly once. The array
-    form (``shingles()``) re-evaluates the tokenizer inside the per-index
-    lambda (no subexpression elimination across higher-order lambdas),
-    which measured ~30× slower at bench scale. One shuffle on the doc id.
+    The tokenizer output is materialized through an ``explode(array(...))``
+    barrier: a generator's output is a real attribute (a row value), so the
+    per-index shingle lambda reads it instead of re-evaluating the
+    three-regexp tokenizer (higher-order lambdas get no cross-reference
+    subexpression elimination; the naive array form measured ~30× slower,
+    a window-``lead`` row form still ~5× slower than this). No shuffle at
+    all — shingling is fully map-side.
     """
-    from pyspark.sql.window import Window
-
-    tok = df.select(
-        F.col(id_col), F.posexplode(word_tokens(F.col(text_col))).alias("pos", "w")
+    tok = df.select(F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"))
+    k = F.size(F.col("toks"))
+    idx = F.sequence(F.lit(0), F.greatest(k - shingle_n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, shingle_n), " "))
+    guarded = F.when(k >= shingle_n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
-    byid = Window.partitionBy(id_col)
-    order = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(order) for j in range(1, shingle_n)]
-    sh = (
-        tok.withColumn("k", F.count(F.lit(1)).over(byid))
-        .withColumn("shingle", F.concat_ws(" ", *parts))
-        .filter(F.col("pos") <= F.col("k") - shingle_n)
-    )
-    return sh.select(id_col, "shingle").distinct()
+    return tok.select(F.col(id_col), F.explode(guarded).alias("shingle"))
 
 
 def minhash_signatures(
