@@ -87,6 +87,74 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: centroids = keyed-rand sample of the corpus (a
+    deterministic k-means-lite seeding; one Lloyd iteration would refine but
+    sampling already bounds cell imbalance on shuffled data), assignment =
+    argmax cosine against the broadcast centroid set.
+
+    Returns (assigned, centroids): ``assigned`` has a ``cell`` column — at
+    scale you *partition the table by cell* so probes prune whole files.
+    """
+    from qcardia_data_spark.operators.sorts import seeded_sample_n
+
+    cents = (
+        seeded_sample_n(embeddings.select(id_col, vec_col), id_col, n_cells, seed)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+        .collect()
+    )
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+        )
+        for i, r in enumerate(cents)
+    ])
+    scored = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            (-cosine(F.col(vec_col), s["c"])).alias("neg"), s["cell"].alias("cell")
+        ),
+    )
+    best = F.array_sort(scored)[0]["cell"]
+    assigned = embeddings.withColumn("cell", best)
+    centroids = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(cents)],
+        ["cell", "centroid"],
+    )
+    return assigned, centroids
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame, query_vec, k: int = 10, n_cells: int = 16,
+    n_probe: int = 4, seed: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors in the ``n_probe`` cells whose
+    centroids are closest to the query — the classic recall/cost dial."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(embeddings, n_cells, seed, id_col, vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cent_rows = centroids.collect()
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probes = sorted(
+        cent_rows, key=lambda r: -cos(np.asarray(r["centroid"], dtype=np.float64), q)
+    )[:n_probe]
+    probe_cells = [r["cell"] for r in probes]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",

@@ -1535,6 +1535,91 @@ def a13_cube(spark, sf_dir):
     )
 
 
+@_q("sim_ivf_topk", None)  # centroid sampling/probing is procedural → rows-only check
+def sim_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = SIM.ann_ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@_q(
+    "text_tfidf",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0))) AS w
+      FROM documents),
+    df_ AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.w AS term,
+           round(ln(CAST(n.n_docs AS DOUBLE) / df_.df), 6) AS idf
+    FROM t JOIN df_ USING (w) CROSS JOIN n
+    WHERE df_.df >= 50
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    # document-frequency + IDF over distinct terms per doc (the IDF half of
+    # TF-IDF; term presence rows are long-thin and combine map-side)
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(T.word_tokens(F.col("text")))).alias("term"),
+    )
+    n_docs = docs.count()
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") >= 50
+    )
+    return (
+        terms.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id", "term",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@_q(
+    "text_quality_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS DOUBLE)
+               / nullif(len(toks), 0) AS stop_ratio
+      FROM t)
+    SELECT doc_id,
+           round(0.5 * least(n_tokens / 20.0, 1.0)
+                 + 0.5 * least(stop_ratio / 0.1, 1.0), 6) AS quality
+    FROM s
+    WHERE n_tokens >= 10 AND n_chars >= 64
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    # composite quality score + threshold filter — the pretraining-corpus
+    # quality gate shape (length + stopword-density signals)
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.word_tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "to", "in")))
+    stop_ratio = stop.cast("double") / F.nullif(n_tokens, F.lit(0))
+    quality = F.round(
+        0.5 * F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+        + 0.5 * F.least(stop_ratio / 0.1, F.lit(1.0)),
+        6,
+    )
+    return docs.filter((n_tokens >= 10) & (F.col("n_chars") >= 64)).select(
+        "doc_id", quality.alias("quality")
+    )
+
+
 @_q("sim_lsh_topk", None)  # xxhash64 buckets are not DuckDB-expressible → rows-only check
 def sim_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

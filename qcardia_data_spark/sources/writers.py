@@ -50,6 +50,34 @@ def write_small_json(obj: Mapping | Sequence, path: str) -> None:
         json.dump(obj, f, indent=2, sort_keys=True, default=str)
 
 
+def write_npy_records(
+    df: DataFrame, out_dir: str, id_col: str, array_col: str, shape_cols: Sequence[str] = (),
+) -> None:
+    """S6/S10 — one binary file per record (the reference's .pt-per-record /
+    npy prediction sink, dataset_cacher.py:327-367, data_predictor.py:
+    316-335), written executor-side via foreachPartition: no data funnels
+    through the driver, each task writes its partition's records.
+
+    File name = ``{id}.npy``; array reshaped to ``shape_cols`` when given.
+    Requires a filesystem visible to executors (local/NFS here; at scale an
+    object-store client inside the partition function).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [id_col, array_col, *shape_cols]
+    shape_names = list(shape_cols)
+
+    def write_partition(rows):
+        import numpy as np  # import inside the task: runs on executors
+
+        for r in rows:
+            arr = np.asarray(r[array_col], dtype=np.float32)
+            if shape_names:
+                arr = arr.reshape(*[int(r[c]) for c in shape_names])
+            np.save(os.path.join(out_dir, f"{r[id_col]}.npy"), arr)
+
+    df.select(*cols).foreachPartition(write_partition)
+
+
 def collect_split_dict(assignment: DataFrame, subject_col: str = "subject_id") -> dict:
     """Inverse of readers.split_table_from_dict: assignment frame →
     ``{split: {dataset: [subjects]}}`` with sorted subject lists (the

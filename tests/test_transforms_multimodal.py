@@ -164,6 +164,36 @@ def test_write_metadata_table_order_and_casts(spark, tmp_path):
     assert dict(back.dtypes)["frame_nr"] == "int"
 
 
+def test_write_npy_records(spark, tmp_path):
+    d = str(tmp_path / "npy")
+    df = spark.createDataFrame(
+        [("rec-a", [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], 2, 3), ("rec-b", [9.0] * 6, 3, 2)],
+        ["file_id", "pixels", "h", "w"],
+    )
+    Wr.write_npy_records(df, d, "file_id", "pixels", shape_cols=["h", "w"])
+    a = np.load(os.path.join(d, "rec-a.npy"))
+    assert a.shape == (2, 3) and a[1, 2] == 6.0
+    b = np.load(os.path.join(d, "rec-b.npy"))
+    assert b.shape == (3, 2) and (b == 9.0).all()
+
+
+def test_minmax_roundtrip_property(spark):
+    # F4 inverse property: denormalize(normalize(x)) == x (SURVEY §5.4)
+    from qcardia_data_spark.functions.arrays import minmax_normalize
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.rand(12) * 50 - 25).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "arr"])
+    lo, hi = F.array_min(F.col("arr").cast("array<double>")), F.array_max(
+        F.col("arr").cast("array<double>")
+    )
+    norm = minmax_normalize(F.col("arr"))
+    denorm = F.transform(norm, lambda e: e * (hi - lo) + lo)
+    out = df.select("k", "arr", denorm.alias("back")).collect()
+    for r in out:
+        assert np.allclose(r["back"], r["arr"], atol=1e-9)
+
+
 def test_split_dict_roundtrip(spark, tmp_path):
     split = {"train": {"ds1": ["s1", "s2"], "ds2": ["s9"]}, "test": {"ds1": ["s3"]}}
     table = R.split_table_from_dict(spark, split)
