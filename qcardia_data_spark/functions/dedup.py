@@ -154,6 +154,62 @@ def near_dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
+    """Transitive closure of the duplicate-pair graph: (node, component)
+    with component = min node id reachable — turns pairwise near-dup hits
+    into duplicate *clusters* (the full version of the single-pass keep-min
+    approximation in :func:`near_dedup_minhash`).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood; converges in O(graph diameter)
+    rounds (near-dup graphs are shallow — a handful of rounds in practice).
+    Each iteration is one shuffle; labels are checkpointed per round to cut
+    the lineage chain (mandatory for iterative algorithms on Spark).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .union(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["y"] == labels["node"])
+                .groupBy("x")
+                .agg(F.min("component").alias("nbr_comp"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
 def simhash64(text: Column) -> Column:
     """SimHash: 64-bit signature = sign-vector of summed per-token hash bits.
 

@@ -87,31 +87,15 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
-def ivf_assign(
-    embeddings: DataFrame, n_cells: int = 16, seed: int = 0,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: centroids = keyed-rand sample of the corpus (a
-    deterministic k-means-lite seeding; one Lloyd iteration would refine but
-    sampling already bounds cell imbalance on shuffled data), assignment =
-    argmax cosine against the broadcast centroid set.
-
-    Returns (assigned, centroids): ``assigned`` has a ``cell`` column — at
-    scale you *partition the table by cell* so probes prune whole files.
-    """
-    from qcardia_data_spark.operators.sorts import seeded_sample_n
-
-    cents = (
-        seeded_sample_n(embeddings.select(id_col, vec_col), id_col, n_cells, seed)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
-        .collect()
-    )
+def _assign_to_centroids(embeddings: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
+    """argmax-cosine cell assignment against a literal (broadcast) centroid
+    set — one narrow map pass, no shuffle."""
     cent_arr = F.array(*[
         F.struct(
             F.lit(i).alias("cell"),
-            F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
         )
-        for i, r in enumerate(cents)
+        for i, c in enumerate(cents)
     ])
     scored = F.transform(
         cent_arr,
@@ -119,11 +103,50 @@ def ivf_assign(
             (-cosine(F.col(vec_col), s["c"])).alias("neg"), s["cell"].alias("cell")
         ),
     )
-    best = F.array_sort(scored)[0]["cell"]
-    assigned = embeddings.withColumn("cell", best)
+    return embeddings.withColumn("cell", F.array_sort(scored)[0]["cell"])
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 0, n_refine: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic keyed-rand sampled seed centroids +
+    ``n_refine`` Lloyd iterations (per-cell elementwise mean → reassign).
+
+    Returns (assigned, centroids): ``assigned`` has a ``cell`` column — at
+    scale you *partition the table by cell* so probes prune whole files.
+    Each Lloyd round is one posexplode + groupBy shuffle over (cell, dim)
+    partial means — mergeable, skew-free.
+    """
+    from qcardia_data_spark.operators.sorts import seeded_sample_n
+
+    sample = (
+        seeded_sample_n(embeddings.select(id_col, vec_col), id_col, n_cells, seed)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in sample]
+
+    assigned = _assign_to_centroids(embeddings, cents, vec_col)
+    for _ in range(n_refine):
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        # empty cells keep their previous centroid
+        cents = [
+            [by_cell[i][d] for d in sorted(by_cell[i])] if i in by_cell else cents[i]
+            for i in range(n_cells)
+        ]
+        assigned = _assign_to_centroids(embeddings, cents, vec_col)
+
     centroids = embeddings.sparkSession.createDataFrame(
-        [(i, [float(x) for x in r["centroid"]]) for i, r in enumerate(cents)],
-        ["cell", "centroid"],
+        [(i, c) for i, c in enumerate(cents)], ["cell", "centroid"]
     )
     return assigned, centroids
 
@@ -137,7 +160,9 @@ def ann_ivf_topk(
     centroids are closest to the query — the classic recall/cost dial."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(embeddings, n_cells, seed, id_col, vec_col)
+    assigned, centroids = ivf_assign(
+        embeddings, n_cells, seed, id_col=id_col, vec_col=vec_col
+    )
     q = np.asarray(list(query_vec), dtype=np.float64)
     cent_rows = centroids.collect()
 

@@ -1,0 +1,59 @@
+"""Scale-mechanics tests: bucketed co-located joins (shuffle elimination)
+and connected-components duplicate clustering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.dedup import connected_components
+
+
+def test_connected_components_clusters(spark):
+    # components: {1,2,3,4} via chain, {10,11}, isolated pairs only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["a", "b"]
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_star_and_cycle(spark):
+    pairs = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)], ["a", "b"]
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {out[5], out[1], out[2], out[3]} == {1}
+    assert {out[7], out[8], out[9]} == {7}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key lets SortMergeJoin read
+    co-located buckets directly — zero Exchange in the join plan. This is
+    the repeated-join strategy for 100 TB fact tables (PERF.md)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    lineitem.withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # disable broadcast so the join strategy is genuinely SMJ-on-buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not shuffle either side (only the final
+        # groupBy aggregation exchanges)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

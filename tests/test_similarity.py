@@ -1,0 +1,71 @@
+"""Similarity-search tests: exact vs ANN recall, IVF assignment sanity,
+Lloyd refinement improving within-cell cohesion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.catalog import load_table
+from qcardia_data_spark.functions import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+
+def test_bruteforce_topk_matches_numpy(emb):
+    q = np.asarray(_qvec(emb), dtype=np.float64)
+    rows = emb.select("vec_id", "embedding").collect()
+    scores = {
+        r["vec_id"]: float(
+            np.dot(r["embedding"], q)
+            / (np.linalg.norm(r["embedding"]) * np.linalg.norm(q))
+        )
+        for r in rows
+    }
+    want = [k for k, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    got = [r["vec_id"] for r in SIM.cosine_topk(emb, _qvec(emb), k=10).collect()]
+    assert got == want
+    assert got[0] == 0  # self-match first
+
+
+def test_lsh_recall_vs_exact(emb):
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, _qvec(emb), k=10).collect()}
+    ann = {r["vec_id"] for r in SIM.ann_lsh_topk(emb, _qvec(emb), k=10, n_planes=8).collect()}
+    # multi-probe LSH on random data: expect meaningful overlap incl. self
+    assert 0 in ann
+    assert len(exact & ann) >= 3
+
+
+def test_ivf_assignment_covers_corpus_and_probe_recall(emb):
+    assigned, centroids = SIM.ivf_assign(emb, n_cells=8, n_refine=1)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert centroids.count() == 8
+    # probing all cells must recover the exact result
+    full = SIM.ann_ivf_topk(emb, _qvec(emb), k=10, n_cells=8, n_probe=8)
+    exact = SIM.cosine_topk(emb, _qvec(emb), k=10)
+    assert [tuple(r) for r in full.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_lloyd_refinement_improves_cohesion(emb):
+    sub = emb.filter(F.col("vec_id") < 300)
+
+    def cohesion(n_refine: int) -> float:
+        assigned, centroids = SIM.ivf_assign(sub, n_cells=8, n_refine=n_refine)
+        joined = assigned.join(centroids, "cell")
+        from qcardia_data_spark.functions.arrays import cosine as cos_expr
+
+        return joined.agg(
+            F.avg(cos_expr(F.col("embedding"), F.col("centroid")))
+        ).collect()[0][0]
+
+    assert cohesion(1) >= cohesion(0) - 1e-6  # refinement never hurts cohesion
