@@ -996,6 +996,26 @@ def g3_explode_2d(spark, sf_dir):
 
 
 @_q(
+    "g2_token_explode",
+    r"""
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos, w
+    FROM (SELECT doc_id,
+                 unnest(range(len(toks))) AS pos, unnest(toks) AS w
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+                         x -> len(x) > 0) AS toks
+                FROM documents WHERE doc_id < 50))
+    """,
+)
+def g2_token_explode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(T.word_tokens(F.col("text"))).alias("pos", "w")
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+@_q(
     "g5_replicate_rows",
     """
     SELECT n_nationkey, n_name, CAST(copy_nr AS INTEGER) AS copy_nr
@@ -1717,6 +1737,44 @@ def ev_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
     )
+
+
+@_q(
+    "ev_value_delta",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY CAST(ts AS TIMESTAMP), event_id), 6) AS delta
+    FROM events
+    """,
+)
+def ev_value_delta(spark, sf_dir):
+    # lag/lead analytic surface (SURVEY §2.5 note: unused by the reference,
+    # exposed as [ext] — sessionization and deltas need it)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@_q(
+    "ev_monthly_rollup",
+    """
+    SELECT date_diff('second', TIMESTAMP '1970-01-01',
+                     date_trunc('month', o_orderdate)) AS month_s,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def ev_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    ).select(F.col("m").cast("long").alias("month_s"), "n_orders", "total")
 
 
 @_q(

@@ -59,6 +59,35 @@ def test_streaming_dedup(spark, sf_dir):
     assert duplicated.count() == 2 * ev.count()
 
 
+def test_file_sink_with_checkpoint_resume(spark, sf_dir, tmp_path):
+    """Exactly-once parquet sink: first availableNow run processes the
+    input; a restarted query against the same checkpoint reprocesses
+    nothing (the production restart/recovery contract)."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            S.tumbling_counts(S.events_stream(spark, sf_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0
+
+    q2 = start()  # same checkpoint, no new files → no duplicates
+    q2.awaitTermination()
+    n2 = spark.read.parquet(out_dir).count()
+    assert n2 == n1
+
+
 def test_stateful_running_totals(spark, sf_dir):
     from qcardia_data_spark.streaming.stateful import running_user_totals
 
