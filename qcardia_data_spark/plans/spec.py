@@ -56,6 +56,7 @@ def compile_pipeline(
     """Compile an op list into a lazy DataFrame. Raises SpecError on an
     unknown op or a malformed entry — at plan time, never mid-job."""
     df: DataFrame | None = None
+    prior_ops: list[dict] = []
     for i, op in enumerate(ops):
         if not isinstance(op, dict) or "op" not in op:
             raise SpecError(f"op #{i} malformed: {op!r}")
@@ -64,10 +65,12 @@ def compile_pipeline(
         kind = op["op"]
         if kind == "source":
             df = _source(spark, op, sf_dir)
+            prior_ops.append(op)
             continue
         if df is None:
             raise SpecError(f"op #{i} ({kind}) before any source")
-        df = _apply(spark, df, op, sf_dir)
+        df = _apply(spark, df, op, sf_dir, prior_ops)
+        prior_ops.append(op)
     if df is None:
         raise SpecError("empty pipeline: no source op")
     return df
@@ -93,7 +96,10 @@ def _cols(exprs: Sequence[str]) -> list[Column]:
     return [F.expr(e) for e in exprs]
 
 
-def _apply(spark: SparkSession, df: DataFrame, op: dict, sf_dir: str | None) -> DataFrame:
+def _apply(
+    spark: SparkSession, df: DataFrame, op: dict, sf_dir: str | None,
+    prior_ops: Sequence[dict] = (),
+) -> DataFrame:
     kind = op["op"]
     if kind == "select":
         return df.select(*_cols(op["cols"]))
@@ -126,9 +132,43 @@ def _apply(spark: SparkSession, df: DataFrame, op: dict, sf_dir: str | None) -> 
             out = out.withColumn(name, F.expr(e).over(w))
         return out
     if kind == "explode":
-        pos, val = op.get("pos", "pos"), op.get("val", "val")
-        others = [c for c in df.columns if c != op["col"]]
-        return df.select(*others, F.posexplode(op["col"]).alias(pos, val))
+        from qcardia_data_spark.operators.generators import explode_with_position
+
+        return explode_with_position(
+            df, op["col"],
+            pos_out=op.get("pos", "pos"), val_out=op.get("val", "val"),
+            keep_positions=op.get("keep_positions"),
+        )
+    if kind == "compose":
+        from qcardia_data_spark.functions.compose import apply_composed
+
+        return apply_composed(
+            df, op["stages"], op["arr_col"], op["key_col"], op.get("out_col")
+        )
+    if kind == "weighted_sample":
+        from qcardia_data_spark.operators.sampling import weighted_rejection_sample
+
+        return weighted_rejection_sample(
+            df, op["group"], op["key"],
+            float(op.get("accept_scale", 1.0)), op.get("seed", 0),
+        )
+    if kind == "cache":
+        # materialization boundary: everything upstream is built once into a
+        # fingerprint-keyed parquet (or hit), downstream reads the cache —
+        # the reference's cache-then-serve split (SURVEY §3.1 stage 4)
+        from qcardia_data_spark.plans.cache import materialize, read_cache
+
+        upstream = df
+        path, _built = materialize(
+            spark,
+            build=lambda: upstream,
+            cache_root=op["cache_root"],
+            # cache identity = the upstream op list (the producing plan),
+            # mirroring the reference's config-derived cache name (C1)
+            spec={"upstream": list(prior_ops)},
+            overwrite=op.get("overwrite", False),
+        )
+        return read_cache(spark, path)
     if kind == "union":
         other = _side(spark, op, sf_dir)
         return union_by_name([df, other])

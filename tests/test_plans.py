@@ -106,6 +106,44 @@ def test_spec_compiler_errors_at_plan_time(spark, sf_dir):
         compile_pipeline(spark, [{"op": "limit", "n": 1}], sf_dir)
 
 
+def test_spec_explode_prefilter_and_compose(spark, sf_dir):
+    ops = [
+        {"op": "source", "table": "embeddings"},
+        {"op": "filter", "expr": "vec_id < 10"},
+        {"op": "compose", "arr_col": "embedding", "key_col": "vec_id",
+         "stages": [{"t": "normalize"}, {"t": "clamp", "lo": 0.2, "hi": 0.8}]},
+        {"op": "explode", "col": "embedding", "pos": "frame_nr", "val": "v",
+         "keep_positions": [0, 5]},
+    ]
+    out = compile_pipeline(spark, ops, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 20  # 10 vecs × 2 kept positions
+    assert {r["frame_nr"] for r in rows} == {0, 5}
+    assert all(0.2 <= r["v"] <= 0.8 for r in rows)
+
+
+def test_spec_cache_boundary(spark, sf_dir, tmp_path):
+    ops = [
+        {"op": "source", "table": "nation"},
+        {"op": "filter", "expr": "n_regionkey = 1"},
+        {"op": "cache", "cache_root": str(tmp_path)},
+        {"op": "group_agg", "by": [], "aggs": {"n": "count(*)"}},
+    ]
+    n1 = compile_pipeline(spark, ops, sf_dir).collect()[0]["n"]
+    assert n1 == 5
+    # same upstream → cache hit (one cache dir); different upstream → new dir
+    compile_pipeline(spark, ops, sf_dir).collect()
+    import os as _os
+
+    dirs = [d for d in _os.listdir(tmp_path) if d.startswith("cache-")]
+    assert len(dirs) == 1
+    ops2 = [dict(o) for o in ops]
+    ops2[1] = {"op": "filter", "expr": "n_regionkey = 2"}
+    compile_pipeline(spark, ops2, sf_dir).collect()
+    dirs = [d for d in _os.listdir(tmp_path) if d.startswith("cache-")]
+    assert len(dirs) == 2
+
+
 def test_data_module_lifecycle(spark, sf_dir, tmp_path):
     config = {
         "sf_dir": sf_dir,
