@@ -1,0 +1,62 @@
+"""Skew mitigation: salting for hot keys (PERF.md checklist).
+
+AQE's skew-join splitting handles sort-merge joins automatically; salting is
+the explicit tool for the two cases AQE doesn't cover: (a) skewed
+``groupBy`` aggregations (one reducer owns the hot key), (b) broadcast-
+infeasible joins against a skewed key distribution.
+
+Pattern: scatter the hot side across ``n_salts`` sub-keys, do the heavy
+shuffle at (key, salt) granularity, then merge partials per key — the
+classic two-phase aggregation. For joins, the small side is replicated
+``n_salts``× (an explode, cheap when that side is small-ish but above the
+broadcast threshold).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(key: Column, n_salts: int) -> Column:
+    """Deterministic salt derived from the full row via a stable hash of
+    ``spark_partition_id``-free content: uses ``monotonically_increasing_id``
+    -free keyed hashing so retries reproduce the same salt. Callers pass a
+    row-unique column (or combination) as ``key``."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salts))
+
+
+def salted_group_agg(
+    df: DataFrame, group: Sequence[str], salt_source: str,
+    aggs: dict[str, Column], merges: dict[str, Column], n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation:
+    phase 1 groups by (group…, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials per key.
+
+    ``aggs``: name → phase-1 aggregate over raw rows.
+    ``merges``: name → phase-2 aggregate over the phase-1 columns.
+    """
+    salted = df.withColumn("_salt", salt_column(F.col(salt_source), n_salts))
+    phase1 = salted.groupBy(*group, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return phase1.groupBy(*group).agg(
+        *[expr.alias(name) for name, expr in merges.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: str, n_salts: int = 16,
+    salt_source: str | None = None, how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    across all salts, join on (key, salt). Correct for any equi-join where
+    ``small`` has unique join keys or duplicates are acceptable exactly as
+    in the unsalted join (replication is per-salt, not per-row)."""
+    src = salt_source or on
+    b = big.withColumn("_salt", salt_column(F.col(src), n_salts))
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return b.join(s, on=[on, "_salt"], how=how).drop("_salt")
