@@ -1167,6 +1167,64 @@ def f20_softmax(spark, sf_dir):
 
 
 @_q(
+    "f6_rand_solarize",
+    """
+    SELECT vec_id, took_branch, round(s, 6) AS s
+    FROM (
+      SELECT vec_id,
+             CAST('0x' || substr(md5(concat_ws('|', '11', 'solarize', CAST(vec_id AS VARCHAR))), 1, 13)
+                  AS BIGINT) / 4503599627370496.0 < 0.5 AS took_branch,
+             CASE WHEN CAST('0x' || substr(md5(concat_ws('|', '11', 'solarize', CAST(vec_id AS VARCHAR))), 1, 13)
+                       AS BIGINT) / 4503599627370496.0 < 0.5
+                  THEN list_sum(list_transform(d, e -> CASE WHEN e > 0.5 THEN mx - e ELSE e END))
+                  ELSE list_sum(d) END AS s
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+                   list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mx
+            FROM embeddings WHERE vec_id < 200))
+    """,
+)
+def f6_solarize(spark, sf_dir):
+    # seeded random augmentation, VALUE-checked against the oracle: the
+    # md5-derived coin flip is identical in both engines (keyed_uniform)
+    from qcardia_data_spark.functions.transforms import keyed_uniform, rand_solarize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out = rand_solarize(F.col("embedding"), F.col("vec_id"), threshold=0.5, prob=0.5, seed=11)
+    s = F.aggregate(out, F.lit(0.0), lambda acc, e: acc + e)
+    return emb.select(
+        "vec_id",
+        (keyed_uniform(11, "solarize", F.col("vec_id")) < 0.5).alias("took_branch"),
+        F.round(s, 6).alias("s"),
+    )
+
+
+@_q(
+    "f18_histogram_equalize",
+    """
+    SELECT vec_id,
+           round(eq[1], 6) AS first_eq,
+           round(eq[8], 6) AS last_eq
+    FROM (SELECT vec_id,
+                 list_transform(d, e -> CAST(len(list_filter(d, x -> x <= e)) AS DOUBLE) / len(d)) AS eq
+          FROM (SELECT vec_id,
+                       list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS d
+                FROM embeddings WHERE vec_id < 100))
+    """,
+)
+def f18_hist_eq(spark, sf_dir):
+    from qcardia_data_spark.functions.geometry import histogram_equalize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    eq = histogram_equalize(F.slice("embedding", 1, 8))
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(eq, 1), 6).alias("first_eq"),
+        F.round(F.element_at(eq, 8), 6).alias("last_eq"),
+    )
+
+
+@_q(
     "f16_md5_fingerprint",
     """
     SELECT c_mktsegment,

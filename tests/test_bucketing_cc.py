@@ -27,6 +27,26 @@ def test_connected_components_star_and_cycle(spark):
     assert {out[7], out[8], out[9]} == {7}
 
 
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Directory-partitioned record layout (write_records partition_by):
+    a split filter becomes a PartitionFilter — non-matching directories are
+    never listed or read (the serve-path IO story at 100 TB)."""
+    from qcardia_data_spark.operators.sampling import subject_level_split
+    from qcardia_data_spark.sources.writers import write_records
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    routed = subject_level_split(orders, "o_custkey", 0.3, seed="pp")
+    out = str(tmp_path / "records")
+    write_records(routed, out, order_by=["o_orderkey"], partition_by=["split"])
+
+    back = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    n_train = back.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_train < n_all
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both join sides on the key lets SortMergeJoin read
     co-located buckets directly — zero Exchange in the join plan. This is
