@@ -1798,6 +1798,49 @@ def ev_sessionize(spark, sf_dir):
 
 
 @_q(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast(spark, sf_dir):
+    # TPC-H Q6 shape: pure scan-filter-aggregate — every predicate reaches
+    # the parquet reader, zero joins, one partial/final agg
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast(
+        "decimal(18,2)"
+    )
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "ev_props_json",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_id < 500
+    """,
+)
+def ev_props_json(spark, sf_dir):
+    # semi-structured column extraction (events.props is a JSON string)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    )
+
+
+@_q(
     "ev_value_delta",
     """
     SELECT user_id, event_id,
