@@ -22,12 +22,14 @@ DEFAULT_QS = (0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0)
 
 def exploration_frame(
     df: DataFrame, value_cols: Sequence[str], qs: Sequence[float] = DEFAULT_QS,
-    approx: bool = False,
+    approx: bool = False, group: Sequence[str] = (),
 ) -> DataFrame:
-    """One row per value column: mean, std, median + quantiles.
+    """One row per (group ×) value column statistic.
 
     ``approx=True`` switches to ``percentile_approx`` (mergeable sketch, no
     global sort) — the at-scale mode; exact mode matches DuckDB bit-for-bit.
+    ``group`` adds per-dataset/per-subset breakdowns (the reference explores
+    per dataset, setup/exploration.py:82-106).
     """
     pct = F.percentile_approx if approx else F.percentile
     aggs = []
@@ -38,13 +40,17 @@ def exploration_frame(
         ] + [
             pct(F.col(c), F.lit(q)).alias(f"{c}__q{int(q * 1000):04d}") for q in qs
         ]
-    wide = df.agg(*aggs)
-    # unpivot to (column, statistic, value) — the reference's frame layout
-    cols = wide.columns
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
-    long = wide.selectExpr(f"stack({len(cols)}, {stack_args}) as (key, value)")
+    wide = df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+    # unpivot to (group…, column, statistic, value) — the reference's layout
+    stat_cols = [c for c in wide.columns if "__" in c]
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in stat_cols)
+    long = wide.select(
+        *group,
+        F.expr(f"stack({len(stat_cols)}, {stack_args}) as (key, value)"),
+    )
     split_key = F.split("key", "__")
     return long.select(
+        *group,
         split_key.getItem(0).alias("column"),
         split_key.getItem(1).alias("statistic"),
         "value",

@@ -154,6 +154,38 @@ def near_dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def near_dedup_minhash_ml(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hash_tables: int = 8, shingle_n: int = 3, jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Spark-ML-backed near-dedup variant: shingles → HashingTF sparse
+    vectors → ``pyspark.ml.feature.MinHashLSH`` → approxSimilarityJoin at
+    ``1 − jaccard_threshold`` distance → keep-min-id.
+
+    Same pipeline shape as :func:`near_dedup_minhash` built from Spark ML's
+    fitted-model LSH instead of the SQL-expressible md5 family — useful when
+    a fitted/persisted index is wanted. Note: ML Jaccard here is over the
+    *hashed* feature space (HashingTF buckets), so borderline pairs can
+    differ from the exact-shingle pipeline; thresholds are on hashed-space
+    distance.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    docs_sh = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs_sh)
+    # MinHashLSH requires at least one non-zero entry
+    feats = feats.filter(F.size("sh") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="dist"
+    ).filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+    losers = pairs.select(F.col(f"datasetB.{id_col}").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
     """Transitive closure of the duplicate-pair graph: (node, component)
     with component = min node id reachable — turns pairwise near-dup hits

@@ -34,6 +34,28 @@ def test_exploration_approx_mode_runs(spark, sf_dir):
     assert abs(rows["q0500"] - 25) < 10  # sane approx median
 
 
+def test_exploration_grouped(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exploration_frame(li, ["l_quantity"], qs=(0.5,), group=["l_returnflag"])
+    rows = out.collect()
+    flags = {r["l_returnflag"] for r in rows}
+    assert flags == {"A", "N", "R"}
+    assert {r["statistic"] for r in rows} == {"mean", "std", "q0500"}
+
+
+def test_minhash_ml_variant(spark, sf_dir):
+    from qcardia_data_spark.functions.dedup import near_dedup_minhash, near_dedup_minhash_ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    ml_survivors = near_dedup_minhash_ml(docs, "doc_id", "text")
+    sql_survivors = near_dedup_minhash(docs, "doc_id", "text")
+    n_docs = docs.count()
+    # both pipelines drop duplicates; the ML hashed-space variant should
+    # land in the same ballpark as the exact-shingle pipeline
+    assert ml_survivors.count() <= n_docs
+    assert abs(ml_survivors.count() - sql_survivors.count()) <= max(10, n_docs // 20)
+
+
 def test_unit_conversion_and_median_spacing(spark):
     df = spark.createDataFrame([(10, 1.5), (20, 2.0), (30, 2.5)], ["size_px", "pixdim"])
     out = with_unit_conversion(df, "size_px", "pixdim")
