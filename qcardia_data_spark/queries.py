@@ -816,6 +816,35 @@ def w5_first_match(spark, sf_dir):
     return df.select("l_orderkey", "l_linenumber", "first_pos")
 
 
+@_q(
+    "w6_time_range_frame",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY date_diff('second', TIMESTAMP '1970-01-01', l_shipdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+    FROM lineitem
+    """,
+)
+def w6_range_frame(spark, sf_dir):
+    # event-time RANGE frame (trailing 7 days): includes ALL rows whose
+    # order value ties — deterministic without tie-breakers, unlike ROWS
+    li = _t(spark, sf_dir, "lineitem")
+    # parquet reads as TIMESTAMP_NTZ; NTZ→LTZ is identity under the UTC
+    # session, and LTZ casts to epoch seconds
+    epoch = F.col("l_shipdate").cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(epoch)
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("qty_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (O1-O5)
 # ---------------------------------------------------------------------------
@@ -925,6 +954,22 @@ def u2_except(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return U.except_keys(c, o)
+
+
+@_q(
+    "u2b_except_all",
+    """
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders
+    """,
+)
+def u2b_except_all(spark, sf_dir):
+    # bag-semantics difference: an orderkey appearing k times in lineitem
+    # and once in orders survives k-1 times
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    return li.exceptAll(o)
 
 
 @_q(
