@@ -93,8 +93,11 @@ def jaccard_verify_rows(
     """Exact shingle Jaccard over candidate pairs, from (id, shingle) rows.
 
     intersection = count of shared shingles (join on shingle value);
-    union = |A| + |B| − intersection. Cost proportional to candidate pairs'
-    shingles, never to the corpus cross product.
+    union = |A| + |B| − intersection. Cost proportional to the candidate
+    graph. (A semi-join prefilter of ``sh`` to candidate ids pays off only
+    when candidates are sparse relative to the corpus — at 100 TB yes, on
+    the dense synthetic corpus it measured slower; callers with sparse
+    candidate sets should prefilter before calling.)
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col(id_col).alias("a"), "shingle")
