@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, FloatType, StructField, StructType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 CIRCLE_SCHEMA = StructType([
     StructField("cx", DoubleType()),

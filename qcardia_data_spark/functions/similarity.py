@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qcardia_data_spark.functions.arrays import cosine, dot, l2_norm
+from qcardia_data_spark.functions.arrays import cosine
 
 
 def cosine_topk(

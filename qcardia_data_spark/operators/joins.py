@@ -12,7 +12,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def left_join_on(df: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:

@@ -1269,6 +1269,82 @@ def f18_hist_eq(spark, sf_dir):
     )
 
 
+@_q("f7_rand_resample_2d", None)  # numpy bilinear UDF → rows-only check
+def f7_resample(spark, sf_dir):
+    # keyed-random affine resample of 8×8 grids (embedding-derived);
+    # deterministic under retry: params are keyed_uniform columns
+    from qcardia_data_spark.functions.transforms import keyed_uniform, resample_2d_udf
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    grids = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("pixels"),
+        F.lit(8).alias("h"), F.lit(8).alias("w"),
+        ((keyed_uniform(3, "rot", F.col("vec_id")) - 0.5) * 0.6).alias("rot"),
+        (F.lit(0.9) + keyed_uniform(3, "sc", F.col("vec_id")) * 0.2).alias("sc"),
+        ((keyed_uniform(3, "tx", F.col("vec_id")) - 0.5) * 0.2).alias("tx"),
+        ((keyed_uniform(3, "ty", F.col("vec_id")) - 0.5) * 0.2).alias("ty"),
+        (keyed_uniform(3, "fl", F.col("vec_id")) < 0.5).alias("fl"),
+    )
+    fwd = resample_2d_udf(8, 8)
+    out = grids.withColumn("r", fwd("pixels", "h", "w", "rot", "sc", "tx", "ty", "fl"))
+    checksum = F.aggregate(
+        F.col("r.pixels").cast("array<double>"), F.lit(0.0), lambda a, e: a + e
+    )
+    return out.select("vec_id", F.round(checksum, 4).alias("checksum"))
+
+
+@_q("f8_invertible_resample_roundtrip", None)  # UDF pair → rows-only check
+def f8_roundtrip(spark, sf_dir):
+    # forward resample then trace-driven inverse; reports per-record max
+    # interior reconstruction error (bounded by bilinear interpolation loss)
+    from qcardia_data_spark.functions.transforms import (
+        inverse_resample_2d_udf,
+        resample_2d_udf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    grids = emb.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("pixels"),
+        F.lit(8).alias("h"), F.lit(8).alias("w"),
+    )
+    fwd = resample_2d_udf(8, 8)
+    res = grids.withColumn(
+        "r",
+        fwd("pixels", "h", "w", F.lit(0.2), F.lit(1.1), F.lit(0.05), F.lit(0.0), F.lit(False)),
+    ).select("vec_id", F.col("r.pixels").alias("pixels"), "h", "w", F.col("r.trace").alias("trace"))
+    inv = inverse_resample_2d_udf()
+    back = res.withColumn("orig", inv("pixels", "h", "w", "trace"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("orig").cast("array<double>"),
+            F.col("pixels").cast("array<double>"),
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0), lambda acc, e: F.greatest(acc, e),
+    )
+    return back.select("vec_id", F.round(err, 4).alias("max_err"))
+
+
+@_q("f11_enclosing_circle", None)  # Welzl UDF → rows-only check
+def f11_circle(spark, sf_dir):
+    from qcardia_data_spark.functions.geometry import label_circle_udf
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    mask = F.transform(
+        F.col("embedding"), lambda e: F.when(e > 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    ).cast("array<float>")
+    grids = emb.select("vec_id", mask.alias("pixels"), F.lit(8).alias("h"), F.lit(8).alias("w"))
+    circ = label_circle_udf()
+    out = grids.withColumn("c", circ("pixels", "h", "w"))
+    return out.select(
+        "vec_id",
+        F.round("c.cx", 4).alias("cx"),
+        F.round("c.cy", 4).alias("cy"),
+        F.round("c.radius", 4).alias("radius"),
+    )
+
+
 @_q(
     "f16_md5_fingerprint",
     """
