@@ -1331,8 +1331,10 @@ def f11_circle(spark, sf_dir):
     from qcardia_data_spark.functions.geometry import label_circle_udf
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    # embeddings are unit-normalized (elements ≈ ±0.3): threshold at 0.15
+    # so masks are sparse but non-empty for most records
     mask = F.transform(
-        F.col("embedding"), lambda e: F.when(e > 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+        F.col("embedding"), lambda e: F.when(e > 0.15, F.lit(1.0)).otherwise(F.lit(0.0))
     ).cast("array<float>")
     grids = emb.select("vec_id", mask.alias("pixels"), F.lit(8).alias("h"), F.lit(8).alias("w"))
     circ = label_circle_udf()
