@@ -54,23 +54,30 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: full pipeline executes on executors, nothing ships to
-        # the driver — measures engine throughput, not collect() serialization
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            # noop sink: full pipeline executes on executors, nothing ships to
+            # the driver — measures engine throughput, not collect() serialization
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a broken query must not zero the run
+            errors[name] = str(e).splitlines()[0][:200]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
