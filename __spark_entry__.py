@@ -8,11 +8,17 @@ SURVEY.md §2; column names alias-matched between both sides).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from qcardia_data_spark.queries import QUERIES
+# robust to being imported by file path from any cwd: the package lives
+# next to this file
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qcardia_data_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
