@@ -27,6 +27,33 @@ def test_connected_components_star_and_cycle(spark):
     assert {out[7], out[8], out[9]} == {7}
 
 
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """Incremental re-materialization: with dynamic partitionOverwriteMode,
+    rewriting one split's records leaves other partitions untouched — the
+    upsert-by-partition pattern for refreshing a slice of a 100 TB cache."""
+    out = str(tmp_path / "dyn")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "split", F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b")
+    )
+    orders.write.partitionBy("split").mode("overwrite").parquet(out)
+    n_b_before = spark.read.parquet(out).filter("split = 'b'").count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = (
+            orders.filter("split = 'a'").limit(10)
+            .write.partitionBy("split").mode("overwrite")
+        )
+        patch.parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = spark.read.parquet(out)
+    assert after.filter("split = 'a'").count() == 10  # replaced
+    assert after.filter("split = 'b'").count() == n_b_before  # untouched
+
+
 def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     """Directory-partitioned record layout (write_records partition_by):
     a split filter becomes a PartitionFilter — non-matching directories are
