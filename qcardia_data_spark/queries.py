@@ -436,6 +436,27 @@ def a4_quantiles(spark, sf_dir):
 
 
 @_q(
+    "a4b_exploration_frame",
+    """
+    SELECT 'l_quantity' AS col_name, 'mean' AS statistic,
+           avg(l_quantity) AS value FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'std', stddev_samp(l_quantity) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'q0000', quantile_cont(l_quantity, 0.00) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'q0500', quantile_cont(l_quantity, 0.50) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'q1000', quantile_cont(l_quantity, 1.00) FROM lineitem
+    """,
+)
+def a4b_exploration(spark, sf_dir):
+    # the reference's exploration table shape: (column, statistic, value)
+    # long frame (get_exploration_df, setup/exploration.py:82-106)
+    from qcardia_data_spark.exploration import exploration_frame
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = exploration_frame(li, ["l_quantity"], qs=(0.0, 0.5, 1.0))
+    return out.withColumnRenamed("column", "col_name")
+
+
+@_q(
     "a5_distinct_set_per_group",
     """
     SELECT o_orderpriority,

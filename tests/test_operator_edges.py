@@ -80,6 +80,53 @@ def test_composite_key_roundtrip_property(shared_spark, pairs):
         assert (r["d2"], r["s2"]) == (r["dataset"], r["subject"])
 
 
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=6, unique=True))
+def test_cyclic_renumber_inverse_property(shared_spark, values):
+    # P10: renumber relative to an anchor then add the anchor back (mod n)
+    # recovers the original frame number
+    n = 13
+    df = shared_spark.createDataFrame([(v % n,) for v in values], ["frame"])
+    out = P.cyclic_renumber(df, "rel", F.col("frame"), F.lit(4), F.lit(n))
+    back = out.withColumn("orig", F.pmod(F.col("rel") + 4, F.lit(n)))
+    for r in back.collect():
+        assert r["orig"] == r["frame"]
+
+
+def test_fingerprint_golden_stability():
+    # C1 golden: canonicalization changes would silently orphan every
+    # existing cache — pin a reference fingerprint
+    from qcardia_data_spark.plans.fingerprint import spec_fingerprint
+
+    spec = {"pipeline": [{"op": "source", "table": "orders"}], "v": 1}
+    assert spec_fingerprint(spec) == spec_fingerprint(
+        {"v": 1.0, "pipeline": [{"table": "orders", "op": "source"}]}
+    )
+    assert spec_fingerprint(spec) == "558e30e1dd2c2dbb4b21e61ef0c0d99d"
+
+
+def test_file_id_parse_inverse(spark):
+    # F17 ∘ parse = identity for present axes; "__" → NULL on decode
+    from qcardia_data_spark.functions.arrays import file_id
+
+    df = spark.createDataFrame(
+        [("ds", "s1", 3, 7), ("ds", "s2", None, 11)],
+        ["dataset", "subject", "slice_nr", "frame_nr"],
+    )
+    enc = df.withColumn(
+        "fid", file_id(F.col("dataset"), F.col("subject"), F.col("slice_nr"), F.col("frame_nr"))
+    )
+    parts = F.split("fid", "-")
+    dec = enc.select(
+        "fid", "slice_nr", "frame_nr",
+        F.nullif(parts.getItem(2), F.lit("__")).cast("int").alias("slice_back"),
+        F.nullif(parts.getItem(3), F.lit("__")).cast("int").alias("frame_back"),
+    )
+    for r in dec.collect():
+        assert r["slice_back"] == r["slice_nr"]
+        assert r["frame_back"] == r["frame_nr"]
+
+
 def test_natural_sort_orders_numerically(spark):
     df = spark.createDataFrame([(f"file{i}",) for i in (2, 10, 1, 20, 3)], ["name"])
     out = [r["name"] for r in O.natural_sort(df, "name").collect()]
