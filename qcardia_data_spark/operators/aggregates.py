@@ -143,7 +143,9 @@ def two_level_agg(
     per-coarse-group summary (per-subject → whole-dataset accumulation,
     reference data_predictor.py:277-290). Spark's partial/final agg handles
     the physical two-phase automatically; this is the *logical* two-level."""
-    per_fine = df.groupBy(*fine, *coarse).agg(F.sum(value).alias("fine_sum"))
+    per_fine = df.groupBy(*fine, *coarse).agg(
+        F.sum(value).cast("double").alias("fine_sum")
+    )
     return per_fine.groupBy(*coarse).agg(
         F.avg("fine_sum").alias("mean_fine_sum"),
         F.stddev("fine_sum").alias("std_fine_sum"),

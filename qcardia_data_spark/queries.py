@@ -56,13 +56,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE)            AS sum_qty,
-           sum(l_extendedprice)                        AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))     AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                             AS avg_qty,
-           avg(l_extendedprice)                        AS avg_price,
-           avg(l_discount)                             AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
            count(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -70,20 +73,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all money aggregates accumulate in exact DECIMAL and surface as double
+    # (fp partial-merge order varies run to run; a money sum whose cents
+    # digit is 5 sits exactly on a 9-sig rounding boundary — decimal removes
+    # the class of flake, see PERF.md)
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1) - disc)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -286,7 +298,8 @@ def j1_weight_join(spark, sf_dir):
     "j2_broadcast_star_join",
     """
     SELECT r.r_name, o.o_orderstatus,
-           sum(o.o_totalprice) AS revenue, count(*) AS n_orders
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -312,7 +325,7 @@ def j2_star(spark, sf_dir):
         enriched["n_regionkey"] == r["r_regionkey"], "inner",
     )
     return enriched.groupBy("r_name", "o_orderstatus").agg(
-        F.sum("o_totalprice").alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -540,7 +553,8 @@ def a9_counts(spark, sf_dir):
     "a10_two_level_agg",
     """
     WITH per_cust AS (
-      SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS fine_sum
+      SELECT o_custkey, c_mktsegment,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS fine_sum
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2)
     SELECT c_mktsegment,
@@ -553,7 +567,9 @@ def a9_counts(spark, sf_dir):
 def a10_two_level(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = J.broadcast_enrich(o, c, o["o_custkey"] == c["c_custkey"], "inner")
+    joined = J.broadcast_enrich(o, c, o["o_custkey"] == c["c_custkey"], "inner").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
     return agg.two_level_agg(joined, ["o_custkey"], ["c_mktsegment"], "o_totalprice")
 
 
