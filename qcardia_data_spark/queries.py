@@ -269,6 +269,100 @@ def p12_key(spark, sf_dir):
     return df.select("n_nationkey", "subject_key", "decoded_dataset", "decoded_subject")
 
 
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape: correlated EXISTS → semi join with a non-equi
+    # residual condition (shipdate > orderdate evaluated inside the join)
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_q(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode(spark, sf_dir):
+    # TPC-H Q12 shape: conditional-count aggregation after a fact join
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+           AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo(spark, sf_dir):
+    # TPC-H Q14 shape: ratio of conditional decimal sums over a dim join
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J5)
 # ---------------------------------------------------------------------------
@@ -1770,6 +1864,81 @@ def a13_cube(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("double").alias("total"))
+    )
+
+
+# Deterministic hyperplane sign matrix for the value-checked LSH query:
+# sign(p, j) = parity of the first hex digit of md5("lsh|p|j"). Generated
+# once here and baked into BOTH the Spark plan and the oracle SQL text —
+# hashlib/Spark/DuckDB md5 are the same function, so this is reproducible
+# everywhere without shipping a model.
+import hashlib as _hashlib  # noqa: E402
+
+_LSH_PLANES = 6
+_LSH_DIM = 64
+_LSH_SIGNS = [
+    [
+        1.0 if int(_hashlib.md5(f"lsh|{p}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for j in range(_LSH_DIM)
+    ]
+    for p in range(_LSH_PLANES)
+]
+
+
+def _lsh_oracle_sql() -> str:
+    dots = []
+    for p in range(_LSH_PLANES):
+        terms = " + ".join(
+            f"d[{j + 1}] * {_LSH_SIGNS[p][j]:.1f}" for j in range(_LSH_DIM)
+        )
+        dots.append(f"({terms}) AS dot{p}")
+    bucket = " + ".join(f"(CASE WHEN dot{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    dp AS (SELECT vec_id, d, {', '.join(dots)} FROM v),
+    b AS (SELECT vec_id, d, {bucket} AS bucket FROM dp),
+    q AS (SELECT bucket AS qb, d AS qd FROM b WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.d, q.qd FROM b, q WHERE b.bucket = q.qb),
+    pairs AS (SELECT vec_id, unnest(d) AS x, unnest(qd) AS y FROM cand),
+    s AS (SELECT vec_id, sum(x * y) AS dp_, sum(x * x) AS sx, sum(y * y) AS sy
+          FROM pairs GROUP BY vec_id)
+    SELECT vec_id, round(dp_ / (sqrt(sx) * sqrt(sy)), 6) AS score
+    FROM s ORDER BY dp_ / (sqrt(sx) * sqrt(sy)) DESC, vec_id LIMIT 10
+    """
+
+
+@_q("sim_lsh_md5_topk", _lsh_oracle_sql())
+def sim_lsh_md5(spark, sf_dir):
+    # VALUE-checked approximate nearest neighbors: bucket by md5-derived
+    # hyperplane signs (identical constants on both engines), score only the
+    # query's bucket
+    from qcardia_data_spark.functions.arrays import cosine as _cos
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+
+    def plane_dot(p: int):
+        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    bucketed = emb.withColumn("bucket", bucket)
+    qrow = bucketed.filter(F.col("vec_id") == 0).select("bucket", "embedding").collect()[0]
+    qb, qvec = qrow["bucket"], qrow["embedding"]
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = bucketed.filter(F.col("bucket") == qb)
+    scored = cand.select("vec_id", _cos(F.col("embedding"), qcol).alias("score"))
+    return (
+        scored.orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("score", 6).alias("score"))
     )
 
 
