@@ -56,16 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000
+             AS sum_charge,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+             AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+             AS avg_disc,
            count(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -73,28 +77,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # all money aggregates accumulate in exact DECIMAL and surface as double
-    # (fp partial-merge order varies run to run; a money sum whose cents
-    # digit is 5 sits exactly on a 9-sig rounding boundary — decimal removes
-    # the class of flake, see PERF.md)
+    # money aggregates accumulate as scaled INTEGERS (cents / basis points):
+    # exact like decimal — removing the fp merge-order hash-flake class
+    # (PERF.md) — but long sums stay inside whole-stage codegen, unlike
+    # BigDecimal aggregation which measured ~2x slower on this query.
+    # quantities are integral; prices/discounts/taxes have 2 decimals.
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    tax = F.col("l_tax").cast("decimal(18,2)")
-    disc_price = price * (F.lit(1) - disc)
+    qty_i = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            F.sum(qty_i).cast("double").alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double") / 1000000).alias(
+                "sum_charge"
+            ),
+            (F.sum(qty_i).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100 / n).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100 / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
