@@ -50,8 +50,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark(app_name="qds-bench")
-    # warm up the JVM/codegen with a trivial job so q1 doesn't pay startup
+    # warm up JVM/codegen and the parquet footers/file listing so the first
+    # measured query reflects engine throughput, not session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -1,0 +1,51 @@
+"""Physical-plan regression tests: the perf-critical plan shapes PERF.md
+documents must survive refactors — pushdown reaching the scan, broadcast
+joins on dims, top-k as TakeOrderedAndProject, partial aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from qcardia_data_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name][0](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_gets_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s4_scan_project_filter")
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,1000.0)" in plan
+    assert "c_nationkey" not in plan  # column pruned out of ReadSchema
+
+
+def test_q1_partial_final_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j2_broadcast_star_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan  # fact side never shuffles for joins
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o1_top_k")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, O(k) memory
+
+
+def test_q3_broadcasts_filtered_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_windows_run_on_subjects_not_records(spark, sf_dir):
+    # x1: the global-order window must consume the distinct-subject frame;
+    # the record-side join back must be broadcast
+    plan = _plan(spark, sf_dir, "x1_subject_level_split")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
