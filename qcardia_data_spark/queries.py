@@ -1704,6 +1704,38 @@ def dedup_minhash_q(spark, sf_dir):
     ).select("doc_id")
 
 
+@_q("dedup_duplicate_clusters", None)  # iterative fixpoint → rows-only check
+def dedup_clusters(spark, sf_dir):
+    # full transitive-closure duplicate clustering: LSH candidates →
+    # Jaccard-verified pairs → connected components (min-label propagation)
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs, "doc_id", "text").persist()
+    try:
+        banded = sh.select(
+            "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band")
+        )
+        sigs = (
+            banded.select(
+                "doc_id", "band",
+                F.md5(F.concat("shingle", F.lit("#"), F.col("band").cast("string"))).alias("h"),
+            )
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("sig"))
+        )
+        cands = D.lsh_candidate_pairs(sigs, "doc_id")
+        dups = D.jaccard_verify_rows(cands, sh, "doc_id", 0.6)
+        cc = D.connected_components(dups)
+        out = (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") > 1)
+            .localCheckpoint(eager=True)  # force while the shingle cache is alive
+        )
+    finally:
+        sh.unpersist()
+    return out
+
+
 @_q(
     "dedup_simhash",
     r"""
