@@ -37,22 +37,34 @@ def cosine_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0) -> Column:
+def hyperplane_signs(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components from md5 parity — computed
+    once on the driver (hashlib md5 ≡ Spark/DuckDB md5, so any engine can
+    reproduce them), embedded as plan literals. Storage-free, retry-safe."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}|{p}|{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern of n_planes dot
-    products). Hyperplane components are ±1 derived from
-    ``xxhash64(seed, plane, dim)`` — deterministic, storage-free, and
-    identical on every executor.
-    """
+    products). Sign matrices are precomputed literals — the per-row work is
+    n_planes multiply-add passes with no hashing in the hot loop, and the
+    same constants are reproducible in any engine (md5 parity)."""
+    signs = hyperplane_signs(n_planes, dim, seed)
+
     def plane_dot(p: int) -> Column:
-        # component j of plane p = +1 if hash bit else -1
-        signs = F.transform(
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda j: F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(2)) == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
+        s = F.array(*[F.lit(x) for x in signs[p]])
         return F.aggregate(
-            F.zip_with(vec.cast("array<double>"), signs, lambda x, s: x * s),
+            F.zip_with(vec.cast("array<double>"), s, lambda x, sg: x * sg),
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
