@@ -145,6 +145,27 @@ def _apply(
         return apply_composed(
             df, op["stages"], op["arr_col"], op["key_col"], op.get("out_col")
         )
+    if kind == "exact_dedup":
+        from qcardia_data_spark.functions.dedup import exact_dedup
+
+        return exact_dedup(df, op["id_col"], op["text_col"])
+    if kind == "near_dedup":
+        from qcardia_data_spark.functions.dedup import near_dedup_minhash
+
+        return near_dedup_minhash(
+            df, op["id_col"], op["text_col"],
+            n_bands=int(op.get("n_bands", 8)),
+            shingle_n=int(op.get("shingle_n", 3)),
+            threshold=float(op.get("threshold", 0.6)),
+        )
+    if kind == "quality_filter":
+        from qcardia_data_spark.functions.text import word_tokens
+
+        toks = word_tokens(F.col(op["text_col"]))
+        cond = F.size(toks) >= int(op.get("min_tokens", 10))
+        if "min_chars" in op:
+            cond = cond & (F.length(op["text_col"]) >= int(op["min_chars"]))
+        return df.filter(cond)
     if kind == "weighted_sample":
         from qcardia_data_spark.operators.sampling import weighted_rejection_sample
 

@@ -144,6 +144,19 @@ def test_spec_cache_boundary(spark, sf_dir, tmp_path):
     assert len(dirs) == 2
 
 
+def test_spec_corpus_prep_from_file(spark, sf_dir):
+    # the shipped declarative corpus-prep pipeline runs end to end and
+    # strictly shrinks the corpus at each gate
+    import json
+
+    spec = json.load(open("examples/corpus_prep.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir)
+    n_out = out.count()
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert 0 < n_out < n_docs
+    assert out.columns == ["doc_id", "text", "source", "n_chars"]
+
+
 def test_data_module_lifecycle(spark, sf_dir, tmp_path):
     config = {
         "sf_dir": sf_dir,
