@@ -1704,6 +1704,114 @@ def dedup_minhash_q(spark, sf_dir):
     ).select("doc_id")
 
 
+@_q(
+    "text_jaccard_pairs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    bands AS (SELECT doc_id, shingle, band
+              FROM sh, (SELECT unnest(range(8)) AS band) b),
+    sig AS (SELECT doc_id, band,
+                   min(md5(concat(shingle, '#', CAST(band AS VARCHAR)))) AS sig
+            FROM bands GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sig sa JOIN sig sb
+               ON sa.band = sb.band AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.a
+              JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+              GROUP BY c.a, c.b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT c.a, c.b,
+           round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                 / (na.n + nb.n - coalesce(i.i, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes na ON na.doc_id = c.a
+    JOIN sizes nb ON nb.doc_id = c.b
+    WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / (na.n + nb.n - coalesce(i.i, 0)) >= 0.5
+    """,
+)
+def text_jaccard_pairs(spark, sf_dir):
+    # the verified near-duplicate pair list itself (with exact n-gram
+    # Jaccard scores) — the auditable intermediate of the dedup pipeline
+    docs = _t(spark, sf_dir, "documents")
+    sh = D.shingle_rows(docs, "doc_id", "text").persist()
+    try:
+        banded = sh.select(
+            "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("band")
+        )
+        sigs = (
+            banded.select(
+                "doc_id", "band",
+                F.md5(F.concat("shingle", F.lit("#"), F.col("band").cast("string"))).alias("h"),
+            )
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("sig"))
+        )
+        cands = D.lsh_candidate_pairs(sigs, "doc_id")
+        dups = D.jaccard_verify_rows(cands, sh, "doc_id", 0.5)
+        out = dups.select("a", "b", F.round("jaccard", 6).alias("jaccard")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        sh.unpersist()
+    return out
+
+
+@_q(
+    "ev_session_window",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+      FROM g)
+    SELECT user_id,
+           date_diff('second', TIMESTAMP '1970-01-01', min(ts)) AS sess_start_s,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_nr
+    """,
+)
+def ev_session_window(spark, sf_dir):
+    # built-in session_window in BATCH mode: sessions = events within a
+    # 30-min gap — must agree with the relational lag/island definition
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            "n_events",
+        )
+    )
+
+
 @_q("dedup_duplicate_clusters", None)  # iterative fixpoint → rows-only check
 def dedup_clusters(spark, sf_dir):
     # full transitive-closure duplicate clustering: LSH candidates →
