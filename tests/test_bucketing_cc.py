@@ -27,6 +27,34 @@ def test_connected_components_star_and_cycle(spark):
     assert {out[7], out[8], out[9]} == {7}
 
 
+def test_fact_partition_pruning_through_join(spark, sf_dir, tmp_path):
+    """Date-partitioned fact joined to a dim filtered on the partition key:
+    Catalyst propagates the literal through the equi-join into a STATIC
+    fact-side PartitionFilter — only matching partitions are even listed
+    (the star-schema IO win at 100 TB; DPP covers the non-literal case)."""
+    fact_dir = str(tmp_path / "li_part")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("ship_year", F.year("o_orderdate"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("ship_year") == 1997)
+        .select("ship_year", "o_orderkey")
+        .distinct()
+    )
+    joined = fact.join(dim, "ship_year")
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [(ship_year" in plan  # static prune on the fact scan
+    years = {r["ship_year"] for r in joined.select("ship_year").distinct().collect()}
+    assert years == {1997}
+
+
 def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     """Incremental re-materialization: with dynamic partitionOverwriteMode,
     rewriting one split's records leaves other partitions untouched — the
