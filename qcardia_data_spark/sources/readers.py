@@ -22,13 +22,19 @@ def csv_metadata_scan(
     spark: SparkSession, path: str, string_cols: Sequence[str] = ("SubjectID",),
 ) -> DataFrame:
     """S1 — header CSV with schema inference EXCEPT ``string_cols``, which
-    are forced to string after the fact (reference reads with
-    ``dtype={'SubjectID': str}``)."""
-    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
-    for c in string_cols:
-        if c in df.columns:
-            df = df.withColumn(c, F.col(c).cast("string"))
-    return df
+    are read as string FROM THE SOURCE (reference reads with
+    ``dtype={'SubjectID': str}``). Casting after inference would destroy
+    leading zeros ("001" → 1 → "1"); instead the inferred schema is patched
+    and the file re-read, so "001" survives intact."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inferred = spark.read.option("header", True).option("inferSchema", True).csv(path).schema
+    patched = StructType([
+        StructField(f.name, StringType() if f.name in set(string_cols) else f.dataType,
+                    f.nullable)
+        for f in inferred
+    ])
+    return spark.read.option("header", True).schema(patched).csv(path)
 
 
 def binary_file_scan(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
