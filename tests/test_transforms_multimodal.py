@@ -177,6 +177,22 @@ def test_write_npy_records(spark, tmp_path):
     assert b.shape == (3, 2) and (b == 9.0).all()
 
 
+def test_standardize_with_saved_stats(spark):
+    # F3's "stats from saved meta" path (reference intensity.py:8-42: use
+    # the meta dict's mean/std when present instead of recomputing)
+    from qcardia_data_spark.functions.arrays import standardize
+
+    df = spark.createDataFrame([([10.0, 20.0, 30.0], 20.0, 10.0)], ["arr", "mu", "sigma"])
+    out = df.select(
+        standardize(F.col("arr"), mean=F.col("mu"), std=F.col("sigma")).alias("z")
+    ).collect()[0]["z"]
+    assert out == [-1.0, 0.0, 1.0]
+    # recompute path: population std of [10,20,30] = sqrt(200/3)
+    auto = df.select(standardize(F.col("arr")).alias("z")).collect()[0]["z"]
+    assert auto[1] == pytest.approx(0.0)
+    assert auto[2] == pytest.approx(10.0 / np.sqrt(200.0 / 3.0))
+
+
 def test_minmax_roundtrip_property(spark):
     # F4 inverse property: denormalize(normalize(x)) == x (SURVEY §5.4)
     from qcardia_data_spark.functions.arrays import minmax_normalize
