@@ -29,12 +29,16 @@ OUTPUT_SCHEMA = StructType([
 ])
 
 
-def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def running_user_totals(
+    events: DataFrame, watermark: str = "2 hours", evict: bool = True,
+) -> DataFrame:
     """Per-user running (count, sum(value)) maintained in explicit state.
 
-    Uses GroupState with an event-time timeout: when a user's state has seen
-    no events past the watermark horizon, it is finalized and evicted —
-    state size stays proportional to *active* users, not all users ever.
+    With ``evict=True`` (default) the state uses an event-time timeout: a
+    user whose state has seen no events for one watermark horizon past its
+    last event is finalized and REMOVED — state size stays proportional to
+    *active* users, not all users ever. ``evict=False`` keeps state forever
+    (NoTimeout), for short bounded backfills.
     """
     try:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -44,11 +48,26 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
+        if evict and state.hasTimedOut:
+            # horizon passed with no new events: emit the final row, drop
+            # the state (bounded memory — the point of the timeout)
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+            return
+
         n, total = state.get if state.exists else (0, 0.0)
+        last_ts_ms = 0
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
+            if evict and len(pdf):
+                last_ts_ms = max(last_ts_ms, int(pdf["ts"].max().timestamp() * 1000))
         state.update((n, total))
+        if evict and last_ts_ms:
+            state.setTimeoutTimestamp(last_ts_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -61,6 +80,8 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if evict else GroupStateTimeout.NoTimeout
+            ),
         )
     )
