@@ -84,6 +84,53 @@ class DataModule:
             out = group_weights_window(out, weight_cols)
         return out
 
+    def iter_pandas_batches(
+        self, split: str, batch_size: int = 128, shuffle_seed=None, epoch: int = 0,
+    ):
+        """Serving iterator — the ``DataLoader`` analog (reference
+        data_module.py:101-166): yields pandas batches of the split's
+        records, optionally shuffled by a seeded, epoch-dependent key
+        (same (seed, epoch) ⇒ same order; new epoch ⇒ new permutation —
+        what the reference's per-epoch DataLoader shuffle provides).
+
+        Implementation: one pass assigns batch numbers (row_number over the
+        keyed shuffle order), the frame is persisted, then each batch is a
+        pruned filter + toPandas. At cluster scale the same frame feeds
+        ``foreachBatch`` / a Volcano-style reader instead; the batch
+        assignment logic is identical.
+        """
+        import pandas as pd  # noqa: F401  (documents the yield type)
+
+        from pyspark.sql.window import Window
+
+        from qcardia_data_spark.operators.windows import keyed_rand
+
+        df = self.frame(split)
+        if shuffle_seed is not None:
+            key_cols = [F.col(self.config["subject_col"])] + [
+                F.col(c) for c in df.columns if c not in (self.config["subject_col"], "split")
+            ][:1]
+            order = [keyed_rand(f"{shuffle_seed}|{epoch}", *key_cols)] + key_cols
+        else:
+            order = [F.col(self.config["subject_col"])]
+        w = Window.orderBy(*order)
+        numbered = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_batch", ((F.col("_rn") - 1) / batch_size).cast("int")
+        ).persist()
+        try:
+            n_batches = numbered.agg(F.max("_batch")).collect()[0][0]
+            if n_batches is None:
+                return
+            for b in range(n_batches + 1):
+                yield (
+                    numbered.filter(F.col("_batch") == b)
+                    .orderBy("_rn")
+                    .drop("_rn", "_batch")
+                    .toPandas()
+                )
+        finally:
+            numbered.unpersist()
+
     def summary(self) -> DataFrame:
         """Files & subjects per split (reference ``print_dataset_summary``,
         pipeline/utils.py:74-83)."""

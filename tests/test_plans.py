@@ -144,6 +144,36 @@ def test_spec_cache_boundary(spark, sf_dir, tmp_path):
     assert len(dirs) == 2
 
 
+def test_serving_iterator_batches(spark, sf_dir, tmp_path):
+    config = {
+        "sf_dir": sf_dir,
+        "cache_root": str(tmp_path),
+        "pipeline": [
+            {"op": "source", "table": "orders"},
+            {"op": "select", "cols": ["o_orderkey", "o_custkey", "o_orderstatus"]},
+        ],
+        "subject_col": "o_custkey",
+        "split": {"valid_fraction": 0.5, "seed": "srv"},
+    }
+    dm = DataModule(spark, config).setup()
+    n_valid = dm.frame("valid").count()
+
+    batches = list(dm.iter_pandas_batches("valid", batch_size=100, shuffle_seed=7))
+    assert sum(len(b) for b in batches) == n_valid
+    assert all(len(b) == 100 for b in batches[:-1])  # full batches except last
+    assert "_rn" not in batches[0].columns
+
+    # epoch-dependent deterministic shuffle: same epoch = same order,
+    # different epoch = different permutation of the same rows
+    again = list(dm.iter_pandas_batches("valid", batch_size=100, shuffle_seed=7))
+    assert batches[0]["o_orderkey"].tolist() == again[0]["o_orderkey"].tolist()
+    ep1 = list(dm.iter_pandas_batches("valid", batch_size=100, shuffle_seed=7, epoch=1))
+    assert batches[0]["o_orderkey"].tolist() != ep1[0]["o_orderkey"].tolist()
+    all_ids = sorted(k for b in batches for k in b["o_orderkey"])
+    all_ids_ep1 = sorted(k for b in ep1 for k in b["o_orderkey"])
+    assert all_ids == all_ids_ep1  # same record set, permuted
+
+
 def test_spec_corpus_prep_from_file(spark, sf_dir):
     # the shipped declarative corpus-prep pipeline runs end to end and
     # strictly shrinks the corpus at each gate
