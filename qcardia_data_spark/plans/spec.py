@@ -57,6 +57,7 @@ def compile_pipeline(
     unknown op or a malformed entry — at plan time, never mid-job."""
     df: DataFrame | None = None
     prior_ops: list[dict] = []
+    ops = _push_filters_below_explode(ops)
     for i, op in enumerate(ops):
         if not isinstance(op, dict) or "op" not in op:
             raise SpecError(f"op #{i} malformed: {op!r}")
@@ -74,6 +75,39 @@ def compile_pipeline(
     if df is None:
         raise SpecError("empty pipeline: no source op")
     return df
+
+
+def _push_filters_below_explode(ops: Sequence[dict]) -> list[dict]:
+    """Compiler rewrite (SURVEY §4.1): Catalyst cannot push a predicate on a
+    generated ordinal through ``posexplode``, so the spec compiler does it —
+    an ``explode`` immediately followed by a structured position filter
+    (``{"op": "filter", "col": <pos>, "in": [...]}``) is fused into the
+    explode's ``keep_positions``: never-used elements are never generated
+    (the reference's ``selected_frame_nrs`` pre-filter, dimensions.py:33-37).
+    """
+    out: list[dict] = []
+    i = 0
+    ops = list(ops)
+    while i < len(ops):
+        op = ops[i]
+        nxt = ops[i + 1] if i + 1 < len(ops) else None
+        if (
+            isinstance(op, dict)
+            and op.get("op") == "explode"
+            and op.get("keep_positions") is None
+            and isinstance(nxt, dict)
+            and nxt.get("op") == "filter"
+            and nxt.get("col") == op.get("pos", "pos")
+            and isinstance(nxt.get("in"), list)
+        ):
+            fused = dict(op)
+            fused["keep_positions"] = [int(p) for p in nxt["in"]]
+            out.append(fused)
+            i += 2
+            continue
+        out.append(op)
+        i += 1
+    return out
 
 
 def _source(spark: SparkSession, op: dict, sf_dir: str | None) -> DataFrame:
@@ -104,7 +138,11 @@ def _apply(
     if kind == "select":
         return df.select(*_cols(op["cols"]))
     if kind == "filter":
-        return df.filter(F.expr(op["expr"]))
+        if "expr" in op:
+            return df.filter(F.expr(op["expr"]))
+        if "in" in op:  # structured form (push-down-able, see the peephole)
+            return df.filter(F.col(op["col"]).isin(*op["in"]))
+        raise SpecError(f"filter needs 'expr' or ('col','in'): {op!r}")
     if kind == "with_columns":
         return df.withColumns({k: F.expr(v) for k, v in op["cols"].items()})
     if kind == "rename":

@@ -122,6 +122,39 @@ def test_spec_explode_prefilter_and_compose(spark, sf_dir):
     assert all(0.2 <= r["v"] <= 0.8 for r in rows)
 
 
+def test_spec_pushes_position_filter_below_explode(spark, sf_dir):
+    base = [
+        {"op": "source", "table": "embeddings"},
+        {"op": "filter", "expr": "vec_id < 10"},
+    ]
+    unfused = base + [
+        {"op": "explode", "col": "embedding", "pos": "frame_nr", "val": "v"},
+        {"op": "filter", "col": "frame_nr", "in": [1, 7]},
+    ]
+    explicit = base + [
+        {"op": "explode", "col": "embedding", "pos": "frame_nr", "val": "v",
+         "keep_positions": [1, 7]},
+    ]
+    got = compile_pipeline(spark, unfused, sf_dir)
+    want = compile_pipeline(spark, explicit, sf_dir)
+
+    # the peephole must produce the same physical plan as the hand-placed
+    # pre-filter (elements outside [1,7] are never generated); expression
+    # ids differ between compilations, so normalize #NNN before comparing
+    def norm(df):
+        import re
+
+        return re.sub(r"#\d+", "#x", df._jdf.queryExecution().executedPlan().toString())
+
+    assert norm(got) == norm(want)
+    assert {(r["vec_id"], r["frame_nr"]) for r in got.collect()} == {
+        (v, p) for v in range(10) for p in (1, 7)
+    }
+    # a structured filter NOT adjacent to an explode still filters normally
+    plain = base + [{"op": "filter", "col": "vec_id", "in": [3, 4]}]
+    assert compile_pipeline(spark, plain, sf_dir).count() == 2
+
+
 def test_spec_cache_boundary(spark, sf_dir, tmp_path):
     ops = [
         {"op": "source", "table": "nation"},
