@@ -45,6 +45,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(*batch.columns)
 
 
+def stream_from_dir(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Generic one-file-per-trigger parquet stream over a directory —
+    files are consumed in modification-time order, which is how late-data
+    scenarios are constructed (older event-times arriving in later files)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event type. Late events beyond
     the watermark are dropped; windows finalize (append mode) once the

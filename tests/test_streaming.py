@@ -59,6 +59,64 @@ def test_streaming_dedup(spark, sf_dir):
     assert duplicated.count() == 2 * ev.count()
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Events arriving (in a later file) with timestamps beyond the
+    watermark horizon are dropped from append-mode aggregations — the
+    bounded-state / late-data policy in action."""
+    import datetime as dt
+    import time
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        pdf = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        # move the single part file into the stream dir (atomic arrival)
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "tmp" / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available_now():
+        schema = spark.read.parquet(str(src)).schema
+        stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at t0, t0+1h, t0+5h → watermark persists at t0+4h;
+    # windows [t0, t0+1h) and [t0+1h, t0+2h) finalize with n=1 each
+    write_file("f1", [(i, t0 + dt.timedelta(hours=h), 1, 1.0) for i, h in enumerate([0, 1, 5])])
+    run_available_now()
+    first = {(r["win_start"], r["n"]) for r in spark.read.parquet(out_dir).collect()}
+    assert (t0, 1) in first
+
+    # run 2 (same checkpoint): a 5h-late event at t0 arrives — its window is
+    # already finalized and its state evicted; the late event is DROPPED and
+    # can never resurrect or double-count the t0 window
+    time.sleep(0.2)
+    write_file("f2", [(10, t0 + dt.timedelta(hours=5, minutes=30), 1, 1.0),
+                      (11, t0, 1, 1.0)])
+    run_available_now()
+    final = [r for r in spark.read.parquet(out_dir).collect() if r["win_start"] == t0]
+    assert [r["n"] for r in final] == [1]  # exactly one emission, count 1
+
+
 def test_file_sink_with_checkpoint_resume(spark, sf_dir, tmp_path):
     """Exactly-once parquet sink: first availableNow run processes the
     input; a restarted query against the same checkpoint reprocesses
