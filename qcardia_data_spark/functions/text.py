@@ -102,7 +102,11 @@ def lang_id(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct) — input to MinHash/Jaccard dedup.
 
-    Built with sequence+transform over the token array: JVM-side, no UDF.
+    Column form for per-record use. NOTE: in multi-stage pipelines prefer
+    :func:`qcardia_data_spark.functions.dedup.shingle_rows` — this
+    expression re-evaluates the tokenizer inside the per-index lambda (no
+    cross-lambda subexpression elimination; see PERF.md), which is fine for
+    one-off per-record columns but ~30× slower as a pipeline stage.
     """
     toks = word_tokens(text)
     k = F.size(toks)
