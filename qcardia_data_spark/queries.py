@@ -982,6 +982,61 @@ def w6_range_frame(spark, sf_dir):
     )
 
 
+@_q(
+    "w7_analytic_functions",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w7_analytics(spark, sf_dir):
+    # the full analytic-function surface in one deterministic query
+    # (total ordering via the (price, key) tie-break)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
+
+
+@_q(
+    "a14_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a14_grouping_sets(spark, sf_dir):
+    # explicit grouping sets (beyond rollup/cube): per-flag, per-status,
+    # and grand total in one pass
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_qds_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM _qds_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (O1-O5)
 # ---------------------------------------------------------------------------
