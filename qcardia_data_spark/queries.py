@@ -2409,6 +2409,28 @@ def ev_monthly(spark, sf_dir):
 
 
 @_q(
+    "ev_attribution_join",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events)
+    SELECT t.user_id, t.event_id AS trigger_id, o.event_id AS outcome_id,
+           o.value AS outcome_value,
+           date_diff('second', t.ts, o.ts) AS lag_sec
+    FROM e t JOIN e o
+      ON t.user_id = o.user_id
+     AND t.event_type = 'click' AND o.event_type = 'purchase'
+     AND t.ts <= o.ts AND t.ts >= o.ts - INTERVAL 1 HOUR
+    """,
+)
+def ev_attribution(spark, sf_dir):
+    # click→purchase attribution within 1h — the batch twin of the
+    # stream-stream time-bounded join (streaming/events.attribution_join)
+    from qcardia_data_spark.streaming.events import attribution_join
+
+    return attribution_join(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "ev_latest_dedup",
     """
     SELECT user_id, event_type, event_id, round(value, 6) AS value

@@ -97,6 +97,53 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def attribution_join(
+    events: DataFrame, trigger_type: str = "click", outcome_type: str = "purchase",
+    within: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each ``outcome_type`` event to
+    the same user's ``trigger_type`` events in the preceding ``within``
+    interval (click→purchase attribution).
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark can size and expire the join state — the canonical
+    stream-stream join shape. Works identically on batch frames.
+    """
+    import re
+
+    m = re.match(r"(\d+)\s*(hour|minute|second)", within)
+    secs = int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[m.group(2)]
+
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("trigger_id"),
+            F.col("ts").alias("t_ts"),
+        )
+    )
+    outc = (
+        events.filter(F.col("event_type") == outcome_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("ts").alias("o_ts"),
+            F.col("value").alias("outcome_value"),
+        )
+    )
+    cond = (
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("t_ts") <= F.col("o_ts"))
+        & (F.col("t_ts") >= F.col("o_ts") - F.expr(f"INTERVAL {secs} SECONDS"))
+    )
+    return trig.join(outc, cond, "inner").select(
+        F.col("t_user").alias("user_id"), "trigger_id", "outcome_id", "outcome_value",
+        (F.col("o_ts").cast("long") - F.col("t_ts").cast("long")).alias("lag_sec"),
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup: first event per key wins; state for a key
     is dropped once the watermark passes (bounded memory)."""

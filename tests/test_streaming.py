@@ -146,6 +146,20 @@ def test_file_sink_with_checkpoint_resume(spark, sf_dir, tmp_path):
     assert n2 == n1
 
 
+def test_stream_stream_attribution_join(spark, sf_dir):
+    # stream-stream join result == the same join on batch frames
+    stream_out = S.run_to_memory(
+        S.attribution_join(S.events_stream(spark, sf_dir)), "append"
+    )
+    batch_out = S.attribution_join(_batch_events(spark, sf_dir))
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert want  # the synthetic stream contains click→purchase sequences
+    assert got == want
+    # every attribution is within the 1h bound, trigger before outcome
+    assert all(0 <= r["lag_sec"] <= 3600 for r in batch_out.collect())
+
+
 def test_stateful_running_totals(spark, sf_dir):
     from qcardia_data_spark.streaming.stateful import running_user_totals
 
