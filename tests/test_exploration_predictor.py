@@ -43,6 +43,20 @@ def test_exploration_grouped(spark, sf_dir):
     assert {r["statistic"] for r in rows} == {"mean", "std", "q0500"}
 
 
+def test_minhash_band_width_sharpens_candidates(spark, sf_dir):
+    from qcardia_data_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig_r1 = minhash_signatures(docs, "doc_id", "text", n_bands=4, band_width=1)
+    sig_r2 = minhash_signatures(docs, "doc_id", "text", n_bands=4, band_width=2)
+    n1 = lsh_candidate_pairs(sig_r1, "doc_id").count()
+    n2 = lsh_candidate_pairs(sig_r2, "doc_id").count()
+    # wider bands = AND over more minhashes per band → strictly fewer-or-
+    # equal candidate pairs (sharper S-curve, cheaper verification)
+    assert n2 <= n1
+    assert n2 > 0  # strong duplicates still collide
+
+
 def test_minhash_ml_variant(spark, sf_dir):
     from qcardia_data_spark.functions.dedup import near_dedup_minhash, near_dedup_minhash_ml
 
