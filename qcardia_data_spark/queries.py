@@ -2431,6 +2431,49 @@ def ev_attribution(spark, sf_dir):
 
 
 @_q(
+    "ev_funnel_depth",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def ev_funnel(spark, sf_dir):
+    # staged funnel: first view → first later click → first later purchase;
+    # each stage is a grouped min + broadcast join back (no window over the
+    # full event stream)
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@_q(
     "ev_latest_dedup",
     """
     SELECT user_id, event_type, event_id, round(value, 6) AS value
