@@ -808,8 +808,8 @@ def p11_nullify(spark, sf_dir):
     "f3_standardize",
     """
     SELECT vec_id,
-           round((d[1] - mu) / sigma, 6) AS first_std,
-           round(list_sum(list_transform(d, x -> (x - mu) / sigma)), 6) AS sum_std
+           round((d[1] - mu) / sigma, 6) + 0.0 AS first_std,
+           round(list_sum(list_transform(d, x -> (x - mu) / sigma)), 6) + 0.0 AS sum_std
     FROM (SELECT vec_id, d, mu,
                  sqrt(list_sum(list_transform(d, x -> (x - mu) * (x - mu))) / len(d)) AS sigma
           FROM (SELECT vec_id,
@@ -822,10 +822,13 @@ def f3_standardize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     std = A.standardize(F.col("embedding"))
     s = F.aggregate(std, F.lit(0.0), lambda acc, e: acc + e)
+    # `+ 0.0` canonicalizes IEEE signed zero: the sum of standardized values
+    # is mathematically 0 and Spark/DuckDB fold orders yield different
+    # -0.0/+0.0 mixes that hash differently (round-1 driver failure).
     return emb.select(
         "vec_id",
-        F.round(F.element_at(std, 1), 6).alias("first_std"),
-        F.round(s, 6).alias("sum_std"),
+        (F.round(F.element_at(std, 1), 6) + F.lit(0.0)).alias("first_std"),
+        (F.round(s, 6) + F.lit(0.0)).alias("sum_std"),
     )
 
 

@@ -22,8 +22,11 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # NOTE: no zero-normalization here — the driver's hash compare
+        # distinguishes -0.0 from +0.0, so the local harness must too
+        # (a `v == 0 -> 0.0` mapping masked the round-1 f3 failure).
         if v == 0:
-            return 0.0
+            return -0.0 if math.copysign(1.0, v) < 0 else 0.0
         return float(f"{v:.9g}")
     if isinstance(v, (list, tuple)):
         return tuple(_canon_value(x) for x in v)
