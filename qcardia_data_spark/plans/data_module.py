@@ -93,32 +93,24 @@ class DataModule:
         (same (seed, epoch) ⇒ same order; new epoch ⇒ new permutation —
         what the reference's per-epoch DataLoader shuffle provides).
 
-        Implementation: one pass assigns batch numbers (row_number over the
-        keyed shuffle order), the frame is persisted, then each batch is a
-        pruned filter + toPandas. At cluster scale the same frame feeds
-        ``foreachBatch`` / a Volcano-style reader instead; the batch
-        assignment logic is identical.
+        Batch numbers come from a *distributed* global numbering: the frame
+        is range-partitioned on the (seeded) order key, each partition
+        numbers its own rows, and partition offsets (a per-partition count —
+        ``n_partitions`` rows, driver-small) are broadcast-joined back. The
+        result is bit-identical to ``row_number() OVER (ORDER BY ...)`` —
+        range partitions hold contiguous key ranges, so local rank +
+        preceding-partition offset = global rank — but with no
+        single-partition sort stage (the round-1 scale hazard). Each batch is
+        then a pruned filter + toPandas over the persisted frame. At cluster
+        scale the same frame feeds ``foreachBatch`` / a Volcano-style reader
+        instead; the batch assignment logic is identical.
         """
         import pandas as pd  # noqa: F401  (documents the yield type)
 
-        from pyspark.sql.window import Window
-
-        from qcardia_data_spark.operators.windows import keyed_rand
-
-        df = self.frame(split)
-        if shuffle_seed is not None:
-            key_cols = [F.col(self.config["subject_col"])] + [
-                F.col(c) for c in df.columns if c not in (self.config["subject_col"], "split")
-            ][:1]
-            order = [keyed_rand(f"{shuffle_seed}|{epoch}", *key_cols)] + key_cols
-        else:
-            order = [F.col(self.config["subject_col"])]
-        w = Window.orderBy(*order)
-        numbered = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-            "_batch", ((F.col("_rn") - 1) / batch_size).cast("int")
-        ).persist()
+        part, numbered = self._numbered_frame(split, batch_size, shuffle_seed, epoch)
         try:
             n_batches = numbered.agg(F.max("_batch")).collect()[0][0]
+            part.unpersist()  # numbered is materialized; drop the staging cache
             if n_batches is None:
                 return
             for b in range(n_batches + 1):
@@ -129,7 +121,54 @@ class DataModule:
                     .toPandas()
                 )
         finally:
+            part.unpersist()
             numbered.unpersist()
+
+    def _numbered_frame(self, split, batch_size, shuffle_seed, epoch):
+        """Build the batch-numbered frame (exposed for plan-property tests).
+
+        Returns ``(staging, numbered)`` — both persisted; caller unpersists.
+        """
+        from pyspark.sql.window import Window
+
+        from qcardia_data_spark.operators.windows import keyed_rand
+
+        df = self.frame(split)
+        subject = self.config["subject_col"]
+        if shuffle_seed is not None:
+            key_cols = [F.col(subject)] + [
+                F.col(c) for c in df.columns if c not in (subject, "split")
+            ][:1]
+            order = [keyed_rand(f"{shuffle_seed}|{epoch}", *key_cols)] + key_cols
+        else:
+            order = [F.col(subject)]
+
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        part = (
+            df.repartitionByRange(n_parts, *order)
+            .sortWithinPartitions(*order)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        # offsets: n_partitions rows — the unpartitioned window runs over
+        # this tiny frame, never over the records themselves
+        w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            part.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+            .select("_pid", "_off")
+        )
+        w_local = Window.partitionBy("_pid").orderBy(*order)
+        numbered = (
+            part.withColumn("_lrn", F.row_number().over(w_local))
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn("_rn", (F.col("_off") + F.col("_lrn")).cast("int"))
+            .withColumn("_batch", ((F.col("_rn") - 1) / batch_size).cast("int"))
+            .drop("_pid", "_lrn", "_off")
+            .persist()
+        )
+        return part, numbered
 
     def summary(self) -> DataFrame:
         """Files & subjects per split (reference ``print_dataset_summary``,

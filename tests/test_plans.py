@@ -207,6 +207,40 @@ def test_serving_iterator_batches(spark, sf_dir, tmp_path):
     assert all_ids == all_ids_ep1  # same record set, permuted
 
 
+def test_serving_iterator_plan_is_distributed(spark, sf_dir, tmp_path):
+    """The batch numbering must never funnel the record frame through a
+    single task (round-1 weak point): records are range-partitioned and
+    numbered per partition; the only single-partition exchanges allowed are
+    over driver-small frames (partition counts, distinct subjects)."""
+    config = {
+        "sf_dir": sf_dir,
+        "cache_root": str(tmp_path),
+        "pipeline": [
+            {"op": "source", "table": "orders"},
+            {"op": "select", "cols": ["o_orderkey", "o_custkey", "o_orderstatus"]},
+        ],
+        "subject_col": "o_custkey",
+        "split": {"valid_fraction": 0.5, "seed": "srv"},
+    }
+    dm = DataModule(spark, config).setup()
+    part, numbered = dm._numbered_frame("valid", 100, 7, 0)
+    try:
+        plan = numbered._jdf.queryExecution().executedPlan().toString()
+    finally:
+        part.unpersist()
+        numbered.unpersist()
+    # records are distributed by range on the seeded order key ...
+    assert "Exchange rangepartitioning" in plan
+    # ... sorted within partitions only — no global Sort node anywhere
+    assert "], true, 0" not in plan
+    # the record row-numbering window is partitioned (by _pid), not an
+    # unpartitioned order-by over the seeded md5 key (the old shape)
+    assert "row_number() windowspecdefinition(_pid" in plan
+    import re
+
+    assert not re.search(r"row_number\(\) windowspecdefinition\(md5", plan)
+
+
 def test_spec_corpus_prep_from_file(spark, sf_dir):
     # the shipped declarative corpus-prep pipeline runs end to end and
     # strictly shrinks the corpus at each gate
