@@ -2175,21 +2175,29 @@ def text_tfidf(spark, sf_dir):
     # document-frequency + IDF over distinct terms per doc (the IDF half of
     # TF-IDF; term presence rows are long-thin and combine map-side)
     docs = _t(spark, sf_dir, "documents")
+    # `terms` feeds BOTH the doc-frequency agg and the final join — persist
+    # so tokenize+explode runs once (at scale: checkpoint), then pin the
+    # result and release the cache (same lifecycle as text_jaccard_pairs)
     terms = docs.select(
         "doc_id", "source",
         F.explode(F.array_distinct(T.word_tokens(F.col("text")))).alias("term"),
-    )
-    n_docs = docs.count()
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
-        F.col("df") >= 50
-    )
-    return (
-        terms.join(F.broadcast(dfreq), "term")
-        .select(
-            "doc_id", "term",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+    ).persist()
+    try:
+        n_docs = docs.count()
+        dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
+            F.col("df") >= 50
         )
-    )
+        out = (
+            terms.join(F.broadcast(dfreq), "term")
+            .select(
+                "doc_id", "term",
+                F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        terms.unpersist()
+    return out
 
 
 @_q(

@@ -145,8 +145,22 @@ def attribution_join(
 
 
 def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
-    """Stateful streaming dedup: first event per key wins; state for a key
-    is dropped once the watermark passes (bounded memory)."""
+    """Stateful streaming dedup: FIRST event per key wins — later events
+    with the same key but a different event time are also dropped, as long
+    as they arrive within the watermark horizon of the first. State for a
+    key expires once the watermark passes (bounded memory).
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) is the engine primitive
+    with exactly these semantics; on a batch frame it degrades to plain
+    key-dedup, which keeps the batch twin runnable.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def dedup_exact_events(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Exact-event dedup: drops only identical ``(keys..., ts)`` pairs —
+    re-delivered events — keeping genuinely distinct events that share a
+    key (the at-least-once-delivery cleanup shape)."""
     return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
 
 

@@ -59,6 +59,32 @@ def test_streaming_dedup(spark, sf_dir):
     assert duplicated.count() == 2 * ev.count()
 
 
+def test_dedup_first_per_key_within_watermark(spark, tmp_path):
+    """Same key arriving again with a DIFFERENT event time inside the
+    watermark horizon is dropped (first wins); dedup_exact_events keeps it
+    (only identical (key, ts) re-deliveries collapse)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        ("k1", t0, 1.0),
+        ("k1", t0 + dt.timedelta(minutes=10), 2.0),  # same key, later ts
+        ("k1", t0, 1.0),                              # exact re-delivery
+        ("k2", t0 + dt.timedelta(minutes=5), 3.0),
+    ]
+    src = tmp_path / "stream"
+    spark.createDataFrame(rows, ["user_id", "ts", "value"]).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+
+    first_wins = S.run_to_memory(S.dedup_within_watermark(stream, ["user_id"], "2 hours"))
+    assert first_wins.count() == 2  # one event per key
+    assert {r["user_id"] for r in first_wins.collect()} == {"k1", "k2"}
+
+    exact = S.run_to_memory(S.dedup_exact_events(stream, ["user_id"], "2 hours"))
+    assert exact.count() == 3  # k1@t0 collapses; k1@t0+10m survives
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Events arriving (in a later file) with timestamps beyond the
     watermark horizon are dropped from append-mode aggregations — the
