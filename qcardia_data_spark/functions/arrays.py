@@ -111,6 +111,47 @@ def array_stats(arr: Column) -> Column:
     )
 
 
+# Class colors 1..7 (reference visualization/utils.py:11-21); class 0 =
+# background (no tint). Kept as module data so Spark and the DuckDB oracle
+# restatement are generated from the same table.
+OVERLAY_COLORS: list[tuple[float, float, float]] = [
+    (1.0, 0.0, 0.0),
+    (0.0, 1.0, 0.0),
+    (0.0, 0.0, 1.0),
+    (0.8, 0.0, 1.0),
+    (1.0, 0.5, 0.0),
+    (1.0, 1.0, 0.0),
+    (0.0, 1.0, 1.0),
+]
+
+
+def overlay_rgb(img: Column, lbl: Column, alpha: float) -> Column:
+    """F19 — blend a class-colored label map over a grayscale image
+    (reference visualization/utils.py:6-36: per-pixel
+    ``out = clamp(img * (1 - max_channel(color)*alpha) + color*alpha, 0, 1)``).
+
+    ``img``: array<double> intensities in [0,1]; ``lbl``: array<int> class
+    ids, same length, 0 = background. Returns struct(r, g, b) of arrays.
+    Pure ``zip_with`` SQL — no UDF; the reference's per-class mask loop
+    collapses to a literal color-table lookup because class masks are
+    disjoint (labels are argmax'd ints, imshow.py:28)."""
+    a = F.lit(float(alpha))
+    max_by_class = F.array(*[F.lit(max(c)) for c in OVERLAY_COLORS])
+
+    def channel(ci: int) -> Column:
+        colors = F.array(*[F.lit(c[ci]) for c in OVERLAY_COLORS])
+
+        def px(v: Column, l: Column) -> Column:  # noqa: E741
+            colored = F.when(l >= 1, F.element_at(colors, l)).otherwise(F.lit(0.0))
+            maxc = F.when(l >= 1, F.element_at(max_by_class, l)).otherwise(F.lit(0.0))
+            out = v * (F.lit(1.0) - maxc * a) + colored * a
+            return F.least(F.greatest(out, F.lit(0.0)), F.lit(1.0))
+
+        return F.zip_with(_d(img), lbl.cast("array<int>"), px)
+
+    return F.struct(channel(0).alias("r"), channel(1).alias("g"), channel(2).alias("b"))
+
+
 def file_id(dataset: Column, subject: Column, slice_nr: Column, frame_nr: Column) -> Column:
     """F17 — deterministic record file id
     ``{dataset}-{subject}-{slice:02}-{frame:02}`` with ``"__"`` placeholder

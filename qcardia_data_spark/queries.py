@@ -1464,6 +1464,64 @@ def f18_hist_eq(spark, sf_dir):
     )
 
 
+def _f19_oracle() -> str:
+    """Generate the DuckDB restatement of F19 from the same color table the
+    Spark plan uses (functions/arrays.py OVERLAY_COLORS) — one source of
+    truth, zero transcription drift."""
+    colors = A.OVERLAY_COLORS
+    maxs = "[" + ", ".join(f"{max(c):.1f}" for c in colors) + "]"
+
+    lab = "least(CAST(floor(v * 8) AS INT), 7)"
+
+    def ch(ci: int, name: str) -> str:
+        lst = "[" + ", ".join(f"{c[ci]:.1f}" for c in colors) + "]"
+        return (
+            "list_transform(p, v -> least(greatest("
+            f"v * (1.0 - (CASE WHEN {lab} >= 1 THEN ({maxs})[{lab}] ELSE 0.0 END) * 0.5)"
+            f" + (CASE WHEN {lab} >= 1 THEN ({lst})[{lab}] ELSE 0.0 END) * 0.5,"
+            f" 0.0), 1.0)) AS {name}"
+        )
+
+    return f"""
+    WITH pix AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                x -> (CAST(x AS DOUBLE) - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))
+                     / (list_max(list_transform(embedding, y -> CAST(y AS DOUBLE)))
+                        - list_min(list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS p
+      FROM embeddings WHERE vec_id < 100
+    ), ch AS (
+      SELECT vec_id, {ch(0, "r")}, {ch(1, "g")}, {ch(2, "b")} FROM pix
+    )
+    SELECT vec_id,
+           round(list_sum(r), 6) AS sum_r,
+           round(list_sum(g), 6) AS sum_g,
+           round(list_sum(b), 6) AS sum_b,
+           round(r[1], 6) AS first_r
+    FROM ch
+    """
+
+
+@_q("f19_overlay_rgb", _f19_oracle())
+def f19_overlay(spark, sf_dir):
+    # F19 colorize/overlay (reference visualization/utils.py:6-36) as pure
+    # zip_with SQL: quantize normalized intensity into 8 classes (0 =
+    # background), tint classes 1-7 with the reference color table, alpha-
+    # blend over the grayscale image. Value-checked vs DuckDB.
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    img = A.minmax_normalize(F.col("embedding"))
+    lbl = F.transform(img, lambda v: F.least(F.floor(v * 8).cast("int"), F.lit(7)))
+    rgb = A.overlay_rgb(img, lbl, alpha=0.5)
+    s = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, e: acc + e)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.round(s(rgb["r"]), 6).alias("sum_r"),
+        F.round(s(rgb["g"]), 6).alias("sum_g"),
+        F.round(s(rgb["b"]), 6).alias("sum_b"),
+        F.round(F.element_at(rgb["r"], 1), 6).alias("first_r"),
+    )
+
+
 @_q("f7_rand_resample_2d", None)  # numpy bilinear UDF → rows-only check
 def f7_resample(spark, sf_dir):
     # keyed-random affine resample of 8×8 grids (embedding-derived);
@@ -2564,6 +2622,7 @@ _PRIORITY = [
     "f10_one_hot",
     "f16_md5_fingerprint",
     "f18_histogram_equalize",
+    "f19_overlay_rgb",
     "f20_softmax",
     "f7_rand_resample_2d",
     "f8_invertible_resample_roundtrip",

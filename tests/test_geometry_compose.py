@@ -101,3 +101,35 @@ def test_weighted_rejection_balances_groups(spark):
     # deterministic
     out2 = weighted_rejection_sample(df, ["g"], "k", accept_scale=0.9, seed=1)
     assert {r["k"] for r in out.collect()} == {r["k"] for r in out2.collect()}
+
+
+def test_overlay_rgb_matches_reference_mask_loop(spark):
+    """F19 golden check: the zip_with color-table lookup must equal the
+    reference's per-class disjoint-mask accumulation loop
+    (visualization/utils.py:28-36), reimplemented here in numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.arrays import OVERLAY_COLORS, overlay_rgb
+
+    rng = np.random.RandomState(7)
+    img = np.round(rng.uniform(0, 1, size=16), 6)
+    lbl = rng.randint(0, 8, size=16)
+    alpha = 0.5
+
+    # reference semantics: sum disjoint class masks, then blend
+    colors = np.array(OVERLAY_COLORS)
+    colored = np.zeros((16, 3))
+    for class_nr in range(1, 8):
+        mask = (lbl == class_nr).astype(float)[:, None]
+        colored += mask * colors[class_nr - 1][None, :]
+    colored = np.clip(colored, 0.0, 1.0)
+    filt = 1.0 - colored.max(axis=1, keepdims=True) * alpha
+    expected = np.clip(img[:, None] * filt + colored * alpha, 0.0, 1.0)
+
+    df = spark.createDataFrame(
+        [(img.tolist(), [int(x) for x in lbl])], "img array<double>, lbl array<int>"
+    ).select(overlay_rgb(F.col("img"), F.col("lbl"), alpha).alias("rgb"))
+    row = df.collect()[0]["rgb"]
+    got = np.stack([row["r"], row["g"], row["b"]], axis=1)
+    assert np.allclose(got, expected, atol=1e-12)
