@@ -78,6 +78,39 @@ def write_npy_records(
     df.select(*cols).foreachPartition(write_partition)
 
 
+def write_png_slices(
+    df: DataFrame, out_dir: str, folder_col: str, name_col: str,
+    array_col: str, h_col: str, w_col: str, channels: int = 1,
+) -> None:
+    """S11 — PNG example-slice sink (reference data_predictor.py:337-414):
+    one folder per subject/volume, ``{slice_id}_image.png``-style names,
+    float arrays in [0,1] scaled ``*255`` and truncated to uint8 (the
+    PIL-equivalent ``.astype(np.uint8)``). ``channels=3`` expects
+    channel-first data and permutes to HWC (reference ``permute([1,2,0])``).
+
+    Pure-stdlib PNG encoding (sources/png.py) inside foreachPartition —
+    executors write their own partitions, nothing funnels through the
+    driver; at scale swap the open() for an object-store client."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [folder_col, name_col, array_col, h_col, w_col]
+
+    def write_partition(rows):
+        import numpy as np  # executor-side imports
+
+        from qcardia_data_spark.sources.png import encode_png
+
+        for r in rows:
+            h, w = int(r[h_col]), int(r[w_col])
+            a = np.asarray(r[array_col], dtype=np.float64)
+            img = a.reshape(h, w) if channels == 1 else a.reshape(channels, h, w).transpose(1, 2, 0)
+            folder = os.path.join(out_dir, str(r[folder_col]))
+            os.makedirs(folder, exist_ok=True)
+            with open(os.path.join(folder, f"{r[name_col]}.png"), "wb") as f:
+                f.write(encode_png((img * 255.0).astype(np.uint8)))
+
+    df.select(*cols).foreachPartition(write_partition)
+
+
 def collect_split_dict(assignment: DataFrame, subject_col: str = "subject_id") -> dict:
     """Inverse of readers.split_table_from_dict: assignment frame →
     ``{split: {dataset: [subjects]}}`` with sorted subject lists (the
