@@ -33,15 +33,33 @@ def reformat_volumes(
     height: int = 8,
     width: int = 8,
     n_frames: int = 4,
+    codec: str = "fake",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (records, subject_metadata).
 
     records: one row per (subject, frame) — cropped plane + provenance.
     subject_metadata: one row per subject — ED/ES frames + frame count
     (the reformatted-CSV analog, reference mm1.py:72-75).
+
+    ``codec="nii"`` decodes REAL NIfTI-1 bytes via the pure-Python codec
+    (sources/nifti.py) — last axis treated as the frame axis, exactly the
+    reference's (x, y, t) cine layout (mm1.py:47-48); ``height``/``width``
+    are then read from the decoded shape, not the arguments.
     """
     blobs = binary_file_scan(spark, raw_dir, glob=glob)
-    decoded = decode_image("fake", height, width, n_frames)(blobs)
+    if codec == "nii":
+        from qcardia_data_spark.sources.multimodal import decode_nifti
+
+        decoded = decode_nifti(blobs).select(
+            "path",
+            F.element_at("shape", 1).alias("height"),
+            F.element_at("shape", 2).alias("width"),
+            F.element_at("shape", 3).alias("n_frames"),
+            "pixels",
+            "payload_bytes",
+        )
+    else:
+        decoded = decode_image(codec, height, width, n_frames)(blobs)
     subject = F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"([^.]+)", 1)
     decoded = decoded.withColumn("subject", subject)
 

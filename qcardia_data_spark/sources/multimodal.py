@@ -7,11 +7,14 @@ path references into object storage) beside a typed metadata struct. Decode
 stages that run AFTER metadata predicates — a filter on
 ``meta.width >= 256`` prunes files before a single byte is decoded.
 
-The real codec libraries (nibabel/pydicom/PIL/ffmpeg) are not in this
-container, so the codec boundary is stubbed: ``decode_image`` dispatches to
-a clearly-marked deterministic fake (seeded by the payload hash) and raises
-``NotImplementedError`` for real formats. Everything Spark-side — schemas,
-batch iteration, partitioning, the UDF signatures — is real and tested.
+Codec status: NIfTI-1 decodes FOR REAL via the pure-Python codec in
+``sources/nifti.py`` (:func:`decode_nifti` below — no nibabel needed);
+PNG has a pure-stdlib codec in ``sources/png.py``. Formats that genuinely
+need external libraries (DICOM pixel data transfer syntaxes, ffmpeg
+video) keep the clearly-marked deterministic fake in ``decode_image`` and
+raise ``NotImplementedError`` at the codec boundary only. Everything
+Spark-side — schemas, batch iteration, partitioning, UDF signatures — is
+real and tested either way.
 
 Reference parity: NIfTI/DICOM loading (reference ``mm1.py:47-48``,
 ``setup/reformat/utils.py:132-215``) is exactly this pattern: bytes →
@@ -33,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -96,6 +100,45 @@ def decode_image(fmt: str = "fake", height: int = 8, width: int = 8, n_frames: i
         return binary_df.select("path", "content").mapInPandas(decode, DECODED_SCHEMA)
 
     return stage
+
+
+NIFTI_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("ndim", IntegerType()),
+    StructField("shape", ArrayType(IntegerType())),
+    StructField("affine", ArrayType(DoubleType())),  # row-major 4×4
+    StructField("pixels", ArrayType(FloatType())),   # C-order flatten of (x,y,z[,t])
+    StructField("payload_bytes", LongType()),
+])
+
+
+def decode_nifti(binary_df: DataFrame) -> DataFrame:
+    """S2 volume scan with a REAL codec: binaryFile rows → decoded NIfTI-1
+    volumes via the pure-Python parser (sources/nifti.py), Arrow-batched
+    through mapInPandas (reference ``nib.load`` boundary, mm1.py:47-48).
+
+    Output carries the full shape + row-major affine so F12 border crop,
+    F13 orientation and F14 affine→spacing run on genuinely decoded bytes.
+    Metadata predicates (on path/length) still prune before decode — keep
+    them upstream of this stage."""
+    from qcardia_data_spark.sources.nifti import decode_nifti1
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                vol, affine, _hdr = decode_nifti1(bytes(content))
+                rows.append({
+                    "path": path,
+                    "ndim": vol.ndim,
+                    "shape": list(vol.shape),
+                    "affine": affine.ravel().tolist(),
+                    "pixels": vol.ravel(order="C").astype(np.float32).tolist(),
+                    "payload_bytes": len(content),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in NIFTI_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(decode, NIFTI_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, keep_frames: Sequence[int]) -> DataFrame:

@@ -1,0 +1,243 @@
+"""Real-bytes NIfTI-1 path: pure-Python codec round-trips, orientation math
+(F13), and the Spark E2E decode → frame-select → border-crop → spacing chain
+(F12/F13/F14 on genuinely decoded volumes, reference reformat/utils.py:18-75
+semantics — no nibabel)."""
+
+from __future__ import annotations
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.volumes import border_crop_udf, spacing_from_affine
+from qcardia_data_spark.sources.multimodal import decode_nifti, frame_sample
+from qcardia_data_spark.sources.nifti import (
+    apply_orientation,
+    decode_nifti1,
+    encode_nifti1,
+    inv_ornt_aff,
+    io_orientation,
+    to_closest_canonical,
+)
+
+
+def test_roundtrip_float32_3d():
+    vol = np.arange(4 * 5 * 6, dtype=np.float32).reshape(4, 5, 6)
+    aff = np.diag([1.5, 1.5, 8.0, 1.0])
+    out, aff2, hdr = decode_nifti1(encode_nifti1(vol, aff))
+    assert out.shape == (4, 5, 6)
+    assert np.array_equal(out, vol)
+    assert np.allclose(aff2, aff)
+    assert hdr["sform_code"] == 1 and hdr["datatype"] == 16
+
+
+def test_roundtrip_int16_scaled_and_gzip():
+    rng = np.random.RandomState(0)
+    vol = rng.randint(-500, 500, size=(7, 3, 2), dtype=np.int16)
+    data = encode_nifti1(vol, np.eye(4), compress=True, scl_slope=0.5, scl_inter=10.0)
+    assert data[:2] == b"\x1f\x8b"  # actually gzipped on disk
+    out, _, hdr = decode_nifti1(data)
+    assert np.allclose(out, vol.astype(np.float64) * 0.5 + 10.0)
+    assert hdr["scl_slope"] == 0.5
+
+
+def test_roundtrip_4d_cine():
+    rng = np.random.RandomState(1)
+    vol = rng.rand(6, 5, 3, 4).astype(np.float32)  # (x, y, z, t) cine
+    out, _, hdr = decode_nifti1(encode_nifti1(vol))
+    assert out.shape == (6, 5, 3, 4)
+    assert np.array_equal(out.astype(np.float32), vol)
+    assert hdr["dim"][0] == 4
+
+
+def test_pixdim_fallback_when_no_sform():
+    vol = np.zeros((2, 2, 2), dtype=np.uint8)
+    data = bytearray(encode_nifti1(vol, np.eye(4), pixdim=(2.0, 3.0, 4.0)))
+    struct.pack_into("<2h", data, 252, 0, 0)  # clear qform+sform codes
+    _, aff, _ = decode_nifti1(bytes(data))
+    assert np.allclose(aff, np.diag([2.0, 3.0, 4.0, 1.0]))
+
+
+def test_rejects_garbage():
+    with pytest.raises(ValueError, match="sizeof_hdr|shorter"):
+        decode_nifti1(b"definitely not a nifti file" * 20)
+    with pytest.raises(ValueError, match="magic"):
+        bad = bytearray(encode_nifti1(np.zeros((2, 2), dtype=np.uint8)))
+        bad[344:348] = b"XXXX"
+        decode_nifti1(bytes(bad))
+
+
+def test_orientation_identity_is_noop():
+    ornt = io_orientation(np.eye(4))
+    assert np.array_equal(ornt, np.array([[0, 1.0], [1, 1.0], [2, 1.0]]))
+
+
+def test_orientation_swap_and_flip():
+    # x stored descending (flip), y/z swapped
+    aff = np.array([
+        [-2.0, 0, 0, 10.0],
+        [0, 0, 1.5, 0.0],
+        [0, 3.0, 0, 5.0],
+        [0, 0, 0, 1.0],
+    ])
+    ornt = io_orientation(aff)
+    assert np.array_equal(ornt, np.array([[0, -1.0], [2, 1.0], [1, 1.0]]))
+
+
+def test_reorient_preserves_world_coordinates():
+    """The invariant behind as_reoriented (reference reformat/utils.py:72-75):
+    every voxel keeps its world position after reorientation."""
+    rng = np.random.RandomState(2)
+    vol = rng.rand(4, 3, 5)
+    aff = np.array([
+        [0, 0, -1.25, 7.0],
+        [-2.0, 0, 0, 1.0],
+        [0, 1.5, 0, -3.0],
+        [0, 0, 0, 1.0],
+    ])
+    vol2, aff2 = to_closest_canonical(vol, aff)
+    # canonical: rotation part has positive values on the diagonal only
+    assert np.allclose(np.sign(np.diag(aff2[:3, :3])), 1.0)
+    for _ in range(20):
+        i, j, k = (rng.randint(0, s) for s in vol.shape)
+        world = aff @ [i, j, k, 1.0]
+        # locate the same value in the reoriented array
+        idx2 = np.argwhere(np.isclose(vol2, vol[i, j, k]))[0]
+        world2 = aff2 @ [*idx2, 1.0]
+        assert np.allclose(world, world2), (world, world2)
+
+
+def test_reorient_4d_keeps_time_axis():
+    vol = np.arange(2 * 3 * 4 * 5, dtype=np.float64).reshape(2, 3, 4, 5)
+    aff = np.diag([-1.0, 1.0, 1.0, 1.0])
+    vol2, _ = to_closest_canonical(vol, aff)
+    assert vol2.shape == (2, 3, 4, 5)
+    assert np.array_equal(vol2, np.flip(vol, axis=0))
+
+
+def test_inv_ornt_aff_roundtrip():
+    ornt = np.array([[2, -1.0], [0, 1.0], [1, -1.0]])
+    shape = (4, 5, 6)
+    m = inv_ornt_aff(ornt, shape)
+    vol = np.random.RandomState(3).rand(*shape)
+    out = apply_orientation(vol, ornt)
+    # m maps reoriented indices → original indices
+    for idx in [(0, 0, 0), (1, 2, 3), (3, 1, 2)]:
+        j = (m @ [*_pad(idx, out.shape), 1.0])[:3]
+        assert np.isclose(out[_pad(idx, out.shape)], vol[tuple(int(round(x)) for x in j)])
+
+
+def _pad(idx, shape):
+    return tuple(min(i, s - 1) for i, s in zip(idx, shape))
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end on real bytes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nifti_dir(tmp_path_factory):
+    """Five real .nii/.nii.gz cine volumes with zero borders + known affines."""
+    d = tmp_path_factory.mktemp("nii")
+    rng = np.random.RandomState(42)
+    truth = {}
+    for i in range(5):
+        nx, ny, nz = 10, 8, 3
+        vol = np.zeros((nx, ny, nz), dtype=np.float32)
+        # interior content leaves a 2/1-voxel zero border (crop target)
+        vol[2 : nx - 2, 1 : ny - 1, :] = rng.rand(nx - 4, ny - 2, nz).astype(np.float32) + 0.1
+        aff = np.diag([1.25, 1.25, 8.0, 1.0])
+        aff[:3, 3] = [i, -i, 2 * i]
+        name = f"subj{i}.nii" + (".gz" if i % 2 else "")
+        (d / name).write_bytes(encode_nifti1(vol, aff, compress=bool(i % 2)))
+        truth[name] = (vol, aff)
+    return str(d), truth
+
+
+def test_spark_decode_nifti_end_to_end(spark, nifti_dir):
+    path, truth = nifti_dir
+    decoded = decode_nifti(spark.read.format("binaryFile").load(path)).cache()
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in decoded.collect()}
+    assert set(rows) == set(truth)
+    for name, (vol, aff) in truth.items():
+        r = rows[name]
+        assert r["shape"] == list(vol.shape)
+        assert np.allclose(r["affine"], aff.ravel())
+        got = np.array(r["pixels"], dtype=np.float32).reshape(vol.shape)
+        assert np.array_equal(got, vol)
+
+    # F14 spacing on decoded affines
+    sp = decoded.select(
+        "path", spacing_from_affine(F.col("affine")).alias("spacing")
+    ).collect()
+    for r in sp:
+        assert np.allclose(r["spacing"], [1.25, 1.25, 8.0])
+    decoded.unpersist()
+
+
+def test_spark_nifti_frame_crop_chain(spark, nifti_dir):
+    """scan → decode → z-plane select (no re-decode) → F12 border crop,
+    verified against numpy on the source volumes."""
+    path, truth = nifti_dir
+    decoded = decode_nifti(spark.read.format("binaryFile").load(path))
+    planes_in = decoded.select(
+        "path",
+        F.element_at("shape", 1).alias("height"),
+        F.element_at("shape", 2).alias("width"),
+        F.element_at("shape", 3).alias("n_frames"),
+        "pixels",
+    )
+    planes = frame_sample(planes_in, keep_frames=[1])  # z index 1
+    crop = border_crop_udf()
+    out = planes.select(
+        "path", crop(F.col("pixels"), F.col("height"), F.col("width")).alias("c")
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        name = r["path"].rsplit("/", 1)[-1]
+        vol, _ = truth[name]
+        plane = vol[:, :, 1]
+        ys = np.flatnonzero(plane.any(axis=1))
+        xs = np.flatnonzero(plane.any(axis=0))
+        exp = plane[ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1]
+        c = r["c"]
+        assert (c["height"], c["width"]) == exp.shape
+        assert (c["y0"], c["x0"]) == (int(ys[0]), int(xs[0]))
+        got = np.array(c["pixels"], dtype=np.float32).reshape(exp.shape)
+        assert np.array_equal(got, exp)
+
+
+def test_decode_nifti_rejects_corrupt_gzip(spark, tmp_path):
+    (tmp_path / "bad.nii.gz").write_bytes(gzip.compress(b"nope"))
+    df = decode_nifti(spark.read.format("binaryFile").load(str(tmp_path)))
+    with pytest.raises(Exception, match="NIfTI|shorter"):
+        df.collect()
+
+
+def test_reformat_volumes_on_real_nifti(spark, nifti_dir):
+    """The full reformat lifecycle (scan → decode → frame explode → ED/ES →
+    crop → file-id) driven by REAL NIfTI bytes instead of _fake_decode."""
+    from qcardia_data_spark.reformat import reformat_volumes
+
+    path, truth = nifti_dir
+    records, metadata = reformat_volumes(
+        spark, path, glob="*.nii*", dataset="mm9", n_frames=3, codec="nii"
+    )
+    recs = records.collect()
+    assert len(recs) == 15  # 5 subjects × 3 frames
+    for r in recs:
+        name_match = [n for n in truth if n.startswith(r["subject"])]
+        assert name_match, r["subject"]
+        vol, _ = truth[name_match[0]]
+        # crop tightened the known zero borders: 10x8 → 6x6
+        assert (r["height"], r["width"]) == (vol.shape[0] - 4, vol.shape[1] - 2)
+        assert (r["y0"], r["x0"]) == (2, 1)
+        assert r["file_id"] == f"mm9-{r['subject']}-__-{r['frame_nr']:02d}"
+    meta = {m["subject"]: m for m in metadata.collect()}
+    assert set(meta) == {f"subj{i}" for i in range(5)}
+    assert all(m["total_nr_frames"] == 3 for m in meta.values())
+    assert all(m["ED"] is not None and m["ES"] is not None for m in meta.values())
