@@ -141,6 +141,71 @@ def decode_nifti(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("path", "content").mapInPandas(decode, NIFTI_SCHEMA)
 
 
+DICOM_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("series_uid", StringType()),
+    StructField("instance_number", IntegerType()),
+    StructField("temporal_pos", IntegerType()),
+    StructField("pos_x", DoubleType()),
+    StructField("pos_y", DoubleType()),
+    StructField("pos_z", DoubleType()),
+    StructField("orientation", ArrayType(DoubleType())),  # 6 direction cosines
+    StructField("rows", IntegerType()),
+    StructField("cols", IntegerType()),
+    StructField("pixels", ArrayType(FloatType())),
+    StructField("payload_bytes", LongType()),
+])
+
+
+def decode_dicom(binary_df: DataFrame) -> DataFrame:
+    """S3 DICOM scan with a REAL parser: Part-10 bytes → per-file metadata
+    + pixel planes via the pure-Python reader (sources/dicom.py), with the
+    reference's required-tag validation applied per file — a malformed file
+    fails the job loudly, naming the path (reformat/utils.py:157-168).
+
+    Series regrouping (slice bucketing by projected position, temporal
+    ordering) happens RELATIONALLY downstream via
+    :func:`group_slices_by_position` + a sort on ``temporal_pos`` — the
+    reference's per-folder python loops (utils.py:185-215) become window
+    functions over the whole corpus at once."""
+    from qcardia_data_spark.sources.dicom import (
+        TAG_ORIENTATION,
+        TAG_POSITION,
+        TAG_SERIES_UID,
+        parse_dicom,
+        pixel_array,
+        temporal_position,
+        validate_dicom_tags,
+    )
+    from qcardia_data_spark.sources.dicom import TAG_INSTANCE_NUMBER as TAG_INO
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                tags = parse_dicom(bytes(content))
+                validate_dicom_tags(tags, source=path)
+                px = pixel_array(tags)
+                pos = tags[TAG_POSITION]
+                rows.append({
+                    "path": path,
+                    "series_uid": tags[TAG_SERIES_UID],
+                    "instance_number": int(tags[TAG_INO][0]),
+                    "temporal_pos": temporal_position(tags),
+                    "pos_x": float(pos[0]),
+                    "pos_y": float(pos[1]),
+                    "pos_z": float(pos[2]),
+                    "orientation": [float(v) for v in tags[TAG_ORIENTATION]],
+                    "rows": px.shape[0],
+                    "cols": px.shape[1],
+                    "pixels": px.ravel().astype(np.float32).tolist(),
+                    "payload_bytes": len(content),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in DICOM_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(decode, DICOM_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, keep_frames: Sequence[int]) -> DataFrame:
     """Frame-sampling on the flattened pixel array WITHOUT decoding again:
     pure slicing arithmetic on (h, w, t) layout — the predicate-below-
