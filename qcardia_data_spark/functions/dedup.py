@@ -83,19 +83,56 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, max_bucket_size: int | None = None,
+) -> DataFrame:
     """Band-bucket self-join → distinct candidate pairs (a < b).
 
     Joins on (band, sig): only docs sharing a band signature meet.
-    """
+
+    Hot-bucket guard (the boilerplate-corpus failure mode: one signature
+    shared by k docs makes the self-join emit k² pairs): buckets larger
+    than ``max_bucket_size`` switch from all-pairs to a STAR join on the
+    bucket's min id — k−1 edges instead of k(k−1)/2, still one connected
+    component for downstream cluster/dedup resolution, nothing silently
+    dropped. Small buckets keep exact all-pairs. The count window rides the
+    same (band, sig) shuffle the join needs anyway — no extra exchange."""
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
-    return (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    if max_bucket_size is None:
+        pairs = a.join(b, on=["band", "sig"]).filter(F.col("a") < F.col("b"))
+        return pairs.select("a", "b").distinct()
+
+    from pyspark.sql.window import Window
+
+    sized = sigs.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
     )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    sa = small.select("band", "sig", F.col(id_col).alias("a"))
+    sb = small.select("band", "sig", F.col(id_col).alias("b"))
+    small_pairs = sa.join(sb, on=["band", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b")
+
+    big = sized.filter(F.col("bucket_n") > max_bucket_size)
+    hubs = big.groupBy("band", "sig").agg(F.min(id_col).alias("a"))
+    star_pairs = (
+        big.join(hubs, on=["band", "sig"])
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
+
+
+def oversized_lsh_buckets(
+    sigs: DataFrame, max_bucket_size: int,
+) -> DataFrame:
+    """Audit companion to the hot-bucket guard: (band, sig, bucket_n,
+    pairs_saved) for every bucket the star fallback rewired — run this to
+    LOG what the cap touched instead of truncating silently."""
+    counts = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("bucket_n"))
+    over = counts.filter(F.col("bucket_n") > max_bucket_size)
+    saved = (F.col("bucket_n") * (F.col("bucket_n") - 1) / 2 - (F.col("bucket_n") - 1)).cast("long")
+    return over.withColumn("pairs_saved", saved)
 
 
 def jaccard_verify_rows(
@@ -132,6 +169,7 @@ def jaccard_verify_rows(
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → greedy keep-min-id.
 
@@ -139,6 +177,11 @@ def near_dedup_minhash(
     verified pair (min-id representative survives). This is the standard
     single-pass approximation of connected-components dedup; iterate to a
     fixpoint for full transitive closure (cheap: candidate graph is sparse).
+
+    ``max_bucket_size`` bounds boilerplate-corpus blowup: buckets past the
+    cap generate star edges to the bucket min-id instead of all pairs (see
+    :func:`lsh_candidate_pairs`) — on a normal corpus (buckets ≪ cap) the
+    output is bit-identical to the uncapped form.
 
     The (id, shingle) row set is computed once and persisted — it feeds both
     the signature build and the Jaccard verify (at 100 TB you would
@@ -157,7 +200,7 @@ def near_dedup_minhash(
             .groupBy(id_col, "band")
             .agg(F.min("h").alias("sig"))
         )
-        cands = lsh_candidate_pairs(sigs, id_col)
+        cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
         dups = jaccard_verify_rows(cands, sh, id_col, threshold)
         # losers is tiny (one id column, only verified duplicates): persist
         # and force it while the shingle cache is alive, then drop the cache

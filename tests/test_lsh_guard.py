@@ -1,0 +1,83 @@
+"""Hot-bucket guard for LSH candidate generation: adversarial boilerplate
+corpus stays bounded, normal corpora are bit-identical to the uncapped path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    near_dedup_minhash,
+    oversized_lsh_buckets,
+    shingle_rows,
+)
+
+
+def _sigs(spark, df):
+    sh = shingle_rows(df, "doc_id", "body", 3)
+    banded = sh.select(
+        "doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    )
+    return (
+        banded.select(
+            "doc_id", "band",
+            F.md5(F.concat("shingle", F.lit("#"), F.col("band").cast("string"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def _adversarial(spark, n_dupes=300):
+    """n identical boilerplate docs + a handful of distinct ones."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(n_dupes)]
+    rows += [(10_000 + i, f"unique document number {i} with its own words {i * 7}") for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, body string")
+
+
+def test_adversarial_corpus_candidates_bounded(spark):
+    """300 identical docs × 4 bands: uncapped would emit ~45k distinct pairs;
+    the star guard emits exactly n−1 edges, all anchored at the min id."""
+    df = _adversarial(spark)
+    sigs = _sigs(spark, df)
+    capped = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=50)
+    pairs = capped.collect()
+    dupe_pairs = [p for p in pairs if p["a"] < 10_000]
+    assert len(dupe_pairs) == 299  # star: one edge per non-hub member
+    assert all(p["a"] == 0 for p in dupe_pairs)  # hub = bucket min id
+
+
+def test_adversarial_dedup_still_collapses_to_one(spark):
+    df = _adversarial(spark)
+    kept = near_dedup_minhash(df, "doc_id", "body", n_bands=4, max_bucket_size=50)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 10_000, 10_001, 10_002, 10_003, 10_004]
+
+
+def test_normal_corpus_capped_equals_uncapped(spark):
+    """Buckets under the cap must produce the identical pair set."""
+    rows = []
+    for g in range(6):  # 6 groups of 3 near-identical docs (bucket size 3 ≪ cap)
+        base = f"document group {g} shares this exact boilerplate sentence body"
+        for j in range(3):
+            rows.append((g * 10 + j, base + ("" if j == 0 else f" tail{j}")))
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    sigs = _sigs(spark, df).persist()
+    uncapped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    capped = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=100).collect()
+    }
+    sigs.unpersist()
+    assert capped == uncapped and len(uncapped) > 0
+
+
+def test_oversized_bucket_audit_reports_savings(spark):
+    df = _adversarial(spark, n_dupes=100)
+    sigs = _sigs(spark, df)
+    audit = oversized_lsh_buckets(sigs, max_bucket_size=50).collect()
+    assert len(audit) == 4  # one hot bucket per band
+    for r in audit:
+        assert r["bucket_n"] == 100
+        assert r["pairs_saved"] == 100 * 99 // 2 - 99
