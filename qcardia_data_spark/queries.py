@@ -779,15 +779,30 @@ def a11_rollup(spark, sf_dir):
     )
 
 
-@_q("a12_approx_count_distinct", None)  # HLL sketches are engine-specific → rows-only
+@_q(
+    "a12_approx_count_distinct",
+    """
+    SELECT l_returnflag, CAST(1 AS BOOLEAN) AS within_rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a12_approx(spark, sf_dir):
     # the at-scale distinct-count path: mergeable HLL sketch, no exact
-    # shuffle of all keys (exact twin is a9_grouped_counts)
-    return (
+    # shuffle of all keys. The HLL estimate is engine-specific, so the
+    # driver-checkable claim is the BOUND: |approx − exact| ≤ 3·rsd·exact,
+    # computed in-plan against the exact twin (a9 shape) and exported as a
+    # boolean the oracle restates as TRUE — a failed sketch now fails the
+    # hash compare instead of being permanently unverifiable.
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
     )
+    bound = F.abs(F.col("approx_orders") - F.col("exact_orders")) <= 3 * 0.02 * F.col("exact_orders")
+    return agg.select("l_returnflag", bound.alias("within_rsd"))
 
 
 @_q(
@@ -1522,7 +1537,10 @@ def f19_overlay(spark, sf_dir):
     )
 
 
-@_q("f7_rand_resample_2d", None)  # numpy bilinear UDF → rows-only check
+@_q(
+    "f7_rand_resample_2d",
+    "SELECT vec_id, CAST(1 AS BOOLEAN) AS in_hull FROM embeddings WHERE vec_id < 50",
+)
 def f7_resample(spark, sf_dir):
     # keyed-random affine resample of 8×8 grids (embedding-derived);
     # deterministic under retry: params are keyed_uniform columns
@@ -1541,13 +1559,22 @@ def f7_resample(spark, sf_dir):
     )
     fwd = resample_2d_udf(8, 8)
     out = grids.withColumn("r", fwd("pixels", "h", "w", "rot", "sc", "tx", "ty", "fl"))
-    checksum = F.aggregate(
-        F.col("r.pixels").cast("array<double>"), F.lit(0.0), lambda a, e: a + e
-    )
-    return out.select("vec_id", F.round(checksum, 4).alias("checksum"))
+    # bilinear samples are convex combinations of source pixels (zero-padded
+    # at borders), so every output value must lie inside the input's value
+    # hull extended to 0 — an oracle-restatable invariant (checksum
+    # determinism itself stays covered by the pytest determinism suite)
+    src = F.col("pixels").cast("array<double>")
+    res = F.col("r.pixels").cast("array<double>")
+    lo = F.least(F.array_min(src), F.lit(0.0)) - F.lit(1e-4)
+    hi = F.greatest(F.array_max(src), F.lit(0.0)) + F.lit(1e-4)
+    in_hull = (F.array_min(res) >= lo) & (F.array_max(res) <= hi)
+    return out.select("vec_id", in_hull.alias("in_hull"))
 
 
-@_q("f8_invertible_resample_roundtrip", None)  # UDF pair → rows-only check
+@_q(
+    "f8_invertible_resample_roundtrip",
+    "SELECT vec_id, CAST(1 AS BOOLEAN) AS within_range FROM embeddings WHERE vec_id < 20",
+)
 def f8_roundtrip(spark, sf_dir):
     # forward resample then trace-driven inverse; reports per-record max
     # interior reconstruction error (bounded by bilinear interpolation loss)
@@ -1565,21 +1592,39 @@ def f8_roundtrip(spark, sf_dir):
     res = grids.withColumn(
         "r",
         fwd("pixels", "h", "w", F.lit(0.2), F.lit(1.1), F.lit(0.05), F.lit(0.0), F.lit(False)),
-    ).select("vec_id", F.col("r.pixels").alias("pixels"), "h", "w", F.col("r.trace").alias("trace"))
+    ).select(
+        "vec_id", "pixels", F.col("r.pixels").alias("res_pixels"), "h", "w",
+        F.col("r.trace").alias("trace"),
+    )
     inv = inverse_resample_2d_udf()
-    back = res.withColumn("orig", inv("pixels", "h", "w", "trace"))
+    back = res.withColumn("recon", inv("res_pixels", "h", "w", "trace"))
     err = F.aggregate(
         F.zip_with(
-            F.col("orig").cast("array<double>"),
+            F.col("recon").cast("array<double>"),
             F.col("pixels").cast("array<double>"),
             lambda a, b: F.abs(a - b),
         ),
         F.lit(0.0), lambda acc, e: F.greatest(acc, e),
     )
-    return back.select("vec_id", F.round(err, 4).alias("max_err"))
+    # both resample directions are convex bilinear combinations of source
+    # values (zero-padded at borders), so reconstruction and original both
+    # live in the zero-extended hull of the source — |recon − orig| is
+    # bounded by that hull's width. Boolean invariant the oracle restates
+    # as TRUE; exact interior identity is pinned by
+    # test_resample_roundtrip_identity_interior.
+    src = F.col("pixels").cast("array<double>")
+    lo = F.least(F.array_min(src), F.lit(0.0))
+    hi = F.greatest(F.array_max(src), F.lit(0.0))
+    return back.select("vec_id", (err <= hi - lo + F.lit(1e-4)).alias("within_range"))
 
 
-@_q("f11_enclosing_circle", None)  # Welzl UDF → rows-only check
+@_q(
+    "f11_enclosing_circle",
+    """
+    SELECT vec_id, CAST(1 AS BOOLEAN) AS encloses, CAST(1 AS BOOLEAN) AS tight
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
 def f11_circle(spark, sf_dir):
     from qcardia_data_spark.functions.geometry import label_circle_udf
 
@@ -1592,12 +1637,26 @@ def f11_circle(spark, sf_dir):
     grids = emb.select("vec_id", mask.alias("pixels"), F.lit(8).alias("h"), F.lit(8).alias("w"))
     circ = label_circle_udf()
     out = grids.withColumn("c", circ("pixels", "h", "w"))
-    return out.select(
-        "vec_id",
-        F.round("c.cx", 4).alias("cx"),
-        F.round("c.cy", 4).alias("cy"),
-        F.round("c.radius", 4).alias("radius"),
+    # Welzl's defining properties, checked in-plan and restated TRUE by the
+    # oracle: (1) the circle encloses every mask pixel; (2) its radius is
+    # at most the grid's half-diagonal (8×8 → √98/2 ≈ 4.95). Exact center/
+    # radius values stay pinned by test_welzl_known_cases.
+    cx, cy, r = F.col("c.cx"), F.col("c.cy"), F.col("c.radius")
+    d2max = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(-1.0),
+        lambda acc, i: F.when(
+            F.element_at(F.col("pixels"), i + 1) > 0,
+            F.greatest(
+                acc,
+                (i % 8 - cx) * (i % 8 - cx)
+                + (F.floor(i / 8) - cy) * (F.floor(i / 8) - cy),
+            ),
+        ).otherwise(acc),
     )
+    encloses = F.when(r.isNull(), d2max == -1.0).otherwise(F.sqrt(d2max) <= r + F.lit(1e-5))
+    tight = F.when(r.isNull(), F.lit(True)).otherwise(r <= F.lit(5.0))
+    return out.select("vec_id", encloses.alias("encloses"), tight.alias("tight"))
 
 
 @_q(
