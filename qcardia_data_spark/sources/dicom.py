@@ -26,6 +26,8 @@ TAG_POSITION = (0x0020, 0x0032)  # ImagePositionPatient, 3×DS
 TAG_TEMPORAL_POSITIONS = (0x0020, 0x0105)  # NumberOfTemporalPositions
 TAG_TEMPORAL_ID = (0x0020, 0x0100)  # TemporalPositionIdentifier
 TAG_MANUFACTURER = (0x0008, 0x0070)
+TAG_PIXEL_SPACING = (0x0028, 0x0030)  # 2×DS (row, col spacing mm)
+TAG_SLICE_THICKNESS = (0x0018, 0x0050)  # DS
 TAG_ROWS = (0x0028, 0x0010)
 TAG_COLS = (0x0028, 0x0011)
 TAG_BITS_ALLOCATED = (0x0028, 0x0100)
@@ -125,6 +127,7 @@ def parse_dicom(data: bytes) -> dict:
         TAG_SERIES_UID: b"UI", TAG_INSTANCE_NUMBER: b"IS", TAG_ORIENTATION: b"DS",
         TAG_POSITION: b"DS", TAG_TEMPORAL_POSITIONS: b"IS", TAG_TEMPORAL_ID: b"IS",
         TAG_MANUFACTURER: b"LO", TAG_ROWS: b"US", TAG_COLS: b"US",
+        TAG_PIXEL_SPACING: b"DS", TAG_SLICE_THICKNESS: b"DS",
         TAG_BITS_ALLOCATED: b"US", TAG_PIXEL_REPRESENTATION: b"US",
     }
     while pos + 8 <= len(data):
@@ -171,6 +174,7 @@ def encode_dicom(
     pixels: np.ndarray, series_uid: str, instance_number: int,
     position: tuple, orientation: tuple, n_temporal: int = 1,
     temporal_id: int | None = None, manufacturer: str = "TESTVENDOR",
+    pixel_spacing: tuple = (1.0, 1.0), slice_thickness: float = 1.0,
     implicit: bool = False, omit_tags: tuple = (),
 ) -> bytes:
     """Fabricate a REAL Part-10 DICOM file (test fixture generator): 128-byte
@@ -201,6 +205,8 @@ def encode_dicom(
     ds = []
     items = [
         (TAG_MANUFACTURER, b"LO", pad(manufacturer)),
+        (TAG_SLICE_THICKNESS, b"DS", pad(f"{slice_thickness:g}")),
+        (TAG_PIXEL_SPACING, b"DS", pad("\\".join(f"{v:g}" for v in pixel_spacing))),
         (TAG_SERIES_UID, b"UI", pad(series_uid)),
         (TAG_TEMPORAL_ID, b"IS", pad(str(temporal_id)) if temporal_id is not None else None),
         (TAG_INSTANCE_NUMBER, b"IS", pad(str(instance_number))),

@@ -150,6 +150,8 @@ DICOM_SCHEMA = StructType([
     StructField("pos_y", DoubleType()),
     StructField("pos_z", DoubleType()),
     StructField("orientation", ArrayType(DoubleType())),  # 6 direction cosines
+    StructField("pixel_spacing", ArrayType(DoubleType())),  # (row, col) mm
+    StructField("slice_thickness", DoubleType()),
     StructField("rows", IntegerType()),
     StructField("cols", IntegerType()),
     StructField("pixels", ArrayType(FloatType())),
@@ -178,6 +180,8 @@ def decode_dicom(binary_df: DataFrame) -> DataFrame:
         validate_dicom_tags,
     )
     from qcardia_data_spark.sources.dicom import TAG_INSTANCE_NUMBER as TAG_INO
+    from qcardia_data_spark.sources.dicom import TAG_PIXEL_SPACING as TAG_PS
+    from qcardia_data_spark.sources.dicom import TAG_SLICE_THICKNESS as TAG_ST
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,6 +200,8 @@ def decode_dicom(binary_df: DataFrame) -> DataFrame:
                     "pos_y": float(pos[1]),
                     "pos_z": float(pos[2]),
                     "orientation": [float(v) for v in tags[TAG_ORIENTATION]],
+                    "pixel_spacing": [float(v) for v in tags.get(TAG_PS, [1.0, 1.0])],
+                    "slice_thickness": float(tags.get(TAG_ST, [1.0])[0]),
                     "rows": px.shape[0],
                     "cols": px.shape[1],
                     "pixels": px.ravel().astype(np.float32).tolist(),
@@ -204,6 +210,50 @@ def decode_dicom(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DICOM_SCHEMA.fields])
 
     return binary_df.select("path", "content").mapInPandas(decode, DICOM_SCHEMA)
+
+
+def dicom_series_affine(decoded: DataFrame) -> DataFrame:
+    """F14b — per-series NIfTI affine from DICOM geometry tags, relationally
+    (reference ``get_affine_from_dicom``, reformat/utils.py:244-303; the
+    standard DICOM slice-affine construction with the LPS→RAS sign flip on
+    the x/y rows).
+
+    One groupBy over the decoded frame: slice step = (last_position −
+    first_position)/(n−1) for multi-slice series, cross(row_dir, col_dir) ×
+    SliceThickness for single-slice ones. Pure column arithmetic — no UDF,
+    one shuffle on series_uid. Input needs ``slice_nr`` (from
+    :func:`group_slices_by_position`). Output: (series_uid, affine) with
+    the 4×4 row-major layout ``spacing_from_affine`` consumes."""
+    pos = F.struct("pos_x", "pos_y", "pos_z")
+    agg = decoded.groupBy("series_uid").agg(
+        F.min_by(pos, "slice_nr").alias("p0"),
+        F.max_by(pos, "slice_nr").alias("p1"),
+        F.countDistinct("slice_nr").alias("n_slices"),
+        F.min_by("orientation", "slice_nr").alias("ori"),
+        F.min_by("pixel_spacing", "slice_nr").alias("ps"),
+        F.min_by("slice_thickness", "slice_nr").alias("st"),
+    )
+    o = lambda i: F.element_at("ori", i)  # noqa: E731  (1-based, 6 cosines)
+    sp = lambda i: F.element_at("ps", i)  # noqa: E731
+    cross = [  # cross(row_dir, col_dir) — the slice normal
+        o(2) * o(6) - o(3) * o(5),
+        o(3) * o(4) - o(1) * o(6),
+        o(1) * o(5) - o(2) * o(4),
+    ]
+    multi = F.col("n_slices") > 1
+    nm1 = (F.col("n_slices") - 1).cast("double")
+    step = [
+        F.when(multi, (F.col("p1.pos_x") - F.col("p0.pos_x")) / nm1).otherwise(cross[0] * F.col("st")),
+        F.when(multi, (F.col("p1.pos_y") - F.col("p0.pos_y")) / nm1).otherwise(cross[1] * F.col("st")),
+        F.when(multi, (F.col("p1.pos_z") - F.col("p0.pos_z")) / nm1).otherwise(cross[2] * F.col("st")),
+    ]
+    affine = F.array(
+        -o(4) * sp(2), -o(1) * sp(1), -step[0], -F.col("p0.pos_x"),
+        -o(5) * sp(2), -o(2) * sp(1), -step[1], -F.col("p0.pos_y"),
+        o(6) * sp(2), o(3) * sp(1), step[2], F.col("p0.pos_z"),
+        F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0),
+    )
+    return agg.select("series_uid", "n_slices", affine.alias("affine"))
 
 
 def frame_sample(decoded: DataFrame, keep_frames: Sequence[int]) -> DataFrame:

@@ -109,3 +109,81 @@ def test_spark_dicom_invalid_file_fails_loudly(spark, tmp_path):
     df = decode_dicom(spark.read.format("binaryFile").load(str(tmp_path)))
     with pytest.raises(Exception, match="ImagePositionPatient"):
         df.collect()
+
+
+def test_dicom_series_affine_matches_reference_formula(spark, tmp_path):
+    """F14b: relational affine build equals the reference get_affine_from_dicom
+    numpy formula (reformat/utils.py:244-303) for multi- and single-slice
+    series, and spacing_from_affine recovers the pixel spacing."""
+    from qcardia_data_spark.functions.volumes import spacing_from_affine
+    from qcardia_data_spark.sources.multimodal import dicom_series_affine
+
+    ori = (0.0, 1.0, 0.0, -1.0, 0.0, 0.0)  # row dir +y, col dir -x
+    ps = (1.2, 0.8)
+    zs = [30.0, 20.0, 10.0]  # slice_nr 0 at max projected z
+    n = 0
+    d_multi = tmp_path / "multi"
+    d_multi.mkdir()
+    for z in zs:
+        n += 1
+        _, data = _mk(instance=n, pos=(5.0, -3.0, z), pixel_spacing=ps)
+        data = encode_dicom(
+            np.zeros((4, 4), dtype=np.uint8), series_uid="9.9.9", instance_number=n,
+            position=(5.0, -3.0, z), orientation=ori, pixel_spacing=ps,
+            slice_thickness=2.5,
+        )
+        (d_multi / f"m{n}.dcm").write_bytes(data)
+
+    decoded = decode_dicom(spark.read.format("binaryFile").load(str(d_multi)))
+    grouped = group_slices_by_position(
+        decoded, pos_cols=["pos_x", "pos_y", "pos_z"], normal=[0.0, 0.0, 1.0]
+    )
+    out = dicom_series_affine(grouped).collect()
+    assert len(out) == 1 and out[0]["n_slices"] == 3
+    got = np.array(out[0]["affine"]).reshape(4, 4)
+
+    # reference formula in numpy: first slice = highest projected position
+    image_position = np.array([5.0, -3.0, 30.0])
+    last_position = np.array([5.0, -3.0, 10.0])
+    orientation = np.array(ori)
+    spacing = np.array(ps)
+    step = (last_position - image_position) / 2
+    exp = np.array([
+        [-orientation[3] * spacing[1], -orientation[0] * spacing[0], -step[0], -image_position[0]],
+        [-orientation[4] * spacing[1], -orientation[1] * spacing[0], -step[1], -image_position[1]],
+        [orientation[5] * spacing[1], orientation[2] * spacing[0], step[2], image_position[2]],
+        [0, 0, 0, 1],
+    ])
+    assert np.allclose(got, exp)
+
+    # F14 chained: spacing from the built affine
+    sp_row = (
+        dicom_series_affine(grouped)
+        .select(spacing_from_affine(F.col("affine")).alias("sp"))
+        .collect()[0]["sp"]
+    )
+    assert np.allclose(sorted(sp_row), sorted([0.8, 1.2, 10.0]))
+
+
+def test_dicom_single_slice_affine_uses_thickness_normal(spark, tmp_path):
+    from qcardia_data_spark.sources.multimodal import dicom_series_affine
+
+    data = encode_dicom(
+        np.zeros((4, 4), dtype=np.uint8), series_uid="1.1", instance_number=1,
+        position=(0.0, 0.0, 5.0), orientation=(1, 0, 0, 0, 1, 0),
+        pixel_spacing=(2.0, 2.0), slice_thickness=3.0,
+    )
+    (tmp_path / "one.dcm").write_bytes(data)
+    decoded = decode_dicom(spark.read.format("binaryFile").load(str(tmp_path)))
+    grouped = group_slices_by_position(
+        decoded, pos_cols=["pos_x", "pos_y", "pos_z"], normal=[0.0, 0.0, 1.0]
+    )
+    got = np.array(dicom_series_affine(grouped).collect()[0]["affine"]).reshape(4, 4)
+    # cross((1,0,0),(0,1,0)) = (0,0,1); step = (0,0,3); LPS→RAS flips x/y rows
+    exp = np.array([
+        [0.0, -2.0, 0.0, 0.0],
+        [-2.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 3.0, 5.0],
+        [0, 0, 0, 1],
+    ])
+    assert np.allclose(got, exp)
