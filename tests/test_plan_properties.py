@@ -49,3 +49,21 @@ def test_split_windows_run_on_subjects_not_records(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x1_subject_level_split")
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_q4_exists_probes_broadcast_not_semi_shuffle(spark, sf_dir):
+    # round-2 fix: the EXISTS is a fact-side probe of the broadcast filtered
+    # orders + distinct — the fact must never cross a sort-merge/shuffled
+    # semi join (measured 5.2x at a 60M-row fact)
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_probes_broadcast_region_first(spark, sf_dir):
+    # round-2 fix: region selectivity reaches the fact through the pre-joined
+    # supplier dim at the FIRST probe; all joins stay broadcast (no fact
+    # shuffle before aggregation)
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
