@@ -29,6 +29,22 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
+    """Repartition an UNDER-PARTITIONED scan across the cluster before
+    CPU-heavy per-row work (tokenize/explode/hash). A small corpus arrives
+    as one file → one partition → one core does all the regexp work (the
+    whole minhash pipeline measured single-task because of this). At real
+    scale the scan already has ≥ defaultParallelism partitions and this is
+    a NO-OP — the partition-count check costs only plan metadata, and the
+    shuffle it may trigger moves raw text once, far cheaper than serial
+    tokenization."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) -> DataFrame:
     """(id, shingle) rows — one row per distinct shingle per doc.
 
@@ -38,7 +54,12 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3) 
     three-regexp tokenizer (higher-order lambdas get no cross-reference
     subexpression elimination; the naive array form measured ~30× slower,
     a window-``lead`` row form still ~5× slower than this). No shuffle at
-    all — shingling is fully map-side.
+    all — shingling is fully map-side. (A ``spread_small_scan`` here was
+    measured NET-NEGATIVE on the full LSH pipeline at sf0.1: its stages are
+    plan/codegen-overhead-bound, not compute-bound, and the extra
+    plan→RDD partition probe costs more than the parallelism returns —
+    callers with a genuinely compute-heavy single-file corpus should spread
+    BEFORE calling.)
     """
     tok = df.select(F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"))
     k = F.size(F.col("toks"))
@@ -361,7 +382,9 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One shuffle on ``id_col`` with map-side partial aggregation.
     """
-    toks = df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w"))
+    toks = spread_small_scan(df, id_col).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w")
+    )
     hashed = toks.select(id_col, F.md5("w").alias("h"))
 
     def vote(b: int) -> Column:
