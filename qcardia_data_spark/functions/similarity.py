@@ -192,6 +192,58 @@ def ann_ivf_topk(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def ivf_write_partitioned(
+    embeddings: DataFrame, path: str, n_cells: int = 16, seed: int = 0,
+    n_refine: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF index as a cell-partitioned parquet table
+    (``cell=<i>/`` directories) — the 100 TB layout where a probe prunes
+    whole FILES, not just rows: reading ``cell IN (probed)`` touches only
+    the probed directories, verified by inputFiles in the test suite.
+
+    Returns the centroid frame (tiny — keep it as the index metadata next
+    to the table)."""
+    assigned, centroids = ivf_assign(
+        embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_probe_cells(centroids: DataFrame, query_vec, n_probe: int) -> list[int]:
+    """The n_probe cells whose centroids are cosine-closest to the query
+    (driver-side: centroids are index metadata, cells × dim floats)."""
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probes = sorted(
+        centroids.collect(),
+        key=lambda r: -cos(np.asarray(r["centroid"], dtype=np.float64), q),
+    )[:n_probe]
+    return [int(r["cell"]) for r in probes]
+
+
+def ann_ivf_topk_pruned(
+    spark, path: str, centroids: DataFrame, query_vec, k: int = 10,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against the cell-partitioned table: the ``cell IN (...)``
+    filter is a PARTITION filter, so the parquet source lists only the
+    probed directories — scan cost ∝ probed fraction, the property that
+    makes IVF work at 100 TB (same math as :func:`ann_ivf_topk`, different
+    storage layout)."""
+    probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",

@@ -71,3 +71,40 @@ def test_lloyd_refinement_improves_cohesion(emb):
         ).collect()[0][0]
 
     assert cohesion(1) >= cohesion(0) - 1e-6  # refinement never hurts cohesion
+
+
+def test_ivf_partitioned_layout_prunes_files_and_matches_in_memory(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout: cell-partitioned parquet + probe must (1) list
+    only the probed cells' files, (2) return exactly what the in-memory IVF
+    probe returns for the same index parameters."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_pruned,
+        ivf_write_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_table")
+    centroids = ivf_write_partitioned(emb, path, n_cells=8, seed=3, n_refine=1)
+
+    query = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    pruned = ann_ivf_topk_pruned(spark, path, centroids, query, k=5, n_probe=2)
+
+    # (1) file pruning: the pruned scan (input_file_name read in the SAME
+    # stage as the source, before any exchange) touches only probed cells
+    from qcardia_data_spark.functions.similarity import ivf_probe_cells
+
+    cells = ivf_probe_cells(centroids, query, n_probe=2)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    touched = scan.select(F.input_file_name().alias("f")).distinct().collect()
+    cells_touched = {f["f"].split("cell=")[1].split("/")[0] for f in touched}
+    assert cells_touched == {str(c) for c in cells}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # (2) value parity with the in-memory probe (same seed/cells/refine)
+    mem = ann_ivf_topk(emb, query, k=5, n_cells=8, n_probe=2, seed=3)
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
