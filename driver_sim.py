@@ -18,7 +18,7 @@ rows = df.collect()
 print("entry:", len(rows), "rows, schema:", [f.name for f in df.schema.fields], flush=True)
 
 qs, os_ = e.queries(), e.oracle_sql()
-sf = "/root/testdata/sf0.01"
+sf = __import__("os").environ.get("QDS_SIM_SF", "/root/testdata/sf0.01")
 bad = []
 t0 = time.time()
 for i, (name, fn) in enumerate(list(qs.items())):

@@ -15,7 +15,10 @@ Conditional plan pruning mirrors the reference's Compose construction
 
 Spec grammar (one dict per op, applied in order):
 
-    {"op": "source", "table": "lineitem"}              # or {"path": ...}
+    {"op": "source", "table": "lineitem"}              # or {"path": ...};
+        path sources take "format" ("binaryFile" + "glob" for raw blobs)
+        and "decode": "nifti"|"dicom" to fuse the real-codec mapInPandas
+        stage into the source (predicates on path/length stay pushable)
     {"op": "select", "cols": [...]}
     {"op": "filter", "expr": "l_quantity > 25"}
     {"op": "with_columns", "cols": {"rev": "l_extendedprice * (1-l_discount)"}}
@@ -122,7 +125,19 @@ def _source(spark: SparkSession, op: dict, sf_dir: str | None) -> DataFrame:
             reader = reader.option("header", op.get("header", True))
             if "schema" in op:
                 reader = reader.schema(op["schema"])
-        return reader.load(op["path"])
+        if fmt == "binaryFile" and "glob" in op:
+            reader = reader.option("pathGlobFilter", op["glob"])
+        df = reader.load(op["path"])
+        codec = op.get("decode")
+        if codec is not None:  # real-codec decode fused into the source op
+            from qcardia_data_spark.sources import multimodal as MM
+
+            if codec == "nifti":
+                return MM.decode_nifti(df)
+            if codec == "dicom":
+                return MM.decode_dicom(df)
+            raise SpecError(f"unknown decode codec {codec!r} (nifti|dicom)")
+        return df
     raise SpecError(f"source needs 'table' or 'path': {op!r}")
 
 

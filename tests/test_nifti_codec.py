@@ -241,3 +241,23 @@ def test_reformat_volumes_on_real_nifti(spark, nifti_dir):
     assert set(meta) == {f"subj{i}" for i in range(5)}
     assert all(m["total_nr_frames"] == 3 for m in meta.values())
     assert all(m["ED"] is not None and m["ES"] is not None for m in meta.values())
+
+
+def test_spec_source_decodes_nifti(spark, nifti_dir):
+    """The declarative spec compiler can scan+decode real NIfTI bytes as a
+    single source op and keep operating relationally downstream."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    path, truth = nifti_dir
+    df = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": path, "format": "binaryFile", "decode": "nifti"},
+            {"op": "with_columns", "cols": {"n_vox": "shape[0] * shape[1] * shape[2]"}},
+            {"op": "filter", "expr": "n_vox > 0"},
+            {"op": "select", "cols": ["path", "ndim", "n_vox"]},
+        ],
+    )
+    rows = df.collect()
+    assert len(rows) == len(truth)
+    assert all(r["n_vox"] == 10 * 8 * 3 and r["ndim"] == 3 for r in rows)
