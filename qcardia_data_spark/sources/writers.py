@@ -78,6 +78,44 @@ def write_npy_records(
     df.select(*cols).foreachPartition(write_partition)
 
 
+def write_nifti_records(
+    df: DataFrame, out_dir: str, subject_col: str, suffix: str,
+    array_col: str, shape_col: str, affine_col: str | None = None,
+    compress: bool = True,
+) -> None:
+    """S6-for-volumes — one ``{subject}/{subject}_{suffix}.nii[.gz]`` per
+    record, the reference reformat sink (``nib.save``, mm1.py:69-70 /
+    mm2.py:72-73) via the pure-Python encoder (sources/nifti.py), written
+    executor-side through foreachPartition: no volume bytes cross the
+    driver. ``array_col`` is the C-order flattened volume, ``shape_col`` an
+    array<int>, ``affine_col`` a row-major 16-float array (identity when
+    absent)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [subject_col, array_col, shape_col] + ([affine_col] if affine_col else [])
+
+    def write_partition(rows):
+        import numpy as np  # executor-side imports
+
+        from qcardia_data_spark.sources.nifti import encode_nifti1
+
+        for r in rows:
+            shape = [int(s) for s in r[shape_col]]
+            vol = np.asarray(r[array_col], dtype=np.float32).reshape(shape)
+            aff = (
+                np.asarray(r[affine_col], dtype=np.float64).reshape(4, 4)
+                if affine_col
+                else np.eye(4)
+            )
+            subj = str(r[subject_col])
+            folder = os.path.join(out_dir, subj)
+            os.makedirs(folder, exist_ok=True)
+            name = f"{subj}_{suffix}.nii" + (".gz" if compress else "")
+            with open(os.path.join(folder, name), "wb") as f:
+                f.write(encode_nifti1(vol, aff, compress=compress))
+
+    df.select(*cols).foreachPartition(write_partition)
+
+
 def write_png_slices(
     df: DataFrame, out_dir: str, folder_col: str, name_col: str,
     array_col: str, h_col: str, w_col: str, channels: int = 1,

@@ -6,6 +6,7 @@ semantics — no nibabel)."""
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 
 import numpy as np
@@ -261,3 +262,78 @@ def test_spec_source_decodes_nifti(spark, nifti_dir):
     rows = df.collect()
     assert len(rows) == len(truth)
     assert all(r["n_vox"] == 10 * 8 * 3 and r["ndim"] == 3 for r in rows)
+
+
+def test_write_nifti_records_roundtrip(spark, tmp_path):
+    """Reference reformat sink shape ({subject}/{subject}_{suffix}.nii.gz,
+    mm1.py:69-70) written executor-side, read back through the codec."""
+    from qcardia_data_spark.sources.writers import write_nifti_records
+
+    rng = np.random.RandomState(5)
+    rows = []
+    truth = {}
+    for i in range(3):
+        vol = rng.rand(4, 3, 2).astype(np.float32)
+        aff = np.diag([1.0, 1.0, float(i + 1), 1.0])
+        rows.append((f"subj{i}", vol.ravel().tolist(), [4, 3, 2], aff.ravel().tolist()))
+        truth[f"subj{i}"] = (vol, aff)
+    df = spark.createDataFrame(
+        rows, "subject string, pixels array<float>, shape array<int>, affine array<double>"
+    ).repartition(2)
+    out = str(tmp_path / "reformatted")
+    write_nifti_records(df, out, "subject", "sa_cine", "pixels", "shape", "affine")
+
+    for subj, (vol, aff) in truth.items():
+        p = os.path.join(out, subj, f"{subj}_sa_cine.nii.gz")
+        assert os.path.exists(p), p
+        with open(p, "rb") as f:
+            got, gaff, _ = decode_nifti1(f.read())
+        assert np.array_equal(got.astype(np.float32), vol)
+        assert np.allclose(gaff, aff)
+
+
+def test_nifti_codec_property_roundtrip():
+    """Property test: arbitrary dtype/shape/affine volumes survive
+    encode→decode bit-exactly (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = st.sampled_from([np.uint8, np.int16, np.int32, np.float32, np.float64])
+    dims = st.lists(st.integers(1, 6), min_size=2, max_size=4)
+
+    @settings(max_examples=25, deadline=None)
+    @given(dtype=dtypes, shape=dims, seed=st.integers(0, 2**16), gz=st.booleans())
+    def check(dtype, shape, seed, gz):
+        rng = np.random.RandomState(seed)
+        vol = (rng.rand(*shape) * 100 - 50).astype(dtype)
+        aff = np.eye(4)
+        aff[:3, :3] = np.diag(rng.rand(3) + 0.5)
+        aff[:3, 3] = rng.rand(3) * 10 - 5
+        out, aff2, _ = decode_nifti1(encode_nifti1(vol, aff, compress=gz))
+        assert out.shape == vol.shape
+        assert np.array_equal(out.astype(dtype), vol)
+        assert np.allclose(aff2, aff, atol=1e-6)
+
+    check()
+
+
+def test_compressed_dicom_is_honest_stub():
+    """Encapsulated transfer syntaxes fail loudly at the codec boundary —
+    never silently mis-decoded."""
+    from qcardia_data_spark.sources.dicom import parse_dicom
+
+    data = bytearray(
+        __import__("qcardia_data_spark.sources.dicom", fromlist=["encode_dicom"]).encode_dicom(
+            np.zeros((2, 2), dtype=np.uint8), series_uid="1", instance_number=1,
+            position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0),
+        )
+    )
+    # rewrite the transfer syntax UID to JPEG baseline (1.2.840.10008.1.2.4.50)
+    old = b"1.2.840.10008.1.2.1\x00"
+    new = b"1.2.840.10008.1.2.4.50"
+    idx = bytes(data).find(old)
+    assert idx > 0
+    data[idx - 2 : idx] = (len(new)).to_bytes(2, "little")  # fix element length
+    patched = bytes(data[: idx]) + new + bytes(data[idx + len(old):])
+    with pytest.raises(NotImplementedError, match="transfer syntax"):
+        parse_dicom(patched)
