@@ -337,3 +337,43 @@ def test_compressed_dicom_is_honest_stub():
     patched = bytes(data[: idx]) + new + bytes(data[idx + len(old):])
     with pytest.raises(NotImplementedError, match="transfer syntax"):
         parse_dicom(patched)
+
+
+def test_full_loop_reformat_write_rescan(spark, nifti_dir, tmp_path):
+    """Close the lifecycle: raw .nii scan → reformat → NIfTI sink → fresh
+    scan of the written records → pixel parity with the in-memory records.
+    This is the reference's whole setup_cine loop (mm1.py:29-80) running
+    distributed on real bytes in BOTH directions."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from qcardia_data_spark.reformat import reformat_volumes
+    from qcardia_data_spark.sources.multimodal import decode_nifti
+    from qcardia_data_spark.sources.writers import write_nifti_records
+
+    path, _ = nifti_dir
+    records, _meta = reformat_volumes(
+        spark, path, glob="*.nii*", dataset="mm9", n_frames=3, codec="nii"
+    )
+    recs = records.select(
+        "file_id", "pixels",
+        F.array("height", "width").alias("shape"),
+    ).cache()
+    expected = {r["file_id"]: list(r["pixels"]) for r in recs.collect()}
+
+    out = str(tmp_path / "records_nii")
+    write_nifti_records(
+        recs, out, "file_id", "crop", "pixels", "shape", affine_col=None, compress=True
+    )
+
+    rescanned = decode_nifti(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.nii.gz")
+        .option("recursiveFileLookup", "true").load(out)
+    )
+    got = {
+        r["path"].rsplit("/", 1)[-1].replace("_crop.nii.gz", ""): r["pixels"]
+        for r in rescanned.collect()
+    }
+    assert set(got) == set(expected)
+    for fid, px in expected.items():
+        assert np.allclose(got[fid], px, atol=1e-6), fid
+    recs.unpersist()
