@@ -1559,6 +1559,41 @@ def f19_overlay(spark, sf_dir):
 
 
 @_q(
+    "f9_intensity_augs",
+    """
+    SELECT vec_id,
+           round(list_sum(ss), 6) AS s_ss,
+           round(list_sum(list_transform(ss, e -> pow(greatest(e, 0.0), gm))), 6) AS s_g
+    FROM (
+      SELECT vec_id,
+             list_transform(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)),
+                e -> e * (1.0 + (CAST('0x' || substr(md5(concat_ws('|', '21', 'scale', CAST(vec_id AS VARCHAR))), 1, 13)
+                                 AS BIGINT) / 4503599627370496.0 - 0.5) * 0.2)
+                     + (CAST('0x' || substr(md5(concat_ws('|', '21', 'shift', CAST(vec_id AS VARCHAR))), 1, 13)
+                        AS BIGINT) / 4503599627370496.0 - 0.5) * 0.2) AS ss,
+             0.7 + CAST('0x' || substr(md5(concat_ws('|', '21', 'gamma', CAST(vec_id AS VARCHAR))), 1, 13)
+                   AS BIGINT) / 4503599627370496.0 * 0.8 AS gm
+      FROM embeddings WHERE vec_id < 100)
+    """,
+)
+def f9_intensity(spark, sf_dir):
+    # F9 — keyed random intensity scale/shift composed with gamma contrast
+    # (MONAI wiring, reference compose.py:168-204): a seeded RANDOM aug
+    # chain value-checked against the oracle via the shared md5-uniform
+    from qcardia_data_spark.functions.transforms import rand_gamma, rand_intensity_scale_shift
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    ss = rand_intensity_scale_shift(F.slice("embedding", 1, 8), F.col("vec_id"), seed=21)
+    g = rand_gamma(ss, F.col("vec_id"), seed=21)
+    agg = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, e: acc + e)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.round(agg(ss), 6).alias("s_ss"),
+        F.round(agg(g), 6).alias("s_g"),
+    )
+
+
+@_q(
     "f7_rand_resample_2d",
     "SELECT vec_id, CAST(1 AS BOOLEAN) AS in_hull FROM embeddings WHERE vec_id < 50",
 )
