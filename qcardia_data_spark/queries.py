@@ -2135,6 +2135,42 @@ def text_rolling_fp(spark, sf_dir):
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
 
 
+@_q(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(d, e -> CAST(round(e * (127.0 / mx)) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(d, e -> abs(CAST(round(e * (127.0 / mx)) AS BIGINT)))) AS BIGINT) AS q_max,
+           round(mx, 6) AS scale_inv
+    FROM (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings)
+    WHERE mx > 0
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    # [ext] int8 embedding quantization — the storage/bandwidth op every
+    # large-scale vector pipeline runs before writing an index: symmetric
+    # per-vector scale 127/max|e|, round-to-int8. Integer outputs → the
+    # oracle compare is EXACT, no float tolerance. Dequantized error bound
+    # (≤ scale/2 per element) is pinned by the pytest suite.
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(d, lambda e: F.abs(e)))
+    q = F.transform(d, lambda e: F.round(e * (F.lit(127.0) / mx)).cast("long"))
+    return (
+        emb.select("vec_id", q.alias("q"), mx.alias("mx"))
+        .filter(F.col("mx") > 0)
+        .select(
+            "vec_id",
+            F.aggregate("q", F.lit(0).cast("long"), lambda a, e: a + e).alias("q_sum"),
+            F.array_max(F.transform("q", lambda e: F.abs(e))).alias("q_max"),
+            F.round("mx", 6).alias("scale_inv"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # [ext] Similarity search over embeddings
 # ---------------------------------------------------------------------------

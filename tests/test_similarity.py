@@ -108,3 +108,35 @@ def test_ivf_partitioned_layout_prunes_files_and_matches_in_memory(spark, sf_dir
     # (2) value parity with the in-memory probe (same seed/cells/refine)
     mem = ann_ivf_topk(emb, query, k=5, n_cells=8, n_probe=2, seed=3)
     assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_int8_quantization_dequant_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: |dequant − original| ≤ half a quant step
+    per element, and q values fit int8."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(d, lambda e: F.abs(e)))
+    scale = F.lit(127.0) / mx
+    q = F.transform(d, lambda e: F.round(e * scale).cast("long"))
+    deq = F.transform(q, lambda e: e / scale)
+    err = F.aggregate(
+        F.zip_with(deq, d, lambda a, b: F.abs(a - b)),
+        F.lit(0.0), lambda acc, e: F.greatest(acc, e),
+    )
+    rows = (
+        emb.filter(mx > 0)
+        .select(
+            err.alias("max_err"),
+            (F.lit(0.5) / scale).alias("half_step"),
+            F.array_max(F.transform(q, lambda e: F.abs(e))).alias("q_max"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["q_max"] <= 127
+        assert r["max_err"] <= r["half_step"] + 1e-12
