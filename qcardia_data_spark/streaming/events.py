@@ -177,3 +177,19 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFram
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_ingest_dedup(
+    docs: DataFrame, text_col: str = "text", ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """[ext] Streaming-ingestion exact dedup — the streaming twin of
+    ``dedup.exact_dedup`` for a continuously-arriving document corpus:
+    canonical-form fingerprint per document, first arrival of each
+    fingerprint wins, re-ingested copies inside the watermark horizon are
+    dropped and state expires with the watermark (bounded memory — the
+    property that lets this run forever at ingest scale)."""
+    from qcardia_data_spark.functions.text import doc_fingerprint
+
+    fp = docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])

@@ -203,3 +203,28 @@ def test_stateful_running_totals(spark, sf_dir):
     got = {(r["user_id"], r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
     want = {(r["user_id"], r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_ingest_dedup_matches_batch_exact_dedup(spark, tmp_path):
+    """Streaming document dedup keeps exactly one copy per canonical text —
+    the same survivor set as the batch exact_dedup when arrival order is id
+    order (single file → source preserves row order)."""
+    import datetime as dt
+
+    from qcardia_data_spark.functions.dedup import exact_dedup
+
+    t0 = dt.datetime(2024, 6, 1, 8, 0, 0)
+    rows = []
+    for i in range(30):
+        text = f"shared boilerplate {i % 10}"  # 10 distinct texts, 3 copies each
+        rows.append((i, text, t0 + dt.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ingest_ts"])
+    src = tmp_path / "docs"
+    df.coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+
+    kept = S.run_to_memory(S.streaming_ingest_dedup(stream, watermark="1 hour"))
+    got = sorted(r["doc_id"] for r in kept.collect())
+    want = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert got == want == list(range(10))  # first/min-id copy of each text
