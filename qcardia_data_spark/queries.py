@@ -2043,7 +2043,60 @@ def ev_session_window(spark, sf_dir):
     )
 
 
-@_q("dedup_duplicate_clusters", None)  # iterative fixpoint → rows-only check
+@_q(
+    "dedup_duplicate_clusters",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    bands AS (SELECT doc_id, shingle, band
+              FROM sh, (SELECT unnest(range(8)) AS band) b),
+    sig AS (SELECT doc_id, band,
+                   min(md5(concat(shingle, '#', CAST(band AS VARCHAR)))) AS sig
+            FROM bands GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sig sa JOIN sig sb
+               ON sa.band = sb.band AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.a
+              JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+              GROUP BY c.a, c.b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (SELECT c.a, c.b,
+                   CAST(coalesce(i.i, 0) AS DOUBLE)
+                     / (na.n + nb.n - coalesce(i.i, 0)) AS j
+            FROM cand c
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            JOIN sizes na ON na.doc_id = c.a
+            JOIN sizes nb ON nb.doc_id = c.b),
+    edges AS (SELECT a, b FROM jac WHERE j >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v AS r FROM verts
+      UNION
+      SELECT re.v, s.b AS r FROM reach re JOIN sym s ON re.r = s.a
+    ),
+    comp AS (SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component HAVING count(*) > 1
+    """,
+)
 def dedup_clusters(spark, sf_dir):
     # full transitive-closure duplicate clustering: LSH candidates →
     # Jaccard-verified pairs → connected components (min-label propagation)
