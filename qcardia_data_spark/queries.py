@@ -2704,6 +2704,40 @@ def ev_attribution(spark, sf_dir):
 
 
 @_q(
+    "ev_asof_last_view",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id AS v_user, ts AS v_ts FROM e WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(date_diff('second', v.v_ts, p.ts), -1) AS BIGINT) AS gap_s
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.v_user AND v.v_ts <= p.ts
+    """,
+)
+def ev_asof_last_view(spark, sf_dir):
+    # [ext] AS-OF join — "state of X at the time of Y" (feature lookup at
+    # label time): for each purchase, seconds since that user's latest view
+    # at-or-before it. Spark lacks the primitive; operators/temporal.py
+    # composes it as union + running last() — one key shuffle, no range
+    # join. Oracle: DuckDB's NATIVE ASOF LEFT JOIN, so the engines'
+    # semantics are checked against each other, not restated.
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("v_ts")
+    )
+    out = asof_join(p, v, by=["user_id"], left_ts="ts", right_ts="ts", carry=["v_ts"])
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("v_ts")
+    return out.select(
+        "event_id", "user_id", F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s")
+    )
+
+
+@_q(
     "ev_funnel_depth",
     """
     WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -1,0 +1,109 @@
+"""[ext] temporal joins: as-of (union+window) and bucketed range join —
+semantics pinned on handmade cases and equivalence vs the naive
+inequality-join form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.catalog import load_table
+from qcardia_data_spark.operators.temporal import asof_join, bucketed_range_join
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 6, 1, 12, minute, second)
+
+
+def test_asof_join_handmade(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(0), 10.0),
+            ("A", _ts(5), 11.0),
+            ("A", _ts(10), 12.0),
+            ("B", _ts(3), 99.0),
+        ],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(4), 1),   # after 12:00 quote → 10.0
+            ("A", _ts(5), 2),   # exactly at 12:05 quote → 11.0 (<= semantics)
+            ("A", _ts(20), 3),  # after all → 12.0
+            ("B", _ts(1), 4),   # before any B quote → NULL
+            ("C", _ts(9), 5),   # no quotes at all → NULL
+        ],
+        ["sym", "ts", "trade_id"],
+    )
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, by=["sym"], left_ts="ts", right_ts="ts", carry=["px"]
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 11.0, 3: 12.0, 4: None, 5: None}
+
+
+def test_asof_join_rejects_carry_collision(spark):
+    df = spark.createDataFrame([("A", _ts(0), 1.0)], ["k", "ts", "v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, by=["k"], left_ts="ts", right_ts="ts", carry=["v"])
+
+
+def test_asof_plan_has_single_key_shuffle_no_range_join(spark):
+    left = spark.createDataFrame([("A", _ts(0), 1)], ["k", "ts", "i"])
+    right = spark.createDataFrame([("A", _ts(0), 2.0)], ["k", "ts", "c"])
+    out = asof_join(left, right, by=["k"], left_ts="ts", right_ts="ts", carry=["c"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no join operator at all: union + window
+    assert "Window" in plan
+
+
+def test_bucketed_range_join_equals_naive(spark, sf_dir):
+    """Every (point, interval) containment pair found by the bucketed
+    equi-join form must equal the naive inequality join, for bucket sizes
+    smaller and larger than the interval length."""
+    e = load_table(spark, sf_dir, "events")
+    points = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    intervals = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("i_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+            F.col("ts").alias("end_ts"),
+        )
+        .limit(50)
+    )
+    naive = {
+        (r["p_id"], r["i_id"])
+        for r in points.join(
+            intervals,
+            (F.col("p_ts") >= F.col("start_ts")) & (F.col("p_ts") <= F.col("end_ts")),
+        ).collect()
+    }
+    for bucket in (600, 7200):  # 10 min (interval spans several), 2 h (spans 1-2)
+        got = {
+            (r["p_id"], r["i_id"])
+            for r in bucketed_range_join(
+                points, intervals, "p_ts", "start_ts", "end_ts", bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == naive, f"bucket={bucket}"
+    assert naive  # non-trivial corpus
+
+
+def test_bucketed_range_join_is_equi_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    points = e.select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+    intervals = e.select(
+        F.col("event_id").alias("i_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    out = bucketed_range_join(points, intervals, "p_ts", "start_ts", "end_ts", 600)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
