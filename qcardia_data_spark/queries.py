@@ -2841,7 +2841,7 @@ _PRIORITY = [
     "ev_funnel_depth",
     "ev_latest_dedup",
     "ev_props_json",
-    "ev_value_delta",
+    "ev_asof_last_view",
     "q6_revenue_forecast",
     # set ops
     "u1_union_by_name",
