@@ -107,3 +107,44 @@ def test_bucketed_range_join_is_equi_join(spark, sf_dir):
     out = bucketed_range_join(points, intervals, "p_ts", "start_ts", "end_ts", 600)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check vs a third implementation: pandas merge_asof
+    (backward, allow_exact_matches) on randomized corpora — right
+    timestamps unique per key so the equal-ts tiebreak is never exercised
+    (it is engine-defined in all three systems)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        keys = ["a", "b", "c"]
+        quotes = []
+        seen = set()
+        for _ in range(40):
+            k = keys[rng.randint(len(keys))]
+            t = int(rng.randint(0, 10_000))
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            quotes.append((k, _ts(0) + dt.timedelta(seconds=t), float(len(seen))))
+        trades = [
+            (keys[rng.randint(len(keys))], _ts(0) + dt.timedelta(seconds=int(rng.randint(0, 10_000))), i)
+            for i in range(60)
+        ]
+        qdf = spark.createDataFrame(quotes, ["k", "ts", "px"])
+        tdf = spark.createDataFrame(trades, ["k", "ts", "tid"])
+        got = {
+            r["tid"]: r["px"]
+            for r in asof_join(tdf, qdf, ["k"], "ts", "ts", ["px"]).collect()
+        }
+
+        qp = pd.DataFrame(quotes, columns=["k", "ts", "px"]).sort_values("ts")
+        tp = pd.DataFrame(trades, columns=["k", "ts", "tid"]).sort_values("ts")
+        ref = pd.merge_asof(tp, qp, on="ts", by="k", direction="backward")
+        want = {
+            int(r.tid): (None if pd.isna(r.px) else float(r.px))
+            for r in ref.itertuples()
+        }
+        assert got == want, f"trial {trial}"
