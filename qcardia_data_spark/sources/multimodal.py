@@ -275,16 +275,27 @@ def frame_sample(decoded: DataFrame, keep_frames: Sequence[int]) -> DataFrame:
 
 def group_slices_by_position(
     files: DataFrame, pos_cols: Sequence[str], normal: Sequence[float],
-    tol: float = 1e-3,
+    tol: float = 1e-3, series_col: str | None = None,
 ) -> DataFrame:
     """S3 DICOM slice grouping, relationally: project each file's patient
     position onto the stack normal, bucket by tolerance, index slices by
     descending position (reference ``get_slices_from_positions``,
-    reformat/utils.py:218-241 + the descending unique sort at :235-237)."""
+    reformat/utils.py:218-241 + the descending unique sort at :235-237).
+
+    Pass ``series_col`` (e.g. ``"series_uid"``) whenever the frame holds
+    more than one series: slice numbering is per-series (matching the
+    reference's per-folder loop) AND the rank window partitions by it —
+    without a partition key the window is a single-task global sort, the
+    one plan shape that cannot scale past one executor (same hazard class
+    as the round-1 serving iterator). The unpartitioned form stays
+    available for genuinely single-series frames."""
     from pyspark.sql.window import Window
 
     proj = sum(F.col(c) * F.lit(float(n)) for c, n in zip(pos_cols, normal))
     bucketed = files.withColumn("slice_pos", F.round(proj / tol) * tol)
-    return bucketed.withColumn(
-        "slice_nr", F.dense_rank().over(Window.orderBy(F.desc("slice_pos"))) - 1
+    w = (
+        Window.partitionBy(series_col).orderBy(F.desc("slice_pos"))
+        if series_col is not None
+        else Window.orderBy(F.desc("slice_pos"))
     )
+    return bucketed.withColumn("slice_nr", F.dense_rank().over(w) - 1)

@@ -187,3 +187,32 @@ def test_dicom_single_slice_affine_uses_thickness_normal(spark, tmp_path):
         [0, 0, 0, 1],
     ])
     assert np.allclose(got, exp)
+
+
+def test_multi_series_grouping_is_per_series_and_partitioned(spark, tmp_path):
+    """Two interleaved series: slice numbering restarts per series and the
+    rank window partitions by series_uid (no single-task global sort)."""
+    n = 0
+    for uid, zs in [("1.1.1", [40.0, 20.0]), ("2.2.2", [35.0, 15.0, 25.0])]:
+        for z in zs:
+            n += 1
+            data = encode_dicom(
+                np.zeros((2, 2), dtype=np.uint8), series_uid=uid, instance_number=n,
+                position=(0.0, 0.0, z), orientation=(1, 0, 0, 0, 1, 0),
+            )
+            (tmp_path / f"f{n}.dcm").write_bytes(data)
+    decoded = decode_dicom(spark.read.format("binaryFile").load(str(tmp_path)))
+    grouped = group_slices_by_position(
+        decoded, pos_cols=["pos_x", "pos_y", "pos_z"], normal=[0.0, 0.0, 1.0],
+        series_col="series_uid",
+    )
+    rows = grouped.select("series_uid", "pos_z", "slice_nr").collect()
+    got = {(r["series_uid"], r["pos_z"]): r["slice_nr"] for r in rows}
+    assert got == {
+        ("1.1.1", 40.0): 0, ("1.1.1", 20.0): 1,
+        ("2.2.2", 35.0): 0, ("2.2.2", 25.0): 1, ("2.2.2", 15.0): 2,
+    }
+    # the rank window must carry the series partition spec — a global
+    # (unpartitioned) window would funnel every file through one task
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(series_uid" in plan.lower().replace(" ", "")
