@@ -44,10 +44,21 @@ def natural_sort(df: DataFrame, col: str) -> DataFrame:
 
 def dense_rank_desc(df: DataFrame, value: str, out: str = "rank") -> DataFrame:
     """O3 — descending dense rank (slice-position indexing, reference
-    reformat/utils.py:235-237: positions sorted high→low, index by rank)."""
+    reformat/utils.py:235-237: positions sorted high→low, index by rank).
+
+    Scale-safe form: a dense rank is a function of the DISTINCT value set
+    alone, so rank the distinct frame (a global window over few rows —
+    rank-by-value columns are low-cardinality by nature) and broadcast-join
+    back, instead of a global window over every record (single-task sort
+    of the whole frame — the non-scalable plan shape)."""
     from pyspark.sql.window import Window
 
-    return df.withColumn(out, F.dense_rank().over(Window.orderBy(F.desc(value))))
+    ranked = (
+        df.select(value)
+        .distinct()
+        .withColumn(out, F.dense_rank().over(Window.orderBy(F.desc(value))))
+    )
+    return df.join(F.broadcast(ranked), value)
 
 
 def seeded_sample_n(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:
