@@ -2682,6 +2682,45 @@ def ev_monthly(spark, sf_dir):
 
 
 @_q(
+    "ev_hypertable_rollup",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    g AS (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 date_trunc('month', ts) AS m, value
+          FROM e)
+    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day' ELSE 'month' END AS kind,
+           date_diff('second', TIMESTAMP '1970-01-01', coalesce(h, d, m)) AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_v
+    FROM g GROUP BY GROUPING SETS ((h), (d), (m))
+    """,
+)
+def ev_hypertable(spark, sf_dir):
+    # [ext] hypertable-style continuous aggregate: hour/day/month buckets in
+    # ONE pass via grouping sets — Spark expands to a shared-scan Expand
+    # node with map-side partial aggregation per granularity (contrast: 3
+    # separate queries = 3 fact scans). The rollup rows are mergeable
+    # partials — exactly what you materialize incrementally at 100 TB.
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    agg = e.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_v")
+    )
+    kind = (
+        F.when(F.col("h").isNotNull(), F.lit("hour"))
+        .when(F.col("d").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    bucket = F.coalesce("h", "d", "m").cast("long")
+    return agg.select(kind.alias("kind"), bucket.alias("bucket_s"), "n", "sum_v")
+
+
+@_q(
     "ev_attribution_join",
     """
     WITH e AS (SELECT event_id, user_id, event_type, value,
