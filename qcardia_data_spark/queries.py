@@ -2408,6 +2408,77 @@ def sim_lsh_md5(spark, sf_dir):
     )
 
 
+def _ann_join_oracle_sql() -> str:
+    """DuckDB restatement of the md5-plane ANN JOIN (generated from the
+    same sign constants as the Spark plan — zero transcription drift)."""
+    dots = []
+    for p in range(_LSH_PLANES):
+        terms = " + ".join(
+            f"d[{j + 1}] * {_LSH_SIGNS[p][j]:.1f}" for j in range(_LSH_DIM)
+        )
+        dots.append(f"({terms}) AS dot{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN dot{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_LSH_PLANES)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id < 300),
+    dp AS (SELECT vec_id, d, {', '.join(dots)} FROM v),
+    b AS (SELECT vec_id, d, {bucket} AS bucket FROM dp),
+    j AS (SELECT a.vec_id AS a_id, bb.vec_id AS b_id, a.d AS da, bb.d AS db
+          FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id != bb.vec_id),
+    pairs AS (SELECT a_id, b_id, unnest(da) AS x, unnest(db) AS y FROM j),
+    s AS (SELECT a_id, b_id, sum(x * y) AS dp_, sum(x * x) AS sx, sum(y * y) AS sy
+          FROM pairs GROUP BY a_id, b_id),
+    r AS (SELECT a_id, b_id, dp_ / (sqrt(sx) * sqrt(sy)) AS sc,
+                 row_number() OVER (PARTITION BY a_id
+                                    ORDER BY dp_ / (sqrt(sx) * sqrt(sy)) DESC, b_id) AS rn
+          FROM s)
+    SELECT a_id, b_id, round(sc, 6) AS score FROM r WHERE rn <= 3
+    """
+
+
+@_q("sim_ann_join_md5", _ann_join_oracle_sql())
+def sim_ann_join_md5(spark, sf_dir):
+    # VALUE-checked ANN all-pairs join: both sides bucketed by the shared
+    # md5-derived hyperplane signs, join within bucket only (O(N) shuffle,
+    # never N²), top-3 neighbors per vector via window — the fully
+    # verifiable twin of sim_ann_join (whose numpy-seeded planes the
+    # oracle cannot restate). Bounded to vec_id<300 like the exact twin.
+    from pyspark.sql.window import Window
+
+    from qcardia_data_spark.functions.arrays import cosine as _cos
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    d = F.col("embedding").cast("array<double>")
+
+    def plane_dot(p: int):
+        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
+        )
+
+    bucket = None
+    for p in range(_LSH_PLANES):
+        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bucket")
+    bb = b.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "bucket")
+    scored = (
+        a.join(bb, "bucket")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", _cos(F.col("ea"), F.col("eb")).alias("sc"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sc"), F.col("b_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("a_id", "b_id", F.round("sc", 6).alias("score"))
+    )
+
+
 @_q("sim_ivf_topk", None)  # centroid sampling/probing is procedural → rows-only check
 def sim_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -2861,7 +2932,7 @@ _PRIORITY = [
     # similarity search family
     "sim_bruteforce_topk",
     "sim_lsh_md5_topk",
-    "sim_ann_join",
+    "sim_ann_join_md5",
     "sim_ivf_topk",
     # text analysis family
     "text_token_stats",
