@@ -2479,8 +2479,71 @@ def sim_ann_join_md5(spark, sf_dir):
     )
 
 
-@_q("sim_ivf_topk", None)  # centroid sampling/probing is procedural → rows-only check
+def _ivf_oracle_sql() -> str:
+    """Full IVF pipeline restated in DuckDB SQL — including the ITERATIVE
+    part: md5-seeded centroid sample → argmax-cosine assignment → one Lloyd
+    round (per-cell per-dim means, empty cells keep seeds) → reassignment →
+    4-cell probe → top-10. Every stage is deterministic because the
+    'randomness' is keyed md5 (operators/windows.keyed_rand), so even an
+    iterative clustering algorithm is cross-engine verifiable."""
+    seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS cell, d AS c
+      FROM v ORDER BY {seed_order} LIMIT 16),
+    -- assignment round 0 vs seed centroids
+    p0 AS (SELECT v.vec_id, c0.cell,
+                  unnest(v.d) AS x, unnest(c0.c) AS y FROM v CROSS JOIN c0),
+    s0 AS (SELECT vec_id, cell,
+                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+           FROM p0 GROUP BY vec_id, cell),
+    a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+             FROM s0) WHERE rn = 1),
+    -- one Lloyd round: per-cell per-dim means (empty cells keep the seed)
+    m AS (SELECT a0.cell, unnest(v.d) AS val, unnest(range(64)) AS dim
+          FROM v JOIN a0 USING (vec_id)),
+    mm AS (SELECT cell, dim, avg(val) AS mv FROM m GROUP BY cell, dim),
+    c1m AS (SELECT cell, list(mv ORDER BY dim) AS c FROM mm GROUP BY cell),
+    c1 AS (SELECT c0.cell, coalesce(c1m.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1m ON c0.cell = c1m.cell),
+    -- assignment round 1 vs refined centroids
+    p1 AS (SELECT v.vec_id, c1.cell,
+                  unnest(v.d) AS x, unnest(c1.c) AS y FROM v CROSS JOIN c1),
+    s1 AS (SELECT vec_id, cell,
+                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+           FROM p1 GROUP BY vec_id, cell),
+    a1 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+             FROM s1) WHERE rn = 1),
+    -- probe: 4 cells closest to the query vector (vec_id = 0)
+    q AS (SELECT d AS qd FROM v WHERE vec_id = 0),
+    pq AS (SELECT c1.cell, unnest(c1.c) AS x, unnest(q.qd) AS y
+           FROM c1 CROSS JOIN q),
+    sq AS (SELECT cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+           FROM pq GROUP BY cell),
+    probe AS (SELECT cell FROM sq ORDER BY cs DESC, cell LIMIT 4),
+    cand AS (SELECT v.vec_id, v.d FROM v JOIN a1 USING (vec_id)
+             WHERE a1.cell IN (SELECT cell FROM probe)),
+    pc AS (SELECT cand.vec_id, unnest(cand.d) AS x, unnest(q.qd) AS y
+           FROM cand CROSS JOIN q),
+    sc AS (SELECT vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+           FROM pc GROUP BY vec_id)
+    SELECT vec_id, round(cs, 6) AS score
+    FROM sc ORDER BY cs DESC, vec_id LIMIT 10
+    """
+
+
+@_q("sim_ivf_topk", _ivf_oracle_sql())
 def sim_ivf(spark, sf_dir):
+    # IVF ANN probe — seeded sample + ONE Lloyd refinement + 4-cell probe.
+    # The DuckDB oracle replays the ENTIRE iterative pipeline (keyed-md5
+    # sampling makes every stage deterministic in both engines).
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = SIM.ann_ivf_topk(emb, qvec, k=10, n_cells=16, n_probe=4)
