@@ -377,3 +377,42 @@ def test_full_loop_reformat_write_rescan(spark, nifti_dir, tmp_path):
     for fid, px in expected.items():
         assert np.allclose(got[fid], px, atol=1e-6), fid
     recs.unpersist()
+
+
+def test_big_endian_nifti_decodes():
+    """Byte-swapped (big-endian) NIfTI-1 files decode via the endianness
+    fallback: same header layout packed with '>' and big-endian voxels."""
+    vol = np.arange(2 * 3 * 4, dtype=">i2").reshape(2, 3, 4)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 3, 4, 1, 1, 1, 1)
+    struct.pack_into(">2h", hdr, 70, 4, 16)  # int16
+    struct.pack_into(">8f", hdr, 76, 1.0, 2.0, 3.0, 4.0, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    hdr[344:348] = b"n+1\x00"
+    data = bytes(hdr) + b"\x00" * 4 + vol.tobytes(order="F")
+    out, aff, hdrd = decode_nifti1(data)
+    assert np.array_equal(out, vol.astype(np.float64))
+    # no sform/qform → pixdim diagonal affine
+    assert np.allclose(aff, np.diag([2.0, 3.0, 4.0, 1.0]))
+    assert hdrd["datatype"] == 4
+
+
+def test_qform_quaternion_affine():
+    """qform path (sform absent): identity quaternion → affine = diag(zooms)
+    with qoffset translation; qfac=-1 flips the z zoom."""
+    vol = np.zeros((2, 2, 2), dtype=np.uint8)
+    data = bytearray(encode_nifti1(vol, np.eye(4), pixdim=(1.5, 2.0, 2.5)))
+    struct.pack_into("<2h", data, 252, 1, 0)  # qform=1, sform=0
+    struct.pack_into("<3f", data, 256, 0.0, 0.0, 0.0)  # identity quaternion
+    struct.pack_into("<3f", data, 268, 7.0, -8.0, 9.0)  # qoffset
+    _, aff, _ = decode_nifti1(bytes(data))
+    exp = np.diag([1.5, 2.0, 2.5, 1.0])
+    exp[:3, 3] = [7.0, -8.0, 9.0]
+    assert np.allclose(aff, exp)
+
+    struct.pack_into("<f", data, 76, -1.0)  # pixdim[0] = qfac = -1
+    _, aff2, _ = decode_nifti1(bytes(data))
+    exp2 = np.diag([1.5, 2.0, -2.5, 1.0])
+    exp2[:3, 3] = [7.0, -8.0, 9.0]
+    assert np.allclose(aff2, exp2)
