@@ -56,19 +56,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
              AS sum_disc_price,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE) / 1000000
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000
              AS sum_charge,
-           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*)
              AS avg_price,
-           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*)
+           CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / count(*)
              AS avg_disc,
            count(*)                                    AS count_order
     FROM lineitem
@@ -82,11 +82,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (PERF.md) — but long sums stay inside whole-stage codegen, unlike
     # BigDecimal aggregation which measured ~2x slower on this query.
     # quantities are integral; prices/discounts/taxes have 2 decimals.
+    # floor(x + 0.5) == round-half-up for the POSITIVE money/quantity
+    # domain, and stays in codegen'd double arithmetic — F.round's
+    # BigDecimal path measured 3x slower per expression at a 60M-row scan
     li = _t(spark, sf_dir, "lineitem")
-    qty_i = F.round(F.col("l_quantity")).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    qty_i = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tax_c = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
