@@ -120,3 +120,35 @@ def spacing_from_affine(affine_flat: Column) -> Column:
         )
 
     return F.array(col_norm(0), col_norm(1), col_norm(2))
+
+
+def ensure_4d_shape(shape: Column) -> Column:
+    """F1 — canonical-rank shape normalization as a METADATA op (reference
+    ``Ensure4Dd``, transforms/utils.py:9-33 unsqueezes to a fixed layout):
+    right-pad the shape array with 1s to rank 4. The pixel buffer is
+    untouched — C-order flattening is invariant under trailing singleton
+    axes, so this is free at any scale."""
+    pad = F.array_repeat(F.lit(1), 4 - F.size(shape))
+    return F.when(F.size(shape) >= 4, shape).otherwise(F.concat(shape, pad))
+
+
+def permute_axes_udf():
+    """F21 — axis permutation of a flattened C-order volume (reference
+    moves depth↔batch around model calls, data_predictor.py:228,235).
+    Arrow-batched pandas UDF: reshape → transpose → ravel per record; the
+    permutation vector is a per-row column so mixed layouts batch fine."""
+
+    @F.pandas_udf(StructType([
+        StructField("pixels", ArrayType(FloatType())),
+        StructField("shape", ArrayType(IntegerType())),
+    ]))
+    def permute(pixels: pd.Series, shape: pd.Series, perm: pd.Series) -> pd.DataFrame:
+        out = {"pixels": [], "shape": []}
+        for px, sh, pm in zip(pixels, shape, perm):
+            vol = np.asarray(px, dtype=np.float32).reshape([int(s) for s in sh])
+            t = vol.transpose([int(p) for p in pm])
+            out["pixels"].append(np.ascontiguousarray(t).ravel().tolist())
+            out["shape"].append(list(t.shape))
+        return pd.DataFrame(out)
+
+    return permute

@@ -62,3 +62,34 @@ def test_spacing_from_affine(spark):
     df = spark.createDataFrame([(aff,)], ["affine"])
     out = df.select(V.spacing_from_affine(F.col("affine")).alias("sp")).collect()[0]["sp"]
     assert out == pytest.approx([2.0, 3.0, 4.0])
+
+
+def test_ensure_4d_shape_is_metadata_only(spark):
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.volumes import ensure_4d_shape
+
+    df = spark.createDataFrame(
+        [([2, 3],), ([2, 3, 4],), ([2, 3, 4, 5],)], "shape array<int>"
+    ).select(ensure_4d_shape(F.col("shape")).alias("s"))
+    assert [r["s"] for r in df.collect()] == [[2, 3, 1, 1], [2, 3, 4, 1], [2, 3, 4, 5]]
+
+
+def test_permute_axes_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.volumes import permute_axes_udf
+
+    rng = np.random.RandomState(4)
+    vol = rng.rand(2, 3, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(vol.ravel().tolist(), [2, 3, 4], [2, 0, 1])],
+        "pixels array<float>, shape array<int>, perm array<int>",
+    )
+    p = permute_axes_udf()
+    row = df.select(p("pixels", "shape", "perm").alias("o")).collect()[0]["o"]
+    exp = vol.transpose(2, 0, 1)
+    assert row["shape"] == [4, 2, 3]
+    got = np.asarray(row["pixels"], dtype=np.float32).reshape(4, 2, 3)
+    assert np.array_equal(got, exp)
