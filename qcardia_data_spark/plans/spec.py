@@ -273,3 +273,70 @@ def _side(spark: SparkSession, op: dict, sf_dir: str | None) -> DataFrame:
             raise SpecError("table side requires sf_dir")
         return load_table(spark, sf_dir, op["table"])
     raise SpecError(f"join/union side needs 'table' or 'pipeline': {op!r}")
+
+
+def compile_stream_pipeline(
+    spark: SparkSession, ops: Sequence[dict],
+) -> DataFrame:
+    """Compile an op list into a STREAMING DataFrame (SURVEY §2.12 × §2.13:
+    the declarative spec surface extended to Structured Streaming).
+
+    Ops:
+      {"op": "stream_source", "path": ..., "schema": <DDL or StructType>,
+       "format": "parquet", "max_files_per_trigger": 1}
+      {"op": "watermark", "col": "ts", "delay": "2 hours"}
+      {"op": "window_agg", "col": "ts", "width": "1 hour",
+       "by": [...extra keys...], "aggs": {"n": "count(*)"},
+       "slide": optional}
+      ...plus every STATELESS batch op (select / filter / with_columns /
+      rename / drop / explode) — reused verbatim from the batch compiler,
+      which is the point: one spec dialect, two execution modes.
+
+    Stateful batch-only ops (join to static is allowed by Spark, but
+    group_agg/sort/limit/sample are not meaningful mid-stream) raise
+    SpecError at plan time.
+    """
+    _STATELESS = {"select", "filter", "with_columns", "rename", "drop", "explode"}
+    df: DataFrame | None = None
+    prior_ops: list[dict] = []
+    for i, op in enumerate(ops):
+        if not isinstance(op, dict) or "op" not in op:
+            raise SpecError(f"op #{i} malformed: {op!r}")
+        if op.get("when") is False:
+            continue
+        kind = op["op"]
+        if kind == "stream_source":
+            reader = spark.readStream.schema(op["schema"]).option(
+                "maxFilesPerTrigger", op.get("max_files_per_trigger", 1)
+            )
+            df = getattr(reader, op.get("format", "parquet"))(op["path"])
+            prior_ops.append(op)
+            continue
+        if df is None:
+            raise SpecError(f"op #{i} ({kind}) before stream_source")
+        if kind == "watermark":
+            df = df.withWatermark(op["col"], op["delay"])
+        elif kind == "window_agg":
+            win = (
+                F.window(op["col"], op["width"], op["slide"])
+                if "slide" in op
+                else F.window(op["col"], op["width"])
+            )
+            keys = [win.alias("w")] + [F.col(c) for c in op.get("by", [])]
+            aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]
+            df = df.groupBy(*keys).agg(*aggs).select(
+                F.col("w.start").alias("window_start"),
+                *[c for c in op.get("by", [])],
+                *[F.col(n) for n in op["aggs"]],
+            )
+        elif kind in _STATELESS:
+            df = _apply(spark, df, op, None, prior_ops)
+        else:
+            raise SpecError(
+                f"op #{i} ({kind}) is not streamable (stateless ops: "
+                f"{sorted(_STATELESS)}, plus watermark/window_agg)"
+            )
+        prior_ops.append(op)
+    if df is None:
+        raise SpecError("empty pipeline: no stream_source op")
+    return df

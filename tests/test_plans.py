@@ -287,3 +287,49 @@ def test_data_module_lifecycle(spark, sf_dir, tmp_path):
     s1 = {(r["o_custkey"], r["split"]) for r in dm.frame("valid").select("o_custkey", "split").collect()}
     s2 = {(r["o_custkey"], r["split"]) for r in dm2.frame("valid").select("o_custkey", "split").collect()}
     assert s1 == s2
+
+
+def test_spec_stream_pipeline_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The SAME spec dialect compiles to a streaming job: watermarked
+    tumbling counts via spec ops equal the batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.plans.spec import SpecError, compile_stream_pipeline
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "ev"
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.coalesce(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    stream = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
+        {"op": "filter", "expr": "event_type in ('view', 'click')"},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+        {"op": "window_agg", "col": "ts", "width": "1 hour",
+         "by": ["event_type"], "aggs": {"n": "count(*)"}},
+    ])
+    # complete mode: append would withhold windows still open at stream
+    # end (their watermark never passes with availableNow termination)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in run_to_memory(stream, output_mode="complete").collect()
+    }
+    batch = (
+        spark.read.parquet(str(src))
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # stateful batch ops fail at PLAN time, not mid-job
+    import pytest as _pytest
+
+    with _pytest.raises(SpecError, match="not streamable"):
+        compile_stream_pipeline(spark, [
+            {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
+            {"op": "sort", "by": ["ts"]},
+        ])
