@@ -2919,6 +2919,52 @@ def ev_asof_last_view(spark, sf_dir):
 
 
 @_q(
+    "ev_range_join_views_before_purchase",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    p AS (SELECT event_id AS i_id, user_id, ts AS end_ts,
+                 ts - INTERVAL 30 MINUTE AS start_ts
+          FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS p_id, ts AS p_ts FROM e WHERE event_type = 'view'),
+    hits AS (SELECT p.i_id, count(*) AS n
+             FROM p JOIN v ON v.p_ts >= p.start_ts AND v.p_ts <= p.end_ts
+             GROUP BY p.i_id)
+    SELECT p.i_id AS purchase_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_views
+    FROM p LEFT JOIN hits ON p.i_id = hits.i_id
+    """,
+)
+def ev_range_join(spark, sf_dir):
+    # [ext] interval-containment join via the BUCKETED equi-join operator
+    # (operators/temporal.py) — the oracle restates it as the naive
+    # inequality join, so the driver verdict certifies the bucket-explode
+    # rewrite is semantics-preserving, not just fast.
+    from qcardia_data_spark.operators.temporal import bucketed_range_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("i_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    hits = (
+        bucketed_range_join(v, p, "p_ts", "start_ts", "end_ts", bucket_seconds=600)
+        .groupBy("i_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        p.join(hits, "i_id", "left")
+        .select(
+            F.col("i_id").alias("purchase_id"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_views"),
+        )
+    )
+
+
+@_q(
     "ev_funnel_depth",
     """
     WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
