@@ -333,3 +333,22 @@ def test_spec_stream_pipeline_matches_batch_twin(spark, sf_dir, tmp_path):
             {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
             {"op": "sort", "by": ["ts"]},
         ])
+
+
+def test_spec_stream_sliding_window(spark, sf_dir, tmp_path):
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "ev2"
+    load_table(spark, sf_dir, "events").limit(200).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+        {"op": "window_agg", "col": "ts", "width": "1 hour", "slide": "30 minutes",
+         "aggs": {"n": "count(*)"}},
+    ])
+    rows = run_to_memory(stream, output_mode="complete").collect()
+    # sliding windows: every event lands in exactly 2 windows
+    assert sum(r["n"] for r in rows) == 2 * 200
