@@ -56,17 +56,28 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    # Best-of-N per query: a single timing inherits host noise (r2's driver
+    # run recorded a uniform 1.3-1.6x "regression" across queries whose code
+    # had not changed). min-of-3 measures the plan, not the neighbours; the
+    # per-run spread is kept in the JSON so a noisy host is visible.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            # noop sink: full pipeline executes on executors, nothing ships to
-            # the driver — measures engine throughput, not collect() serialization
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink: full pipeline executes on executors, nothing
+                # ships to the driver — measures engine throughput, not
+                # collect() serialization
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(samples)
+            runs[name] = samples
         except Exception as e:  # keep benching; a broken query must not zero the run
             errors[name] = str(e).splitlines()[0][:200]
 
@@ -76,6 +87,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": sf,
     }
     if errors:

@@ -207,6 +207,16 @@ def near_dedup_minhash(
     The (id, shingle) row set is computed once and persisted — it feeds both
     the signature build and the Jaccard verify (at 100 TB you would
     checkpoint this intermediate instead).
+
+    The signature frame is materialized (``localCheckpoint``) before the
+    bucket join: it appears three times downstream (both self-join sides +
+    the bucket-size window), so leaving it lazy makes Catalyst re-optimize
+    and re-codegen the whole shingle→signature subtree per reference — at
+    sf0.1 the query was plan-overhead-bound (~1 s warm compute inside a
+    10 s wall). Truncating lineage here collapses the downstream plan to a
+    LogicalRDD scan; signatures are O(docs × bands) tiny rows, cheap to
+    hold. (On a real cluster use a reliable ``checkpoint()`` dir instead —
+    localCheckpoint does not survive executor loss.)
     """
     sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
     try:
@@ -220,6 +230,7 @@ def near_dedup_minhash(
             )
             .groupBy(id_col, "band")
             .agg(F.min("h").alias("sig"))
+            .localCheckpoint(eager=True)
         )
         cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
         dups = jaccard_verify_rows(cands, sh, id_col, threshold)

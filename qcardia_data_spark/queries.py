@@ -3038,65 +3038,70 @@ def ev_latest(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
+    # Round-3 window (verdict r2, "Next round" #1): the 13 registry queries
+    # that have never had a driver verdict, plus a12's rebuilt within-rsd
+    # invariant (r1's lone no_oracle row), plus the md5 twins of the two
+    # rows-only queries so the value-checked siblings are graded in the same
+    # window, padded with regrades of the pass-r1 p/j/a/w families for drift
+    # detection. With this window, every one of the 111 registry queries has
+    # a driver CORRECTNESS row cumulatively.
     "q1_pricing_summary",
-    "f3_standardize",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine",
-    # similarity search family
-    "sim_bruteforce_topk",
-    "sim_lsh_md5_topk",
+    # never-graded registry queries
+    "o5_first_k_preview",
+    "u2_except",
+    "g5_replicate_rows",
+    "f5_clamp",
+    "f9_intensity_augs",
+    "f17_file_id",
+    "emb_quantize_int8",
+    "ev_value_delta",
+    "ev_monthly_rollup",
+    "ev_hypertable_rollup",
+    "ev_range_join_views_before_purchase",
+    "sim_ann_join",
+    "sim_lsh_topk",
+    # a12 re-grade with the invariant oracle (was no_oracle in r1)
+    "a12_approx_count_distinct",
+    # value-checked md5 twins of the two rows-only entries above
     "sim_ann_join_md5",
-    "sim_ivf_topk",
-    # text analysis family
-    "text_token_stats",
-    "text_lang_id",
-    "text_jaccard_pairs",
-    "text_term_freq",
-    "text_tfidf",
-    "text_quality_filter",
-    "text_rolling_fingerprint",
-    # streaming batch twins + event relational ops
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_session_window",
-    "ev_attribution_join",
-    "ev_funnel_depth",
-    "ev_latest_dedup",
-    "ev_props_json",
-    "ev_asof_last_view",
-    "q6_revenue_forecast",
-    # set ops
-    "u1_union_by_name",
-    "u2b_except_all",
-    "u3_intersect",
-    # generators
-    "g1_posexplode",
-    "g2_token_explode",
-    "g3_explode_2d",
-    "g6_flatten",
-    # scalar/array functions
-    "f2_floor_to_zero",
-    "f4_minmax_normalize",
-    "f6_rand_solarize",
-    "f10_one_hot",
-    "f16_md5_fingerprint",
-    "f18_histogram_equalize",
-    "f19_overlay_rgb",
-    "f20_softmax",
-    "f7_rand_resample_2d",
-    "f8_invertible_resample_roundtrip",
-    "f11_enclosing_circle",
-    # sorts/limits + sampling
-    "o4_seeded_sample_k",
-    "x1_subject_level_split",
-    "x4_weighted_sample",
-    # multi-dim agg
-    "a13_cube",
+    "sim_lsh_md5_topk",
+    # drift-detection regrades: projections / filters (pass-r1)
+    "p1_reorder_columns",
+    "p2_drop_columns",
+    "p3_rename_columns",
+    "p4_eq_filter",
+    "p5_in_list",
+    "p6_conditional_skip",
+    "p7_orphan_check",
+    "p8_string_normalize",
+    "p9_derived_flags",
+    "p10_cyclic_renumber",
+    "p11_nullify_placeholders",
+    "p12_composite_key_roundtrip",
+    # joins (pass-r1)
+    "j1_weight_join",
+    "j2_broadcast_star_join",
+    "j3_anti_join",
+    "j4_semi_join",
+    "j5_first_match",
+    # aggregations (pass-r1)
+    "a1_group_weights_nullsafe",
+    "a2_stratified_sample",
+    "a3_summary_stats",
+    "a4_quantile_summary",
+    "a5_distinct_set_per_group",
+    "a6_argmax_per_group",
+    "a7_count_if",
+    "a8_histogram_cdf",
+    "a9_grouped_counts",
+    "a10_two_level_agg",
+    "a11_rollup",
+    "a14_grouping_sets",
+    # windows (pass-r1)
+    "w1_count_over_partition",
+    "w2_seeded_split",
+    "w3_rownum_per_group",
+    "w4_cumulative_sum",
 ]
 
 
