@@ -218,7 +218,12 @@ def near_dedup_minhash(
     hold. (On a real cluster use a reliable ``checkpoint()`` dir instead —
     localCheckpoint does not survive executor loss.)
     """
-    sh = shingle_rows(df, id_col, text_col, shingle_n).persist()
+    # Spread an under-partitioned corpus before the regexp-heavy shingle
+    # stage. (Round-2 measured this NET-NEGATIVE when the whole pipeline was
+    # one mega-plan — the plan-overhead tax dominated; with the signature
+    # checkpoint below splitting the plan, the spread is a clean 2-5× win on
+    # the tokenize stage and a no-op when the scan is already parallel.)
+    sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
     try:
         banded = sh.select(
             id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")

@@ -248,10 +248,36 @@ def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",
     n_planes: int = 6, seed: int = 0,
+    max_bucket_size: int | None = None, extra_planes: int = 4,
 ) -> DataFrame:
     """All-pairs ANN join: bucket both sides on hyperplane signature, join
     within buckets, keep top-k matches per left row. The join shuffles
-    O(N) bucket-tagged rows, never the O(N²) cross product."""
+    O(N) bucket-tagged rows, never the O(N²) cross product.
+
+    Hot-bucket guard (``max_bucket_size``, mirrors
+    :func:`~qcardia_data_spark.functions.dedup.lsh_candidate_pairs`): with
+    2^n_planes buckets, a skewed embedding distribution — or simply
+    N/2^n_planes occupancy at corpus scale — makes the within-bucket join
+    quadratic. Buckets whose RIGHT side exceeds the cap are handled in two
+    stages:
+
+    1. AND-compose ``extra_planes`` more hyperplanes (independent seed) on
+       BOTH sides of hot buckets only — subdivides each hot bucket up to
+       2^extra_planes ways while near-identical vectors still co-bucket.
+    2. Backstop cap: subdivision cannot split *identical* vectors (equal
+       sign pattern on every plane), so each still-hot (bucket, sub) group
+       keeps only ``max_bucket_size`` right rows, chosen by deterministic
+       keyed hash (unbiased, retry-stable). Each left row is then scored
+       against at most ``max_bucket_size`` candidates.
+
+    The backstop LOSES candidates by construction (a capped group's dropped
+    rows are never scored) — for identical/near-identical vectors the kept
+    sample is interchangeable with the dropped rows, so top-k *quality* is
+    preserved, but specific ids can differ from the uncapped join. Run
+    :func:`oversized_ann_buckets` alongside to log exactly which buckets the
+    cap touched. With no bucket over the cap the output is identical to the
+    unguarded join.
+    """
     from pyspark.sql.window import Window
 
     lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
@@ -260,9 +286,78 @@ def pairwise_topk_join(
     rb = right.select(F.col(id_right), F.col(vec_col).alias("_vr")).withColumn(
         "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed)
     )
-    joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
+    if max_bucket_size is not None:
+        # the bucketed right side is referenced three times (count agg, cold
+        # anti-probe, hot semi-probe) — persist so the hyperplane dot
+        # products run once per row, not three times (on a cluster you would
+        # persist before any self-join regardless; eviction is LRU-safe)
+        lb, rb = lb.persist(), rb.persist()
+        hot = (
+            rb.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("bucket")
+        )
+        # hot-bucket list is tiny (≤ 2^n_planes rows) — broadcast it, and
+        # keep the expensive machinery (subdivision planes, cap window) on
+        # the HOT slice only: on a normal corpus the hot slice is empty and
+        # the guard costs one small count-agg plus two broadcast probes.
+        def subdivide(df: DataFrame, vcol: str) -> DataFrame:
+            cold = df.join(F.broadcast(hot), "bucket", "left_anti").withColumn(
+                "sub", F.lit(-1)
+            )
+            hot_rows = df.join(F.broadcast(hot), "bucket", "left_semi").withColumn(
+                "sub", hyperplane_bucket(F.col(vcol), extra_planes, seed + 1_000_003)
+            )
+            return cold, hot_rows
+
+        l_cold, l_hot = subdivide(lb, "_vl")
+        r_cold, r_hot = subdivide(rb, "_vr")
+        # backstop: subdivision cannot split identical vectors — cap each
+        # still-hot (bucket, sub) group by deterministic keyed hash
+        cap_w = Window.partitionBy("bucket", "sub").orderBy(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_right)))
+        )
+        r_hot = (
+            r_hot.withColumn("_cap_rn", F.row_number().over(cap_w))
+            .filter(F.col("_cap_rn") <= max_bucket_size)
+            .drop("_cap_rn")
+        )
+        lb = l_cold.unionByName(l_hot)
+        rb = r_cold.unionByName(r_hot)
+        joined = lb.join(rb, ["bucket", "sub"]).filter(F.col(id_left) != F.col(id_right))
+    else:
+        joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
     scored = joined.select(
         id_left, id_right, cosine(F.col("_vl"), F.col("_vr")).alias("score")
     )
     w = Window.partitionBy(id_left).orderBy(F.desc("score"), F.col(id_right))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def oversized_ann_buckets(
+    right: DataFrame, max_bucket_size: int, vec_col: str = "embedding",
+    n_planes: int = 6, seed: int = 0, extra_planes: int = 4,
+) -> DataFrame:
+    """Audit companion to :func:`pairwise_topk_join`'s hot-bucket guard:
+    (bucket, sub, bucket_n, rows_capped) for every subdivided group the
+    backstop cap would truncate — log this instead of truncating silently
+    (rows_capped = candidates each left row in that group will never see)."""
+    rb = right.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed))
+    hot = (
+        rb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select("bucket")
+    )
+    sub = hyperplane_bucket(F.col(vec_col), extra_planes, seed + 1_000_003)
+    groups = (
+        rb.join(F.broadcast(hot), "bucket")
+        .withColumn("sub", sub)
+        .groupBy("bucket", "sub")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+    return groups.withColumn(
+        "rows_capped", (F.col("bucket_n") - F.lit(max_bucket_size)).cast("long")
+    )

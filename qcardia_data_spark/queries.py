@@ -2291,12 +2291,14 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 @_q("sim_ann_join", None)  # hyperplane buckets (xxhash64) → rows-only check
 def sim_ann_join(spark, sf_dir):
-    # all-pairs ANN join: O(N) bucket-tagged shuffle instead of O(N²) cross
+    # all-pairs ANN join: O(N) bucket-tagged shuffle instead of O(N²) cross.
+    # Hot-bucket guard on (scale default): no-op on this corpus (buckets ≪
+    # cap ⇒ bit-identical), bounds the boilerplate/skew blowup at 100 TB.
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.pairwise_topk_join(
         emb.select(F.col("vec_id").alias("a"), "embedding"),
         emb.select(F.col("vec_id").alias("b"), "embedding"),
-        k=3, id_left="a", id_right="b", n_planes=6,
+        k=3, id_left="a", id_right="b", n_planes=6, max_bucket_size=1000,
     )
     return out.select("a", "b", F.round("score", 6).alias("score"))
 

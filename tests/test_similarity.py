@@ -140,3 +140,62 @@ def test_int8_quantization_dequant_error_bound(spark, sf_dir):
     for r in rows:
         assert r["q_max"] <= 127
         assert r["max_err"] <= r["half_step"] + 1e-12
+
+
+def test_ann_join_hot_bucket_guard_bounds_candidates(spark):
+    """Adversarial corpus: 1k IDENTICAL embeddings all land in one
+    hyperplane bucket (identical sign pattern on every plane — subdivision
+    cannot split them). Unguarded, the within-bucket join is k² ≈ 10⁶
+    pairs; the backstop cap must bound each left row's candidate set to
+    max_bucket_size while still returning full top-k rows."""
+    dim = 8
+    base = [float(j + 1) for j in range(dim)]
+    rows = [(i, base) for i in range(1000)]
+    emb = spark.createDataFrame(rows, ["vid", "embedding"])
+    left = emb.select(F.col("vid").alias("a"), "embedding")
+    right = emb.select(F.col("vid").alias("b"), "embedding")
+
+    cap = 50
+    out = SIM.pairwise_topk_join(
+        left, right, k=3, id_left="a", id_right="b", vec_col="embedding",
+        n_planes=4, seed=0, max_bucket_size=cap,
+    )
+    got = out.collect()
+    # scored pairs per left row bounded by the cap (minus possible self-hit),
+    # so the result is exactly k rows per left row, all perfect matches
+    assert len(got) == 1000 * 3
+    assert all(abs(r["score"] - 1.0) < 1e-9 for r in got)
+    # the join itself must stay bounded: count candidate pairs via the same
+    # plan with a huge k — ≤ cap candidates per left row, NOT 999
+    all_pairs = SIM.pairwise_topk_join(
+        left, right, k=10_000, id_left="a", id_right="b", vec_col="embedding",
+        n_planes=4, seed=0, max_bucket_size=cap,
+    )
+    per_left = all_pairs.groupBy("a").count().agg(F.max("count")).collect()[0][0]
+    assert per_left <= cap
+
+    # audit names the capped group and how many rows each left row never saw
+    audit = SIM.oversized_ann_buckets(
+        right, max_bucket_size=cap, vec_col="embedding", n_planes=4, seed=0
+    ).collect()
+    assert len(audit) == 1
+    assert audit[0]["bucket_n"] == 1000
+    assert audit[0]["rows_capped"] == 1000 - cap
+
+
+def test_ann_join_guard_identity_when_buckets_small(spark, sf_dir):
+    """On a normal corpus (no bucket over the cap) the guarded join must be
+    bit-identical to the unguarded one — the guard is free until needed."""
+    from qcardia_data_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    left = emb.select(F.col("vec_id").alias("a"), "embedding")
+    right = emb.select(F.col("vec_id").alias("b"), "embedding")
+    plain = SIM.pairwise_topk_join(left, right, k=3, n_planes=6, seed=0)
+    guarded = SIM.pairwise_topk_join(
+        left, right, k=3, n_planes=6, seed=0, max_bucket_size=100_000
+    )
+    key = lambda r: (r["a"], r["b"])  # noqa: E731
+    p = sorted([(r["a"], r["b"], round(r["score"], 9)) for r in plain.collect()])
+    g = sorted([(r["a"], r["b"], round(r["score"], 9)) for r in guarded.collect()])
+    assert p == g
