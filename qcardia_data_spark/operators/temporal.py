@@ -20,63 +20,77 @@ from pyspark.sql.window import Window
 def asof_join(
     left: DataFrame, right: DataFrame, by: Sequence[str],
     left_ts: str, right_ts: str, carry: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the ``carry`` columns
-    of the LATEST right row with ``right_ts <= left_ts`` and equal ``by``
-    keys (DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics, left
-    outer: unmatched left rows keep NULL carries).
+    """As-of join: for each left row, attach the ``carry`` columns of the
+    matching right row with equal ``by`` keys — the LATEST right row with
+    ``right_ts <= left_ts`` (``direction="backward"``, DuckDB ``ASOF JOIN``
+    / pandas ``merge_asof`` default) or the EARLIEST right row with
+    ``right_ts >= left_ts`` (``direction="forward"``). Left outer:
+    unmatched left rows keep NULL carries.
 
-    Implementation is union + running ``last(ignorenulls)`` window — one
-    hash shuffle on ``by``, sort within partitions, NO range/theta join and
-    no per-key state blowup: exactly the plan you want at 100 TB (both
-    sides co-partitioned by key, linear scan per key). Ties on the
-    timestamp: right rows order before left rows at the same instant, so
-    an exactly-simultaneous right row IS visible to the left row; among
-    simultaneous right rows the largest ``(ts, last carry)`` in sort order
-    wins — callers needing a specific tiebreak add it to ``carry`` sorting
-    upstream.
+    Implementation is union + running ``last``/``first`` (ignorenulls)
+    window — one hash shuffle on ``by``, sort within partitions, NO
+    range/theta join and no per-key state blowup: exactly the plan you want
+    at 100 TB (both sides co-partitioned by key, linear scan per key).
+
+    All carry columns travel as ONE struct, so a match is row-atomic: the
+    carries always come from the same right row, and a matched right row
+    whose carry value is legitimately NULL yields NULL (it does not inherit
+    an older row's value) — the pandas/DuckDB semantics. Ties: an
+    exactly-simultaneous right row IS visible to the left row; among
+    simultaneous right rows the one with the greatest (backward) / least
+    (forward) carry-struct sort order wins, deterministically. Carry
+    columns must therefore be orderable types (no maps).
 
     ``carry`` names must not collide with left's columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = list(by)
     carry = list(carry)
     clash = set(carry) & set(left.columns)
     if clash:
         raise ValueError(f"carry columns collide with left columns: {sorted(clash)}")
 
-    r = right.select(
-        *by,
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
-        *[F.col(c) for c in carry],
-    )
+    # backward: right rows sort BEFORE left at the same instant (visible to
+    # the preceding-frame fill); forward: right rows sort AFTER left
+    side_left, side_right = (1, 0) if direction == "backward" else (0, 1)
+    rtypes = dict(right.dtypes)
+    carry_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in carry) + ">"
+
     left_only = [c for c in left.columns if c not in by and c != left_ts]
-    l = left.select(  # noqa: E741
+    l_aligned = left.select(
         *by,
         F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        *[F.col(c) for c in left_only],
-    )
-    r_aligned = r.select(
-        *by, "_t", "_side",
-        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
-        *[F.col(c) for c in carry],
-    )
-    l_aligned = l.select(
-        *by, "_t", "_side",
+        F.lit(side_left).alias("_side"),
         *left_only,
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in carry],
+        F.lit(None).cast(carry_ddl).alias("_carry"),
+    )
+    r_aligned = right.select(
+        *by,
+        F.col(right_ts).alias("_t"),
+        F.lit(side_right).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
+        F.struct(*[F.col(c) for c in carry]).alias("_carry"),
     )
     u = l_aligned.unionByName(r_aligned)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("_t"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    base = Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_side"), F.col("_carry"))
+    if direction == "backward":
+        filled = F.last("_carry", ignorenulls=True).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        filled = F.first("_carry", ignorenulls=True).over(
+            base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    u = u.withColumn("_carry", filled)
+    out = u.filter(F.col("_side") == side_left).withColumnRenamed("_t", left_ts)
+    return out.select(
+        *by, left_ts, *left_only,
+        *[F.col(f"_carry.{c}").alias(c) for c in carry],
     )
-    for c in carry:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side").withColumnRenamed("_t", left_ts)
 
 
 def bucketed_range_join(

@@ -2921,6 +2921,44 @@ def ev_asof_last_view(spark, sf_dir):
 
 
 @_q(
+    "ev_asof_next_purchase",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id AS p_user, ts AS p_ts FROM e WHERE event_type = 'purchase'),
+    nxt AS (SELECT v.event_id, min(p.p_ts) AS p_ts
+            FROM v JOIN p ON p.p_user = v.user_id AND p.p_ts >= v.ts
+            GROUP BY v.event_id)
+    SELECT v.event_id, v.user_id,
+           CAST(coalesce(date_diff('second', v.ts, nxt.p_ts), -1) AS BIGINT) AS gap_s
+    FROM v LEFT JOIN nxt ON v.event_id = nxt.event_id
+    """,
+)
+def ev_asof_next_purchase(spark, sf_dir):
+    # [ext] FORWARD as-of join — "time to next conversion": for each view,
+    # seconds until that user's earliest purchase at-or-after it. Same
+    # union+window plan as the backward form with the frame reversed
+    # (first() over the following frame); the oracle restates it as
+    # min-over-inequality, so the two formulations check each other.
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("p_ts")
+    )
+    out = asof_join(
+        v, p, by=["user_id"], left_ts="ts", right_ts="ts", carry=["p_ts"],
+        direction="forward",
+    )
+    gap = F.unix_timestamp("p_ts") - F.unix_timestamp("ts")
+    return out.select(
+        "event_id", "user_id", F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s")
+    )
+
+
+@_q(
     "ev_range_join_views_before_purchase",
     """
     WITH e AS (SELECT event_id, user_id, event_type,

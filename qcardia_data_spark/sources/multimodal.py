@@ -65,25 +65,44 @@ def _fake_decode(content: bytes, height: int = 8, width: int = 8, n_frames: int 
 
 
 def decode_image(fmt: str = "fake", height: int = 8, width: int = 8, n_frames: int = 2):
-    """Build a mapInPandas decode stage for binaryFile rows
-    (path, modificationTime, length, content) → DECODED_SCHEMA rows.
+    """ONE decode entry point for binaryFile rows → decoded records,
+    dispatching on ``fmt`` to the real pure-Python codecs:
 
-    Arrow-batched: each pandas batch decodes serially inside one Python
-    worker; parallelism comes from file-partitioned input. Real formats
-    (``nii``, ``dcm``, ``png``…) raise NotImplementedError at the codec
-    boundary only.
+    - ``"nii"`` → :func:`decode_nifti` (NIFTI_SCHEMA: shape + affine)
+    - ``"dcm"`` → :func:`decode_dicom` (DICOM_SCHEMA: geometry tags + plane)
+    - ``"png"`` → stdlib PNG codec (DECODED_SCHEMA; n_frames = channels)
+    - ``"fake"`` → deterministic sha256-seeded stub (DECODED_SCHEMA) for
+      plumbing tests
+    - anything else raises ``NotImplementedError`` at STAGE-BUILD time (a
+      missing codec should fail the plan, not the first task).
+
+    Output schema is per-format — volumetric formats carry affine/geometry
+    the flat image schema cannot. All stages are Arrow-batched mapInPandas
+    after metadata predicates, so filters prune files before a byte is
+    decoded.
     """
+    if fmt == "nii":
+        return decode_nifti
+    if fmt == "dcm":
+        return decode_dicom
+    if fmt not in ("png", "fake"):
+        raise NotImplementedError(
+            f"codec {fmt!r}: no pure-Python codec available in this "
+            "environment (supported: nii, dcm, png, fake)"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from qcardia_data_spark.sources.png import decode_png
+
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                if fmt != "fake":
-                    raise NotImplementedError(
-                        f"codec {fmt!r} requires external libs absent from this "
-                        "environment; plumbing is real, codec is stubbed"
-                    )
-                arr = _fake_decode(bytes(content), height, width, n_frames)
+                if fmt == "png":
+                    arr = decode_png(bytes(content)).astype(np.float32)
+                    if arr.ndim == 2:  # grayscale → single channel
+                        arr = arr[:, :, None]
+                else:
+                    arr = _fake_decode(bytes(content), height, width, n_frames)
                 rows.append({
                     "path": path,
                     "height": arr.shape[0],

@@ -133,3 +133,51 @@ def test_overlay_rgb_matches_reference_mask_loop(spark):
     row = df.collect()[0]["rgb"]
     got = np.stack([row["r"], row["g"], row["b"]], axis=1)
     assert np.allclose(got, expected, atol=1e-12)
+
+
+def test_histogram_equalize_table_matches_column_form(spark):
+    """The O(n log n) row form must produce exactly the column form's CDF
+    values, element-aligned, on arbitrary arrays (ties included)."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.integers(0, 20, size=rng.integers(1, 40))])
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "arr"])
+    from qcardia_data_spark.functions.geometry import histogram_equalize_table
+
+    col_form = {
+        r["rid"]: r["e"]
+        for r in df.select("rid", histogram_equalize(F.col("arr")).alias("e")).collect()
+    }
+    row_form = {
+        r["rid"]: r["equalized"]
+        for r in histogram_equalize_table(df, "rid", "arr").collect()
+    }
+    assert col_form.keys() == row_form.keys()
+    for k in col_form:
+        assert col_form[k] == pytest.approx(row_form[k], abs=1e-12)
+
+
+def test_histogram_equalize_table_image_scale(spark):
+    """A 256×256 record (65k elements) — the column form's 4×10⁹-comparison
+    domain — must equalize in engine time, not quadratic time, and come back
+    a valid CDF (sorted ranks in (0, 1], max exactly 1)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    img = [float(x) for x in rng.integers(0, 256, size=256 * 256)]
+    df = spark.createDataFrame([(0, img)], ["rid", "arr"])
+    from qcardia_data_spark.functions.geometry import histogram_equalize_table
+
+    t0 = time.perf_counter()
+    out = histogram_equalize_table(df, "rid", "arr").collect()[0]["equalized"]
+    elapsed = time.perf_counter() - t0
+    assert len(out) == 256 * 256
+    assert max(out) == pytest.approx(1.0)
+    assert min(out) > 0.0
+    # rank of each element must equal count(x <= e) computed by numpy
+    a = np.asarray(img)
+    want = np.searchsorted(np.sort(a), a, side="right") / a.size
+    assert np.allclose(np.asarray(out), want)
+    assert elapsed < 30  # seconds — the quadratic form would take hours

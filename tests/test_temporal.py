@@ -148,3 +148,65 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in ref.itertuples()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_asof_join_forward_matches_pandas_merge_asof(spark):
+    """Forward direction: earliest right row with right_ts >= left_ts,
+    property-checked vs pandas merge_asof(direction='forward') on
+    randomized corpora (unique right ts per key, as above)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(23)
+    for trial in range(5):
+        keys = ["a", "b", "c"]
+        quotes, seen = [], set()
+        for _ in range(40):
+            k = keys[rng.randint(len(keys))]
+            t = int(rng.randint(0, 10_000))
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            quotes.append((k, _ts(0) + dt.timedelta(seconds=t), float(len(seen))))
+        trades = [
+            (keys[rng.randint(len(keys))], _ts(0) + dt.timedelta(seconds=int(rng.randint(0, 10_000))), i)
+            for i in range(60)
+        ]
+        qdf = spark.createDataFrame(quotes, ["k", "ts", "px"])
+        tdf = spark.createDataFrame(trades, ["k", "ts", "tid"])
+        got = {
+            r["tid"]: r["px"]
+            for r in asof_join(
+                tdf, qdf, ["k"], "ts", "ts", ["px"], direction="forward"
+            ).collect()
+        }
+        qp = pd.DataFrame(quotes, columns=["k", "ts", "px"]).sort_values("ts")
+        tp = pd.DataFrame(trades, columns=["k", "ts", "tid"]).sort_values("ts")
+        ref = pd.merge_asof(tp, qp, on="ts", by="k", direction="forward")
+        want = {
+            int(r.tid): (None if pd.isna(r.px) else float(r.px))
+            for r in ref.itertuples()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_asof_join_carry_is_row_atomic_and_null_preserving(spark):
+    """A matched right row whose carry value is NULL must yield NULL (not an
+    older row's value), and multiple carries must all come from the SAME
+    right row — the struct-carry semantics pandas/DuckDB have."""
+    left = spark.createDataFrame(
+        [("k", _ts(10), 1), ("k", _ts(30), 2)], ["k", "ts", "tid"]
+    )
+    # at t=5: (px=1.0, qty=10); at t=25: (px=NULL, qty=20)
+    right = spark.createDataFrame(
+        [("k", _ts(5), 1.0, 10), ("k", _ts(25), None, 20)],
+        ["k", "ts", "px", "qty"],
+    )
+    out = {
+        r["tid"]: (r["px"], r["qty"])
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["px", "qty"]).collect()
+    }
+    assert out[1] == (1.0, 10)
+    # t=30 matches the t=25 row: px must be NULL (not 1.0 carried from
+    # t=5), qty must be 20 — atomically the t=25 row
+    assert out[2] == (None, 20)

@@ -126,10 +126,37 @@ def test_binary_scan_and_fake_decode(spark, binary_dir):
     assert {r["path"]: r["pixels"] for r in rows} == {r["path"]: r["pixels"] for r in again}
 
 
-def test_real_codec_is_clearly_stubbed(spark, binary_dir):
+def test_decode_image_dispatches_to_real_codecs(spark, binary_dir):
+    # absent codec → loud NotImplementedError at STAGE-BUILD time
+    with pytest.raises(NotImplementedError, match="webp"):
+        MM.decode_image("webp")
+    # "nii" routes to the real NIfTI codec — garbage bytes fail its parser
     blobs = R.binary_file_scan(spark, binary_dir, glob="*.bin")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="NIfTI|nifti|magic"):
         MM.decode_image("nii")(blobs).collect()
+
+
+def test_decode_image_png_roundtrip(spark, tmp_path):
+    """decode_image('png') must decode what encode_png wrote — the unified
+    entry point runs the real stdlib codec, not the fake."""
+    from qcardia_data_spark.sources.png import encode_png
+
+    rng = np.random.default_rng(3)
+    imgs = {}
+    d = tmp_path / "pngs"
+    d.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+        imgs[f"img_{i}.png"] = arr
+        (d / f"img_{i}.png").write_bytes(encode_png(arr))
+    blobs = R.binary_file_scan(spark, str(d), glob="*.png")
+    rows = MM.decode_image("png")(blobs).collect()
+    assert len(rows) == 3
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        assert (r["height"], r["width"], r["n_frames"]) == (5, 7, 1)
+        got = np.array(r["pixels"]).reshape(5, 7)
+        assert np.array_equal(got, imgs[name].astype(np.float32))
 
 
 def test_frame_sample_slices_correct_plane(spark, binary_dir):
