@@ -114,10 +114,15 @@ def lsh_candidate_pairs(
     Hot-bucket guard (the boilerplate-corpus failure mode: one signature
     shared by k docs makes the self-join emit k² pairs): buckets larger
     than ``max_bucket_size`` switch from all-pairs to a STAR join on the
-    bucket's min id — k−1 edges instead of k(k−1)/2, still one connected
-    component for downstream cluster/dedup resolution, nothing silently
-    dropped. Small buckets keep exact all-pairs. The count window rides the
-    same (band, sig) shuffle the join needs anyway — no extra exchange."""
+    bucket's min id — k−1 edges instead of k(k−1)/2. As a CANDIDATE graph
+    this loses no connectivity (the star spans the bucket, so transitive
+    resolution — e.g. :func:`connected_components` — still finds one
+    component). BUT if a downstream verifier prunes edges (near-dedup's
+    Jaccard threshold), a star edge whose HUB fails the threshold takes the
+    member pair it mediated with it — see the recall note on
+    :func:`near_dedup_minhash`. Small buckets keep exact all-pairs. The
+    count window rides the same (band, sig) shuffle the join needs anyway —
+    no extra exchange."""
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
     if max_bucket_size is None:
@@ -202,7 +207,17 @@ def near_dedup_minhash(
     ``max_bucket_size`` bounds boilerplate-corpus blowup: buckets past the
     cap generate star edges to the bucket min-id instead of all pairs (see
     :func:`lsh_candidate_pairs`) — on a normal corpus (buckets ≪ cap) the
-    output is bit-identical to the uncapped form.
+    output is bit-identical to the uncapped form. RECALL CAVEAT when the
+    cap fires: star edges are verified hub↔member, so two non-hub members
+    of an oversized bucket whose similarity to the HUB falls below
+    ``threshold`` are never compared to each other — genuine duplicate
+    pairs between them escape this single pass. In an oversized LSH bucket
+    members share a full band signature (usually near-identical
+    boilerplate, where hub-mediation holds), but it is an approximation,
+    not an equivalence: monitor :func:`oversized_lsh_buckets`, and for
+    full recall on capped buckets iterate — drop resolved members and
+    re-run, or feed the star edges to :func:`connected_components` and
+    verify per cluster.
 
     The (id, shingle) row set is computed once and persisted — it feeds both
     the signature build and the Jaccard verify (at 100 TB you would

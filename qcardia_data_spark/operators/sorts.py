@@ -47,18 +47,27 @@ def dense_rank_desc(df: DataFrame, value: str, out: str = "rank") -> DataFrame:
     reformat/utils.py:235-237: positions sorted high→low, index by rank).
 
     Scale-safe form: a dense rank is a function of the DISTINCT value set
-    alone, so rank the distinct frame (a global window over few rows —
-    rank-by-value columns are low-cardinality by nature) and broadcast-join
-    back, instead of a global window over every record (single-task sort
-    of the whole frame — the non-scalable plan shape)."""
+    alone, so rank the distinct frame and broadcast-join back, instead of a
+    global window over every record (single-task sort of the whole frame —
+    the non-scalable plan shape). ASSUMES ``value`` is LOW-CARDINALITY
+    (slice positions, priorities — tens to thousands of distinct values):
+    the distinct frame is broadcast, so a high-cardinality column would
+    make the broadcast itself the hazard; use a plain window (partitioned
+    by a real key) for those. The join is null-safe: NULL values keep
+    their rows and rank where the window form put them (descending order
+    sorts NULLs last in Spark)."""
     from pyspark.sql.window import Window
 
     ranked = (
         df.select(value)
         .distinct()
         .withColumn(out, F.dense_rank().over(Window.orderBy(F.desc(value))))
+        .withColumnRenamed(value, "_rank_value")
     )
-    return df.join(F.broadcast(ranked), value)
+    return (
+        df.join(F.broadcast(ranked), df[value].eqNullSafe(F.col("_rank_value")))
+        .drop("_rank_value")
+    )
 
 
 def seeded_sample_n(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:

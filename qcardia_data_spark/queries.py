@@ -292,23 +292,29 @@ def p12_key(spark, sf_dir):
 )
 def q4_order_priority(spark, sf_dir):
     # TPC-H Q4 shape: correlated EXISTS with a non-equi residual
-    # (shipdate > orderdate). Expressed as fact-side probe of the BROADCAST
-    # filtered orders + distinct, NOT a left_semi with the fact as probe
-    # input: a semi join preserving the small side forces the 100×-bigger
-    # lineitem through the join's shuffle/build, while this shape streams
-    # lineitem once against a hash table and shuffles only the matched
-    # order keys (measured 5.2× faster at a 60M-row fact; if the filtered
-    # window outgrows the broadcast threshold at extreme SF, AQE falls back
-    # to a shuffled join with the same distinct shape).
+    # (shipdate > orderdate). Expressed as fact-side probe of the filtered
+    # orders + distinct, NOT a left_semi with the fact as probe input: a
+    # semi join preserving the small side forces the 100×-bigger lineitem
+    # through the join's shuffle/build, while this shape streams lineitem
+    # once against a hash table and shuffles only the matched order keys
+    # (measured 5.2× faster at a 60M-row fact). NO explicit broadcast()
+    # hint: a hint is ALWAYS honored regardless of size, so at extreme SF
+    # (tens of millions of filtered orders) it would OOM the driver instead
+    # of degrading; the threshold/AQE-based planner picks broadcast when
+    # the filtered window fits (verified: plan shows BroadcastHashJoin at
+    # the 60M-row yardstick, same speed as the hinted form) and falls back
+    # to a shuffled join with the same distinct shape when it doesn't.
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem")
+    osel = o.select("o_orderkey", "o_orderdate", "o_orderpriority")
     hits = (
         li.join(
-            F.broadcast(o.select("o_orderkey", "o_orderdate", "o_orderpriority")),
-            (li["l_orderkey"] == o["o_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            osel,
+            (li["l_orderkey"] == osel["o_orderkey"])
+            & (li["l_shipdate"] > osel["o_orderdate"]),
         )
         .select("o_orderkey", "o_orderpriority")
         .distinct()

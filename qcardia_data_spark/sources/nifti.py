@@ -21,7 +21,11 @@ import struct
 import numpy as np
 
 _HDR_SIZE = 348
-_MAGIC_OFFSETS = {b"n+1\x00": None, b"ni1\x00": None}  # single-file / hdr-pair
+# single-file magic only: 'ni1\0' marks a DETACHED .hdr/.img pair whose
+# voxels live in a separate file this byte-level decoder never sees —
+# accepting it would read garbage from the header buffer, so reject loudly
+_MAGIC_SINGLE = b"n+1\x00"
+_MAGIC_DETACHED = b"ni1\x00"
 
 # nifti1.h datatype codes → numpy dtypes (the subset medical data uses)
 _DTYPES = {
@@ -67,7 +71,12 @@ def decode_nifti1(data: bytes) -> tuple[np.ndarray, np.ndarray, dict]:
         if sizeof_hdr != _HDR_SIZE:
             raise ValueError(f"bad sizeof_hdr {sizeof_hdr}: not NIfTI-1")
     magic = data[344:348]
-    if magic not in _MAGIC_OFFSETS:
+    if magic == _MAGIC_DETACHED:
+        raise ValueError(
+            "detached .hdr/.img NIfTI pairs are not supported: voxel data "
+            "lives in a separate .img file; supply a single-file .nii"
+        )
+    if magic != _MAGIC_SINGLE:
         raise ValueError(f"bad NIfTI magic {magic!r}")
 
     dim = struct.unpack_from(f"{end}8h", data, 40)

@@ -160,3 +160,16 @@ def test_seeded_split_is_exact_fraction(spark):
     out = seeded_split(df, "k", 0.2, seed=9)
     counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts == {"valid": 40, "train": 160}
+
+
+def test_dense_rank_desc_keeps_null_rows(spark):
+    """NULL values must keep their rows (null-safe join) and take the rank
+    the window form gives them: descending order sorts NULLs last."""
+    df = spark.createDataFrame(
+        [(1, 30.0), (2, None), (3, 10.0), (4, 30.0), (5, None)], ["id", "v"]
+    )
+    got = {r["id"]: r["rank"] for r in O.dense_rank_desc(df, "v").collect()}
+    assert len(got) == 5  # no rows dropped
+    assert got[1] == got[4] == 1  # 30.0 ranks first
+    assert got[3] == 2
+    assert got[2] == got[5] == 3  # NULLs last, one dense rank
