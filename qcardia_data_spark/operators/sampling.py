@@ -21,20 +21,23 @@ def subject_level_split(
     """X1 — seeded train/valid partition at SUBJECT granularity
     (reference data_split.py:73-84; config ``valid_partition``).
 
-    Splits the distinct-subject frame, then broadcast-joins the assignment
-    back — records of one subject can never straddle splits (the
-    ``randomSplit`` leak SURVEY §7.3 warns about). The distinct-subject
-    frame is tiny relative to records, so the join back is map-side.
+    Splits the distinct-subject frame, then joins the assignment back —
+    records of one subject can never straddle splits (the ``randomSplit``
+    leak SURVEY §7.3 warns about). The distinct-subject frame is small
+    relative to records, so the planner broadcasts it (map-side join back);
+    no explicit hint, so a corpus with hundreds of millions of subjects
+    degrades to a co-partitioned shuffle join instead of OOM.
     """
     subjects = df.select(subject_col).distinct()
     assigned = seeded_split(subjects, subject_col, valid_fraction, seed, out)
-    return df.join(F.broadcast(assigned), on=subject_col, how="left")
+    return df.join(assigned, on=subject_col, how="left")
 
 
 def split_from_table(df: DataFrame, split_table: DataFrame, on: Sequence[str]) -> DataFrame:
     """X2 — honor an explicit split assignment table when present
-    (split YAML fast path, reference data_split.py:43-49)."""
-    return df.join(F.broadcast(split_table), on=list(on), how="left")
+    (split YAML fast path, reference data_split.py:43-49). Config-provided
+    split tables are small; the planner broadcasts them without a hint."""
+    return df.join(split_table, on=list(on), how="left")
 
 
 def stratified_sample_n(

@@ -344,7 +344,7 @@ def q12_shipmode(spark, sf_dir):
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -380,7 +380,7 @@ def q14_promo(spark, sf_dir):
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     return joined.agg(
         F.round(
             100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
@@ -711,24 +711,32 @@ def a10_two_level(spark, sf_dir):
     """,
 )
 def q3_shipping(spark, sf_dir):
-    # TPC-H Q3 shape: selective dim filter broadcast into the fact join,
-    # decimal-exact revenue, TakeOrderedAndProject top-k
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # TPC-H Q3 shape: decimal-exact revenue, TakeOrderedAndProject top-k.
+    # Join order: the MOST SELECTIVE side leads — l_shipdate > 1998-03-15
+    # keeps ~2% of lineitem, so the filtered fact probes orders first and
+    # the (li⋈o) output probes customer, all on pruned 3-4 column
+    # projections. NO broadcast hints (every side scales with SF — the q4
+    # OOM lesson): the planner CAN estimate filtered base scans, so it
+    # broadcasts the small filtered fact here (measured 1.2 s vs 1.9 s for
+    # the orders⋈customer-first SMJ shape at the 60M-row yardstick) and
+    # degrades to co-partitioned shuffle joins at SF where nothing fits.
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     # revenue in integer basis points (cents x (100 - disc_pct)): exact for
     # 2-decimal money, sums stay in codegen'd long arithmetic (same finding
-    # as q1 — the decimal path re-measured ~25% slower end-to-end here)
+    # as q1 — the decimal path re-measured ~25% slower end-to-end here).
     rev_bp = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * (
         100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     )
-    joined = li.join(
-        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"])),
-        li["l_orderkey"] == o["o_orderkey"],
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -774,9 +782,16 @@ def q5_local_supplier(spark, sf_dir):
     # Most-selective probe FIRST: the region filter reaches the fact through
     # supplier (nation⋈region pre-joined into a tiny ASIA supplier dim), so
     # ~4/5 of lineitem drops at the first hash probe and every later
-    # broadcast probe (orders date window, customer nation-match) touches
-    # 5× fewer rows — measured 2.3× over the orders-first ordering at a
-    # 60M-row fact. Same number of broadcasts, same single fact pass.
+    # probe (orders date window, customer nation-match) touches 5× fewer
+    # rows — measured 2.3× over the orders-first ordering at a 60M-row
+    # fact. Hint policy: s_asia KEEPS an explicit broadcast — the planner
+    # cannot estimate a join OUTPUT's size (measured: hint-free it
+    # SortMergeJoins the whole fact on l_suppkey, 2.9 s vs 1.2 s), and the
+    # slice is bounded by one region's supplier count (~1/5 of suppliers ×
+    # 3 narrow cols ≈ 40 MB at SF1000 — inside any sane broadcast budget).
+    # The SF-scaled orders/customer sides carry NO hint: the threshold/AQE
+    # planner broadcasts them while they fit and shuffle-joins past that
+    # instead of OOMing the driver (the q4 lesson).
     s_asia = (
         s.join(
             F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
@@ -785,9 +800,9 @@ def q5_local_supplier(spark, sf_dir):
     )
     joined = (
         li.join(F.broadcast(s_asia), li["l_suppkey"] == s_asia["s_suppkey"])
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(c),
+            c,
             (o["o_custkey"] == c["c_custkey"])
             & (c["c_nationkey"] == s_asia["s_nationkey"]),
         )
@@ -2600,7 +2615,7 @@ def text_tfidf(spark, sf_dir):
             F.col("df") >= 50
         )
         out = (
-            terms.join(F.broadcast(dfreq), "term")
+            terms.join(dfreq, "term")
             .select(
                 "doc_id", "term",
                 F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
@@ -3028,20 +3043,22 @@ def ev_range_join(spark, sf_dir):
 )
 def ev_funnel(spark, sf_dir):
     # staged funnel: first view → first later click → first later purchase;
-    # each stage is a grouped min + broadcast join back (no window over the
-    # full event stream)
+    # each stage is a grouped min joined back (no window over the full
+    # event stream). Stage frames scale with users, so no broadcast hint —
+    # the planner broadcasts while they fit and co-partitions on user_id
+    # past that.
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
     s2 = (
         e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

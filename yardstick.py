@@ -29,7 +29,7 @@ YARDSTICK = [
     "q12_shipmode_priority",
     "q14_promo_revenue",
 ]
-REPEATS = 3
+REPEATS = int(os.environ.get("SPARK_GRAFT_YARDSTICK_REPEATS", "5"))
 
 
 def _scaled_dir(sf_dir: str, copies: int) -> str:
