@@ -3,9 +3,12 @@ reference pipeline touches (``setup/reformat/utils.py:132-215``), with the
 same validation semantics, and no pydicom dependency.
 
 Scope: explicit- and implicit-VR little-endian transfer syntaxes with
-uncompressed pixel data — what cardiac MR exports overwhelmingly are.
-Compressed transfer syntaxes (JPEG/RLE) raise ``NotImplementedError`` at
-the codec boundary, mirroring the honest-stub policy.
+uncompressed pixel data — what cardiac MR exports overwhelmingly are —
+plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G: encapsulated
+fragments, 64-byte segment-offset header, PackBits segments recombined as
+byte planes), implemented pure-Python. JPEG-family transfer syntaxes
+raise ``NotImplementedError`` at the codec boundary, mirroring the
+honest-stub policy (a DCT codec is out of scope without external libs).
 
 Tags are ``(group, element)`` ints; helpers expose the named ones the
 reference asserts on (SeriesInstanceUID, InstanceNumber,
@@ -37,6 +40,10 @@ TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"
 TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+TS_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
+
+_TAG_ITEM = (0xFFFE, 0xE000)
+_TAG_SEQ_DELIM = (0xFFFE, 0xE0DD)
 
 # the reference's required-tag assertions, verbatim set
 REQUIRED_TAGS = {
@@ -103,9 +110,31 @@ def parse_dicom(data: bytes) -> dict:
             (length,) = struct.unpack_from("<I", data, pos)
             pos += 4
         if length == 0xFFFFFFFF:
-            raise NotImplementedError(
-                "undefined-length (encapsulated/compressed) elements not supported"
-            )
+            if (group, elem) != TAG_PIXEL_DATA:
+                raise NotImplementedError(
+                    "undefined-length elements supported only for encapsulated "
+                    "PixelData"
+                )
+            # encapsulated pixel data (PS3.5 A.4): Basic Offset Table item,
+            # then one-or-more fragment items, closed by a sequence
+            # delimiter. Fragments are returned as a tuple (frame
+            # reassembly is the decoder's job).
+            frags: list[bytes] = []
+            first = True
+            while True:
+                ig, ie, ilen = struct.unpack_from("<HHI", data, pos)
+                pos += 8
+                if (ig, ie) == _TAG_SEQ_DELIM:
+                    break
+                if (ig, ie) != _TAG_ITEM:
+                    raise ValueError(
+                        f"bad encapsulated-pixel-data item tag ({ig:04x},{ie:04x})"
+                    )
+                if not first:  # first item is the offset table — skip it
+                    frags.append(data[pos : pos + ilen])
+                first = False
+                pos += ilen
+            return pos, (group, elem), vr, tuple(frags)
         body = data[pos : pos + length]
         return pos + length, (group, elem), vr, body
 
@@ -118,9 +147,11 @@ def parse_dicom(data: bytes) -> dict:
         tags[tag] = _decode_value(vr, body)
 
     ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
-    if ts not in (TS_EXPLICIT_LE, TS_IMPLICIT_LE):
-        raise NotImplementedError(f"transfer syntax {ts} needs external codecs")
-    explicit = ts == TS_EXPLICIT_LE
+    if ts not in (TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE):
+        raise NotImplementedError(
+            f"transfer syntax {ts} needs external codecs (JPEG family)"
+        )
+    explicit = ts != TS_IMPLICIT_LE  # RLE datasets are explicit VR LE
 
     # implicit VR: recover types for the tags we know
     _known_vr = {
@@ -158,15 +189,128 @@ def temporal_position(tags: dict) -> int:
     return int(tags[TAG_TEMPORAL_ID][0])
 
 
+def _packbits_decode(seg: bytes, expected: int) -> bytes:
+    """PS3.5 G.3.1 byte-segment decoder (PackBits): control n in [0,127] →
+    copy n+1 literal bytes; n in [129,255] → repeat next byte 257−n times;
+    n == 128 → no-op. Stops once ``expected`` bytes are produced (segments
+    are even-padded on disk)."""
+    out = bytearray()
+    i = 0
+    while i < len(seg) and len(out) < expected:
+        n = seg[i]
+        i += 1
+        if n <= 127:
+            out += seg[i : i + n + 1]
+            i += n + 1
+        elif n >= 129:
+            out += seg[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: reserved no-op
+    if len(out) < expected:
+        raise ValueError(f"RLE segment underflow: {len(out)} < {expected} bytes")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(plane: bytes) -> bytes:
+    """PackBits encoder (test-fixture / sink use): literal runs chunked to
+    ≤128, repeat runs of ≥2 emitted as 257−count controls."""
+    out = bytearray()
+    i, n = 0, len(plane)
+    while i < n:
+        # find run length of identical bytes
+        j = i
+        while j + 1 < n and plane[j + 1] == plane[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out += bytes([257 - run, plane[i]])
+            i = j + 1
+        else:
+            # literal stretch until the next ≥2-run (or 128 bytes)
+            k = i
+            while (
+                k + 1 < n and not (k + 2 < n and plane[k + 1] == plane[k + 2])
+                and k - i < 127
+            ):
+                k += 1
+            if k + 1 == n and k - i < 127:
+                pass  # trailing literal may include the last byte
+            lit = plane[i : k + 1]
+            out += bytes([len(lit) - 1]) + lit
+            i = k + 1
+    return bytes(out)
+
+
+def rle_decode_frame(frame: bytes, rows: int, cols: int, bytes_per_sample: int) -> bytes:
+    """One RLE frame (PS3.5 Annex G) → native little-endian sample bytes.
+
+    Frame layout: 64-byte header of 16 uint32 LE (segment count + up to 15
+    segment offsets), then PackBits segments. Segment k holds byte k of
+    each composite pixel code, MOST significant first — so a 16-bit sample
+    is rebuilt as ``(seg0 << 8) | seg1``."""
+    if len(frame) < 64:
+        raise ValueError("RLE frame shorter than its 64-byte header")
+    header = struct.unpack_from("<16I", frame, 0)
+    n_segs = header[0]
+    if n_segs != bytes_per_sample:
+        raise ValueError(
+            f"RLE segment count {n_segs} != bytes per sample {bytes_per_sample} "
+            "(multi-sample photometric interpretations not supported)"
+        )
+    n_px = rows * cols
+    offsets = list(header[1 : 1 + n_segs]) + [len(frame)]
+    planes = [
+        _packbits_decode(frame[offsets[k] : offsets[k + 1]], n_px)
+        for k in range(n_segs)
+    ]
+    if bytes_per_sample == 1:
+        return planes[0]
+    # interleave MSB-first planes back into little-endian samples
+    arr = np.zeros(n_px, dtype="<u2")
+    arr |= np.frombuffer(planes[0], dtype=np.uint8).astype("<u2") << 8
+    arr |= np.frombuffer(planes[1], dtype=np.uint8).astype("<u2")
+    return arr.tobytes()
+
+
+def rle_encode_frame(pixels: np.ndarray) -> bytes:
+    """(rows, cols) uint8/uint16 → one RLE frame (header + PackBits
+    segments, MSB plane first, segments even-padded) — the inverse of
+    :func:`rle_decode_frame`, used by the test fixtures and the record
+    sink's compressed form."""
+    flat = np.ascontiguousarray(pixels).ravel()
+    if pixels.dtype.itemsize == 1:
+        planes = [flat.astype(np.uint8).tobytes()]
+    else:
+        v = flat.astype("<u2")
+        planes = [(v >> 8).astype(np.uint8).tobytes(), (v & 0xFF).astype(np.uint8).tobytes()]
+    segs = []
+    for p in planes:
+        s = _packbits_encode(p)
+        if len(s) % 2:
+            s += b"\x00"
+        segs.append(s)
+    header = [len(segs)]
+    off = 64
+    for s in segs:
+        header.append(off)
+        off += len(s)
+    header += [0] * (16 - len(header))
+    return struct.pack("<16I", *header) + b"".join(segs)
+
+
 def pixel_array(tags: dict) -> np.ndarray:
-    """Uncompressed pixel data → (rows, cols) numpy array (pydicom
-    ``pixel_array`` equivalent for native transfer syntaxes)."""
+    """Pixel data → (rows, cols) numpy array (pydicom ``pixel_array``
+    equivalent): native little-endian for the uncompressed syntaxes,
+    pure-Python Annex-G decode for RLE Lossless (fragments → frame →
+    PackBits planes → samples)."""
     rows = int(tags[TAG_ROWS][0])
     cols = int(tags[TAG_COLS][0])
     bits = int(tags.get(TAG_BITS_ALLOCATED, [16])[0])
     signed = int(tags.get(TAG_PIXEL_REPRESENTATION, [0])[0])
     raw = tags[TAG_PIXEL_DATA]
     dt = {(8, 0): np.uint8, (8, 1): np.int8, (16, 0): "<u2", (16, 1): "<i2"}[(bits, signed)]
+    if isinstance(raw, tuple):  # encapsulated (RLE): single-frame reassembly
+        raw = rle_decode_frame(b"".join(raw), rows, cols, bits // 8)
     return np.frombuffer(raw, dtype=np.dtype(dt), count=rows * cols).reshape(rows, cols)
 
 
@@ -175,10 +319,14 @@ def encode_dicom(
     position: tuple, orientation: tuple, n_temporal: int = 1,
     temporal_id: int | None = None, manufacturer: str = "TESTVENDOR",
     pixel_spacing: tuple = (1.0, 1.0), slice_thickness: float = 1.0,
-    implicit: bool = False, omit_tags: tuple = (),
+    implicit: bool = False, omit_tags: tuple = (), rle: bool = False,
 ) -> bytes:
     """Fabricate a REAL Part-10 DICOM file (test fixture generator): 128-byte
-    preamble, DICM, meta group, dataset in explicit or implicit VR LE."""
+    preamble, DICM, meta group, dataset in explicit or implicit VR LE —
+    or RLE Lossless (``rle=True``: encapsulated undefined-length PixelData
+    with offset-table item + one PackBits frame + sequence delimiter)."""
+    if rle and implicit:
+        raise ValueError("RLE Lossless is an explicit-VR transfer syntax")
     pixels = np.ascontiguousarray(pixels)
     if pixels.dtype not in (np.dtype(np.uint8), np.dtype("<u2"), np.dtype(np.uint16)):
         raise ValueError("test encoder supports uint8/uint16 pixels")
@@ -197,7 +345,7 @@ def encode_dicom(
         b = s.encode("ascii")
         return b + (b"\x00" if len(b) % 2 else b"")
 
-    ts = TS_IMPLICIT_LE if implicit else TS_EXPLICIT_LE
+    ts = TS_RLE if rle else (TS_IMPLICIT_LE if implicit else TS_EXPLICIT_LE)
     meta = elem_explicit(TAG_TRANSFER_SYNTAX, b"UI", pad(ts))
     meta = elem_explicit((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta))) + meta
 
@@ -217,10 +365,21 @@ def encode_dicom(
         (TAG_COLS, b"US", struct.pack("<H", pixels.shape[1])),
         (TAG_BITS_ALLOCATED, b"US", struct.pack("<H", bits)),
         (TAG_PIXEL_REPRESENTATION, b"US", struct.pack("<H", 0)),
-        (TAG_PIXEL_DATA, b"OW", pixels.tobytes()),
     ]
+    if not rle:
+        items.append((TAG_PIXEL_DATA, b"OW", pixels.tobytes()))
     for tag, vr, body in sorted(items, key=lambda t: t[0]):
         if body is None or tag in omit_tags:
             continue
         ds.append(emit(tag, vr, body))
+    if rle and TAG_PIXEL_DATA not in omit_tags:
+        frame = rle_encode_frame(pixels)
+        encap = (
+            struct.pack("<HH", *TAG_PIXEL_DATA) + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + struct.pack("<HHI", *_TAG_ITEM, 0)           # empty offset table
+            + struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
+            + struct.pack("<HHI", *_TAG_SEQ_DELIM, 0)
+        )
+        ds.append(encap)
     return b"\x00" * 128 + b"DICM" + meta + b"".join(ds)

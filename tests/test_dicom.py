@@ -216,3 +216,87 @@ def test_multi_series_grouping_is_per_series_and_partitioned(spark, tmp_path):
     # (unpartitioned) window would funnel every file through one task
     plan = grouped._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(series_uid" in plan.lower().replace(" ", "")
+
+
+# ---------------------------------------------------------------------------
+# RLE Lossless (PS3.5 Annex G)
+# ---------------------------------------------------------------------------
+def test_packbits_roundtrip_property():
+    from qcardia_data_spark.sources.dicom import _packbits_decode, _packbits_encode
+
+    rng = np.random.default_rng(17)
+    cases = [
+        b"", b"\x00", b"ab", b"a" * 300, bytes(rng.integers(0, 256, 500, dtype=np.uint8)),
+        b"aaabbbcdefggggg" * 9,
+        bytes(rng.integers(0, 3, 1000, dtype=np.uint8)),  # run-heavy
+    ]
+    for plane in cases:
+        enc = _packbits_encode(plane)
+        assert _packbits_decode(enc, len(plane)) == plane
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_rle_dicom_roundtrip(dtype):
+    from qcardia_data_spark.sources.dicom import (
+        TAG_TRANSFER_SYNTAX,
+        TS_RLE,
+        encode_dicom,
+        parse_dicom,
+        pixel_array,
+    )
+
+    rng = np.random.default_rng(29)
+    hi = 250 if dtype == np.uint8 else 4000
+    px = rng.integers(0, hi, size=(9, 7)).astype(dtype)
+    # add runs so the RLE actually compresses something
+    px[2:5, :] = 7
+    blob = encode_dicom(
+        px, series_uid="1.2.3.4", instance_number=5,
+        position=(1.0, 2.0, 3.0), orientation=(1, 0, 0, 0, 1, 0), rle=True,
+    )
+    tags = parse_dicom(blob)
+    assert tags[TAG_TRANSFER_SYNTAX] == TS_RLE
+    got = pixel_array(tags)
+    assert got.dtype.itemsize == px.dtype.itemsize
+    assert np.array_equal(got.astype(np.int64), px.astype(np.int64))
+
+
+def test_rle_dicom_through_spark_decode_stage(spark, tmp_path):
+    """E2E: RLE files on disk → binary scan → decode_dicom mapInPandas —
+    the compressed transfer syntax rides the same Spark plumbing."""
+    from qcardia_data_spark.sources.dicom import encode_dicom
+    from qcardia_data_spark.sources.multimodal import decode_dicom
+    from qcardia_data_spark.sources.readers import binary_file_scan
+
+    rng = np.random.default_rng(31)
+    d = tmp_path / "rle_series"
+    d.mkdir()
+    want = {}
+    for i in range(3):
+        px = rng.integers(0, 3000, size=(6, 8)).astype(np.uint16)
+        want[f"sl_{i}.dcm"] = px
+        (d / f"sl_{i}.dcm").write_bytes(encode_dicom(
+            px, series_uid="9.8.7", instance_number=i + 1,
+            position=(0.0, 0.0, float(i)), orientation=(1, 0, 0, 0, 1, 0),
+            rle=True,
+        ))
+    rows = decode_dicom(binary_file_scan(spark, str(d), glob="*.dcm")).collect()
+    assert len(rows) == 3
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        got = np.array(r["pixels"]).reshape(r["rows"], r["cols"])
+        assert np.array_equal(got, want[name].astype(np.float32))
+
+
+def test_jpeg_transfer_syntax_still_fails_loudly():
+    from qcardia_data_spark.sources.dicom import TAG_TRANSFER_SYNTAX, encode_dicom, parse_dicom
+
+    blob = encode_dicom(
+        np.zeros((2, 2), dtype=np.uint8), series_uid="1", instance_number=1,
+        position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0),
+    )
+    # splice a JPEG baseline UID into the meta group
+    jpeg = blob.replace(b"1.2.840.10008.1.2.1\x00", b"1.2.840.10008.1.2.4.50")
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        parse_dicom(jpeg)
+    assert TAG_TRANSFER_SYNTAX is not None
