@@ -146,4 +146,11 @@ def histogram_equalize_table(
             ).alias(out_col),
         )
     )
-    return df.join(reasm, id_col)
+    # LEFT join back: posexplode emits nothing for NULL/empty arrays, so an
+    # inner join would silently DELETE those records. Match the column
+    # form's contract instead: empty array → empty result, NULL → NULL.
+    out = df.join(reasm, id_col, "left")
+    fixed = F.when(
+        F.col(arr_col).isNull(), F.lit(None).cast("array<double>")
+    ).otherwise(F.coalesce(F.col(out_col), F.array().cast("array<double>")))
+    return out.withColumn(out_col, fixed)

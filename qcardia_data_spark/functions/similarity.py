@@ -287,11 +287,13 @@ def pairwise_topk_join(
         "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed)
     )
     if max_bucket_size is not None:
-        # the bucketed right side is referenced three times (count agg, cold
-        # anti-probe, hot semi-probe) — persist so the hyperplane dot
-        # products run once per row, not three times (on a cluster you would
-        # persist before any self-join regardless; eviction is LRU-safe)
-        lb, rb = lb.persist(), rb.persist()
+        # NOTE: the bucketed right side is referenced three times (count
+        # agg, cold anti-probe, hot semi-probe), so the hyperplane dot
+        # products recompute per reference. Deliberately NOT persisted
+        # here: a persist inside a function returning a lazy frame can
+        # never be unpersisted by the caller and leaks cache entries per
+        # call (measured win was within noise anyway). Callers running the
+        # join repeatedly should persist the bucketed inputs themselves.
         hot = (
             rb.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("_n"))

@@ -39,9 +39,11 @@ def asof_join(
     whose carry value is legitimately NULL yields NULL (it does not inherit
     an older row's value) — the pandas/DuckDB semantics. Ties: an
     exactly-simultaneous right row IS visible to the left row; among
-    simultaneous right rows the one with the greatest (backward) / least
-    (forward) carry-struct sort order wins, deterministically. Carry
-    columns must therefore be orderable types (no maps).
+    simultaneous right rows, when every carry type is orderable the one
+    with the greatest (backward) / least (forward) carry-struct sort order
+    wins deterministically; with an unorderable carry (map) the struct is
+    dropped from the ordering and the pick among exact (ts) ties is
+    engine-defined, as in round 1.
 
     ``carry`` names must not collide with left's columns.
     """
@@ -76,7 +78,12 @@ def asof_join(
     )
     u = l_aligned.unionByName(r_aligned)
 
-    base = Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_side"), F.col("_carry"))
+    # the carry struct joins the ordering only when orderable (maps are
+    # not) — it exists purely as a deterministic tie-break among
+    # simultaneous right rows
+    orderable = not any("map<" in rtypes[c] for c in carry)
+    order_cols = [F.col("_t"), F.col("_side")] + ([F.col("_carry")] if orderable else [])
+    base = Window.partitionBy(*by).orderBy(*order_cols)
     if direction == "backward":
         filled = F.last("_carry", ignorenulls=True).over(
             base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

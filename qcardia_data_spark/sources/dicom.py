@@ -233,8 +233,6 @@ def _packbits_encode(plane: bytes) -> bytes:
                 and k - i < 127
             ):
                 k += 1
-            if k + 1 == n and k - i < 127:
-                pass  # trailing literal may include the last byte
             lit = plane[i : k + 1]
             out += bytes([len(lit) - 1]) + lit
             i = k + 1
@@ -309,8 +307,16 @@ def pixel_array(tags: dict) -> np.ndarray:
     signed = int(tags.get(TAG_PIXEL_REPRESENTATION, [0])[0])
     raw = tags[TAG_PIXEL_DATA]
     dt = {(8, 0): np.uint8, (8, 1): np.int8, (16, 0): "<u2", (16, 1): "<i2"}[(bits, signed)]
-    if isinstance(raw, tuple):  # encapsulated (RLE): single-frame reassembly
-        raw = rle_decode_frame(b"".join(raw), rows, cols, bits // 8)
+    if isinstance(raw, tuple):  # encapsulated (RLE)
+        if len(raw) != 1:
+            # one fragment per frame is mandatory for RLE (PS3.5 A.4) — a
+            # multi-fragment file is a multi-frame cine; decoding only
+            # frame 1 would be SILENT data loss, so refuse loudly
+            raise NotImplementedError(
+                f"multi-frame encapsulated PixelData ({len(raw)} fragments) "
+                "not supported: split frames upstream or use a native syntax"
+            )
+        raw = rle_decode_frame(raw[0], rows, cols, bits // 8)
     return np.frombuffer(raw, dtype=np.dtype(dt), count=rows * cols).reshape(rows, cols)
 
 

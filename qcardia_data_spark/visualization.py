@@ -58,7 +58,9 @@ def record_panels(
             img, lambda v: F.least(F.greatest((v - lo) / rng, F.lit(0.0)), F.lit(1.0))
         )
     lbl_gray = F.transform(lbl, lambda c: c.cast("double") / F.lit(float(n_classes)))
-    ov = overlay_rgb(img if not equalize else eq, lbl, alpha)
+    # overlay blends over the DISPLAYED pane (equalized or normalized) —
+    # overlay_rgb expects [0,1] intensities; raw intensities would saturate
+    ov = overlay_rgb(eq, lbl, alpha)
 
     staged = df.withColumns({
         "_eq": eq, "_lg": lbl_gray,

@@ -4,6 +4,8 @@ ordering fallback, and the Spark series-regroup pipeline on real bytes."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -300,3 +302,32 @@ def test_jpeg_transfer_syntax_still_fails_loudly():
     with pytest.raises(NotImplementedError, match="JPEG"):
         parse_dicom(jpeg)
     assert TAG_TRANSFER_SYNTAX is not None
+
+
+def test_multiframe_rle_refused_loudly():
+    """Multi-fragment (multi-frame cine) encapsulated data must raise, not
+    silently decode frame 1 only."""
+    from qcardia_data_spark.sources.dicom import (
+        _TAG_ITEM,
+        _TAG_SEQ_DELIM,
+        TAG_PIXEL_DATA,
+        encode_dicom,
+        parse_dicom,
+        pixel_array,
+        rle_encode_frame,
+    )
+
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = encode_dicom(
+        px, series_uid="1.2", instance_number=1,
+        position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0), rle=True,
+    )
+    # splice a second fragment into the encapsulated stream
+    frame = rle_encode_frame(px)
+    one = struct.pack("<HHI", *_TAG_ITEM, len(frame)) + frame
+    delim = struct.pack("<HHI", *_TAG_SEQ_DELIM, 0)
+    blob2 = blob.replace(one + delim, one + one + delim)
+    tags = parse_dicom(blob2)
+    assert isinstance(tags[TAG_PIXEL_DATA], tuple) and len(tags[TAG_PIXEL_DATA]) == 2
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        pixel_array(tags)

@@ -181,3 +181,19 @@ def test_histogram_equalize_table_image_scale(spark):
     want = np.searchsorted(np.sort(a), a, side="right") / a.size
     assert np.allclose(np.asarray(out), want)
     assert elapsed < 30  # seconds — the quadratic form would take hours
+
+
+def test_histogram_equalize_table_keeps_null_and_empty_records(spark):
+    """NULL/empty arrays must not vanish (left join back): empty → empty
+    result, NULL → NULL, matching the column form's record count."""
+    from qcardia_data_spark.functions.geometry import histogram_equalize_table
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, []), (3, None)],
+        "rid int, arr array<double>",
+    )
+    got = {r["rid"]: r["equalized"] for r in histogram_equalize_table(df, "rid", "arr").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == pytest.approx([1.0, 0.5])
+    assert got[2] == []
+    assert got[3] is None

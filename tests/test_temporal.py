@@ -210,3 +210,14 @@ def test_asof_join_carry_is_row_atomic_and_null_preserving(spark):
     # t=30 matches the t=25 row: px must be NULL (not 1.0 carried from
     # t=5), qty must be 20 — atomically the t=25 row
     assert out[2] == (None, 20)
+
+
+def test_asof_join_supports_map_carry(spark):
+    """A map-typed carry (unorderable) must still work — the struct is
+    dropped from the tie-break ordering, not from the fill."""
+    left = spark.createDataFrame([("k", _ts(10), 1)], ["k", "ts", "tid"])
+    right = spark.createDataFrame(
+        [("k", _ts(5), {"a": "1"})], ["k", "ts", "props"]
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["props"]).collect()
+    assert out[0]["props"] == {"a": "1"}
