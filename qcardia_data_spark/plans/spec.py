@@ -26,6 +26,9 @@ Spec grammar (one dict per op, applied in order):
     {"op": "drop", "cols": [...]}
     {"op": "join", "table"/"pipeline": ..., "on": [...], "how": "left",
      "broadcast": true}
+    {"op": "asof_join", "table"/"pipeline": ..., "by": [...],
+     "left_ts": ..., "right_ts": ..., "carry": [...],
+     "direction": "backward"|"forward"}
     {"op": "group_agg", "by": [...], "aggs": {"out": "sum(expr)"}}
     {"op": "window", "cols": {"out": "count(*)"}, "partition_by": [...],
      "order_by": [...]}
@@ -169,6 +172,14 @@ def _apply(
         if op.get("broadcast"):
             right = F.broadcast(right)
         return df.join(right, on=op["on"], how=op.get("how", "inner"))
+    if kind == "asof_join":
+        from qcardia_data_spark.operators.temporal import asof_join
+
+        return asof_join(
+            df, _side(spark, op, sf_dir), by=op["by"],
+            left_ts=op["left_ts"], right_ts=op["right_ts"],
+            carry=op["carry"], direction=op.get("direction", "backward"),
+        )
     if kind == "group_agg":
         aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]
         return df.groupBy(*op.get("by", [])).agg(*aggs)

@@ -352,3 +352,31 @@ def test_spec_stream_sliding_window(spark, sf_dir, tmp_path):
     rows = run_to_memory(stream, output_mode="complete").collect()
     # sliding windows: every event lands in exactly 2 windows
     assert sum(r["n"] for r in rows) == 2 * 200
+
+
+def test_spec_asof_join_op(spark, sf_dir):
+    """The temporal as-of join is reachable from the declarative spec
+    surface, both directions, and matches the operator called directly."""
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.operators.temporal import asof_join
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    for direction in ("backward", "forward"):
+        got = compile_pipeline(spark, [
+            {"op": "source", "table": "events"},
+            {"op": "filter", "expr": "event_type = 'purchase'"},
+            {"op": "select", "cols": ["event_id", "user_id", "ts"]},
+            {"op": "asof_join",
+             "pipeline": [
+                 {"op": "source", "table": "events"},
+                 {"op": "filter", "expr": "event_type = 'view'"},
+                 {"op": "select", "cols": ["user_id", "ts", "ts AS v_ts"]},
+             ],
+             "by": ["user_id"], "left_ts": "ts", "right_ts": "ts",
+             "carry": ["v_ts"], "direction": direction},
+        ], sf_dir)
+        e = load_table(spark, sf_dir, "events")
+        p = e.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+        v = e.filter("event_type = 'view'").selectExpr("user_id", "ts", "ts AS v_ts")
+        want = asof_join(p, v, ["user_id"], "ts", "ts", ["v_ts"], direction=direction)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
