@@ -106,6 +106,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, max_bucket_size: int | None = None,
+    hub_rank: int = 0,
 ) -> DataFrame:
     """Band-bucket self-join → distinct candidate pairs (a < b).
 
@@ -113,16 +114,20 @@ def lsh_candidate_pairs(
 
     Hot-bucket guard (the boilerplate-corpus failure mode: one signature
     shared by k docs makes the self-join emit k² pairs): buckets larger
-    than ``max_bucket_size`` switch from all-pairs to a STAR join on the
-    bucket's min id — k−1 edges instead of k(k−1)/2. As a CANDIDATE graph
+    than ``max_bucket_size`` switch from all-pairs to a STAR join on one
+    hub per bucket — k−1 edges instead of k(k−1)/2. As a CANDIDATE graph
     this loses no connectivity (the star spans the bucket, so transitive
     resolution — e.g. :func:`connected_components` — still finds one
     component). BUT if a downstream verifier prunes edges (near-dedup's
-    Jaccard threshold), a star edge whose HUB fails the threshold takes the
-    member pair it mediated with it — see the recall note on
-    :func:`near_dedup_minhash`. Small buckets keep exact all-pairs. The
-    count window rides the same (band, sig) shuffle the join needs anyway —
-    no extra exchange."""
+    Jaccard threshold), a star edge whose HUB fails the threshold takes
+    the member pair it mediated with it — ``hub_rank`` exists for exactly
+    that: rank r picks the (r+1)-th smallest id in each capped bucket as
+    hub, so callers union several rotated-hub rounds
+    (:func:`near_dedup_minhash` ``star_rounds``) and a dissimilar hub
+    stops mediating after its round. Buckets with ≤ hub_rank members
+    contribute no star edges for that rank. Small buckets keep exact
+    all-pairs (identical in every round). The count window rides the same
+    (band, sig) shuffle the join needs anyway — no extra exchange."""
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
     if max_bucket_size is None:
@@ -140,11 +145,19 @@ def lsh_candidate_pairs(
     small_pairs = sa.join(sb, on=["band", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b")
 
     big = sized.filter(F.col("bucket_n") > max_bucket_size)
-    hubs = big.groupBy("band", "sig").agg(F.min(id_col).alias("a"))
+    rank_w = Window.partitionBy("band", "sig").orderBy(F.col(id_col))
+    hubs = (
+        big.withColumn("_r", F.row_number().over(rank_w))
+        .filter(F.col("_r") == hub_rank + 1)
+        .select("band", "sig", F.col(id_col).alias("_hub"))
+    )
     star_pairs = (
         big.join(hubs, on=["band", "sig"])
-        .filter(F.col(id_col) != F.col("a"))
-        .select("a", F.col(id_col).alias("b"))
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(
+            F.least(F.col("_hub"), F.col(id_col)).alias("a"),
+            F.greatest(F.col("_hub"), F.col(id_col)).alias("b"),
+        )
     )
     return small_pairs.unionByName(star_pairs).distinct()
 
@@ -195,7 +208,7 @@ def jaccard_verify_rows(
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = 1000, star_rounds: int = 2,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → greedy keep-min-id.
 
@@ -205,19 +218,22 @@ def near_dedup_minhash(
     fixpoint for full transitive closure (cheap: candidate graph is sparse).
 
     ``max_bucket_size`` bounds boilerplate-corpus blowup: buckets past the
-    cap generate star edges to the bucket min-id instead of all pairs (see
+    cap generate star edges to a hub instead of all pairs (see
     :func:`lsh_candidate_pairs`) — on a normal corpus (buckets ≪ cap) the
-    output is bit-identical to the uncapped form. RECALL CAVEAT when the
-    cap fires: star edges are verified hub↔member, so two non-hub members
-    of an oversized bucket whose similarity to the HUB falls below
-    ``threshold`` are never compared to each other — genuine duplicate
-    pairs between them escape this single pass. In an oversized LSH bucket
-    members share a full band signature (usually near-identical
-    boilerplate, where hub-mediation holds), but it is an approximation,
-    not an equivalence: monitor :func:`oversized_lsh_buckets`, and for
-    full recall on capped buckets iterate — drop resolved members and
-    re-run, or feed the star edges to :func:`connected_components` and
-    verify per cluster.
+    output is bit-identical to the uncapped form. When the cap fires, star
+    edges are verified hub↔member, so a DISSIMILAR hub (a low-Jaccard doc
+    that happens to share the band signature and sort first) would take
+    every pair it mediates below the threshold with it. ``star_rounds``
+    mitigates exactly that: round r re-stars each capped bucket on its
+    (r+1)-th smallest id, the rounds' candidate sets are unioned and
+    verified ONCE — recall is lost only if ALL ``star_rounds`` hubs of a
+    bucket are dissimilar to a genuinely-duplicate member pair
+    (probability falls geometrically for boilerplate buckets, which are
+    near-identical by construction). Residual risk is still auditable via
+    :func:`oversized_lsh_buckets`; for exhaustive recall feed the star
+    edges to :func:`connected_components` and verify per cluster. Cost:
+    each extra round adds k−1 edges per capped bucket only — small buckets
+    contribute identical pairs that the distinct() collapses.
 
     The (id, shingle) row set is computed once and persisted — it feeds both
     the signature build and the Jaccard verify (at 100 TB you would
@@ -253,6 +269,13 @@ def near_dedup_minhash(
             .localCheckpoint(eager=True)
         )
         cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
+        if max_bucket_size is not None:
+            for r in range(1, star_rounds):
+                cands = cands.unionByName(
+                    lsh_candidate_pairs(
+                        sigs, id_col, max_bucket_size=max_bucket_size, hub_rank=r
+                    )
+                ).distinct()
         dups = jaccard_verify_rows(cands, sh, id_col, threshold)
         # losers is tiny (one id column, only verified duplicates): persist
         # and force it while the shingle cache is alive, then drop the cache

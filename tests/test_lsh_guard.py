@@ -81,3 +81,43 @@ def test_oversized_bucket_audit_reports_savings(spark):
     for r in audit:
         assert r["bucket_n"] == 100
         assert r["pairs_saved"] == 100 * 99 // 2 - 99
+
+
+def test_star_rounds_recover_from_dissimilar_hub(spark):
+    """Poisoned-hub corpus: doc 0 (min id) shares the band-0 signature with
+    six IDENTICAL docs (its 'alpha beta gamma' shingle minimizes the band
+    hash — filler shingles chosen to hash higher) but its Jaccard to them
+    is 1/3 < threshold. With one star round the hub mediates every pair,
+    all fail verification, and the six identical docs silently survive;
+    the second (rotated-hub) round stars on doc 1 and recovers them."""
+    from qcardia_data_spark.functions.dedup import near_dedup_minhash
+
+    rows = [(0, "alpha beta gamma w1 w2")] + [
+        (i, "alpha beta gamma") for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    one = near_dedup_minhash(
+        df, "doc_id", "text", n_bands=1, threshold=0.6,
+        max_bucket_size=3, star_rounds=1,
+    )
+    assert one.count() == 7  # the recall hole: nothing deduped
+
+    two = near_dedup_minhash(
+        df, "doc_id", "text", n_bands=1, threshold=0.6,
+        max_bucket_size=3, star_rounds=2,
+    )
+    got = sorted(r["doc_id"] for r in two.collect())
+    assert got == [0, 1]  # docs 2-6 deduped against the round-2 hub
+
+
+def test_star_rounds_noop_when_buckets_small(spark, sf_dir):
+    """On a corpus with no capped bucket, star_rounds must not change the
+    output (rounds only re-star CAPPED buckets)."""
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.dedup import near_dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = near_dedup_minhash(docs, "doc_id", "text", max_bucket_size=1000, star_rounds=1)
+    b = near_dedup_minhash(docs, "doc_id", "text", max_bucket_size=1000, star_rounds=3)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(r["doc_id"] for r in b.collect())
