@@ -119,6 +119,72 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def repetition_scores(toks: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals, computed per record with NO shuffle.
+
+    A pretraining-corpus repetition gate needs, per document: the count of
+    the most frequent token, the distinct-token count, and the count of the
+    most frequent bigram. The obvious implementation (explode tokens →
+    groupBy(doc, token) → max) shuffles the entire token stream of the
+    corpus — at 100 TB that is the single biggest exchange in the pipeline.
+    Instead we sort the token array per row and take the longest equal-run
+    via one ``aggregate`` fold: O(n log n) per record, embarrassingly
+    parallel, zero exchanges. The numbers are identical to the
+    unnest+GROUP BY definition (the DuckDB oracle computes them that way).
+
+    Reference analog: corpus-quality gates sit alongside the reference's
+    intake validation (`setup/reformat/utils.py` checks); the metric set is
+    from the public Gopher/MassiveText filtering rules.
+
+    ``toks`` is a token *array* column (:func:`word_tokens` output) —
+    materialize it in a prior projection so the tokenizer runs once per row
+    (lambda bodies block Spark's common-subexpression elimination).
+    """
+    n_tokens = F.size(toks)
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _run_stats(arr: Column) -> Column:
+        """struct(best=longest equal run, ndist=distinct count) of a sorted
+        array, via a single left fold. Tokens are non-empty, so the ''
+        initial 'prev' can never match the first element."""
+        s = F.array_sort(arr)
+        return F.aggregate(
+            s,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit(0).alias("ndist"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                (acc["ndist"] + F.when(x == acc["prev"], F.lit(0)).otherwise(F.lit(1))).alias(
+                    "ndist"
+                ),
+            ),
+        )
+
+    tok_stats = _run_stats(toks)
+    big_stats = _run_stats(bigrams)
+    return {
+        "n_tokens": n_tokens,
+        "max_tok_count": tok_stats["best"],
+        "n_distinct": tok_stats["ndist"],
+        "top_bigram_count": big_stats["best"],
+    }
+
+
 def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     """Document fingerprint via min-of-rolling-window hashes (winnowing-lite):
     md5 each ``window``-token shingle, keep the minimum — robust to small

@@ -48,6 +48,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _epoch_s(col) -> F.Column:
+    """Seconds since 1970-01-01 for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    The testdata parquet stores event/date columns as TIMESTAMP_NTZ
+    (isAdjustedToUTC=0), and Spark 4.1 forbids a direct NTZ->BIGINT cast.
+    ``unix_timestamp`` accepts both flavors; every session here (and the
+    driver's vanilla one on this host) runs with session timeZone=UTC, so
+    the NTZ epoch equals the naive epoch DuckDB's
+    ``date_diff('second', TIMESTAMP '1970-01-01', ts)`` computes.
+    """
+    return F.unix_timestamp(col)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary (TPC-H Q1 shape) — exercises scan pushdown,
 # map-side partial agg, one shuffle on the 2-value group key. [A3/A9/F22]
@@ -2066,7 +2079,7 @@ def ev_session_window(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("sess_start_s"),
+            _epoch_s(F.col("w.start")).alias("sess_start_s"),
             "n_events",
         )
     )
@@ -2215,6 +2228,74 @@ def text_rolling_fp(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = D.shingle_rows(docs, "doc_id", "text", shingle_n=8)
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
+
+
+@_q(
+    "text_repetition_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bigs
+      FROM t),
+    tokc AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok_count,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM b) GROUP BY 1, 2)
+      GROUP BY 1),
+    bigc AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(bigs) AS g FROM b) GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT b.doc_id, tokc.n_tokens, tokc.max_tok_count, tokc.n_distinct,
+           coalesce(bigc.top_bigram_count, 0) AS top_bigram_count,
+           round(tokc.max_tok_count / CAST(tokc.n_tokens AS DOUBLE), 6) AS max_tok_ratio,
+           round(tokc.n_distinct / CAST(tokc.n_tokens AS DOUBLE), 6) AS distinct_ratio,
+           (tokc.max_tok_count / CAST(tokc.n_tokens AS DOUBLE) <= 0.12
+            AND tokc.n_distinct / CAST(tokc.n_tokens AS DOUBLE) >= 0.35) AS keep
+    FROM b JOIN tokc USING (doc_id) LEFT JOIN bigc USING (doc_id)
+    WHERE tokc.n_tokens > 0
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    # [ext] Gopher/MassiveText-style repetition gate: most-frequent-token
+    # count, distinct-token count, most-frequent-bigram count per document,
+    # computed with ZERO shuffle (sorted-run-length fold per row — the
+    # oracle computes the same numbers the unnest+GROUP BY way; see
+    # functions/text.py:repetition_scores for the 100 TB rationale).
+    docs = _t(spark, sf_dir, "documents")
+    with_toks = docs.select("doc_id", T.word_tokens(F.col("text")).alias("toks"))
+    r = T.repetition_scores(F.col("toks"))
+    m = with_toks.select(
+        "doc_id",
+        r["n_tokens"].cast("long").alias("n_tokens"),
+        r["max_tok_count"].cast("long").alias("max_tok_count"),
+        r["n_distinct"].cast("long").alias("n_distinct"),
+        r["top_bigram_count"].cast("long").alias("top_bigram_count"),
+    ).filter(F.col("n_tokens") > 0)
+    max_ratio = F.col("max_tok_count") / F.col("n_tokens").cast("double")
+    dist_ratio = F.col("n_distinct") / F.col("n_tokens").cast("double")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "max_tok_count",
+        "n_distinct",
+        "top_bigram_count",
+        F.round(max_ratio, 6).alias("max_tok_ratio"),
+        F.round(dist_ratio, 6).alias("distinct_ratio"),
+        ((max_ratio <= 0.12) & (dist_ratio >= 0.35)).alias("keep"),
+    )
 
 
 @_q(
@@ -2694,7 +2775,7 @@ def ev_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
-            F.col("w.start").cast("long").alias("win_start_s"),
+            _epoch_s(F.col("w.start")).alias("win_start_s"),
             "event_type", "n_events", "sum_value",
         )
     )
@@ -2720,7 +2801,7 @@ def ev_sliding(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").cast("long").alias("win_start_s"), "event_type", "n_events")
+        .select(_epoch_s(F.col("w.start")).alias("win_start_s"), "event_type", "n_events")
     )
 
 
@@ -2753,7 +2834,7 @@ def ev_sessionize(spark, sf_dir):
         "new_sess",
         F.when(
             F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            | ((_epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))) > 1800),
             1,
         ).otherwise(0),
     )
@@ -2761,7 +2842,7 @@ def ev_sessionize(spark, sf_dir):
     sess = gapped.withColumn("session_nr", F.sum("new_sess").over(wsum))
     return sess.groupBy("user_id", "session_nr").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        (F.max(_epoch_s(F.col("ts"))) - F.min(_epoch_s(F.col("ts")))).alias("duration_sec"),
     )
 
 
@@ -2843,7 +2924,7 @@ def ev_monthly(spark, sf_dir):
     return o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
-    ).select(F.col("m").cast("long").alias("month_s"), "n_orders", "total")
+    ).select(_epoch_s(F.col("m")).alias("month_s"), "n_orders", "total")
 
 
 @_q(
@@ -2881,7 +2962,7 @@ def ev_hypertable(spark, sf_dir):
         .when(F.col("d").isNotNull(), F.lit("day"))
         .otherwise(F.lit("month"))
     )
-    bucket = F.coalesce("h", "d", "m").cast("long")
+    bucket = _epoch_s(F.coalesce("h", "d", "m"))
     return agg.select(kind.alias("kind"), bucket.alias("bucket_s"), "n", "sum_v")
 
 

@@ -140,7 +140,9 @@ def attribution_join(
     )
     return trig.join(outc, cond, "inner").select(
         F.col("t_user").alias("user_id"), "trigger_id", "outcome_id", "outcome_value",
-        (F.col("o_ts").cast("long") - F.col("t_ts").cast("long")).alias("lag_sec"),
+        # unix_timestamp (not a direct long cast): the parquet event times are
+        # TIMESTAMP_NTZ, which Spark 4.1 refuses to cast straight to BIGINT.
+        (F.unix_timestamp("o_ts") - F.unix_timestamp("t_ts")).alias("lag_sec"),
     )
 
 
