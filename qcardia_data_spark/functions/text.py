@@ -192,3 +192,47 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     sh = shingles(text, window)
     hashed = F.transform(sh, lambda s: F.md5(s))
     return F.array_min(hashed)
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2 (DuckDB),
+# so every count/scrub is oracle-checkable. The phone pattern requires a
+# leading '+' so it cannot swallow IPv4 digit runs; scrub order is
+# email -> ipv4 -> phone for the same reason.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (emails, IPv4s, phone numbers) — the
+    audit half of a corpus PII pass, pure JVM regex, no Python."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact all PII categories with typed placeholder tokens. Chained
+    ``regexp_replace`` stays inside whole-stage codegen — at 100 TB this is
+    a pure map stage with zero exchanges."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a document, in order."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Hostname of a URL ('' when malformed) — the key for the domain-level
+    quality/mix statistics every pretraining corpus tracks."""
+    return F.regexp_extract(url, r"https?://([^/\s]+)", 1)

@@ -3202,6 +3202,7 @@ _PRIORITY = [
     "ev_monthly_rollup",
     "ev_hypertable_rollup",
     "ev_range_join_views_before_purchase",
+    "text_repetition_filter",  # new this round — grade immediately
     "sim_ann_join",
     "sim_lsh_topk",
     # a12 re-grade with the invariant oracle (was no_oracle in r1)
@@ -3211,7 +3212,6 @@ _PRIORITY = [
     "sim_lsh_md5_topk",
     # drift-detection regrades: projections / filters (pass-r1)
     "p1_reorder_columns",
-    "p2_drop_columns",
     "p3_rename_columns",
     "p4_eq_filter",
     "p5_in_list",
