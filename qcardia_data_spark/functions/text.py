@@ -151,9 +151,11 @@ def repetition_scores(toks: Column) -> dict[str, Column]:
 
     def _run_stats(arr: Column) -> Column:
         """struct(best=longest equal run, ndist=distinct count) of a sorted
-        array, via a single left fold. Tokens are non-empty, so the ''
-        initial 'prev' can never match the first element."""
-        s = F.array_sort(arr)
+        array, via a single left fold. Nulls and empty strings are dropped
+        defensively first — '' would match the fold's '' initial 'prev' and
+        a null element would reset runs while inflating ndist — so the
+        stats are over real tokens whatever array the caller passes."""
+        s = F.array_sort(F.filter(arr, lambda w: w.isNotNull() & (F.length(w) > 0)))
         return F.aggregate(
             s,
             F.struct(
@@ -201,7 +203,10 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    "phone": (r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+    # each separator must be followed by a digit, so one match can never span
+    # across unrelated adjacent digit groups ('+1 234 555 0101 1999' stops
+    # after the number; the years survive)
+    "phone": (r"\+\d(?:[\- ]?\d){7,}", "<PHONE>"),
 }
 
 
@@ -234,5 +239,7 @@ def extract_urls(text: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     """Hostname of a URL ('' when malformed) — the key for the domain-level
-    quality/mix statistics every pretraining corpus tracks."""
-    return F.regexp_extract(url, r"https?://([^/\s]+)", 1)
+    quality/mix statistics every pretraining corpus tracks. Userinfo
+    ('user:pass@') and port (':8080') are stripped: the optional non-capturing
+    group consumes through '@' and the host class stops at ':' or '/'."""
+    return F.regexp_extract(url, r"https?://(?:[^/@\s]+@)?([^/:\s]+)", 1)

@@ -216,11 +216,20 @@ def _apply(
     if kind == "near_dedup":
         from qcardia_data_spark.functions.dedup import near_dedup_minhash
 
+        # max_bucket_size / star_rounds are the 100 TB recall/cost knobs
+        # (boilerplate-bucket cap + rotated-hub rounds) — a spec config can
+        # tune them without touching code; null max_bucket_size disables the
+        # cap entirely (exhaustive in-bucket pairs).
         return near_dedup_minhash(
             df, op["id_col"], op["text_col"],
             n_bands=int(op.get("n_bands", 8)),
             shingle_n=int(op.get("shingle_n", 3)),
             threshold=float(op.get("threshold", 0.6)),
+            max_bucket_size=(
+                None if op.get("max_bucket_size", 1000) is None
+                else int(op.get("max_bucket_size", 1000))
+            ),
+            star_rounds=int(op.get("star_rounds", 2)),
         )
     if kind == "quality_filter":
         from qcardia_data_spark.functions.text import word_tokens
@@ -326,7 +335,9 @@ def compile_stream_pipeline(
         if df is None:
             raise SpecError(f"op #{i} ({kind}) before stream_source")
         if kind == "watermark":
-            df = df.withWatermark(op["col"], op["delay"])
+            from qcardia_data_spark.streaming.events import _watermarked
+
+            df = _watermarked(df, op["col"], op["delay"])
         elif kind == "window_agg":
             win = (
                 F.window(op["col"], op["width"], op["slide"])

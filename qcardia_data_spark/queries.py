@@ -2391,18 +2391,80 @@ def dedup_embedding_cosine(spark, sf_dir):
     return emb.join(dups.withColumnRenamed("b", "vec_id"), "vec_id", "left_anti").select("vec_id")
 
 
-@_q("sim_ann_join", None)  # hyperplane buckets (xxhash64) → rows-only check
+@_q(
+    "sim_ann_join",
+    """
+    SELECT CAST(1 AS BOOLEAN) AS k_bound_ok,
+           CAST(1 AS BOOLEAN) AS no_self_pairs,
+           CAST(1 AS BOOLEAN) AS scores_valid,
+           CAST(1 AS BOOLEAN) AS nonempty,
+           CAST(1 AS BOOLEAN) AS recall_floor_ok
+    """,
+)
 def sim_ann_join(spark, sf_dir):
     # all-pairs ANN join: O(N) bucket-tagged shuffle instead of O(N²) cross.
     # Hot-bucket guard on (scale default): no-op on this corpus (buckets ≪
     # cap ⇒ bit-identical), bounds the boilerplate/skew blowup at 100 TB.
+    #
+    # The xxhash64-derived hyperplane buckets are not DuckDB-expressible, so
+    # (a12 pattern) the driver-checkable claims are INVARIANTS computed
+    # in-plan and exported as booleans the oracle restates as TRUE:
+    #   k_bound_ok      — no vector gets more than k=3 neighbors
+    #   no_self_pairs   — a != b everywhere
+    #   scores_valid    — every cosine in [-1, 1] (+fp eps)
+    #   nonempty        — the join produced pairs at all
+    #   recall_floor_ok — on the bounded slice vec_id<300 (the exact twin
+    #     dedup_embedding_cosine's slice), recall vs the brute-force
+    #     all-pairs top-3 is >= 0.03 (measured 0.056-0.058 at sf0.001/0.01;
+    #     random synthetic vectors put near-uniform cosines in every bucket,
+    #     so the floor is the measured value with ~2x margin, not a tuned-
+    #     index claim). A failed sketch/bucket/hot-cap regression now fails
+    #     the hash compare instead of being permanently unverifiable.
+    # Value-level checking of the pair output itself lives in the md5 twin
+    # sim_ann_join_md5 (identical pipeline, DuckDB-expressible planes).
+    from pyspark.sql.window import Window as _W
+
+    from qcardia_data_spark.functions.arrays import cosine as _cos
+
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.pairwise_topk_join(
         emb.select(F.col("vec_id").alias("a"), "embedding"),
         emb.select(F.col("vec_id").alias("b"), "embedding"),
         k=3, id_left="a", id_right="b", n_planes=6, max_bucket_size=1000,
+    ).select("a", "b", "score")
+
+    k_bound = out.groupBy("a").agg(F.count(F.lit(1)).alias("n")).agg(
+        (F.max("n") <= 3).alias("k_bound_ok")
     )
-    return out.select("a", "b", F.round("score", 6).alias("score"))
+    structural = out.agg(
+        (F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)) == 0).alias("no_self_pairs"),
+        ((F.min("score") >= -1.000001) & (F.max("score") <= 1.000001)).alias("scores_valid"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+    )
+
+    # recall floor on the bounded slice: ANN on slice vs exact top-3 on slice
+    sub = emb.filter(F.col("vec_id") < 300)
+    ann_slice = SIM.pairwise_topk_join(
+        sub.select(F.col("vec_id").alias("a"), "embedding"),
+        sub.select(F.col("vec_id").alias("b"), "embedding"),
+        k=3, id_left="a", id_right="b", n_planes=6, max_bucket_size=1000,
+    ).select("a", "b")
+    pa = sub.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    pb = sub.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    exact = (
+        pa.join(pb, F.col("a") != F.col("b"))
+        .select("a", "b", _cos(F.col("va"), F.col("vb")).alias("sc"))
+        .withColumn("rn", F.row_number().over(_W.partitionBy("a").orderBy(F.desc("sc"), F.col("b"))))
+        .filter(F.col("rn") <= 3)
+        .select("a", "b")
+    )
+    recall = (
+        exact.join(ann_slice, ["a", "b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("tot")))
+        .select(((F.col("hit") / F.col("tot")) >= 0.03).alias("recall_floor_ok"))
+    )
+    return k_bound.crossJoin(structural).crossJoin(recall)
 
 
 @_q(
@@ -2747,12 +2809,49 @@ def text_quality_filter(spark, sf_dir):
     )
 
 
-@_q("sim_lsh_topk", None)  # xxhash64 buckets are not DuckDB-expressible → rows-only check
+@_q(
+    "sim_lsh_topk",
+    """
+    SELECT CAST(1 AS BOOLEAN) AS top1_is_query,
+           CAST(1 AS BOOLEAN) AS k_rows_ok,
+           CAST(1 AS BOOLEAN) AS ids_distinct,
+           CAST(1 AS BOOLEAN) AS scores_valid,
+           CAST(1 AS BOOLEAN) AS recall_floor_ok
+    """,
+)
 def sim_lsh(spark, sf_dir):
+    # LSH (multi-probe) top-k against query vec_id=0. md5-expressible twin
+    # sim_lsh_md5_topk carries the value-level check; this entry exports the
+    # a12-style invariants of the xxhash64-plane production path:
+    #   top1_is_query   — the corpus contains the query itself; self-cosine
+    #     is 1 and the query always lands in its own bucket, so rank 1 MUST
+    #     be vec_id 0 at score ~1 (exact structural property, not a bound)
+    #   k_rows_ok       — exactly k=10 results (probes never underfill here)
+    #   ids_distinct    — no candidate appears twice despite multi-probe
+    #   scores_valid    — all cosines in [-1, 1] (+fp eps)
+    #   recall_floor_ok — at least 1 of the brute-force top-10 is found
+    #     (measured 1-2 at both SFs: 9 probed buckets of 2^8 over random
+    #     vectors; the exact-bucket-membership claim is top1_is_query above)
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = SIM.ann_lsh_topk(emb, qvec, k=10, n_planes=8)
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    out = SIM.ann_lsh_topk(emb, qvec, k=10, n_planes=8).select("vec_id", "score")
+
+    top1 = (
+        out.orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(1)
+        .select(((F.col("vec_id") == 0) & (F.col("score") > 0.999999)).alias("top1_is_query"))
+    )
+    structural = out.agg(
+        (F.count(F.lit(1)) == 10).alias("k_rows_ok"),
+        (F.countDistinct("vec_id") == 10).alias("ids_distinct"),
+        ((F.min("score") >= -1.000001) & (F.max("score") <= 1.000001)).alias("scores_valid"),
+    )
+    brute = SIM.cosine_topk(emb, qvec, k=10).select("vec_id")
+    recall = (
+        brute.join(out.select("vec_id"), "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= 1).alias("recall_floor_ok"))
+    )
+    return top1.crossJoin(structural).crossJoin(recall)
 
 
 # ---------------------------------------------------------------------------
@@ -3182,70 +3281,71 @@ def ev_latest(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # Round-3 window (verdict r2, "Next round" #1): the 13 registry queries
-    # that have never had a driver verdict, plus a12's rebuilt within-rsd
-    # invariant (r1's lone no_oracle row), plus the md5 twins of the two
-    # rows-only queries so the value-checked siblings are graded in the same
-    # window, padded with regrades of the pass-r1 p/j/a/w families for drift
-    # detection. With this window, every one of the 111 registry queries has
-    # a driver CORRECTNESS row cumulatively.
+    # Round-4 window (verdict r3 "Next round" #2-#4): head = the single
+    # never-graded registry query, then the two former rows-only entries
+    # rebuilt this round as a12-style invariant oracles (zero no_oracle rows
+    # left in the registry), then drift-detection regrades of everything
+    # whose latest verdict is r2-vintage — dedup/text/similarity families,
+    # the nine r2 ev_* twins, the f/g/u/x families — padded with the last
+    # never-regraded r1 sort/set-op rows. q1 stays as the flagship anchor.
+    "ev_asof_next_purchase",  # only query with no CORRECTNESS row ever
     "q1_pricing_summary",
-    # never-graded registry queries
-    "o5_first_k_preview",
-    "u2_except",
-    "g5_replicate_rows",
-    "f5_clamp",
-    "f9_intensity_augs",
-    "f17_file_id",
-    "emb_quantize_int8",
-    "ev_value_delta",
-    "ev_monthly_rollup",
-    "ev_hypertable_rollup",
-    "ev_range_join_views_before_purchase",
-    "text_repetition_filter",  # new this round — grade immediately
-    "sim_ann_join",
-    "sim_lsh_topk",
-    # a12 re-grade with the invariant oracle (was no_oracle in r1)
-    "a12_approx_count_distinct",
-    # value-checked md5 twins of the two rows-only entries above
-    "sim_ann_join_md5",
-    "sim_lsh_md5_topk",
-    # drift-detection regrades: projections / filters (pass-r1)
-    "p1_reorder_columns",
-    "p3_rename_columns",
-    "p4_eq_filter",
-    "p5_in_list",
-    "p6_conditional_skip",
-    "p7_orphan_check",
-    "p8_string_normalize",
-    "p9_derived_flags",
-    "p10_cyclic_renumber",
-    "p11_nullify_placeholders",
-    "p12_composite_key_roundtrip",
-    # joins (pass-r1)
-    "j1_weight_join",
-    "j2_broadcast_star_join",
-    "j3_anti_join",
-    "j4_semi_join",
-    "j5_first_match",
-    # aggregations (pass-r1)
-    "a1_group_weights_nullsafe",
-    "a2_stratified_sample",
-    "a3_summary_stats",
-    "a4_quantile_summary",
-    "a5_distinct_set_per_group",
-    "a6_argmax_per_group",
-    "a7_count_if",
-    "a8_histogram_cdf",
-    "a9_grouped_counts",
-    "a10_two_level_agg",
-    "a11_rollup",
-    "a14_grouping_sets",
-    # windows (pass-r1)
-    "w1_count_over_partition",
-    "w2_seeded_split",
-    "w3_rownum_per_group",
-    "w4_cumulative_sum",
+    "sim_ann_join",  # invariant oracle new this round — grade immediately
+    "sim_lsh_topk",  # invariant oracle new this round — grade immediately
+    # dedup family (all r2-vintage verdicts)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_duplicate_clusters",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # text family (r2-vintage)
+    "text_token_stats",
+    "text_lang_id",
+    "text_jaccard_pairs",
+    "text_rolling_fingerprint",
+    "text_term_freq",
+    "text_tfidf",
+    "text_quality_filter",
+    # event-time twins graded r2, not since
+    "ev_tumbling_window",
+    "ev_sliding_window",
+    "ev_sessionize",
+    "ev_session_window",
+    "ev_attribution_join",
+    "ev_asof_last_view",
+    "ev_props_json",
+    "ev_funnel_depth",
+    "ev_latest_dedup",
+    # scalar/array functions graded r2, not since
+    "f2_floor_to_zero",
+    "f4_minmax_normalize",
+    "f6_rand_solarize",
+    "f7_rand_resample_2d",
+    "f8_invertible_resample_roundtrip",
+    "f10_one_hot",
+    "f11_enclosing_circle",
+    "f16_md5_fingerprint",
+    "f18_histogram_equalize",
+    "f19_overlay_rgb",
+    "f20_softmax",
+    # generators graded r2, not since
+    "g1_posexplode",
+    "g2_token_explode",
+    "g3_explode_2d",
+    "g6_flatten",
+    # set ops / sampling graded r2, not since
+    "u1_union_by_name",
+    "u3_intersect",
+    "x1_subject_level_split",
+    "x4_weighted_sample",
+    # similarity family (r2-vintage)
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    # last r1-vintage rows never regraded
+    "o1_top_k",
+    "o2_natural_sort",
+    "o3_dense_rank_desc",
+    "u2b_except_all",
 ]
 
 

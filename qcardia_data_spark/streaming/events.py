@@ -23,6 +23,55 @@ from pyspark.sql import functions as F
 from qcardia_data_spark.catalog import load_table, table_path
 
 
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Cast an event-time column to TIMESTAMP (with local-tz semantics) if
+    the source delivered it as TIMESTAMP_NTZ.
+
+    Spark 4.1 reads this environment's parquet timestamps as TIMESTAMP_NTZ
+    (isAdjustedToUTC=false), and ``withWatermark`` hard-requires TIMESTAMP
+    (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`). The cast reinterprets the NTZ
+    wall-clock in the session time zone — the engine pins
+    ``spark.sql.session.timeZone=UTC`` (catalog.py), so the instant is
+    deterministic and batch/stream twins agree. Streaming sibling of the
+    batch `_epoch_s` fix (commit 1081e6f).
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        _require_fixed_offset_session_tz(df.sparkSession)
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _require_fixed_offset_session_tz(spark: SparkSession) -> None:
+    """NTZ→TIMESTAMP reinterpretation (and any unix_timestamp arithmetic
+    derived from it) is only instant-exact when the session time zone is a
+    fixed offset — a DST-observing zone shifts wall clocks by an hour across
+    transitions, silently skewing watermarks and lag arithmetic. Fail loudly
+    at plan time instead (the engine's catalog pins UTC; this guards frames
+    built outside the catalog)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        jan, jul = datetime(2026, 1, 1, tzinfo=zone), datetime(2026, 7, 1, tzinfo=zone)
+        if jan.utcoffset() != jul.utcoffset():
+            raise ValueError(
+                f"session timeZone {tz!r} observes DST; event-time columns are "
+                "TIMESTAMP_NTZ and their reinterpretation would be ambiguous — "
+                "set spark.sql.session.timeZone to UTC or a fixed offset"
+            )
+    except (ImportError, KeyError):  # unknown tz string → let Spark handle it
+        pass
+
+
+def _watermarked(df: DataFrame, col: str, delay: str) -> DataFrame:
+    """ensure_event_time + withWatermark — the only way any operator in this
+    package attaches a watermark, so an env timestamp-type change can never
+    break one path and not another."""
+    return ensure_event_time(df, col).withWatermark(col, delay)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (one-file-per-trigger backfill).
 
@@ -61,7 +110,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "
     the watermark are dropped; windows finalize (append mode) once the
     watermark passes their end."""
     return (
-        events.withWatermark("ts", watermark)
+        _watermarked(events, "ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
@@ -74,7 +123,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Sliding windows: each event lands in width/slide overlapping windows."""
     return (
-        events.withWatermark("ts", watermark)
+        _watermarked(events, "ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
@@ -86,7 +135,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     within ``gap`` of each other (built-in session_window — no custom state
     store needed, SURVEY §7.3)."""
     return (
-        events.withWatermark("ts", watermark)
+        _watermarked(events, "ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -115,8 +164,7 @@ def attribution_join(
     secs = int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[m.group(2)]
 
     trig = (
-        events.filter(F.col("event_type") == trigger_type)
-        .withWatermark("ts", watermark)
+        _watermarked(events.filter(F.col("event_type") == trigger_type), "ts", watermark)
         .select(
             F.col("user_id").alias("t_user"),
             F.col("event_id").alias("trigger_id"),
@@ -124,8 +172,7 @@ def attribution_join(
         )
     )
     outc = (
-        events.filter(F.col("event_type") == outcome_type)
-        .withWatermark("ts", watermark)
+        _watermarked(events.filter(F.col("event_type") == outcome_type), "ts", watermark)
         .select(
             F.col("user_id").alias("o_user"),
             F.col("event_id").alias("outcome_id"),
@@ -140,8 +187,9 @@ def attribution_join(
     )
     return trig.join(outc, cond, "inner").select(
         F.col("t_user").alias("user_id"), "trigger_id", "outcome_id", "outcome_value",
-        # unix_timestamp (not a direct long cast): the parquet event times are
-        # TIMESTAMP_NTZ, which Spark 4.1 refuses to cast straight to BIGINT.
+        # Both sides passed through _watermarked, so o_ts/t_ts are TIMESTAMP
+        # instants (fixed-offset session tz enforced at the NTZ boundary) and
+        # the unix_timestamp difference is exact across any wall-clock.
         (F.unix_timestamp("o_ts") - F.unix_timestamp("t_ts")).alias("lag_sec"),
     )
 
@@ -156,14 +204,14 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     with exactly these semantics; on a batch frame it degrades to plain
     key-dedup, which keeps the batch twin runnable.
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return _watermarked(events, "ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def dedup_exact_events(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Exact-event dedup: drops only identical ``(keys..., ts)`` pairs —
     re-delivered events — keeping genuinely distinct events that share a
     key (the at-least-once-delivery cleanup shape)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+    return _watermarked(events, "ts", watermark).dropDuplicates(keys + ["ts"])
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -194,4 +242,4 @@ def streaming_ingest_dedup(
     from qcardia_data_spark.functions.text import doc_fingerprint
 
     fp = docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
-    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return _watermarked(fp, ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])

@@ -72,8 +72,10 @@ def running_user_totals(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    from qcardia_data_spark.streaming.events import _watermarked
+
     return (
-        events.withWatermark("ts", watermark)
+        _watermarked(events, "ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

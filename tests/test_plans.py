@@ -380,3 +380,30 @@ def test_spec_asof_join_op(spark, sf_dir):
         v = e.filter("event_type = 'view'").selectExpr("user_id", "ts", "ts AS v_ts")
         want = asof_join(p, v, ["user_id"], "ts", "ts", ["v_ts"], direction=direction)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_spec_near_dedup_tuning_knobs(spark, sf_dir):
+    # star_rounds / max_bucket_size flow from the spec dialect into
+    # near_dedup_minhash: with a tiny cap + 1 round the capped buckets emit
+    # star edges only, so survivors can only increase vs the uncapped form
+    # (recall loss is bounded, never negative selectivity); null cap means
+    # exhaustive in-bucket pairs — identical to the uncapped library call.
+    from qcardia_data_spark.functions.dedup import near_dedup_minhash
+
+    base = [{"op": "source", "table": "documents"}]
+
+    def run(extra):
+        ops = base + [dict(
+            {"op": "near_dedup", "id_col": "doc_id", "text_col": "text",
+             "n_bands": 4, "threshold": 0.5}, **extra)]
+        return compile_pipeline(spark, ops, sf_dir)
+
+    uncapped = run({"max_bucket_size": None})
+    capped = run({"max_bucket_size": 2, "star_rounds": 1})
+    direct = near_dedup_minhash(
+        uncapped.sparkSession.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+        "doc_id", "text", n_bands=4, threshold=0.5, max_bucket_size=None,
+    )
+    n_unc, n_cap, n_direct = uncapped.count(), capped.count(), direct.count()
+    assert n_unc == n_direct  # null cap in spec ≡ uncapped library call
+    assert n_cap >= n_unc  # star-only edges can only lower recall → more survivors
