@@ -228,3 +228,84 @@ def test_streaming_ingest_dedup_matches_batch_exact_dedup(spark, tmp_path):
     got = sorted(r["doc_id"] for r in kept.collect())
     want = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
     assert got == want == list(range(10))  # first/min-id copy of each text
+
+
+# ---------------------------------------------------------------------------
+# NTZ regression guard (round-4 verdict #6): every streaming entry point must
+# analyze AND run when fed from the parquet-backed events stream, whatever
+# timestamp type the environment's parquet reader produces (Spark 4.1.2 reads
+# the testdata as TIMESTAMP_NTZ; withWatermark requires TIMESTAMP — the
+# _watermarked/ensure_event_time boundary converts). A failure here means a
+# watermark call site bypassed the boundary.
+# ---------------------------------------------------------------------------
+_STREAM_ENTRY_POINTS = {
+    "tumbling": lambda ev: S.tumbling_counts(ev),
+    "sliding": lambda ev: S.sliding_counts(ev),
+    "session": lambda ev: S.session_counts(ev),
+    "attribution": lambda ev: S.attribution_join(ev),
+    "dedup_within_watermark": lambda ev: S.dedup_within_watermark(ev, ["event_id"]),
+    "dedup_exact_events": lambda ev: S.dedup_exact_events(ev, ["event_id"]),
+    "stateful_totals": lambda ev: __import__(
+        "qcardia_data_spark.streaming.stateful", fromlist=["running_user_totals"]
+    ).running_user_totals(ev),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_STREAM_ENTRY_POINTS))
+def test_every_entry_point_runs_from_parquet_stream(spark, sf_dir, name):
+    ev = S.events_stream(spark, sf_dir)
+    assert ev.isStreaming
+    mode = {"stateful_totals": "update",
+            "dedup_within_watermark": "append",
+            "dedup_exact_events": "append",
+            "attribution": "append"}.get(name, "complete")
+    out = S.run_to_memory(_STREAM_ENTRY_POINTS[name](ev), mode)
+    assert out.count() > 0
+
+
+def test_spec_watermark_op_runs_from_parquet_stream(spark, sf_dir):
+    import os as _os
+
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+
+    raw_schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    ops = [
+        {"op": "stream_source", "path": _os.path.join(sf_dir, "events.*"),
+         "schema": raw_schema, "max_files_per_trigger": 1},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+        {"op": "window_agg", "col": "ts", "width": "1 hour",
+         "by": ["event_type"], "aggs": {"n": "count(*)"}},
+    ]
+    out = S.run_to_memory(compile_stream_pipeline(spark, ops), "complete")
+    assert out.count() > 0
+
+
+def test_streaming_ingest_dedup_runs_with_ntz_ingest_ts(spark, tmp_path):
+    # ingest_ts written as TIMESTAMP_NTZ parquet (pyarrow default, no tz) —
+    # the docs-side twin of the events guard above
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pdf = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [f"t{i % 3}" for i in range(6)],
+        "ingest_ts": pd.date_range("2024-06-01 08:00:00", periods=6, freq="s"),
+    })
+    tbl = pa.Table.from_pandas(pdf)
+    # micros precision: nanos would read back as bigint under the session's
+    # nanosAsLong legacy conf — this test targets the NTZ path specifically
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ingest_ts"), "ingest_ts",
+        tbl["ingest_ts"].cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, str(src / "f.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    assert dict((f.name, f.dataType.simpleString()) for f in schema)["ingest_ts"] in (
+        "timestamp_ntz", "timestamp"
+    )
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+    out = S.run_to_memory(S.streaming_ingest_dedup(stream, watermark="1 hour"))
+    assert out.count() == 3
