@@ -2298,6 +2298,126 @@ def text_repetition_filter(spark, sf_dir):
     )
 
 
+def _pii_synth_spark(doc_id, n_chars):
+    """Deterministic PII-bearing text synthesized from numeric columns —
+    the corpus itself is PII-free word soup, so the cross-engine regex
+    exercise builds identical strings in Spark and DuckDB (same concat, same
+    modular arithmetic) and the driver value-checks the library regexes
+    (functions/text.py PII_PATTERNS / URL_PATTERN / url_domain) end to end.
+    The ' in 1999' tail after the phone digits pins the no-span-across-
+    digit-groups property; the u:pw@…:8080 URL pins userinfo/port
+    stripping."""
+    did = doc_id.cast("string")
+    email = F.when(
+        doc_id % 3 == 0,
+        F.concat(F.lit(" mail u"), did, F.lit("@ex"), (doc_id % 7).cast("string"), F.lit(".org")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 4 == 0,
+        F.concat(
+            F.lit(" call +1 555 "), F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            F.lit(" "), F.lpad((n_chars % 10000).cast("string"), 4, "0"), F.lit(" in 1999"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 5 == 0,
+        F.concat(F.lit(" from 10."), (doc_id % 256).cast("string"), F.lit(".0."), (n_chars % 256).cast("string")),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        doc_id % 2 == 0,
+        F.concat(F.lit(" see https://u"), did, F.lit(":pw@h"), (doc_id % 50).cast("string"), F.lit(".example.org:8080/p")),
+    ).otherwise(
+        F.concat(F.lit(" see https://h"), (doc_id % 50).cast("string"), F.lit(".example.org/q"))
+    )
+    return F.concat(F.col("text"), email, phone, ip, url)
+
+
+_PII_SYNTH_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+                          || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' ' || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') || ' in 1999'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(n_chars % 256 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' see https://u' || CAST(doc_id AS VARCHAR) || ':pw@h'
+                          || CAST(doc_id % 50 AS VARCHAR) || '.example.org:8080/p'
+                     ELSE ' see https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/q'
+                END AS synth
+      FROM documents
+"""
+
+
+@_q(
+    "text_pii_scan",
+    rf"""
+    WITH s AS ({_PII_SYNTH_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(synth, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(synth, '\+\d(?:[\- ]?\d){{7,}}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(synth,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                   '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+                 '\+\d(?:[\- ]?\d){{7,}}', '<PHONE>', 'g')) AS scrub_md5
+    FROM s
+    """,
+)
+def text_pii_scan(spark, sf_dir):
+    # [ext] corpus PII pass, audit + scrub halves together: per-doc match
+    # counts for every PII category and the md5 of the scrubbed text —
+    # value-checks PII_PATTERNS and the replacement chain (same order both
+    # engines: email -> ipv4 -> phone) against DuckDB's RE2. Pure JVM regex,
+    # zero Python, zero shuffle: at 100 TB this is a map-only stage.
+    docs = _t(spark, sf_dir, "documents")
+    synth = _pii_synth_spark(F.col("doc_id"), F.col("n_chars"))
+    s = docs.select("doc_id", synth.alias("synth"))
+    counts = T.pii_counts(F.col("synth"))
+    return s.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+        F.md5(T.pii_scrub(F.col("synth"))).alias("scrub_md5"),
+    )
+
+
+@_q(
+    "text_url_domains",
+    rf"""
+    WITH s AS ({_PII_SYNTH_SQL}),
+    u AS (SELECT doc_id, unnest(regexp_extract_all(synth, 'https?://[^\s]+')) AS url FROM s)
+    SELECT regexp_extract(url, 'https?://(?:[^/@\s]+@)?([^/:\s]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM u GROUP BY 1
+    """,
+)
+def text_url_domains(spark, sf_dir):
+    # [ext] domain-mix statistics — the per-domain histogram every
+    # pretraining corpus tracks for source balancing. Explode extracted
+    # URLs, normalize to hostname (userinfo/port stripped — the synth URLs
+    # carry 'u:pw@' and ':8080' precisely to pin that), count per domain.
+    # Long-thin (domain) rows, map-side combine on the one shuffle.
+    docs = _t(spark, sf_dir, "documents")
+    synth = _pii_synth_spark(F.col("doc_id"), F.col("n_chars"))
+    urls = docs.select(F.explode(T.extract_urls(synth)).alias("url"))
+    return (
+        urls.select(T.url_domain(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
 @_q(
     "emb_quantize_int8",
     """
@@ -3292,6 +3412,8 @@ _PRIORITY = [
     "q1_pricing_summary",
     "sim_ann_join",  # invariant oracle new this round — grade immediately
     "sim_lsh_topk",  # invariant oracle new this round — grade immediately
+    "text_pii_scan",  # new this round — grade immediately
+    "text_url_domains",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3326,8 +3448,8 @@ _PRIORITY = [
     "f11_enclosing_circle",
     "f16_md5_fingerprint",
     "f18_histogram_equalize",
-    "f19_overlay_rgb",
-    "f20_softmax",
+    # (f19_overlay_rgb / f20_softmax rotate to round 5 — displaced by the
+    # two never-graded text queries above; window caps at 50)
     # generators graded r2, not since
     "g1_posexplode",
     "g2_token_explode",
