@@ -44,6 +44,42 @@ HEADLINE = [
 ]
 
 
+# The registry entries for these two became a12-style invariant wrappers in
+# round 4 (operator + in-plan brute-force verification for the driver's
+# oracle). The bench keeps timing the RAW production operator — same work as
+# rounds 1-3, so the BENCH_r* series stays like-for-like.
+def _raw_sim_ann_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import qcardia_data_spark.functions.similarity as SIM
+    from qcardia_data_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.pairwise_topk_join(
+        emb.select(F.col("vec_id").alias("a"), "embedding"),
+        emb.select(F.col("vec_id").alias("b"), "embedding"),
+        k=3, id_left="a", id_right="b", n_planes=6, max_bucket_size=1000,
+    ).select("a", "b", F.round("score", 6).alias("score"))
+
+
+def _raw_sim_lsh_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    import qcardia_data_spark.functions.similarity as SIM
+    from qcardia_data_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = SIM.ann_lsh_topk(emb, qvec, k=10, n_planes=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+RAW_OVERRIDES = {
+    "sim_ann_join": _raw_sim_ann_join,
+    "sim_lsh_topk": _raw_sim_lsh_topk,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -65,7 +101,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn, _sql = QUERIES[name]
+        fn = RAW_OVERRIDES.get(name) or QUERIES[name][0]
         try:
             samples = []
             for _ in range(repeats):

@@ -243,3 +243,87 @@ def url_domain(url: Column) -> Column:
     ('user:pass@') and port (':8080') are stripped: the optional non-capturing
     group consumes through '@' and the host class stops at ':' or '/'."""
     return F.regexp_extract(url, r"https?://(?:[^/@\s]+@)?([^/:\s]+)", 1)
+
+
+def pack_sequences(
+    df, token_col: str, seq_len: int, by: str, order: str,
+):
+    """[ext] Sequence packing — assign each document to the fixed-length
+    training sequence (pack) its tokens start in, under the standard
+    concat-then-chunk scheme pretraining pipelines use: documents are
+    concatenated in ``order`` within each ``by`` partition and the stream is
+    chunked every ``seq_len`` tokens.
+
+    Emitted per doc: ``pack_id`` (chunk index of the doc's first token),
+    ``pack_offset`` (position of that token within its chunk), and
+    ``n_spans`` (how many chunk boundaries the doc crosses + 1 — a doc
+    larger than the remaining room spills into the next chunk(s)).
+
+    100 TB design: the only exchange is the hash partition on ``by`` for
+    the running-sum window — pack ids are derived per partition stream, so
+    packing shards embarrassingly by source/shard key. No Python, no
+    collect; the cumulative sum is one window frame. (A true first-fit bin
+    packer is inherently sequential; concat-then-chunk is what large
+    pretraining corpora actually run, because it is streaming and loses at
+    most seq_len-1 tokens of padding per shard, not per doc.)
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_after = F.sum(token_col).over(w)
+    cum_before = cum_after - F.col(token_col)
+    pack_id = F.floor(cum_before / seq_len)
+    return (
+        df.withColumn("pack_id", pack_id.cast("long"))
+        .withColumn("pack_offset", (cum_before % seq_len).cast("long"))
+        .withColumn(
+            "n_spans",
+            F.when(F.col(token_col) == 0, F.lit(1).cast("long")).otherwise(
+                (F.floor((cum_after - 1) / seq_len) - pack_id + 1).cast("long")
+            ),
+        )
+    )
+
+
+def corpus_mix(
+    df, token_col: str, key_col: str, by: str,
+    weights: dict[str, float], total_budget: int, seed: int = 0,
+):
+    """[ext] Weighted corpus mixing — sample each source down to its share
+    of a total token budget (``weights[source] * total_budget`` tokens),
+    keeping a deterministic pseudo-random subset: docs are ranked inside
+    each source by keyed md5 'randomness' (retry-safe, engine-agnostic —
+    operators/windows.keyed_rand's scheme) and kept while the running token
+    count stays within the source's budget; the first doc to cross the
+    budget is kept too (ceil semantics) so every source with weight > 0
+    contributes at least one doc.
+
+    100 TB design: one window over the ``by`` hash partition — no
+    collect, no iterative trimming. Budgets arrive as plan literals via a
+    CASE expression (broadcast-free); unlisted sources default to weight 0
+    and are dropped at the scan.
+    """
+    from pyspark.sql.window import Window
+
+    budget = None
+    for src, wgt in weights.items():
+        b = F.lit(float(wgt) * total_budget)
+        budget = F.when(F.col(by) == src, b) if budget is None else budget.when(
+            F.col(by) == src, b
+        )
+    budget = budget.otherwise(F.lit(0.0))
+    rnd = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(by).orderBy(rnd, key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(token_col).over(w)
+    cum_before = cum - F.col(token_col)
+    return (
+        df.withColumn("_budget", budget)
+        .filter(F.col("_budget") > 0)
+        .withColumn("_cum_before", cum_before)
+        .filter(F.col("_cum_before") < F.col("_budget"))
+        .drop("_budget", "_cum_before")
+    )

@@ -2298,6 +2298,91 @@ def text_repetition_filter(spark, sf_dir):
     )
 
 
+@_q(
+    "text_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_after
+      FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor((cum_after - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           CAST((cum_after - n_tokens) % 512 AS BIGINT) AS pack_offset,
+           CASE WHEN n_tokens = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(floor((cum_after - 1) / 512.0)
+                          - floor((cum_after - n_tokens) / 512.0) + 1 AS BIGINT)
+           END AS n_spans
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    # [ext] sequence packing for pretraining: concat-then-chunk every 512
+    # tokens per source shard — each doc gets the chunk id / offset of its
+    # first token and the number of chunks it spans. One window exchange on
+    # the shard key; see functions/text.py:pack_sequences for the 100 TB
+    # rationale (streaming, ≤ seq_len-1 padding loss per shard).
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(T.word_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return T.pack_sequences(t, "n_tokens", 512, by="source", order="doc_id").select(
+        "doc_id", "source", "n_tokens", "pack_id", "pack_offset", "n_spans"
+    )
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
+_MIX_BUDGET = 40000
+
+
+@_q(
+    "text_corpus_mix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN source = 'src0' THEN 0.5 * 40000
+                  WHEN source = 'src1' THEN 0.3 * 40000
+                  WHEN source = 'src2' THEN 0.15 * 40000
+                  WHEN source = 'src3' THEN 0.05 * 40000
+                  ELSE 0.0 END AS budget,
+             md5(concat_ws('|', '0', CAST(doc_id AS VARCHAR))) AS rnd
+      FROM t),
+    c AS (
+      SELECT doc_id, source, n_tokens, budget,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM b WHERE budget > 0)
+    SELECT doc_id, source, n_tokens FROM c WHERE cum_before < budget
+    """,
+)
+def text_corpus_mix(spark, sf_dir):
+    # [ext] weighted corpus mixing: each source sampled down to its share of
+    # a 40k-token budget (50/30/15/5% across src0-src3, everything else
+    # dropped) by deterministic keyed-md5 ranking — the source-balancing
+    # step before pretraining. Cross-engine value-checked because the
+    # 'randomness' is md5, identical in Spark and DuckDB.
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(T.word_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return T.corpus_mix(
+        t, "n_tokens", key_col="doc_id", by="source",
+        weights=_MIX_WEIGHTS, total_budget=_MIX_BUDGET, seed=0,
+    ).select("doc_id", "source", "n_tokens")
+
+
 def _pii_synth_spark(doc_id, n_chars):
     """Deterministic PII-bearing text synthesized from numeric columns —
     the corpus itself is PII-free word soup, so the cross-engine regex
@@ -3414,6 +3499,8 @@ _PRIORITY = [
     "sim_lsh_topk",  # invariant oracle new this round — grade immediately
     "text_pii_scan",  # new this round — grade immediately
     "text_url_domains",  # new this round — grade immediately
+    "text_pack_sequences",  # new this round — grade immediately
+    "text_corpus_mix",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3444,12 +3531,12 @@ _PRIORITY = [
     "f6_rand_solarize",
     "f7_rand_resample_2d",
     "f8_invertible_resample_roundtrip",
-    "f10_one_hot",
     "f11_enclosing_circle",
-    "f16_md5_fingerprint",
     "f18_histogram_equalize",
-    # (f19_overlay_rgb / f20_softmax rotate to round 5 — displaced by the
-    # two never-graded text queries above; window caps at 50)
+    # (f10_one_hot / f16_md5_fingerprint / f19_overlay_rgb / f20_softmax
+    # rotate to round 5 — displaced by the four never-graded text queries
+    # above; window caps at 50; the displaced four are the simplest/most
+    # drift-stable of the f family and keep local parity coverage)
     # generators graded r2, not since
     "g1_posexplode",
     "g2_token_explode",
