@@ -327,3 +327,43 @@ def corpus_mix(
         .filter(F.col("_cum_before") < F.col("_budget"))
         .drop("_budget", "_cum_before")
     )
+
+
+def decontaminate(
+    docs, eval_docs, id_col: str, text_col: str, n: int = 13,
+):
+    """[ext] Train-test decontamination: flag every training document that
+    shares at least one word ``n``-gram with an evaluation/benchmark set —
+    the standard pre-training hygiene pass (13-gram overlap is the common
+    production setting; tune ``n`` to corpus vocabulary).
+
+    Returns ``docs`` + boolean ``contaminated``.
+
+    100 TB design: the corpus side explodes to (id, gram) rows ONCE and the
+    eval side reduces to a distinct-gram set that is broadcast — benchmark
+    suites are tiny relative to the corpus, so the contamination check is a
+    broadcast semi-join touching each corpus gram exactly once, with NO
+    shuffle of corpus data. (If the eval set ever outgrew broadcast range,
+    the same plan degrades to a shuffled semi-join on the gram hash.)
+    """
+    from pyspark.sql.functions import broadcast
+
+    from qcardia_data_spark.functions.dedup import shingle_rows
+
+    doc_grams = shingle_rows(docs.select(id_col, text_col), id_col, text_col, n)
+    eval_grams = (
+        shingle_rows(
+            eval_docs.selectExpr(f"{id_col} as _eid", text_col), "_eid", text_col, n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated_ids = (
+        doc_grams.join(broadcast(eval_grams), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(contaminated_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

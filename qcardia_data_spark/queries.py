@@ -2337,6 +2337,41 @@ def text_pack_sequences(spark, sf_dir):
     )
 
 
+@_q(
+    "text_decontaminate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 5 + 2),
+            i -> array_to_string(toks[i:i+5-1], ' ')))) AS gram
+          FROM t WHERE len(toks) >= 5),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+    c AS (SELECT DISTINCT doc_id FROM g
+          WHERE doc_id >= 20 AND gram IN (SELECT gram FROM e))
+    SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+    FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+    WHERE t.doc_id >= 20
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    # [ext] train-test decontamination: the benchmark set is the doc_id<20
+    # slice, training docs sharing any 5-gram with it are flagged (n=13 in
+    # production; 5 here because the synthetic vocabulary is ~40 words).
+    # Corpus grams explode once, eval grams broadcast — no corpus shuffle;
+    # see functions/text.py:decontaminate.
+    docs = _t(spark, sf_dir, "documents")
+    out = T.decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id", "text", n=5,
+    )
+    return out.select("doc_id", "contaminated")
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
 _MIX_BUDGET = 40000
 
@@ -3501,6 +3536,7 @@ _PRIORITY = [
     "text_url_domains",  # new this round — grade immediately
     "text_pack_sequences",  # new this round — grade immediately
     "text_corpus_mix",  # new this round — grade immediately
+    "text_decontaminate",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3522,7 +3558,7 @@ _PRIORITY = [
     "ev_session_window",
     "ev_attribution_join",
     "ev_asof_last_view",
-    "ev_props_json",
+    # (ev_props_json rotates to round 5 — displaced by text_decontaminate)
     "ev_funnel_depth",
     "ev_latest_dedup",
     # scalar/array functions graded r2, not since

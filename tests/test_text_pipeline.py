@@ -92,3 +92,22 @@ def test_repetition_scores_ignore_nulls_and_empties(spark):
     ).collect()[0]
     assert row["m"] == 3  # the three 'a's form one sorted run
     assert row["d"] == 2  # {'a', 'b'}
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares a 5-gram
+            (2, "one two three four five six"),           # disjoint
+            (3, "tiny doc"),                              # < n tokens -> clean
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in T.decontaminate(train, evals, "doc_id", "text", n=5).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
