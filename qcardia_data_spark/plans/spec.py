@@ -231,6 +231,35 @@ def _apply(
             ),
             star_rounds=int(op.get("star_rounds", 2)),
         )
+    if kind == "pack_sequences":
+        from qcardia_data_spark.functions.text import pack_sequences
+
+        return pack_sequences(
+            df, op["token_col"], int(op["seq_len"]),
+            by=op["by"], order=op["order"],
+        )
+    if kind == "corpus_mix":
+        from qcardia_data_spark.functions.text import corpus_mix
+
+        return corpus_mix(
+            df, op["token_col"], op["key_col"], op["by"],
+            weights={str(k): float(v) for k, v in op["weights"].items()},
+            total_budget=int(op["total_budget"]),
+            seed=int(op.get("seed", 0)),
+        )
+    if kind == "decontaminate":
+        from qcardia_data_spark.functions.text import decontaminate
+
+        out = decontaminate(
+            df, _side(spark, op["eval"], sf_dir),
+            op["id_col"], op["text_col"], n=int(op.get("n", 13)),
+        )
+        # drop_flagged=True turns the audit into the gate
+        return (
+            out.filter(~F.col("contaminated")).drop("contaminated")
+            if op.get("drop_flagged", False)
+            else out
+        )
     if kind == "quality_filter":
         from qcardia_data_spark.functions.text import word_tokens
 

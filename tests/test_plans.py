@@ -407,3 +407,71 @@ def test_spec_near_dedup_tuning_knobs(spark, sf_dir):
     n_unc, n_cap, n_direct = uncapped.count(), capped.count(), direct.count()
     assert n_unc == n_direct  # null cap in spec ≡ uncapped library call
     assert n_cap >= n_unc  # star-only edges can only lower recall → more survivors
+
+
+def test_spec_corpus_assembly_ops(spark, sf_dir):
+    # pack_sequences / corpus_mix / decontaminate flow through the spec
+    # dialect and match the direct library calls
+    import qcardia_data_spark.functions.text as T
+
+    tok_expr = "size(split(trim(text), ' '))"
+    base = [
+        {"op": "source", "table": "documents"},
+        {"op": "with_columns", "cols": {"n_tokens": tok_expr}},
+    ]
+    packed = compile_pipeline(
+        spark,
+        base + [{"op": "pack_sequences", "token_col": "n_tokens",
+                 "seq_len": 256, "by": "source", "order": "doc_id"}],
+        sf_dir,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    direct = T.pack_sequences(
+        docs.withColumn("n_tokens", F.expr(tok_expr)),
+        "n_tokens", 256, by="source", order="doc_id",
+    )
+    assert sorted(
+        (r["doc_id"], r["pack_id"], r["pack_offset"]) for r in packed.collect()
+    ) == sorted((r["doc_id"], r["pack_id"], r["pack_offset"]) for r in direct.collect())
+
+    mixed = compile_pipeline(
+        spark,
+        base + [{"op": "corpus_mix", "token_col": "n_tokens", "key_col": "doc_id",
+                 "by": "source", "weights": {"src0": 0.6, "src1": 0.4},
+                 "total_budget": 3000}],
+        sf_dir,
+    )
+    srcs = {r["source"] for r in mixed.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"} and mixed.count() > 0
+
+    decon = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "filter", "expr": "doc_id >= 20"},
+            {"op": "decontaminate", "id_col": "doc_id", "text_col": "text", "n": 5,
+             "eval": {"pipeline": [
+                 {"op": "source", "table": "documents"},
+                 {"op": "filter", "expr": "doc_id < 20"},
+             ]},
+             "drop_flagged": True},
+        ],
+        sf_dir,
+    )
+    n_train = docs.filter(F.col("doc_id") >= 20).count()
+    assert 0 < decon.count() <= n_train
+    assert "contaminated" not in decon.columns
+
+
+def test_spec_mix_pack_example_from_file(spark, sf_dir):
+    import json
+
+    spec = json.load(open("examples/corpus_mix_pack.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir)
+    rows = out.collect()
+    assert rows
+    assert out.columns == ["doc_id", "source", "n_tokens", "pack_id", "pack_offset", "n_spans"]
+    # only weighted sources survive the mix
+    assert {r["source"] for r in rows} <= {"src0", "src1", "src2", "src3"}
+    # offsets always inside the sequence length
+    assert all(0 <= r["pack_offset"] < 512 for r in rows)
