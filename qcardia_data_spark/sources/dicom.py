@@ -6,9 +6,11 @@ Scope: explicit- and implicit-VR little-endian transfer syntaxes with
 uncompressed pixel data — what cardiac MR exports overwhelmingly are —
 plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G: encapsulated
 fragments, 64-byte segment-offset header, PackBits segments recombined as
-byte planes), implemented pure-Python. JPEG-family transfer syntaxes
-raise ``NotImplementedError`` at the codec boundary, mirroring the
-honest-stub policy (a DCT codec is out of scope without external libs).
+byte planes) and JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50, via the
+pure-Python T.81 codec in ``sources/jpeg.py``), both implemented without
+external libs. The remaining JPEG family (Extended 12-bit, 2000, LS,
+progressive) raises ``NotImplementedError`` at the codec boundary — honest
+stubs, named.
 
 Tags are ``(group, element)`` ints; helpers expose the named ones the
 reference asserts on (SeriesInstanceUID, InstanceNumber,
@@ -38,9 +40,12 @@ TAG_PIXEL_REPRESENTATION = (0x0028, 0x0103)
 TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 TAG_TRANSFER_SYNTAX = (0x0002, 0x0010)
 
+TAG_NUMBER_OF_FRAMES = (0x0028, 0x0008)
+
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"
 TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 TS_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
+TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # JPEG Baseline (Process 1), 8-bit
 
 _TAG_ITEM = (0xFFFE, 0xE000)
 _TAG_SEQ_DELIM = (0xFFFE, 0xE0DD)
@@ -147,11 +152,12 @@ def parse_dicom(data: bytes) -> dict:
         tags[tag] = _decode_value(vr, body)
 
     ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
-    if ts not in (TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE):
+    if ts not in (TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE, TS_JPEG_BASELINE):
         raise NotImplementedError(
-            f"transfer syntax {ts} needs external codecs (JPEG family)"
+            f"transfer syntax {ts} needs external codecs "
+            "(JPEG Extended/2000/LS, MPEG — baseline Process 1 IS supported)"
         )
-    explicit = ts != TS_IMPLICIT_LE  # RLE datasets are explicit VR LE
+    explicit = ts != TS_IMPLICIT_LE  # RLE/JPEG datasets are explicit VR LE
 
     # implicit VR: recover types for the tags we know
     _known_vr = {
@@ -160,6 +166,7 @@ def parse_dicom(data: bytes) -> dict:
         TAG_MANUFACTURER: b"LO", TAG_ROWS: b"US", TAG_COLS: b"US",
         TAG_PIXEL_SPACING: b"DS", TAG_SLICE_THICKNESS: b"DS",
         TAG_BITS_ALLOCATED: b"US", TAG_PIXEL_REPRESENTATION: b"US",
+        TAG_NUMBER_OF_FRAMES: b"IS",
     }
     while pos + 8 <= len(data):
         pos, tag, vr, body = read_element(pos, explicit)
@@ -307,14 +314,38 @@ def pixel_array(tags: dict) -> np.ndarray:
     signed = int(tags.get(TAG_PIXEL_REPRESENTATION, [0])[0])
     raw = tags[TAG_PIXEL_DATA]
     dt = {(8, 0): np.uint8, (8, 1): np.int8, (16, 0): "<u2", (16, 1): "<i2"}[(bits, signed)]
-    if isinstance(raw, tuple):  # encapsulated (RLE)
-        if len(raw) != 1:
-            # one fragment per frame is mandatory for RLE (PS3.5 A.4) — a
-            # multi-fragment file is a multi-frame cine; decoding only
-            # frame 1 would be SILENT data loss, so refuse loudly
+    if isinstance(raw, tuple):  # encapsulated (RLE / JPEG baseline)
+        nf = tags.get(TAG_NUMBER_OF_FRAMES, [1])
+        n_frames = int(nf[0]) if isinstance(nf, list) and nf else 1
+        if n_frames != 1:
+            # decoding only frame 1 of a cine would be SILENT data loss
             raise NotImplementedError(
-                f"multi-frame encapsulated PixelData ({len(raw)} fragments) "
+                f"multi-frame encapsulated PixelData ({n_frames} frames) "
                 "not supported: split frames upstream or use a native syntax"
+            )
+        ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
+        if ts == TS_JPEG_BASELINE:
+            from qcardia_data_spark.sources.jpeg import decode_jpeg
+
+            # a single frame may be split across fragments (PS3.5 A.4) —
+            # concatenate before handing to the codec
+            img = decode_jpeg(b"".join(raw))
+            if img.ndim != 2:
+                raise NotImplementedError(
+                    "color JPEG DICOM (3-component) — MR exports are MONOCHROME"
+                )
+            if img.shape != (rows, cols):
+                raise ValueError(
+                    f"JPEG frame {img.shape} != Rows/Columns ({rows}, {cols})"
+                )
+            return img.astype(np.dtype(dt)) if bits == 8 else img.astype("<u2")
+        if len(raw) != 1:
+            # one fragment per frame is mandatory for RLE (PS3.5 Annex G),
+            # so extra fragments mean a multi-frame cine even without a
+            # NumberOfFrames tag — decoding frame 1 only would be silent loss
+            raise NotImplementedError(
+                f"multi-frame RLE PixelData ({len(raw)} fragments) not "
+                "supported: split frames upstream or use a native syntax"
             )
         raw = rle_decode_frame(raw[0], rows, cols, bits // 8)
     return np.frombuffer(raw, dtype=np.dtype(dt), count=rows * cols).reshape(rows, cols)
@@ -326,14 +357,21 @@ def encode_dicom(
     temporal_id: int | None = None, manufacturer: str = "TESTVENDOR",
     pixel_spacing: tuple = (1.0, 1.0), slice_thickness: float = 1.0,
     implicit: bool = False, omit_tags: tuple = (), rle: bool = False,
+    jpeg: bool = False, jpeg_quality: int = 100,
 ) -> bytes:
     """Fabricate a REAL Part-10 DICOM file (test fixture generator): 128-byte
     preamble, DICM, meta group, dataset in explicit or implicit VR LE —
     or RLE Lossless (``rle=True``: encapsulated undefined-length PixelData
-    with offset-table item + one PackBits frame + sequence delimiter)."""
-    if rle and implicit:
-        raise ValueError("RLE Lossless is an explicit-VR transfer syntax")
+    with offset-table item + one PackBits frame + sequence delimiter) — or
+    JPEG Baseline Process 1 (``jpeg=True``: encapsulated, 8-bit grayscale,
+    encoded by the pure-Python ``sources/jpeg.py`` codec)."""
+    if (rle or jpeg) and implicit:
+        raise ValueError("encapsulated syntaxes are explicit-VR")
+    if rle and jpeg:
+        raise ValueError("pick one encapsulated syntax")
     pixels = np.ascontiguousarray(pixels)
+    if jpeg and pixels.dtype != np.dtype(np.uint8):
+        raise ValueError("JPEG Baseline (Process 1) is 8-bit only")
     if pixels.dtype not in (np.dtype(np.uint8), np.dtype("<u2"), np.dtype(np.uint16)):
         raise ValueError("test encoder supports uint8/uint16 pixels")
     bits = pixels.dtype.itemsize * 8
@@ -351,7 +389,12 @@ def encode_dicom(
         b = s.encode("ascii")
         return b + (b"\x00" if len(b) % 2 else b"")
 
-    ts = TS_RLE if rle else (TS_IMPLICIT_LE if implicit else TS_EXPLICIT_LE)
+    ts = (
+        TS_JPEG_BASELINE if jpeg
+        else TS_RLE if rle
+        else TS_IMPLICIT_LE if implicit
+        else TS_EXPLICIT_LE
+    )
     meta = elem_explicit(TAG_TRANSFER_SYNTAX, b"UI", pad(ts))
     meta = elem_explicit((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta))) + meta
 
@@ -372,14 +415,21 @@ def encode_dicom(
         (TAG_BITS_ALLOCATED, b"US", struct.pack("<H", bits)),
         (TAG_PIXEL_REPRESENTATION, b"US", struct.pack("<H", 0)),
     ]
-    if not rle:
+    if not rle and not jpeg:
         items.append((TAG_PIXEL_DATA, b"OW", pixels.tobytes()))
     for tag, vr, body in sorted(items, key=lambda t: t[0]):
         if body is None or tag in omit_tags:
             continue
         ds.append(emit(tag, vr, body))
-    if rle and TAG_PIXEL_DATA not in omit_tags:
-        frame = rle_encode_frame(pixels)
+    if (rle or jpeg) and TAG_PIXEL_DATA not in omit_tags:
+        if jpeg:
+            from qcardia_data_spark.sources.jpeg import encode_jpeg_gray
+
+            frame = encode_jpeg_gray(pixels, jpeg_quality)
+            if len(frame) % 2:
+                frame += b"\x00"  # fragments are even-length (PS3.5 A.4)
+        else:
+            frame = rle_encode_frame(pixels)
         encap = (
             struct.pack("<HH", *TAG_PIXEL_DATA) + b"OB\x00\x00"
             + struct.pack("<I", 0xFFFFFFFF)

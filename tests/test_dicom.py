@@ -331,3 +331,132 @@ def test_multiframe_rle_refused_loudly():
     assert isinstance(tags[TAG_PIXEL_DATA], tuple) and len(tags[TAG_PIXEL_DATA]) == 2
     with pytest.raises(NotImplementedError, match="multi-frame"):
         pixel_array(tags)
+
+
+# ---------------------------------------------------------------------------
+# JPEG Baseline (Process 1) transfer syntax — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_codec_constant_roundtrip_exact():
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = np.full((16, 24), 97, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_gray(img, 100)), img)
+
+
+def test_jpeg_codec_gradient_and_odd_sizes():
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray
+
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img, 100))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+    odd = np.clip(
+        np.add.outer(np.linspace(0, 200, 19), np.linspace(0, 200, 13)), 0, 255
+    ).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg_gray(odd, 100))
+    assert out2.shape == odd.shape
+    assert int(np.abs(out2.astype(int) - odd.astype(int)).max()) <= 1
+
+
+def test_jpeg_codec_lossy_bounded_and_errors():
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_gray(img, 90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 8.0  # quality-90 on noise: bounded distortion
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_dicom_jpeg_baseline_pixel_array():
+    import numpy as np
+
+    from qcardia_data_spark.sources import dicom as D
+
+    x = np.linspace(0, 255, 32)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    blob = D.encode_dicom(
+        img, series_uid="1.2.3.4", instance_number=1,
+        position=(0.0, 0.0, 0.0), orientation=(1, 0, 0, 0, 1, 0),
+        jpeg=True, jpeg_quality=100,
+    )
+    tags = D.parse_dicom(blob)
+    assert tags[D.TAG_TRANSFER_SYNTAX] == D.TS_JPEG_BASELINE
+    D.validate_dicom_tags(tags, "fixture.dcm")
+    arr = D.pixel_array(tags)
+    assert arr.shape == img.shape and arr.dtype == np.uint8
+    assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_dicom_jpeg_rejects_12bit_and_multiframe():
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources import dicom as D
+
+    img16 = np.arange(64, dtype="<u2").reshape(8, 8)
+    with pytest.raises(ValueError, match="8-bit"):
+        D.encode_dicom(
+            img16, series_uid="1.2", instance_number=1,
+            position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0), jpeg=True,
+        )
+
+
+def test_dicom_jpeg_spark_decode_path(spark):
+    """JPEG-baseline DICOM flows through the Spark mapInPandas decode
+    (multimodal.decode_dicom) like any other transfer syntax."""
+    import numpy as np
+
+    from qcardia_data_spark.sources import dicom as D
+    from qcardia_data_spark.sources.multimodal import decode_dicom
+
+    x = np.linspace(0, 255, 16)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    blobs = [
+        ("mem://a.dcm", D.encode_dicom(
+            img, series_uid="9.8.7", instance_number=i + 1,
+            position=(0.0, 0.0, float(i)), orientation=(1, 0, 0, 0, 1, 0),
+            jpeg=True, jpeg_quality=100,
+        ))
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(blobs, ["path", "content"])
+    out = decode_dicom(df).orderBy("instance_number").collect()
+    assert [r["instance_number"] for r in out] == [1, 2]
+    got = np.array(out[0]["pixels"], dtype=np.float32).reshape(16, 16)
+    assert int(np.abs(got - img.astype(np.float32)).max()) <= 1
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    x = np.linspace(0, 255, 40)
+    base = np.add.outer(x, np.linspace(0, 100, 56)) / 1.5
+    img = np.stack(
+        [np.clip(base, 0, 255), np.clip(base * 0.7 + 30, 0, 255), np.clip(255 - base, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    out444 = decode_jpeg(encode_jpeg_color(img, 100, "444"))
+    assert out444.shape == img.shape
+    assert int(np.abs(out444.astype(int) - img.astype(int)).max()) <= 3
+
+    # 4:2:0 exercises the MCU interleave (2x2 Y blocks) + chroma upsample;
+    # constant-chroma content round-trips tight
+    solid = np.full((24, 24, 3), (90, 140, 200), dtype=np.uint8)
+    out420 = decode_jpeg(encode_jpeg_color(solid, 100, "420"))
+    assert int(np.abs(out420.astype(int) - solid.astype(int)).max()) <= 1

@@ -328,9 +328,11 @@ def test_compressed_dicom_is_honest_stub():
             position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0),
         )
     )
-    # rewrite the transfer syntax UID to JPEG baseline (1.2.840.10008.1.2.4.50)
+    # rewrite the transfer syntax UID to JPEG 2000 (1.2.840.10008.1.2.4.90)
+    # — baseline Process 1 (.4.50) became a REAL codec in round 4, so the
+    # honest-stub boundary moved to the still-unsupported family members
     old = b"1.2.840.10008.1.2.1\x00"
-    new = b"1.2.840.10008.1.2.4.50"
+    new = b"1.2.840.10008.1.2.4.90"
     idx = bytes(data).find(old)
     assert idx > 0
     data[idx - 2 : idx] = (len(new)).to_bytes(2, "little")  # fix element length
