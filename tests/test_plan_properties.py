@@ -67,3 +67,33 @@ def test_q5_all_probes_broadcast_region_first(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_is_broadcast_semi_no_corpus_shuffle(spark, sf_dir):
+    # round-4 op: the contamination check must be a BROADCAST left-semi on
+    # the gram column — the corpus side never crosses an exchange for the
+    # join (the whole point of the 100 TB design)
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    # one hash partition on the shard key feeds the running-sum window; no
+    # global sort, no second exchange for the pack columns
+    plan = _plan(spark, sf_dir, "text_pack_sequences")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_corpus_mix_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_corpus_mix")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_scan_is_map_only(spark, sf_dir):
+    # regex counts + scrub are a pure map stage: zero exchanges
+    plan = _plan(spark, sf_dir, "text_pii_scan")
+    assert "Exchange" not in plan
