@@ -318,3 +318,134 @@ def group_slices_by_position(
         else Window.orderBy(F.desc("slice_pos"))
     )
     return bucketed.withColumn("slice_nr", F.dense_rank().over(w) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Audio columns (real WAV codec) and video columns (stub codec, real
+# plumbing) — the remaining multimodal modalities of SURVEY §2.14.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("samples", ArrayType(FloatType())),  # mono mixdown
+    StructField("payload_bytes", LongType()),
+])
+
+
+def decode_audio(binary_df: DataFrame, target_rate: int | None = None) -> DataFrame:
+    """Audio scan with a REAL codec: binaryFile rows → decoded PCM via the
+    pure-stdlib WAV reader (sources/audio.py). Multi-channel audio is mixed
+    down to mono (mean) — the corpus-pipeline norm; pass ``target_rate`` to
+    resample on decode (one pass, no second shuffle).
+
+    100 TB shape: identical to the image scans — Arrow-batched mapInPandas
+    AFTER metadata predicates, pure map stage, no shuffle."""
+    from qcardia_data_spark.sources.audio import decode_wav, resample_linear
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                samples, rate = decode_wav(bytes(content))
+                mono = samples.mean(axis=1)
+                if target_rate is not None and target_rate != rate:
+                    mono = resample_linear(mono, rate, target_rate)
+                    rate = target_rate
+                rows.append({
+                    "path": path,
+                    "sample_rate": rate,
+                    "n_channels": samples.shape[1],
+                    "n_samples": len(mono),
+                    "duration_s": len(mono) / rate,
+                    "samples": mono.astype(np.float32).tolist(),
+                    "payload_bytes": len(content),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(decode, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_start", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr", DoubleType()),
+    StructField("spectral_centroid_hz", DoubleType()),
+])
+
+
+def audio_features(decoded: DataFrame, frame_len: int = 1024, hop: int = 512) -> DataFrame:
+    """Windowed feature extraction over decoded audio: one row per analysis
+    frame with RMS / zero-crossing rate / spectral centroid (numpy rFFT).
+    The explode happens INSIDE the Arrow batch (list-of-frames per file →
+    rows), so the only Spark-level cost is the map stage itself."""
+    from qcardia_data_spark.sources.audio import frame_features
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, rate, samples in zip(pdf["path"], pdf["sample_rate"], pdf["samples"]):
+                mono = np.asarray(samples, dtype=np.float32)
+                for feat in frame_features(mono, int(rate), frame_len, hop):
+                    rows.append({"path": path, **feat})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return decoded.select("path", "sample_rate", "samples").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("fps", DoubleType()),
+    StructField("frame_nr", IntegerType()),
+    StructField("pixels", ArrayType(FloatType())),  # one sampled frame, h*w
+    StructField("payload_bytes", LongType()),
+])
+
+
+def decode_video_frames(
+    binary_df: DataFrame, keep_frames: Sequence[int],
+    height: int = 16, width: int = 16, n_frames: int = 8, fps: float = 25.0,
+):
+    """Video scan + frame sampling: binaryFile rows → one row per KEPT frame.
+
+    Container/codec parsing (MP4/H.264, ffmpeg territory) is STUBBED with
+    the deterministic sha256-seeded fake — same bytes, same frames, every
+    run — while everything Spark-side is real and exactly what a production
+    decoder drops into: the frame-sample predicate is applied INSIDE the
+    decode batch (only kept frames are ever materialized as rows — the
+    decode-after-predicate rule applied to the time axis), schema carries
+    per-frame provenance, and the stage is a shuffle-free Arrow map. Swap
+    ``_fake_decode`` for an ffmpeg UDF in production; nothing else changes.
+    """
+    keep = sorted(set(int(k) for k in keep_frames))
+    if any(k < 0 or k >= n_frames for k in keep):
+        raise ValueError(f"keep_frames out of range for n_frames={n_frames}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                vol = _fake_decode(bytes(content), height, width, n_frames)
+                for k in keep:
+                    rows.append({
+                        "path": path,
+                        "height": height,
+                        "width": width,
+                        "n_frames": n_frames,
+                        "fps": fps,
+                        "frame_nr": k,
+                        "pixels": vol[:, :, k].ravel().tolist(),
+                        "payload_bytes": len(content),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(decode, VIDEO_SCHEMA)

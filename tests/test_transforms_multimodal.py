@@ -248,3 +248,95 @@ def test_split_dict_roundtrip(spark, tmp_path):
     import json
 
     assert json.load(open(p)) == split
+
+
+# ---------------------------------------------------------------------------
+# Audio (real WAV codec) + video (stub codec, real plumbing) — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from qcardia_data_spark.sources.audio import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    samples, rate = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000 and samples.shape == (8000, 1)
+    assert float(np.abs(samples[:, 0] - sig).max()) < 1e-3  # 16-bit quantization
+
+    # stereo + an extra chunk between fmt and data (real-world layout)
+    stereo = np.stack([sig, -sig], axis=1)
+    blob = bytearray(encode_wav(stereo, 8000))
+    import struct as _s
+
+    extra = b"LIST" + _s.pack("<I", 4) + b"INFO"
+    fmt_end = 12 + 8 + 16
+    blob2 = bytes(blob[:fmt_end]) + extra + bytes(blob[fmt_end:])
+    blob2 = blob2[:4] + _s.pack("<I", len(blob2) - 8) + blob2[8:]
+    s2, r2 = decode_wav(blob2)
+    assert s2.shape == (8000, 2) and r2 == 8000
+
+
+def test_spark_audio_decode_and_features(spark):
+    import numpy as np
+
+    from qcardia_data_spark.sources.audio import encode_wav
+    from qcardia_data_spark.sources.multimodal import audio_features, decode_audio
+
+    t = np.linspace(0, 1, 4000, endpoint=False)
+    rows = [
+        ("mem://tone.wav", encode_wav(0.9 * np.sin(2 * np.pi * 200 * t), 4000)),
+        ("mem://silence.wav", encode_wav(np.zeros(4000), 4000)),
+    ]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    decoded = decode_audio(df)
+    got = {r["path"]: r for r in decoded.collect()}
+    assert got["mem://tone.wav"]["sample_rate"] == 4000
+    assert got["mem://tone.wav"]["n_samples"] == 4000
+    assert abs(got["mem://tone.wav"]["duration_s"] - 1.0) < 1e-9
+
+    feats = audio_features(decoded, frame_len=512, hop=512).collect()
+    by_path = {}
+    for r in feats:
+        by_path.setdefault(r["path"], []).append(r)
+    tone_rms = np.mean([r["rms"] for r in by_path["mem://tone.wav"]])
+    sil_rms = np.mean([r["rms"] for r in by_path["mem://silence.wav"]])
+    assert tone_rms > 0.5 and sil_rms < 1e-6  # energy separates tone/silence
+    cents = [r["spectral_centroid_hz"] for r in by_path["mem://tone.wav"]]
+    assert all(100 < c < 600 for c in cents)  # centroid near the 200 Hz tone
+
+
+def test_spark_audio_resample_on_decode(spark):
+    import numpy as np
+
+    from qcardia_data_spark.sources.audio import encode_wav
+    from qcardia_data_spark.sources.multimodal import decode_audio
+
+    sig = np.sin(2 * np.pi * 5 * np.linspace(0, 1, 8000, endpoint=False))
+    df = spark.createDataFrame([("mem://a.wav", encode_wav(sig, 8000))], ["path", "content"])
+    out = decode_audio(df, target_rate=4000).collect()[0]
+    assert out["sample_rate"] == 4000
+    assert abs(out["n_samples"] - 4000) <= 1
+
+
+def test_spark_video_frame_sample_stub(spark):
+    from qcardia_data_spark.sources.multimodal import decode_video_frames
+
+    df = spark.createDataFrame(
+        [("mem://a.mp4", b"fake-video-bytes-a"), ("mem://b.mp4", b"fake-video-bytes-b")],
+        ["path", "content"],
+    )
+    out = decode_video_frames(df, keep_frames=[0, 3, 7], n_frames=8).collect()
+    assert len(out) == 6  # 2 files x 3 kept frames
+    assert sorted({r["frame_nr"] for r in out}) == [0, 3, 7]
+    # deterministic stub: same bytes -> same pixels on re-run
+    again = decode_video_frames(df, keep_frames=[0, 3, 7], n_frames=8).collect()
+    key = lambda r: (r["path"], r["frame_nr"])  # noqa: E731
+    assert sorted(out, key=key)[0]["pixels"] == sorted(again, key=key)[0]["pixels"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        decode_video_frames(df, keep_frames=[9], n_frames=8)
