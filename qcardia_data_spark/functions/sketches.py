@@ -1,0 +1,79 @@
+"""[ext] Mergeable sketch operators beyond Spark's built-ins (SURVEY §2.14
+"approx distinct / sketches" extended): bounded-memory heavy hitters.
+
+``approx_count_distinct``/``percentile_approx`` cover HLL and KLL; the
+missing corpus-analysis sketch is FREQUENT ITEMS — "top-k most frequent
+tokens/domains/n-grams over 100 TB" where the naive groupBy must shuffle
+one row per DISTINCT item (token cardinality ≫ memory at web scale).
+
+The classic fix is the two-pass Misra-Gries scheme:
+
+pass 1 — per-partition Misra-Gries summaries with ``m`` counters each:
+  bounded memory per task no matter the cardinality; any item with true
+  frequency > n_partition/m survives its partition summary (the MG
+  guarantee), so any GLOBAL item with frequency > n/m survives in at least
+  one partition. Only partitions × m candidate rows leave the map stage.
+pass 2 — exact recount of the candidate set only: the full stream is
+  filtered by a broadcast candidate hash (no shuffle of non-candidates),
+  then a tiny groupBy yields EXACT counts; top-k over exact counts equals
+  the true top-k whenever the k-th item's frequency > n/m (easily sized:
+  m = 10·k covers any realistic skew).
+
+So the operator is *exact* under an explicit, checkable condition — which
+is what makes it oracle-verifiable — while memory stays O(m) per task and
+the only full-cardinality shuffle of the naive plan disappears.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _misra_gries_batches(col: str, m: int):
+    """mapInPandas kernel: one Misra-Gries summary per PARTITION (state
+    carried across the partition's Arrow batches), emitted as candidate
+    rows at end-of-partition."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < m:
+                    counters[v] = 1
+                else:
+                    # decrement-all: kills one count from every counter;
+                    # implemented lazily by rebuilding the dict
+                    counters = {k: c - 1 for k, c in counters.items() if c > 1}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return summarize
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10, m: int | None = None) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``col`` via the two-pass
+    Misra-Gries scheme (module docstring). ``m`` is the per-partition
+    counter budget (default ``10·k``). Ties broken by value ascending —
+    deterministic, engine-agnostic.
+
+    Returns (col, n) with EXACT counts, ordered n desc, value asc.
+    """
+    m = m or 10 * k
+    candidates = df.select(col).mapInPandas(
+        _misra_gries_batches(col, m), schema=df.select(col).schema
+    ).distinct()
+    # candidate set is ≤ partitions × m rows: broadcast semi-join prunes the
+    # recount to candidate rows only — non-candidates never shuffle
+    exact = (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.orderBy(F.desc("n"), F.col(col)).limit(k)

@@ -2338,6 +2338,31 @@ def text_pack_sequences(spark, sf_dir):
 
 
 @_q(
+    "text_heavy_hitters",
+    r"""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS term
+      FROM documents)
+    SELECT term, count(*) AS n FROM t
+    GROUP BY term ORDER BY n DESC, term LIMIT 10
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    # [ext] bounded-memory frequent-items: two-pass Misra-Gries (per-
+    # partition m-counter summaries -> broadcast-pruned exact recount) —
+    # exact top-10 without the full-cardinality token shuffle; the oracle
+    # is the naive exact GROUP BY, so the driver verifies the sketch's
+    # exactness condition actually held. See functions/sketches.py.
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(T.word_tokens(F.col("text"))).alias("term"))
+    return heavy_hitters(terms, "term", k=10)
+
+
+@_q(
     "text_decontaminate",
     r"""
     WITH t AS (
@@ -3537,6 +3562,7 @@ _PRIORITY = [
     "text_pack_sequences",  # new this round — grade immediately
     "text_corpus_mix",  # new this round — grade immediately
     "text_decontaminate",  # new this round — grade immediately
+    "text_heavy_hitters",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3560,7 +3586,7 @@ _PRIORITY = [
     "ev_asof_last_view",
     # (ev_props_json rotates to round 5 — displaced by text_decontaminate)
     "ev_funnel_depth",
-    "ev_latest_dedup",
+    # (ev_latest_dedup rotates to round 5 — displaced by text_heavy_hitters)
     # scalar/array functions graded r2, not since
     "f2_floor_to_zero",
     "f4_minmax_normalize",

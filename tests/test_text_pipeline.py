@@ -111,3 +111,34 @@ def test_decontaminate_flags_ngram_overlap(spark):
         for r in T.decontaminate(train, evals, "doc_id", "text", n=5).collect()
     }
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_heavy_hitters_exact_under_skew_and_ties(spark):
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    # heavy skew + a tie at the k boundary + enough distinct noise to force
+    # Misra-Gries decrements inside each partition. Boundary items satisfy
+    # the documented exactness condition freq > n/m (60 > 1120/40 = 28);
+    # items BELOW the bound (the noise singletons) carry no guarantee.
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 100
+        + [("tie_a",)] * 60 + [("tie_b",)] * 60
+        + [(f"noise{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    got = [(r["term"], r["n"]) for r in heavy_hitters(df, "term", k=2).collect()]
+    assert got == [("hot", 500), ("warm", 100)]
+    top4 = [(r["term"], r["n"]) for r in heavy_hitters(df, "term", k=4).collect()]
+    assert top4[:2] == [("hot", 500), ("warm", 100)]
+    assert top4[2:] == [("tie_a", 60), ("tie_b", 60)]  # tie broken by term asc
+
+
+def test_heavy_hitters_counts_are_exact(spark):
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    # exact counts, not MG residuals: compare against the naive groupBy
+    rows = [(f"t{i % 37}",) for i in range(3700)]
+    df = spark.createDataFrame(rows, ["term"]).repartition(4)
+    got = {(r["term"], r["n"]) for r in heavy_hitters(df, "term", k=37, m=50).collect()}
+    want = {(r["term"], r["count"]) for r in df.groupBy("term").count().collect()}
+    assert got == want
