@@ -231,6 +231,13 @@ def _apply(
             ),
             star_rounds=int(op.get("star_rounds", 2)),
         )
+    if kind == "heavy_hitters":
+        from qcardia_data_spark.functions.sketches import heavy_hitters
+
+        return heavy_hitters(
+            df, op["col"], k=int(op.get("k", 10)),
+            m=int(op["m"]) if "m" in op else None,
+        )
     if kind == "pack_sequences":
         from qcardia_data_spark.functions.text import pack_sequences
 

@@ -475,3 +475,16 @@ def test_spec_mix_pack_example_from_file(spark, sf_dir):
     assert {r["source"] for r in rows} <= {"src0", "src1", "src2", "src3"}
     # offsets always inside the sequence length
     assert all(0 <= r["pack_offset"] < 512 for r in rows)
+
+
+def test_spec_heavy_hitters_op(spark, sf_dir):
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "with_columns", "cols": {"toks": "split(trim(text), ' ')"}},
+        {"op": "explode", "col": "toks", "val": "term", "pos": "p"},
+        {"op": "select", "cols": ["term"]},
+        {"op": "heavy_hitters", "col": "term", "k": 5},
+    ]
+    out = compile_pipeline(spark, ops, sf_dir).collect()
+    assert len(out) == 5
+    assert out[0]["n"] >= out[-1]["n"] > 0
