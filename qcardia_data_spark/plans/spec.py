@@ -387,12 +387,37 @@ def compile_stream_pipeline(
                 *[c for c in op.get("by", [])],
                 *[F.col(n) for n in op["aggs"]],
             )
+        elif kind == "session_agg":
+            # per-key session windows: {"op": "session_agg", "col": "ts",
+            # "gap": "30 minutes", "by": [...], "aggs": {...}} — requires a
+            # prior watermark op (Spark enforces it at start)
+            keys = [F.session_window(op["col"], op["gap"]).alias("w")] + [
+                F.col(c) for c in op.get("by", [])
+            ]
+            aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]
+            df = df.groupBy(*keys).agg(*aggs).select(
+                F.col("w.start").alias("sess_start"),
+                F.col("w.end").alias("sess_end"),
+                *[c for c in op.get("by", [])],
+                *[F.col(n) for n in op["aggs"]],
+            )
+        elif kind == "stream_dedup":
+            # {"op": "stream_dedup", "keys": [...], "within_watermark": bool}
+            # — first-per-key (state expires with the watermark) or exact
+            # re-delivery collapse; requires a prior watermark op
+            keys = list(op["keys"])
+            df = (
+                df.dropDuplicatesWithinWatermark(keys)
+                if op.get("within_watermark", True)
+                else df.dropDuplicates(keys)
+            )
         elif kind in _STATELESS:
             df = _apply(spark, df, op, None, prior_ops)
         else:
             raise SpecError(
                 f"op #{i} ({kind}) is not streamable (stateless ops: "
-                f"{sorted(_STATELESS)}, plus watermark/window_agg)"
+                f"{sorted(_STATELESS)}, plus watermark/window_agg/"
+                "session_agg/stream_dedup)"
             )
         prior_ops.append(op)
     if df is None:

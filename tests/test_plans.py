@@ -488,3 +488,33 @@ def test_spec_heavy_hitters_op(spark, sf_dir):
     out = compile_pipeline(spark, ops, sf_dir).collect()
     assert len(out) == 5
     assert out[0]["n"] >= out[-1]["n"] > 0
+
+
+def test_spec_stream_session_and_dedup_ops(spark, sf_dir):
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+    from qcardia_data_spark.streaming import events as S
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = [
+        {"op": "stream_source", "path": os.path.join(sf_dir, "events.*"),
+         "schema": raw_schema, "max_files_per_trigger": 1},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+    ]
+
+    sess = compile_stream_pipeline(spark, src + [
+        {"op": "session_agg", "col": "ts", "gap": "30 minutes",
+         "by": ["user_id"], "aggs": {"n_events": "count(*)"}},
+    ])
+    got = S.run_to_memory(sess, "complete")
+    want = S.session_counts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")), gap="30 minutes"
+    )
+    assert got.count() == want.count() > 0
+
+    dedup = compile_stream_pipeline(spark, src + [
+        {"op": "stream_dedup", "keys": ["user_id", "event_type"]},
+    ])
+    out = S.run_to_memory(dedup, "append")
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n_keys = batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
