@@ -389,8 +389,15 @@ def _csize(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quality: int = 95) -> bytes:
-    """8-bit grayscale → baseline JPEG (single component, Annex K tables)."""
+def encode_jpeg_gray(
+    pixels: np.ndarray, quality: int = 95, restart_interval: int = 0,
+) -> bytes:
+    """8-bit grayscale → baseline JPEG (single component, Annex K tables).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (bit-stream realigned, DC predictor reset) — the
+    error-resilience feature real encoders use for large images; also the
+    test vector for the decoder's ``align_to_restart`` path."""
     if pixels.dtype != np.uint8 or pixels.ndim != 2:
         raise ValueError("encoder takes a 2-D uint8 array")
     h, w = pixels.shape
@@ -400,8 +407,16 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 95) -> bytes:
 
     bw = _BitWriter()
     pred = 0
+    mcu_idx = 0
+    rst = 0
     for y0 in range(0, h, 8):
         for x0 in range(0, w, 8):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = 0  # RST resets the DC predictor (T.81 F.2.1.3.1)
+            mcu_idx += 1
             blk = np.full((8, 8), 0.0)
             tile = pixels[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
             # edge blocks: replicate-pad (keeps gradients flat at borders)
@@ -446,6 +461,7 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 95) -> bytes:
 
     zz_q = qtbl.reshape(64)[ZIGZAG].astype(np.uint8)
     dqt = seg(0xDB, b"\x00" + zz_q.tobytes())
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     dht = seg(
         0xC4,
@@ -454,7 +470,7 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 95) -> bytes:
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
 

@@ -460,3 +460,22 @@ def test_jpeg_color_444_and_420_roundtrip():
     solid = np.full((24, 24, 3), (90, 140, 200), dtype=np.uint8)
     out420 = decode_jpeg(encode_jpeg_color(solid, 100, "420"))
     assert int(np.abs(out420.astype(int) - solid.astype(int)).max()) <= 1
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn path: bit realignment + DC predictor reset every N MCUs."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray
+
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(x, np.linspace(0, 180, 64)) / 1.7, 0, 255).astype(np.uint8)
+    blob = encode_jpeg_gray(img, 100, restart_interval=3)
+    assert b"\xff\xdd" in blob  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))  # RSTn emitted
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    # and identical content to the no-restart encoding
+    base = decode_jpeg(encode_jpeg_gray(img, 100))
+    assert np.array_equal(out, base)
