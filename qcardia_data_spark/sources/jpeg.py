@@ -483,8 +483,8 @@ def encode_jpeg_color(pixels_rgb: np.ndarray, quality: int = 95, subsample: str 
     simpler; fixture-quality, not optimal-compression)."""
     if pixels_rgb.dtype != np.uint8 or pixels_rgb.ndim != 3 or pixels_rgb.shape[2] != 3:
         raise ValueError("encoder takes (h, w, 3) uint8 RGB")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     h, w, _ = pixels_rgb.shape
     r = pixels_rgb[..., 0].astype(np.float64)
     g = pixels_rgb[..., 1].astype(np.float64)
@@ -496,7 +496,11 @@ def encode_jpeg_color(pixels_rgb: np.ndarray, quality: int = 95, subsample: str 
     qtbl = _quality_table(quality)
     dc_codes = _huffman_codes(*K3_DC_LUMA)
     ac_codes = _huffman_codes(*K3_AC_LUMA)
-    sampling = [(1, 1)] * 3 if subsample == "444" else [(2, 2), (1, 1), (1, 1)]
+    sampling = {
+        "444": [(1, 1)] * 3,
+        "422": [(2, 1), (1, 1), (1, 1)],  # chroma halved horizontally only
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }[subsample]
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
 

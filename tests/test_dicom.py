@@ -479,3 +479,15 @@ def test_jpeg_restart_intervals_roundtrip():
     # and identical content to the no-restart encoding
     base = decode_jpeg(encode_jpeg_gray(img, 100))
     assert np.array_equal(out, base)
+
+
+def test_jpeg_color_422_roundtrip():
+    """4:2:2 exercises the ASYMMETRIC upsample (horizontal-only chroma)."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_color
+
+    solid = np.full((24, 40, 3), (200, 90, 60), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_color(solid, 100, "422"))
+    assert out.shape == solid.shape
+    assert int(np.abs(out.astype(int) - solid.astype(int)).max()) <= 1
