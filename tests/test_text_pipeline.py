@@ -142,3 +142,35 @@ def test_heavy_hitters_counts_are_exact(spark):
     got = {(r["term"], r["n"]) for r in heavy_hitters(df, "term", k=37, m=50).collect()}
     want = {(r["term"], r["count"]) for r in df.groupBy("term").count().collect()}
     assert got == want
+
+
+def test_pack_sequences_properties(spark):
+    # property: for every doc, pack_id = floor(cum_before/L), offset =
+    # cum_before mod L, n_spans = floor((cum_after-1)/L) - pack_id + 1
+    # (>=1), checked against an independent Python fold over random sizes
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    L = 64
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30))
+    def check(sizes):
+        df = spark.createDataFrame(
+            [(i, "s", n) for i, n in enumerate(sizes)], ["doc_id", "source", "n_tokens"]
+        )
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_spans"])
+            for r in __import__("qcardia_data_spark.functions.text", fromlist=["pack_sequences"])
+            .pack_sequences(df, "n_tokens", L, by="source", order="doc_id")
+            .collect()
+        }
+        cum = 0
+        for i, n in enumerate(sizes):
+            pack_id = cum // L
+            offset = cum % L
+            spans = 1 if n == 0 else (cum + n - 1) // L - pack_id + 1
+            assert got[i] == (pack_id, offset, spans), (i, n, cum)
+            cum += n
+
+    check()
