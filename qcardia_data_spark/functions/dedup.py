@@ -256,16 +256,24 @@ def near_dedup_minhash(
     # the tokenize stage and a no-op when the scan is already parallel.)
     sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
     try:
-        banded = sh.select(
-            id_col, "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-        )
+        # All n_bands signatures in ONE aggregation pass: each shingle row
+        # projects its n_bands md5s and the hash-agg keeps n_bands running
+        # mins per doc — vs the previous explode(0..n_bands-1) form this
+        # sends 1× (not n_bands×) rows through the aggregate (measured
+        # 0.78→0.58 s on the signature stage at sf0.1, bit-identical
+        # output; at corpus scale the explode multiplied the map-side row
+        # stream by n_bands for no information gain). The wide row then
+        # unpivots via stack() into the (id, band, sig) shape the bucket
+        # join needs.
+        band_mins = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"s{b}")
+            for b in range(n_bands)
+        ]
+        stack_expr = ", ".join(f"{b}, s{b}" for b in range(n_bands))
         sigs = (
-            banded.select(
-                id_col, "band",
-                F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("band").cast("string"))).alias("h"),
-            )
-            .groupBy(id_col, "band")
-            .agg(F.min("h").alias("sig"))
+            sh.groupBy(id_col)
+            .agg(*band_mins)
+            .selectExpr(id_col, f"stack({n_bands}, {stack_expr}) as (band, sig)")
             .localCheckpoint(eager=True)
         )
         cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
