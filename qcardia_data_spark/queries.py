@@ -3515,6 +3515,44 @@ def ev_funnel(spark, sf_dir):
     )
 
 
+def _zorder_oracle_sql(bits: int = 6) -> str:
+    """DuckDB restatement of the Morton interleave, generated from the SAME
+    bit map as the Spark expression (plans/layout.morton_positions — zero
+    transcription drift possible)."""
+    from qcardia_data_spark.plans.layout import morton_positions
+
+    names = ["ub", "vb"]
+    terms = [
+        f"(({names[j]} >> {i}) % 2) * {1 << pos}"
+        for j, i, pos in morton_positions([bits, bits])
+    ]
+    z = " + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id % 64 AS ub,
+             CAST(floor(abs(value) * 10) AS BIGINT) % 64 AS vb
+      FROM events)
+    SELECT event_id, CAST({z} AS BIGINT) AS z
+    FROM b
+    """
+
+
+@_q("ev_zorder_value", _zorder_oracle_sql())
+def ev_zorder_value(spark, sf_dir):
+    # [ext] Z-order (Morton) curve value per event over the
+    # (user bucket, value bucket) plane — the layout key plans/layout.py's
+    # zorder_write clusters files by. Exact integer interleave, so the
+    # DuckDB oracle verifies the bit math itself; the layout/pruning
+    # behavior it enables is pinned by tests/test_layout.py.
+    from qcardia_data_spark.plans.layout import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 64).cast("long")
+    vb = (F.floor(F.abs(F.col("value")) * 10).cast("long") % 64)
+    return ev.select("event_id", z_value([ub, vb], bits=6).alias("z"))
+
+
 @_q(
     "ev_latest_dedup",
     """
@@ -3563,6 +3601,7 @@ _PRIORITY = [
     "text_corpus_mix",  # new this round — grade immediately
     "text_decontaminate",  # new this round — grade immediately
     "text_heavy_hitters",  # new this round — grade immediately
+    "ev_zorder_value",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3603,7 +3642,7 @@ _PRIORITY = [
     "g1_posexplode",
     "g2_token_explode",
     "g3_explode_2d",
-    "g6_flatten",
+    # (g6_flatten rotates to round 5 — displaced by ev_zorder_value)
     # set ops / sampling graded r2, not since
     "u1_union_by_name",
     "u3_intersect",
