@@ -36,22 +36,23 @@ from pyspark.sql import DataFrame, functions as F
 def _misra_gries_batches(col: str, m: int):
     """mapInPandas kernel: one Misra-Gries summary per PARTITION (state
     carried across the partition's Arrow batches), emitted as candidate
-    rows at end-of-partition."""
+    rows at end-of-partition.
+
+    Vectorized via per-batch ``value_counts`` + MG-merge (combine counts,
+    then subtract the (m+1)-th largest and keep positives) instead of a
+    per-element Python loop — MG summaries are mergeable with the same
+    ``freq > n/m ⇒ survives`` guarantee, and pandas does the counting in
+    C. Nulls are excluded (``value_counts`` drops NaN/None)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < m:
-                    counters[v] = 1
-                else:
-                    # decrement-all: kills one count from every counter;
-                    # implemented lazily by rebuilding the dict
-                    counters = {k: c - 1 for k, c in counters.items() if c > 1}
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > m:
+                ranked = sorted(counters.items(), key=lambda kv: -kv[1])
+                cut = ranked[m][1]  # the (m+1)-th largest count
+                counters = {k: c - cut for k, c in ranked[:m] if c > cut}
         yield pd.DataFrame({col: list(counters.keys())})
 
     return summarize
