@@ -259,6 +259,10 @@ def pack_sequences(
     ``n_spans`` (how many chunk boundaries the doc crosses + 1 — a doc
     larger than the remaining room spills into the next chunk(s)).
 
+    ``order`` must be unique within each ``by`` partition (doc ids are);
+    a non-unique ordering would make the running sum — and therefore the
+    pack assignment — nondeterministic across retries.
+
     100 TB design: the only exchange is the hash partition on ``by`` for
     the running-sum window — pack ids are derived per partition stream, so
     packing shards embarrassingly by source/shard key. No Python, no
@@ -301,19 +305,30 @@ def corpus_mix(
     contributes at least one doc.
 
     100 TB design: one window over the ``by`` hash partition — no
-    collect, no iterative trimming. Budgets arrive as plan literals via a
-    CASE expression (broadcast-free); unlisted sources default to weight 0
-    and are dropped at the scan.
+    collect, no iterative trimming. Small weight maps (≤64 sources) become
+    plan literals via a CASE expression; larger maps become a broadcast
+    inner join against a tiny weights frame — same semantics (unlisted
+    sources drop), but the plan stays O(1) in expression size however many
+    sources a real corpus mix declares.
     """
     from pyspark.sql.window import Window
 
-    budget = None
-    for src, wgt in weights.items():
-        b = F.lit(float(wgt) * total_budget)
-        budget = F.when(F.col(by) == src, b) if budget is None else budget.when(
-            F.col(by) == src, b
+    if len(weights) <= 64:
+        budget = None
+        for src, wgt in weights.items():
+            b = F.lit(float(wgt) * total_budget)
+            budget = F.when(F.col(by) == src, b) if budget is None else budget.when(
+                F.col(by) == src, b
+            )
+        budget = budget.otherwise(F.lit(0.0))
+        df = df.withColumn("_budget", budget).filter(F.col("_budget") > 0)
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(k, float(v) * total_budget) for k, v in weights.items() if v > 0],
+            [by, "_budget"],
         )
-    budget = budget.otherwise(F.lit(0.0))
+        df = df.join(F.broadcast(wdf), by, "inner")
     rnd = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
     w = Window.partitionBy(by).orderBy(rnd, key_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -321,9 +336,7 @@ def corpus_mix(
     cum = F.sum(token_col).over(w)
     cum_before = cum - F.col(token_col)
     return (
-        df.withColumn("_budget", budget)
-        .filter(F.col("_budget") > 0)
-        .withColumn("_cum_before", cum_before)
+        df.withColumn("_cum_before", cum_before)
         .filter(F.col("_cum_before") < F.col("_budget"))
         .drop("_budget", "_cum_before")
     )

@@ -174,3 +174,22 @@ def test_pack_sequences_properties(spark):
             cum += n
 
     check()
+
+
+def test_corpus_mix_broadcast_join_path_matches_case_path(spark):
+    # >64 sources flips corpus_mix to the broadcast weights-join plan; the
+    # survivor set must be identical to the CASE-literal plan's
+    rows = [(i, f"s{i % 100}", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    many = {f"s{j}": 1.0 / 80 for j in range(80)}  # 80 sources -> join path
+    out_join = T.corpus_mix(df, "n_tokens", "doc_id", "source", many, total_budget=4000)
+    assert {r["source"] for r in out_join.select("source").distinct().collect()} == set(many)
+    few = {k: many[k] for k in list(many)[:10]}
+    out_case = T.corpus_mix(df, "n_tokens", "doc_id", "source", few, total_budget=4000)
+    # same sources through both plans -> same survivors
+    big_few = dict(few)
+    big_few.update({f"zz{j}": 0.0 for j in range(60)})  # pad past 64 with weight-0
+    out_forced_join = T.corpus_mix(df, "n_tokens", "doc_id", "source", big_few, total_budget=4000)
+    assert sorted(r["doc_id"] for r in out_case.collect()) == sorted(
+        r["doc_id"] for r in out_forced_join.collect()
+    )
