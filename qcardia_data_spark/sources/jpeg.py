@@ -93,6 +93,8 @@ def _dct2(block: np.ndarray) -> np.ndarray:
 
 def _build_huffman(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman (T.81 Annex C): {(length, code) -> symbol}."""
+    if len(bits) != 16 or sum(bits) > len(values):
+        raise ValueError("malformed JPEG Huffman table (BITS/HUFFVAL mismatch)")
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -129,6 +131,8 @@ class _BitReader:
             self.pos += 1
             if b != 0xFF:
                 return b
+            if self.pos >= len(d):
+                raise ValueError("JPEG entropy stream ends inside a marker")
             m = d[self.pos]
             if m == 0x00:  # stuffed FF
                 self.pos += 1
@@ -283,22 +287,30 @@ def _decode_scan(data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_in
     preds = [0] * len(comps)
     n_mcu = mcus_x * mcus_y
     rst_count = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            r.align_to_restart(rst_count)
-            rst_count = (rst_count + 1) & 7
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcus_x)
-        for ci, dc_t, ac_t in scan_sel:
-            _, hi, vi, tq = comps[ci]
-            for by in range(vi):
-                for bx in range(hi):
-                    block = _decode_block(
-                        r, huff_dc[dc_t], huff_ac[ac_t], quant[tq], preds, ci
-                    )
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = _idct2(block)
+    try:
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                r.align_to_restart(rst_count)
+                rst_count = (rst_count + 1) & 7
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcus_x)
+            for ci, dc_t, ac_t in scan_sel:
+                _, hi, vi, tq = comps[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = _decode_block(
+                            r, huff_dc[dc_t], huff_ac[ac_t], quant[tq], preds, ci
+                        )
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = _idct2(block)
+    except _MarkerReached as e:
+        # a marker (EOI / next segment) inside the entropy data before all
+        # MCUs decoded = truncated scan — surface as a normal decode error,
+        # not the internal control-flow exception
+        raise ValueError(
+            f"JPEG scan truncated at MCU {m}/{n_mcu} (marker 0x{e.marker:02X})"
+        ) from None
     # level shift, clamp, upsample to full resolution, crop
     out = []
     for ci, (_, hi, vi, _tq) in enumerate(comps):

@@ -491,3 +491,23 @@ def test_jpeg_color_422_roundtrip():
     out = decode_jpeg(encode_jpeg_color(solid, 100, "422"))
     assert out.shape == solid.shape
     assert int(np.abs(out.astype(int) - solid.astype(int)).max()) <= 1
+
+
+def test_jpeg_truncated_scan_raises_value_error():
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = np.clip(np.add.outer(np.linspace(0, 200, 32), np.linspace(0, 200, 32)), 0, 255).astype(np.uint8)
+    blob = encode_jpeg_gray(img, 90)
+    # chop INSIDE the entropy data (after SOS + a sliver), re-append EOI
+    sos = blob.index(b"\xff\xda")
+    cut = blob[: sos + 20] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated|ends inside"):
+        decode_jpeg(cut)
+    # and a cut inside the DHT header fails as a malformed table, not an
+    # IndexError
+    dht = blob.index(b"\xff\xc4")
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: dht + 12] + b"\xff\xd9")
