@@ -96,3 +96,23 @@ def test_zorder_layout_confines_keys_to_few_files(spark, sf_dir, tmp_path):
     assert len(stats) == n_files
     first_user = ev.agg(F.min("user_id")).collect()[0][0]
     assert any(mn > first_user for _, mn, mx in stats)
+
+
+def test_z_value_bijective_and_coordinate_monotone(spark):
+    # full 4x4 grid with bits=[2,2]: the Morton map is a bijection onto
+    # 0..15, and increasing one coordinate with the other fixed increases z
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", z_value([F.col("x"), F.col("y")], bits=[2, 2]).alias("z")
+        ).collect()
+    }
+    assert sorted(got.values()) == list(range(16))  # bijection
+    for y in range(4):
+        zs = [got[(x, y)] for x in range(4)]
+        assert zs == sorted(zs)  # monotone in x for fixed y
+    for x in range(4):
+        zs = [got[(x, y)] for y in range(4)]
+        assert zs == sorted(zs)  # monotone in y for fixed x

@@ -309,3 +309,20 @@ def test_streaming_ingest_dedup_runs_with_ntz_ingest_ts(spark, tmp_path):
     stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
     out = S.run_to_memory(S.streaming_ingest_dedup(stream, watermark="1 hour"))
     assert out.count() == 3
+
+
+def test_ntz_cast_refuses_dst_session_timezone(spark, sf_dir):
+    """The fixed-offset guard: reinterpreting NTZ event times under a
+    DST-observing session tz must fail loudly at plan time."""
+    ev = load_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") != "timestamp_ntz":
+        pytest.skip("environment reads parquet ts as TIMESTAMP already")
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="observes DST"):
+            S.ensure_event_time(ev, "ts")
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")  # fixed offset OK
+        assert dict(S.ensure_event_time(ev, "ts").dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
