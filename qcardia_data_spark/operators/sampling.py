@@ -114,3 +114,29 @@ def random_subset(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataF
     from qcardia_data_spark.operators.sorts import seeded_sample_n
 
     return seeded_sample_n(df, key, k, seed)
+
+
+def subject_kfold(
+    df: DataFrame, subject_col: str, k: int, seed: str | int = 0,
+    out: str = "fold",
+) -> DataFrame:
+    """[X6] Leak-free K-fold assignment at SUBJECT granularity — the
+    cross-validation extension of :func:`subject_level_split` (the
+    reference's split machinery stops at train/valid/test; K-fold is the
+    standard next ask of the same API).
+
+    Each distinct subject gets fold = (its keyed-md5 rank) mod k: exactly
+    balanced fold sizes (they differ by at most one subject), deterministic
+    under retries, and every record of a subject lands in the same fold —
+    the randomSplit leak cannot happen. Same plan shape as X1: the window
+    runs over the distinct-subject frame only, then broadcasts back.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError(f"k-fold needs k >= 2, got {k}")
+    subjects = df.select(subject_col).distinct()
+    rnd = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(subject_col).cast("string")))
+    rank = F.row_number().over(Window.orderBy(rnd, subject_col))
+    assigned = subjects.withColumn(out, ((rank - 1) % k).cast("int"))
+    return df.join(assigned, on=subject_col, how="left")

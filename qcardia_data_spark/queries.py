@@ -1824,6 +1824,33 @@ def x1_split(spark, sf_dir):
 
 
 @_q(
+    "x6_subject_kfold",
+    """
+    WITH subj AS (SELECT DISTINCT o_custkey FROM orders),
+    assigned AS (
+      SELECT o_custkey,
+             CAST((row_number() OVER (
+               ORDER BY md5(concat_ws('|', 'cv', CAST(o_custkey AS VARCHAR))), o_custkey) - 1)
+               % 5 AS INTEGER) AS fold
+      FROM subj)
+    SELECT fold, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_subjects
+    FROM orders JOIN assigned USING (o_custkey)
+    GROUP BY fold
+    """,
+)
+def x6_kfold(spark, sf_dir):
+    # [X6] leak-free subject-level 5-fold CV assignment (keyed-md5 rank mod
+    # k over the distinct-subject frame) — fold sizes exactly balanced in
+    # subjects; per-fold record counts value-checked cross-engine
+    o = _t(spark, sf_dir, "orders")
+    assigned = X.subject_kfold(o, "o_custkey", k=5, seed="cv")
+    return assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_subjects"),
+    )
+
+
+@_q(
     "x4_weighted_sample",
     """
     SELECT c_custkey, c_mktsegment FROM (
@@ -3647,7 +3674,8 @@ _PRIORITY = [
     "u1_union_by_name",
     "u3_intersect",
     "x1_subject_level_split",
-    "x4_weighted_sample",
+    "x6_subject_kfold",  # new this round — grade immediately
+    # (x4_weighted_sample rotates to round 5 — displaced by x6)
     # similarity family (r2-vintage)
     "sim_bruteforce_topk",
     "sim_ivf_topk",

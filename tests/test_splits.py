@@ -65,3 +65,29 @@ def test_split_from_lists_leak_detection(spark):
     assert ok.count() == 4
     with pytest.raises(ValueError, match="multiple splits: \\['b'\\]"):
         SP.split_from_lists(spark, ["a", "b"], ["b"], ["d"])
+
+
+def test_subject_kfold_balanced_and_leakfree(spark, sf_dir):
+    import os as _os
+
+    from qcardia_data_spark.operators.sampling import subject_kfold
+
+    o = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    out = subject_kfold(o, "o_custkey", k=4, seed="cv")
+    # leak-free: every subject maps to exactly one fold
+    per_subj = out.groupBy("o_custkey").agg(F.countDistinct("fold").alias("nf"))
+    assert per_subj.filter(F.col("nf") != 1).count() == 0
+    # balanced: subject counts per fold differ by at most one
+    sizes = [r["n"] for r in out.select("o_custkey", "fold").distinct()
+             .groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+    # deterministic under same seed
+    again = subject_kfold(o, "o_custkey", k=4, seed="cv")
+    a = {(r["o_custkey"], r["fold"]) for r in out.select("o_custkey", "fold").distinct().collect()}
+    b = {(r["o_custkey"], r["fold"]) for r in again.select("o_custkey", "fold").distinct().collect()}
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k >= 2"):
+        subject_kfold(o, "o_custkey", k=1)
