@@ -3542,6 +3542,52 @@ def ev_funnel(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_anomaly_zscore",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)) AS es
+      FROM events),
+    s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_frame
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY es
+                   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW))
+    SELECT event_id,
+           round((value - mu) / sd, 6) AS z,
+           (abs(round((value - mu) / sd, 6)) > 2.0) AS is_anomaly
+    FROM s WHERE sd IS NOT NULL AND sd > 0 AND n_frame >= 3
+    """,
+)
+def ev_anomaly_zscore(spark, sf_dir):
+    # [ext] rolling anomaly detection: each event scored against its user's
+    # trailing-6h value distribution (event-time RANGE frame — ties
+    # deterministic without row tie-breakers, the w6 lesson). Frames with
+    # <3 events or zero variance emit nothing (a z-score there is noise).
+    # One window exchange on user_id; the standard streaming-monitoring
+    # shape in its batch form.
+    ev = _t(spark, sf_dir, "events")
+    es = _epoch_s(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(es).rangeBetween(-21600, Window.currentRow)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    nf = F.count(F.lit(1)).over(w)
+    z = F.round((F.col("value") - mu) / sd, 6)
+    return (
+        ev.select("event_id", "value", mu.alias("mu"), sd.alias("sd"), nf.alias("nf"))
+        .filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.col("nf") >= 3))
+        .select(
+            "event_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+            (F.abs(F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 def _zorder_oracle_sql(bits: int = 6) -> str:
     """DuckDB restatement of the Morton interleave, generated from the SAME
     bit map as the Spark expression (plans/layout.morton_positions — zero
@@ -3629,6 +3675,7 @@ _PRIORITY = [
     "text_decontaminate",  # new this round — grade immediately
     "text_heavy_hitters",  # new this round — grade immediately
     "ev_zorder_value",  # new this round — grade immediately
+    "ev_anomaly_zscore",  # new this round — grade immediately
     # dedup family (all r2-vintage verdicts)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -3659,7 +3706,7 @@ _PRIORITY = [
     "f6_rand_solarize",
     "f7_rand_resample_2d",
     "f8_invertible_resample_roundtrip",
-    "f11_enclosing_circle",
+    # (f11_enclosing_circle rotates to round 5 — displaced by ev_anomaly_zscore)
     "f18_histogram_equalize",
     # (f10_one_hot / f16_md5_fingerprint / f19_overlay_rgb / f20_softmax
     # rotate to round 5 — displaced by the four never-graded text queries
