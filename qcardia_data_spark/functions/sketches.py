@@ -58,13 +58,24 @@ def _misra_gries_batches(col: str, m: int):
     return summarize
 
 
-def heavy_hitters(df: DataFrame, col: str, k: int = 10, m: int | None = None) -> DataFrame:
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, m: int | None = None, verify: bool = True
+) -> DataFrame:
     """Exact top-``k`` most frequent values of ``col`` via the two-pass
     Misra-Gries scheme (module docstring). ``m`` is the per-partition
     counter budget (default ``10·k``). Ties broken by value ascending —
     deterministic, engine-agnostic.
 
     Returns (col, n) with EXACT counts, ordered n desc, value asc.
+
+    The exactness guarantee requires the k-th item's true frequency to
+    exceed ``n_total / m`` (MG survival bound). With ``verify=True`` the
+    bound is checked at build time — one extra ``count`` job plus a
+    ≤k-row collect — and a :class:`ValueError` is raised when the corpus
+    violates it, instead of silently returning a possibly-wrong top-k;
+    the remedy is a larger ``m``. Pass ``verify=False`` to skip the
+    check when the caller has an external guarantee (e.g. a Zipfian
+    corpus with known head mass).
     """
     m = m or 10 * k
     candidates = df.select(col).mapInPandas(
@@ -77,4 +88,16 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10, m: int | None = None) ->
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return exact.orderBy(F.desc("n"), F.col(col)).limit(k)
+    result = exact.orderBy(F.desc("n"), F.col(col)).limit(k)
+    if verify:
+        result = result.persist()
+        rows = result.collect()  # ≤ k rows — driver-side scalar boundary
+        if len(rows) == k:  # fewer than k distinct values ⇒ trivially exact
+            n_total = df.select(F.count(F.col(col))).first()[0]
+            if rows[-1]["n"] * m <= n_total:
+                raise ValueError(
+                    f"heavy_hitters exactness bound violated: k-th count "
+                    f"{rows[-1]['n']} ≤ n/m = {n_total}/{m} — counter "
+                    f"budget m={m} too small for this corpus; raise m"
+                )
+    return result

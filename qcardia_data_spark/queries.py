@@ -3657,80 +3657,72 @@ def ev_latest(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # Round-4 window (verdict r3 "Next round" #2-#4): head = the single
-    # never-graded registry query, then the two former rows-only entries
-    # rebuilt this round as a12-style invariant oracles (zero no_oracle rows
-    # left in the registry), then drift-detection regrades of everything
-    # whose latest verdict is r2-vintage — dedup/text/similarity families,
-    # the nine r2 ev_* twins, the f/g/u/x families — padded with the last
-    # never-regraded r1 sort/set-op rows. q1 stays as the flagship anchor.
-    "ev_asof_next_purchase",  # only query with no CORRECTNESS row ever
-    "q1_pricing_summary",
-    "sim_ann_join",  # invariant oracle new this round — grade immediately
-    "sim_lsh_topk",  # invariant oracle new this round — grade immediately
-    "text_pii_scan",  # new this round — grade immediately
-    "text_url_domains",  # new this round — grade immediately
-    "text_pack_sequences",  # new this round — grade immediately
-    "text_corpus_mix",  # new this round — grade immediately
-    "text_decontaminate",  # new this round — grade immediately
-    "text_heavy_hitters",  # new this round — grade immediately
-    "ev_zorder_value",  # new this round — grade immediately
-    "ev_anomaly_zscore",  # new this round — grade immediately
-    # dedup family (all r2-vintage verdicts)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_duplicate_clusters",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # text family (r2-vintage)
-    "text_token_stats",
-    "text_lang_id",
-    "text_jaccard_pairs",
-    "text_rolling_fingerprint",
-    "text_term_freq",
-    "text_tfidf",
-    "text_quality_filter",
-    # event-time twins graded r2, not since
-    "ev_tumbling_window",
-    "ev_sliding_window",
-    "ev_sessionize",
-    "ev_session_window",
-    "ev_attribution_join",
-    "ev_asof_last_view",
-    # (ev_props_json rotates to round 5 — displaced by text_decontaminate)
-    "ev_funnel_depth",
-    # (ev_latest_dedup rotates to round 5 — displaced by text_heavy_hitters)
-    # scalar/array functions graded r2, not since
-    "f2_floor_to_zero",
-    "f4_minmax_normalize",
-    "f6_rand_solarize",
-    "f7_rand_resample_2d",
-    "f8_invertible_resample_roundtrip",
-    # (f11_enclosing_circle rotates to round 5 — displaced by ev_anomaly_zscore)
-    "f18_histogram_equalize",
-    # (f10_one_hot / f16_md5_fingerprint / f19_overlay_rgb / f20_softmax
-    # rotate to round 5 — displaced by the four never-graded text queries
-    # above; window caps at 50; the displaced four are the simplest/most
-    # drift-stable of the f family and keep local parity coverage)
-    # generators graded r2, not since
-    "g1_posexplode",
-    "g2_token_explode",
-    "g3_explode_2d",
-    # (g6_flatten rotates to round 5 — displaced by ev_zorder_value)
-    # set ops / sampling graded r2, not since
-    "u1_union_by_name",
-    "u3_intersect",
-    "x1_subject_level_split",
-    "x6_subject_kfold",  # new this round — grade immediately
-    # (x4_weighted_sample rotates to round 5 — displaced by x6)
-    # similarity family (r2-vintage)
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    # last r1-vintage rows never regraded
-    "o1_top_k",
-    "o2_natural_sort",
-    "o3_dense_rank_desc",
-    "u2b_except_all",
+    # Round-5 window (verdict r4 "Next round" #1): head = flagship anchor +
+    # ALL 25 stale queries (latest verdict r1/r2-vintage, displaced by the
+    # r3/r4 rotations) — the six TPC-H-shape bench anchors first, since they
+    # sit on the round-2/3-rewritten join-order/scaled-int-money code paths
+    # and have had no driver verdict since. The remaining ~24 slots go to
+    # r3-vintage rows on the same touched paths (joins, aggregates, windows,
+    # rollups, md5 similarity twins) so no family's verdict exceeds 2 rounds
+    # old after this round. Everything graded green-r4 rotates out; it keeps
+    # local parity coverage via tests/.
+    "q1_pricing_summary",  # flagship anchor — graded every round
+    # --- the six TPC-H-shape anchors, stale since r1/r2 ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    # --- r1-vintage stale ---
+    "s4_scan_project_filter",
+    "p2_drop_columns",
+    "w5_first_match_over",
+    "w6_time_range_frame",
+    "w7_analytic_functions",
+    "a4b_exploration_frame",
+    "f22_unit_conversion",
+    # --- r2-vintage stale (the round-5 queue from commit 8d67902) ---
+    "f3_standardize",
+    "f10_one_hot",
+    "f11_enclosing_circle",
+    "f16_md5_fingerprint",
+    "f19_overlay_rgb",
+    "f20_softmax",
+    "g6_flatten",
+    "o4_seeded_sample_k",
+    "x4_weighted_sample",
+    "a13_cube",
+    "ev_props_json",
+    "ev_latest_dedup",
+    # --- r3-vintage refresh: join family (r2/r3 join-order rewrites) ---
+    "j1_weight_join",
+    "j2_broadcast_star_join",
+    "j3_anti_join",
+    "j4_semi_join",
+    "j5_first_match",
+    # --- r3-vintage refresh: aggregate family ---
+    "a1_group_weights_nullsafe",
+    "a2_stratified_sample",
+    "a3_summary_stats",
+    "a4_quantile_summary",
+    "a6_argmax_per_group",
+    "a8_histogram_cdf",
+    "a11_rollup",
+    "a12_approx_count_distinct",
+    "a14_grouping_sets",
+    # --- r3-vintage refresh: window family ---
+    "w1_count_over_partition",
+    "w2_seeded_split",
+    "w3_rownum_per_group",
+    "w4_cumulative_sum",
+    # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
+    "sim_lsh_md5_topk",
+    "sim_ann_join_md5",
+    "ev_monthly_rollup",
+    "ev_hypertable_rollup",
+    "ev_range_join_views_before_purchase",
+    "ev_value_delta",
 ]
 
 

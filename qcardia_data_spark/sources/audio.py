@@ -43,6 +43,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or samples is None:
         raise ValueError("WAV missing fmt or data chunk")
     tag, n_ch, rate, bits = fmt
+    if n_ch == 0 or rate == 0:
+        raise ValueError(f"malformed WAV fmt chunk: channels={n_ch} rate={rate}")
     if tag == 3 or (tag == 0xFFFE and bits == 32):
         arr = np.frombuffer(samples, dtype="<f4").astype(np.float32)
     elif bits == 16:

@@ -328,7 +328,16 @@ def pixel_array(tags: dict) -> np.ndarray:
             from qcardia_data_spark.sources.jpeg import decode_jpeg
 
             # a single frame may be split across fragments (PS3.5 A.4) —
-            # concatenate before handing to the codec
+            # concatenate before handing to the codec. A later fragment that
+            # *starts its own* JPEG stream (SOI marker) means a multi-frame
+            # cine whose NumberOfFrames tag is missing — decoding frame 1
+            # only would be silent data loss, so refuse loudly instead.
+            if any(frag[:2] == b"\xff\xd8" for frag in raw[1:]):
+                raise NotImplementedError(
+                    f"encapsulated JPEG PixelData with {len(raw)} fragments "
+                    "where a later fragment begins with SOI: multi-frame "
+                    "cine without NumberOfFrames — split frames upstream"
+                )
             img = decode_jpeg(b"".join(raw))
             if img.ndim != 2:
                 raise NotImplementedError(

@@ -417,15 +417,22 @@ def decode_video_frames(
 ):
     """Video scan + frame sampling: binaryFile rows → one row per KEPT frame.
 
-    Container/codec parsing (MP4/H.264, ffmpeg territory) is STUBBED with
-    the deterministic sha256-seeded fake — same bytes, same frames, every
-    run — while everything Spark-side is real and exactly what a production
-    decoder drops into: the frame-sample predicate is applied INSIDE the
-    decode batch (only kept frames are ever materialized as rows — the
-    decode-after-predicate rule applied to the time axis), schema carries
-    per-frame provenance, and the stage is a shuffle-free Arrow map. Swap
-    ``_fake_decode`` for an ffmpeg UDF in production; nothing else changes.
+    MJPEG/AVI files get a REAL decode: the RIFF container parse
+    (``sources/avi.py``) yields zero-copy per-frame JPEG slices, and only
+    the frames the sampling predicate keeps ever reach the T.81 decoder
+    (``sources/jpeg.py``) — the decode-after-predicate rule applied to the
+    time axis, with actual DCT work behind it. Container metadata
+    (height/width/n_frames/fps) comes from the stream headers, and a kept
+    index past a real file's frame count refuses loudly.
+
+    Non-AVI bytes (MP4/H.264, ffmpeg territory — inter-frame codecs are
+    out of scope for a pure-Python tree) keep the deterministic
+    sha256-seeded fake with the caller-supplied dims: same bytes, same
+    frames, every run. Either way the stage is a shuffle-free Arrow map
+    with per-frame provenance in the schema.
     """
+    from qcardia_data_spark.sources.avi import decode_avi_frame, parse_avi
+
     keep = sorted(set(int(k) for k in keep_frames))
     if any(k < 0 or k >= n_frames for k in keep):
         raise ValueError(f"keep_frames out of range for n_frames={n_frames}")
@@ -434,7 +441,31 @@ def decode_video_frames(
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                vol = _fake_decode(bytes(content), height, width, n_frames)
+                content = bytes(content)
+                if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                    meta = parse_avi(content)
+                    bad = [k for k in keep if k >= meta["n_frames"]]
+                    if bad:
+                        raise ValueError(
+                            f"{path}: keep_frames {bad} out of range for "
+                            f"AVI with {meta['n_frames']} frames"
+                        )
+                    for k in keep:
+                        px = decode_avi_frame(meta["frames"], k)
+                        if px.ndim == 3:  # color MJPEG → luma plane
+                            px = px.mean(axis=2)
+                        rows.append({
+                            "path": path,
+                            "height": meta["height"],
+                            "width": meta["width"],
+                            "n_frames": meta["n_frames"],
+                            "fps": meta["fps"],
+                            "frame_nr": k,
+                            "pixels": px.astype(np.float32).ravel().tolist(),
+                            "payload_bytes": len(content),
+                        })
+                    continue
+                vol = _fake_decode(content, height, width, n_frames)
                 for k in keep:
                     rows.append({
                         "path": path,

@@ -511,3 +511,33 @@ def test_jpeg_truncated_scan_raises_value_error():
     dht = blob.index(b"\xff\xc4")
     with pytest.raises(ValueError):
         decode_jpeg(blob[: dht + 12] + b"\xff\xd9")
+
+
+def test_dicom_jpeg_multifragment_soi_guard():
+    """A non-conforming multi-frame cine (multiple complete JPEG streams in
+    the fragment list, NumberOfFrames tag absent) must refuse loudly, not
+    silently decode frame 1 — mirrors the RLE fragment-count guard."""
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources import dicom as D
+
+    x = np.linspace(0, 255, 16)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    blob = D.encode_dicom(
+        img, series_uid="1.2.3", instance_number=1,
+        position=(0.0, 0.0, 0.0), orientation=(1, 0, 0, 0, 1, 0),
+        jpeg=True, jpeg_quality=100,
+    )
+    tags = D.parse_dicom(blob)
+    frags = tags[D.TAG_PIXEL_DATA]
+    assert isinstance(frags, tuple) and len(frags) == 1
+    # a second fragment that is its own JPEG stream = hidden second frame
+    tags[D.TAG_PIXEL_DATA] = (frags[0], frags[0])
+    with pytest.raises(NotImplementedError, match="SOI"):
+        D.pixel_array(tags)
+    # but a frame genuinely SPLIT across fragments (PS3.5 A.4) still decodes
+    half = len(frags[0]) // 2
+    tags[D.TAG_PIXEL_DATA] = (frags[0][:half], frags[0][half:])
+    arr = D.pixel_array(tags)
+    assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1

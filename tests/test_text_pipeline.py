@@ -193,3 +193,24 @@ def test_corpus_mix_broadcast_join_path_matches_case_path(spark):
     assert sorted(r["doc_id"] for r in out_case.collect()) == sorted(
         r["doc_id"] for r in out_forced_join.collect()
     )
+
+
+def test_heavy_hitters_verify_flags_broken_bound(spark):
+    import pytest
+
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    # uniform corpus: every count == n/m_small → the exactness bound
+    # (k-th count > n/m) cannot hold with a tiny counter budget. verify=True
+    # must refuse instead of returning a silently-possibly-wrong top-k.
+    rows = [(f"t{i % 50}",) for i in range(500)]  # 50 values x 10 each
+    df = spark.createDataFrame(rows, ["term"]).repartition(8)
+    with pytest.raises(ValueError, match="exactness bound"):
+        heavy_hitters(df, "term", k=5, m=10)
+    # verify=False keeps the old caller-beware behavior for the same corpus
+    assert len(heavy_hitters(df, "term", k=5, m=10, verify=False).collect()) == 5
+    # and a corpus that satisfies the bound passes verification unchanged
+    ok = [(f"hh{i}",) for i in range(3) for _ in range(100)] + [("x",), ("y",)]
+    df2 = spark.createDataFrame(ok, ["term"]).repartition(4)
+    got = [r["term"] for r in heavy_hitters(df2, "term", k=3, m=40).collect()]
+    assert sorted(got) == ["hh0", "hh1", "hh2"]

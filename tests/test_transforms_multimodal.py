@@ -340,3 +340,118 @@ def test_spark_video_frame_sample_stub(spark):
 
     with pytest.raises(ValueError, match="out of range"):
         decode_video_frames(df, keep_frames=[9], n_frames=8)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG/AVI: the real video codec (sources/avi.py + sources/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_frames(n=6, h=32, w=24):
+    """Deterministic smooth grayscale frames (gradients survive quality-100
+    JPEG within ±1 grey level — jpeg.py module docstring)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [
+        np.clip((yy * 3 + xx * 2 + k * 11) % 256, 0, 255).astype(np.uint8)
+        for k in range(n)
+    ]
+
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    from qcardia_data_spark.sources.avi import (
+        decode_avi_frame, encode_avi_mjpeg, parse_avi,
+    )
+
+    frames = _smooth_frames()
+    blob = encode_avi_mjpeg(frames, fps=12.5, quality=100)
+    meta = parse_avi(blob)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (24, 32, 6)
+    assert abs(meta["fps"] - 12.5) < 1e-9
+    for k in (0, 3, 5):
+        got = decode_avi_frame(meta["frames"], k)
+        assert got.shape == (32, 24)
+        assert int(np.abs(got.astype(int) - frames[k].astype(int)).max()) <= 1
+
+
+def test_avi_parse_is_lazy_and_refuses_loudly():
+    import struct
+
+    import pytest
+
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg, parse_avi
+
+    blob = encode_avi_mjpeg(_smooth_frames(n=3), fps=25.0)
+    meta = parse_avi(blob)
+    # laziness: the parse returns zero-copy JPEG slices, no pixel arrays —
+    # DCT work happens only in decode_avi_frame for KEPT frames
+    assert all(isinstance(f, memoryview) for f in meta["frames"])
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi(b"\x00" * 32)
+    # non-MJPEG codec fourcc → honest boundary
+    bad = bytearray(blob)
+    i = bad.find(b"MJPG")          # strh handler
+    j = bad.find(b"MJPG", i + 4)   # strf biCompression
+    bad[i : i + 4] = b"H264"
+    bad[j : j + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="only MJPEG"):
+        parse_avi(bytes(bad))
+    # truncated chunk → structural refusal
+    hdr = blob[:12] + b"LIST" + struct.pack("<I", 10 ** 6) + b"movi"
+    with pytest.raises(ValueError, match="overruns"):
+        parse_avi(hdr + b"\x00" * 64)
+
+
+def test_spark_video_frame_sample_real_avi(spark):
+    import numpy as np
+
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg
+    from qcardia_data_spark.sources.multimodal import decode_video_frames
+
+    frames = _smooth_frames(n=8, h=16, w=16)
+    blob = encode_avi_mjpeg(frames, fps=30.0, quality=100)
+    df = spark.createDataFrame(
+        [("mem://real.avi", blob), ("mem://stub.mp4", b"fake-video-bytes")],
+        ["path", "content"],
+    )
+    out = decode_video_frames(df, keep_frames=[1, 6], n_frames=8).collect()
+    by = {(r["path"], r["frame_nr"]): r for r in out}
+    assert len(by) == 4  # 2 files x 2 kept frames
+    real = by[("mem://real.avi", 6)]
+    # container metadata came from the stream headers, not the defaults
+    assert (real["height"], real["width"], real["n_frames"]) == (16, 16, 8)
+    assert abs(real["fps"] - 30.0) < 1e-9
+    got = np.array(real["pixels"]).reshape(16, 16)
+    assert np.abs(got - frames[6].astype(float)).max() <= 1.0
+
+    import pytest
+
+    # a kept index past the REAL file's frame count refuses loudly
+    short = encode_avi_mjpeg(_smooth_frames(n=2, h=16, w=16), fps=30.0)
+    df2 = spark.createDataFrame([("mem://short.avi", short)], ["path", "content"])
+    with pytest.raises(Exception, match="out of range"):
+        decode_video_frames(df2, keep_frames=[5], n_frames=8).collect()
+
+
+def test_wav_malformed_fmt_refuses():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.audio import decode_wav, encode_wav
+
+    blob = bytearray(encode_wav(np.zeros(16), 8000))
+    i = blob.find(b"fmt ")
+    # zero out nChannels (offset +10 into the chunk: id(4)+len(4)+tag(2))
+    struct.pack_into("<H", blob, i + 10, 0)
+    with pytest.raises(ValueError, match="channels=0"):
+        decode_wav(bytes(blob))
+    blob = bytearray(encode_wav(np.zeros(16), 8000))
+    struct.pack_into("<I", blob, blob.find(b"fmt ") + 12, 0)  # nSamplesPerSec
+    with pytest.raises(ValueError, match="rate=0"):
+        decode_wav(bytes(blob))
