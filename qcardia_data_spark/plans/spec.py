@@ -38,6 +38,10 @@ Spec grammar (one dict per op, applied in order):
     {"op": "sort", "by": [...]} / {"op": "limit", "n": 10}
     {"op": "sample_group", "group": [...], "key": ..., "n": ..., "seed": ...}
     {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
+    {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
+    {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
+     "bits": 16, "n_files": 8}                         # materialize Z-ordered,
+        downstream ops read the clustered parquet back
 """
 
 from __future__ import annotations
@@ -318,6 +322,23 @@ def _apply(
         return X.subject_level_split(
             df, op["key"], float(op["valid_fraction"]), op.get("seed", 0)
         )
+    if kind == "subject_kfold":
+        return X.subject_kfold(
+            df, op["key"], k=int(op["k"]),
+            seed=op.get("seed", 0), out=op.get("out", "fold"),
+        )
+    if kind == "zorder_write":
+        # materialization boundary like "cache", but with a Z-ordered layout:
+        # downstream ops read the multi-column-clustered parquet, so filters
+        # on ANY bucket column prune at file/row-group level (plans/layout.py)
+        from qcardia_data_spark.plans.layout import zorder_write
+
+        buckets = {name: F.expr(e) for name, e in op["buckets"].items()}
+        zorder_write(
+            df, op["path"], buckets,
+            bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
+        )
+        return spark.read.parquet(op["path"])
     raise SpecError(f"unknown op {kind!r}")
 
 

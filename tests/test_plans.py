@@ -206,6 +206,23 @@ def test_serving_iterator_batches(spark, sf_dir, tmp_path):
     all_ids_ep1 = sorted(k for b in ep1 for k in b["o_orderkey"])
     assert all_ids == all_ids_ep1  # same record set, permuted
 
+    # one-pass streaming mode: IDENTICAL batches (same rows, same order,
+    # same batch boundaries), one toLocalIterator pass instead of one
+    # Spark job per batch
+    streamed = list(
+        dm.iter_pandas_batches("valid", batch_size=100, shuffle_seed=7, mode="stream")
+    )
+    assert len(streamed) == len(batches)
+    for sb, pb in zip(streamed, batches):
+        assert sb.columns.tolist() == pb.columns.tolist()
+        assert sb["o_orderkey"].tolist() == pb["o_orderkey"].tolist()
+        assert sb["o_orderstatus"].tolist() == pb["o_orderstatus"].tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="per_batch"):
+        next(iter(dm.iter_pandas_batches("valid", mode="bogus")))
+
 
 def test_serving_iterator_plan_is_distributed(spark, sf_dir, tmp_path):
     """The batch numbering must never funnel the record frame through a
@@ -518,3 +535,46 @@ def test_spec_stream_session_and_dedup_ops(spark, sf_dir):
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_keys = batch.select("user_id", "event_type").distinct().count()
     assert out.count() == n_keys
+
+
+def test_spec_subject_kfold_op(spark, sf_dir):
+    ops = [
+        {"op": "source", "table": "events"},
+        {"op": "subject_kfold", "key": "user_id", "k": 4, "seed": 7},
+    ]
+    out = compile_pipeline(spark, ops, sf_dir)
+    rows = out.select("user_id", "fold").collect()
+    folds = {}
+    for r in rows:
+        folds.setdefault(r["user_id"], set()).add(r["fold"])
+    # leak-free: every record of a subject lands in one fold
+    assert all(len(v) == 1 for v in folds.values())
+    per_fold = {}
+    for u, v in folds.items():
+        per_fold[next(iter(v))] = per_fold.get(next(iter(v)), 0) + 1
+    assert set(per_fold) == {0, 1, 2, 3}
+    # balanced at subject granularity: sizes differ by at most one
+    assert max(per_fold.values()) - min(per_fold.values()) <= 1
+
+
+def test_spec_zorder_write_op(spark, sf_dir, tmp_path):
+    from qcardia_data_spark.plans.layout import file_stats
+
+    dest = str(tmp_path / "ev_z")
+    ops = [
+        {"op": "source", "table": "events"},
+        {"op": "select", "cols": ["event_id", "user_id", "value"]},
+        {"op": "zorder_write", "path": dest,
+         "buckets": {"u": "user_id % 256", "v": "CAST(least(value, 255) AS INT)"},
+         "bits": 8, "n_files": 4},
+        {"op": "filter", "expr": "user_id % 256 < 32"},
+    ]
+    out = compile_pipeline(spark, ops, sf_dir)
+    n_direct = (
+        spark.read.parquet(dest).filter("user_id % 256 < 32").count()
+    )
+    assert out.count() == n_direct > 0
+    # layout materialized: multiple files, each covering a tight span of the
+    # first bucket column (the z-prefix range partitioning property)
+    stats = file_stats(spark, dest, "user_id")
+    assert len(stats) >= 2
