@@ -2686,11 +2686,29 @@ def dedup_embedding_cosine(spark, sf_dir):
 @_q(
     "sim_ann_join",
     """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id < 300),
+    j AS (SELECT a.vec_id AS a, b.vec_id AS b, a.d AS da, b.d AS db
+          FROM v a JOIN v b ON a.vec_id != b.vec_id),
+    p AS (SELECT a, b, unnest(da) AS x, unnest(db) AS y FROM j),
+    s AS (SELECT a, b, sum(x * y) AS dp, sum(x * x) AS sx, sum(y * y) AS sy
+          FROM p GROUP BY a, b),
+    r AS (SELECT a, b, dp / (sqrt(sx) * sqrt(sy)) AS sc,
+                 row_number() OVER (PARTITION BY a
+                                    ORDER BY dp / (sqrt(sx) * sqrt(sy)) DESC, b) AS rn
+          FROM s),
+    t AS (SELECT a, b, sc FROM r WHERE rn <= 3)
     SELECT CAST(1 AS BOOLEAN) AS k_bound_ok,
            CAST(1 AS BOOLEAN) AS no_self_pairs,
            CAST(1 AS BOOLEAN) AS scores_valid,
            CAST(1 AS BOOLEAN) AS nonempty,
-           CAST(1 AS BOOLEAN) AS recall_floor_ok
+           CAST(1 AS BOOLEAN) AS recall_floor_ok,
+           (SELECT a FROM t ORDER BY sc DESC, a, b LIMIT 1) AS exact_top1_a,
+           (SELECT b FROM t ORDER BY sc DESC, a, b LIMIT 1) AS exact_top1_b,
+           (SELECT round(sc, 6) FROM t ORDER BY sc DESC, a, b LIMIT 1)
+             AS exact_top1_score,
+           (SELECT round(sum(round(sc, 6)), 4) FROM t) AS exact_scoresum
     """,
 )
 def sim_ann_join(spark, sf_dir):
@@ -2712,8 +2730,17 @@ def sim_ann_join(spark, sf_dir):
     #     so the floor is the measured value with ~2x margin, not a tuned-
     #     index claim). A failed sketch/bucket/hot-cap regression now fails
     #     the hash compare instead of being permanently unverifiable.
-    # Value-level checking of the pair output itself lives in the md5 twin
-    # sim_ann_join_md5 (identical pipeline, DuckDB-expressible planes).
+    # The brute-force side is additionally VALUE-graded (r5, advisor item):
+    #   exact_top1_a/b/score — the globally best exact pair on the slice,
+    #     and exact_scoresum — round-4 sum of the round-6 exact top-3
+    #     cosines. Both are computed here WITHOUT pairwise_topk_join and
+    #     restated by the DuckDB oracle from raw parquet, so the recall
+    #     denominator (and the cosine kernel itself) is hash-compared
+    #     against an independent engine instead of being assumed.
+    # Value-level checking of the ANN pair output itself lives in the md5
+    # twin sim_ann_join_md5 (identical pipeline, DuckDB-expressible planes,
+    # full per-pair hash compare — strictly stronger than a measured-recall
+    # assertion would be).
     from pyspark.sql.window import Window as _W
 
     from qcardia_data_spark.functions.arrays import cosine as _cos
@@ -2748,15 +2775,30 @@ def sim_ann_join(spark, sf_dir):
         .select("a", "b", _cos(F.col("va"), F.col("vb")).alias("sc"))
         .withColumn("rn", F.row_number().over(_W.partitionBy("a").orderBy(F.desc("sc"), F.col("b"))))
         .filter(F.col("rn") <= 3)
-        .select("a", "b")
-    )
+        .select("a", "b", "sc")
+    ).persist()
     recall = (
-        exact.join(ann_slice, ["a", "b"], "left_semi")
+        exact.select("a", "b").join(ann_slice, ["a", "b"], "left_semi")
         .agg(F.count(F.lit(1)).alias("hit"))
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("tot")))
         .select(((F.col("hit") / F.col("tot")) >= 0.03).alias("recall_floor_ok"))
     )
-    return k_bound.crossJoin(structural).crossJoin(recall)
+    exact_top1 = (
+        exact.orderBy(F.desc("sc"), "a", "b")
+        .limit(1)
+        .select(
+            F.col("a").alias("exact_top1_a"),
+            F.col("b").alias("exact_top1_b"),
+            F.round("sc", 6).alias("exact_top1_score"),
+        )
+    )
+    exact_sum = exact.agg(
+        F.round(F.sum(F.round("sc", 6)), 4).alias("exact_scoresum")
+    )
+    return (
+        k_bound.crossJoin(structural).crossJoin(recall)
+        .crossJoin(exact_top1).crossJoin(exact_sum)
+    )
 
 
 @_q(
@@ -3104,11 +3146,27 @@ def text_quality_filter(spark, sf_dir):
 @_q(
     "sim_lsh_topk",
     """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+      FROM embeddings WHERE vec_id = 0),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings WHERE vec_id != 0),
+    p AS (SELECT vec_id, unnest(d) AS x, unnest(qd) AS y FROM v, q),
+    s AS (SELECT vec_id, sum(x * y) AS dp, sum(x * x) AS sx, sum(y * y) AS sy
+          FROM p GROUP BY vec_id),
+    t AS (SELECT vec_id, dp / (sqrt(sx) * sqrt(sy)) AS sc FROM s
+          ORDER BY dp / (sqrt(sx) * sqrt(sy)) DESC, vec_id LIMIT 10)
     SELECT CAST(1 AS BOOLEAN) AS top1_is_query,
            CAST(1 AS BOOLEAN) AS k_rows_ok,
            CAST(1 AS BOOLEAN) AS ids_distinct,
            CAST(1 AS BOOLEAN) AS scores_valid,
-           CAST(1 AS BOOLEAN) AS recall_floor_ok
+           CAST(1 AS BOOLEAN) AS recall_floor_ok,
+           (SELECT vec_id FROM t ORDER BY sc DESC, vec_id LIMIT 1)
+             AS brute_top1_id,
+           (SELECT round(sc, 6) FROM t ORDER BY sc DESC, vec_id LIMIT 1)
+             AS brute_top1_score,
+           (SELECT round(sum(round(sc, 6)), 4) FROM t) AS brute_scoresum
     """,
 )
 def sim_lsh(spark, sf_dir):
@@ -3124,6 +3182,12 @@ def sim_lsh(spark, sf_dir):
     #   recall_floor_ok — at least 1 of the brute-force top-10 is found
     #     (measured 1-2 at both SFs: 9 probed buckets of 2^8 over random
     #     vectors; the exact-bucket-membership claim is top1_is_query above)
+    # r5 (advisor item): the brute-force side is VALUE-graded too —
+    #   brute_top1_id/score and brute_scoresum (round-4 sum of round-6
+    #   top-10 cosines, query excluded) are computed inline with the plain
+    #   cosine kernel (no ann_lsh_topk / cosine_topk reuse) and restated by
+    #   the DuckDB oracle from raw parquet, so the recall denominator is
+    #   hash-compared against an independent engine.
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = SIM.ann_lsh_topk(emb, qvec, k=10, n_planes=8).select("vec_id", "score")
@@ -3138,12 +3202,41 @@ def sim_lsh(spark, sf_dir):
         (F.countDistinct("vec_id") == 10).alias("ids_distinct"),
         ((F.min("score") >= -1.000001) & (F.max("score") <= 1.000001)).alias("scores_valid"),
     )
-    brute = SIM.cosine_topk(emb, qvec, k=10).select("vec_id")
+    from qcardia_data_spark.functions.arrays import cosine as _cos
+
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    brute = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _cos(F.col("embedding"), qcol).alias("sc"))
+        .orderBy(F.desc("sc"), F.col("vec_id"))
+        .limit(10)
+        .persist()
+    )
+    # floor over the exact top-10 INCLUDING the query row (the r4-graded
+    # semantics): 9 probed buckets of 2^8 over random vectors makes the
+    # expected non-self overlap ~0.35, so a non-self floor would flap.
+    # Real cross-engine value checking lives in brute_top1_*/brute_scoresum
+    # below and in the md5 twin.
+    brute_self = SIM.cosine_topk(emb, qvec, k=10).select("vec_id")
     recall = (
-        brute.join(out.select("vec_id"), "vec_id", "left_semi")
+        brute_self.join(out.select("vec_id"), "vec_id", "left_semi")
         .agg((F.count(F.lit(1)) >= 1).alias("recall_floor_ok"))
     )
-    return top1.crossJoin(structural).crossJoin(recall)
+    brute_top1 = (
+        brute.orderBy(F.desc("sc"), F.col("vec_id"))
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("brute_top1_id"),
+            F.round("sc", 6).alias("brute_top1_score"),
+        )
+    )
+    brute_sum = brute.agg(
+        F.round(F.sum(F.round("sc", 6)), 4).alias("brute_scoresum")
+    )
+    return (
+        top1.crossJoin(structural).crossJoin(recall)
+        .crossJoin(brute_top1).crossJoin(brute_sum)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3706,11 +3799,13 @@ _PRIORITY = [
     "a2_stratified_sample",
     "a3_summary_stats",
     "a4_quantile_summary",
-    "a6_argmax_per_group",
     "a8_histogram_cdf",
-    "a11_rollup",
     "a12_approx_count_distinct",
     "a14_grouping_sets",
+    # --- r5 oracle-strengthened (advisor item: value-graded brute side) —
+    # schemas changed this round, so they must re-enter the graded window ---
+    "sim_ann_join",
+    "sim_lsh_topk",
     # --- r3-vintage refresh: window family ---
     "w1_count_over_partition",
     "w2_seeded_split",
