@@ -460,3 +460,49 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(0).cast("long")
         )
     return votes.select(id_col, sig.alias("simhash"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame, n_cells: int = 16, threshold: float = 0.35,
+    seed: int = 0, n_refine: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then drop
+    within-cluster near-duplicates (cosine >= ``threshold``; the min-id
+    member of each near-dup pair survives, matching the repo's
+    exact/minhash dedup convention — SemDeDup's keep-farthest-from-centroid
+    variant is one ``orderBy`` swap away).
+
+    Returns the SURVIVOR rows of ``embeddings`` plus their ``cell``
+    assignment.
+
+    Scale shape: clustering bounds the pairwise stage to within-cell —
+    O(sum cell_i^2), never global O(N^2). The one pairwise shuffle is keyed
+    on ``cell``; at 100 TB pick ``n_cells ~ N / 1000`` (SemDeDup's own
+    operating point) and materialize ``cell`` as a partition column
+    (`ivf_write_partitioned`) so each cell's pair join is a co-located
+    partition-local scan. Clustering itself is `ivf_assign`: md5-keyed
+    deterministic seeding + posexplode/groupBy Lloyd rounds, mergeable and
+    skew-free.
+    """
+    from qcardia_data_spark.functions.arrays import cosine
+    from qcardia_data_spark.functions.similarity import ivf_assign
+
+    assigned, _ = ivf_assign(
+        embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        "cell", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti")

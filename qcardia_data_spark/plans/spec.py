@@ -39,6 +39,7 @@ Spec grammar (one dict per op, applied in order):
     {"op": "sample_group", "group": [...], "key": ..., "n": ..., "seed": ...}
     {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
     {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
+    {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -234,6 +235,21 @@ def _apply(
                 else int(op.get("max_bucket_size", 1000))
             ),
             star_rounds=int(op.get("star_rounds", 2)),
+        )
+    if kind == "semantic_dedup":
+        from qcardia_data_spark.functions.dedup import semantic_dedup
+
+        # n_cells is the 100 TB knob: SemDeDup operates at ~N/1000 cells so
+        # the within-cell pairwise stage stays bounded; spec configs scale
+        # it with corpus size without touching code.
+        return semantic_dedup(
+            df,
+            n_cells=int(op.get("n_cells", 16)),
+            threshold=float(op.get("threshold", 0.35)),
+            seed=int(op.get("seed", 0)),
+            n_refine=int(op.get("n_refine", 1)),
+            id_col=op.get("id_col", "vec_id"),
+            vec_col=op.get("vec_col", "embedding"),
         )
     if kind == "heavy_hitters":
         from qcardia_data_spark.functions.sketches import heavy_hitters

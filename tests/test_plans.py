@@ -578,3 +578,23 @@ def test_spec_zorder_write_op(spark, sf_dir, tmp_path):
     # first bucket column (the z-prefix range partitioning property)
     stats = file_stats(spark, dest, "user_id")
     assert len(stats) >= 2
+
+
+def test_spec_semantic_dedup_op(spark, sf_dir):
+    # {"op": "semantic_dedup"} compiles to functions.dedup.semantic_dedup
+    # with spec-tunable n_cells/threshold — identical survivors to the
+    # direct library call at the same knobs.
+    from qcardia_data_spark.functions.dedup import semantic_dedup
+
+    ops = [
+        {"op": "source", "table": "embeddings"},
+        {"op": "semantic_dedup", "n_cells": 8, "threshold": 0.35},
+        {"op": "select", "cols": ["vec_id", "cell"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    direct = semantic_dedup(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        n_cells=8, threshold=0.35,
+    ).select("vec_id", "cell")
+    assert via_spec.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_spec).count() == 0

@@ -199,3 +199,48 @@ def test_ann_join_guard_identity_when_buckets_small(spark, sf_dir):
     p = sorted([(r["a"], r["b"], round(r["score"], 9)) for r in plain.collect()])
     g = sorted([(r["a"], r["b"], round(r["score"], 9)) for r in guarded.collect()])
     assert p == g
+
+
+def test_semantic_dedup_properties(emb):
+    from qcardia_data_spark.functions.arrays import cosine
+    from qcardia_data_spark.functions.dedup import semantic_dedup
+
+    tau = 0.35
+    out = semantic_dedup(emb, n_cells=8, threshold=tau).persist()
+    n_in = emb.count()
+    n_out = out.count()
+    # survivors are a subset of the input, ids unchanged
+    assert n_out <= n_in
+    assert out.join(emb, "vec_id", "left_anti").count() == 0
+    # no surviving within-cell pair is still above the threshold
+    a = out.select("cell", F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = out.select("cell", F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    leftovers = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .count()
+    )
+    assert leftovers == 0
+    # min-id-survives: every dropped id had a smaller surviving-or-dropped
+    # partner above tau in its cell (i.e. the dropped set is exactly the
+    # distinct right sides of the pair relation)
+    assigned, _ = __import__(
+        "qcardia_data_spark.functions.similarity", fromlist=["ivf_assign"]
+    ).ivf_assign(emb, n_cells=8)
+    aa = assigned.select("cell", F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    bb = assigned.select("cell", F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dropped_expected = (
+        aa.join(bb, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    dropped_actual = emb.select("vec_id").join(out, "vec_id", "left_anti")
+    assert dropped_actual.exceptAll(dropped_expected).count() == 0
+    assert dropped_expected.exceptAll(dropped_actual).count() == 0
+    # determinism: a second run is bit-identical
+    out2 = semantic_dedup(emb, n_cells=8, threshold=tau)
+    assert out.select("vec_id", "cell").exceptAll(out2.select("vec_id", "cell")).count() == 0
+    out.unpersist()
