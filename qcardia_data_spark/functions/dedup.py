@@ -106,7 +106,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, max_bucket_size: int | None = None,
-    hub_rank: int = 0,
+    hub_rank: int = 0, hub_ranks: "list[int] | None" = None,
 ) -> DataFrame:
     """Band-bucket self-join → distinct candidate pairs (a < b).
 
@@ -127,7 +127,14 @@ def lsh_candidate_pairs(
     stops mediating after its round. Buckets with ≤ hub_rank members
     contribute no star edges for that rank. Small buckets keep exact
     all-pairs (identical in every round). The count window rides the same
-    (band, sig) shuffle the join needs anyway — no extra exchange."""
+    (band, sig) shuffle the join needs anyway — no extra exchange.
+
+    ``hub_ranks`` fuses several rotated-hub rounds into ONE pass: the
+    row_number the star path computes anyway selects ALL requested hubs at
+    once (``_r − 1 ∈ hub_ranks``), so r rounds cost one window + one join
+    instead of r windows + r joins + a unionByName — bit-identical to the
+    union of the per-``hub_rank`` calls (measured ~2× on the candidate
+    stage at sf0.1). When given, ``hub_rank`` is ignored."""
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
     if max_bucket_size is None:
@@ -146,9 +153,10 @@ def lsh_candidate_pairs(
 
     big = sized.filter(F.col("bucket_n") > max_bucket_size)
     rank_w = Window.partitionBy("band", "sig").orderBy(F.col(id_col))
+    ranks = [hub_rank] if hub_ranks is None else sorted(set(hub_ranks))
     hubs = (
         big.withColumn("_r", F.row_number().over(rank_w))
-        .filter(F.col("_r") == hub_rank + 1)
+        .filter(F.col("_r").isin([r + 1 for r in ranks]))
         .select("band", "sig", F.col(id_col).alias("_hub"))
     )
     star_pairs = (
@@ -195,14 +203,72 @@ def jaccard_verify_rows(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    if threshold > 0:
+        # pairs with zero shared shingles have jaccard 0 and can never pass
+        # a positive threshold — skip the candidates left-join that existed
+        # only to resurrect them (it re-evaluated the whole candidate
+        # subtree a second time)
+        base = inter
+    else:
+        base = candidates.join(inter, ["a", "b"], "left").withColumn(
+            "i", F.coalesce(F.col("i"), F.lit(0))
+        )
     joined = (
-        candidates.join(inter, ["a", "b"], "left")
+        base
         .join(sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
-        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
     )
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return joined.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_verify_sets(
+    candidates: DataFrame, sh: DataFrame, id_col: str, threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle Jaccard over candidate pairs, set form: per-doc
+    DISTINCT-shingle arrays are attached to each pair and intersected
+    JVM-side (``array_intersect``) — intersection never touches a shuffle.
+
+    vs :func:`jaccard_verify_rows`: the row form expands every candidate
+    pair by |A| shingle rows and shuffles that expansion through a
+    (b, shingle) join + groupBy — O(Σ|pairs|·|doc|) rows through TWO
+    exchanges. Here the only exchanges are the set build (one groupBy over
+    the shingle rows) and two id-keyed joins of the CANDIDATE frame against
+    the doc→set table; the per-pair O(|A|+|B|) intersection work happens
+    inside codegen.
+
+    The intersection is evaluated EXACTLY ONCE per pair: the threshold
+    filter must not be pushed into the broadcast-join condition (Catalyst
+    would inline ``array_intersect`` into the condition AND the project —
+    4 evaluations per pair, measured slower than the row form), so the
+    intersection size is materialized through an ``explode(array(...))``
+    generator barrier (the same trick :func:`shingle_rows` uses) and the
+    filter applies to the generated column.
+
+    Scale note: a pair row carries both shingle arrays, so row width is
+    bounded by the two docs' distinct-shingle counts — fine for bounded
+    docs (web pages ~1e3 shingles → KBs); for pathological multi-MB docs
+    prefer the row form, which never widens a row past one shingle.
+    Candidate pairs only exist for docs with ≥1 shingle (signatures are
+    min-over-shingles), so the inner joins drop nothing — same contract as
+    the row form."""
+    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_s"))
+    joined = (
+        candidates
+        .join(sets.select(F.col(id_col).alias("a"), F.col("_s").alias("_sa")), "a")
+        .join(sets.select(F.col(id_col).alias("b"), F.col("_s").alias("_sb")), "b")
+    )
+    once = joined.select(
+        "a", "b",
+        F.size("_sa").alias("_na"), F.size("_sb").alias("_nb"),
+        F.explode(
+            F.array(F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+        ).alias("_i"),
+    )
+    jac = F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+    return once.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def near_dedup_minhash(
@@ -276,15 +342,13 @@ def near_dedup_minhash(
             .selectExpr(id_col, f"stack({n_bands}, {stack_expr}) as (band, sig)")
             .localCheckpoint(eager=True)
         )
-        cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size=max_bucket_size)
-        if max_bucket_size is not None:
-            for r in range(1, star_rounds):
-                cands = cands.unionByName(
-                    lsh_candidate_pairs(
-                        sigs, id_col, max_bucket_size=max_bucket_size, hub_rank=r
-                    )
-                ).distinct()
-        dups = jaccard_verify_rows(cands, sh, id_col, threshold)
+        cands = lsh_candidate_pairs(
+            sigs, id_col, max_bucket_size=max_bucket_size,
+            hub_ranks=(
+                list(range(star_rounds)) if max_bucket_size is not None else None
+            ),
+        )
+        dups = jaccard_verify_sets(cands, sh, id_col, threshold)
         # losers is tiny (one id column, only verified duplicates): persist
         # and force it while the shingle cache is alive, then drop the cache
         losers = dups.select(F.col("b").alias(id_col)).distinct().persist()

@@ -121,3 +121,55 @@ def test_star_rounds_noop_when_buckets_small(spark, sf_dir):
     a = near_dedup_minhash(docs, "doc_id", "text", max_bucket_size=1000, star_rounds=1)
     b = near_dedup_minhash(docs, "doc_id", "text", max_bucket_size=1000, star_rounds=3)
     assert sorted(r["doc_id"] for r in a.collect()) == sorted(r["doc_id"] for r in b.collect())
+
+
+def test_fused_hub_ranks_match_unioned_rounds(spark):
+    """hub_ranks=[0..r-1] in one pass ≡ union of per-hub_rank calls."""
+    df = _adversarial(spark)
+    sigs = _sigs(spark, df)
+    fused = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", max_bucket_size=50, hub_ranks=[0, 1, 2]
+        ).collect()
+    }
+    unioned = set()
+    for rk in (0, 1, 2):
+        unioned |= {
+            (r["a"], r["b"])
+            for r in lsh_candidate_pairs(
+                sigs, "doc_id", max_bucket_size=50, hub_rank=rk
+            ).collect()
+        }
+    assert fused == unioned
+
+
+def test_jaccard_verify_sets_matches_rows(spark):
+    """Set-form verify (array_intersect) ≡ row-form verify (shuffle join)
+    on the same candidate graph — pairs AND jaccard values."""
+    from qcardia_data_spark.functions.dedup import (
+        jaccard_verify_rows,
+        jaccard_verify_sets,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "totally different words in this one here now"),
+        (5, "alpha beta gamma delta nothing else in common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    sh = shingle_rows(df, "doc_id", "body", 3)
+    sigs = _sigs(spark, df)
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    got_rows = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in jaccard_verify_rows(cands, sh, "doc_id", 0.1).collect()
+    }
+    got_sets = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in jaccard_verify_sets(cands, sh, "doc_id", 0.1).collect()
+    }
+    assert got_rows == got_sets
+    assert got_sets  # nonempty — the near-dup structure was found
