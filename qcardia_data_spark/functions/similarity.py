@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qcardia_data_spark.functions.arrays import cosine
+from qcardia_data_spark.functions.arrays import cosine, dot, l2_norm
 
 
 def cosine_topk(
@@ -29,7 +29,7 @@ def cosine_topk(
     The query is a literal array (broadcast into the plan); the scan is one
     narrow pass, and orderBy+limit compiles to per-partition heaps.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     scored = embeddings.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("score"),
@@ -58,21 +58,32 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 
     """Random-hyperplane LSH bucket id (sign pattern of n_planes dot
     products). Sign matrices are precomputed literals — the per-row work is
     n_planes multiply-add passes with no hashing in the hot loop, and the
-    same constants are reproducible in any engine (md5 parity)."""
+    same constants are reproducible in any engine (md5 parity).
+
+    The whole sign matrix is ONE nested-array literal and the per-plane
+    bits fold inside a single ``transform`` + ``aggregate`` — building the
+    expression per-element (n_planes × dim ``F.lit`` calls) cost ~0.6 s of
+    driver-side py4j round-trips PER CALL, which dominated every
+    LSH-bucketed query's wall time at bench scale (the executors' share of
+    a 2000-row bucket pass is ~10 ms). Bit-identical output: same
+    index-ordered zip_with dot per plane, same >0 sign test, and
+    2.0**p == 1<<p exactly for the plane counts in use."""
     signs = hyperplane_signs(n_planes, dim, seed)
-
-    def plane_dot(p: int) -> Column:
-        s = F.array(*[F.lit(x) for x in signs[p]])
-        return F.aggregate(
-            F.zip_with(vec.cast("array<double>"), s, lambda x, sg: x * sg),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
-        )
-
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    sm = F.lit(signs)
+    d = vec.cast("array<double>")
+    bits = F.transform(
+        sm,
+        lambda s, p: F.when(
+            F.aggregate(
+                F.zip_with(d, s, lambda x, sg: x * sg),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            > 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, e: acc + e)
 
 
 def ann_lsh_topk(
@@ -88,7 +99,7 @@ def ann_lsh_topk(
     embedding table so a probe is a partition-pruned scan, not a full pass.
     """
     spark = embeddings.sparkSession
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed))
     qrow = spark.range(1).select(hyperplane_bucket(q, n_planes, seed).alias("qb")).collect()
     qb = qrow[0]["qb"]
@@ -102,17 +113,14 @@ def ann_lsh_topk(
 def _assign_to_centroids(embeddings: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
     """argmax-cosine cell assignment against a literal (broadcast) centroid
     set — one narrow map pass, no shuffle."""
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(i).alias("cell"),
-            F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-        )
-        for i, c in enumerate(cents)
-    ])
+    # one nested-array literal + index lambda instead of n_cells × dim
+    # F.lit calls — same driver-side py4j economics as hyperplane_bucket
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
     scored = F.transform(
         cent_arr,
-        lambda s: F.struct(
-            (-cosine(F.col(vec_col), s["c"])).alias("neg"), s["cell"].alias("cell")
+        lambda c, i: F.struct(
+            (-cosine(F.col(vec_col), c)).alias("neg"),
+            i.cast("int").alias("cell"),
         ),
     )
     return embeddings.withColumn("cell", F.array_sort(scored)[0]["cell"])
@@ -186,7 +194,7 @@ def ann_ivf_topk(
         cent_rows, key=lambda r: -cos(np.asarray(r["centroid"], dtype=np.float64), q)
     )[:n_probe]
     probe_cells = [r["cell"] for r in probes]
-    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qcol = F.lit([float(x) for x in q])
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -238,7 +246,7 @@ def ann_ivf_topk_pruned(
     makes IVF work at 100 TB (same math as :func:`ann_ivf_topk`, different
     storage layout)."""
     probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = F.lit([float(x) for x in query_vec])
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -280,20 +288,28 @@ def pairwise_topk_join(
     """
     from pyspark.sql.window import Window
 
+    # Per-SIDE norms are computed once per row before the join (O(N) folds)
+    # so the per-PAIR work is a single dot fold — vs evaluating full
+    # cosine() per pair, which re-folds both norms O(pairs) times. Same
+    # doubles (identical expression on identical arrays), ~3× less
+    # higher-order-function work in the pair stage.
     lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
         "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed)
-    )
+    ).withColumn("_nl", l2_norm(F.col("_vl")))
     rb = right.select(F.col(id_right), F.col(vec_col).alias("_vr")).withColumn(
         "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed)
-    )
+    ).withColumn("_nr", l2_norm(F.col("_vr")))
     if max_bucket_size is not None:
         # NOTE: the bucketed right side is referenced three times (count
         # agg, cold anti-probe, hot semi-probe), so the hyperplane dot
-        # products recompute per reference. Deliberately NOT persisted
-        # here: a persist inside a function returning a lazy frame can
-        # never be unpersisted by the caller and leaks cache entries per
-        # call (measured win was within noise anyway). Callers running the
-        # join repeatedly should persist the bucketed inputs themselves.
+        # products recompute per reference. Deliberately NOT materialized
+        # here: composed queries embed several pairwise joins plus
+        # invariant branches in ONE plan and rely on Catalyst's
+        # ReusedExchange across those references — a checkpoint (eager or
+        # lazy) splits the plan and was measured NET-SLOWER end-to-end
+        # (4.7 s vs 2.7 s on sim_ann_join) despite faster isolated stages.
+        # Callers running the join repeatedly should persist the bucketed
+        # inputs themselves.
         hot = (
             rb.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -330,8 +346,25 @@ def pairwise_topk_join(
         joined = lb.join(rb, ["bucket", "sub"]).filter(F.col(id_left) != F.col(id_right))
     else:
         joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
-    scored = joined.select(
-        id_left, id_right, cosine(F.col("_vl"), F.col("_vr")).alias("score")
+    # Score in a stage that is (a) hash-partitioned on id_left — exactly
+    # the distribution the top-k window needs, so no extra exchange — and
+    # (b) NOT AQE-coalesced: at modest pair counts AQE shrinks the join's
+    # output to 1-2 partitions and the dot folds would run serially (an
+    # explicit-numPartitions repartition is exempt from coalescing). The
+    # explode(array(...)) generator barrier keeps the dot evaluation AFTER
+    # the exchange instead of being projected into the (coalesced) join
+    # stage's shuffle-write side.
+    n_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        joined.repartition(n_parts, F.col(id_left))
+        .select(
+            id_left, id_right, "_nl", "_nr",
+            F.explode(F.array(dot(F.col("_vl"), F.col("_vr")))).alias("_dot"),
+        )
+        .select(
+            id_left, id_right,
+            (F.col("_dot") / (F.col("_nl") * F.col("_nr"))).alias("score"),
+        )
     )
     w = Window.partitionBy(id_left).orderBy(F.desc("score"), F.col(id_right))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -2972,7 +2972,7 @@ def sim_lsh_md5(spark, sf_dir):
     d = F.col("embedding").cast("array<double>")
 
     def plane_dot(p: int):
-        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[p]])
+        signs = F.lit(list(_LSH_SIGNS[p]))
         return F.aggregate(
             F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
         )
@@ -2984,7 +2984,7 @@ def sim_lsh_md5(spark, sf_dir):
     bucketed = emb.withColumn("bucket", bucket)
     qrow = bucketed.filter(F.col("vec_id") == 0).select("bucket", "embedding").collect()[0]
     qb, qvec = qrow["bucket"], qrow["embedding"]
-    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    qcol = F.lit([float(x) for x in qvec])
     cand = bucketed.filter(F.col("bucket") == qb)
     scored = cand.select("vec_id", _cos(F.col("embedding"), qcol).alias("score"))
     return (
@@ -3040,7 +3040,7 @@ def sim_ann_join_md5(spark, sf_dir):
     d = F.col("embedding").cast("array<double>")
 
     def plane_dot(p: int):
-        signs = F.array(*[F.lit(s) for s in _LSH_SIGNS[p]])
+        signs = F.lit(list(_LSH_SIGNS[p]))
         return F.aggregate(
             F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
         )
@@ -3247,7 +3247,7 @@ def sim_lsh(spark, sf_dir):
     )
     from qcardia_data_spark.functions.arrays import cosine as _cos
 
-    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    qcol = F.lit([float(x) for x in qvec])
     brute = (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", _cos(F.col("embedding"), qcol).alias("sc"))
