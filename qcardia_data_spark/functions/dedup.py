@@ -550,22 +550,30 @@ def semantic_dedup(
     deterministic seeding + posexplode/groupBy Lloyd rounds, mergeable and
     skew-free.
     """
-    from qcardia_data_spark.functions.arrays import cosine
+    from qcardia_data_spark.functions.arrays import dot, l2_norm
     from qcardia_data_spark.functions.similarity import ivf_assign
 
     assigned, _ = ivf_assign(
         embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
     )
-    a = assigned.select(
-        "cell", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va")
+    # per-SIDE norms once per row, dot-only per pair (same doubles as
+    # full cosine — identical expressions on identical arrays)
+    normed = assigned.withColumn("__n", l2_norm(F.col(vec_col)))
+    a = normed.select(
+        "cell", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    b = assigned.select(
-        "cell", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb")
+    b = normed.select(
+        "cell", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     dups = (
         a.join(b, "cell")
         .filter(F.col("__a") < F.col("__b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
         .select(F.col("__b").alias(id_col))
         .distinct()
     )

@@ -2673,13 +2673,24 @@ def dedup_embedding_cosine(spark, sf_dir):
     # embedding near-dup, exact on a bounded subset (the oracle-checkable
     # twin of the LSH-bucketed scale path sim_ann_join below): all-pairs
     # cosine ≥ τ → min-id survives
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    from qcardia_data_spark.functions.arrays import cosine
+    from qcardia_data_spark.functions.arrays import dot, l2_norm
 
-    dups = pairs.filter(cosine(F.col("va"), F.col("vb")) >= 0.8).select("b").distinct()
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    normed = emb.withColumn("_n", l2_norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    dups = (
+        pairs.filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= 0.8
+        ).select("b").distinct()
+    )
     return emb.join(dups.withColumnRenamed("b", "vec_id"), "vec_id", "left_anti").select("vec_id")
 
 
@@ -2846,11 +2857,24 @@ def sim_ann_join(spark, sf_dir):
         sub.select(F.col("vec_id").alias("b"), "embedding"),
         k=3, id_left="a", id_right="b", n_planes=6, max_bucket_size=1000,
     ).select("a", "b")
-    pa = sub.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    pb = sub.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    from qcardia_data_spark.functions.arrays import dot as _dot
+    from qcardia_data_spark.functions.arrays import l2_norm as _l2
+
+    subn = sub.withColumn("_n", _l2(F.col("embedding")))
+    pa = subn.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        F.col("_n").alias("_na"),
+    )
+    pb = subn.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        F.col("_n").alias("_nb"),
+    )
     exact = (
         pa.join(pb, F.col("a") != F.col("b"))
-        .select("a", "b", _cos(F.col("va"), F.col("vb")).alias("sc"))
+        .select(
+            "a", "b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias("sc"),
+        )
         .withColumn("rn", F.row_number().over(_W.partitionBy("a").orderBy(F.desc("sc"), F.col("b"))))
         .filter(F.col("rn") <= 3)
         .select("a", "b", "sc")
