@@ -6,11 +6,12 @@ Scope: explicit- and implicit-VR little-endian transfer syntaxes with
 uncompressed pixel data — what cardiac MR exports overwhelmingly are —
 plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G: encapsulated
 fragments, 64-byte segment-offset header, PackBits segments recombined as
-byte planes) and JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50, via the
-pure-Python T.81 codec in ``sources/jpeg.py``), both implemented without
-external libs. The remaining JPEG family (Extended 12-bit, 2000, LS,
-progressive) raises ``NotImplementedError`` at the codec boundary — honest
-stubs, named.
+byte planes), JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50) and JPEG
+Progressive Process 10 (1.2.840.10008.1.2.4.55, 8-bit Huffman successive
+approximation / spectral selection), all via the pure-Python T.81 codec in
+``sources/jpeg.py`` — no external libs. The remaining JPEG family
+(Extended 12-bit, 2000, LS, arithmetic) raises ``NotImplementedError`` at
+the codec boundary — honest stubs, named.
 
 Tags are ``(group, element)`` ints; helpers expose the named ones the
 reference asserts on (SeriesInstanceUID, InstanceNumber,
@@ -46,6 +47,7 @@ TS_IMPLICIT_LE = "1.2.840.10008.1.2"
 TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 TS_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
 TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # JPEG Baseline (Process 1), 8-bit
+TS_JPEG_PROGRESSIVE = "1.2.840.10008.1.2.4.55"  # JPEG Progressive (Process 10), 8-bit
 
 _TAG_ITEM = (0xFFFE, 0xE000)
 _TAG_SEQ_DELIM = (0xFFFE, 0xE0DD)
@@ -152,10 +154,14 @@ def parse_dicom(data: bytes) -> dict:
         tags[tag] = _decode_value(vr, body)
 
     ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
-    if ts not in (TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE, TS_JPEG_BASELINE):
+    if ts not in (
+        TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE, TS_JPEG_BASELINE,
+        TS_JPEG_PROGRESSIVE,
+    ):
         raise NotImplementedError(
             f"transfer syntax {ts} needs external codecs "
-            "(JPEG Extended/2000/LS, MPEG — baseline Process 1 IS supported)"
+            "(JPEG Extended/2000/LS, MPEG — baseline Process 1 and "
+            "progressive Process 10 ARE supported)"
         )
     explicit = ts != TS_IMPLICIT_LE  # RLE/JPEG datasets are explicit VR LE
 
@@ -324,7 +330,7 @@ def pixel_array(tags: dict) -> np.ndarray:
                 "not supported: split frames upstream or use a native syntax"
             )
         ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
-        if ts == TS_JPEG_BASELINE:
+        if ts in (TS_JPEG_BASELINE, TS_JPEG_PROGRESSIVE):
             from qcardia_data_spark.sources.jpeg import decode_jpeg
 
             # a single frame may be split across fragments (PS3.5 A.4) —
@@ -366,14 +372,16 @@ def encode_dicom(
     temporal_id: int | None = None, manufacturer: str = "TESTVENDOR",
     pixel_spacing: tuple = (1.0, 1.0), slice_thickness: float = 1.0,
     implicit: bool = False, omit_tags: tuple = (), rle: bool = False,
-    jpeg: bool = False, jpeg_quality: int = 100,
+    jpeg: bool = False, jpeg_quality: int = 100, jpeg_progressive: bool = False,
 ) -> bytes:
     """Fabricate a REAL Part-10 DICOM file (test fixture generator): 128-byte
     preamble, DICM, meta group, dataset in explicit or implicit VR LE —
     or RLE Lossless (``rle=True``: encapsulated undefined-length PixelData
     with offset-table item + one PackBits frame + sequence delimiter) — or
     JPEG Baseline Process 1 (``jpeg=True``: encapsulated, 8-bit grayscale,
-    encoded by the pure-Python ``sources/jpeg.py`` codec)."""
+    encoded by the pure-Python ``sources/jpeg.py`` codec;
+    ``jpeg_progressive=True`` writes Progressive Process 10, TS .55,
+    successive-approximation scan script)."""
     if (rle or jpeg) and implicit:
         raise ValueError("encapsulated syntaxes are explicit-VR")
     if rle and jpeg:
@@ -399,7 +407,8 @@ def encode_dicom(
         return b + (b"\x00" if len(b) % 2 else b"")
 
     ts = (
-        TS_JPEG_BASELINE if jpeg
+        TS_JPEG_PROGRESSIVE if jpeg and jpeg_progressive
+        else TS_JPEG_BASELINE if jpeg
         else TS_RLE if rle
         else TS_IMPLICIT_LE if implicit
         else TS_EXPLICIT_LE
@@ -432,9 +441,16 @@ def encode_dicom(
         ds.append(emit(tag, vr, body))
     if (rle or jpeg) and TAG_PIXEL_DATA not in omit_tags:
         if jpeg:
-            from qcardia_data_spark.sources.jpeg import encode_jpeg_gray
+            from qcardia_data_spark.sources.jpeg import (
+                encode_jpeg_gray,
+                encode_jpeg_gray_progressive,
+            )
 
-            frame = encode_jpeg_gray(pixels, jpeg_quality)
+            frame = (
+                encode_jpeg_gray_progressive(pixels, jpeg_quality)
+                if jpeg_progressive
+                else encode_jpeg_gray(pixels, jpeg_quality)
+            )
             if len(frame) % 2:
                 frame += b"\x00"  # fragments are even-length (PS3.5 A.4)
         else:

@@ -4,11 +4,15 @@ JPEG Baseline, the only JPEG family member that is 8-bit sequential DCT).
 
 Decoder scope: baseline sequential, 8-bit, 1-3 components, interleaved
 single-scan, restart markers, 4:4:4 / 4:2:2 / 4:2:0 subsampling (nearest
-upsample), JFIF YCbCr→RGB for 3-component images. Progressive (SOF2),
-arithmetic coding, and 12-bit (Extended, .51) raise ``NotImplementedError``
-— honest boundaries, named.
+upsample), JFIF YCbCr→RGB for 3-component images; plus progressive (SOF2,
+Annex G Huffman: spectral selection + successive approximation, DC/AC
+first and refinement scans, EOBn run codes, restart intervals) closing
+the DICOM Progressive (.55) boundary. Arithmetic coding and 12-bit
+(Extended, .51) raise ``NotImplementedError`` — honest boundaries, named.
 
-Encoder scope (test fixtures + sink): grayscale 8-bit (``encode_jpeg_gray``)
+Encoder scope (test fixtures + sink): grayscale 8-bit (``encode_jpeg_gray``,
+progressive twin ``encode_jpeg_gray_progressive`` with spectral-selection
+and successive-approximation scan scripts)
 and 3-component color at 4:4:4 or 4:2:0 (``encode_jpeg_color``), Annex
 K.1/K.3 standard tables, quality-scaled. A quality-100 table of mostly 1s
 round-trips smooth images within ±1; constant blocks round-trip exactly.
@@ -205,6 +209,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (precision, h, w, comps) ; comps = [(cid, hi, vi, tq)]
+    progressive = False
+    coefs = None  # progressive: per-component (blocks_y, blocks_x, 64) zigzag
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -239,7 +245,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG (only 8-bit baseline)")
@@ -250,10 +256,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) — "
-                "only baseline sequential (SOF0/1) is supported"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) — "
+                "only sequential (SOF0/1) and progressive (SOF2) are supported"
             )
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
@@ -264,12 +271,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * s : 3 + 2 * s]
                 idx = next(i for i, c in enumerate(frame[3]) if c[0] == cs)
                 scan_sel.append((idx, tt >> 4, tt & 0xF))
-            pos += seg_len
-            return _decode_scan(
-                data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_interval
+            if not progressive:
+                pos += seg_len
+                return _decode_scan(
+                    data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_interval
+                )
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _prog_coef_store(frame)
+            pos = _decode_prog_scan(
+                data, pos + seg_len, frame, scan_sel, coefs, huff_dc, huff_ac,
+                restart_interval, ss_, se_, ahal >> 4, ahal & 0xF,
             )
+            continue
         # APPn / COM / others: skip
         pos += seg_len
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, quant)
     raise ValueError("JPEG ended without a scan")
 
 
@@ -311,7 +330,12 @@ def _decode_scan(data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_in
         raise ValueError(
             f"JPEG scan truncated at MCU {m}/{n_mcu} (marker 0x{e.marker:02X})"
         ) from None
-    # level shift, clamp, upsample to full resolution, crop
+    return _assemble(planes, h, w, comps, hmax, vmax)
+
+
+def _assemble(planes, h, w, comps, hmax, vmax) -> np.ndarray:
+    """Level shift, clamp, upsample to full resolution, crop, color
+    convert — shared by the sequential and progressive reconstruction."""
     out = []
     for ci, (_, hi, vi, _tq) in enumerate(comps):
         p = planes[ci] + 128.0
@@ -355,6 +379,238 @@ def _decode_block(r, dc_table, ac_table, qtbl, preds, ci) -> np.ndarray:
     block = np.zeros(64, dtype=np.float64)
     block[ZIGZAG] = zz  # un-zigzag
     return block.reshape(8, 8) * qtbl
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G, Huffman successive
+# approximation + spectral selection
+# ---------------------------------------------------------------------------
+
+
+def _mcu_geometry(frame):
+    _, h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _comp_block_grid(frame, ci):
+    """Non-interleaved block grid for one component (T.81 A.2.2: based on
+    the component's own sample dimensions, NOT the padded MCU grid)."""
+    _, h, w, comps = frame
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    _, hi, vi, _ = comps[ci]
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (blocks_y, blocks_x)
+
+
+def _prog_coef_store(frame):
+    """Per-component zigzag coefficient arrays, padded to the MCU grid so
+    interleaved DC scans can write every (possibly padding) block."""
+    _, _, _, comps = frame
+    _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+    return [
+        np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        for (_, hi, vi, _) in comps
+    ]
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next real marker (skips stuffed FF00, fill FFs and
+    stray RSTn) after a scan's entropy data."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            m = data[pos + 1]
+            if m == 0x00:
+                pos += 2
+                continue
+            if m == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG progressive scan ran past end of data")
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan_sel, coefs, huff_dc, huff_ac,
+    restart_interval, ss, se, ah, al,
+):
+    """Decode one progressive scan into ``coefs``; returns the offset of
+    the marker that follows the scan's entropy data."""
+    _, _, _, comps = frame
+    r = _BitReader(data, pos)
+    rst_count = 0
+    try:
+        if ss == 0:  # DC scan (the only kind that may be interleaved)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            preds = [0] * len(comps)
+            if len(scan_sel) > 1:
+                hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+                n_mcu = mcus_x * mcus_y
+                for m in range(n_mcu):
+                    if restart_interval and m and m % restart_interval == 0:
+                        r.align_to_restart(rst_count)
+                        rst_count = (rst_count + 1) & 7
+                        preds = [0] * len(comps)
+                    my, mx = divmod(m, mcus_x)
+                    for ci, dc_t, _ac_t in scan_sel:
+                        _, hi, vi, _ = comps[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                _decode_prog_dc(
+                                    r, huff_dc.get(dc_t), coefs[ci],
+                                    my * vi + by, mx * hi + bx, preds, ci, ah, al,
+                                )
+            else:
+                ci, dc_t, _ac_t = scan_sel[0]
+                nbh, nbw = _comp_block_grid(frame, ci)
+                for m in range(nbh * nbw):
+                    if restart_interval and m and m % restart_interval == 0:
+                        r.align_to_restart(rst_count)
+                        rst_count = (rst_count + 1) & 7
+                        preds = [0] * len(comps)
+                    by, bx = divmod(m, nbw)
+                    _decode_prog_dc(
+                        r, huff_dc.get(dc_t), coefs[ci], by, bx, preds, ci, ah, al
+                    )
+        else:  # AC scan — always non-interleaved (T.81 G.1.1.1)
+            if len(scan_sel) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci, _dc_t, ac_t = scan_sel[0]
+            nbh, nbw = _comp_block_grid(frame, ci)
+            eobrun = 0
+            for m in range(nbh * nbw):
+                if restart_interval and m and m % restart_interval == 0:
+                    r.align_to_restart(rst_count)
+                    rst_count = (rst_count + 1) & 7
+                    eobrun = 0
+                by, bx = divmod(m, nbw)
+                zzb = coefs[ci][by, bx]
+                if ah == 0:
+                    eobrun = _decode_prog_ac_first(
+                        r, huff_ac[ac_t], zzb, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_prog_ac_refine(
+                        r, huff_ac[ac_t], zzb, ss, se, al, eobrun
+                    )
+    except _MarkerReached as e:
+        raise ValueError(
+            f"JPEG progressive scan truncated (marker 0x{e.marker:02X})"
+        ) from None
+    return _next_marker_pos(data, r.pos)
+
+
+def _decode_prog_dc(r, dc_table, carr, by, bx, preds, ci, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff, scaled by 2^Al
+        if dc_table is None:
+            raise ValueError("JPEG progressive DC scan without a DC Huffman table")
+        size = _decode_symbol(r, dc_table)
+        preds[ci] += _extend(r.read_bits(size), size)
+        carr[by, bx, 0] = preds[ci] << al
+    else:  # refinement: one raw bit per block (T.81 G.1.2.1)
+        if r.read_bit():
+            carr[by, bx, 0] |= 1 << al
+
+
+def _decode_prog_ac_first(r, ac_table, zzb, ss, se, al, eobrun):
+    """First AC scan for a band (Ah=0): baseline-style RLE plus EOBn run
+    codes (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, ac_table)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("JPEG progressive AC index past band end")
+        zzb[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_prog_ac_refine(r, ac_table, zzb, ss, se, al, eobrun):
+    """AC refinement scan (Ah>0): newly-significant coefficients arrive as
+    ±1<<Al; every already-nonzero coefficient crossed emits a correction
+    bit that moves its magnitude toward the true value (T.81 G.1.2.3)."""
+    p1 = 1 << al
+
+    def correct(idx):
+        if r.read_bit() and (int(zzb[idx]) & p1) == 0:
+            zzb[idx] += p1 if zzb[idx] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(r, ac_table)
+            run, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if run < 15:  # EOBn: finish block (correcting the rest below)
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15 (ZRL): skip 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if r.read_bit() else -p1
+            else:
+                raise ValueError("invalid JPEG AC refinement symbol")
+            while k <= se:
+                if zzb[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        if val:
+                            zzb[k] = val
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zzb[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, quant):
+    """Dequantize + IDCT every block of every component, then the shared
+    upsample/color tail."""
+    _, h, w, comps = frame
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    planes = []
+    for ci, (_, _hi, _vi, tq) in enumerate(comps):
+        carr = coefs[ci]
+        bh, bw_, _ = carr.shape
+        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        qtbl = quant[tq]
+        for by in range(bh):
+            for bx in range(bw_):
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = carr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    block.reshape(8, 8) * qtbl
+                )
+        planes.append(plane)
+    return _assemble(planes, h, w, comps, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -484,6 +740,213 @@ def encode_jpeg_gray(
     return (
         b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def _zz_blocks(pixels: np.ndarray, qtbl: np.ndarray) -> list[np.ndarray]:
+    """Row-major list of quantized zigzag coefficient vectors (one per 8×8
+    block, replicate-padded at the edges — same tiling as the baseline
+    encoder)."""
+    h, w = pixels.shape
+    out = []
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            blk = np.full((8, 8), 0.0)
+            tile = pixels[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+            blk[: tile.shape[0], : tile.shape[1]] = tile
+            if tile.shape[0] < 8:
+                blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+            if tile.shape[1] < 8:
+                blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1 : tile.shape[1]]
+            coef = np.round(_dct2(blk) / qtbl).astype(np.int32)
+            out.append(coef.reshape(64)[ZIGZAG])
+    return out
+
+
+class _ProgScanWriter:
+    """Per-scan entropy writer with EOB-run + buffered-correction-bit
+    state (T.81 G.1.2.2/G.1.2.3)."""
+
+    def __init__(self, ac_codes):
+        self.bw = _BitWriter()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits pending with the EOB run
+
+    def sym(self, s: int) -> None:
+        ln, code = self.ac_codes[s]
+        self.bw.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            rbits = self.eobrun.bit_length() - 1
+            self.sym(rbits << 4)
+            if rbits:
+                self.bw.write(self.eobrun - (1 << rbits), rbits)
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.eobrun = 0
+            self.be = []
+
+
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray, quality: int = 95, script: str = "sa",
+) -> bytes:
+    """8-bit grayscale → progressive JPEG (SOF2), fixture + sink twin of
+    :func:`encode_jpeg_gray`.
+
+    ``script='spectral'``: pure spectral selection — DC scan, then AC bands
+    1-5 and 6-63, no successive approximation (every scan Ah=Al=0).
+    ``script='sa'``: the full successive-approximation script the decoder's
+    four scan kinds need — DC first at Al=1, AC 1-63 first at Al=1, DC
+    refinement, AC refinement — exercising EOBn run codes, newly-significant
+    insertion and correction bits end to end.
+    """
+    if pixels.dtype != np.uint8 or pixels.ndim != 2:
+        raise ValueError("encoder takes a 2-D uint8 array")
+    if script not in ("sa", "spectral"):
+        raise ValueError("script must be 'sa' or 'spectral'")
+    h, w = pixels.shape
+    qtbl = _quality_table(quality)
+    dc_codes = _huffman_codes(*K3_DC_LUMA)
+    # The Annex K.3 AC table is a SEQUENTIAL table: it has no EOBn symbols
+    # (0x10..0xE0), which progressive EOB-run coding requires. Use a flat
+    # custom table instead: every (run<<4)|size symbol for size 0..10 at
+    # code length 8 (176 codes < 255, so the all-ones code stays unused as
+    # T.81 requires). Fixture-quality, not optimal-compression — same
+    # stance as the color encoder's shared luma tables.
+    ac_prog = (
+        [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+        [(r << 4) | s for r in range(16) for s in range(11)],
+    )
+    ac_codes = _huffman_codes(*ac_prog)
+    blocks = _zz_blocks(pixels, qtbl)
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for zz in blocks:
+            v = int(zz[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+            diff = v - pred
+            pred = v
+            size = _csize(diff)
+            ln, code = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for zz in blocks:
+            bw.write((int(zz[0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        sw = _ProgScanWriter(ac_codes)
+        for zz in blocks:
+            # magnitudes shifted toward zero (T.81 G.1.2.2)
+            vals = {
+                k: (abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1)
+                for k in range(ss, se + 1)
+            }
+            nz = [k for k in range(ss, se + 1) if vals[k] != 0]
+            if not nz:
+                sw.eobrun += 1
+                if sw.eobrun == 0x7FFF:
+                    sw.flush_eob()
+                continue
+            sw.flush_eob()
+            run = 0
+            for k in range(ss, nz[-1] + 1):
+                v = vals[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    sw.sym(0xF0)  # ZRL
+                    run -= 16
+                s = _csize(v)
+                sw.sym((run << 4) | s)
+                sw.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se:
+                sw.eobrun += 1
+                if sw.eobrun == 0x7FFF:
+                    sw.flush_eob()
+        sw.flush_eob()
+        sw.bw.flush()
+        return bytes(sw.bw.out)
+
+    def ac_refine_scan(ss: int, se: int, al: int) -> bytes:
+        sw = _ProgScanWriter(ac_codes)
+        p_shift = al
+        for zz in blocks:
+            absv = {k: abs(int(zz[k])) >> p_shift for k in range(ss, se + 1)}
+            eob_pos = max((k for k in range(ss, se + 1) if absv[k] == 1), default=ss - 1)
+            run = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_pos:
+                    sw.flush_eob()
+                    sw.sym(0xF0)
+                    run -= 16
+                    for b in br:
+                        sw.bw.write(b, 1)
+                    br = []
+                if t > 1:  # already significant: correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant (magnitude exactly 1 at this precision)
+                sw.flush_eob()
+                sw.sym((run << 4) | 1)
+                sw.bw.write(1 if zz[k] > 0 else 0, 1)
+                for b in br:
+                    sw.bw.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                sw.eobrun += 1
+                sw.be += br
+                if sw.eobrun == 0x7FFF:
+                    sw.flush_eob()
+        sw.flush_eob()
+        sw.bw.flush()
+        return bytes(sw.bw.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + body
+
+    zz_q = qtbl.reshape(64)[ZIGZAG].astype(np.uint8)
+    dqt = seg(0xDB, b"\x00" + zz_q.tobytes())
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(K3_DC_LUMA[0]) + bytes(K3_DC_LUMA[1])
+        + b"\x10" + bytes(ac_prog[0]) + bytes(ac_prog[1]),
+    )
+    if script == "spectral":
+        scans = (
+            sos(0, 0, 0, 0, dc_first_scan(0))
+            + sos(1, 5, 0, 0, ac_first_scan(1, 5, 0))
+            + sos(6, 63, 0, 0, ac_first_scan(6, 63, 0))
+        )
+    else:
+        scans = (
+            sos(0, 0, 0, 1, dc_first_scan(1))
+            + sos(1, 63, 0, 1, ac_first_scan(1, 63, 1))
+            + sos(0, 0, 1, 0, dc_refine_scan(0))
+            + sos(1, 63, 1, 0, ac_refine_scan(1, 63, 0))
+        )
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
 
 
 def encode_jpeg_color(pixels_rgb: np.ndarray, quality: int = 95, subsample: str = "444") -> bytes:

@@ -541,3 +541,72 @@ def test_dicom_jpeg_multifragment_soi_guard():
     tags[D.TAG_PIXEL_DATA] = (frags[0][:half], frags[0][half:])
     arr = D.pixel_array(tags)
     assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Both progressive scripts decode bit-identically to the baseline
+    pipeline across smooth, sparse, noisy and flat content — the SA script
+    exercises DC/AC first+refinement scans, EOBn runs and correction bits."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:77, 0:61]
+    smooth = (
+        (np.sin(xx / 9.0) + np.cos(yy / 7.0)) * 60 + 128 + rng.normal(0, 3, (77, 61))
+    ).clip(0, 255).astype(np.uint8)
+    sparse = np.full((64, 64), 128, np.uint8)
+    sparse[10:20, 10:30] = 200
+    sparse[40:48, 5:60] = 60
+    noise = rng.integers(0, 256, (56, 72), dtype=np.uint8)
+    flat = np.full((40, 40), 77, np.uint8)
+    for img, q in ((smooth, 100), (sparse, 85), (noise, 50), (flat, 90)):
+        base = decode_jpeg(encode_jpeg_gray(img, quality=q))
+        for script in ("spectral", "sa"):
+            prog = decode_jpeg(
+                encode_jpeg_gray_progressive(img, quality=q, script=script)
+            )
+            assert (prog == base).all(), (img.shape, q, script)
+
+
+def test_jpeg_progressive_errors():
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    img = np.full((24, 24), 99, np.uint8)
+    data = encode_jpeg_gray_progressive(img, quality=90)
+    # truncating inside the last scan must fail loudly, not return pixels
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="script"):
+        encode_jpeg_gray_progressive(img, script="nope")
+
+
+def test_dicom_jpeg_progressive_pixel_array():
+    """TS 1.2.840.10008.1.2.4.55 flows through pixel_array like baseline."""
+    import numpy as np
+
+    from qcardia_data_spark.sources import dicom as D
+
+    x = np.linspace(0, 255, 32)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    blob = D.encode_dicom(
+        img, series_uid="1.2.3.5", instance_number=1,
+        position=(0.0, 0.0, 0.0), orientation=(1, 0, 0, 0, 1, 0),
+        jpeg=True, jpeg_quality=100, jpeg_progressive=True,
+    )
+    tags = D.parse_dicom(blob)
+    assert tags[D.TAG_TRANSFER_SYNTAX] == D.TS_JPEG_PROGRESSIVE
+    arr = D.pixel_array(tags)
+    assert arr.shape == img.shape and arr.dtype == np.uint8
+    assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
