@@ -380,3 +380,118 @@ def decontaminate(
     return docs.join(contaminated_ids, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def bloom_build(grams, gram_col: str, m_bits: int = 1 << 16, k: int = 3) -> list[int]:
+    """Build a Bloom filter over a (small-ish, e.g. benchmark) gram set:
+    k md5-derived bit positions per gram, OR-ed into ``m_bits`` bits packed
+    as ``m_bits/64`` longs. Collected to the driver — the filter is
+    m_bits/8 BYTES total (8 KiB at the 2^16 default), the whole point:
+    it rides into every task as ONE plan literal no matter how large the
+    eval set grows.
+
+    Position i of gram g = first 8 hex digits of md5(g + '#' + i) mod
+    m_bits — reproducible in any engine with md5 (DuckDB oracle replays
+    the identical filter bit-for-bit).
+    """
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = (
+        grams.select(F.col(gram_col).alias("_g"))
+        .select("_g", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("_g"), F.lit("#"), F.col("_i").cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % m_bits
+            ).alias("_p")
+        )
+        .select(
+            # 32-bit packing (bits 0-31 of a BIGINT word): DuckDB's checked
+            # left shift overflows at 1<<63, and sub-32 shifts replay
+            # identically in every engine — the filter is the same m_bits,
+            # just across twice the words
+            (F.col("_p") / 32).cast("long").alias("_w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 32)
+    for r in pos:
+        words[int(r["_w"])] = int(r["_bits"])
+    return words
+
+
+def bloom_hit(
+    df, gram_col: str, words: list[int], m_bits: int, k: int = 3,
+    out: str = "bloom_hit",
+):
+    """``df`` + boolean column ``out``: True iff ALL k bloom bits for
+    ``gram_col`` are set in ``words`` (attached as ONE nested plan
+    literal). False-positive rate ~(1 - e^(-k·n/m))^k; false negatives
+    impossible — the property that makes it a safe prefilter."""
+    arr = F.lit(words)
+    test = None
+    pcols = [f"_bp{i}" for i in range(k)]
+    for i in range(k):
+        df = df.withColumn(
+            pcols[i],
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(gram_col), F.lit(f"#{i}"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % m_bits,
+        )
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pcols[i]} % 32 AS INT))")
+        bit = F.element_at(arr, (F.col(pcols[i]) / 32).cast("int") + 1).bitwiseAND(mask) != 0
+        test = bit if test is None else (test & bit)
+    return df.withColumn(out, test).drop(*pcols)
+
+
+def decontaminate_bloom(
+    docs, eval_docs, id_col: str, text_col: str, n: int = 13,
+    m_bits: int = 1 << 16, k: int = 3,
+):
+    """Bloom-prefiltered train-test decontamination — EXACT result, 100 TB
+    shape. Same contract as :func:`decontaminate` (docs + ``contaminated``
+    boolean), different scaling: instead of broadcasting the full distinct
+    eval-gram set (which grows with the benchmark suite), every corpus
+    gram first tests k bits of an 8 KiB Bloom literal JVM-side; only the
+    bloom-POSITIVE grams (true overlaps + ~(1-e^(-kn/m))^k false
+    positives) reach the exact semi-join against the eval grams. The
+    exact join's input is bounded by the true overlap, not the corpus.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from qcardia_data_spark.functions.dedup import shingle_rows
+
+    doc_grams = shingle_rows(docs.select(id_col, text_col), id_col, text_col, n)
+    eval_grams = (
+        shingle_rows(
+            eval_docs.selectExpr(f"{id_col} as _eid", text_col), "_eid", text_col, n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    words = bloom_build(eval_grams, "shingle", m_bits, k)
+    cand = (
+        bloom_hit(doc_grams, "shingle", words, m_bits, k, out="_hit")
+        .filter(F.col("_hit"))
+        .drop("_hit")
+    )
+    contaminated_ids = (
+        cand.join(broadcast(eval_grams), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.join(contaminated_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

@@ -275,11 +275,23 @@ def _apply(
             seed=int(op.get("seed", 0)),
         )
     if kind == "decontaminate":
-        from qcardia_data_spark.functions.text import decontaminate
+        from qcardia_data_spark.functions.text import (
+            decontaminate,
+            decontaminate_bloom,
+        )
 
-        out = decontaminate(
+        # bloom=True switches to the fixed-size Bloom-prefilter path (same
+        # exact verdicts) for eval sets too large to broadcast as a set;
+        # m_bits/k are the filter-size/probe-count knobs.
+        fn = decontaminate_bloom if op.get("bloom", False) else decontaminate
+        kwargs = (
+            {"m_bits": int(op.get("m_bits", 1 << 16)), "k": int(op.get("k", 3))}
+            if op.get("bloom", False)
+            else {}
+        )
+        out = fn(
             df, _side(spark, op["eval"], sf_dir),
-            op["id_col"], op["text_col"], n=int(op.get("n", 13)),
+            op["id_col"], op["text_col"], n=int(op.get("n", 13)), **kwargs,
         )
         # drop_flagged=True turns the audit into the gate
         return (

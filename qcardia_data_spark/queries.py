@@ -2424,6 +2424,98 @@ def text_decontaminate(spark, sf_dir):
     return out.select("doc_id", "contaminated")
 
 
+@_q(
+    "text_decontaminate_bloom",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 5 + 2),
+            i -> array_to_string(toks[i:i+5-1], ' ')))) AS gram
+          FROM t WHERE len(toks) >= 5),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+    -- bloom build: k=3 md5-derived positions per eval gram, bit_or into
+    -- 2^16 bits packed as 1024 BIGINT words (identical math to
+    -- functions/text.bloom_build)
+    ep AS (SELECT CAST('0x' || substr(md5(gram || '#' || CAST(i AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 65536 AS p
+           FROM (SELECT gram, unnest(range(3)) AS i FROM e)),
+    wd AS (SELECT p // 32 AS w,
+                  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+           FROM ep GROUP BY 1),
+    -- corpus probe: every training gram tests its 3 bits
+    cp AS (SELECT doc_id, gram,
+                  CAST('0x' || substr(md5(gram || '#' || CAST(i AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 65536 AS p
+           FROM (SELECT doc_id, gram, unnest(range(3)) AS i FROM g
+                 WHERE doc_id >= 20)),
+    cj AS (SELECT cp.doc_id, cp.gram,
+                  (wd.bits IS NOT NULL
+                   AND ((wd.bits >> CAST(cp.p % 32 AS INT)) & 1) = 1) AS bit_set
+           FROM cp LEFT JOIN wd ON cp.p // 32 = wd.w),
+    ch AS (SELECT doc_id, gram, bool_and(bit_set) AS hit
+           FROM cj GROUP BY doc_id, gram),
+    bh AS (SELECT doc_id, count(*) FILTER (hit) AS bloom_grams
+           FROM ch GROUP BY doc_id),
+    c AS (SELECT DISTINCT doc_id FROM ch
+          WHERE hit AND gram IN (SELECT gram FROM e))
+    SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated,
+           CAST(coalesce(bh.bloom_grams, 0) AS BIGINT) AS bloom_grams
+    FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+           LEFT JOIN bh ON t.doc_id = bh.doc_id
+    WHERE t.doc_id >= 20
+    """,
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    # [ext] Bloom-prefiltered decontamination — EXACT same contamination
+    # verdicts as text_decontaminate, but each corpus gram first tests k=3
+    # bits of an 8 KiB Bloom plan-literal built from the eval grams; only
+    # bloom-positive grams reach the exact semi-join. The 100 TB shape for
+    # when the benchmark suite outgrows a broadcast set: filter size is
+    # FIXED (m bits) regardless of eval-set cardinality, false positives
+    # are corrected by the exact verify, false negatives are impossible.
+    # The oracle replays the ENTIRE bloom (positions, packing, probes)
+    # bit-for-bit in SQL and value-grades per-doc bloom-positive gram
+    # counts alongside the verdicts.
+    from qcardia_data_spark.functions.dedup import shingle_rows
+
+    m_bits, k = 1 << 16, 3
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 20)
+    ev = docs.filter(F.col("doc_id") < 20)
+    doc_grams = shingle_rows(train.select("doc_id", "text"), "doc_id", "text", 5)
+    eval_grams = (
+        shingle_rows(ev.selectExpr("doc_id as _eid", "text"), "_eid", "text", 5)
+        .select("shingle")
+        .distinct()
+    )
+    words = T.bloom_build(eval_grams, "shingle", m_bits, k)
+    probed = T.bloom_hit(doc_grams, "shingle", words, m_bits, k, out="hit")
+    bloom_grams = probed.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("bloom_grams")
+    )
+    cont = (
+        probed.filter(F.col("hit"))
+        .join(F.broadcast(eval_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select("doc_id")
+        .join(cont, "doc_id", "left")
+        .join(bloom_grams, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.coalesce("bloom_grams", F.lit(0)).cast("long").alias("bloom_grams"),
+        )
+    )
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
 _MIX_BUDGET = 40000
 
@@ -3877,8 +3969,9 @@ _PRIORITY = [
     # --- r3-vintage refresh: window family ---
     "w1_count_over_partition",
     "w2_seeded_split",
-    "w3_rownum_per_group",
     "w4_cumulative_sum",
+    # --- r5 net-new (never graded — must enter the window) ---
+    "text_decontaminate_bloom",
     # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
     "sim_lsh_md5_topk",
     "sim_ann_join_md5",

@@ -214,3 +214,70 @@ def test_heavy_hitters_verify_flags_broken_bound(spark):
     df2 = spark.createDataFrame(ok, ["term"]).repartition(4)
     got = [r["term"] for r in heavy_hitters(df2, "term", k=3, m=40).collect()]
     assert sorted(got) == ["hh0", "hh1", "hh2"]
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """Bloom-prefiltered path == exact path, including when a deliberately
+    tiny filter (64 bits, k=1) forces heavy false positives — the exact
+    verify must correct every one of them."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "tiny doc"),
+            (4, "alpha beta gamma delta epsilon entirely new suffix here"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in T.decontaminate(train, evals, "doc_id", "text", n=5).collect()
+    }
+    for m_bits, k in ((1 << 16, 3), (64, 1)):
+        bloom = {
+            r["doc_id"]: r["contaminated"]
+            for r in T.decontaminate_bloom(
+                train, evals, "doc_id", "text", n=5, m_bits=m_bits, k=k
+            ).collect()
+        }
+        assert bloom == exact, (m_bits, k)
+    assert exact == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every gram actually inserted must hit — the safety property the
+    prefilter depends on."""
+    from qcardia_data_spark.functions.text import bloom_build, bloom_hit
+
+    grams = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(200)], ["g"]
+    )
+    words = bloom_build(grams, "g", m_bits=1 << 10, k=3)
+    hits = bloom_hit(grams, "g", words, 1 << 10, 3, out="h")
+    assert hits.filter(~F.col("h")).count() == 0
+
+
+def test_spec_decontaminate_bloom_knob(spark, sf_dir):
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    base = [
+        {"op": "source", "table": "documents"},
+        {"op": "filter", "expr": "doc_id >= 20"},
+    ]
+    ev = [
+        {"op": "source", "table": "documents"},
+        {"op": "filter", "expr": "doc_id < 20"},
+    ]
+    plain = compile_pipeline(spark, base + [
+        {"op": "decontaminate", "eval": {"pipeline": ev},
+         "id_col": "doc_id", "text_col": "text", "n": 5}], sf_dir)
+    bloom = compile_pipeline(spark, base + [
+        {"op": "decontaminate", "eval": {"pipeline": ev},
+         "id_col": "doc_id", "text_col": "text", "n": 5,
+         "bloom": True, "m_bits": 4096, "k": 2}], sf_dir)
+    cols = ["doc_id", "contaminated"]
+    assert plain.select(cols).exceptAll(bloom.select(cols)).count() == 0
+    assert bloom.select(cols).exceptAll(plain.select(cols)).count() == 0
