@@ -8,10 +8,11 @@ plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex G: encapsulated
 fragments, 64-byte segment-offset header, PackBits segments recombined as
 byte planes), JPEG Baseline Process 1 (1.2.840.10008.1.2.4.50) and JPEG
 Progressive Process 10 (1.2.840.10008.1.2.4.55, 8-bit Huffman successive
-approximation / spectral selection), all via the pure-Python T.81 codec in
-``sources/jpeg.py`` — no external libs. The remaining JPEG family
-(Extended 12-bit, 2000, LS, arithmetic) raises ``NotImplementedError`` at
-the codec boundary — honest stubs, named.
+approximation / spectral selection) and JPEG Extended Process 2
+(1.2.840.10008.1.2.4.51, 12-bit sequential), all via the pure-Python T.81
+codec in ``sources/jpeg.py`` — no external libs. The remaining JPEG family
+(2000, LS, arithmetic) raises ``NotImplementedError`` at the codec
+boundary — honest stubs, named.
 
 Tags are ``(group, element)`` ints; helpers expose the named ones the
 reference asserts on (SeriesInstanceUID, InstanceNumber,
@@ -48,6 +49,7 @@ TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 TS_RLE = "1.2.840.10008.1.2.5"  # RLE Lossless, PS3.5 Annex G
 TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # JPEG Baseline (Process 1), 8-bit
 TS_JPEG_PROGRESSIVE = "1.2.840.10008.1.2.4.55"  # JPEG Progressive (Process 10), 8-bit
+TS_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # JPEG Extended (Process 2/4), 12-bit
 
 _TAG_ITEM = (0xFFFE, 0xE000)
 _TAG_SEQ_DELIM = (0xFFFE, 0xE0DD)
@@ -156,12 +158,13 @@ def parse_dicom(data: bytes) -> dict:
     ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
     if ts not in (
         TS_EXPLICIT_LE, TS_IMPLICIT_LE, TS_RLE, TS_JPEG_BASELINE,
-        TS_JPEG_PROGRESSIVE,
+        TS_JPEG_PROGRESSIVE, TS_JPEG_EXTENDED,
     ):
         raise NotImplementedError(
             f"transfer syntax {ts} needs external codecs "
-            "(JPEG Extended/2000/LS, MPEG — baseline Process 1 and "
-            "progressive Process 10 ARE supported)"
+            "(JPEG 2000/LS/arithmetic, MPEG — baseline Process 1, "
+            "Extended 12-bit Process 2 and progressive Process 10 ARE "
+            "supported)"
         )
     explicit = ts != TS_IMPLICIT_LE  # RLE/JPEG datasets are explicit VR LE
 
@@ -330,7 +333,7 @@ def pixel_array(tags: dict) -> np.ndarray:
                 "not supported: split frames upstream or use a native syntax"
             )
         ts = tags.get(TAG_TRANSFER_SYNTAX, TS_EXPLICIT_LE)
-        if ts in (TS_JPEG_BASELINE, TS_JPEG_PROGRESSIVE):
+        if ts in (TS_JPEG_BASELINE, TS_JPEG_PROGRESSIVE, TS_JPEG_EXTENDED):
             from qcardia_data_spark.sources.jpeg import decode_jpeg
 
             # a single frame may be split across fragments (PS3.5 A.4) —
@@ -373,6 +376,7 @@ def encode_dicom(
     pixel_spacing: tuple = (1.0, 1.0), slice_thickness: float = 1.0,
     implicit: bool = False, omit_tags: tuple = (), rle: bool = False,
     jpeg: bool = False, jpeg_quality: int = 100, jpeg_progressive: bool = False,
+    jpeg_extended: bool = False,
 ) -> bytes:
     """Fabricate a REAL Part-10 DICOM file (test fixture generator): 128-byte
     preamble, DICM, meta group, dataset in explicit or implicit VR LE —
@@ -381,13 +385,19 @@ def encode_dicom(
     JPEG Baseline Process 1 (``jpeg=True``: encapsulated, 8-bit grayscale,
     encoded by the pure-Python ``sources/jpeg.py`` codec;
     ``jpeg_progressive=True`` writes Progressive Process 10, TS .55,
-    successive-approximation scan script)."""
+    successive-approximation scan script; ``jpeg_extended=True`` writes
+    12-bit Extended Process 2, TS .51, uint16 pixels in [0, 4095])."""
     if (rle or jpeg) and implicit:
         raise ValueError("encapsulated syntaxes are explicit-VR")
     if rle and jpeg:
         raise ValueError("pick one encapsulated syntax")
     pixels = np.ascontiguousarray(pixels)
-    if jpeg and pixels.dtype != np.dtype(np.uint8):
+    if jpeg and jpeg_extended and jpeg_progressive:
+        raise ValueError("pick one JPEG process")
+    if jpeg and jpeg_extended:
+        if pixels.dtype not in (np.dtype("<u2"), np.dtype(np.uint16)):
+            raise ValueError("JPEG Extended (Process 2) needs uint16 pixels")
+    elif jpeg and pixels.dtype != np.dtype(np.uint8):
         raise ValueError("JPEG Baseline (Process 1) is 8-bit only")
     if pixels.dtype not in (np.dtype(np.uint8), np.dtype("<u2"), np.dtype(np.uint16)):
         raise ValueError("test encoder supports uint8/uint16 pixels")
@@ -408,6 +418,7 @@ def encode_dicom(
 
     ts = (
         TS_JPEG_PROGRESSIVE if jpeg and jpeg_progressive
+        else TS_JPEG_EXTENDED if jpeg and jpeg_extended
         else TS_JPEG_BASELINE if jpeg
         else TS_RLE if rle
         else TS_IMPLICIT_LE if implicit
@@ -443,12 +454,15 @@ def encode_dicom(
         if jpeg:
             from qcardia_data_spark.sources.jpeg import (
                 encode_jpeg_gray,
+                encode_jpeg_gray12,
                 encode_jpeg_gray_progressive,
             )
 
             frame = (
                 encode_jpeg_gray_progressive(pixels, jpeg_quality)
                 if jpeg_progressive
+                else encode_jpeg_gray12(np.ascontiguousarray(pixels, np.uint16), jpeg_quality)
+                if jpeg_extended
                 else encode_jpeg_gray(pixels, jpeg_quality)
             )
             if len(frame) % 2:

@@ -7,8 +7,10 @@ single-scan, restart markers, 4:4:4 / 4:2:2 / 4:2:0 subsampling (nearest
 upsample), JFIF YCbCr→RGB for 3-component images; plus progressive (SOF2,
 Annex G Huffman: spectral selection + successive approximation, DC/AC
 first and refinement scans, EOBn run codes, restart intervals) closing
-the DICOM Progressive (.55) boundary. Arithmetic coding and 12-bit
-(Extended, .51) raise ``NotImplementedError`` — honest boundaries, named.
+the DICOM Progressive (.55) boundary, and 12-bit Extended sequential
+(SOF1, Pq=1 16-bit quantization tables, uint16 output) closing the DICOM
+Extended (.51) boundary. Arithmetic coding raises ``NotImplementedError``
+— honest boundary, named.
 
 Encoder scope (test fixtures + sink): grayscale 8-bit (``encode_jpeg_gray``,
 progressive twin ``encode_jpeg_gray_progressive`` with spectral-selection
@@ -228,12 +230,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
                 i += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables (Pq=1)")
                 tbl = np.zeros(64, dtype=np.int32)
-                tbl[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                if pq == 0:
+                    tbl[ZIGZAG] = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
+                    i += 64
+                elif pq == 1:  # 16-bit entries (required for 12-bit frames)
+                    tbl[ZIGZAG] = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(
+                        np.int32
+                    )
+                    i += 128
+                else:
+                    raise ValueError(f"invalid DQT element precision Pq={pq}")
                 quant[tq] = tbl.reshape(8, 8)
-                i += 64
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -247,8 +255,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG (only 8-bit baseline)")
+            if precision == 12 and marker == 0xC0:
+                raise ValueError("12-bit sample precision is illegal in SOF0")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG (8-bit baseline/progressive and "
+                    "12-bit Extended are supported)"
+                )
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
@@ -330,21 +343,28 @@ def _decode_scan(data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_in
         raise ValueError(
             f"JPEG scan truncated at MCU {m}/{n_mcu} (marker 0x{e.marker:02X})"
         ) from None
-    return _assemble(planes, h, w, comps, hmax, vmax)
+    return _assemble(planes, h, w, comps, hmax, vmax, frame[0])
 
 
-def _assemble(planes, h, w, comps, hmax, vmax) -> np.ndarray:
+def _assemble(planes, h, w, comps, hmax, vmax, precision=8) -> np.ndarray:
     """Level shift, clamp, upsample to full resolution, crop, color
-    convert — shared by the sequential and progressive reconstruction."""
+    convert — shared by the sequential and progressive reconstruction.
+    12-bit frames level-shift by 2048, clamp to [0, 4095] and come back
+    as uint16 (T.81 Extended, DICOM .51 grayscale)."""
+    shift = float(1 << (precision - 1))
+    top = (1 << precision) - 1
+    dt = np.uint8 if precision == 8 else np.uint16
     out = []
     for ci, (_, hi, vi, _tq) in enumerate(comps):
-        p = planes[ci] + 128.0
-        p = np.clip(np.round(p), 0, 255).astype(np.uint8)
+        p = planes[ci] + shift
+        p = np.clip(np.round(p), 0, top).astype(dt)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
         return out[0]
+    if precision != 8:
+        raise NotImplementedError("12-bit JPEG is grayscale-only here")
     if len(out) == 3:  # JFIF YCbCr → RGB (BT.601 full range)
         y, cb, cr = (o.astype(np.float64) for o in out)
         r_ = y + 1.402 * (cr - 128.0)
@@ -610,7 +630,7 @@ def _reconstruct_progressive(frame, coefs, quant):
                     block.reshape(8, 8) * qtbl
                 )
         planes.append(plane)
-    return _assemble(planes, h, w, comps, hmax, vmax)
+    return _assemble(planes, h, w, comps, hmax, vmax, frame[0])
 
 
 # ---------------------------------------------------------------------------
@@ -740,6 +760,84 @@ def encode_jpeg_gray(
     return (
         b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def encode_jpeg_gray12(pixels: np.ndarray, quality: int = 95) -> bytes:
+    """12-bit grayscale → Extended sequential JPEG (SOF1, T.81 Process 2;
+    DICOM transfer syntax 1.2.840.10008.1.2.4.51). Fixture + sink twin of
+    :func:`encode_jpeg_gray` for uint16 pixels in [0, 4095].
+
+    Emits Pq=1 (16-bit) quantization tables — the encoding a 12-bit
+    process uses — and flat custom Huffman tables: the Annex K.3 tables
+    only cover 8-bit magnitude categories (DC size ≤ 11, AC size ≤ 10),
+    while 12-bit coefficients need DC ≤ 15 / AC ≤ 14."""
+    if pixels.dtype != np.uint16 or pixels.ndim != 2:
+        raise ValueError("12-bit encoder takes a 2-D uint16 array")
+    if int(pixels.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = pixels.shape
+    qtbl = _quality_table(quality)
+    dc12 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+    ac12_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac12 = ([0, 0, 0, 0, 0, 0, 0, len(ac12_vals), 0, 0, 0, 0, 0, 0, 0, 0], ac12_vals)
+    dc_codes = _huffman_codes(*dc12)
+    ac_codes = _huffman_codes(*ac12)
+
+    bw = _BitWriter()
+    pred = 0
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            blk = np.full((8, 8), 0.0)
+            tile = pixels[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 2048.0
+            blk[: tile.shape[0], : tile.shape[1]] = tile
+            if tile.shape[0] < 8:
+                blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+            if tile.shape[1] < 8:
+                blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1 : tile.shape[1]]
+            zz = np.round(_dct2(blk) / qtbl).astype(np.int32).reshape(64)[ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = _csize(diff)
+            ln, code = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = max([i for i in range(1, 64) if zz[i]], default=0)
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _csize(v)
+                ln, code = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_codes[0x00]
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_q = qtbl.reshape(64)[ZIGZAG].astype(">u2")
+    dqt = seg(0xDB, b"\x10" + zz_q.tobytes())  # Pq=1: 16-bit entries
+    sof = seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(dc12[0]) + bytes(dc12[1])
+        + b"\x10" + bytes(ac12[0]) + bytes(ac12[1]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
 def _zz_blocks(pixels: np.ndarray, qtbl: np.ndarray) -> list[np.ndarray]:

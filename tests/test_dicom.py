@@ -610,3 +610,53 @@ def test_dicom_jpeg_progressive_pixel_array():
     arr = D.pixel_array(tags)
     assert arr.shape == img.shape and arr.dtype == np.uint8
     assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_12bit_extended_roundtrip():
+    """SOF1 12-bit Extended (Pq=1 quant tables, wide Huffman categories):
+    smooth content within ±1 at q100, flat exact, full-range safe."""
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.jpeg import decode_jpeg, encode_jpeg_gray12
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:70, 0:53]
+    smooth = (
+        (np.sin(xx / 8.0) + np.cos(yy / 6.0)) * 900 + 2048
+        + rng.normal(0, 20, (70, 53))
+    ).clip(0, 4095).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_gray12(smooth, quality=100))
+    assert out.dtype == np.uint16 and out.shape == smooth.shape
+    assert int(np.abs(out.astype(int) - smooth.astype(int)).max()) <= 1
+    flat = np.full((24, 24), 3000, np.uint16)
+    assert (decode_jpeg(encode_jpeg_gray12(flat, quality=90)) == flat).all()
+    extremes = np.zeros((16, 16), np.uint16)
+    extremes[:8, :] = 4095
+    assert (
+        decode_jpeg(encode_jpeg_gray12(extremes, quality=100)) == extremes
+    ).all()
+    with pytest.raises(ValueError, match="4095"):
+        encode_jpeg_gray12(np.full((8, 8), 5000, np.uint16))
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_gray12(np.zeros((8, 8), np.uint8))
+
+
+def test_dicom_jpeg_extended_pixel_array():
+    """TS 1.2.840.10008.1.2.4.51 (12-bit Extended) end-to-end."""
+    import numpy as np
+
+    from qcardia_data_spark.sources import dicom as D
+
+    x = np.linspace(0, 4095, 32)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 4095).astype(np.uint16)
+    blob = D.encode_dicom(
+        img, series_uid="1.2.3.6", instance_number=1,
+        position=(0.0, 0.0, 0.0), orientation=(1, 0, 0, 0, 1, 0),
+        jpeg=True, jpeg_quality=100, jpeg_extended=True,
+    )
+    tags = D.parse_dicom(blob)
+    assert tags[D.TAG_TRANSFER_SYNTAX] == D.TS_JPEG_EXTENDED
+    arr = D.pixel_array(tags)
+    assert arr.shape == img.shape and arr.dtype == np.dtype("<u2")
+    assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
