@@ -40,6 +40,8 @@ Spec grammar (one dict per op, applied in order):
     {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
     {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
+    {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
+     "min_score": -7.5}          # CCNet-style trigram quality gate
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -299,6 +301,23 @@ def _apply(
             if op.get("drop_flagged", False)
             else out
         )
+    if kind == "lm_score":
+        from qcardia_data_spark.functions.text import char_trigram_lm_score
+
+        # {"op": "lm_score", "ref": <table/pipeline>, "id_col": ..,
+        #  "text_col": .., "min_score": -7.5}  — attach the CCNet-style
+        # trigram quality score; min_score turns it into the bucket gate.
+        scored = char_trigram_lm_score(
+            df, _side(spark, op["ref"], sf_dir),
+            op["id_col"], op["text_col"],
+            smooth_v=int(op.get("smooth_v", 100)),
+        )
+        out = df.join(scored, op["id_col"], "left")
+        if "min_score" in op:
+            return out.filter(
+                F.col("lm_score") >= float(op["min_score"])
+            ).drop("lm_score")
+        return out
     if kind == "quality_filter":
         from qcardia_data_spark.functions.text import word_tokens
 

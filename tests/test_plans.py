@@ -598,3 +598,43 @@ def test_spec_semantic_dedup_op(spark, sf_dir):
     ).select("vec_id", "cell")
     assert via_spec.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_spec).count() == 0
+
+
+def test_spec_lm_score_op(spark, sf_dir):
+    # {"op": "lm_score"} attaches the trigram quality score; min_score
+    # prunes below-bucket docs. Spec == direct library call.
+    from qcardia_data_spark.functions.text import char_trigram_lm_score
+
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "filter", "expr": "source != 'src0'"},
+        {"op": "lm_score",
+         "ref": {"pipeline": [{"op": "source", "table": "documents"},
+                               {"op": "filter", "expr": "source = 'src0'"}]},
+         "id_col": "doc_id", "text_col": "text"},
+        {"op": "select", "cols": ["doc_id", "lm_score"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    direct = char_trigram_lm_score(
+        docs.filter("source != 'src0'"), docs.filter("source = 'src0'"),
+        "doc_id", "text",
+    )
+    sel = ["doc_id", "lm_score"]
+    joined = (
+        via_spec.withColumnRenamed("lm_score", "a")
+        .join(direct.withColumnRenamed("lm_score", "b"), "doc_id", "full")
+    )
+    import pyspark.sql.functions as SF
+    bad = joined.filter(
+        SF.col("a").isNull() | SF.col("b").isNull()
+        | (SF.abs(SF.col("a") - SF.col("b")) > 1e-12)
+    ).count()
+    assert bad == 0
+    gated = compile_pipeline(
+        spark,
+        ops[:2] + [dict(ops[2], min_score=-100.0)],
+        sf_dir,
+    )
+    assert gated.count() == via_spec.filter(SF.col("lm_score").isNotNull()).count()
+    assert "lm_score" not in gated.columns
