@@ -189,6 +189,15 @@ def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+def _req(tables: dict, key, what: str):
+    """Table lookup that fails as a decode error, not a KeyError — a
+    corrupted stream can reference a table id that was never defined."""
+    try:
+        return tables[key]
+    except KeyError:
+        raise ValueError(f"JPEG references undefined {what} table {key}") from None
+
+
 def _extend(v: int, size: int) -> int:
     """T.81 F.2.2.1 sign extension."""
     if size == 0:
@@ -205,6 +214,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, struct.error) as exc:
+        # a truncated/corrupt stream can run any header read off the end —
+        # surface every such case as a decode error, never a raw
+        # IndexError/struct.error
+        raise ValueError(f"truncated or corrupt JPEG: {exc}") from None
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
@@ -264,10 +283,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
+            if h == 0 or w == 0 or not 1 <= nc <= 4:
+                raise ValueError("JPEG SOF with zero dimensions or bad Nf")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"JPEG SOF sampling factors {hi}x{vi} invalid")
+                comps.append((cid, hi, vi, tq))
             frame = (precision, h, w, comps)
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -282,8 +306,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_sel = []  # (comp_idx, dc_table, ac_table)
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s : 3 + 2 * s]
-                idx = next(i for i, c in enumerate(frame[3]) if c[0] == cs)
-                scan_sel.append((idx, tt >> 4, tt & 0xF))
+                matches = [i for i, c in enumerate(frame[3]) if c[0] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG SOS references unknown component {cs}")
+                scan_sel.append((matches[0], tt >> 4, tt & 0xF))
             if not progressive:
                 pos += seg_len
                 return _decode_scan(
@@ -331,7 +357,11 @@ def _decode_scan(data, pos, frame, scan_sel, quant, huff_dc, huff_ac, restart_in
                 for by in range(vi):
                     for bx in range(hi):
                         block = _decode_block(
-                            r, huff_dc[dc_t], huff_ac[ac_t], quant[tq], preds, ci
+                            r,
+                            _req(huff_dc, dc_t, "DC Huffman"),
+                            _req(huff_ac, ac_t, "AC Huffman"),
+                            _req(quant, tq, "quantization"),
+                            preds, ci,
                         )
                         y0 = (my * vi + by) * 8
                         x0 = (mx * hi + bx) * 8
@@ -381,6 +411,8 @@ def _decode_block(r, dc_table, ac_table, qtbl, preds, ci) -> np.ndarray:
     size = _decode_symbol(r, dc_table)
     diff = _extend(r.read_bits(size), size)
     preds[ci] += diff
+    if not -(1 << 31) <= preds[ci] < (1 << 31):  # only a corrupt stream can
+        raise ValueError("JPEG DC predictor out of range (corrupt stream)")
     zz[0] = preds[ci]
     k = 1
     while k < 64:
@@ -514,11 +546,11 @@ def _decode_prog_scan(
                 zzb = coefs[ci][by, bx]
                 if ah == 0:
                     eobrun = _decode_prog_ac_first(
-                        r, huff_ac[ac_t], zzb, ss, se, al, eobrun
+                        r, _req(huff_ac, ac_t, "AC Huffman"), zzb, ss, se, al, eobrun
                     )
                 else:
                     eobrun = _decode_prog_ac_refine(
-                        r, huff_ac[ac_t], zzb, ss, se, al, eobrun
+                        r, _req(huff_ac, ac_t, "AC Huffman"), zzb, ss, se, al, eobrun
                     )
     except _MarkerReached as e:
         raise ValueError(
@@ -533,6 +565,8 @@ def _decode_prog_dc(r, dc_table, carr, by, bx, preds, ci, ah, al):
             raise ValueError("JPEG progressive DC scan without a DC Huffman table")
         size = _decode_symbol(r, dc_table)
         preds[ci] += _extend(r.read_bits(size), size)
+        if not -(1 << 30) <= preds[ci] < (1 << 30):
+            raise ValueError("JPEG DC predictor out of range (corrupt stream)")
         carr[by, bx, 0] = preds[ci] << al
     else:  # refinement: one raw bit per block (T.81 G.1.2.1)
         if r.read_bit():
@@ -621,7 +655,7 @@ def _reconstruct_progressive(frame, coefs, quant):
         carr = coefs[ci]
         bh, bw_, _ = carr.shape
         plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-        qtbl = quant[tq]
+        qtbl = _req(quant, tq, "quantization")
         for by in range(bh):
             for bx in range(bw_):
                 block = np.zeros(64, dtype=np.float64)

@@ -660,3 +660,52 @@ def test_dicom_jpeg_extended_pixel_array():
     arr = D.pixel_array(tags)
     assert arr.shape == img.shape and arr.dtype == np.dtype("<u2")
     assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_decoder_robust_to_corruption():
+    """Fuzz: flipping/truncating bytes anywhere in a valid stream
+    (baseline, progressive, 12-bit) must either decode to SOME array or
+    raise ValueError/NotImplementedError — never crash, hang, or index
+    out of bounds."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qcardia_data_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray12,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    img8 = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    streams = [
+        encode_jpeg_gray(img8, quality=85),
+        encode_jpeg_gray_progressive(img8, quality=85, script="sa"),
+        encode_jpeg_gray12((img8.astype(np.uint16) * 16), quality=85),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        si=st.integers(0, len(streams) - 1),
+        mode=st.sampled_from(["flip", "truncate", "insert"]),
+        pos=st.integers(2, 4000),
+        val=st.integers(0, 255),
+    )
+    def fuzz(si, mode, pos, val):
+        data = streams[si]
+        pos = pos % (len(data) - 2) + 1
+        if mode == "flip":
+            mutated = data[:pos] + bytes([data[pos] ^ (val or 1)]) + data[pos + 1 :]
+        elif mode == "truncate":
+            mutated = data[:pos]
+        else:
+            mutated = data[:pos] + bytes([val]) + data[pos:]
+        try:
+            out = decode_jpeg(mutated)
+            assert out.ndim in (2, 3)
+        except (ValueError, NotImplementedError):
+            pass
+
+    fuzz()
