@@ -412,6 +412,9 @@ def compile_stream_pipeline(
       {"op": "window_agg", "col": "ts", "width": "1 hour",
        "by": [...extra keys...], "aggs": {"n": "count(*)"},
        "slide": optional}
+      {"op": "stream_join", "right": [stream ops...], "cond": "<expr>",
+       "how": "inner"}   # stream-stream join; watermarks + time-bound
+                         # condition required (state expiry)
       ...plus every STATELESS batch op (select / filter / with_columns /
       rename / drop / explode) — reused verbatim from the batch compiler,
       which is the point: one spec dialect, two execution modes.
@@ -479,13 +482,23 @@ def compile_stream_pipeline(
                 if op.get("within_watermark", True)
                 else df.dropDuplicates(keys)
             )
+        elif kind == "stream_join":
+            # {"op": "stream_join", "right": [stream ops...],
+            #  "cond": "<sql expr>", "how": "inner"} — stream-stream join.
+            # Each side carries its own watermark op, and the condition
+            # must include the event-time bound so Spark can size and
+            # expire the join state (Spark enforces both at stream start —
+            # the canonical attribution-join shape,
+            # streaming/events.attribution_join).
+            right = compile_stream_pipeline(spark, op["right"])
+            df = df.join(right, F.expr(op["cond"]), op.get("how", "inner"))
         elif kind in _STATELESS:
             df = _apply(spark, df, op, None, prior_ops)
         else:
             raise SpecError(
                 f"op #{i} ({kind}) is not streamable (stateless ops: "
                 f"{sorted(_STATELESS)}, plus watermark/window_agg/"
-                "session_agg/stream_dedup)"
+                "session_agg/stream_dedup/stream_join)"
             )
         prior_ops.append(op)
     if df is None:

@@ -638,3 +638,54 @@ def test_spec_lm_score_op(spark, sf_dir):
     )
     assert gated.count() == via_spec.filter(SF.col("lm_score").isNotNull()).count()
     assert "lm_score" not in gated.columns
+
+
+def test_spec_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream attribution join via the spec dialect == the same
+    join on batch frames (the streaming/events.attribution_join shape)."""
+    import pyspark.sql.functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "ev_join"
+    ev = load_table(spark, sf_dir, "events").limit(800)
+    ev.coalesce(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    right = [
+        {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
+        {"op": "filter", "expr": "event_type = 'purchase'"},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+        {"op": "select", "cols": ["user_id as o_user", "event_id as outcome_id",
+                                   "ts as o_ts", "value as outcome_value"]},
+    ]
+    stream = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(src) + "/*.parquet", "schema": schema},
+        {"op": "filter", "expr": "event_type = 'click'"},
+        {"op": "watermark", "col": "ts", "delay": "2 hours"},
+        {"op": "select", "cols": ["user_id as t_user", "event_id as trigger_id",
+                                   "ts as t_ts"]},
+        {"op": "stream_join", "right": right,
+         "cond": "t_user = o_user AND t_ts <= o_ts "
+                 "AND t_ts >= o_ts - INTERVAL 1 HOUR"},
+        {"op": "select", "cols": ["trigger_id", "outcome_id", "outcome_value"]},
+    ])
+    got = {tuple(r) for r in run_to_memory(stream, "append").collect()}
+
+    b = spark.read.parquet(str(src))
+    trig = b.filter("event_type = 'click'").selectExpr(
+        "user_id as t_user", "event_id as trigger_id", "ts as t_ts")
+    outc = b.filter("event_type = 'purchase'").selectExpr(
+        "user_id as o_user", "event_id as outcome_id", "ts as o_ts",
+        "value as outcome_value")
+    want = {
+        tuple(r)
+        for r in trig.join(
+            outc,
+            F.expr("t_user = o_user AND t_ts <= o_ts "
+                   "AND t_ts >= o_ts - INTERVAL 1 HOUR"),
+        ).select("trigger_id", "outcome_id", "outcome_value").collect()
+    }
+    assert want and got == want
