@@ -42,6 +42,8 @@ Spec grammar (one dict per op, applied in order):
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5}          # CCNet-style trigram quality gate
+    {"op": "bpe_encode", "text_col": ..., "merges": [["e","r"], ...],
+     "out": "bpe_tokens"}        # merges table = config artifact
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -300,6 +302,17 @@ def _apply(
             out.filter(~F.col("contaminated")).drop("contaminated")
             if op.get("drop_flagged", False)
             else out
+        )
+    if kind == "bpe_encode":
+        from qcardia_data_spark.functions.bpe import bpe_encode
+
+        # {"op": "bpe_encode", "text_col": ..., "merges": [["e","r"], ...],
+        #  "out": "bpe_tokens"} — the merges table is part of the CONFIG
+        # (tokenizers ship as artifacts; spec compilation stays job-free);
+        # train once with functions.bpe.bpe_train and embed the result.
+        merges = [tuple(p) for p in op["merges"]]
+        return bpe_encode(
+            df, op["text_col"], merges, out=op.get("out", "bpe_tokens")
         )
     if kind == "lm_score":
         from qcardia_data_spark.functions.text import char_trigram_lm_score

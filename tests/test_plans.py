@@ -689,3 +689,23 @@ def test_spec_stream_join_matches_batch(spark, sf_dir, tmp_path):
         ).select("trigger_id", "outcome_id", "outcome_value").collect()
     }
     assert want and got == want
+
+
+def test_spec_bpe_encode_op(spark, sf_dir):
+    # merges embedded in the spec (a config artifact) == direct library
+    # apply with the same merges
+    from qcardia_data_spark.functions import bpe as B
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    freqs = B.bpe_word_freqs(docs, "text", sample_docs=None)
+    merges = B.bpe_train(freqs, n_merges=16)
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "bpe_encode", "text_col": "text",
+         "merges": [list(p) for p in merges], "out": "toks"},
+        {"op": "select", "cols": ["doc_id", "toks"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    direct = B.bpe_encode(docs, "text", merges, out="toks").select("doc_id", "toks")
+    assert via_spec.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_spec).count() == 0
