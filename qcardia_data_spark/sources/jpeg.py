@@ -874,7 +874,9 @@ def encode_jpeg_gray12(pixels: np.ndarray, quality: int = 95) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
 
 
-def _zz_blocks(pixels: np.ndarray, qtbl: np.ndarray) -> list[np.ndarray]:
+def _zz_blocks(
+    pixels: np.ndarray, qtbl: np.ndarray, shift: float = 128.0
+) -> list[np.ndarray]:
     """Row-major list of quantized zigzag coefficient vectors (one per 8×8
     block, replicate-padded at the edges — same tiling as the baseline
     encoder)."""
@@ -883,7 +885,7 @@ def _zz_blocks(pixels: np.ndarray, qtbl: np.ndarray) -> list[np.ndarray]:
     for y0 in range(0, h, 8):
         for x0 in range(0, w, 8):
             blk = np.full((8, 8), 0.0)
-            tile = pixels[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+            tile = pixels[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - shift
             blk[: tile.shape[0], : tile.shape[1]] = tile
             if tile.shape[0] < 8:
                 blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
@@ -922,6 +924,7 @@ class _ProgScanWriter:
 
 def encode_jpeg_gray_progressive(
     pixels: np.ndarray, quality: int = 95, script: str = "sa",
+    precision: int = 8,
 ) -> bytes:
     """8-bit grayscale → progressive JPEG (SOF2), fixture + sink twin of
     :func:`encode_jpeg_gray`.
@@ -933,25 +936,37 @@ def encode_jpeg_gray_progressive(
     refinement, AC refinement — exercising EOBn run codes, newly-significant
     insertion and correction bits end to end.
     """
-    if pixels.dtype != np.uint8 or pixels.ndim != 2:
-        raise ValueError("encoder takes a 2-D uint8 array")
+    if precision == 8:
+        if pixels.dtype != np.uint8 or pixels.ndim != 2:
+            raise ValueError("8-bit encoder takes a 2-D uint8 array")
+        dc_tbl = K3_DC_LUMA
+    elif precision == 12:
+        if pixels.dtype != np.uint16 or pixels.ndim != 2:
+            raise ValueError("12-bit encoder takes a 2-D uint16 array")
+        if int(pixels.max(initial=0)) > 4095:
+            raise ValueError("12-bit samples must be in [0, 4095]")
+        dc_tbl = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+    else:
+        raise ValueError("precision must be 8 or 12")
     if script not in ("sa", "spectral"):
         raise ValueError("script must be 'sa' or 'spectral'")
     h, w = pixels.shape
     qtbl = _quality_table(quality)
-    dc_codes = _huffman_codes(*K3_DC_LUMA)
+    dc_codes = _huffman_codes(*dc_tbl)
     # The Annex K.3 AC table is a SEQUENTIAL table: it has no EOBn symbols
     # (0x10..0xE0), which progressive EOB-run coding requires. Use a flat
     # custom table instead: every (run<<4)|size symbol for size 0..10 at
     # code length 8 (176 codes < 255, so the all-ones code stays unused as
     # T.81 requires). Fixture-quality, not optimal-compression — same
     # stance as the color encoder's shared luma tables.
+    max_s = 10 if precision == 8 else 14
+    ac_vals = [(r << 4) | s for r in range(16) for s in range(max_s + 1)]
     ac_prog = (
-        [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
-        [(r << 4) | s for r in range(16) for s in range(11)],
+        [0, 0, 0, 0, 0, 0, 0, len(ac_vals), 0, 0, 0, 0, 0, 0, 0, 0],
+        ac_vals,
     )
     ac_codes = _huffman_codes(*ac_prog)
-    blocks = _zz_blocks(pixels, qtbl)
+    blocks = _zz_blocks(pixels, qtbl, shift=float(1 << (precision - 1)))
 
     def dc_first_scan(al: int) -> bytes:
         bw = _BitWriter()
@@ -1057,12 +1072,16 @@ def encode_jpeg_gray_progressive(
     def sos(ss: int, se: int, ah: int, al: int, body: bytes) -> bytes:
         return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + body
 
-    zz_q = qtbl.reshape(64)[ZIGZAG].astype(np.uint8)
-    dqt = seg(0xDB, b"\x00" + zz_q.tobytes())
-    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    if precision == 8:
+        zz_q = qtbl.reshape(64)[ZIGZAG].astype(np.uint8)
+        dqt = seg(0xDB, b"\x00" + zz_q.tobytes())
+    else:  # 12-bit processes use Pq=1 (16-bit) table entries
+        zz_q = qtbl.reshape(64)[ZIGZAG].astype(">u2")
+        dqt = seg(0xDB, b"\x10" + zz_q.tobytes())
+    sof = seg(0xC2, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]))
     dht = seg(
         0xC4,
-        b"\x00" + bytes(K3_DC_LUMA[0]) + bytes(K3_DC_LUMA[1])
+        b"\x00" + bytes(dc_tbl[0]) + bytes(dc_tbl[1])
         + b"\x10" + bytes(ac_prog[0]) + bytes(ac_prog[1]),
     )
     if script == "spectral":

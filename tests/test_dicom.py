@@ -709,3 +709,30 @@ def test_jpeg_decoder_robust_to_corruption():
             pass
 
     fuzz()
+
+
+def test_jpeg_12bit_progressive_matches_sequential():
+    """12-bit SOF2 (both scripts) decodes bit-identically to the 12-bit
+    sequential pipeline — the four progressive scan kinds at 12-bit
+    magnitude categories (DC size <= 15, AC size <= 14)."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray12,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:70, 0:53]
+    img = (
+        (np.sin(xx / 8.0) + np.cos(yy / 6.0)) * 900 + 2048
+        + rng.normal(0, 20, (70, 53))
+    ).clip(0, 4095).astype(np.uint16)
+    seq = decode_jpeg(encode_jpeg_gray12(img, quality=100))
+    for script in ("spectral", "sa"):
+        prog = decode_jpeg(
+            encode_jpeg_gray_progressive(img, quality=100, script=script, precision=12)
+        )
+        assert prog.dtype == np.uint16
+        assert (prog == seq).all(), script
