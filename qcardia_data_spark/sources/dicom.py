@@ -100,6 +100,14 @@ def parse_dicom(data: bytes) -> dict:
     ``TAG_PIXEL_DATA``."""
     if len(data) < 132 + 8 or data[128:132] != b"DICM":
         raise ValueError("not a DICOM Part-10 file (missing DICM marker)")
+    try:
+        return _parse_dicom_inner(data)
+    except (IndexError, struct.error) as exc:
+        # a truncated/corrupt dataset can run any element read off the end
+        raise ValueError(f"truncated or corrupt DICOM: {exc}") from None
+
+
+def _parse_dicom_inner(data: bytes) -> dict:
     tags: dict = {}
     pos = 132
 
@@ -317,12 +325,20 @@ def pixel_array(tags: dict) -> np.ndarray:
     equivalent): native little-endian for the uncompressed syntaxes,
     pure-Python Annex-G decode for RLE Lossless (fragments → frame →
     PackBits planes → samples)."""
+    for req, name in ((TAG_ROWS, "Rows"), (TAG_COLS, "Columns"), (TAG_PIXEL_DATA, "PixelData")):
+        if req not in tags or (isinstance(tags[req], list) and not tags[req]):
+            raise ValueError(f"DICOM dataset missing {name} — corrupt or non-image file")
     rows = int(tags[TAG_ROWS][0])
     cols = int(tags[TAG_COLS][0])
     bits = int(tags.get(TAG_BITS_ALLOCATED, [16])[0])
     signed = int(tags.get(TAG_PIXEL_REPRESENTATION, [0])[0])
     raw = tags[TAG_PIXEL_DATA]
-    dt = {(8, 0): np.uint8, (8, 1): np.int8, (16, 0): "<u2", (16, 1): "<i2"}[(bits, signed)]
+    try:
+        dt = {(8, 0): np.uint8, (8, 1): np.int8, (16, 0): "<u2", (16, 1): "<i2"}[(bits, signed)]
+    except KeyError:
+        raise ValueError(
+            f"unsupported BitsAllocated/PixelRepresentation ({bits}, {signed})"
+        ) from None
     if isinstance(raw, tuple):  # encapsulated (RLE / JPEG baseline)
         nf = tags.get(TAG_NUMBER_OF_FRAMES, [1])
         n_frames = int(nf[0]) if isinstance(nf, list) and nf else 1

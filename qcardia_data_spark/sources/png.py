@@ -65,6 +65,17 @@ def decode_png(data: bytes):
 
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG: bad signature")
+    try:
+        return _decode_png_inner(data)
+    except (IndexError, struct.error, zlib.error, EOFError) as exc:
+        # truncated/corrupt streams can run any chunk read off the end or
+        # hand zlib garbage — surface all of it as a decode error
+        raise ValueError(f"truncated or corrupt PNG: {exc}") from None
+
+
+def _decode_png_inner(data: bytes):
+    import numpy as np
+
     pos, ihdr, idat = 8, None, b""
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])

@@ -455,3 +455,63 @@ def test_wav_malformed_fmt_refuses():
     struct.pack_into("<I", blob, blob.find(b"fmt ") + 12, 0)  # nSamplesPerSec
     with pytest.raises(ValueError, match="rate=0"):
         decode_wav(bytes(blob))
+
+
+def test_codec_decoders_robust_to_corruption():
+    """Cross-codec fuzz: flip/truncate/insert bytes in valid NIfTI / WAV /
+    AVI / PNG / DICOM streams — every decoder must return a result or
+    raise ValueError/NotImplementedError, never crash with a raw
+    IndexError/KeyError/struct.error/ZeroDivisionError."""
+    import gzip
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qcardia_data_spark.sources import dicom as D
+    from qcardia_data_spark.sources.audio import decode_wav, encode_wav
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg, parse_avi
+    from qcardia_data_spark.sources.nifti import decode_nifti1, encode_nifti1
+    from qcardia_data_spark.sources.png import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    vol = rng.normal(0, 1, (6, 6, 3, 2)).astype(np.float32)
+    nii = encode_nifti1(vol, np.eye(4))
+    wav = encode_wav(rng.normal(0, 0.2, 800).astype(np.float64), 8000)
+    frames = [rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=5)
+    png = encode_png(rng.integers(0, 256, (12, 12), dtype=np.uint8))
+    dcm = D.encode_dicom(
+        rng.integers(0, 4096, (16, 16)).astype("<u2"), series_uid="1.2.9",
+        instance_number=1, position=(0, 0, 0), orientation=(1, 0, 0, 0, 1, 0),
+    )
+    targets = [
+        (nii, lambda b: decode_nifti1(b)),
+        (wav, lambda b: decode_wav(b)),
+        (avi, lambda b: parse_avi(b)),
+        (png, lambda b: decode_png(b)),
+        (dcm, lambda b: D.pixel_array(D.parse_dicom(b))),
+    ]
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ti=st.integers(0, len(targets) - 1),
+        mode=st.sampled_from(["flip", "truncate", "insert"]),
+        pos=st.integers(1, 5000),
+        val=st.integers(0, 255),
+    )
+    def fuzz(ti, mode, pos, val):
+        data, dec = targets[ti]
+        pos = pos % (len(data) - 2) + 1
+        if mode == "flip":
+            mutated = data[:pos] + bytes([data[pos] ^ (val or 1)]) + data[pos + 1 :]
+        elif mode == "truncate":
+            mutated = data[:pos]
+        else:
+            mutated = data[:pos] + bytes([val]) + data[pos:]
+        try:
+            dec(mutated)
+        except (ValueError, NotImplementedError, gzip.BadGzipFile, EOFError):
+            pass
+
+    fuzz()
