@@ -526,6 +526,31 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(id_col, sig.alias("simhash"))
 
 
+def oversized_semantic_cells(
+    embeddings: DataFrame, n_cells: int = 16, max_cell_size: int = 10000,
+    seed: int = 0, n_refine: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit companion to :func:`semantic_dedup` (same pattern as
+    :func:`oversized_lsh_buckets`): (cell, cell_n, pairs) for every
+    k-means cell whose within-cell pair count would exceed the comparison
+    budget — run it to decide whether ``n_cells`` needs to scale up
+    BEFORE paying a quadratic cell. SemDeDup's own remedy for a hot cell
+    is more cells (n_cells ~ N/1000), not edge capping: unlike LSH
+    boilerplate buckets, a dense embedding cluster is exactly the
+    structure the dedup must examine."""
+    from qcardia_data_spark.functions.similarity import ivf_assign
+
+    assigned, _ = ivf_assign(
+        embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    pairs = (F.col("cell_n") * (F.col("cell_n") - 1) / 2).cast("long")
+    return counts.withColumn("pairs", pairs).filter(
+        F.col("cell_n") > max_cell_size
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame, n_cells: int = 16, threshold: float = 0.35,
     seed: int = 0, n_refine: int = 1,

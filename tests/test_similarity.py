@@ -244,3 +244,15 @@ def test_semantic_dedup_properties(emb):
     out2 = semantic_dedup(emb, n_cells=8, threshold=tau)
     assert out.select("vec_id", "cell").exceptAll(out2.select("vec_id", "cell")).count() == 0
     out.unpersist()
+
+
+def test_oversized_semantic_cells_audit(emb):
+    from qcardia_data_spark.functions.dedup import oversized_semantic_cells
+
+    # with a generous cap nothing is flagged on the uniform corpus
+    assert oversized_semantic_cells(emb, n_cells=8, max_cell_size=10000).count() == 0
+    # with a tiny cap every populated cell is flagged, pair math correct
+    rows = oversized_semantic_cells(emb, n_cells=8, max_cell_size=1).collect()
+    assert rows
+    for r in rows:
+        assert r["pairs"] == r["cell_n"] * (r["cell_n"] - 1) // 2
