@@ -2425,6 +2425,53 @@ def text_decontaminate(spark, sf_dir):
 
 
 @_q(
+    "text_ngram_novelty",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 3 + 2),
+            i -> array_to_string(toks[i:i+3-1], ' ')))) AS gram
+          FROM t WHERE len(toks) >= 3),
+    df_ AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(avg(CASE WHEN df_.nd > 1 THEN 0.0 ELSE 1.0 END), 6)
+             AS novelty
+    FROM g JOIN df_ USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    # [ext] per-doc n-gram novelty: the fraction of a document's distinct
+    # 3-grams that appear in NO other document — the memorization /
+    # duplication-severity signal (a doc with low novelty is mostly made
+    # of corpus-repeated phrasing even when no single near-dup partner
+    # exists; the aggregate severity view of what minhash/simhash decide
+    # pairwise). Scale shape: shingle rows explode once, gram
+    # doc-frequencies reduce map-side on the gram shuffle, one doc-keyed
+    # agg back — two bounded exchanges, no pairwise stage at all.
+    from qcardia_data_spark.functions.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = shingle_rows(docs.select("doc_id", "text"), "doc_id", "text", 3)
+    df_counts = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        grams.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("nd") > 1, 0.0).otherwise(1.0)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@_q(
     "text_bpe_tokens",
     r"""
     WITH t AS (
@@ -4072,11 +4119,11 @@ _PRIORITY = [
     # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
     "sim_lsh_md5_topk",
     "sim_ann_join_md5",
-    "ev_monthly_rollup",
     "ev_hypertable_rollup",
     # --- r5 net-new (never graded — must enter the window) ---
     "text_lm_score",
     "text_bpe_tokens",
+    "text_ngram_novelty",
 ]
 
 
