@@ -1,6 +1,6 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 Process 1) — closes the last
-codec boundary in the DICOM reader (transfer syntax 1.2.840.10008.1.2.4.50,
-JPEG Baseline, the only JPEG family member that is 8-bit sequential DCT).
+"""Pure-Python JPEG codec (ITU-T T.81 Processes 1, 2 and 10) — closes the
+DICOM reader's JPEG boundaries: Baseline .50, Extended 12-bit .51 and
+Progressive .55 transfer syntaxes, decode + fixture encoders.
 
 Decoder scope: baseline sequential, 8-bit, 1-3 components, interleaved
 single-scan, restart markers, 4:4:4 / 4:2:2 / 4:2:0 subsampling (nearest
