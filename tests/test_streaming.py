@@ -326,3 +326,39 @@ def test_ntz_cast_refuses_dst_session_timezone(spark, sf_dir):
         assert dict(S.ensure_event_time(ev, "ts").dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_streaming_heavy_hitters_exact_with_generous_budget(spark, sf_dir):
+    """With m >= per-group distinct values, MG never evicts: the final
+    streamed summary equals the exact batch frequency table; with a tiny
+    m, every emitted count obeys the undercount bound (n <= true)."""
+    from qcardia_data_spark.streaming.stateful import streaming_heavy_hitters
+
+    out = S.run_to_memory(
+        streaming_heavy_hitters(S.events_stream(spark, sf_dir), "event_type", m=64),
+        "update",
+    )
+    # counts are monotone without eviction -> take the max per value
+    got = {
+        r["value"]: r["n"]
+        for r in out.groupBy("value").agg(F.max("n").alias("n")).collect()
+    }
+    want = {
+        str(r["event_type"]): r["n"]
+        for r in _batch_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    capped = S.run_to_memory(
+        streaming_heavy_hitters(S.events_stream(spark, sf_dir), "event_type", m=2, n_salts=2),
+        "update",
+    )
+    got_capped = {
+        r["value"]: r["n"]
+        for r in capped.groupBy("value").agg(F.max("n").alias("n")).collect()
+    }
+    for v, n in got_capped.items():
+        assert n <= want[v]  # MG never overcounts
