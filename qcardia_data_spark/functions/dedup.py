@@ -511,11 +511,21 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = spread_small_scan(df, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w")
     )
-    hashed = toks.select(id_col, F.md5("w").alias("h"))
+    # 4 conv()s per token (8-hex-digit quarters, < 2^32 so the long cast
+    # never overflows) instead of 32 substring+conv digit extractions;
+    # digit parity = bit 4·(7 − b%8) of the quarter. Bit-identical votes.
+    h = F.md5("w")
+    hashed = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, 1 + 8 * q, 8), 16, 10).cast("long").alias(f"_q{q}")
+            for q in range(4)
+        ],
+    )
 
     def vote(b: int) -> Column:
-        digit = F.conv(F.substring(F.col("h"), b + 1, 1), 16, 10).cast("int")
-        return F.sum(F.when(digit % 2 == 1, 1).otherwise(-1)).alias(f"v{b}")
+        bit = F.shiftright(F.col(f"_q{b // 8}"), 4 * (7 - b % 8)).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}")
 
     votes = hashed.groupBy(id_col).agg(*[vote(b) for b in range(32)])
     sig = F.lit(0).cast("long")
