@@ -396,3 +396,35 @@ def oversized_ann_buckets(
     return groups.withColumn(
         "rows_capped", (F.col("bucket_n") - F.lit(max_bucket_size)).cast("long")
     )
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = 16, seed: int = 0,
+    vec_col: str = "embedding", out: str = "projected", dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a deterministic
+    ±1 sign matrix (Achlioptas 2003: Rademacher entries preserve pairwise
+    distances with the same JL guarantee as Gaussians):
+
+        y_j = (1/sqrt(out_dim)) · Σ_i x_i · s_{j,i},   s ∈ {±1} from
+        md5 parity (the same engine-agnostic derivation as
+        :func:`hyperplane_signs`, so any SQL engine replays the matrix).
+
+    The pipeline use is the step BEFORE similarity search at scale:
+    project 64-d → 16-d once (4× less vector IO and 4× cheaper dot
+    products for brute-force/IVF/LSH stages) at a bounded distortion.
+    One nested-array plan literal, one narrow map pass, no shuffle."""
+    signs = hyperplane_signs(out_dim, dim, seed)
+    sm = F.lit(signs)
+    d = F.col(vec_col).cast("array<double>")
+    inv = 1.0 / (out_dim ** 0.5)
+    proj = F.transform(
+        sm,
+        lambda s: F.aggregate(
+            F.zip_with(d, s, lambda x, sg: x * sg),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        * F.lit(inv),
+    )
+    return embeddings.withColumn(out, proj)

@@ -2930,6 +2930,47 @@ def dedup_embedding_cosine(spark, sf_dir):
     return emb.join(dups.withColumnRenamed("b", "vec_id"), "vec_id", "left_anti").select("vec_id")
 
 
+def _rp_oracle_sql() -> str:
+    """DuckDB restatement of the Johnson-Lindenstrauss projection —
+    generated from the SAME md5-parity sign matrix as the Spark plan
+    (hyperplane_signs(16, 64, seed=7)), zero transcription drift."""
+    from qcardia_data_spark.functions.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(16, 64, seed=7)
+    inv = 1.0 / (16 ** 0.5)
+    cols = []
+    for j in range(16):
+        terms = " + ".join(
+            f"d[{i + 1}] * {signs[j][i]:.1f}" for i in range(64)
+        )
+        cols.append(f"round(({terms}) * {inv!r}, 6) AS p{j}")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings)
+    SELECT vec_id, {', '.join(cols)} FROM v
+    """
+
+
+@_q("emb_random_projection", _rp_oracle_sql())
+def emb_random_projection(spark, sf_dir):
+    # [ext] Johnson-Lindenstrauss dim reduction (Achlioptas ±1 variant):
+    # 64-d -> 16-d with a deterministic md5-parity sign matrix — the step
+    # BEFORE similarity search at 100 TB (4x less vector IO / dot-product
+    # cost at bounded distortion). One nested plan literal, one narrow map
+    # pass, no shuffle; the oracle regenerates the identical matrix and
+    # value-grades every output component.
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.random_projection(emb, out_dim=16, seed=7)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("projected", j + 1), 6).alias(f"p{j}")
+            for j in range(16)
+        ],
+    )
+
+
 def _ivf_assign_cte() -> str:
     """Shared DuckDB CTE chain for the deterministic IVF/k-means
     assignment: md5-seeded centroid sample → argmax-cosine assignment →
@@ -4119,11 +4160,11 @@ _PRIORITY = [
     # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
     "sim_lsh_md5_topk",
     "sim_ann_join_md5",
-    "ev_hypertable_rollup",
     # --- r5 net-new (never graded — must enter the window) ---
     "text_lm_score",
     "text_bpe_tokens",
     "text_ngram_novelty",
+    "emb_random_projection",
 ]
 
 

@@ -256,3 +256,31 @@ def test_oversized_semantic_cells_audit(emb):
     assert rows
     for r in rows:
         assert r["pairs"] == r["cell_n"] * (r["cell_n"] - 1) // 2
+
+
+def test_random_projection_jl_distortion(emb):
+    """JL property: pairwise distances in the 16-d projection stay within
+    a bounded distortion band of the 64-d originals (deterministic data,
+    loose band), and the projection is deterministic."""
+    import numpy as np
+
+    from qcardia_data_spark.functions.similarity import random_projection
+
+    out = random_projection(emb.limit(40), out_dim=16, seed=7).select(
+        "vec_id", "embedding", "projected"
+    ).collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in out}
+    Y = {r["vec_id"]: np.asarray(r["projected"], dtype=np.float64) for r in out}
+    ids = sorted(X)
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        dx = np.linalg.norm(X[a] - X[b])
+        dy = np.linalg.norm(Y[a] - Y[b])
+        if dx > 0:
+            ratios.append(dy / dx)
+    assert ratios
+    # 64->16 with +-1 signs: distortion concentrated near 1; loose band
+    assert 0.3 < min(ratios) and max(ratios) < 2.0
+    out2 = random_projection(emb.limit(40), out_dim=16, seed=7).select("projected").collect()
+    assert [r["projected"] for r in out2] == [r["projected"] for r in out]
