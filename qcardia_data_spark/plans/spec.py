@@ -44,6 +44,8 @@ Spec grammar (one dict per op, applied in order):
      "min_score": -7.5}          # CCNet-style trigram quality gate
     {"op": "bpe_encode", "text_col": ..., "merges": [["e","r"], ...],
      "out": "bpe_tokens"}        # merges table = config artifact
+    {"op": "random_projection", "out_dim": 16, "seed": 0,
+     "out": "projected"}         # JL dim reduction before ANN stages
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -302,6 +304,20 @@ def _apply(
             out.filter(~F.col("contaminated")).drop("contaminated")
             if op.get("drop_flagged", False)
             else out
+        )
+    if kind == "random_projection":
+        from qcardia_data_spark.functions.similarity import random_projection
+
+        # {"op": "random_projection", "out_dim": 16, "seed": 0,
+        #  "vec_col": "embedding", "out": "projected"} — JL dim reduction
+        # before the similarity-search stages; deterministic sign matrix.
+        return random_projection(
+            df,
+            out_dim=int(op.get("out_dim", 16)),
+            seed=int(op.get("seed", 0)),
+            vec_col=op.get("vec_col", "embedding"),
+            out=op.get("out", "projected"),
+            dim=int(op.get("dim", 64)),
         )
     if kind == "bpe_encode":
         from qcardia_data_spark.functions.bpe import bpe_encode

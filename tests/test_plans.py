@@ -709,3 +709,20 @@ def test_spec_bpe_encode_op(spark, sf_dir):
     direct = B.bpe_encode(docs, "text", merges, out="toks").select("doc_id", "toks")
     assert via_spec.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_spec).count() == 0
+
+
+def test_spec_random_projection_op(spark, sf_dir):
+    from qcardia_data_spark.functions.similarity import random_projection
+
+    ops = [
+        {"op": "source", "table": "embeddings"},
+        {"op": "random_projection", "out_dim": 8, "seed": 3},
+        {"op": "select", "cols": ["vec_id", "projected"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    direct = random_projection(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        out_dim=8, seed=3,
+    ).select("vec_id", "projected")
+    assert via_spec.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_spec).count() == 0
