@@ -1,0 +1,219 @@
+"""[ext] Sparse lexical retrieval over document tables (SURVEY §2.14).
+
+BM25 (Robertson/Spärck Jones Okapi weighting, the Lucene `k1`/`b` variant)
+as pure Spark SQL, plus a term-bucket-partitioned inverted-index layout so
+a 100 TB corpus answers keyword queries without rescanning documents.
+
+Scale shape:
+- Scoring touches only (doc, query-term) matches: the per-row token filter
+  runs BEFORE the explode, so non-matching tokens never become rows.
+- Per-term document frequencies are at most |query| rows → broadcast.
+- Top-k is ``orderBy().limit(k)`` → Spark's TakeOrderedAndProject
+  (per-partition heaps + driver merge, O(k) memory at any scale).
+- The persisted index is partitioned by ``term_bucket`` so a probe prunes
+  to |query| partitions (same layout discipline as the IVF cell table,
+  `similarity.py::ivf_write_partitioned`).
+
+Reference analog: the reference has no retrieval surface; this extends the
+text-pipeline family (SURVEY §2.14) the way a pretraining-data stack needs
+(e.g. eval-set leak hunting / targeted corpus slicing by keyword).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.text import word_tokens
+
+
+def _match_rows(
+    docs: DataFrame, query_terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, dl, term) rows — one row per occurrence of a query term.
+
+    The tokenizer output crosses an ``explode(array(...))`` barrier (the
+    shingle_rows lesson: higher-order lambdas get no cross-reference CSE),
+    then ``filter(toks, isin(query))`` drops non-query tokens BEFORE the
+    row explode — the exploded row count is O(matches), not O(tokens).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
+    )
+    return tok.select(
+        id_col,
+        F.size("toks").alias("dl"),
+        F.explode(F.filter(F.col("toks"), lambda w: w.isin(*query_terms))).alias("term"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 score per document containing ≥1 query term.
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))        (Lucene form —
+               nonnegative even for df > N/2)
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Exchanges: one groupBy(id, term) with map-side combine over the
+    match rows, two scalar one-row aggregates (N, avgdl) attached by
+    1-row cross-join (plan-side, no driver collect), one broadcast join
+    on the ≤|query|-row df table, one final per-doc sum. The corpus is
+    scanned twice (stats + matches) — at 100 TB both scans prune to
+    (id, text) and the stats scan aggregates map-side to one row.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    stats = docs.select(
+        F.size(word_tokens(F.col(text_col))).alias("_dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+
+    matches = _match_rows(docs, query_terms, id_col, text_col)
+    tf = matches.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar attachment
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_c"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("_c").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval (deterministic tie-break on id)."""
+    s = bm25_scores(docs, query_terms, id_col, text_col, k1=k1, b=b)
+    return s.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index layout: probe without rescanning the corpus
+# ---------------------------------------------------------------------------
+
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(term, n_buckets: int = N_TERM_BUCKETS):
+    """Stable md5 bucket for a term (cross-engine: conv(substr(md5,1,8))).
+
+    Bucketing (vs partition-per-term) bounds the partition count at any
+    vocabulary size; a probe reads |query| buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Materialize postings (term, id, tf, dl) partitioned by term_bucket,
+    plus a 1-row `_stats` side table (n_docs, avgdl).
+
+    At 100 TB this is the one corpus-wide pass; every later keyword query
+    reads only its terms' buckets (verified file pruning in
+    `test_retrieval.py`)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
+    )
+    postings = (
+        tok.select(
+            id_col, F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    docs.select(F.size(word_tokens(F.col(text_col))).alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over a persisted inverted index — no corpus scan.
+
+    The ``term_bucket IN (...)`` predicate is a partition filter (the
+    bucket values are computed driver-side from the query terms), so the
+    parquet source lists only |query| directories; the residual
+    ``term IN (...)`` prunes within-bucket collisions via row-group stats.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    import hashlib
+
+    buckets = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in query_terms}
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(query_terms))
+    )
+    stats = spark.read.parquet(f"{path}/_stats")
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("_c"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_c").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

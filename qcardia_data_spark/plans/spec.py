@@ -46,6 +46,12 @@ Spec grammar (one dict per op, applied in order):
      "out": "bpe_tokens"}        # merges table = config artifact
     {"op": "random_projection", "out_dim": 16, "seed": 0,
      "out": "projected"}         # JL dim reduction before ANN stages
+    {"op": "bm25_topk", "terms": ["spark", "join"], "k": 10,
+     "id_col": ..., "text_col": ...}   # keyword retrieval slice
+    {"op": "dsir_weights", "target": "lang = 'en'", "id_col": ...,
+     "text_col": ..., "n_buckets": 128, "top_fraction": 0.25}
+        # DSIR importance weighting; top_fraction turns it into the
+        # selection gate (keep the highest-weight slice)
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -319,6 +325,47 @@ def _apply(
             out=op.get("out", "projected"),
             dim=int(op.get("dim", 64)),
         )
+    if kind == "bm25_topk":
+        from qcardia_data_spark.functions.retrieval import bm25_topk
+
+        # {"op": "bm25_topk", "terms": [...], "k": 10, "id_col": ...,
+        #  "text_col": ...} — keyword-retrieval slice: keep the top-k BM25
+        # documents with their scores attached. The k-row result broadcasts
+        # back onto the pipeline frame.
+        id_col = op.get("id_col", "doc_id")
+        sel = bm25_topk(
+            df, list(op["terms"]), k=int(op.get("k", 10)),
+            id_col=id_col, text_col=op.get("text_col", "text"),
+            k1=float(op.get("k1", 1.2)), b=float(op.get("b", 0.75)),
+        )
+        return df.join(F.broadcast(sel.select(id_col, "score")), id_col)
+    if kind == "dsir_weights":
+        from qcardia_data_spark.functions.selection import dsir_log_weights
+
+        # {"op": "dsir_weights", "target": "<bool SQL expr>", ...,
+        #  "top_fraction": 0.25} — attach the DSIR importance log-weight;
+        # top_fraction keeps the highest-weight slice. The cutoff comes
+        # from approx_percentile (mergeable sketch — no global sort) and
+        # attaches via a 1-row broadcast.
+        id_col = op.get("id_col", "doc_id")
+        scored = dsir_log_weights(
+            df, F.expr(op["target"]), id_col=id_col,
+            text_col=op.get("text_col", "text"),
+            n_buckets=int(op.get("n_buckets", 128)),
+            alpha=float(op.get("alpha", 0.5)),
+        )
+        out = df.join(scored, id_col, "left")
+        if "top_fraction" in op:
+            q = 1.0 - float(op["top_fraction"])
+            thr = scored.agg(
+                F.expr(f"approx_percentile(dsir_logw, {q})").alias("_thr")
+            )
+            return (
+                out.crossJoin(F.broadcast(thr))
+                .filter(F.col("dsir_logw") >= F.col("_thr"))
+                .drop("_thr")
+            )
+        return out
     if kind == "bpe_encode":
         from qcardia_data_spark.functions.bpe import bpe_encode
 

@@ -4084,6 +4084,93 @@ def ev_latest(spark, sf_dir):
     )
 
 
+@_q(
+    "text_bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+    m AS (SELECT doc_id, len(toks) AS dl,
+                 unnest(list_filter(toks,
+                   x -> x IN ('spark', 'join', 'fast', 'table'))) AS term
+          FROM t),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+                  sum( ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) )
+                    AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN stats GROUP BY 1)
+    SELECT doc_id, round(score, 6) AS score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25(spark, sf_dir):
+    # [ext] BM25 keyword retrieval (functions/retrieval.py). Scale shape:
+    # query-term filter runs BEFORE the explode (rows = matches, not
+    # tokens), df table ≤|query| rows → broadcast, top-k is
+    # TakeOrderedAndProject. The persisted-index variant
+    # (build_inverted_index) answers the same query with file pruning.
+    import qcardia_data_spark.functions.retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    out = R.bm25_topk(docs, ["spark", "join", "fast", "table"], k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@_q(
+    "text_dsir_weights",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    u AS (
+      SELECT doc_id, tgt, unnest(toks) AS gram FROM t WHERE len(toks) >= 1
+      UNION ALL
+      SELECT doc_id, tgt,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+    g AS (SELECT doc_id, tgt,
+                 CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 128 AS bucket
+          FROM u),
+    docfeat AS (SELECT doc_id, tgt, bucket, count(*) AS n FROM g GROUP BY 1, 2, 3),
+    bc AS (SELECT bucket, sum(n) AS cr,
+                  sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
+           FROM docfeat GROUP BY 1),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+    model AS (SELECT bucket,
+                     ln((ct + 0.5) / (nt + 0.5 * 128))
+                     - ln((cr + 0.5) / (nr + 0.5 * 128)) AS logratio
+              FROM bc CROSS JOIN tot)
+    SELECT f.doc_id, round(sum(f.n * m.logratio), 6) AS dsir_logw
+    FROM docfeat f JOIN model m USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def text_dsir(spark, sf_dir):
+    # [ext] DSIR importance weights (functions/selection.py, Xie et al.
+    # 2023): hashed unigram+bigram log-likelihood ratio of a target slice
+    # (lang='en') vs the raw corpus. The model is bounded at 128 buckets →
+    # broadcast; one tokenize+explode pass; md5 feature hash makes every
+    # value cross-engine checkable.
+    import qcardia_data_spark.functions.selection as SEL
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SEL.dsir_log_weights(
+        docs, F.col("lang") == "en", ns=(1, 2), n_buckets=128, alpha=0.5
+    )
+    return out.select("doc_id", F.round("dsir_logw", 6).alias("dsir_logw"))
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -4139,10 +4226,11 @@ _PRIORITY = [
     "j4_semi_join",
     # --- r5 net-new (never graded — must enter the window) ---
     "dedup_semantic",
-    # --- r3-vintage refresh: aggregate family ---
-    "a1_group_weights_nullsafe",
+    "text_bm25_topk",
+    "text_dsir_weights",
+    # --- r3-vintage refresh: aggregate family (a1/a3 rotated out this
+    # session — same aggregates.py paths as a2/a4/a8/a14, all green-r3) ---
     "a2_stratified_sample",
-    "a3_summary_stats",
     "a4_quantile_summary",
     "a8_histogram_cdf",
     "a12_approx_count_distinct",

@@ -726,3 +726,61 @@ def test_spec_random_projection_op(spark, sf_dir):
     ).select("vec_id", "projected")
     assert via_spec.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_spec).count() == 0
+
+
+def test_spec_bm25_topk_op(spark, sf_dir):
+    # keyword-retrieval slice: the spec op keeps exactly the top-k BM25
+    # docs and attaches their scores (broadcast join back onto the frame)
+    from qcardia_data_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "bm25_topk", "terms": ["spark", "table"], "k": 5},
+        {"op": "select", "cols": ["doc_id", "score", "lang"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    direct = bm25_topk(docs, ["spark", "table"], k=5)
+    assert via_spec.count() == 5
+    got = {r["doc_id"]: r["score"] for r in via_spec.collect()}
+    want = {r["doc_id"]: r["score"] for r in direct.collect()}
+    assert got == want
+    # original columns survive the slice
+    assert "lang" in via_spec.columns
+
+
+def test_spec_dsir_weights_op(spark, sf_dir):
+    # DSIR gate: top_fraction keeps the highest-weight slice; the kept
+    # set's minimum weight must dominate the dropped set's maximum
+    from pyspark.sql import functions as SF
+
+    from qcardia_data_spark.functions.selection import dsir_log_weights
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = [
+        {"op": "source", "table": "documents"},
+        {"op": "dsir_weights", "target": "lang = 'en'"},
+    ]
+    via_spec = compile_pipeline(spark, base, sf_dir)
+    direct = dsir_log_weights(docs, SF.col("lang") == "en")
+    joined = (
+        via_spec.select("doc_id", SF.col("dsir_logw").alias("a"))
+        .join(direct.withColumnRenamed("dsir_logw", "b"), "doc_id", "full")
+    )
+    assert joined.filter(
+        (SF.col("a").isNull() != SF.col("b").isNull())
+        | (SF.abs(SF.col("a") - SF.col("b")) > 1e-12)
+    ).count() == 0
+
+    gated = compile_pipeline(
+        spark, base[:1] + [dict(base[1], top_fraction=0.25)], sf_dir
+    )
+    n_all = via_spec.filter(SF.col("dsir_logw").isNotNull()).count()
+    n_kept = gated.count()
+    assert 0 < n_kept < n_all
+    kept_min = gated.agg(SF.min("dsir_logw")).collect()[0][0]
+    dropped_max = (
+        via_spec.join(gated.select("doc_id"), "doc_id", "left_anti")
+        .agg(SF.max("dsir_logw")).collect()[0][0]
+    )
+    assert kept_min >= dropped_max - 1e-9

@@ -1,0 +1,175 @@
+"""BM25 retrieval (functions/retrieval.py) + DSIR selection
+(functions/selection.py) — value checks vs hand-computed references,
+index-layout pruning, and plan-shape guards.
+
+Registry parity vs DuckDB is covered by test_oracle_parity
+(text_bm25_topk / text_dsir_weights).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    bm25_topk_from_index,
+    build_inverted_index,
+)
+from qcardia_data_spark.functions.selection import dsir_log_weights, hashed_gram_rows
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick fox"),
+    (2, "lazy dog sleeps all day long in the sun"),
+    (3, "a completely unrelated document about spark sql"),
+    (4, "fox fox fox everywhere fox"),
+]
+
+
+def _bm25_reference(query, k1=1.2, b=0.75):
+    """Row-at-a-time python BM25 over CORPUS (Lucene idf form)."""
+    docs = {i: t.split() for i, t in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in query}
+    out = {}
+    for i, toks in docs.items():
+        s = 0.0
+        for t in query:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    query = ["fox", "dog"]
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, query).collect()}
+    want = _bm25_reference(query)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_bm25_topk_order_and_limit(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    rows = bm25_topk(docs, ["fox", "dog"], k=2).collect()
+    assert len(rows) == 2
+    # matches the row-at-a-time reference ordering (note BM25 tf saturation:
+    # doc 0 with BOTH terms beats doc 4's tf=4 single-term spam)
+    want = sorted(_bm25_reference(["fox", "dog"]).items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in rows] == [i for i, _ in want[:2]]
+    assert rows[0]["score"] >= rows[1]["score"]
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    plan = (
+        bm25_topk(docs, ["fox"], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # O(k) heaps, no global sort
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+    with pytest.raises(ValueError):
+        bm25_topk_from_index(spark, "/nonexistent", [])
+
+
+def test_inverted_index_matches_direct_and_prunes(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    path = str(tmp_path / "inv_idx")
+    build_inverted_index(docs, path)
+
+    query = ["fox", "dog"]
+    direct = {
+        r["doc_id"]: r["score"] for r in bm25_topk(docs, query, k=5).collect()
+    }
+    via_index = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_from_index(spark, path, query, k=5).collect()
+    }
+    assert set(direct) == set(via_index)
+    for i in direct:
+        assert via_index[i] == pytest.approx(direct[i], rel=1e-12)
+
+    # file pruning: the probe touches only the query terms' buckets
+    import hashlib
+
+    from qcardia_data_spark.functions.retrieval import N_TERM_BUCKETS
+
+    want_buckets = {
+        str(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % N_TERM_BUCKETS)
+        for t in query
+    }
+    probe = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin([int(b) for b in want_buckets]))
+    )
+    touched = probe.select(F.input_file_name().alias("f")).distinct().collect()
+    got_buckets = {f["f"].split("term_bucket=")[1].split("/")[0] for f in touched}
+    assert got_buckets <= want_buckets
+    plan = (
+        bm25_topk_from_index(spark, path, query, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+def test_hashed_gram_rows_counts_and_edges(spark):
+    # 3 tokens -> 3 unigrams + 2 bigrams; 1 token -> 1 unigram, no bigram;
+    # empty -> no rows. Occurrences are NOT deduplicated.
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "solo"), (2, "   ")], ["doc_id", "text"]
+    )
+    rows = hashed_gram_rows(docs, "doc_id", "text", ns=(1, 2))
+    counts = {r["doc_id"]: r["n"] for r in
+              rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 5, 1: 1}
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # target slice = fox-documents; a fox-heavy unlabeled doc must out-weigh
+    # a dog-heavy one under the fitted importance ratio
+    rows = [
+        (0, "fox fox jumps fox den", True),
+        (1, "fox runs fox fast fox", True),
+        (2, "dog dog sleeps dog bone", False),
+        (3, "dog barks dog loud dog", False),
+        (4, "fox jumps fox quick fox", False),  # unlabeled, target-like
+        (5, "dog sleeps dog lazy dog", False),  # unlabeled, raw-like
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(docs, F.col("is_tgt"), n_buckets=64).collect()
+    }
+    assert len(w) == 6
+    # the unlabeled target-like doc out-weighs the unlabeled raw-like doc
+    assert w[4] > w[5]
+    # the target slice's mean weight dominates the raw slice's mean
+    # (absolute signs are not asserted: at 64 buckets a toy corpus has
+    # hash collisions; the ORDERING is the resampling-relevant property)
+    assert (w[0] + w[1]) / 2 > (w[2] + w[3] + w[4] + w[5]) / 4
+
+
+def test_dsir_deterministic_across_runs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} common word") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, dsir_log_weights(docs, F.col("doc_id") < 10).collect()))
+    b = sorted(map(tuple, dsir_log_weights(docs, F.col("doc_id") < 10).collect()))
+    assert a == b
