@@ -329,6 +329,16 @@ def corpus_mix(
             [by, "_budget"],
         )
         df = df.join(F.broadcast(wdf), by, "inner")
+    return _budget_ranked_sample(df, token_col, key_col, by, seed)
+
+
+def _budget_ranked_sample(df, token_col: str, key_col: str, by: str, seed: int):
+    """Shared corpus_mix/alpha_mix tail: inside each ``by`` group, rank docs
+    by keyed-md5 'randomness' and keep while the running token count stays
+    within the group's ``_budget`` column (first doc to cross kept too —
+    ceil semantics). One window over the ``by`` hash partition."""
+    from pyspark.sql.window import Window
+
     rnd = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
     w = Window.partitionBy(by).orderBy(rnd, key_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -339,6 +349,42 @@ def corpus_mix(
         df.withColumn("_cum_before", cum_before)
         .filter(F.col("_cum_before") < F.col("_budget"))
         .drop("_budget", "_cum_before")
+    )
+
+
+def alpha_mix(
+    df, token_col: str, key_col: str, by: str,
+    alpha: float, total_budget: int, seed: int = 0,
+):
+    """[ext] Temperature-based (alpha) multilingual/source sampling — the
+    mixing rule of multilingual pretraining (Conneau et al. XLM-R;
+    exponentiated-count sampling): group g's share of the token budget is
+
+        p_g = n_g^alpha / Σ_h n_h^alpha
+
+    where n_g is the group's total token count. alpha=1 keeps natural
+    proportions, alpha=0 makes groups uniform, 0<alpha<1 up-samples
+    low-resource groups. Selection inside each group is the same
+    deterministic keyed-md5 ranked budget walk as :func:`corpus_mix`.
+
+    100 TB design: the group-count table is bounded by the number of
+    groups (languages/sources) → broadcast; budgets are computed plan-side
+    (1-row Σ attached by cross-join — no driver collect). Two corpus
+    passes: one map-side-combined count agg, one windowed walk.
+
+    Cross-engine note: alpha=0.5 is computed with ``sqrt`` (IEEE
+    correctly-rounded, bit-identical in Spark and DuckDB) rather than
+    ``pow``, whose libm implementations may differ in the last ulp.
+    """
+    n = F.col("_n")
+    powered = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(by).agg(F.sum(token_col).cast("double").alias("_n"))
+    z = counts.agg(F.sum(powered).alias("_z"))
+    wdf = counts.crossJoin(F.broadcast(z)).select(
+        by, (powered / F.col("_z") * total_budget).alias("_budget")
+    )
+    return _budget_ranked_sample(
+        df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
     )
 
 

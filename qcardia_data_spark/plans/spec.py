@@ -52,6 +52,9 @@ Spec grammar (one dict per op, applied in order):
      "text_col": ..., "n_buckets": 128, "top_fraction": 0.25}
         # DSIR importance weighting; top_fraction turns it into the
         # selection gate (keep the highest-weight slice)
+    {"op": "alpha_mix", "by": "lang", "token_col": ..., "key_col": ...,
+     "alpha": 0.5, "total_budget": 30000, "seed": 0}
+        # temperature-based multilingual/source sampling (XLM-R rule)
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -283,6 +286,18 @@ def _apply(
         return corpus_mix(
             df, op["token_col"], op["key_col"], op["by"],
             weights={str(k): float(v) for k, v in op["weights"].items()},
+            total_budget=int(op["total_budget"]),
+            seed=int(op.get("seed", 0)),
+        )
+    if kind == "alpha_mix":
+        from qcardia_data_spark.functions.text import alpha_mix
+
+        # {"op": "alpha_mix", "by": ..., "token_col": ..., "key_col": ...,
+        #  "alpha": 0.5, "total_budget": ...} — temperature sampling with
+        # budgets computed plan-side from the corpus' own group counts.
+        return alpha_mix(
+            df, op["token_col"], op["key_col"], op["by"],
+            alpha=float(op.get("alpha", 0.5)),
             total_budget=int(op["total_budget"]),
             seed=int(op.get("seed", 0)),
         )

@@ -2706,6 +2706,44 @@ def text_corpus_mix(spark, sf_dir):
     ).select("doc_id", "source", "n_tokens")
 
 
+@_q(
+    "text_alpha_mix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    n AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n FROM t GROUP BY lang),
+    z AS (SELECT sum(sqrt(n)) AS z FROM n),
+    w AS (SELECT lang, sqrt(n.n) / z.z * 30000 AS budget FROM n CROSS JOIN z),
+    b AS (SELECT t.doc_id, t.lang, t.n_tokens, w.budget,
+                 md5(concat_ws('|', '7', CAST(t.doc_id AS VARCHAR))) AS rnd
+          FROM t JOIN w USING (lang)),
+    c AS (SELECT doc_id, lang, n_tokens, budget,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+          FROM b)
+    SELECT doc_id, lang, n_tokens FROM c WHERE cum_before < budget
+    """,
+)
+def text_alpha_mix(spark, sf_dir):
+    # [ext] temperature/alpha sampling (functions/text.py::alpha_mix, the
+    # XLM-R multilingual mixing rule): language g gets n_g^0.5 / Σ n^0.5 of
+    # a 30k-token budget — low-resource languages up-sampled, budgets
+    # computed PLAN-SIDE from the corpus itself (vs corpus_mix's config
+    # weights). alpha=0.5 runs through sqrt (IEEE-exact in both engines).
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(T.word_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return T.alpha_mix(
+        t, "n_tokens", key_col="doc_id", by="lang",
+        alpha=0.5, total_budget=30000, seed=7,
+    ).select("doc_id", "lang", "n_tokens")
+
+
 def _pii_synth_spark(doc_id, n_chars):
     """Deterministic PII-bearing text synthesized from numeric columns —
     the corpus itself is PII-free word soup, so the cross-engine regex
@@ -4242,8 +4280,11 @@ _PRIORITY = [
     # --- r3-vintage refresh: window family ---
     "w1_count_over_partition",
     "w2_seeded_split",
-    "w4_cumulative_sum",
+    # (w4_cumulative_sum rotated out for text_alpha_mix: w4 is green-r3 —
+    # age 2 at r5, the stated max — and its decimal-sum path is pinned by
+    # the bench + parity suite; never-graded queries take precedence)
     # --- r5 net-new (never graded — must enter the window) ---
+    "text_alpha_mix",
     "text_decontaminate_bloom",
     # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
     "sim_lsh_md5_topk",

@@ -784,3 +784,30 @@ def test_spec_dsir_weights_op(spark, sf_dir):
         .agg(SF.max("dsir_logw")).collect()[0][0]
     )
     assert kept_min >= dropped_max - 1e-9
+
+
+def test_spec_alpha_mix_op(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from qcardia_data_spark.functions.text import alpha_mix, word_tokens
+
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "with_columns", "cols": {"n_tokens":
+         "cast(size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))),"
+         " '[^a-z0-9]+'), x -> length(x) > 0)) as bigint)"}},
+        {"op": "alpha_mix", "by": "lang", "token_col": "n_tokens",
+         "key_col": "doc_id", "alpha": 0.5, "total_budget": 5000, "seed": 3},
+        {"op": "select", "cols": ["doc_id", "lang", "n_tokens"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t = docs.select(
+        "doc_id", "lang",
+        SF.size(word_tokens(SF.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    direct = alpha_mix(
+        t, "n_tokens", "doc_id", "lang", alpha=0.5, total_budget=5000, seed=3
+    ).select("doc_id", "lang", "n_tokens")
+    assert via_spec.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_spec).count() == 0

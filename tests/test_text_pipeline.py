@@ -53,6 +53,29 @@ def test_corpus_mix_budgets_and_determinism(spark):
     )
 
 
+def test_alpha_mix_budgets_follow_power_law(spark):
+    # two groups with 1600 vs 100 tokens; alpha=0.5 -> sqrt shares 40:10 ->
+    # budgets 80%/20% of 1000 = 800/200 tokens (docs of 10 -> 80 and 20
+    # docs kept; boundary doc included by ceil semantics)
+    rows = [(i, "big", 10) for i in range(160)] + [(1000 + i, "small", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = T.alpha_mix(df, "n_tokens", "doc_id", "lang", alpha=0.5, total_budget=1000)
+    by = {r["lang"]: r["tok"] for r in
+          out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()}
+    assert by["big"] == 800
+    assert by["small"] == 100  # whole group fits its 200-token budget
+    # alpha=1.0 reproduces natural proportions (pow path)
+    nat = T.alpha_mix(df, "n_tokens", "doc_id", "lang", alpha=1.0, total_budget=1700)
+    by_nat = {r["lang"]: r["tok"] for r in
+              nat.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()}
+    assert by_nat == {"big": 1600, "small": 100}
+    # deterministic under re-run
+    again = T.alpha_mix(df, "n_tokens", "doc_id", "lang", alpha=0.5, total_budget=1000)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
 def test_corpus_mix_ceil_keeps_crossing_doc(spark):
     # budget 150 tokens, docs of 100: the doc that crosses the budget stays
     df = spark.createDataFrame([(i, "s", 100) for i in range(5)], ["doc_id", "source", "n_tokens"])
