@@ -4180,18 +4180,17 @@ def text_bm25(spark, sf_dir):
     g AS (SELECT doc_id, tgt,
                  CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 128 AS bucket
           FROM u),
-    docfeat AS (SELECT doc_id, tgt, bucket, count(*) AS n FROM g GROUP BY 1, 2, 3),
-    bc AS (SELECT bucket, sum(n) AS cr,
-                  sum(CASE WHEN tgt THEN n ELSE 0 END) AS ct
-           FROM docfeat GROUP BY 1),
+    bc AS (SELECT bucket, count(*) AS cr,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+           FROM g GROUP BY 1),
     tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
     model AS (SELECT bucket,
                      ln((ct + 0.5) / (nt + 0.5 * 128))
                      - ln((cr + 0.5) / (nr + 0.5 * 128)) AS logratio
               FROM bc CROSS JOIN tot)
-    SELECT f.doc_id, round(sum(f.n * m.logratio), 6) AS dsir_logw
-    FROM docfeat f JOIN model m USING (bucket)
-    GROUP BY f.doc_id
+    SELECT g.doc_id, round(sum(m.logratio), 6) AS dsir_logw
+    FROM g JOIN model m USING (bucket)
+    GROUP BY g.doc_id
     """,
 )
 def text_dsir(spark, sf_dir):
