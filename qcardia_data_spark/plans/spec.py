@@ -55,6 +55,12 @@ Spec grammar (one dict per op, applied in order):
     {"op": "alpha_mix", "by": "lang", "token_col": ..., "key_col": ...,
      "alpha": 0.5, "total_budget": 30000, "seed": 0}
         # temperature-based multilingual/source sampling (XLM-R rule)
+    {"op": "quality_classifier", "positive": "lang = 'en'",
+     "text_col": ..., "out": "quality_score",
+     "min_score": 0.5 | "pareto_alpha": 9.0, "key_col": ..., "seed": 0}
+        # GPT-3-style learned quality gate: train LR on hashed tokens,
+        # attach P(curated); min_score = hard gate, pareto_alpha = the
+        # Pareto-smoothed stochastic gate
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -381,6 +387,34 @@ def _apply(
                 .drop("_thr")
             )
         return out
+    if kind == "quality_classifier":
+        from qcardia_data_spark.functions.classifier import (
+            pareto_keep,
+            score_quality,
+            train_quality_classifier,
+        )
+
+        # {"op": "quality_classifier", "positive": "<bool SQL expr>", ...}
+        # — NOTE: spec compilation stays lazy everywhere else; this op
+        # triggers the training job at compile time (Spark ML fit is an
+        # action). The fitted model is a bounded coefficient vector.
+        out = op.get("out", "quality_score")
+        model = train_quality_classifier(
+            df, F.expr(op["positive"]),
+            text_col=op.get("text_col", "text"),
+            n_features=int(op.get("n_features", 4096)),
+            reg_param=float(op.get("reg_param", 0.01)),
+            max_iter=int(op.get("max_iter", 30)),
+        )
+        scored = score_quality(model, df, op.get("text_col", "text"), out=out)
+        if "min_score" in op:
+            return scored.filter(F.col(out) >= float(op["min_score"]))
+        if "pareto_alpha" in op:
+            return pareto_keep(
+                scored, out, op.get("key_col", "doc_id"),
+                alpha=float(op["pareto_alpha"]), seed=int(op.get("seed", 0)),
+            )
+        return scored
     if kind == "bpe_encode":
         from qcardia_data_spark.functions.bpe import bpe_encode
 

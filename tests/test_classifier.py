@@ -1,0 +1,77 @@
+"""Quality classifier (functions/classifier.py): learnability, map-only
+scoring, deterministic Pareto gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.classifier import (
+    pareto_keep,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _corpus(spark, n=400):
+    # positives carry curated-marker tokens; negatives carry crawl markers;
+    # both share filler so the task is learnable but not degenerate
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        markers = "wiki cite ref article" if pos else "click spam free winner"
+        rows.append((i, f"common filler text {markers} number{i % 7}", pos))
+    return spark.createDataFrame(rows, ["doc_id", "text", "is_pos"])
+
+
+def test_classifier_learns_separable_labels(spark):
+    docs = _corpus(spark)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    hold = docs.filter(F.col("doc_id") % 5 == 0)
+    model = train_quality_classifier(train, F.col("is_pos"), n_features=256)
+    scored = score_quality(model, hold)
+    acc = scored.filter(
+        (F.col("quality_score") > 0.5) == F.col("is_pos")
+    ).count() / hold.count()
+    assert acc > 0.95
+    # scoring keeps original columns and adds exactly the score
+    assert set(scored.columns) == {"doc_id", "text", "is_pos", "quality_score"}
+
+
+def test_score_quality_is_map_only(spark):
+    docs = _corpus(spark, n=100)
+    model = train_quality_classifier(docs, F.col("is_pos"), n_features=128)
+    plan = (
+        score_quality(model, docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # model broadcast, no shuffle
+
+
+def test_pareto_keep_prefers_high_scores_and_is_deterministic(spark):
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / n).cast("double").alias("s"),  # uniform scores 0..1
+    )
+    kept = pareto_keep(df, "s", "doc_id", alpha=9.0, seed=1)
+    # P(keep | s) = (2 - s)^-alpha for a Lomax(alpha) draw: ~0.2% at
+    # s=0.1, ~42% at s=0.9, ~96% at s=0.995 — the gate is aggressive by
+    # design (GPT-3 kept ~10% of CommonCrawl)
+    top = kept.filter(F.col("s") > 0.99).count() / (0.01 * n)
+    lo = kept.filter(F.col("s") < 0.2).count() / (0.2 * n)
+    hi = kept.filter(F.col("s") > 0.8).count() / (0.2 * n)
+    assert top > 0.85        # near-1 scores almost always survive
+    assert hi > 5 * max(lo, 1e-9)  # strongly monotone in score
+    assert lo < 0.05         # low scores mostly dropped...
+    assert kept.filter(F.col("s") < 0.5).count() > 0  # ...not censored
+    assert 0.05 < kept.count() / n < 0.25  # overall ~10-15% keep rate
+    again = pareto_keep(df, "s", "doc_id", alpha=9.0, seed=1)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # different seed -> different survivor set (it IS stochastic)
+    other = pareto_keep(df, "s", "doc_id", alpha=9.0, seed=2)
+    assert sorted(r["doc_id"] for r in other.collect()) != sorted(
+        r["doc_id"] for r in kept.collect()
+    )

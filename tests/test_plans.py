@@ -811,3 +811,29 @@ def test_spec_alpha_mix_op(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens")
     assert via_spec.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_spec).count() == 0
+
+
+def test_spec_quality_classifier_op(spark, sf_dir):
+    # trains in-pipeline, attaches P(curated); min_score gates
+    from pyspark.sql import functions as SF
+
+    base = [
+        {"op": "source", "table": "documents"},
+        {"op": "quality_classifier", "positive": "lang = 'en'",
+         "n_features": 256},
+    ]
+    scored = compile_pipeline(spark, base, sf_dir)
+    assert "quality_score" in scored.columns
+    rows = scored.select("lang", "quality_score").collect()
+    assert all(r["quality_score"] is not None for r in rows)
+    # the classifier must actually separate the slice it was trained on
+    en = [r["quality_score"] for r in rows if r["lang"] == "en"]
+    rest = [r["quality_score"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+    gated = compile_pipeline(
+        spark, base[:1] + [dict(base[1], min_score=0.5)], sf_dir
+    )
+    n_all, n_kept = scored.count(), gated.count()
+    assert 0 < n_kept < n_all
+    assert gated.agg(SF.min("quality_score")).collect()[0][0] >= 0.5
