@@ -837,3 +837,24 @@ def test_spec_quality_classifier_op(spark, sf_dir):
     n_all, n_kept = scored.count(), gated.count()
     assert 0 < n_kept < n_all
     assert gated.agg(SF.min("quality_score")).collect()[0][0] >= 0.5
+
+
+def test_spec_corpus_select_example_from_file(spark, sf_dir):
+    import json
+
+    from pyspark.sql import functions as SF
+
+    spec = json.load(open("examples/corpus_select.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir)
+    rows = out.collect()
+    assert rows
+    assert out.columns == [
+        "doc_id", "lang", "source", "n_tokens", "quality_score", "dsir_logw"
+    ]
+    # every surviving row carries both gate scores
+    assert all(r["quality_score"] is not None and r["dsir_logw"] is not None
+               for r in rows)
+    # the alpha mix keeps every language's token total within its budget
+    # plus one crossing doc (ceil semantics)
+    per_lang = out.groupBy("lang").agg(SF.sum("n_tokens").alias("tok")).collect()
+    assert 0 < len(per_lang) <= 5
