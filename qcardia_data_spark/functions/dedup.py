@@ -613,3 +613,84 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dups, id_col, "left_anti")
+
+
+def window_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4
+) -> DataFrame:
+    """(id, wpos, whash) — one row per k-token window OCCURRENCE (not
+    distinct: within-document repeats must count toward duplication, per
+    the ExactSubstr semantics). Same explode-barrier discipline as
+    shingle_rows; the per-window slice keeps expression work O(k_doc·k),
+    fine for the small k this is used with."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
+    )
+    n = F.size("toks")
+    idx = F.sequence(F.lit(0), n - k)
+    wh = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " "))
+    )
+    guarded = F.when(n >= k, wh).otherwise(F.array().cast("array<string>"))
+    return tok.select(id_col, F.posexplode(guarded).alias("wpos", "whash"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4
+) -> DataFrame:
+    """[ext] Exact-substring deduplication à la Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022), ExactSubstr:
+    instead of dropping whole near-duplicate documents, remove every token
+    covered by a k-token window whose exact content occurs more than once
+    in the corpus (across documents OR repeated within one). Untouched
+    text survives; only the literally-duplicated spans go.
+
+    Returns (id_col, clean_text, n_removed) for EVERY input document —
+    fully-duplicated docs come back with clean_text = '' (the caller
+    decides whether empty docs drop), untouched docs with their
+    whitespace-normalized token stream and n_removed = 0.
+
+    100 TB shape: window rows explode once — O(tokens) rows; the
+    duplicated-window set reduces map-side on the whash shuffle; coverage
+    positions blow up only by k × |duplicated windows| (bounded by the
+    duplicated content itself, not the corpus); reconstruction is one
+    anti-join plus one per-doc sort-agg, both O(tokens) with map-side
+    partials. No pairwise stage anywhere — this is the span-level
+    complement of the document-level MinHash path.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
+    )
+    win = window_hash_rows(df, id_col, text_col, k)
+    dup = win.groupBy("whash").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    cover = (
+        win.join(dup.select("whash"), "whash")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("wpos"), F.col("wpos") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = tok.select(id_col, F.posexplode("toks").alias("pos", "tok"))
+    kept = toks_pos.join(cover, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos").alias("p"), F.col("tok").alias("t")))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    orig = tok.select(F.col(id_col), F.size("toks").alias("_n_toks"))
+    return (
+        orig.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_n_toks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -4123,6 +4123,45 @@ def ev_latest(spark, sf_dir):
 
 
 @_q(
+    "dedup_span_removal",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    w AS (SELECT doc_id, p AS wpos,
+                 md5(array_to_string(toks[p + 1 : p + 4], ' ')) AS whash
+          FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 3)) AS p
+                FROM t WHERE len(toks) >= 4)),
+    d AS (SELECT whash FROM w GROUP BY whash HAVING count(*) > 1),
+    cov AS (SELECT DISTINCT doc_id, pos FROM
+            (SELECT w.doc_id, unnest(range(w.wpos, w.wpos + 4)) AS pos
+             FROM w JOIN d USING (whash))),
+    tp AS (SELECT doc_id, p AS pos, toks[p + 1] AS tok
+           FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS p FROM t)),
+    kept AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, pos)),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT o.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(o.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t o LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark, sf_dir):
+    # [ext] ExactSubstr span-level dedup (functions/dedup.py::
+    # remove_duplicate_spans, Lee et al. ACL 2022): strip every token
+    # covered by a 4-token window whose exact content occurs >1 time in
+    # the corpus; untouched text survives verbatim. Exact-string output —
+    # the most unforgiving oracle shape (no float rounding anywhere).
+    docs = _t(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs.select("doc_id", "text"), "doc_id", "text", k=4)
+
+
+@_q(
     "text_bm25_topk",
     r"""
     WITH t AS (
@@ -4285,8 +4324,12 @@ _PRIORITY = [
     # --- r5 net-new (never graded — must enter the window) ---
     "text_alpha_mix",
     "text_decontaminate_bloom",
-    # --- r3-vintage refresh: md5 similarity twins + event rollup/temporal ---
-    "sim_lsh_md5_topk",
+    # --- r5 net-new (never graded — exact-string oracle) ---
+    # (sim_lsh_md5_topk rotated out: its sim_ann_join_md5 sibling covers
+    # the same md5-plane value path, and the non-md5 pair is in-window
+    # with the r5-strengthened oracles)
+    "dedup_span_removal",
+    # --- r3-vintage refresh: md5 similarity twin ---
     "sim_ann_join_md5",
     # --- r5 net-new (never graded — must enter the window) ---
     "text_lm_score",

@@ -173,3 +173,36 @@ def test_dsir_deterministic_across_runs(spark):
     a = sorted(map(tuple, dsir_log_weights(docs, F.col("doc_id") < 10).collect()))
     b = sorted(map(tuple, dsir_log_weights(docs, F.col("doc_id") < 10).collect()))
     assert a == b
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from qcardia_data_spark.functions.dedup import remove_duplicate_spans
+
+    rows = [
+        # docs 0/1 share the exact 4-token span "alpha beta gamma delta"
+        (0, "alpha beta gamma delta unique zero tail"),
+        (1, "one head alpha beta gamma delta more words"),
+        # doc 2: within-doc repetition of a 4-window ("x y z w" twice)
+        (2, "x y z w x y z w epsilon"),
+        # doc 3: short doc (< k tokens) — never touched
+        (3, "tiny doc"),
+        # doc 4: fully unique — untouched
+        (4, "completely fresh sentence with original content here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, "doc_id", "text", k=4).collect()}
+    assert len(out) == 5
+    # shared span gone from both docs, remaining text intact and ordered
+    assert out[0]["clean_text"] == "unique zero tail"
+    assert out[0]["n_removed"] == 4
+    assert out[1]["clean_text"] == "one head more words"
+    assert out[1]["n_removed"] == 4
+    # within-doc repeats: every position of the repeated window is covered
+    # (windows at 0..4 all duplicated -> all of x y z w x y z w covered;
+    # epsilon survives)
+    assert out[2]["clean_text"] == "epsilon"
+    assert out[2]["n_removed"] == 8
+    # short + unique docs untouched
+    assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0
