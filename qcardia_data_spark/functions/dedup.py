@@ -658,10 +658,14 @@ def remove_duplicate_spans(
     partials. No pairwise stage anywhere — this is the span-level
     complement of the document-level MinHash path.
     """
+    # tok feeds the position rows AND the per-doc token counts; win feeds
+    # the duplicated-hash set AND the coverage join — checkpoint both so
+    # the tokenizer/md5 passes run once (same lifecycle note as DSIR: at
+    # cluster scale use a reliable checkpoint()).
     tok = df.select(
         F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
-    )
-    win = window_hash_rows(df, id_col, text_col, k)
+    ).localCheckpoint(eager=False)
+    win = window_hash_rows(df, id_col, text_col, k).localCheckpoint(eager=False)
     dup = win.groupBy("whash").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     cover = (
         win.join(dup.select("whash"), "whash")

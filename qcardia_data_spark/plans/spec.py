@@ -39,6 +39,8 @@ Spec grammar (one dict per op, applied in order):
     {"op": "sample_group", "group": [...], "key": ..., "n": ..., "seed": ...}
     {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
     {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
+    {"op": "remove_spans", "id_col": ..., "text_col": ..., "k": 4,
+     "drop_empty": true}       # ExactSubstr span-level dedup (in-place)
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5}          # CCNet-style trigram quality gate
@@ -257,6 +259,26 @@ def _apply(
             ),
             star_rounds=int(op.get("star_rounds", 2)),
         )
+    if kind == "remove_spans":
+        from qcardia_data_spark.functions.dedup import remove_duplicate_spans
+
+        # {"op": "remove_spans", "id_col": ..., "text_col": ..., "k": 4,
+        #  "drop_empty": true} — ExactSubstr span-level dedup: replaces
+        # text_col with the span-cleaned text (+ n_removed audit column);
+        # drop_empty drops docs whose every token was duplicated.
+        id_col = op.get("id_col", "doc_id")
+        text_col = op.get("text_col", "text")
+        cleaned = remove_duplicate_spans(
+            df, id_col, text_col, k=int(op.get("k", 4))
+        )
+        out = (
+            df.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        if op.get("drop_empty", False):
+            out = out.filter(F.length(text_col) > 0)
+        return out
     if kind == "semantic_dedup":
         from qcardia_data_spark.functions.dedup import semantic_dedup
 

@@ -858,3 +858,25 @@ def test_spec_corpus_select_example_from_file(spark, sf_dir):
     # plus one crossing doc (ceil semantics)
     per_lang = out.groupBy("lang").agg(SF.sum("n_tokens").alias("tok")).collect()
     assert 0 < len(per_lang) <= 5
+
+
+def test_spec_remove_spans_op(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from qcardia_data_spark.functions.dedup import remove_duplicate_spans
+
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "remove_spans", "k": 4, "drop_empty": True},
+        {"op": "select", "cols": ["doc_id", "lang", "text", "n_removed"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    direct = remove_duplicate_spans(docs, "doc_id", "text", k=4)
+    joined = via_spec.join(
+        direct.withColumnRenamed("clean_text", "want"), "doc_id"
+    )
+    assert joined.filter(SF.col("text") != SF.col("want")).count() == 0
+    # non-text columns survive; empty docs dropped
+    assert "lang" in via_spec.columns
+    assert via_spec.filter(SF.length("text") == 0).count() == 0
