@@ -75,3 +75,28 @@ def test_pareto_keep_prefers_high_scores_and_is_deterministic(spark):
     assert sorted(r["doc_id"] for r in other.collect()) != sorted(
         r["doc_id"] for r in kept.collect()
     )
+
+
+def test_frozen_model_scores_streaming_ingestion(spark, sf_dir):
+    # the 100 TB ingestion shape: train the quality model once on a batch
+    # slice, then score documents as they ARRIVE — score_quality is
+    # map-only, so the same code runs unchanged under Structured Streaming
+    import os
+
+    from qcardia_data_spark import streaming as _  # noqa: F401 (package init)
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_quality_classifier(
+        batch, F.col("lang") == "en", n_features=256
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "documents.*"))
+    )
+    scored_stream = score_quality(model, stream).select("doc_id", "quality_score")
+    got = {r["doc_id"]: r["quality_score"] for r in run_to_memory(scored_stream).collect()}
+    want = {r["doc_id"]: r["quality_score"]
+            for r in score_quality(model, batch).select("doc_id", "quality_score").collect()}
+    assert got == want  # stream scores == batch scores, doc for doc
