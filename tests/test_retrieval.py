@@ -206,3 +206,75 @@ def test_remove_duplicate_spans_semantics(spark):
     # short + unique docs untouched
     assert out[3]["clean_text"] == "tiny doc" and out[3]["n_removed"] == 0
     assert out[4]["n_removed"] == 0
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["fox", "dog", "cat", "run", "sun", "sky", "red", "big"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    st.sets(st.sampled_from(_WORDS), min_size=1, max_size=3),
+)
+def test_bm25_property_matches_python_reference(shared_spark, doclists, query):
+    docs = shared_spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doclists)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, sorted(query)).collect()}
+    # row-at-a-time reference (same Lucene idf / k1 / b)
+    import math as _m
+    n = len(doclists)
+    avgdl = sum(len(t) for t in doclists) / n
+    want = {}
+    for i, toks in enumerate(doclists):
+        s = 0.0
+        for t in sorted(query):
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            df_t = sum(1 for d in doclists if t in d)
+            idf = _m.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+        if s:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "fr", "zh"]),
+                  st.integers(min_value=1, max_value=40)),
+        min_size=2, max_size=30,
+    )
+)
+def test_alpha_mix_budget_property(shared_spark, rows):
+    # per-group kept tokens never exceed budget + the crossing doc
+    from qcardia_data_spark.functions.text import alpha_mix
+
+    df = shared_spark.createDataFrame(
+        [(i, lang, n) for i, (lang, n) in enumerate(rows)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    total = 50
+    out = alpha_mix(df, "n_tokens", "doc_id", "lang", alpha=0.5, total_budget=total)
+    kept = out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()
+    n_g = {}
+    for lang, n in rows:
+        n_g[lang] = n_g.get(lang, 0) + n
+    z = sum(v ** 0.5 for v in n_g.values())
+    for r in kept:
+        budget = (n_g[r["lang"]] ** 0.5) / z * total
+        assert r["tok"] - 40 < budget  # ≤ budget + one crossing doc (≤40 tokens)
+    # every group with weight > 0 contributes at least one doc
+    assert {r["lang"] for r in kept} == set(n_g)
