@@ -428,3 +428,44 @@ def random_projection(
         * F.lit(inv),
     )
     return embeddings.withColumn(out, proj)
+
+
+def diversity_sample(
+    emb: DataFrame,
+    n_per_bucket: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 0,
+    dim: int = 64,
+) -> DataFrame:
+    """[ext] Representation-space diversity sampling: cap every
+    hyperplane-LSH bucket at ``n_per_bucket`` members chosen by keyed-md5
+    rank. Dense regions of embedding space are downsampled, sparse regions
+    survive whole — the density-pruning step of SemDeDup/D4-style corpus
+    curation, with NO pairwise stage (bucket assignment is map-only).
+
+    Returns the sampled rows with their ``bucket`` attached (audit
+    column). Deterministic per (seed, id): retry-safe and cross-engine
+    replayable.
+
+    100 TB shape: one map-only bucket pass + one rank window PER BUCKET
+    (2^n_planes independent partitions — parallel, never global). A
+    pathologically dense bucket ranks inside one partition: raise
+    ``n_planes`` to subdivide before sampling (same knob as the ANN
+    hot-bucket guard).
+    """
+    from pyspark.sql.window import Window
+
+    b = emb.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
+    )
+    rnd = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.lit("divsamp"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("bucket").orderBy(rnd, id_col)
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_bucket)
+        .drop("_rn")
+    )

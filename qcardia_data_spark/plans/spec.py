@@ -48,6 +48,8 @@ Spec grammar (one dict per op, applied in order):
      "out": "bpe_tokens"}        # merges table = config artifact
     {"op": "random_projection", "out_dim": 16, "seed": 0,
      "out": "projected"}         # JL dim reduction before ANN stages
+    {"op": "diversity_sample", "n_per_bucket": 5, "vec_col": ...,
+     "n_planes": 8, "seed": 0}   # density-pruning sample (cap LSH buckets)
     {"op": "bm25_topk", "terms": ["spark", "join"], "k": 10,
      "id_col": ..., "text_col": ...}   # keyword retrieval slice
     {"op": "dsir_weights", "target": "lang = 'en'", "id_col": ...,
@@ -353,6 +355,21 @@ def _apply(
             out.filter(~F.col("contaminated")).drop("contaminated")
             if op.get("drop_flagged", False)
             else out
+        )
+    if kind == "diversity_sample":
+        from qcardia_data_spark.functions.similarity import diversity_sample
+
+        # {"op": "diversity_sample", "n_per_bucket": 5, "id_col": ...,
+        #  "vec_col": ..., "n_planes": 8, "seed": 0} — density-pruning
+        # sample over embedding space (cap each LSH bucket).
+        return diversity_sample(
+            df,
+            n_per_bucket=int(op["n_per_bucket"]),
+            id_col=op.get("id_col", "vec_id"),
+            vec_col=op.get("vec_col", "embedding"),
+            n_planes=int(op.get("n_planes", 8)),
+            seed=int(op.get("seed", 0)),
+            dim=int(op.get("dim", 64)),
         )
     if kind == "random_projection":
         from qcardia_data_spark.functions.similarity import random_projection

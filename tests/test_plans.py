@@ -880,3 +880,24 @@ def test_spec_remove_spans_op(spark, sf_dir):
     # non-text columns survive; empty docs dropped
     assert "lang" in via_spec.columns
     assert via_spec.filter(SF.length("text") == 0).count() == 0
+
+
+def test_spec_diversity_sample_op(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from qcardia_data_spark.functions.similarity import diversity_sample
+
+    ops = [
+        {"op": "source", "table": "embeddings"},
+        {"op": "diversity_sample", "n_per_bucket": 4, "n_planes": 6, "seed": 2},
+        {"op": "select", "cols": ["vec_id", "bucket"]},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    direct = diversity_sample(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        n_per_bucket=4, n_planes=6, seed=2,
+    ).select("vec_id", "bucket")
+    assert via_spec.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_spec).count() == 0
+    caps = via_spec.groupBy("bucket").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 4 for r in caps)

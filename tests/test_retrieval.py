@@ -278,3 +278,18 @@ def test_alpha_mix_budget_property(shared_spark, rows):
         assert r["tok"] - 40 < budget  # ≤ budget + one crossing doc (≤40 tokens)
     # every group with weight > 0 contributes at least one doc
     assert {r["lang"] for r in kept} == set(n_g)
+
+
+def test_remove_duplicate_spans_adversarial_identical_corpus(spark):
+    # 1000 identical docs: the dup-window join is keyed per whash (no
+    # pairwise stage), so this must complete quickly and strip everything
+    docs = spark.createDataFrame(
+        [(i, "all these tokens repeat in every single document") for i in range(1000)],
+        ["doc_id", "text"],
+    )
+    from qcardia_data_spark.functions.dedup import remove_duplicate_spans
+
+    out = remove_duplicate_spans(docs, "doc_id", "text", k=4)
+    assert out.count() == 1000
+    assert out.filter(F.col("clean_text") != "").count() == 0
+    assert out.agg(F.min("n_removed")).collect()[0][0] == 8

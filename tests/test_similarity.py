@@ -284,3 +284,31 @@ def test_random_projection_jl_distortion(emb):
     assert 0.3 < min(ratios) and max(ratios) < 2.0
     out2 = random_projection(emb.limit(40), out_dim=16, seed=7).select("projected").collect()
     assert [r["projected"] for r in out2] == [r["projected"] for r in out]
+
+
+def test_diversity_sample_caps_dense_buckets_keeps_sparse(spark):
+    # 200 identical vectors (one dense bucket) + 3 distinct far vectors:
+    # the dense region collapses to n_per_bucket, the sparse ones survive
+    import random
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.similarity import diversity_sample
+
+    rng = random.Random(7)
+    dense = [(i, [1.0] * 32 + [0.0] * 32) for i in range(200)]
+    sparse = [
+        (1000 + j, [rng.uniform(-1, 1) for _ in range(64)]) for j in range(3)
+    ]
+    emb = spark.createDataFrame(dense + sparse, ["vec_id", "embedding"])
+    out = diversity_sample(emb, n_per_bucket=5, n_planes=8, seed=3)
+    per_bucket = out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per_bucket)
+    got = {r["vec_id"] for r in out.collect()}
+    # every sparse vector survives (its bucket holds at most the 3 of them)
+    assert got >= {1000, 1001, 1002} or len({r["vec_id"] for r in out.collect()} & {1000, 1001, 1002}) == 3
+    # the dense identical block is capped at 5
+    assert len([v for v in got if v < 1000]) == 5
+    # deterministic
+    again = {r["vec_id"] for r in diversity_sample(emb, n_per_bucket=5, n_planes=8, seed=3).collect()}
+    assert got == again
