@@ -4185,6 +4185,62 @@ def ev_latest(spark, sf_dir):
 
 
 @_q(
+    "text_ccnet_buckets",
+    r"""
+    WITH nrm AS (
+      SELECT doc_id, source,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM documents),
+    g AS (SELECT doc_id, source,
+                 substr(t, p, 3) AS tri, substr(t, p, 2) AS big
+          FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 1)) AS p
+                FROM nrm WHERE len(t) >= 3)),
+    tc AS (SELECT tri, count(*) AS n3 FROM g WHERE source = 'src0' GROUP BY tri),
+    bc AS (SELECT big, count(*) AS n2 FROM g WHERE source = 'src0' GROUP BY big),
+    sc AS (SELECT g.doc_id,
+                  round(avg(ln(CAST(coalesce(tc.n3, 0) + 1 AS DOUBLE)
+                               / (coalesce(bc.n2, 0) + 100))), 6) AS lm_score
+           FROM g LEFT JOIN tc USING (tri) LEFT JOIN bc USING (big)
+           WHERE g.source != 'src0'
+           GROUP BY g.doc_id),
+    thr AS (SELECT quantile_cont(lm_score, CAST(1 AS DOUBLE) / 3) AS t1,
+                   quantile_cont(lm_score, CAST(2 AS DOUBLE) / 3) AS t2
+            FROM sc)
+    SELECT sc.doc_id, sc.lm_score,
+           CASE WHEN sc.lm_score >= thr.t2 THEN 'head'
+                WHEN sc.lm_score >= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc CROSS JOIN thr
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    # [ext] CCNet's perplexity bucketing: score every doc under the
+    # reference trigram LM, split the corpus into head/middle/tail at the
+    # score terciles. Thresholds come from a 1-row exact-percentile
+    # aggregate attached by broadcast (NO global sort / ntile — at 100 TB
+    # swap percentile for percentile_approx, same a4 exact/approx
+    # pairing). Scores are rounded to 6 BEFORE thresholding so bucket
+    # boundaries are cross-engine stable.
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    scored = T.char_trigram_lm_score(corpus, ref, "doc_id", "text").select(
+        "doc_id", F.round("lm_score", 6).alias("lm_score")
+    )
+    thr = scored.agg(
+        F.percentile(F.col("lm_score"), F.lit(1.0 / 3)).alias("t1"),
+        F.percentile(F.col("lm_score"), F.lit(2.0 / 3)).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "lm_score",
+        F.when(F.col("lm_score") >= F.col("t2"), "head")
+        .when(F.col("lm_score") >= F.col("t1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@_q(
     "dedup_span_removal",
     r"""
     WITH t AS (
@@ -4374,7 +4430,10 @@ _PRIORITY = [
     # green-r3 and bench-pinned; never-graded queries take precedence)
     "sim_diversity_sample",
     "a12_approx_count_distinct",
-    "a14_grouping_sets",
+    # (a14_grouping_sets rotated out for text_ccnet_buckets: a14 is
+    # green-r3 and its grouping-sets path is shared with in-window
+    # a13_cube; never-graded queries take precedence)
+    "text_ccnet_buckets",
     # --- r5 oracle-strengthened (advisor item: value-graded brute side) —
     # schemas changed this round, so they must re-enter the graded window ---
     "sim_ann_join",
