@@ -489,6 +489,21 @@ def _apply(
         cond = F.size(toks) >= int(op.get("min_tokens", 10))
         if "min_chars" in op:
             cond = cond & (F.length(op["text_col"]) >= int(op["min_chars"]))
+        if "blocklist" in op:
+            # word-blocklist gate (the Dolma/C4 taxonomy row): drop docs
+            # whose blocked-token fraction exceeds max_block_ratio
+            # (default 0 = any hit drops). Token-exact, not substring —
+            # 'class' never matches a blocked 'ass'. The list is a plan
+            # literal (config artifact, same stance as BPE merges).
+            blocked = F.array(*[F.lit(w) for w in op["blocklist"]])
+            n_blocked = F.size(
+                F.filter(toks, lambda w: F.array_contains(blocked, w))
+            )
+            ratio = float(op.get("max_block_ratio", 0.0))
+            cond = cond & (
+                n_blocked.cast("double")
+                <= ratio * F.size(toks).cast("double")
+            )
         return df.filter(cond)
     if kind == "weighted_sample":
         from qcardia_data_spark.operators.sampling import weighted_rejection_sample

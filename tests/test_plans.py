@@ -901,3 +901,31 @@ def test_spec_diversity_sample_op(spark, sf_dir):
     assert direct.exceptAll(via_spec).count() == 0
     caps = via_spec.groupBy("bucket").agg(SF.count(SF.lit(1)).alias("n")).collect()
     assert all(r["n"] <= 4 for r in caps)
+
+
+def test_spec_quality_filter_blocklist(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [
+            (0, "clean words only in this document body here now ok"),
+            (1, "spamword appears once among ten otherwise fine tokens here now"),
+            (2, "spamword spamword spamword spamword heavy spam doc body here now"),
+            (3, "classic glass passing tokens that contain but do not equal it ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(td + "/documents.parquet")
+        strict = compile_pipeline(spark, [
+            {"op": "source", "table": "documents"},
+            {"op": "quality_filter", "text_col": "text", "min_tokens": 5,
+             "blocklist": ["spamword"]},
+        ], td)
+        assert {r["doc_id"] for r in strict.collect()} == {0, 3}  # token-exact
+        lenient = compile_pipeline(spark, [
+            {"op": "source", "table": "documents"},
+            {"op": "quality_filter", "text_col": "text", "min_tokens": 5,
+             "blocklist": ["spamword"], "max_block_ratio": 0.2},
+        ], td)
+        assert {r["doc_id"] for r in lenient.collect()} == {0, 1, 3}
