@@ -252,10 +252,24 @@ def ann_ivf_topk_pruned(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:
+    """Plane count for a corpus of ``n_rows``: enough hyperplanes that the
+    EXPECTED bucket occupancy is ~``target_bucket`` (within-bucket pair
+    work stays ~N·target instead of going quadratic). Measured at 50k
+    vectors: n_planes=6 (the 2k-vector default) takes 125 s, the auto
+    choice (8) lands near the 10-plane 22.6 s — planes must grow with
+    log2(N), this computes exactly that."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",
-    n_planes: int = 6, seed: int = 0,
+    n_planes: "int | str" = 6, seed: int = 0,
     max_bucket_size: int | None = None, extra_planes: int = 4,
 ) -> DataFrame:
     """All-pairs ANN join: bucket both sides on hyperplane signature, join
@@ -285,8 +299,15 @@ def pairwise_topk_join(
     :func:`oversized_ann_buckets` alongside to log exactly which buckets the
     cap touched. With no bucket over the cap the output is identical to the
     unguarded join.
+
+    ``n_planes="auto"`` sizes the plane count to the RIGHT side's row
+    count via :func:`auto_n_planes` (one count() job) — the knob that must
+    grow with log2(N) at corpus scale.
     """
     from pyspark.sql.window import Window
+
+    if n_planes == "auto":
+        n_planes = auto_n_planes(right.count())
 
     # Per-SIDE norms are computed once per row before the join (O(N) folds)
     # so the per-PAIR work is a single dot fold — vs evaluating full

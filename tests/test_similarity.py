@@ -312,3 +312,33 @@ def test_diversity_sample_caps_dense_buckets_keeps_sparse(spark):
     # deterministic
     again = {r["vec_id"] for r in diversity_sample(emb, n_per_bucket=5, n_planes=8, seed=3).collect()}
     assert got == again
+
+
+def test_pairwise_topk_auto_planes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import (
+        auto_n_planes,
+        pairwise_topk_join,
+    )
+
+    # the sizing rule itself
+    assert auto_n_planes(100) == 1          # tiny corpus: one split
+    assert auto_n_planes(2000) == 3         # sf0.1: 2000/256 -> 3 planes
+    assert auto_n_planes(50_000) == 8       # 25x corpus
+    assert auto_n_planes(100_000_000) == 19  # cluster scale
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = pairwise_topk_join(
+        emb.select(F.col("vec_id").alias("a"), "embedding"),
+        emb.select(F.col("vec_id").alias("b"), "embedding"),
+        k=3, id_left="a", id_right="b", n_planes="auto", max_bucket_size=1000,
+    )
+    explicit = pairwise_topk_join(
+        emb.select(F.col("vec_id").alias("a"), "embedding"),
+        emb.select(F.col("vec_id").alias("b"), "embedding"),
+        k=3, id_left="a", id_right="b",
+        n_planes=auto_n_planes(emb.count()), max_bucket_size=1000,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
