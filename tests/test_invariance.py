@@ -20,6 +20,14 @@ SENSITIVE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "q3_shipping_priority",
+    # round-5 additions: budget-walk windows, checkpointed fan-in aggs,
+    # quantile thresholds, per-bucket rank caps, exact-string rebuilds
+    "text_alpha_mix",
+    "text_dsir_weights",
+    "text_bm25_topk",
+    "dedup_span_removal",
+    "sim_diversity_sample",
+    "text_ccnet_buckets",
 ]
 
 
