@@ -600,3 +600,52 @@ def char_trigram_lm_score(
         )
     )
     return scored.groupBy(id_col).agg(F.avg("_lp").alias("lm_score"))
+
+
+def unimax_budgets(
+    counts: dict[str, float], total_budget: float, max_epochs: float = 1.0
+) -> dict[str, float]:
+    """UniMax waterfill (Chung et al. 2023): languages ascending by size
+    each take min(fair share of what remains, max_epochs × their tokens);
+    whatever a capped language leaves behind is redistributed to the
+    larger ones. Pure driver-side float math over the bounded per-group
+    count table — deterministic, and replayable in SQL as a recursive CTE
+    (the oracle for text_unimax_mix does exactly that, so the arithmetic
+    ORDER here is contractual: share first, then min, then subtract)."""
+    langs = sorted(counts, key=lambda g: (counts[g], g))
+    remaining = float(total_budget)
+    out: dict[str, float] = {}
+    for idx, g in enumerate(langs):
+        share = remaining / (len(langs) - idx)
+        b = min(share, max_epochs * float(counts[g]))
+        out[g] = b
+        remaining -= b
+    return out
+
+
+def unimax_mix(
+    df, token_col: str, key_col: str, by: str,
+    total_budget: int, max_epochs: float = 1.0, seed: int = 0,
+):
+    """[ext] UniMax corpus mixing: epoch-capped uniform budget allocation
+    (fairer than alpha sampling for low-resource groups — no group is ever
+    asked for more than ``max_epochs`` passes over its data, and the
+    budget a capped group cannot absorb flows to the rest instead of being
+    dropped). Selection inside each group is the shared deterministic
+    keyed-md5 budget walk.
+
+    The per-group count table is bounded by the number of groups → the
+    waterfill runs driver-side on a collected dict (same boundary class as
+    the split-dict collect, documented in PERF.md); budgets join back as a
+    broadcast table.
+    """
+    counts_rows = df.groupBy(by).agg(F.sum(token_col).alias("_n")).collect()
+    counts = {r[by]: float(r["_n"]) for r in counts_rows}
+    budgets = unimax_budgets(counts, float(total_budget), max_epochs)
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, b) for g, b in budgets.items() if b > 0], [by, "_budget"]
+    )
+    return _budget_ranked_sample(
+        df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
+    )

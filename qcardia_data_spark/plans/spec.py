@@ -59,6 +59,9 @@ Spec grammar (one dict per op, applied in order):
     {"op": "alpha_mix", "by": "lang", "token_col": ..., "key_col": ...,
      "alpha": 0.5, "total_budget": 30000, "seed": 0}
         # temperature-based multilingual/source sampling (XLM-R rule)
+    {"op": "unimax_mix", "by": "lang", "token_col": ..., "key_col": ...,
+     "total_budget": 30000, "max_epochs": 1.0, "seed": 0}
+        # epoch-capped uniform budgets (UniMax waterfill)
     {"op": "quality_classifier", "positive": "lang = 'en'",
      "text_col": ..., "out": "quality_score",
      "min_score": 0.5 | "pareto_alpha": 9.0, "key_col": ..., "seed": 0}
@@ -317,6 +320,19 @@ def _apply(
             df, op["token_col"], op["key_col"], op["by"],
             weights={str(k): float(v) for k, v in op["weights"].items()},
             total_budget=int(op["total_budget"]),
+            seed=int(op.get("seed", 0)),
+        )
+    if kind == "unimax_mix":
+        from qcardia_data_spark.functions.text import unimax_mix
+
+        # {"op": "unimax_mix", "by": ..., "token_col": ..., "key_col": ...,
+        #  "total_budget": ..., "max_epochs": 1.0, "seed": 0} — epoch-capped
+        # uniform budgets (UniMax waterfill over the bounded group-count
+        # table; collection happens at compile time).
+        return unimax_mix(
+            df, op["token_col"], op["key_col"], op["by"],
+            total_budget=int(op["total_budget"]),
+            max_epochs=float(op.get("max_epochs", 1.0)),
             seed=int(op.get("seed", 0)),
         )
     if kind == "alpha_mix":

@@ -2744,6 +2744,58 @@ def text_alpha_mix(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens")
 
 
+@_q(
+    "text_unimax_mix",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    counts AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS n
+               FROM t GROUP BY lang),
+    ordered AS (SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS rk,
+                       count(*) OVER () AS L
+                FROM counts),
+    alloc AS (
+      SELECT CAST(0 AS BIGINT) AS rk, CAST(30000 AS DOUBLE) AS remaining,
+             CAST(NULL AS VARCHAR) AS lang, CAST(0 AS DOUBLE) AS budget
+      UNION ALL
+      SELECT o.rk,
+             a.remaining - least(a.remaining / (o.L - o.rk + 1), 0.6 * o.n),
+             o.lang,
+             least(a.remaining / (o.L - o.rk + 1), 0.6 * o.n)
+      FROM alloc a JOIN ordered o ON o.rk = a.rk + 1),
+    w AS (SELECT lang, budget FROM alloc WHERE rk > 0 AND budget > 0),
+    b AS (SELECT t.doc_id, t.lang, t.n_tokens, w.budget,
+                 md5(concat_ws('|', '9', CAST(t.doc_id AS VARCHAR))) AS rnd
+          FROM t JOIN w USING (lang)),
+    c AS (SELECT doc_id, lang, n_tokens, budget,
+                 sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+          FROM b)
+    SELECT doc_id, lang, n_tokens FROM c WHERE cum_before < budget
+    """,
+)
+def text_unimax_mix(spark, sf_dir):
+    # [ext] UniMax mixing (functions/text.py::unimax_mix, Chung et al.
+    # 2023): epoch-capped uniform budgets — languages ascending by size
+    # take min(fair share of remaining, 0.6 epochs of their data), the
+    # leftovers flow to larger languages. The waterfill's sequential float
+    # recurrence is replayed bit-for-bit by the oracle's RECURSIVE CTE
+    # (same op order: share, min, subtract — the connected-components
+    # oracle pattern applied to budget allocation).
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(T.word_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return T.unimax_mix(
+        t, "n_tokens", key_col="doc_id", by="lang",
+        total_budget=30000, max_epochs=0.6, seed=9,
+    ).select("doc_id", "lang", "n_tokens")
+
+
 def _pii_synth_spark(doc_id, n_chars):
     """Deterministic PII-bearing text synthesized from numeric columns —
     the corpus itself is PII-free word soup, so the cross-engine regex
@@ -4384,6 +4436,13 @@ _PRIORITY = [
     # rollups, md5 similarity twins) so no family's verdict exceeds 2 rounds
     # old after this round. Everything graded green-r4 rotates out; it keeps
     # local parity coverage via tests/.
+    #
+    # ROUND-6 ROTATION PLAN (write the r6 window from this): everything
+    # graded green-r5 rotates OUT; rotate IN (a) any query the r5 driver
+    # run left ungraded or red, (b) the r4-vintage rows displaced this
+    # round (sim_lsh_md5_topk, a8_histogram_cdf, a14_grouping_sets,
+    # w4_cumulative_sum, j5/o/u/g/p families graded r3/r4), (c) whatever
+    # r6 adds. grade_window.py prints the live stale list.
     "q1_pricing_summary",  # flagship anchor — graded every round
     # --- the six TPC-H-shape anchors, stale since r1/r2 ---
     "q3_shipping_priority",
@@ -4413,8 +4472,10 @@ _PRIORITY = [
     "a13_cube",
     "ev_props_json",
     "ev_latest_dedup",
-    # --- r3-vintage refresh: join family (r2/r3 join-order rewrites) ---
-    "j1_weight_join",
+    # --- r3-vintage refresh: join family (r2/r3 join-order rewrites;
+    # j1 rotated out for text_unimax_mix — j2's weight-join path and the
+    # in-window j2/j3/j4 cover the family) ---
+    "text_unimax_mix",
     "j2_broadcast_star_join",
     "j3_anti_join",
     "j4_semi_join",

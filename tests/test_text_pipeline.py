@@ -367,3 +367,35 @@ def test_bpe_train_apply_properties(spark):
     vocab = B.bpe_vocab(merges, freqs)
     for toks in rows.values():
         assert all(t in vocab for t in toks)
+
+
+def test_unimax_budgets_waterfill():
+    from qcardia_data_spark.functions.text import unimax_budgets
+
+    # no caps bind -> uniform split
+    b = unimax_budgets({"a": 1000, "b": 1000, "c": 1000}, 300, max_epochs=1.0)
+    assert b == {"a": 100.0, "b": 100.0, "c": 100.0}
+    # tiny language capped at its epochs; leftover flows to the others
+    b = unimax_budgets({"tiny": 50, "big1": 1000, "big2": 1000}, 300, max_epochs=1.0)
+    assert b["tiny"] == 50.0
+    assert b["big1"] == b["big2"] == 125.0
+    # every language capped -> budget under-filled, never over-asked
+    b = unimax_budgets({"a": 100, "b": 200}, 10_000, max_epochs=2.0)
+    assert b == {"a": 200.0, "b": 400.0}
+    # budgets never exceed max_epochs x size, sum never exceeds total
+    b = unimax_budgets({"a": 10, "b": 500, "c": 5000}, 1000, max_epochs=0.5)
+    assert b["a"] == 5.0 and b["b"] == 250.0
+    assert sum(b.values()) <= 1000.0 + 1e-9
+
+
+def test_unimax_mix_selection_respects_budgets(spark):
+    rows = [(i, "small" if i < 5 else "large", 100) for i in range(55)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = T.unimax_mix(df, "n_tokens", "doc_id", "lang",
+                       total_budget=2000, max_epochs=1.0)
+    by = {r["lang"]: r["tok"] for r in
+          out.groupBy("lang").agg(F.sum("n_tokens").alias("tok")).collect()}
+    # small: 5 docs x 100 = 500 available, fair share 1000 -> capped at 500;
+    # large gets the remaining 1500
+    assert by["small"] == 500
+    assert by["large"] == 1500
