@@ -565,22 +565,33 @@ def char_trigram_lm_score(
     broadcast; the corpus side explodes to (doc, position) rows once and
     aggregates straight back to one row per doc. One corpus shuffle
     (the per-doc mean), zero Python.
+
+    Gram extraction works on a per-doc CHAR ARRAY (split once, O(1)
+    element_at per position) — NOT per-position ``substring``:
+    UTF8String.substring scans from the string head to find the char
+    offset, making the substring form O(len²) per document (measured 7×
+    slower end-to-end on a 125k-doc corpus).
     """
     t = normalize_ws(F.col(text_col))
 
     def grams(frame):
+        p = F.col("_p")
         return (
-            frame.select(F.col(id_col), t.alias("_t"))
-            .filter(F.length("_t") >= 3)
+            frame.select(F.col(id_col), F.explode(F.array(F.split(t, ""))).alias("_c"))
+            .filter(F.size("_c") >= 3)
             .select(
                 id_col,
-                "_t",
-                F.posexplode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("_i", "_p"),
+                "_c",
+                F.posexplode(F.sequence(F.lit(1), F.size("_c") - 2)).alias("_i", "_p"),
             )
             .select(
                 id_col,
-                F.expr("substring(_t, _p, 3)").alias("tri"),
-                F.expr("substring(_t, _p, 2)").alias("big"),
+                F.concat(
+                    F.element_at("_c", p),
+                    F.element_at("_c", p + 1),
+                    F.element_at("_c", p + 2),
+                ).alias("tri"),
+                F.concat(F.element_at("_c", p), F.element_at("_c", p + 1)).alias("big"),
             )
         )
 
