@@ -71,6 +71,9 @@ Spec grammar (one dict per op, applied in order):
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
+    {"op": "inverted_index_write", "path": ..., "id_col": ...,
+     "text_col": ..., "n_buckets": 64}   # side artifact: BM25 postings
+        (probe later with retrieval.bm25_topk_from_index)
 """
 
 from __future__ import annotations
@@ -569,6 +572,20 @@ def _apply(
             df, op["key"], k=int(op["k"]),
             seed=op.get("seed", 0), out=op.get("out", "fold"),
         )
+    if kind == "inverted_index_write":
+        # materialization boundary like zorder_write, for keyword retrieval:
+        # builds the term-bucket-partitioned postings + stats tables, then
+        # continues the pipeline on the UNCHANGED input frame (the index is
+        # a side artifact probed later via bm25_topk_from_index).
+        from qcardia_data_spark.functions.retrieval import build_inverted_index
+
+        build_inverted_index(
+            df, op["path"],
+            id_col=op.get("id_col", "doc_id"),
+            text_col=op.get("text_col", "text"),
+            n_buckets=int(op.get("n_buckets", 64)),
+        )
+        return df
     if kind == "zorder_write":
         # materialization boundary like "cache", but with a Z-ordered layout:
         # downstream ops read the multi-column-clustered parquet, so filters

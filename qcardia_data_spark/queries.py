@@ -2745,6 +2745,50 @@ def text_alpha_mix(spark, sf_dir):
 
 
 @_q(
+    "text_corpus_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(len(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+    FROM t
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    """,
+)
+def text_corpus_report(spark, sf_dir):
+    # [ext] the dataset-card stats pass: per-language, per-source,
+    # per-(language,source) and whole-corpus doc/token/length stats in ONE
+    # fact pass (grouping sets — mergeable partials, same machinery as the
+    # hypertable rollup). What a 100 TB pipeline publishes next to every
+    # corpus snapshot.
+    docs = _t(spark, sf_dir, "documents")
+    docs.select(
+        "lang", "source", "n_chars",
+        F.size(T.word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).createOrReplaceTempView("_qds_corpus_report_t")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        FROM _qds_corpus_report_t
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        """
+    )
+
+
+@_q(
     "text_unimax_mix",
     r"""
     WITH RECURSIVE t AS (

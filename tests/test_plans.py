@@ -929,3 +929,25 @@ def test_spec_quality_filter_blocklist(spark, sf_dir):
              "blocklist": ["spamword"], "max_block_ratio": 0.2},
         ], td)
         assert {r["doc_id"] for r in lenient.collect()} == {0, 1, 3}
+
+
+def test_spec_inverted_index_write_op(spark, sf_dir, tmp_path):
+    from qcardia_data_spark.functions.retrieval import (
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    path = str(tmp_path / "spec_idx")
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "inverted_index_write", "path": path},
+        {"op": "select", "cols": ["doc_id"]},
+    ]
+    out = compile_pipeline(spark, ops, sf_dir)
+    assert out.count() > 0  # pipeline continues on the unchanged frame
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = {(r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(docs, ["spark", "table"], k=5).collect()}
+    got = {(r["doc_id"], round(r["score"], 9))
+           for r in bm25_topk_from_index(spark, path, ["spark", "table"], k=5).collect()}
+    assert got == want
