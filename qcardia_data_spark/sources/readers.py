@@ -70,3 +70,33 @@ def split_table_from_dict(spark: SparkSession, split_dict: dict) -> DataFrame:
         for subject in subjects
     ]
     return spark.createDataFrame(rows, ["split", "dataset", "subject_id"])
+
+
+def jsonl_document_scan(
+    spark: SparkSession,
+    path: str,
+    schema: "str | None" = "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """[ext] JSONL corpus ingestion — the interchange format most public
+    text corpora ship as (one JSON object per line).
+
+    With an explicit ``schema`` (default: the engine's documents shape)
+    the scan is single-pass, column-pruned, and malformed lines land in
+    ``corrupt_col`` instead of killing the job (PERMISSIVE mode) — the
+    caller audits ``WHERE _corrupt IS NOT NULL`` and decides; silently
+    dropping bad lines would violate the refuse-loudly policy. Pass
+    ``schema=None`` to infer (costs an extra pass — avoid at scale).
+
+    NB (Spark restriction): Spark disallows raw-JSON queries whose pruned
+    schema is only the corrupt column — materialize first
+    (``df.localCheckpoint()`` / write to parquet), then audit
+    ``WHERE _corrupt IS NOT NULL``. The parquet-ingest step a pipeline
+    does anyway is exactly that materialization.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        reader = reader.schema(f"{schema}, {corrupt_col} STRING")
+    return reader.json(path)

@@ -78,3 +78,23 @@ def test_write_records_append_mode(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_jsonl_document_scan_roundtrip_and_corrupt_audit(spark, tmp_path):
+    from qcardia_data_spark.sources.readers import jsonl_document_scan
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}\n'
+        "this line is not json\n"
+    )
+    df = jsonl_document_scan(spark, str(p))
+    from pyspark.sql import functions as F
+
+    good = df.filter(F.col("_corrupt").isNull())
+    assert {(r["doc_id"], r["lang"]) for r in good.collect()} == {(1, "en"), (2, "fr")}
+    # malformed lines are auditable, not silently dropped; Spark requires
+    # materializing before a corrupt-column-only query (docstring NB)
+    parsed = df.localCheckpoint(eager=True)
+    assert parsed.filter(F.col("_corrupt").isNotNull()).count() == 1
