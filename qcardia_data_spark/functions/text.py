@@ -651,12 +651,13 @@ def unimax_mix(
     broadcast table.
     """
     counts_rows = df.groupBy(by).agg(F.sum(token_col).alias("_n")).collect()
-    counts = {r[by]: float(r["_n"]) for r in counts_rows}
+    counts = {r[by]: float(r["_n"]) for r in counts_rows if r["_n"] is not None}
     budgets = unimax_budgets(counts, float(total_budget), max_epochs)
+    positive = [(g, b) for g, b in budgets.items() if b > 0]
+    if not positive:  # empty input / all-null tokens: empty result, typed
+        return df.filter(F.lit(False))
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(g, b) for g, b in budgets.items() if b > 0], [by, "_budget"]
-    )
+    wdf = spark.createDataFrame(positive, [by, "_budget"])
     return _budget_ranked_sample(
         df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
     )

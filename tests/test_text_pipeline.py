@@ -399,3 +399,10 @@ def test_unimax_mix_selection_respects_budgets(spark):
     # large gets the remaining 1500
     assert by["small"] == 500
     assert by["large"] == 1500
+
+
+def test_unimax_mix_empty_input_returns_typed_empty(spark):
+    df = spark.createDataFrame([], "doc_id BIGINT, lang STRING, n_tokens BIGINT")
+    out = T.unimax_mix(df, "n_tokens", "doc_id", "lang", total_budget=100)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "n_tokens"]
