@@ -31,6 +31,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (clen,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk (fuzz-found)
+                raise ValueError(f"malformed WAV fmt chunk: {len(body)} bytes")
             tag, n_ch, rate, _brate, _balign, bits = struct.unpack_from("<HHIIHH", body, 0)
             if tag not in (1, 3, 0xFFFE):  # PCM, IEEE float, extensible
                 raise NotImplementedError(
