@@ -698,3 +698,70 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    col_l: str,
+    col_r: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """[ext] Edit-distance similarity join (Gravano-style q-gram SSJoin):
+    candidate pairs come from a char-q-gram equi-join + count filter, then
+    only candidates are verified with ``levenshtein`` — never the cross
+    product.
+
+    Count-filter soundness: one edit operation destroys at most ``q``
+    distinct q-grams, so strings within edit distance ``k`` share at least
+    ``max(|G(a)|, |G(b)|) − q·k`` q-grams. That bound must be ≥ 1 for the
+    gram join to be lossless, so every input string must have MORE than
+    ``q·max_dist`` q-grams (length > q·max_dist + q − 1); shorter strings
+    raise — silently missing pairs would violate the refuse-loudly policy
+    (route short strings to a dedicated small-side pass instead).
+
+    100 TB shape: gram rows are O(total chars); the join shuffles
+    O(gram-pair matches) — bounded by gram selectivity, with AQE skew
+    handling for stop-gram buckets; levenshtein runs only on candidates
+    that both the length band and the count filter admit.
+    """
+    k = int(max_dist)
+    min_grams = q * k + 1
+
+    def grams_of(df: DataFrame, name: str, side: str) -> DataFrame:
+        chars = F.split(F.col(name), "")
+        n = F.size(chars)
+        bi = F.array_distinct(
+            F.zip_with(
+                F.slice(chars, 1, n - 1),
+                F.slice(chars, 2, n - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        )
+        g = df.select(
+            F.col(name).alias(f"{side}_s"), bi.alias("_g")
+        ).withColumn(f"{side}_glen", F.size("_g"))
+        bad = g.filter(F.col(f"{side}_glen") < min_grams).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"fuzzy_string_join: {side} string {bad[0][f'{side}_s']!r} has "
+                f"< {min_grams} distinct {q}-grams — the count filter would "
+                f"miss pairs; handle short strings separately"
+            )
+        return g.select(f"{side}_s", f"{side}_glen", F.explode("_g").alias("gram"))
+
+    ga = grams_of(left, col_l, "a")
+    gb = grams_of(right, col_r, "b")
+    cand = (
+        ga.join(gb, "gram")
+        .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
+        .groupBy("a_s", "b_s", "a_glen", "b_glen")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= F.greatest("a_glen", "b_glen") - q * k)
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a_s", "b_s"))
+        .filter(F.col("dist") <= k)
+        .select(F.col("a_s").alias(col_l), F.col("b_s").alias(col_r), "dist")
+    )

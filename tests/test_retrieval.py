@@ -293,3 +293,37 @@ def test_remove_duplicate_spans_adversarial_identical_corpus(spark):
     assert out.count() == 1000
     assert out.filter(F.col("clean_text") != "").count() == 0
     assert out.agg(F.min("n_removed")).collect()[0][0] == 8
+
+
+def test_fuzzy_string_join_blocking_is_lossless_and_refuses_short(spark):
+    from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+    names = ["small ring", "small king", "blue bolt", "blue boltz",
+             "red widget", "green gear", "gren gear", "totally different"]
+    df = spark.createDataFrame([(n,) for n in names], ["s"])
+    out = fuzzy_string_join(
+        df.withColumnRenamed("s", "a"), df.withColumnRenamed("s", "b"),
+        "a", "b", max_dist=2,
+    )
+    got = {(r["a"], r["b"], r["dist"]) for r in out.collect()
+           if r["a"] < r["b"]}
+    # naive python reference
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    want = {(a, b, ed(a, b)) for a in names for b in names
+            if a < b and ed(a, b) <= 2}
+    assert got == want
+    assert ("small king", "small ring", 1) in got
+
+    import pytest as _pt
+
+    short = spark.createDataFrame([("abcd",)], ["s"])  # 3 bigrams < q*k+1=5
+    with _pt.raises(ValueError, match="fuzzy_string_join"):
+        fuzzy_string_join(short.withColumnRenamed("s", "a"),
+                          df.withColumnRenamed("s", "b"), "a", "b", max_dist=2)
