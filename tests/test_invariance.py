@@ -28,6 +28,9 @@ SENSITIVE = [
     "dedup_span_removal",
     "sim_diversity_sample",
     "text_ccnet_buckets",
+    "dedup_fuzzy_keys",
+    "text_unimax_mix",
+    "text_corpus_report",
 ]
 
 
