@@ -4575,7 +4575,10 @@ _PRIORITY = [
     "sim_ann_join",
     "sim_lsh_topk",
     # --- r3-vintage refresh: window family ---
-    "w1_count_over_partition",
+    # (w1_count_over_partition rotated out for text_corpus_report: w1 is
+    # green-r3 and bench-pinned; with this swap EVERY never-graded r5
+    # query sits inside the 50-entry graded window)
+    "text_corpus_report",
     # (w2_seeded_split rotated out for dedup_fuzzy_keys: w2 is green-r3,
     # keyed_rand-backed and partition-invariance-tested; never-graded
     # queries take precedence)
