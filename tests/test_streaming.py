@@ -362,3 +362,56 @@ def test_streaming_heavy_hitters_exact_with_generous_budget(spark, sf_dir):
     }
     for v, n in got_capped.items():
         assert n <= want[v]  # MG never overcounts
+
+
+def test_streaming_jsonl_corpus_ingestion_pipeline(spark, tmp_path):
+    """End-to-end streaming corpus intake: JSONL files arriving in a
+    directory → schema'd readStream → stateless quality gate → watermarked
+    exact dedup → collected set matches the batch twin doc-for-doc."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.text import doc_fingerprint, word_tokens
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "a solid document with plenty of tokens here ok fine",
+         "ingest_ts": "2024-01-01 10:00:00"},
+        {"doc_id": 2, "text": "short", "ingest_ts": "2024-01-01 10:01:00"},  # gated
+        {"doc_id": 3, "text": "a solid document with plenty of tokens here ok fine",
+         "ingest_ts": "2024-01-01 10:02:00"},  # dup of 1
+        {"doc_id": 4, "text": "another acceptable document body with enough words in it",
+         "ingest_ts": "2024-01-01 10:03:00"},
+    ]
+    # two arrival batches (files)
+    (d / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[:2]))
+    (d / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[2:]))
+
+    schema = "doc_id BIGINT, text STRING, ingest_ts TIMESTAMP"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    gated = stream.filter(F.size(word_tokens(F.col("text"))) >= 6)
+    deduped = S.streaming_ingest_dedup(gated, watermark="1 hour")
+    got = {r["doc_id"] for r in S.run_to_memory(deduped).collect()}
+
+    batch = spark.read.schema(schema).json(str(d))
+    bg = batch.filter(F.size(word_tokens(F.col("text"))) >= 6)
+    bfp = bg.withColumn("fp", doc_fingerprint(F.col("text")))
+    import pyspark.sql.window as _w
+
+    first = (
+        bfp.withColumn(
+            "rn",
+            F.row_number().over(
+                _w.Window.partitionBy("fp").orderBy("ingest_ts", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    want = {r["doc_id"] for r in first.collect()}
+    assert got == want == {1, 4}
