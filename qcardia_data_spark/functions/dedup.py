@@ -726,6 +726,11 @@ def fuzzy_string_join(
     handling for stop-gram buckets; levenshtein runs only on candidates
     that both the length band and the count filter admit.
     """
+    if col_l == col_r:
+        raise ValueError(
+            "fuzzy_string_join: col_l and col_r must differ (the output "
+            "carries both) — rename one side first"
+        )
     k = int(max_dist)
     min_grams = q * k + 1
 

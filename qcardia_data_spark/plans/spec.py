@@ -465,6 +465,11 @@ def _apply(
             max_iter=int(op.get("max_iter", 30)),
         )
         scored = score_quality(model, df, op.get("text_col", "text"), out=out)
+        if "min_score" in op and "pareto_alpha" in op:
+            raise SpecError(
+                "quality_classifier: min_score and pareto_alpha are mutually "
+                "exclusive gates — pick one"
+            )
         if "min_score" in op:
             return scored.filter(F.col(out) >= float(op["min_score"]))
         if "pareto_alpha" in op:

@@ -951,3 +951,17 @@ def test_spec_inverted_index_write_op(spark, sf_dir, tmp_path):
     got = {(r["doc_id"], round(r["score"], 9))
            for r in bm25_topk_from_index(spark, path, ["spark", "table"], k=5).collect()}
     assert got == want
+
+
+def test_spec_quality_classifier_rejects_ambiguous_gates(spark, sf_dir):
+    import pytest as _pt
+
+    from qcardia_data_spark.plans.spec import SpecError
+
+    ops = [
+        {"op": "source", "table": "documents"},
+        {"op": "quality_classifier", "positive": "lang = 'en'",
+         "n_features": 64, "min_score": 0.5, "pareto_alpha": 9.0},
+    ]
+    with _pt.raises(SpecError, match="mutually"):
+        compile_pipeline(spark, ops, sf_dir)

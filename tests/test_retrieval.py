@@ -327,3 +327,11 @@ def test_fuzzy_string_join_blocking_is_lossless_and_refuses_short(spark):
     with _pt.raises(ValueError, match="fuzzy_string_join"):
         fuzzy_string_join(short.withColumnRenamed("s", "a"),
                           df.withColumnRenamed("s", "b"), "a", "b", max_dist=2)
+
+
+def test_fuzzy_string_join_rejects_same_column_name(spark):
+    from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+    df = spark.createDataFrame([("abcdefgh",)], ["s"])
+    with pytest.raises(ValueError, match="must differ"):
+        fuzzy_string_join(df, df, "s", "s")
