@@ -70,6 +70,9 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # tokens are lowercased by word_tokens — normalize the query the same
+    # way, or an uppercase term would silently match nothing
+    query_terms = sorted({t.lower() for t in query_terms})
     stats = docs.select(
         F.size(word_tokens(F.col(text_col))).alias("_dl")
     ).agg(
@@ -184,6 +187,7 @@ def bm25_topk_from_index(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    query_terms = sorted({t.lower() for t in query_terms})  # postings are lowercase
     import hashlib
 
     buckets = sorted(

@@ -335,3 +335,10 @@ def test_fuzzy_string_join_rejects_same_column_name(spark):
     df = spark.createDataFrame([("abcdefgh",)], ["s"])
     with pytest.raises(ValueError, match="must differ"):
         fuzzy_string_join(df, df, "s", "s")
+
+
+def test_bm25_query_terms_case_normalized(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    lower = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["fox"]).collect()}
+    upper = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["FOX"]).collect()}
+    assert lower == upper and lower  # uppercase query matches, identically
