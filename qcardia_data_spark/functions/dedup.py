@@ -708,41 +708,50 @@ def fuzzy_string_join(
     max_dist: int = 2,
     q: int = 2,
 ) -> DataFrame:
-    """[ext] Edit-distance similarity join (Gravano-style q-gram SSJoin):
-    candidate pairs come from a char-q-gram equi-join + count filter, then
-    only candidates are verified with ``levenshtein`` — never the cross
-    product.
+    """[ext] Edit-distance similarity join (q-gram SSJoin with PREFIX
+    FILTERING, Chaudhuri et al.): candidates come from an equi-join on
+    each string's ``q·k + 1`` globally-RAREST q-grams, then only
+    candidates are verified with ``levenshtein`` — never the cross
+    product, and never a join on hot stop-grams.
 
-    Count-filter soundness: one edit operation destroys at most ``q``
-    distinct q-grams, so strings within edit distance ``k`` share at least
-    ``max(|G(a)|, |G(b)|) − q·k`` q-grams. That bound must be ≥ 1 for the
-    gram join to be lossless, so every input string must have MORE than
-    ``q·max_dist`` q-grams (length > q·max_dist + q − 1); shorter strings
-    raise — silently missing pairs would violate the refuse-loudly policy
-    (route short strings to a dedicated small-side pass instead).
+    Soundness: one edit destroys at most ``q`` distinct q-grams, so
+    strings within distance ``k`` share ≥ max(|G(a)|,|G(b)|) − q·k grams;
+    with both gram sets ordered by the SAME global (frequency, gram) key,
+    the pigeonhole gives prefix(a) ∩ prefix(b) ≠ ∅ for prefix length
+    q·k + 1. The bound needs every string to have MORE than ``q·k``
+    q-grams (length > q·k + q − 1); shorter strings raise — silently
+    missing pairs would violate the refuse-loudly policy (route short
+    strings to a dedicated small-side pass instead).
 
-    100 TB shape: gram rows are O(total chars); the join shuffles
-    O(gram-pair matches) — bounded by gram selectivity, with AQE skew
-    handling for stop-gram buckets; levenshtein runs only on candidates
-    that both the length band and the count filter admit.
+    100 TB shape: gram rows are O(total chars); the global gram-frequency
+    table reduces map-side; each string then joins on only q·k + 1 grams
+    — and because prefixes take the RAREST grams, stop-grams ("th",
+    digit runs) never drive the join. The first cut joined on ALL grams
+    and went quadratic on shared hot grams: 52k strings with a common
+    "unit NNNNN" suffix pattern did not finish in 10 minutes; the prefix
+    form finishes on the same corpus (543 s distinct-gram, 323 s
+    positional — see the candidate-generation note below and PERF.md).
     """
     if col_l == col_r:
         raise ValueError(
             "fuzzy_string_join: col_l and col_r must differ (the output "
             "carries both) — rename one side first"
         )
+    from pyspark.sql.window import Window
+
     k = int(max_dist)
     min_grams = q * k + 1
 
     def grams_of(df: DataFrame, name: str, side: str) -> DataFrame:
+        # POSITIONAL q-grams (PPJoin-style): each occurrence carries its
+        # offset, so candidates can be required to align within k — an
+        # edit shifts later grams by at most k positions.
         chars = F.split(F.col(name), "")
         n = F.size(chars)
-        bi = F.array_distinct(
-            F.zip_with(
-                F.slice(chars, 1, n - 1),
-                F.slice(chars, 2, n - 1),
-                lambda a, b: F.concat(a, b),
-            )
+        bi = F.zip_with(
+            F.slice(chars, 1, n - 1),
+            F.slice(chars, 2, n - 1),
+            lambda a, b: F.concat(a, b),
         )
         g = df.select(
             F.col(name).alias(f"{side}_s"), bi.alias("_g")
@@ -751,19 +760,47 @@ def fuzzy_string_join(
         if bad:
             raise ValueError(
                 f"fuzzy_string_join: {side} string {bad[0][f'{side}_s']!r} has "
-                f"< {min_grams} distinct {q}-grams — the count filter would "
+                f"< {min_grams} {q}-grams — the prefix filter would "
                 f"miss pairs; handle short strings separately"
             )
-        return g.select(f"{side}_s", f"{side}_glen", F.explode("_g").alias("gram"))
+        return g.select(
+            f"{side}_s", F.posexplode("_g").alias(f"{side}_p", "gram")
+        )
 
     ga = grams_of(left, col_l, "a")
     gb = grams_of(right, col_r, "b")
+
+    # ONE canonical gram order for both sides: global (frequency, gram)
+    # ascending over the union of gram occurrences. Checkpointed — it
+    # feeds both sides' prefix ranking.
+    freqs = (
+        ga.select("gram").unionByName(gb.select("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("_gf"))
+    ).localCheckpoint(eager=False)
+
+    def prefix_of(g: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(f"{side}_s").orderBy("_gf", "gram", f"{side}_p")
+        return (
+            g.join(freqs, "gram")
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= min_grams)
+            .select(f"{side}_s", f"{side}_p", "gram")
+        )
+
+    # the position-band and length-band filters run INSIDE the gram join's
+    # stage, BEFORE the distinct's exchange, so only aligned survivors are
+    # shuffled. Measured on a deliberately low-gram-diversity 52k corpus
+    # (10-word vocab + serial digits): all-grams join DNF (>600 s),
+    # distinct-gram prefix 542 s, positional prefix 323 s — the residual
+    # is candidate GENERATION, irreducible for signature joins when the
+    # whole corpus shares a handful of grams; real key spaces have far
+    # higher gram diversity (PERF.md).
     cand = (
-        ga.join(gb, "gram")
+        prefix_of(ga, "a").join(prefix_of(gb, "b"), "gram")
+        .filter(F.abs(F.col("a_p") - F.col("b_p")) <= k)
         .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
-        .groupBy("a_s", "b_s", "a_glen", "b_glen")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-        .filter(F.col("_shared") >= F.greatest("a_glen", "b_glen") - q * k)
+        .select("a_s", "b_s")
+        .distinct()
     )
     return (
         cand.withColumn("dist", F.levenshtein("a_s", "b_s"))

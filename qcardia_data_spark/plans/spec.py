@@ -41,6 +41,8 @@ Spec grammar (one dict per op, applied in order):
     {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
     {"op": "remove_spans", "id_col": ..., "text_col": ..., "k": 4,
      "drop_empty": true}       # ExactSubstr span-level dedup (in-place)
+    {"op": "fuzzy_join", "right": <table/pipeline>, "col_l": ...,
+     "col_r": ..., "max_dist": 2}  # q-gram edit-distance join
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5}          # CCNet-style trigram quality gate
@@ -266,6 +268,17 @@ def _apply(
                 else int(op.get("max_bucket_size", 1000))
             ),
             star_rounds=int(op.get("star_rounds", 2)),
+        )
+    if kind == "fuzzy_join":
+        from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+        # {"op": "fuzzy_join", "right": <table/pipeline>, "col_l": ...,
+        #  "col_r": ..., "max_dist": 2, "q": 2} — q-gram SSJoin: returns
+        # the (col_l, col_r, dist) match pairs.
+        return fuzzy_string_join(
+            df, _side(spark, op["right"], sf_dir),
+            op["col_l"], op["col_r"],
+            max_dist=int(op.get("max_dist", 2)), q=int(op.get("q", 2)),
         )
     if kind == "remove_spans":
         from qcardia_data_spark.functions.dedup import remove_duplicate_spans

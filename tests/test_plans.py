@@ -965,3 +965,34 @@ def test_spec_quality_classifier_rejects_ambiguous_gates(spark, sf_dir):
     ]
     with _pt.raises(SpecError, match="mutually"):
         compile_pipeline(spark, ops, sf_dir)
+
+
+def test_spec_fuzzy_join_op(spark, sf_dir):
+    from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+    ops = [
+        {"op": "source", "table": "part"},
+        {"op": "select", "cols": ["p_name"]},
+        {"op": "distinct"},
+        {"op": "rename", "mapping": {"p_name": "a_name"}},
+        {"op": "fuzzy_join",
+         "right": {"pipeline": [
+             {"op": "source", "table": "part"},
+             {"op": "select", "cols": ["p_name"]},
+             {"op": "distinct"},
+             {"op": "rename", "mapping": {"p_name": "b_name"}},
+         ]},
+         "col_l": "a_name", "col_r": "b_name", "max_dist": 2},
+        {"op": "filter", "expr": "a_name < b_name"},
+    ]
+    via_spec = compile_pipeline(spark, ops, sf_dir)
+    import os as _os
+
+    names = (spark.read.parquet(_os.path.join(sf_dir, "part.parquet"))
+             .select("p_name").distinct())
+    direct = fuzzy_string_join(
+        names.withColumnRenamed("p_name", "a_name"),
+        names.withColumnRenamed("p_name", "b_name"),
+        "a_name", "b_name", max_dist=2,
+    ).filter("a_name < b_name")
+    assert sorted(map(tuple, via_spec.collect())) == sorted(map(tuple, direct.collect()))
