@@ -45,7 +45,9 @@ Spec grammar (one dict per op, applied in order):
      "col_r": ..., "max_dist": 2}  # q-gram edit-distance join
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
-     "min_score": -7.5}          # CCNet-style trigram quality gate
+     "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
+        # CCNet-style trigram quality gate (hard threshold or the
+        # head/middle/tail tercile form)
     {"op": "bpe_encode", "text_col": ..., "merges": [["e","r"], ...],
      "out": "bpe_tokens"}        # merges table = config artifact
     {"op": "random_projection", "out_dim": 16, "seed": 0,
@@ -507,7 +509,16 @@ def _apply(
 
         # {"op": "lm_score", "ref": <table/pipeline>, "id_col": ..,
         #  "text_col": .., "min_score": -7.5}  — attach the CCNet-style
-        # trigram quality score; min_score turns it into the bucket gate.
+        # trigram quality score; min_score turns it into a hard gate;
+        # "keep_buckets": ["head", "middle"] applies CCNet's actual
+        # head/middle/tail tercile gate instead (thresholds from a 1-row
+        # exact-percentile aggregate attached by broadcast — at 100 TB
+        # swap for percentile_approx, the a4 exact/approx pairing).
+        if "min_score" in op and "keep_buckets" in op:
+            raise SpecError(
+                "lm_score: min_score and keep_buckets are mutually "
+                "exclusive gates — pick one"
+            )
         scored = char_trigram_lm_score(
             df, _side(spark, op["ref"], sf_dir),
             op["id_col"], op["text_col"],
@@ -518,6 +529,29 @@ def _apply(
             return out.filter(
                 F.col("lm_score") >= float(op["min_score"])
             ).drop("lm_score")
+        if "keep_buckets" in op:
+            keep = set(op["keep_buckets"])
+            bad = keep - {"head", "middle", "tail"}
+            if bad:
+                raise SpecError(f"lm_score: unknown buckets {sorted(bad)}")
+            rounded = F.round(F.col("lm_score"), 6)
+            thr = (
+                scored.select(F.round("lm_score", 6).alias("_s"))
+                .agg(
+                    F.percentile(F.col("_s"), F.lit(1.0 / 3)).alias("_t1"),
+                    F.percentile(F.col("_s"), F.lit(2.0 / 3)).alias("_t2"),
+                )
+            )
+            bucket = (
+                F.when(rounded >= F.col("_t2"), "head")
+                .when(rounded >= F.col("_t1"), "middle")
+                .otherwise("tail")
+            )
+            return (
+                out.crossJoin(F.broadcast(thr))
+                .filter(bucket.isin(*sorted(keep)))
+                .drop("_t1", "_t2", "lm_score")
+            )
         return out
     if kind == "quality_filter":
         from qcardia_data_spark.functions.text import word_tokens

@@ -996,3 +996,41 @@ def test_spec_fuzzy_join_op(spark, sf_dir):
         "a_name", "b_name", max_dist=2,
     ).filter("a_name < b_name")
     assert sorted(map(tuple, via_spec.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_spec_lm_score_keep_buckets_gate(spark, sf_dir):
+    import pytest as _pt
+
+    from qcardia_data_spark.plans.spec import SpecError
+
+    base = [
+        {"op": "source", "table": "documents"},
+        {"op": "filter", "expr": "source != 'src0'"},
+        {"op": "lm_score",
+         "ref": {"pipeline": [
+             {"op": "source", "table": "documents"},
+             {"op": "filter", "expr": "source = 'src0'"},
+         ]},
+         "id_col": "doc_id", "text_col": "text"},
+    ]
+    scored = compile_pipeline(spark, base, sf_dir)
+    n_scored = scored.filter("lm_score IS NOT NULL").count()
+
+    gated = compile_pipeline(
+        spark, base[:2] + [dict(base[2], keep_buckets=["head", "middle"])], sf_dir
+    )
+    n_kept = gated.count()
+    # terciles: keeping 2 of 3 buckets keeps ~2/3 of the scored docs
+    assert abs(n_kept - 2 * n_scored / 3) <= n_scored * 0.05
+    assert "lm_score" not in gated.columns  # gate drops the working column
+
+    with _pt.raises(SpecError, match="mutually"):
+        compile_pipeline(
+            spark,
+            base[:2] + [dict(base[2], keep_buckets=["head"], min_score=-5.0)],
+            sf_dir,
+        )
+    with _pt.raises(SpecError, match="unknown buckets"):
+        compile_pipeline(
+            spark, base[:2] + [dict(base[2], keep_buckets=["torso"])], sf_dir
+        )
