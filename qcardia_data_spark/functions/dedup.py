@@ -616,16 +616,24 @@ def semantic_dedup(
 
 
 def window_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, *, tokens: str | None = None
 ) -> DataFrame:
     """(id, wpos, whash) — one row per k-token window OCCURRENCE (not
     distinct: within-document repeats must count toward duplication, per
     the ExactSubstr semantics). Same explode-barrier discipline as
     shingle_rows; the per-window slice keeps expression work O(k_doc·k),
-    fine for the small k this is used with."""
-    tok = df.select(
-        F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
-    )
+    fine for the small k this is used with.
+
+    ``tokens``: name of a pre-tokenized array<string> column — when given,
+    ``df`` is reused as-is (text_col ignored) so a caller that already
+    tokenized (remove_duplicate_spans) doesn't pay the pass twice."""
+    if tokens is not None:
+        tok = df.select(F.col(id_col), F.col(tokens).alias("toks"))
+    else:
+        tok = df.select(
+            F.col(id_col),
+            F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
+        )
     n = F.size("toks")
     idx = F.sequence(F.lit(0), n - k)
     wh = F.transform(
@@ -665,7 +673,9 @@ def remove_duplicate_spans(
     tok = df.select(
         F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
     ).localCheckpoint(eager=False)
-    win = window_hash_rows(df, id_col, text_col, k).localCheckpoint(eager=False)
+    win = window_hash_rows(tok, id_col, text_col, k, tokens="toks").localCheckpoint(
+        eager=False
+    )
     dup = win.groupBy("whash").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     cover = (
         win.join(dup.select("whash"), "whash")
@@ -709,28 +719,46 @@ def fuzzy_string_join(
     q: int = 2,
 ) -> DataFrame:
     """[ext] Edit-distance similarity join (q-gram SSJoin with PREFIX
-    FILTERING, Chaudhuri et al.): candidates come from an equi-join on
-    each string's ``q·k + 1`` globally-RAREST q-grams, then only
-    candidates are verified with ``levenshtein`` — never the cross
-    product, and never a join on hot stop-grams.
+    FILTERING, Chaudhuri et al.; positional prefixes à la Ed-Join):
+    candidates come from an equi-join on each string's ``q·k + 1``
+    globally-RAREST q-gram occurrences, then only candidates are verified
+    with ``levenshtein`` — never the cross product, and never a join on
+    hot stop-grams.
 
-    Soundness: one edit destroys at most ``q`` distinct q-grams, so
-    strings within distance ``k`` share ≥ max(|G(a)|,|G(b)|) − q·k grams;
-    with both gram sets ordered by the SAME global (frequency, gram) key,
-    the pigeonhole gives prefix(a) ∩ prefix(b) ≠ ∅ for prefix length
-    q·k + 1. The bound needs every string to have MORE than ``q·k``
-    q-grams (length > q·k + q − 1); shorter strings raise — silently
-    missing pairs would violate the refuse-loudly policy (route short
-    strings to a dedicated small-side pass instead).
+    Soundness: one edit destroys or shifts at most ``q`` q-gram
+    occurrences, so strings within distance ``k`` share ≥
+    |occ| − q·k aligned occurrences; with both sides' occurrence lists
+    ordered by the SAME global (frequency, gram, position) key, the
+    pigeonhole gives prefix(a) ∩ prefix(b) ≠ ∅ for prefix length
+    ``q·k + 1``. The bound needs every string to carry MORE than ``q·k``
+    gram occurrences (length ≥ q·k + q); SHORTER strings are routed to a
+    dedicated length-banded pass (below) instead of joining on grams —
+    the prefix filter would silently miss their pairs. Each side is
+    reduced to DISTINCT strings first: the output is distinct pairs
+    anyway, and duplicate input rows would double every gram's occurrence
+    rank and break the pigeonhole bound (advisor-confirmed miss:
+    left=[a,a] × right=[b] returned empty while deduplicated input found
+    the pair).
+
+    Short-string branch: a string shorter than ``q·k + q`` chars can only
+    match partners shorter than ``q·k + q + k`` chars (|len diff| ≤ k),
+    so BOTH sides of that branch are bounded-length. Candidates come from
+    an equi-join on ``floor(len / (k+1))`` length bands (strings within
+    distance k sit in the same or adjacent bands — the left side explodes
+    to its band ± 1), then levenshtein verifies. At 100 TB the branch is
+    bounded by the number of DISTINCT short strings — alphabet^len caps
+    it regardless of corpus size — while the long branch stays the
+    frequency-ordered prefix join.
 
     100 TB shape: gram rows are O(total chars); the global gram-frequency
-    table reduces map-side; each string then joins on only q·k + 1 grams
-    — and because prefixes take the RAREST grams, stop-grams ("th",
-    digit runs) never drive the join. The first cut joined on ALL grams
-    and went quadratic on shared hot grams: 52k strings with a common
-    "unit NNNNN" suffix pattern did not finish in 10 minutes; the prefix
-    form finishes on the same corpus (543 s distinct-gram, 323 s
-    positional — see the candidate-generation note below and PERF.md).
+    table reduces map-side; each long string then joins on only q·k + 1
+    gram occurrences — and because prefixes take the RAREST grams,
+    stop-grams ("th", digit runs) never drive the join. The first cut
+    joined on ALL grams and went quadratic on shared hot grams: 52k
+    strings with a common "unit NNNNN" suffix pattern did not finish in
+    10 minutes; the prefix form finishes on the same corpus (543 s
+    distinct-gram, 323 s positional — see PERF.md). There is no
+    per-call validation job: routing is a plan-side length predicate.
     """
     if col_l == col_r:
         raise ValueError(
@@ -741,34 +769,34 @@ def fuzzy_string_join(
 
     k = int(max_dist)
     min_grams = q * k + 1
+    short_lim = q * k + q  # length < short_lim  ⇒  < min_grams q-grams
+    near_lim = short_lim + k  # a short string's partner is < near_lim chars
 
-    def grams_of(df: DataFrame, name: str, side: str) -> DataFrame:
-        # POSITIONAL q-grams (PPJoin-style): each occurrence carries its
-        # offset, so candidates can be required to align within k — an
-        # edit shifts later grams by at most k positions.
+    sa = left.select(F.col(col_l).alias("a_s")).distinct()
+    sb = right.select(F.col(col_r).alias("b_s")).distinct()
+
+    def grams_of(s: DataFrame, side: str) -> DataFrame:
+        # POSITIONAL q-grams built by zipping q shifted char-array slices
+        # — O(len) per row (never per-position substring, which scans
+        # from the string head: the O(len²) trap PERF.md measures).
+        name = f"{side}_s"
         chars = F.split(F.col(name), "")
         n = F.size(chars)
-        bi = F.zip_with(
-            F.slice(chars, 1, n - 1),
-            F.slice(chars, 2, n - 1),
-            lambda a, b: F.concat(a, b),
-        )
-        g = df.select(
-            F.col(name).alias(f"{side}_s"), bi.alias("_g")
-        ).withColumn(f"{side}_glen", F.size("_g"))
-        bad = g.filter(F.col(f"{side}_glen") < min_grams).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"fuzzy_string_join: {side} string {bad[0][f'{side}_s']!r} has "
-                f"< {min_grams} {q}-grams — the prefix filter would "
-                f"miss pairs; handle short strings separately"
+        g = F.slice(chars, 1, n - (q - 1))
+        for off in range(1, q):
+            g = F.zip_with(
+                g,
+                F.slice(chars, off + 1, n - (q - 1)),
+                lambda a, b: F.concat(a, b),
             )
-        return g.select(
-            f"{side}_s", F.posexplode("_g").alias(f"{side}_p", "gram")
+        return (
+            s.filter(F.length(name) >= short_lim)
+            .select(F.col(name), g.alias("_g"))
+            .select(name, F.posexplode("_g").alias(f"{side}_p", "gram"))
         )
 
-    ga = grams_of(left, col_l, "a")
-    gb = grams_of(right, col_r, "b")
+    ga = grams_of(sa, "a")
+    gb = grams_of(sb, "b")
 
     # ONE canonical gram order for both sides: global (frequency, gram)
     # ascending over the union of gram occurrences. Checkpointed — it
@@ -795,13 +823,39 @@ def fuzzy_string_join(
     # is candidate GENERATION, irreducible for signature joins when the
     # whole corpus shares a handful of grams; real key spaces have far
     # higher gram diversity (PERF.md).
-    cand = (
+    cand_long = (
         prefix_of(ga, "a").join(prefix_of(gb, "b"), "gram")
         .filter(F.abs(F.col("a_p") - F.col("b_p")) <= k)
         .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
         .select("a_s", "b_s")
-        .distinct()
     )
+
+    # Short branch: every pair with at least one side < short_lim chars.
+    # Both participants are < near_lim chars, so band on floor(len/(k+1)):
+    # |len(a) − len(b)| ≤ k  ⇒  bands differ by ≤ 1. The left side
+    # explodes to {band−1, band, band+1}; the right keeps its own band.
+    def banded(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+        base = F.floor(F.length("a_s") / (k + 1))
+        ea = a_side.select(
+            "a_s",
+            F.explode(F.array(base - 1, base, base + 1)).alias("_band"),
+        )
+        eb = b_side.select(
+            "b_s", F.floor(F.length("b_s") / (k + 1)).alias("_band")
+        )
+        return (
+            ea.join(eb, "_band")
+            .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
+            .select("a_s", "b_s")
+        )
+
+    a_short = sa.filter(F.length("a_s") < short_lim)
+    b_short = sb.filter(F.length("b_s") < short_lim)
+    a_near = sa.filter(F.length("a_s") < near_lim)
+    b_near = sb.filter(F.length("b_s") < near_lim)
+    cand_short = banded(a_short, b_near).unionByName(banded(a_near, b_short))
+
+    cand = cand_long.unionByName(cand_short).distinct()
     return (
         cand.withColumn("dist", F.levenshtein("a_s", "b_s"))
         .filter(F.col("dist") <= k)

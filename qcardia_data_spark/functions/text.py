@@ -657,7 +657,20 @@ def unimax_mix(
     if not positive:  # empty input / all-null tokens: empty result, typed
         return df.filter(F.lit(False))
     spark = df.sparkSession
-    wdf = spark.createDataFrame(positive, [by, "_budget"])
+    # explicit schema: the group column must keep the SOURCE column's type
+    # — letting Spark infer from collected Python values (Decimal, None)
+    # can mismatch and break or implicitly cast the join below
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    wdf = spark.createDataFrame(
+        positive,
+        StructType(
+            [
+                StructField(by, df.schema[by].dataType, True),
+                StructField("_budget", DoubleType(), False),
+            ]
+        ),
+    )
     return _budget_ranked_sample(
         df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
     )

@@ -472,6 +472,13 @@ def _apply(
         # triggers the training job at compile time (Spark ML fit is an
         # action). The fitted model is a bounded coefficient vector.
         out = op.get("out", "quality_score")
+        if "min_score" in op and "pareto_alpha" in op:
+            # validate BEFORE training — the fit is an eager job and a
+            # malformed spec must not burn it first
+            raise SpecError(
+                "quality_classifier: min_score and pareto_alpha are mutually "
+                "exclusive gates — pick one"
+            )
         model = train_quality_classifier(
             df, F.expr(op["positive"]),
             text_col=op.get("text_col", "text"),
@@ -480,11 +487,6 @@ def _apply(
             max_iter=int(op.get("max_iter", 30)),
         )
         scored = score_quality(model, df, op.get("text_col", "text"), out=out)
-        if "min_score" in op and "pareto_alpha" in op:
-            raise SpecError(
-                "quality_classifier: min_score and pareto_alpha are mutually "
-                "exclusive gates — pick one"
-            )
         if "min_score" in op:
             return scored.filter(F.col(out) >= float(op["min_score"]))
         if "pareto_alpha" in op:

@@ -4441,8 +4441,16 @@ def text_bm25(spark, sf_dir):
     import qcardia_data_spark.functions.retrieval as R
 
     docs = _t(spark, sf_dir, "documents")
-    out = R.bm25_topk(docs, ["spark", "join", "fast", "table"], k=20)
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    # order by the ROUNDED score on BOTH sides (the oracle's ORDER BY
+    # resolves to its round(...,6) alias): ordering by the raw float and
+    # rounding after LIMIT is a latent cross-engine flake when unrounded
+    # scores differ but round equal at the top-k boundary (advisor r5)
+    out = R.bm25_scores(docs, ["spark", "join", "fast", "table"])
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
 
 
 @_q(
