@@ -83,6 +83,100 @@ def score_quality(
            model.stages[-1].getProbabilityCol())
 
 
+def frozen_feature_tf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, bucket, tf) unigram term frequencies over the md5 feature hash
+    (reuses ``selection.hashed_gram_rows`` so the bucket function is the
+    SAME cross-engine-stable ``conv(md5(w)[:8], 16) % n`` as DSIR's — any
+    SQL engine can replay it, unlike Spark ML HashingTF's murmur3).
+    One tokenize+explode pass; map-side-combined counts."""
+    from qcardia_data_spark.functions.selection import hashed_gram_rows
+
+    rows = hashed_gram_rows(docs, id_col, text_col, ns=(1,), n_buckets=n_buckets)
+    return rows.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+
+
+def train_frozen_quality_classifier(
+    docs: DataFrame,
+    is_positive: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+) -> tuple[list[float], float]:
+    """Fit LogisticRegression over the md5-bucket tf features and return
+    ``(coefficients, intercept)`` as plain floats, meant to be FROZEN as
+    plan literals (the GPT-3 recipe ships the trained gate, not the
+    training job — scoring with frozen weights is map-only and exactly
+    replayable in any engine, which makes the whole quality gate
+    oracle-checkable). Training is distributed (L-BFGS treeAggregate);
+    at 100 TB train on a sample, score the full corpus frozen."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    tf = frozen_feature_tf(docs, id_col, text_col, n_buckets)
+    dense = tf.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("_m")
+    )
+    feats = [
+        F.coalesce(F.col("_m")[F.lit(i)], F.lit(0.0)) for i in range(n_buckets)
+    ]
+    train = (
+        docs.select(F.col(id_col), is_positive.cast("double").alias(_LABEL))
+        .join(dense, id_col, "left")
+        .select(
+            _LABEL,
+            array_to_vector(
+                F.array(*feats)
+            ).alias(_RAW),
+        )
+    )
+    lr = LogisticRegression(
+        featuresCol=_RAW, labelCol=_LABEL, regParam=reg_param, maxIter=max_iter
+    )
+    model = lr.fit(train)
+    return [float(c) for c in model.coefficients.toArray()], float(model.intercept)
+
+
+def score_frozen_quality(
+    docs: DataFrame,
+    coefs: list[float],
+    intercept: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "quality_score",
+) -> DataFrame:
+    """Map-only P(curated) scoring with FROZEN coefficients: sigmoid of
+    ``intercept + Σ_b coef[b] · tf[b]`` over md5-hashed unigram buckets.
+    The coefficient vector is a plan LITERAL (no model object, no
+    broadcast variable) — n_buckets-bounded, so the plan stays small;
+    the only shuffle is the per-doc tf groupBy. Keeps all original
+    columns; docs with zero tokens score sigmoid(intercept)."""
+    n = len(coefs)
+    tf = frozen_feature_tf(docs, id_col, text_col, n)
+    coef_arr = F.array(*[F.lit(float(c)) for c in coefs])
+    dot = (
+        tf.withColumn(
+            "_x", F.element_at(coef_arr, F.col("bucket") + F.lit(1)) * F.col("tf")
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_x").alias("_dot"))
+    )
+    z = F.lit(float(intercept)) + F.coalesce(F.col("_dot"), F.lit(0.0))
+    return (
+        docs.join(dot, id_col, "left")
+        .withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .drop("_dot")
+    )
+
+
 def pareto_keep(
     scored: DataFrame,
     score_col: str,

@@ -331,16 +331,10 @@ def near_dedup_minhash(
         # stream by n_bands for no information gain). The wide row then
         # unpivots via stack() into the (id, band, sig) shape the bucket
         # join needs.
-        band_mins = [
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"s{b}")
-            for b in range(n_bands)
-        ]
-        stack_expr = ", ".join(f"{b}, s{b}" for b in range(n_bands))
-        sigs = (
-            sh.groupBy(id_col)
-            .agg(*band_mins)
-            .selectExpr(id_col, f"stack({n_bands}, {stack_expr}) as (band, sig)")
-            .localCheckpoint(eager=True)
+        # (shared with the incremental index — _band_signature_frame keeps
+        # index and full-run signatures bit-identical by construction)
+        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(
+            eager=True
         )
         cands = lsh_candidate_pairs(
             sigs, id_col, max_bucket_size=max_bucket_size,
@@ -743,12 +737,18 @@ def fuzzy_string_join(
     Short-string branch: a string shorter than ``q·k + q`` chars can only
     match partners shorter than ``q·k + q + k`` chars (|len diff| ≤ k),
     so BOTH sides of that branch are bounded-length. Candidates come from
-    an equi-join on ``floor(len / (k+1))`` length bands (strings within
-    distance k sit in the same or adjacent bands — the left side explodes
-    to its band ± 1), then levenshtein verifies. At 100 TB the branch is
-    bounded by the number of DISTINCT short strings — alphabet^len caps
-    it regardless of corpus size — while the long branch stays the
-    frequency-ordered prefix join.
+    an equi-join on TWO blocking keys, each individually sound:
+    ``floor(len / (k+1))`` length bands (strings within distance k sit in
+    the same or adjacent bands — the left side explodes to its band ± 1)
+    AND a shared CHARACTER (each edit touches at most one character of
+    the longer side, so a pair within distance k with max(len) > k keeps
+    ≥ max(len) − k ≥ 1 characters in common). Only pairs where BOTH
+    sides are ≤ k chars ("tiny": "ab" vs "cd" at k=2 share nothing) fall
+    back to band-only pairing — at most alphabet^k distinct values per
+    side. levenshtein verifies all candidates. At 100 TB the branch is
+    bounded by distinct short strings per (band, char) bucket — the char
+    key splits the one-band-per-length blob that a large (e.g. unicode)
+    alphabet would otherwise pack into a single all-pairs band.
 
     100 TB shape: gram rows are O(total chars); the global gram-frequency
     table reduces map-side; each long string then joins on only q·k + 1
@@ -779,14 +779,21 @@ def fuzzy_string_join(
         # POSITIONAL q-grams built by zipping q shifted char-array slices
         # — O(len) per row (never per-position substring, which scans
         # from the string head: the O(len²) trap PERF.md measures).
+        # F.split(s, "") appends a trailing empty element (Java split
+        # semantics); slice it off so grams are the L−q+1 PROPER q-grams —
+        # a length ≥ q·k+q string still carries ≥ q·k+1 of them, and q=1
+        # no longer emits a universal "" gram.
         name = f"{side}_s"
-        chars = F.split(F.col(name), "")
-        n = F.size(chars)
-        g = F.slice(chars, 1, n - (q - 1))
+        chars = F.slice(F.split(F.col(name), ""), 1, F.length(name))
+        n = F.length(name)
+        # greatest(0, …): slice raises on negative lengths, and the
+        # length-routing filter below does not stop Spark from evaluating
+        # the projection speculatively inside the same stage
+        g = F.slice(chars, 1, F.greatest(n - (q - 1), F.lit(0)))
         for off in range(1, q):
             g = F.zip_with(
                 g,
-                F.slice(chars, off + 1, n - (q - 1)),
+                F.slice(chars, off + 1, F.greatest(n - (q - 1), F.lit(0))),
                 lambda a, b: F.concat(a, b),
             )
         return (
@@ -831,23 +838,45 @@ def fuzzy_string_join(
     )
 
     # Short branch: every pair with at least one side < short_lim chars.
-    # Both participants are < near_lim chars, so band on floor(len/(k+1)):
-    # |len(a) − len(b)| ≤ k  ⇒  bands differ by ≤ 1. The left side
-    # explodes to {band−1, band, band+1}; the right keeps its own band.
+    # Both participants are < near_lim chars. Blocking key = (length band,
+    # shared character): |len(a) − len(b)| ≤ k ⇒ bands differ by ≤ 1 (the
+    # left side explodes to {band−1, band, band+1}), and dist ≤ k with
+    # max(len) > k ⇒ ≥ 1 character in common. Pairs where BOTH sides are
+    # ≤ k chars can share no character at all — they pair on band alone
+    # (≤ alphabet^k distinct values per side, all in bands {0, 1}).
+    def short_keys(s: DataFrame, side: str, explode_band: bool) -> DataFrame:
+        name = f"{side}_s"
+        b = F.floor(F.length(name) / (k + 1))
+        banded_df = (
+            s.select(name, F.explode(F.array(b - 1, b, b + 1)).alias("_band"))
+            if explode_band
+            else s.select(name, b.alias("_band"))
+        )
+        chars = F.array_distinct(
+            F.slice(F.split(F.col(name), ""), 1, F.length(name))
+        )
+        return banded_df.select(name, "_band", F.explode(chars).alias("_ch"))
+
     def banded(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
-        base = F.floor(F.length("a_s") / (k + 1))
-        ea = a_side.select(
-            "a_s",
-            F.explode(F.array(base - 1, base, base + 1)).alias("_band"),
-        )
-        eb = b_side.select(
-            "b_s", F.floor(F.length("b_s") / (k + 1)).alias("_band")
-        )
-        return (
-            ea.join(eb, "_band")
+        char_pairs = (
+            short_keys(a_side, "a", explode_band=True)
+            .join(short_keys(b_side, "b", explode_band=False), ["_band", "_ch"])
             .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
             .select("a_s", "b_s")
         )
+        ba = F.floor(F.length("a_s") / (k + 1))
+        tiny_pairs = (
+            a_side.filter(F.length("a_s") <= k)
+            .select("a_s", F.explode(F.array(ba - 1, ba, ba + 1)).alias("_band"))
+            .join(
+                b_side.filter(F.length("b_s") <= k)
+                .select("b_s", F.floor(F.length("b_s") / (k + 1)).alias("_band")),
+                "_band",
+            )
+            .filter(F.abs(F.length("a_s") - F.length("b_s")) <= k)
+            .select("a_s", "b_s")
+        )
+        return char_pairs.unionByName(tiny_pairs)
 
     a_short = sa.filter(F.length("a_s") < short_lim)
     b_short = sb.filter(F.length("b_s") < short_lim)
@@ -861,3 +890,223 @@ def fuzzy_string_join(
         .filter(F.col("dist") <= k)
         .select(F.col("a_s").alias(col_l), F.col("b_s").alias(col_r), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup against a persisted signature index.
+#
+# The real 100 TB operating mode is not "re-sign the full corpus every run"
+# but "dedup this week's crawl against the standing index" — sign ONLY the
+# new batch, probe the index with partition pruning, and (optionally) fold
+# the survivors back into the index. Same storage pattern as
+# similarity.ivf_write_partitioned: bucket-partitioned parquet where a probe
+# prunes whole FILES, verified by inputFiles in the test suite.
+# ---------------------------------------------------------------------------
+
+
+def _band_signature_frame(
+    sh: DataFrame, id_col: str, n_bands: int
+) -> DataFrame:
+    """(id, band, sig) MinHash band signatures from (id, shingle) rows —
+    the one-pass groupBy + stack() build shared by near_dedup_minhash and
+    the signature index (bit-identical signatures is the contract that
+    makes incremental == full-corpus dedup)."""
+    band_mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{b}")))).alias(f"s{b}")
+        for b in range(n_bands)
+    ]
+    stack_expr = ", ".join(f"{b}, s{b}" for b in range(n_bands))
+    return (
+        sh.groupBy(id_col)
+        .agg(*band_mins)
+        .selectExpr(id_col, f"stack({n_bands}, {stack_expr}) as (band, sig)")
+    )
+
+
+def _sig_bucket(col: Column, n_buckets: int) -> Column:
+    """Partition key for the signature table: md5-derived, cross-run
+    stable (NOT Spark-internal hash — the index outlives any session)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _id_bucket(col: Column, n_buckets: int) -> Column:
+    return _sig_bucket(col.cast("string"), n_buckets)
+
+
+def write_signature_index(
+    df: DataFrame, id_col: str, text_col: str, path: str,
+    n_bands: int = 8, shingle_n: int = 3,
+    n_sig_buckets: int = 64, n_id_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the MinHash dedup index for ``df`` (normally an
+    already-deduped corpus) as TWO bucket-partitioned parquet tables:
+
+    - ``path/sigs``          (id, band, sig)  partitioned by sig_bucket
+      — what a new batch band-joins against; the probe reads only the
+      ``sig_bucket`` directories the batch's own signatures hash into.
+    - ``path/shingle_sets``  (id, shingles)   partitioned by id_bucket
+      — what Jaccard verification reads, pruned to the candidate ids'
+      buckets (candidates are sparse: only verification's ids are read).
+
+    Both partition keys are md5-derived (engine- and session-independent),
+    so the index is appendable across runs (``mode="append"`` — what
+    :func:`near_dedup_incremental` ``update_index`` uses)."""
+    sh = shingle_rows(
+        spread_small_scan(df, id_col), id_col, text_col, shingle_n
+    ).persist()
+    try:
+        sigs = _band_signature_frame(sh, id_col, n_bands)
+        (
+            sigs.withColumn("sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets))
+            .write.mode(mode).partitionBy("sig_bucket").parquet(f"{path}/sigs")
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
+        (
+            sets.withColumn("id_bucket", _id_bucket(F.col(id_col), n_id_buckets))
+            .write.mode(mode).partitionBy("id_bucket").parquet(f"{path}/shingle_sets")
+        )
+    finally:
+        sh.unpersist()
+
+
+def near_dedup_incremental(
+    new_docs: DataFrame, index_path: str, id_col: str, text_col: str,
+    n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
+    n_sig_buckets: int = 64, n_id_buckets: int = 64,
+    max_bucket_size: int | None = 1000, star_rounds: int = 2,
+    update_index: bool = False,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature index (and within
+    itself) WITHOUT re-signing the existing corpus. Returns the surviving
+    new docs; with ``update_index`` their signatures and shingle sets are
+    appended to the index, making the next batch incremental too.
+
+    Semantics match the full run exactly: provided the index holds an
+    already-deduped corpus whose ids precede the batch's (the standard
+    monotonically-increasing crawl-id layout), the union of index docs and
+    this function's survivors equals ``near_dedup_minhash`` over the
+    combined corpus (index docs carry no verified pairs among themselves —
+    the min-id greedy's survivor invariant — so the full run could only
+    drop BATCH docs, and it drops exactly those with a verified pair to an
+    index doc or a smaller batch doc: precisely this function's losers).
+    Property-tested against the full run in tests/test_incremental_dedup.py.
+
+    100 TB shape: the batch is signed once (O(batch) work); the index side
+    is read with ``sig_bucket IN (batch's buckets)`` — a PARTITION filter
+    that prunes whole files — and verification reads only the candidate
+    ids' ``id_bucket`` directories. The two driver-side bucket collections
+    are bounded by ``n_sig_buckets`` / ``n_id_buckets`` rows, never by
+    corpus or batch size. Batch-internal candidates keep the hot-bucket
+    star guard; batch×index candidates are exact within each (band, sig)
+    bucket — a new doc needs ONE verified index match to be dropped, and
+    equality of a full band signature is already a strong filter.
+    """
+    spark = new_docs.sparkSession
+    sh_new = shingle_rows(
+        spread_small_scan(new_docs, id_col), id_col, text_col, shingle_n
+    ).persist()
+    try:
+        sigs_new = _band_signature_frame(sh_new, id_col, n_bands).localCheckpoint(
+            eager=True
+        )
+        # --- batch-internal duplicates (standard pipeline on the batch) ---
+        cands_new = lsh_candidate_pairs(
+            sigs_new, id_col, max_bucket_size=max_bucket_size,
+            hub_ranks=(
+                list(range(star_rounds)) if max_bucket_size is not None else None
+            ),
+        )
+        dups_new = jaccard_verify_sets(cands_new, sh_new, id_col, threshold)
+
+        # --- batch × index candidates, sig_bucket-pruned probe ---
+        probe_buckets = [
+            r["b"]
+            for r in sigs_new.select(
+                _sig_bucket(F.col("sig"), n_sig_buckets).alias("b")
+            ).distinct().collect()  # bounded: ≤ n_sig_buckets rows
+        ]
+        idx_sigs = (
+            spark.read.parquet(f"{index_path}/sigs")
+            .filter(F.col("sig_bucket").isin(probe_buckets))
+        )
+        cand_idx = (
+            sigs_new.join(
+                idx_sigs.select(
+                    "band", "sig", F.col(id_col).alias("_idx_id")
+                ),
+                ["band", "sig"],
+            )
+            .select(F.col(id_col).alias("_new_id"), "_idx_id")
+            .distinct()
+        )
+
+        # --- verify batch×index pairs: new side from the batch's shingle
+        # cache, index side from the persisted sets, id_bucket-pruned ---
+        set_buckets = [
+            r["b"]
+            for r in cand_idx.select(
+                _id_bucket(F.col("_idx_id"), n_id_buckets).alias("b")
+            ).distinct().collect()  # bounded: ≤ n_id_buckets rows
+        ]
+        idx_sets = (
+            spark.read.parquet(f"{index_path}/shingle_sets")
+            .filter(F.col("id_bucket").isin(set_buckets))
+            .select(F.col(id_col).alias("_idx_id"), F.col("shingles").alias("_sb"))
+        )
+        new_sets = sh_new.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_sa")
+        )
+        joined = (
+            cand_idx.join(new_sets.withColumnRenamed(id_col, "_new_id"), "_new_id")
+            .join(idx_sets, "_idx_id")
+        )
+        # one intersection per pair through the generator barrier (same
+        # no-CSE-in-join-condition trap jaccard_verify_sets documents)
+        once = joined.select(
+            "_new_id",
+            F.size("_sa").alias("_na"), F.size("_sb").alias("_nb"),
+            F.explode(
+                F.array(F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+            ).alias("_i"),
+        )
+        jac = F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+        losers_idx = once.filter(jac >= threshold).select(
+            F.col("_new_id").alias(id_col)
+        )
+
+        # HARD materialization barrier (localCheckpoint, not persist): the
+        # loser plan reads the index, and update_index appends to that
+        # same index below — a lazy/cached plan re-evaluated after the
+        # append would match every appended survivor AGAINST ITSELF
+        # (jaccard 1.0) and drop it. Checkpointing truncates the lineage
+        # so later evaluations of ``kept`` never re-read the index.
+        # losers is tiny: one id column, verified duplicates only.
+        losers = (
+            dups_new.select(F.col("b").alias(id_col))
+            .unionByName(losers_idx)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kept = new_docs.join(losers, on=id_col, how="left_anti")
+        if update_index:
+            kept_ids = kept.select(id_col)
+            (
+                sigs_new.join(kept_ids, id_col, "left_semi")
+                .withColumn("sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets))
+                .write.mode("append").partitionBy("sig_bucket")
+                .parquet(f"{index_path}/sigs")
+            )
+            (
+                new_sets.join(kept_ids, id_col, "left_semi")
+                .select(F.col(id_col), F.col("_sa").alias("shingles"))
+                .withColumn("id_bucket", _id_bucket(F.col(id_col), n_id_buckets))
+                .write.mode("append").partitionBy("id_bucket")
+                .parquet(f"{index_path}/shingle_sets")
+            )
+    finally:
+        sh_new.unpersist()
+    return kept

@@ -100,3 +100,46 @@ def test_frozen_model_scores_streaming_ingestion(spark, sf_dir):
     want = {r["doc_id"]: r["quality_score"]
             for r in score_quality(model, batch).select("doc_id", "quality_score").collect()}
     assert got == want  # stream scores == batch scores, doc for doc
+
+
+def test_frozen_coefficient_scoring_matches_numpy_replay(spark):
+    # score_frozen_quality with plan-literal coefficients must equal a
+    # local numpy replay of sigmoid(intercept + coef·tf) over the same
+    # md5 buckets — the invariant the DuckDB oracle of
+    # text_quality_classifier relies on
+    import hashlib
+    import math
+    import re
+
+    from qcardia_data_spark.functions.classifier import (
+        score_frozen_quality,
+        train_frozen_quality_classifier,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "pack my box with five dozen liquor jugs", "en"),
+        (2, "el rapido zorro marron salta sobre el perro", "es"),
+        (3, "le renard brun rapide saute sur le chien", "fr"),
+        (4, "", "en"),  # zero tokens -> sigmoid(intercept)
+        (5, "fox fox fox fox fox", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    n = 32
+    coefs, b = train_frozen_quality_classifier(
+        docs, F.col("lang") == "en", n_buckets=n, max_iter=20
+    )
+    assert len(coefs) == n
+    got = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_frozen_quality(docs, coefs, b).collect()
+    }
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n
+
+    for doc_id, text, _ in rows:
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower().strip()) if w]
+        z = b + sum(coefs[bucket(w)] for w in toks)
+        assert abs(got[doc_id] - 1.0 / (1.0 + math.exp(-z))) < 1e-12
+    assert abs(got[4] - 1.0 / (1.0 + math.exp(-b))) < 1e-15

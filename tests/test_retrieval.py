@@ -295,7 +295,18 @@ def test_remove_duplicate_spans_adversarial_identical_corpus(spark):
     assert out.agg(F.min("n_removed")).collect()[0][0] == 8
 
 
-def test_fuzzy_string_join_blocking_is_lossless_and_refuses_short(spark):
+def _edit_dist(a, b):
+    # naive python reference
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
+
+
+def test_fuzzy_string_join_blocking_is_lossless_and_matches_short(spark):
     from qcardia_data_spark.functions.dedup import fuzzy_string_join
 
     names = ["small ring", "small king", "blue bolt", "blue boltz",
@@ -307,26 +318,62 @@ def test_fuzzy_string_join_blocking_is_lossless_and_refuses_short(spark):
     )
     got = {(r["a"], r["b"], r["dist"]) for r in out.collect()
            if r["a"] < r["b"]}
-    # naive python reference
-    def ed(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                         prev + (ca != cb))
-        return dp[-1]
+    ed = _edit_dist
     want = {(a, b, ed(a, b)) for a in names for b in names
             if a < b and ed(a, b) <= 2}
     assert got == want
     assert ("small king", "small ring", 1) in got
 
-    import pytest as _pt
+    # short strings (< q*k+q chars) route to the length-banded branch and
+    # MUST be matched, not refused (the refuse-loudly contract moved in
+    # round 6: dedup.py::fuzzy_string_join now promises routing).
+    short = spark.createDataFrame([("abcd",), ("ab",)], ["s"])
+    right = spark.createDataFrame(
+        [("abce",), ("abcdxy",), ("zz",), ("blue bolt",)], ["s"])
+    out2 = fuzzy_string_join(short.withColumnRenamed("s", "a"),
+                             right.withColumnRenamed("s", "b"),
+                             "a", "b", max_dist=2)
+    got2 = {(r["a"], r["b"], r["dist"]) for r in out2.collect()}
+    want2 = {(a, b, ed(a, b)) for a in ["abcd", "ab"]
+             for b in ["abce", "abcdxy", "zz", "blue bolt"]
+             if ed(a, b) <= 2}
+    assert got2 == want2
+    assert ("abcd", "abce", 1) in got2        # short × short
+    assert ("abcd", "abcdxy", 2) in got2      # short × long (boundary)
 
-    short = spark.createDataFrame([("abcd",)], ["s"])  # 3 bigrams < q*k+1=5
-    with _pt.raises(ValueError, match="fuzzy_string_join"):
-        fuzzy_string_join(short.withColumnRenamed("s", "a"),
-                          df.withColumnRenamed("s", "b"), "a", "b", max_dist=2)
+
+def test_fuzzy_string_join_duplicate_input_rows(spark):
+    # advisor repro: duplicate rows on one side must not break the
+    # occurrence-rank pigeonhole (left=[a,a] × right=[b] returned empty
+    # before the round-6 distinct-per-side fix)
+    from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+    left = spark.createDataFrame([("small ring",), ("small ring",)], ["a"])
+    right = spark.createDataFrame([("small king",)], ["b"])
+    out = fuzzy_string_join(left, right, "a", "b", max_dist=2)
+    assert {(r["a"], r["b"], r["dist"]) for r in out.collect()} == {
+        ("small ring", "small king", 1)
+    }
+
+
+def test_fuzzy_string_join_exhaustive_binary_alphabet(spark):
+    # every string over {a,b} of length 0..7 crosses the tiny (<=k),
+    # short (<q*k+q) and long branches at k=2, q=2 — compare pair-for-pair
+    # against the naive quadratic reference
+    from itertools import product
+
+    from qcardia_data_spark.functions.dedup import fuzzy_string_join
+
+    names = [""] + ["".join(p) for n in range(1, 8)
+                    for p in product("ab", repeat=n)]
+    df = spark.createDataFrame([(n,) for n in names], ["s"])
+    out = fuzzy_string_join(
+        df.withColumnRenamed("s", "a"), df.withColumnRenamed("s", "b"),
+        "a", "b", max_dist=2,
+    )
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    want = {(a, b) for a in names for b in names if _edit_dist(a, b) <= 2}
+    assert got == want
 
 
 def test_fuzzy_string_join_rejects_same_column_name(spark):
