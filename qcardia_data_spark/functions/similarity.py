@@ -367,15 +367,28 @@ def pairwise_topk_join(
         joined = lb.join(rb, ["bucket", "sub"]).filter(F.col(id_left) != F.col(id_right))
     else:
         joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
-    # Score in a stage that is (a) hash-partitioned on id_left — exactly
-    # the distribution the top-k window needs, so no extra exchange — and
-    # (b) NOT AQE-coalesced: at modest pair counts AQE shrinks the join's
-    # output to 1-2 partitions and the dot folds would run serially (an
-    # explicit-numPartitions repartition is exempt from coalescing). The
-    # explode(array(...)) generator barrier keeps the dot evaluation AFTER
-    # the exchange instead of being projected into the (coalesced) join
-    # stage's shuffle-write side.
-    n_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return _topk_pair_scores(joined, id_left, id_right, k)
+
+
+def _topk_pair_scores(
+    joined: DataFrame, id_left: str, id_right: str, k: int
+) -> DataFrame:
+    """Scoring tail shared by :func:`pairwise_topk_join` and
+    :func:`pairwise_topk_join_pruned` (``joined`` carries _vl/_vr/_nl/_nr).
+
+    Scores in a stage that is (a) hash-partitioned on id_left — exactly
+    the distribution the top-k window needs, so no extra exchange — and
+    (b) NOT AQE-coalesced: at modest pair counts AQE shrinks the join's
+    output to 1-2 partitions and the dot folds would run serially (an
+    explicit-numPartitions repartition is exempt from coalescing). The
+    explode(array(...)) generator barrier keeps the dot evaluation AFTER
+    the exchange instead of being projected into the (coalesced) join
+    stage's shuffle-write side."""
+    from pyspark.sql.window import Window
+
+    n_parts = int(
+        joined.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     scored = (
         joined.repartition(n_parts, F.col(id_left))
         .select(
@@ -389,6 +402,65 @@ def pairwise_topk_join(
     )
     w = Window.partitionBy(id_left).orderBy(F.desc("score"), F.col(id_right))
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def lsh_write_partitioned(
+    embeddings: DataFrame, path: str, n_planes: int = 6, seed: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize an embedding table as a hyperplane-bucket-partitioned
+    parquet table (``bucket=<i>/`` directories, one per LSH signature) —
+    the persisted RIGHT side for :func:`pairwise_topk_join_pruned`. Same
+    100 TB layout as :func:`ivf_write_partitioned`: a probe batch prunes
+    whole FILES (reads only the bucket directories its own signatures
+    occupy), verified by the test suite.
+
+    The (n_planes, seed) pair the buckets were derived from is written to
+    ``path/_lsh_meta`` (underscore-prefixed → invisible to the parquet
+    scan), and the probe reads it back — the two sides can never drift."""
+    rb = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed)
+    )
+    rb.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = embeddings.sparkSession.createDataFrame(
+        [(int(n_planes), int(seed))], ["n_planes", "seed"]
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
+
+
+def pairwise_topk_join_pruned(
+    left: DataFrame, path: str, k: int = 5,
+    id_left: str = "a", id_right: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN join of a probe batch against the persisted LSH table: the
+    batch is bucketed with the table's OWN (n_planes, seed) from
+    ``path/_lsh_meta``, and the table scan carries a
+    ``bucket IN (batch's buckets)`` PARTITION filter — only the occupied
+    bucket directories are listed and read, scan cost ∝ probed fraction
+    (the property that makes a standing ANN index work at 100 TB; the
+    in-memory :func:`pairwise_topk_join` re-buckets the full right side
+    every run). Bucket list is collected driver-side — bounded by
+    2^n_planes, never by corpus size. Same output as the unguarded
+    in-memory join for identical inputs and parameters."""
+    spark = left.sparkSession
+    meta = spark.read.json(f"{path}/_lsh_meta").collect()[0]
+    n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
+        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed)
+    ).withColumn("_nl", l2_norm(F.col("_vl")))
+    probe = [
+        r["bucket"] for r in lb.select("bucket").distinct().collect()
+    ]  # bounded: ≤ 2^n_planes rows
+    rb = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(probe))
+        .select(
+            "bucket", F.col(id_right), F.col(vec_col).alias("_vr")
+        )
+        .withColumn("_nr", l2_norm(F.col("_vr")))
+    )
+    joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
+    return _topk_pair_scores(joined, id_left, id_right, k)
 
 
 def oversized_ann_buckets(

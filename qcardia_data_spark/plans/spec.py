@@ -471,6 +471,10 @@ def _apply(
         # — NOTE: spec compilation stays lazy everywhere else; this op
         # triggers the training job at compile time (Spark ML fit is an
         # action). The fitted model is a bounded coefficient vector.
+        # FROZEN form: {"op": "quality_classifier", "coefs": [...],
+        # "intercept": ...} scores with literal md5-bucket coefficients
+        # (trained elsewhere, shipped as config — same artifact stance as
+        # BPE merges; no training job, exactly engine-replayable).
         out = op.get("out", "quality_score")
         if "min_score" in op and "pareto_alpha" in op:
             # validate BEFORE training — the fit is an eager job and a
@@ -479,14 +483,27 @@ def _apply(
                 "quality_classifier: min_score and pareto_alpha are mutually "
                 "exclusive gates — pick one"
             )
-        model = train_quality_classifier(
-            df, F.expr(op["positive"]),
-            text_col=op.get("text_col", "text"),
-            n_features=int(op.get("n_features", 4096)),
-            reg_param=float(op.get("reg_param", 0.01)),
-            max_iter=int(op.get("max_iter", 30)),
-        )
-        scored = score_quality(model, df, op.get("text_col", "text"), out=out)
+        if "coefs" in op:
+            from qcardia_data_spark.functions.classifier import (
+                score_frozen_quality,
+            )
+
+            scored = score_frozen_quality(
+                df, [float(c) for c in op["coefs"]], float(op["intercept"]),
+                id_col=op.get("key_col", "doc_id"),
+                text_col=op.get("text_col", "text"), out=out,
+            )
+        else:
+            model = train_quality_classifier(
+                df, F.expr(op["positive"]),
+                text_col=op.get("text_col", "text"),
+                n_features=int(op.get("n_features", 4096)),
+                reg_param=float(op.get("reg_param", 0.01)),
+                max_iter=int(op.get("max_iter", 30)),
+            )
+            scored = score_quality(
+                model, df, op.get("text_col", "text"), out=out
+            )
         if "min_score" in op:
             return scored.filter(F.col(out) >= float(op["min_score"]))
         if "pareto_alpha" in op:

@@ -4694,8 +4694,10 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_duplicate_clusters",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
+    # --- r7 code-touched: pairwise_topk_join's scoring tail moved into the
+    # _topk_pair_scores helper shared with the persisted-LSH probe ---
+    "sim_ann_join",
+    "sim_ann_join_md5",
 ]
 
 

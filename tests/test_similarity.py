@@ -342,3 +342,57 @@ def test_pairwise_topk_auto_planes(spark, sf_dir):
         n_planes=auto_n_planes(emb.count()), max_bucket_size=1000,
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_lsh_partitioned_layout_prunes_files_and_matches_in_memory(spark, sf_dir, tmp_path):
+    """The persisted-LSH ANN layout (VERDICT r6 #5): bucket-partitioned
+    parquet + probe must (1) list only the probe batch's bucket
+    directories, (2) return exactly what the in-memory unguarded join
+    returns for the same parameters."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import (
+        hyperplane_bucket,
+        lsh_write_partitioned,
+        pairwise_topk_join,
+        pairwise_topk_join_pruned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_table")
+    lsh_write_partitioned(emb, path, n_planes=4, seed=7)
+
+    probe_batch = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    pruned = pairwise_topk_join_pruned(
+        probe_batch, path, k=3, id_left="qid", id_right="vec_id"
+    )
+
+    # (1) file pruning: input_file_name read in the SAME stage as the
+    # source reflects the post-pruning listing
+    batch_buckets = {
+        str(r["b"])
+        for r in probe_batch.select(
+            hyperplane_bucket(F.col("embedding"), 4, 7).alias("b")
+        ).distinct().collect()
+    }
+    scan = spark.read.parquet(path).filter(
+        F.col("bucket").isin([int(b) for b in batch_buckets])
+    )
+    touched = {
+        r["f"].split("bucket=")[1].split("/")[0]
+        for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and touched <= batch_buckets
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # (2) value parity with the in-memory unguarded join (same planes/seed)
+    mem = pairwise_topk_join(
+        probe_batch, emb.select("vec_id", "embedding"), k=3,
+        id_left="qid", id_right="vec_id", n_planes=4, seed=7,
+    )
+    key = lambda r: (r["qid"], r["vec_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, mem.collect()))
