@@ -271,6 +271,89 @@ def jaccard_verify_sets(
     )
 
 
+def ngram_jaccard_join(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.6, shingle_n: int = 3,
+) -> DataFrame:
+    """[ext] EXACT n-gram Jaccard similarity self-join via lossless PREFIX
+    FILTERING (All-Pairs, Bayardo et al. WWW'07; PPJoin, Xiao et al.
+    WWW'08) — the deterministic sibling of :func:`near_dedup_minhash`:
+    same ``jaccard ≥ threshold`` semantics, but no probabilistic LSH
+    stage, so recall is exactly 1 by construction ([ext] training-data
+    op, no reference counterpart — public algorithm, original Spark
+    plan).
+
+    Prefix-filtering principle: order every doc's DISTINCT shingles by a
+    single GLOBAL total order — ascending corpus document-frequency, ties
+    by shingle string — and keep each doc's first
+    ``|S| − ⌈t·|S|⌉ + 1`` shingles as its prefix. For a pair with
+    ``jac ≥ t`` the overlap is ≥ ``t·max(|A|,|B|)`` ≥ ``⌈t·|A|⌉`` on each
+    side, and by pigeonhole the two prefixes must share a shingle — so an
+    equi-join of prefix rows on the shingle value produces EVERY
+    qualifying pair (lossless), and :func:`jaccard_verify_sets` keeps
+    exactly those at/above the threshold. ``⌈·⌉`` is computed as
+    ``ceil(t·|S| − 1e-9)``: float error can only LENGTHEN the prefix
+    (still lossless), never shorten it.
+
+    100 TB shape: shingle rows are O(total tokens); frequency table is one
+    map-side-combined groupBy; per-doc prefix selection is one window over
+    the doc's own rows. The candidate join runs on prefix shingles only —
+    and because the global order puts the RAREST shingles first, corpus
+    stop-shingles never enter a prefix unless a doc has nothing rarer, so
+    candidate volume tracks true near-duplicate density, not hot-key
+    frequency (the same rarest-first argument as
+    :func:`fuzzy_string_join`'s gram prefixes). No all-pairs stage
+    anywhere. Skew note: a shingle shared by every member of an n-doc
+    duplicate CLUSTER yields O(n²) candidate rows for that cluster — that
+    is output complexity (the cluster really has ~n² qualifying pairs),
+    not plan waste.
+
+    Returns distinct ``(a, b, jaccard)`` with ``a < b``.
+    """
+    from pyspark.sql.window import Window
+
+    t = float(threshold)
+    # shingle rows feed the frequency table, the prefix build AND the
+    # verify — compute once (same lifecycle as near_dedup_minhash; at
+    # 100 TB, checkpoint this instead)
+    sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
+    try:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_df").asc(), F.col("shingle").asc()
+        )
+        # |S| rides the SAME id-partition exchange as the rank window (an
+        # unordered count-over, not a separate groupBy + join back)
+        sz = F.count("*").over(Window.partitionBy(id_col))
+        # prefix rows appear on BOTH sides of the candidate self-join —
+        # materialize so the freq-join + window subtree runs once
+        pref = (
+            sh.join(freq, "shingle")
+            .select(
+                id_col, "shingle",
+                F.row_number().over(w).alias("_rn"), sz.alias("_sz"),
+            )
+            .filter(
+                F.col("_rn")
+                <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)) + 1
+            )
+            .select(id_col, "shingle")
+            .localCheckpoint(eager=True)
+        )
+        cands = (
+            pref.select(F.col(id_col).alias("a"), "shingle")
+            .join(pref.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        return jaccard_verify_sets(cands, sh, id_col, t).localCheckpoint(
+            eager=True
+        )
+    finally:
+        sh.unpersist()
+
+
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,

@@ -76,6 +76,81 @@ def _isin_filter(markers: tuple[str, ...]):
     return lambda w: w.isin(*markers)
 
 
+# Gopher rules' "must contain 2 of these" stop set (Rae et al. 2021,
+# Appendix A1.1 — the MassiveWeb quality filter), distinct from the
+# language-ID markers above.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    toks: Column,
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """[ext] Gopher document-quality rules (Rae et al. 2021, Appendix A1.1)
+    as named per-record expressions — the standard rule-based pretraining
+    gate: word-count bounds, mean-word-length band, symbol-to-word ratio
+    (``#`` and ellipses), minimum fraction of words containing an
+    alphabetic character, and a ≥2-distinct-stopwords requirement.
+    Complements :func:`repetition_scores` (Gopher's repetition rule
+    family) — together they are the full Gopher filter.
+
+    ``toks`` is the token ARRAY column — callers should materialize it
+    through an ``explode(array(...))`` generator barrier first (the
+    :func:`repetition_scores` pattern): these expressions reference the
+    array ~5×, and higher-order lambdas get no cross-reference CSE.
+    ``text`` is only scanned for symbol counting.
+
+    All metrics are int-arithmetic ratios (exact same IEEE doubles in any
+    engine) — every rule and the composite ``keep`` are replayable in
+    plain SQL. Map-only: zero exchanges, the gate Catalyst can push
+    around freely. At 100 TB this runs beside the scan.
+    """
+    t = normalize_ws(text)
+    n_words = F.size(toks)
+    nz = F.nullif(n_words, F.lit(0)).cast("double")
+    mean_len = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / nz,
+        F.lit(0.0),
+    )
+    frac_alpha = F.coalesce(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / nz,
+        F.lit(0.0),
+    )
+    stop_hits = F.size(F.array_distinct(F.filter(toks, _isin_filter(GOPHER_STOPWORDS))))
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.regexp_count(t, F.lit(r"(\.\.\.|…)"))
+    )
+    symbol_ratio = F.coalesce(n_symbols.cast("double") / nz, F.lit(0.0))
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_len_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    symbol_ok = symbol_ratio <= max_symbol_ratio
+    alpha_ok = frac_alpha >= min_alpha_frac
+    stop_ok = stop_hits >= min_stop_hits
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "frac_alpha_words": frac_alpha,
+        "stop_hits": stop_hits,
+        "symbol_ratio": symbol_ratio,
+        "words_ok": words_ok,
+        "mean_len_ok": mean_len_ok,
+        "symbol_ok": symbol_ok,
+        "alpha_ok": alpha_ok,
+        "stop_ok": stop_ok,
+        "keep": words_ok & mean_len_ok & symbol_ok & alpha_ok & stop_ok,
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (the scoring half of language ID)."""
     toks = word_tokens(text)

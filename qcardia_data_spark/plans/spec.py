@@ -44,6 +44,10 @@ Spec grammar (one dict per op, applied in order):
     {"op": "fuzzy_join", "right": <table/pipeline>, "col_l": ...,
      "col_r": ..., "max_dist": 2}  # q-gram edit-distance join
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
+    {"op": "ngram_jaccard_dedup", "threshold": 0.6, "shingle_n": 3,
+     "pairs_only": false}                              # exact, recall 1
+    {"op": "gopher_rules", "text_col": ..., "out": "gopher_keep",
+     "drop_failing": false, ...rule thresholds...}
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
         # CCNet-style trigram quality gate (hard threshold or the
@@ -271,6 +275,55 @@ def _apply(
             ),
             star_rounds=int(op.get("star_rounds", 2)),
         )
+    if kind == "ngram_jaccard_dedup":
+        from qcardia_data_spark.functions.dedup import ngram_jaccard_join
+
+        # {"op": "ngram_jaccard_dedup", "id_col": ..., "text_col": ...,
+        #  "threshold": 0.6, "shingle_n": 3, "pairs_only": false} — EXACT
+        # n-gram Jaccard dedup (All-Pairs prefix filter, recall 1 — the
+        # deterministic alternative to "near_dedup"): drops the larger id
+        # of every qualifying pair; pairs_only returns the (a, b, jaccard)
+        # pair list instead (the auditable intermediate).
+        id_col = op.get("id_col", "doc_id")
+        pairs = ngram_jaccard_join(
+            df, id_col, op.get("text_col", "text"),
+            threshold=float(op.get("threshold", 0.6)),
+            shingle_n=int(op.get("shingle_n", 3)),
+        )
+        if op.get("pairs_only", False):
+            return pairs
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+    if kind == "gopher_rules":
+        from qcardia_data_spark.functions.text import gopher_rules, word_tokens
+
+        # {"op": "gopher_rules", "text_col": ..., "out": "gopher_keep",
+        #  "drop_failing": true, ...rule thresholds...} — the Gopher
+        # rule-based quality gate; with drop_failing the rule columns are
+        # gate-only (never materialized), otherwise every metric + rule
+        # boolean is appended under "<out>_" prefixes for auditing.
+        text_col = op.get("text_col", "text")
+        out = op.get("out", "gopher_keep")
+        tok = df.withColumn(
+            "_gtoks", F.explode(F.array(word_tokens(F.col(text_col))))
+        )
+        g = gopher_rules(
+            F.col("_gtoks"), F.col(text_col),
+            min_words=int(op.get("min_words", 50)),
+            max_words=int(op.get("max_words", 100_000)),
+            min_mean_len=float(op.get("min_mean_len", 3.0)),
+            max_mean_len=float(op.get("max_mean_len", 10.0)),
+            max_symbol_ratio=float(op.get("max_symbol_ratio", 0.1)),
+            min_alpha_frac=float(op.get("min_alpha_frac", 0.8)),
+            min_stop_hits=int(op.get("min_stop_hits", 2)),
+        )
+        if op.get("drop_failing", False):
+            return tok.filter(g["keep"]).drop("_gtoks")
+        audited = tok.select(
+            "*", *[v.alias(f"{out}_{k}") for k, v in g.items() if k != "keep"],
+            g["keep"].alias(out),
+        )
+        return audited.drop("_gtoks")
     if kind == "fuzzy_join":
         from qcardia_data_spark.functions.dedup import fuzzy_string_join
 

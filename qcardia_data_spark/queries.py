@@ -2076,6 +2076,50 @@ def text_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+              FROM sh s1 JOIN sh s2
+                ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2)
+    SELECT i.a, i.b,
+           round(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.a
+    JOIN sizes nb ON nb.doc_id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    # EXACT n-gram Jaccard threshold self-join (All-Pairs prefix filter) —
+    # recall 1 by construction, unlike the LSH-candidate text_jaccard_pairs.
+    # The oracle enumerates EVERY pair sharing ≥1 shingle (exhaustive for
+    # jaccard > 0), so a hash match proves the prefix filter lossless on
+    # this corpus, not merely consistent with the LSH candidate set.
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q(
     "ev_session_window",
     """
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -3750,6 +3794,75 @@ def text_quality_filter(spark, sf_dir):
 
 
 @_q(
+    "text_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             coalesce(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                      / nullif(len(toks), 0), 0.0) AS mean_word_len,
+             coalesce(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                      / nullif(len(toks), 0), 0.0) AS frac_alpha_words,
+             len(list_distinct(list_filter(toks,
+               x -> x IN ('the','be','to','of','and','that','have','with')))) AS stop_hits,
+             coalesce(CAST(len(nt) - len(replace(nt, '#', ''))
+                           + len(regexp_extract_all(nt, '(\.\.\.|…)')) AS DOUBLE)
+                      / nullif(len(toks), 0), 0.0) AS symbol_ratio
+      FROM t)
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(frac_alpha_words, 6) AS frac_alpha_words,
+           stop_hits,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           (n_words >= 50 AND n_words <= 100000) AS words_ok,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mean_len_ok,
+           (symbol_ratio <= 0.1) AS symbol_ok,
+           (frac_alpha_words >= 0.8) AS alpha_ok,
+           (stop_hits >= 2) AS stop_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (frac_alpha_words >= 0.8)
+            AND (stop_hits >= 2)) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    # the full Gopher rule-based quality gate (Rae et al. 2021 A1.1):
+    # every metric, every rule boolean, and the composite keep — value-
+    # graded per doc. Token array materialized through the explode(array)
+    # generator barrier so the 5 metric expressions read one attribute
+    # instead of re-running the tokenizer (no cross-lambda CSE).
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "text",
+        F.explode(F.array(T.word_tokens(F.col("text")))).alias("toks"),
+    )
+    g = T.gopher_rules(F.col("toks"), F.col("text"))
+    return tok.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        F.round(g["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(g["frac_alpha_words"], 6).alias("frac_alpha_words"),
+        g["stop_hits"].alias("stop_hits"),
+        F.round(g["symbol_ratio"], 6).alias("symbol_ratio"),
+        g["words_ok"].alias("words_ok"),
+        g["mean_len_ok"].alias("mean_len_ok"),
+        g["symbol_ok"].alias("symbol_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stop_ok"].alias("stop_ok"),
+        g["keep"].alias("keep"),
+    )
+
+
+@_q(
     "sim_lsh_topk",
     """
     WITH q AS (
@@ -4627,18 +4740,21 @@ _PRIORITY = [
     # queries, the queries whose code r7 touched (fuzzy_string_join was
     # rewritten again: proper-gram slicing + (band, char) short blocking),
     # and r4-vintage dedup-family rows that share code paths with the r7
-    # incremental-dedup work. 1 anchor + 3 net-new/changed + 40 stale + 6
+    # incremental-dedup work. 1 anchor + 5 net-new/changed + 40 stale + 4
     # r4-refresh = 50 slots exactly.
     #
     # ROUND-8 ROTATION PLAN: everything graded green-r7 rotates OUT; the
-    # remaining 41 r4-vintage rows (GRADE_WINDOW.json after regen -- ev_*
+    # remaining r4-vintage rows (GRADE_WINDOW.json after regen -- ev_*
     # family, f2/f4/f6/f7/f8/f18, g1-g3, o1-o3, text_* r4 cohort,
-    # u1/u2b/u3, x1/x6) rotate IN + r8 net-new. grade_window.py prints
-    # the live stale list.
+    # u1/u2b/u3, x1/x6, plus dedup_exact/dedup_simhash displaced from the
+    # r7 window) rotate IN + r8 net-new. grade_window.py prints the live
+    # stale list.
     "q1_pricing_summary",  # flagship anchor -- graded every round
     # --- r7 net-new (never graded -- must enter the window) ---
     "dedup_fuzzy_keys_short",
     "text_quality_classifier",
+    "dedup_ngram_jaccard",
+    "text_gopher_rules",
     # --- r7 code-touched (fuzzy_string_join rewritten this round) ---
     "dedup_fuzzy_keys",
     # --- r3-vintage stale: projections family ---
@@ -4689,9 +4805,9 @@ _PRIORITY = [
     "emb_quantize_int8",
     "text_repetition_filter",
     # --- r4-vintage refresh: dedup family (shares minhash/signature code
-    # paths with the r7 incremental-dedup entry point) ---
-    "dedup_exact",
-    "dedup_simhash",
+    # paths with the r7 incremental-dedup entry point; exact/simhash were
+    # displaced by the two extra r7 net-new rows -- their paths are
+    # untouched since r4 and rotate in next round) ---
     "dedup_minhash_lsh",
     "dedup_duplicate_clusters",
     # --- r7 code-touched: pairwise_topk_join's scoring tail moved into the

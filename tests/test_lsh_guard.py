@@ -173,3 +173,48 @@ def test_jaccard_verify_sets_matches_rows(spark):
     }
     assert got_rows == got_sets
     assert got_sets  # nonempty — the near-dup structure was found
+
+
+def test_ngram_jaccard_join_lossless_vs_naive(spark):
+    """EXACT prefix-filter Jaccard join (ngram_jaccard_join) must return
+    precisely the naive all-pairs result — including a pair engineered to
+    sit EXACTLY at the threshold (3 shared / 5 union = 0.6), exact
+    duplicates, and docs below the shingle floor (<3 tokens)."""
+    import itertools
+    import random
+    import re
+
+    from qcardia_data_spark.functions.dedup import ngram_jaccard_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))))
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta"))   # exact dup
+    rows.append((102, "alpha beta gamma delta epsilon other"))  # jac 3/5 = 0.6 exactly
+    rows.append((103, "lone pair"))                             # < 3 tokens: no shingles
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh_of(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh_of(t) for i, t in rows}
+    naive = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        i = len(sa & sb)
+        if i and i / len(sa | sb) >= 0.6:
+            naive[(a, b)] = round(i / len(sa | sb), 9)
+
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_join(df, "doc_id", "text", 0.6, 3).collect()
+    }
+    assert got == naive
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    assert (100, 102) in got and got[(100, 102)] == 0.6  # boundary INCLUDED

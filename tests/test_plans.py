@@ -1034,3 +1034,62 @@ def test_spec_lm_score_keep_buckets_gate(spark, sf_dir):
         compile_pipeline(
             spark, base[:2] + [dict(base[2], keep_buckets=["torso"])], sf_dir
         )
+
+
+def test_spec_gopher_rules_and_ngram_jaccard_ops(spark, sf_dir):
+    """The two r7 spec ops: gopher_rules (gate + audit forms) and
+    ngram_jaccard_dedup (keep-min-id + pairs_only forms) compile and match
+    direct library calls."""
+    from qcardia_data_spark.functions.dedup import ngram_jaccard_join
+    from qcardia_data_spark.functions.text import gopher_rules, word_tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    gate = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "gopher_rules", "drop_failing": True, "min_words": 20},
+        ],
+        sf_dir,
+    )
+    tok = docs.withColumn("_gtoks", F.explode(F.array(word_tokens(F.col("text")))))
+    keep = gopher_rules(F.col("_gtoks"), F.col("text"), min_words=20)["keep"]
+    want_ids = {r["doc_id"] for r in tok.filter(keep).select("doc_id").collect()}
+    assert {r["doc_id"] for r in gate.select("doc_id").collect()} == want_ids
+    assert gate.columns == docs.columns  # gate-only: no audit columns leak
+
+    audited = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "gopher_rules", "out": "gq", "min_words": 20},
+        ],
+        sf_dir,
+    )
+    assert "gq" in audited.columns and "gq_n_words" in audited.columns
+    keep_map = {r["doc_id"]: r["gq"] for r in audited.select("doc_id", "gq").collect()}
+    assert {i for i, k in keep_map.items() if k} == want_ids
+
+    deduped = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "ngram_jaccard_dedup", "threshold": 0.6},
+        ],
+        sf_dir,
+    )
+    pairs = ngram_jaccard_join(docs, "doc_id", "text", 0.6, 3)
+    losers = {r["b"] for r in pairs.collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in deduped.select("doc_id").collect()} == all_ids - losers
+
+    pairs_spec = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "ngram_jaccard_dedup", "threshold": 0.6, "pairs_only": True},
+        ],
+        sf_dir,
+    )
+    assert sorted(map(tuple, pairs_spec.collect())) == sorted(map(tuple, pairs.collect()))

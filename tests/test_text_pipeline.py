@@ -406,3 +406,46 @@ def test_unimax_mix_empty_input_returns_typed_empty(spark):
     out = T.unimax_mix(df, "n_tokens", "doc_id", "lang", total_budget=100)
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang", "n_tokens"]
+
+
+def test_gopher_rules_edge_cases(spark):
+    """Gopher quality-rule metrics and booleans on engineered documents:
+    empty text, numeric-only tokens, symbol-heavy text, a passing doc."""
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] * 2 + [f"word{i}" for i in range(45)]
+    )  # 55 words, all alpha-bearing, 5 distinct stopwords
+    numeric = " ".join(str(i) for i in range(60))  # 60 words, zero alpha
+    symbols = "the be cat ... ### run " + " ".join(f"w{i}" for i in range(4))
+    rows = [
+        (0, good), (1, numeric), (2, symbols), (3, ""), (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tok = df.select(
+        "doc_id", "text",
+        F.explode(F.array(T.word_tokens(F.col("text")))).alias("toks"),
+    )
+    g = T.gopher_rules(F.col("toks"), F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in tok.select(
+            "doc_id",
+            *[v.alias(k) for k, v in g.items()],
+        ).collect()
+    }
+    assert out[0]["n_words"] == 55 and out[0]["keep"] is True
+    assert out[0]["stop_hits"] == 5 and out[0]["alpha_ok"] is True
+    # numeric doc: word count fine, but zero alpha words and no stopwords
+    assert out[1]["n_words"] == 60
+    assert out[1]["frac_alpha_words"] == 0.0
+    assert out[1]["alpha_ok"] is False and out[1]["stop_ok"] is False
+    assert out[1]["keep"] is False
+    # symbol doc: '...' and '###' are not words (tokenizer drops them), so
+    # 3 '#' + 1 '...' over the 8 real words -> ratio 0.5 > 0.1
+    assert out[2]["n_words"] == 8
+    assert abs(out[2]["symbol_ratio"] - 4 / 8) < 1e-12
+    assert out[2]["symbol_ok"] is False and out[2]["words_ok"] is False
+    # empty text: zero-guards, no NULLs, everything fails closed
+    assert out[3]["n_words"] == 0 and out[3]["mean_word_len"] == 0.0
+    assert out[3]["symbol_ratio"] == 0.0 and out[3]["keep"] is False
+    # mean word length: 'tiny doc' -> (4+3)/2
+    assert abs(out[4]["mean_word_len"] - 3.5) < 1e-12
