@@ -1123,6 +1123,13 @@ def near_dedup_incremental(
                 ),
                 ["band", "sig"],
             )
+            # same-id pairs only exist when the batch was ALREADY appended
+            # to the index (a retried micro-batch in the streaming intake);
+            # without this guard a retry matches every survivor against its
+            # own index copy at jaccard 1.0 and drops the whole batch. In
+            # the normal flow ids are unique across index ∪ batch, so this
+            # is a no-op — it makes reprocessing idempotent.
+            .filter(F.col(id_col) != F.col("_idx_id"))
             .select(F.col(id_col).alias("_new_id"), "_idx_id")
             .distinct()
         )

@@ -76,6 +76,10 @@ Spec grammar (one dict per op, applied in order):
         # GPT-3-style learned quality gate: train LR on hashed tokens,
         # attach P(curated); min_score = hard gate, pareto_alpha = the
         # Pareto-smoothed stochastic gate
+    {"op": "signature_index_write", "path": ..., "id_col": ...,
+     "text_col": ..., "mode": "overwrite"}            # standing dedup index
+    {"op": "near_dedup_incremental", "index_path": ...,
+     "update_index": false, ...near_dedup knobs...}
     {"op": "zorder_write", "path": ..., "buckets": {"name": "expr"},
      "bits": 16, "n_files": 8}                         # materialize Z-ordered,
         downstream ops read the clustered parquet back
@@ -710,6 +714,49 @@ def _apply(
             n_buckets=int(op.get("n_buckets", 64)),
         )
         return df
+    if kind == "signature_index_write":
+        # {"op": "signature_index_write", "path": ..., "id_col": ...,
+        #  "text_col": ..., "n_bands": 8, "shingle_n": 3, "mode":
+        #  "overwrite"} — materializes the MinHash dedup index (sig_bucket/
+        #  id_bucket-partitioned parquet) for the CURRENT frame, then
+        #  passes the frame through unchanged: the standing-index half of
+        #  the incremental dedup pair below.
+        from qcardia_data_spark.functions.dedup import write_signature_index
+
+        write_signature_index(
+            df, op.get("id_col", "doc_id"), op.get("text_col", "text"),
+            op["path"],
+            n_bands=int(op.get("n_bands", 8)),
+            shingle_n=int(op.get("shingle_n", 3)),
+            n_sig_buckets=int(op.get("n_sig_buckets", 64)),
+            n_id_buckets=int(op.get("n_id_buckets", 64)),
+            mode=op.get("mode", "overwrite"),
+        )
+        return df
+    if kind == "near_dedup_incremental":
+        # {"op": "near_dedup_incremental", "index_path": ...,
+        #  "update_index": false, ...near_dedup knobs...} — dedups the
+        #  current frame (a new crawl batch) against the persisted index
+        #  AND within itself; survivors flow on. With update_index the
+        #  survivors' signatures are appended, so a spec re-run on next
+        #  week's batch stays incremental — the 100 TB operating mode.
+        from qcardia_data_spark.functions.dedup import near_dedup_incremental
+
+        return near_dedup_incremental(
+            df, op["index_path"],
+            op.get("id_col", "doc_id"), op.get("text_col", "text"),
+            n_bands=int(op.get("n_bands", 8)),
+            shingle_n=int(op.get("shingle_n", 3)),
+            threshold=float(op.get("threshold", 0.6)),
+            n_sig_buckets=int(op.get("n_sig_buckets", 64)),
+            n_id_buckets=int(op.get("n_id_buckets", 64)),
+            max_bucket_size=(
+                None if op.get("max_bucket_size", 1000) is None
+                else int(op.get("max_bucket_size", 1000))
+            ),
+            star_rounds=int(op.get("star_rounds", 2)),
+            update_index=bool(op.get("update_index", False)),
+        )
     if kind == "zorder_write":
         # materialization boundary like "cache", but with a Z-ordered layout:
         # downstream ops read the multi-column-clustered parquet, so filters

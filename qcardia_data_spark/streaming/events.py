@@ -243,3 +243,56 @@ def streaming_ingest_dedup(
 
     fp = docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
     return _watermarked(fp, ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def streaming_near_dedup_intake(
+    docs_stream: DataFrame, index_path: str, out_path: str, checkpoint: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
+    available_now: bool = True,
+):
+    """[ext] Streaming NEAR-dedup intake — the continuous form of the
+    standing-index operating mode (`dedup.near_dedup_incremental`): each
+    micro-batch of crawled documents is deduped against the persisted
+    signature index (and within itself), survivors land in a
+    batch-partitioned parquet sink, and their signatures are appended to
+    the index so the NEXT micro-batch sees them. State lives entirely in
+    the index table, not in Spark streaming state — memory is O(batch),
+    not O(corpus), which is what lets this run forever at crawl scale.
+
+    Delivery: the survivor sink writes to ``_batch=<epoch id>/``
+    partitions with dynamic partition overwrite, so a retried batch
+    REPLACES its own output (exactly-once output); the index append is
+    at-least-once, which is safe — a retry's duplicate signature rows
+    produce the same candidate pairs after the probe's ``distinct()``,
+    and the same-id guard in `near_dedup_incremental` keeps a retried
+    batch from matching its own appended copies. Crawl ids must be
+    monotonically increasing across batches (the standard layout) for
+    the full-corpus-equivalence invariant to hold.
+
+    Returns the started `StreamingQuery` (await it; availableNow drains
+    the backlog and stops — the cron-style "dedup this week's crawl").
+    """
+    from qcardia_data_spark.functions.dedup import near_dedup_incremental
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = near_dedup_incremental(
+            batch_df, index_path, id_col, text_col,
+            n_bands=n_bands, shingle_n=shingle_n, threshold=threshold,
+            update_index=True,
+        )
+        (
+            kept.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -124,3 +124,49 @@ def test_index_probe_prunes_partition_files(spark, corpus, tmp_path):
         for r in vscan.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert vtouched and vtouched <= {"0", "3"}
+
+
+def test_spec_ops_signature_index_and_incremental(spark, corpus, tmp_path):
+    """The spec-compiler surface of the incremental mode: one spec builds
+    the standing index, a second spec dedups the new batch against it —
+    equal to the direct library calls."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    split = 1_000_000
+    idx = str(tmp_path / "spec_idx")
+    src = str(tmp_path / "spec_corpus.parquet")
+    corpus.write.mode("overwrite").parquet(src)
+
+    a = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": src},
+            {"op": "filter", "expr": f"doc_id < {split}"},
+            {"op": "near_dedup", "id_col": "doc_id", "text_col": "text",
+             "threshold": 0.6, **PARAMS},
+            {"op": "signature_index_write", "path": idx, "id_col": "doc_id",
+             "text_col": "text", **PARAMS},
+        ],
+        None,
+    )
+    kept_b = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": src},
+            {"op": "filter", "expr": f"doc_id >= {split}"},
+            {"op": "near_dedup_incremental", "index_path": idx,
+             "id_col": "doc_id", "text_col": "text", "threshold": 0.6,
+             **PARAMS},
+        ],
+        None,
+    )
+    got = {r["doc_id"] for r in a.select("doc_id").collect()} | {
+        r["doc_id"] for r in kept_b.select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            corpus, "doc_id", "text", threshold=0.6, **PARAMS
+        ).select("doc_id").collect()
+    }
+    assert got == want

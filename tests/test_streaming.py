@@ -4,6 +4,8 @@ dedup, and the custom applyInPandasWithState operator."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -415,3 +417,83 @@ def test_streaming_jsonl_corpus_ingestion_pipeline(spark, tmp_path):
     )
     want = {r["doc_id"] for r in first.collect()}
     assert got == want == {1, 4}
+
+
+def test_streaming_near_dedup_intake_chains_and_resumes(spark, sf_dir, tmp_path):
+    """Streaming NEAR-dedup intake (foreachBatch over the standing
+    signature index): two availableNow drains over a growing crawl dir ==
+    the full-corpus batch dedup; the second run reprocesses nothing."""
+    import glob
+    import shutil
+    import time as _time
+
+    from qcardia_data_spark.functions.dedup import (
+        near_dedup_minhash,
+        write_signature_index,
+    )
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    near = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail")).alias("text"),
+    )
+    # fresh content: an interleaved token destroys every original shingle
+    fresh = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1_500_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", " zq ").alias("text"),
+    )
+    b1 = near.unionByName(fresh)
+    clones2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), F.col("text")
+    )
+
+    # standing index = deduped base corpus
+    a = near_dedup_minhash(base, "doc_id", "text", threshold=0.6)
+    idx = str(tmp_path / "idx")
+    write_signature_index(a, "doc_id", "text", idx)
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+
+    def land(name, df):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / name))
+        part = glob.glob(str(tmp_path / "tmp" / name / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    schema = base.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*.parquet")
+        q = S.streaming_near_dedup_intake(stream, idx, out_dir, ckpt)
+        q.awaitTermination()
+
+    # crawl batch 1: near-copies (dropped vs index) + fresh docs (kept)
+    land("b1", b1)
+    drain()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    want1 = {
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            base.unionByName(b1), "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert {r["doc_id"] for r in a.collect()} | got1 == want1
+
+    # crawl batch 2 (same checkpoint): exact copies → ALL dropped against
+    # the (updated) index; survivors unchanged, batch 1 not reprocessed
+    _time.sleep(0.2)
+    land("b2", clones2)
+    drain()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    full = {
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            base.unionByName(b1).unionByName(clones2),
+            "doc_id", "text", threshold=0.6,
+        ).collect()
+    }
+    assert {r["doc_id"] for r in a.collect()} | got2 == full
