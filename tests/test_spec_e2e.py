@@ -34,7 +34,7 @@ def test_e2e_chain_runs_and_gates_monotonically(spark, sf_dir, e2e_spec):
     gate_prefix_ends = [
         i + 1
         for i, op in enumerate(ops)
-        if op["op"] in ("filter", "quality_filter", "near_dedup",
+        if op["op"] in ("filter", "quality_filter", "gopher_rules", "near_dedup",
                         "quality_classifier", "dsir_weights", "unimax_mix",
                         "decontaminate")
     ]
