@@ -252,6 +252,89 @@ def ann_ivf_topk_pruned(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def ivfpq_write_partitioned(
+    embeddings: DataFrame, path: str, n_cells: int = 16,
+    m: int = 8, k_codes: int = 16, seed: int = 0, n_refine: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the FAISS-style IVF+PQ index: vectors are assigned to
+    IVF cells (which become parquet PARTITION directories — probes prune
+    whole files) and stored as PQ codes (m small ints — candidates cost
+    ~m bytes instead of d floats). The two compressions compose: IVF cuts
+    which files a probe READS, PQ cuts what each candidate row COSTS —
+    together they are the standard recipe for a standing billion-vector
+    index, here expressed as parquet layout + plan literals.
+
+    Index metadata (centroids + codebooks + params) is written to
+    ``path/_ivfpq_meta`` (underscore-prefixed → invisible to the parquet
+    scan); the probe reads it back, so the two sides can never drift.
+    Plain per-vector PQ (not residual-PQ): the codebooks stay globally
+    shared, which keeps the encode a single map pass and the oracle
+    replayable — residual encoding is a drop-in refinement if recall at
+    very low m ever matters."""
+    import json as _json
+
+    assigned, centroids = ivf_assign(
+        embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
+    )
+    codes, cb = pq_encode(
+        embeddings, m=m, k_codes=k_codes, seed=seed, n_refine=n_refine,
+        id_col=id_col, vec_col=vec_col,
+    )
+    (
+        assigned.select(id_col, "cell")
+        .join(codes, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(centroids.collect(), key=lambda r: r["cell"])
+    ]
+    meta = embeddings.sparkSession.createDataFrame(
+        [(
+            _json.dumps(cents), _json.dumps(cb),
+            int(n_cells), int(m), int(k_codes), int(seed), int(n_refine),
+        )],
+        ["centroids_json", "codebooks_json", "n_cells", "m", "k_codes",
+         "seed", "n_refine"],
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
+
+
+def ann_ivfpq_topk_pruned(
+    spark, path: str, query_vec, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the persisted IVF+PQ index: pick the ``n_probe``
+    cosine-closest cells from the index's own centroids (driver-side —
+    metadata is n_cells × d floats, bounded), scan ONLY those cell
+    directories (``cell IN (...)`` is a partition filter), and rank the
+    surviving PQ codes by asymmetric distance against the index's own
+    codebooks. Nothing full-precision is read from the corpus at probe
+    time — the query is the only float vector in the plan."""
+    import json as _json
+
+    import numpy as np
+
+    meta = spark.read.json(f"{path}/_ivfpq_meta").collect()[0]
+    cents = _json.loads(meta["centroids_json"])
+    cb = _json.loads(meta["codebooks_json"])
+    q = np.asarray(list(query_vec), dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probe = sorted(
+        range(len(cents)),
+        key=lambda i: (-cos(np.asarray(cents[i], dtype=np.float64), q), i),
+    )[:n_probe]
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return pq_adc_topk(cand, cb, query_vec, k=k, id_col=id_col)
+
+
 def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:
     """Plane count for a corpus of ``n_rows``: enough hyperplanes that the
     EXPECTED bucket occupancy is ~``target_bucket`` (within-bucket pair

@@ -218,3 +218,63 @@ def test_ngram_jaccard_join_lossless_vs_naive(spark):
     assert got == naive
     assert (100, 101) in got and got[(100, 101)] == 1.0
     assert (100, 102) in got and got[(100, 102)] == 0.6  # boundary INCLUDED
+
+
+def _naive_jaccard_pairs(rows, threshold, n=3):
+    import itertools
+    import re
+
+    def sh_of(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip()) if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh_of(t) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        i = len(sa & sb)
+        if i and i / len(sa | sb) >= threshold:
+            out[(a, b)] = round(i / len(sa | sb), 9)
+    return out
+
+
+def test_ngram_jaccard_join_property_random_corpora(shared_spark):
+    """Property: on randomized small-vocab corpora (high collision rate —
+    the adversarial regime for prefix filtering) and across thresholds,
+    the prefix-filter join equals the naive all-pairs join exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qcardia_data_spark.functions.dedup import ngram_jaccard_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        vocab_n=st.integers(3, 8),
+        n_docs=st.integers(5, 18),
+        threshold=st.sampled_from([0.3, 0.5, 0.6, 0.8]),
+    )
+    def check(seed, vocab_n, n_docs, threshold):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(vocab_n)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for i in range(n_docs)
+        ]
+        # plant one near-pair so non-empty results are exercised too
+        if n_docs >= 2 and rows[0][1]:
+            rows[1] = (1, rows[0][1] + " " + rng.choice(vocab))
+        df = shared_spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_join(
+                df, "doc_id", "text", threshold, 3
+            ).collect()
+        }
+        assert got == _naive_jaccard_pairs(rows, threshold)
+
+    check()

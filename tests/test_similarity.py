@@ -425,3 +425,54 @@ def test_pq_encode_adc_properties(spark, sf_dir):
     top = pq_adc_topk(codes, cb, q, k=5).collect()
     assert top[0]["vec_id"] == 7  # own quantized cell is nearest
     assert all(a["adist"] <= b["adist"] for a, b in zip(top, top[1:]))
+
+
+def test_ivfpq_partitioned_layout_prunes_and_matches_in_memory(spark, sf_dir, tmp_path):
+    """IVF+PQ persisted index: (1) the probe lists only the probed cell
+    directories; (2) results equal the in-memory ADC restricted to the
+    probed cells' members (same codebooks, same params)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import (
+        ann_ivfpq_topk_pruned,
+        ivf_assign,
+        ivfpq_write_partitioned,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_partitioned(emb, path, n_cells=8, m=8, k_codes=16, seed=0)
+
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
+    got = ann_ivfpq_topk_pruned(spark, path, q, k=5, n_probe=3).collect()
+
+    # (2) parity with in-memory: same assignment + codes, probe the same cells
+    assigned, centroids = ivf_assign(emb, 8, 0, 1)
+    codes, cb = pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
+    import numpy as np
+
+    qv = np.asarray(list(q), dtype=np.float64)
+    cents = {r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
+             for r in centroids.collect()}
+
+    def cos(a):
+        return float(a @ qv / (np.linalg.norm(a) * np.linalg.norm(qv)))
+
+    probe = sorted(cents, key=lambda c: (-cos(cents[c]), c))[:3]
+    members = assigned.filter(F.col("cell").isin(probe)).select("vec_id")
+    want = pq_adc_topk(codes.join(members, "vec_id"), cb, q, k=5).collect()
+    key = lambda r: (r["vec_id"], round(r["adist"], 9))  # noqa: E731
+    assert [key(r) for r in got] == [key(r) for r in want]
+
+    # (1) file pruning: only the probed cell directories are listed
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    touched = {
+        r["f"].split("cell=")[1].split("/")[0]
+        for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert touched and touched <= {str(c) for c in probe}
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
