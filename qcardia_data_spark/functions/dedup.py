@@ -613,6 +613,66 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(id_col, sig.alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """[ext] SimHash near-duplicate PAIR search at Hamming distance ≤ k
+    (Manku, Jain & Das Sarma, WWW 2007 — the Google web-crawl near-dup
+    design): split each 32-bit signature into ``k + 1`` bit blocks; by
+    pigeonhole, two signatures within Hamming distance k agree EXACTLY on
+    at least one block, so an equi-join on (block index, block value)
+    finds every qualifying pair — lossless blocking, verified by
+    ``bit_count(xor)`` on the candidates only, never all pairs.
+
+    100 TB shape: the signature table is one id-keyed groupBy
+    (:func:`simhash32_table`); the candidate join shuffles (k+1) ×
+    corpus tiny (block, value) rows. Block values carry 32/(k+1) bits, so
+    at web scale each block bucket holds corpus/2^(32/(k+1)) docs on
+    average (64-bit signatures widen the blocks — same plan, wider
+    conv()). A boilerplate corpus where millions share a block value
+    degenerates exactly like hot LSH buckets — the same star-guard
+    applies if needed; at default k=3 each block has 8 bits and the
+    verify is one integer xor per candidate.
+
+    Returns distinct ``(a, b, hamming)`` with ``a < b``.
+    """
+    k = int(max_hamming)
+    n_blocks = k + 1
+    width = 32 // n_blocks  # trailing block absorbs the remainder bits
+    sig = simhash32_table(df, id_col, text_col).localCheckpoint(eager=True)
+
+    def blocks_of(side: str) -> DataFrame:
+        s = sig.select(F.col(id_col).alias(side), F.col("simhash").alias(f"_h_{side}"))
+        rows = []
+        for b in range(n_blocks):
+            lo = b * width
+            hi = 32 if b == n_blocks - 1 else lo + width
+            mask = (1 << (hi - lo)) - 1
+            rows.append(
+                s.select(
+                    side, f"_h_{side}", F.lit(b).alias("_blk"),
+                    F.shiftright(F.col(f"_h_{side}"), lo).bitwiseAND(F.lit(mask)).alias("_val"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    cands = (
+        blocks_of("a")
+        .join(blocks_of("b"), ["_blk", "_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_h_a", "_h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_h_a").bitwiseXOR(F.col("_h_b")))
+    return (
+        cands.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= k)
+    )
+
+
 def oversized_semantic_cells(
     embeddings: DataFrame, n_cells: int = 16, max_cell_size: int = 10000,
     seed: int = 0, n_refine: int = 1,

@@ -2268,6 +2268,43 @@ def dedup_simhash_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_simhash_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    h AS (SELECT doc_id, md5(unnest(toks)) AS hx FROM t),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (strpos('0123456789abcdef', substr(hx, b.bit + 1, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs_q(spark, sf_dir):
+    # [ext] SimHash near-dup PAIRS at Hamming <= 3 (Manku et al. WWW'07
+    # block-permutation blocking: k+1 bit blocks, pigeonhole-lossless
+    # equi-join, xor verify on candidates only). The oracle enumerates
+    # ALL pairs — a hash match proves the blocking lossless on this
+    # corpus, same evidence structure as dedup_ngram_jaccard.
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@_q(
     "text_rolling_fingerprint",
     r"""
     WITH norm AS (
@@ -4821,8 +4858,10 @@ _PRIORITY = [
     # queries, the queries whose code r7 touched (fuzzy_string_join was
     # rewritten again: proper-gram slicing + (band, char) short blocking),
     # and r4-vintage dedup-family rows that share code paths with the r7
-    # incremental-dedup work. 1 anchor + 6 net-new/changed + 40 stale + 3
-    # r4-refresh = 50 slots exactly.
+    # incremental-dedup work. 1 anchor + 9 net-new/changed + 40 stale =
+    # 50 slots exactly (the r4-refresh rows were displaced by net-new;
+    # dedup_minhash_lsh stays as code-touched -- r7's _band_signature_frame
+    # refactor runs inside it).
     #
     # ROUND-8 ROTATION PLAN: everything graded green-r7 rotates OUT; the
     # remaining r4-vintage rows (GRADE_WINDOW.json after regen -- ev_*
@@ -4837,6 +4876,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "text_gopher_rules",
     "sim_pq_topk",
+    "dedup_simhash_pairs",
     # --- r7 code-touched (fuzzy_string_join rewritten this round) ---
     "dedup_fuzzy_keys",
     # --- r3-vintage stale: projections family ---
@@ -4892,8 +4932,9 @@ _PRIORITY = [
     # rows -- their paths are untouched since r4, rotate in next round) ---
     "dedup_minhash_lsh",
     # --- r7 code-touched: pairwise_topk_join's scoring tail moved into the
-    # _topk_pair_scores helper shared with the persisted-LSH probe ---
-    "sim_ann_join",
+    # _topk_pair_scores helper shared with the persisted-LSH probe (the
+    # value-graded md5 twin covers it; the invariant-only sim_ann_join was
+    # displaced by the dedup_simhash_pairs net-new row) ---
     "sim_ann_join_md5",
 ]
 

@@ -278,3 +278,45 @@ def test_ngram_jaccard_join_property_random_corpora(shared_spark):
         assert got == _naive_jaccard_pairs(rows, threshold)
 
     check()
+
+
+def test_simhash_near_pairs_lossless_vs_naive(spark, sf_dir):
+    """Manku block-permutation blocking must find EXACTLY the naive
+    all-pairs Hamming<=k result — on the sf corpus and on an engineered
+    cluster of identical + near-identical docs (hamming 0 pairs included)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.dedup import (
+        simhash32_table,
+        simhash_near_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (9_000_002, "alpha beta gamma delta epsilon zeta eta theta"),
+            (9_000_003, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = docs.unionByName(extra)
+
+    for k in (1, 3):
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_near_pairs(corpus, "doc_id", "text", k).collect()
+        }
+        sig = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash32_table(corpus, "doc_id", "text").collect()
+        }
+        naive = {
+            (a, b): bin(sig[a] ^ sig[b]).count("1")
+            for a, b in itertools.combinations(sorted(sig), 2)
+            if bin(sig[a] ^ sig[b]).count("1") <= k
+        }
+        assert got == naive
+    assert got[(9_000_001, 9_000_002)] == 0  # identical docs found at ham 0
