@@ -435,6 +435,60 @@ def near_dedup_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def near_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str,
+    score: Column | None = None,
+    n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
+    max_bucket_size: int | None = 1000, star_rounds: int = 2,
+) -> DataFrame:
+    """[ext] Quality-aware canonical selection: full transitive duplicate
+    CLUSTERS (LSH candidates → Jaccard verify → connected components),
+    then keep each cluster's argmax-``score`` member (ties → min id) —
+    instead of :func:`near_dedup_minhash`'s greedy min-id winner. The
+    practical difference at corpus scale: when a crawl holds a truncated
+    and a complete copy of a page, min-id keeps whichever was crawled
+    first; this keeps the BEST one (default score: token count — longest
+    copy wins; pass any per-row expression, e.g. a quality-classifier
+    column, for smarter selection).
+
+    100 TB shape: identical stages to near_dedup_minhash plus the CC
+    fixpoint (iterations bounded by cluster diameter, edges are the
+    sparse verified-pair set) and one window over cluster members —
+    cluster-partitioned, never corpus-wide.
+    """
+    from pyspark.sql.window import Window
+
+    from qcardia_data_spark.functions.text import word_tokens
+
+    score_col = score if score is not None else F.size(word_tokens(F.col(text_col)))
+    sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
+    try:
+        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(eager=True)
+        cands = lsh_candidate_pairs(
+            sigs, id_col, max_bucket_size=max_bucket_size,
+            hub_ranks=(
+                list(range(star_rounds)) if max_bucket_size is not None else None
+            ),
+        )
+        dups = jaccard_verify_sets(cands, sh, id_col, threshold)
+        cc = connected_components(dups)  # (node, component), clustered docs only
+        scored = df.select(F.col(id_col).alias("node"), score_col.alias("_score"))
+        w = Window.partitionBy("component").orderBy(
+            F.desc("_score"), F.col("node").asc()
+        )
+        losers = (
+            cc.join(scored, "node")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("node").alias(id_col))
+            .persist()
+        )
+        losers.count()  # force while the shingle cache is alive
+    finally:
+        sh.unpersist()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def near_dedup_minhash_ml(
     df: DataFrame, id_col: str, text_col: str,
     num_hash_tables: int = 8, shingle_n: int = 3, jaccard_threshold: float = 0.6,

@@ -43,6 +43,8 @@ Spec grammar (one dict per op, applied in order):
      "drop_empty": true}       # ExactSubstr span-level dedup (in-place)
     {"op": "fuzzy_join", "right": <table/pipeline>, "col_l": ...,
      "col_r": ..., "max_dist": 2}  # q-gram edit-distance join
+    {"op": "near_dedup", ..., "keep_best": true, "score": "<expr>"}
+        # per-cluster argmax-score winner instead of greedy min-id
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "ngram_jaccard_dedup", "threshold": 0.6, "shingle_n": 3,
      "pairs_only": false}                              # exact, recall 1
@@ -262,12 +264,31 @@ def _apply(
 
         return exact_dedup(df, op["id_col"], op["text_col"])
     if kind == "near_dedup":
-        from qcardia_data_spark.functions.dedup import near_dedup_minhash
+        from qcardia_data_spark.functions.dedup import (
+            near_dedup_keep_best,
+            near_dedup_minhash,
+        )
 
         # max_bucket_size / star_rounds are the 100 TB recall/cost knobs
         # (boilerplate-bucket cap + rotated-hub rounds) — a spec config can
         # tune them without touching code; null max_bucket_size disables the
         # cap entirely (exhaustive in-bucket pairs).
+        # {"keep_best": true, "score": "<sql expr>"} switches winner
+        # selection from greedy min-id to per-CLUSTER argmax-score
+        # (default score: token count — the longest copy survives).
+        if op.get("keep_best", False):
+            return near_dedup_keep_best(
+                df, op["id_col"], op["text_col"],
+                score=F.expr(op["score"]) if "score" in op else None,
+                n_bands=int(op.get("n_bands", 8)),
+                shingle_n=int(op.get("shingle_n", 3)),
+                threshold=float(op.get("threshold", 0.6)),
+                max_bucket_size=(
+                    None if op.get("max_bucket_size", 1000) is None
+                    else int(op.get("max_bucket_size", 1000))
+                ),
+                star_rounds=int(op.get("star_rounds", 2)),
+            )
         return near_dedup_minhash(
             df, op["id_col"], op["text_col"],
             n_bands=int(op.get("n_bands", 8)),
@@ -799,14 +820,20 @@ def compile_stream_pipeline(
        "how": "inner"}   # stream-stream join; watermarks + time-bound
                          # condition required (state expiry)
       ...plus every STATELESS batch op (select / filter / with_columns /
-      rename / drop / explode) — reused verbatim from the batch compiler,
-      which is the point: one spec dialect, two execution modes.
+      rename / drop / explode / quality_filter / gopher_rules) — reused
+      verbatim from the batch compiler, which is the point: one spec
+      dialect, two execution modes. The two text gates are map-only
+      expressions, so a crawl STREAM can run the same quality spec ops
+      the batch corpus-prep chain uses.
 
     Stateful batch-only ops (join to static is allowed by Spark, but
     group_agg/sort/limit/sample are not meaningful mid-stream) raise
     SpecError at plan time.
     """
-    _STATELESS = {"select", "filter", "with_columns", "rename", "drop", "explode"}
+    _STATELESS = {
+        "select", "filter", "with_columns", "rename", "drop", "explode",
+        "quality_filter", "gopher_rules",
+    }
     df: DataFrame | None = None
     prior_ops: list[dict] = []
     for i, op in enumerate(ops):

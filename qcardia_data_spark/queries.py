@@ -2242,6 +2242,79 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_cluster_best",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    bands AS (SELECT doc_id, shingle, band
+              FROM sh, (SELECT unnest(range(8)) AS band) b),
+    sig AS (SELECT doc_id, band,
+                   min(md5(concat(shingle, '#', CAST(band AS VARCHAR)))) AS sig
+            FROM bands GROUP BY doc_id, band),
+    cand AS (SELECT DISTINCT sa.doc_id AS a, sb.doc_id AS b
+             FROM sig sa JOIN sig sb
+               ON sa.band = sb.band AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh s1 ON s1.doc_id = c.a
+              JOIN sh s2 ON s2.doc_id = c.b AND s2.shingle = s1.shingle
+              GROUP BY c.a, c.b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (SELECT c.a, c.b,
+                   CAST(coalesce(i.i, 0) AS DOUBLE)
+                     / (na.n + nb.n - coalesce(i.i, 0)) AS j
+            FROM cand c
+            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+            JOIN sizes na ON na.doc_id = c.a
+            JOIN sizes nb ON nb.doc_id = c.b),
+    edges AS (SELECT a, b FROM jac WHERE j >= 0.6),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach(v, r) AS (
+      SELECT v, v AS r FROM verts
+      UNION
+      SELECT re.v, s.b AS r FROM reach re JOIN sym s ON re.r = s.a
+    ),
+    comp AS (SELECT v, least(v, min(r)) AS component FROM reach GROUP BY v),
+    nt AS (SELECT doc_id, len(toks) AS n_tokens FROM norm),
+    ranked AS (
+      SELECT comp.v,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY nt.n_tokens DESC, comp.v) AS rn
+      FROM comp JOIN nt ON nt.doc_id = comp.v),
+    losers AS (SELECT v FROM ranked WHERE rn > 1)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT v FROM losers)
+    """,
+)
+def dedup_cluster_best_q(spark, sf_dir):
+    # [ext] quality-aware canonical selection: full transitive-closure
+    # clusters, keep each cluster's LONGEST member (token-count argmax,
+    # min-id tie-break) instead of the greedy min-id winner — "keep the
+    # complete copy, not the first-crawled one". Iterative CC replayed
+    # by the recursive-CTE oracle; selection fully value-graded.
+    docs = _t(spark, sf_dir, "documents")
+    return D.near_dedup_keep_best(docs, "doc_id", "text", threshold=0.6).select(
+        "doc_id"
+    )
+
+
+@_q(
     "dedup_simhash",
     r"""
     WITH t AS (
@@ -4859,9 +4932,9 @@ _PRIORITY = [
     # rewritten again: proper-gram slicing + (band, char) short blocking),
     # and r4-vintage dedup-family rows that share code paths with the r7
     # incremental-dedup work. 1 anchor + 9 net-new/changed + 40 stale =
-    # 50 slots exactly (the r4-refresh rows were displaced by net-new;
-    # dedup_minhash_lsh stays as code-touched -- r7's _band_signature_frame
-    # refactor runs inside it).
+    # 50 slots exactly (the r4-refresh dedup rows were displaced by
+    # net-new; dedup_cluster_best grades the r7-refactored
+    # _band_signature_frame chain in their place).
     #
     # ROUND-8 ROTATION PLAN: everything graded green-r7 rotates OUT; the
     # remaining r4-vintage rows (GRADE_WINDOW.json after regen -- ev_*
@@ -4877,6 +4950,7 @@ _PRIORITY = [
     "text_gopher_rules",
     "sim_pq_topk",
     "dedup_simhash_pairs",
+    "dedup_cluster_best",
     # --- r7 code-touched (fuzzy_string_join rewritten this round) ---
     "dedup_fuzzy_keys",
     # --- r3-vintage stale: projections family ---
@@ -4927,10 +5001,10 @@ _PRIORITY = [
     "emb_quantize_int8",
     "text_repetition_filter",
     # --- r4-vintage refresh: dedup family (shares minhash/signature code
-    # paths with the r7 incremental-dedup entry point; exact/simhash/
-    # duplicate_clusters were displaced by the three extra r7 net-new
-    # rows -- their paths are untouched since r4, rotate in next round) ---
-    "dedup_minhash_lsh",
+    # paths with the r7 incremental-dedup entry point were displaced by
+    # r7 net-new rows; dedup_cluster_best above runs the same
+    # _band_signature_frame + lsh_candidate_pairs + verify chain end-to-
+    # end, so the refactored signature path still gets a fresh grade ---
     # --- r7 code-touched: pairwise_topk_join's scoring tail moved into the
     # _topk_pair_scores helper shared with the persisted-LSH probe (the
     # value-graded md5 twin covers it; the invariant-only sim_ann_join was

@@ -320,3 +320,27 @@ def test_simhash_near_pairs_lossless_vs_naive(spark, sf_dir):
         }
         assert got == naive
     assert got[(9_000_001, 9_000_002)] == 0  # identical docs found at ham 0
+
+
+def test_keep_best_retains_longest_not_min_id(spark):
+    """near_dedup_keep_best must keep the LONGEST cluster member even when
+    it has the largest id (where min-id greedy would drop it), and default
+    to min id on exact ties."""
+    from qcardia_data_spark.functions.dedup import (
+        near_dedup_keep_best,
+        near_dedup_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                                   # truncated copy, low id
+        (2, base + " lambda mu nu xi omicron pi"),   # complete copy, high id
+        (3, "unrelated words entirely different content here okay then"),
+        (10, "tie tie one two three four five six"),
+        (11, "tie tie one two three four five six"),  # exact tie -> min id
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    best = {r["doc_id"] for r in near_dedup_keep_best(df, "doc_id", "text", threshold=0.5).collect()}
+    assert best == {2, 3, 10}  # longest wins the (1,2) cluster; tie -> 10
+    greedy = {r["doc_id"] for r in near_dedup_minhash(df, "doc_id", "text", threshold=0.5).collect()}
+    assert 1 in greedy and 2 not in greedy  # the behavior keep_best fixes

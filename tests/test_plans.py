@@ -1093,3 +1093,34 @@ def test_spec_gopher_rules_and_ngram_jaccard_ops(spark, sf_dir):
         sf_dir,
     )
     assert sorted(map(tuple, pairs_spec.collect())) == sorted(map(tuple, pairs.collect()))
+
+
+def test_stream_spec_text_gates_match_batch(spark, sf_dir, tmp_path):
+    """quality_filter + gopher_rules run INSIDE a stream spec (map-only
+    gates on a crawl stream) and keep exactly the batch gate's documents."""
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "stream_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    gates = [
+        {"op": "quality_filter", "text_col": "text", "min_tokens": 5},
+        {"op": "gopher_rules", "text_col": "text", "drop_failing": True,
+         "min_words": 20, "min_stop_hits": 1},
+    ]
+    stream = compile_stream_pipeline(
+        spark,
+        [{"op": "stream_source", "path": src, "schema": docs.schema,
+          "max_files_per_trigger": 100}] + gates
+        + [{"op": "select", "cols": ["doc_id"]}],
+    )
+    got = {r["doc_id"] for r in run_to_memory(stream).collect()}
+    want = {
+        r["doc_id"]
+        for r in compile_pipeline(
+            spark, [{"op": "source", "table": "documents"}] + gates, sf_dir
+        ).select("doc_id").collect()
+    }
+    assert got == want and got
