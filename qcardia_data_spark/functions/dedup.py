@@ -667,6 +667,103 @@ def simhash32_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(id_col, sig.alias("simhash"))
 
 
+def simhash64_md5_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit md5-parity SimHash as TWO 32-bit halves ``(lo, hi)`` — the
+    production signature width (32 bits saturate Hamming-k search on a
+    same-vocab ~100k corpus; see PERF.md), still engine-replayable: the
+    ``lo`` channel votes with bit 0 of each md5 hex digit (identical to
+    :func:`simhash32_table`), the ``hi`` channel with bit 1 of the SAME
+    digits — one md5 per token total, 64 independent vote streams."""
+    toks = spread_small_scan(df, id_col).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w")
+    )
+    h = F.md5("w")
+    hashed = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(h, 1 + 8 * q, 8), 16, 10).cast("long").alias(f"_q{q}")
+            for q in range(4)
+        ],
+    )
+
+    def vote(b: int, chan: int) -> Column:
+        digit = F.shiftright(F.col(f"_q{b // 8}"), 4 * (7 - b % 8))
+        bit = F.shiftright(digit, chan).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{chan}_{b}")
+
+    votes = hashed.groupBy(id_col).agg(
+        *[vote(b, 0) for b in range(32)], *[vote(b, 1) for b in range(32)]
+    )
+
+    def assemble(chan: int) -> Column:
+        sig = F.lit(0).cast("long")
+        for b in range(32):
+            sig = sig + F.when(
+                F.col(f"v{chan}_{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig
+
+    return votes.select(id_col, assemble(0).alias("lo"), assemble(1).alias("hi"))
+
+
+def simhash_near_pairs64(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """64-bit :func:`simhash_near_pairs`: Manku block-permutation blocking
+    over the (lo, hi) signature halves — ``k + 1`` blocks across the 64
+    bits, pigeonhole-lossless, ``bit_count(xor lo) + bit_count(xor hi)``
+    verify on candidates only. Block width ``64 / (k+1)`` must divide 32
+    (k ∈ {1, 3, 7, 15, 31}) so no block straddles the halves. Returns
+    distinct ``(a, b, hamming)`` with ``a < b``."""
+    k = int(max_hamming)
+    n_blocks = k + 1
+    if 64 % n_blocks != 0 or 32 % (64 // n_blocks) != 0:
+        raise ValueError(
+            f"simhash_near_pairs64: max_hamming={k} needs 64/(k+1) to "
+            "divide 32 (k in 1, 3, 7, 15, 31)"
+        )
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sig = simhash64_md5_table(df, id_col, text_col).localCheckpoint(eager=True)
+
+    def blocks_of(side: str) -> DataFrame:
+        s = sig.select(
+            F.col(id_col).alias(side),
+            F.col("lo").alias(f"_lo_{side}"), F.col("hi").alias(f"_hi_{side}"),
+        )
+        rows = []
+        for b in range(n_blocks):
+            lo_bit = b * width
+            half = f"_lo_{side}" if lo_bit < 32 else f"_hi_{side}"
+            off = lo_bit % 32
+            rows.append(
+                s.select(
+                    side, f"_lo_{side}", f"_hi_{side}", F.lit(b).alias("_blk"),
+                    F.shiftright(F.col(half), off).bitwiseAND(F.lit(mask)).alias("_val"),
+                )
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    cands = (
+        blocks_of("a")
+        .join(blocks_of("b"), ["_blk", "_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_lo_a", "_hi_a", "_lo_b", "_hi_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+        + F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+    )
+    return (
+        cands.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= k)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
 ) -> DataFrame:

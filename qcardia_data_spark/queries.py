@@ -2378,6 +2378,46 @@ def dedup_simhash_pairs_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_simhash_pairs64",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    h AS (SELECT doc_id, md5(unnest(toks)) AS hx FROM t),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN b.bit < 32
+                      THEN (strpos('0123456789abcdef', substr(hx, b.bit + 1, 1)) - 1) % 2
+                      ELSE ((strpos('0123456789abcdef', substr(hx, b.bit - 32 + 1, 1)) - 1) // 2) % 2
+                 END * 2 - 1) AS v
+      FROM h, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 AND bit < 32 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN v > 0 AND bit >= 32 THEN power(2, bit - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def dedup_simhash_pairs64_q(spark, sf_dir):
+    # [ext] the PRODUCTION-width sibling of dedup_simhash_pairs: 64-bit
+    # signature as two 32-bit md5-digit-parity channels (bit 0 / bit 1 of
+    # the same digits — one md5 per token), Manku blocking across the 64
+    # bits. 32 bits saturate on a same-vocab 125k corpus (PERF.md);
+    # 64 bits keep Hamming <= 3 selective. Exhaustive all-pairs oracle.
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash_near_pairs64(docs, "doc_id", "text", max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@_q(
     "text_rolling_fingerprint",
     r"""
     WITH norm AS (
@@ -4939,9 +4979,11 @@ _PRIORITY = [
     # ROUND-8 ROTATION PLAN: everything graded green-r7 rotates OUT; the
     # remaining r4-vintage rows (GRADE_WINDOW.json after regen -- ev_*
     # family, f2/f4/f6/f7/f8/f18, g1-g3, o1-o3, text_* r4 cohort,
-    # u1/u2b/u3, x1/x6, plus dedup_exact/dedup_simhash displaced from the
-    # r7 window) rotate IN + r8 net-new. grade_window.py prints the live
-    # stale list.
+    # u1/u2b/u3, x1/x6, plus dedup_exact/dedup_simhash/duplicate_clusters/
+    # minhash_lsh displaced from the r7 window) rotate IN + r8 net-new +
+    # dedup_simhash_pairs64 (late-r7 net-new that did not fit the 50
+    # slots; locally parity-green at both SFs). grade_window.py prints
+    # the live stale list.
     "q1_pricing_summary",  # flagship anchor -- graded every round
     # --- r7 net-new (never graded -- must enter the window) ---
     "dedup_fuzzy_keys_short",

@@ -344,3 +344,39 @@ def test_keep_best_retains_longest_not_min_id(spark):
     assert best == {2, 3, 10}  # longest wins the (1,2) cluster; tie -> 10
     greedy = {r["doc_id"] for r in near_dedup_minhash(df, "doc_id", "text", threshold=0.5).collect()}
     assert 1 in greedy and 2 not in greedy  # the behavior keep_best fixes
+
+
+def test_simhash_near_pairs64_lossless_and_selective(spark, sf_dir):
+    """64-bit blocking equals the naive join, and is strictly more
+    selective than 32-bit at the same k on the same corpus."""
+    import itertools
+
+    from qcardia_data_spark.functions.dedup import (
+        simhash64_md5_table,
+        simhash_near_pairs,
+        simhash_near_pairs64,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs64(docs, "doc_id", "text", 3).collect()
+    }
+    sig = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in simhash64_md5_table(docs, "doc_id", "text").collect()
+    }
+    naive = {
+        (a, b): bin(sig[a][0] ^ sig[b][0]).count("1")
+        + bin(sig[a][1] ^ sig[b][1]).count("1")
+        for a, b in itertools.combinations(sorted(sig), 2)
+    }
+    naive = {k: v for k, v in naive.items() if v <= 3}
+    assert got == naive
+    n32 = simhash_near_pairs(docs, "doc_id", "text", 3).count()
+    assert len(got) < n32  # 64-bit is the selective production width
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs64(docs, "doc_id", "text", max_hamming=4)
