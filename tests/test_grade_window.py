@@ -1,0 +1,40 @@
+"""Rotation-window discipline (VERDICT r6 "What's wrong" #2 made this a
+standing rule): the driver grades the FIRST 50 registry entries, so
+_PRIORITY must stay exactly 50, duplicate-free, anchored by the flagship,
+and must absorb every never-graded query up to its capacity."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_priority_window_shape():
+    from qcardia_data_spark.queries import _PRIORITY, QUERIES
+
+    assert len(_PRIORITY) == 50, "driver grades exactly the first 50"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate window slots"
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert _PRIORITY[0] == "q1_pricing_summary", "flagship anchor leads"
+    # registry ordering actually honors the window
+    assert list(QUERIES)[:50] == _PRIORITY
+
+
+def test_registry_contract():
+    import __spark_entry__ as E
+
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert set(qs) == set(sqls), "every query needs an oracle (and vice versa)"
+    assert len(qs) >= 145
+
+
+def test_grade_window_json_consistent_with_registry():
+    # GRADE_WINDOW.json is committed telemetry — it must describe the
+    # CURRENT registry (regen with `python grade_window.py` after edits)
+    from qcardia_data_spark.queries import QUERIES
+
+    d = json.load(open("GRADE_WINDOW.json"))
+    assert d["registry_size"] == len(QUERIES)
+    assert d["upcoming_window"] == list(QUERIES)[:50]
+    unknown = [n for n in d["never_graded"] if n not in QUERIES]
+    assert not unknown
