@@ -85,12 +85,44 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Host-state snapshot BEFORE the run: the r6→r7 series discontinuity
+    # (13.88 s → 17.2 s on byte-identical code, reproduced independently by
+    # the r7 judge and an r8 same-code re-run) was host-window drift, and
+    # the three readings could only be adjudicated after the fact. Record
+    # the confounds with every run so future comparisons carry them.
+    def _host_state() -> dict:
+        st: dict = {}
+        try:
+            st["loadavg_1m"] = float(open("/proc/loadavg").read().split()[0])
+        except Exception:
+            pass
+        try:
+            for line in open("/proc/meminfo"):
+                if line.startswith(("Cached:", "MemAvailable:")):
+                    k, v = line.split(":")
+                    st[k.strip().lower() + "_kb"] = int(v.split()[0])
+        except Exception:
+            pass
+        return st
+
+    host_before = _host_state()
+
     spark = get_spark(app_name="qds-bench")
     # warm up JVM/codegen and the parquet footers/file listing so the first
     # measured query reflects engine throughput, not session startup
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.count()
+        # full-column data warmup (on by default; 0 disables): parquet
+        # count() can serve from row-group metadata without paging in the
+        # data, so after something evicts the page cache (e.g. a 50 GB
+        # DuckDB spill) run 1 reads cold disk and a min-of-3 at repeats=1
+        # would masquerade as a regression. The noop write scans every
+        # column on the executors, pre-faulting the cache outside the
+        # timed section.
+        if os.environ.get("SPARK_GRAFT_BENCH_WARM_DATA", "1") != "0":
+            df.write.format("noop").mode("overwrite").save()
 
     # Best-of-N per query: a single timing inherits host noise (r2's driver
     # run recorded a uniform 1.3-1.6x "regression" across queries whose code
@@ -125,6 +157,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
+        "host": {"before": host_before, "after": _host_state()},
     }
     if errors:
         out["errors"] = errors

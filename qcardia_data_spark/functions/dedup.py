@@ -1230,6 +1230,55 @@ def _id_bucket(col: Column, n_buckets: int) -> Column:
     return _sig_bucket(col.cast("string"), n_buckets)
 
 
+_SIG_META_PARAMS = ("n_bands", "shingle_n", "n_sig_buckets", "n_id_buckets")
+_NUMERIC_ID_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+
+
+def _read_sig_meta(spark, path: str) -> dict | None:
+    """Read ``path/_sig_meta`` (None if absent — a pre-metadata index)."""
+    try:
+        row = spark.read.json(f"{path}/_sig_meta").collect()[0]
+    except Exception:
+        return None
+    return {k: row[k] for k in row.asDict()}
+
+
+def _write_sig_meta(spark, path: str, meta: dict) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_bands", T.IntegerType()),
+            T.StructField("shingle_n", T.IntegerType()),
+            T.StructField("n_sig_buckets", T.IntegerType()),
+            T.StructField("n_id_buckets", T.IntegerType()),
+            T.StructField("id_col", T.StringType()),
+            T.StructField("id_type", T.StringType()),
+            # stored as string so one schema covers long AND string ids;
+            # _id_as_meta_comparable casts it back per id_type
+            T.StructField("max_id", T.StringType(), nullable=True),
+        ]
+    )
+    row = tuple(
+        meta[f.name] if f.name != "max_id" or meta["max_id"] is None
+        else str(meta["max_id"])
+        for f in schema.fields
+    )
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_sig_meta")
+
+
+def _id_as_meta_comparable(raw: str | None, id_type: str):
+    """max_id is persisted as a string; compare numerically for numeric id
+    types (lexicographic '9' > '10' would corrupt the monotone check)."""
+    if raw is None:
+        return None
+    return float(raw) if id_type in _NUMERIC_ID_TYPES else raw
+
+
 def write_signature_index(
     df: DataFrame, id_col: str, text_col: str, path: str,
     n_bands: int = 8, shingle_n: int = 3,
@@ -1248,7 +1297,33 @@ def write_signature_index(
 
     Both partition keys are md5-derived (engine- and session-independent),
     so the index is appendable across runs (``mode="append"`` — what
-    :func:`near_dedup_incremental` ``update_index`` uses)."""
+    :func:`near_dedup_incremental` ``update_index`` uses).
+
+    The build parameters and the corpus max id are persisted to
+    ``path/_sig_meta`` (the ``_lsh_meta``/``_ivfpq_meta`` pattern: the
+    index and its probes can never drift) — :func:`near_dedup_incremental`
+    reads them back, validates any explicitly-passed parameters, and
+    enforces the monotone-id precondition against ``max_id``. Appends
+    validate the same parameters and ratchet ``max_id`` upward."""
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    params = {
+        "n_bands": int(n_bands), "shingle_n": int(shingle_n),
+        "n_sig_buckets": int(n_sig_buckets), "n_id_buckets": int(n_id_buckets),
+        "id_col": id_col, "id_type": id_type,
+    }
+    old = _read_sig_meta(spark, path) if mode == "append" else None
+    if old is not None:
+        drift = {
+            k: (old[k], params[k])
+            for k in (*_SIG_META_PARAMS, "id_col", "id_type")
+            if old.get(k) != params[k]
+        }
+        if drift:
+            raise ValueError(
+                f"write_signature_index(mode='append'): parameters differ "
+                f"from the index at {path!r} (meta vs caller): {drift}"
+            )
     sh = shingle_rows(
         spread_small_scan(df, id_col), id_col, text_col, shingle_n
     ).persist()
@@ -1265,29 +1340,64 @@ def write_signature_index(
         )
     finally:
         sh.unpersist()
+    batch_max = df.agg(F.max(id_col)).first()[0]  # bounded: one scalar
+    if mode == "append" and old is None and batch_max is not None:
+        # legacy no-meta index being appended to: recover the true corpus
+        # max from the index itself (one-column scan, one-time upgrade)
+        prior = spark.read.parquet(f"{path}/sigs").agg(F.max(id_col)).first()[0]
+        if prior is not None and _id_as_meta_comparable(
+            str(prior), id_type
+        ) > _id_as_meta_comparable(str(batch_max), id_type):
+            batch_max = prior
+    max_id = str(batch_max) if batch_max is not None else None
+    if old is not None and old.get("max_id") is not None:
+        if max_id is None or _id_as_meta_comparable(
+            old["max_id"], id_type
+        ) > _id_as_meta_comparable(max_id, id_type):
+            max_id = old["max_id"]
+    _write_sig_meta(spark, path, {**params, "max_id": max_id})
 
 
 def near_dedup_incremental(
     new_docs: DataFrame, index_path: str, id_col: str, text_col: str,
-    n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
-    n_sig_buckets: int = 64, n_id_buckets: int = 64,
+    n_bands: int | None = None, shingle_n: int | None = None,
+    threshold: float = 0.6,
+    n_sig_buckets: int | None = None, n_id_buckets: int | None = None,
     max_bucket_size: int | None = 1000, star_rounds: int = 2,
-    update_index: bool = False,
+    update_index: bool = False, allow_replay: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index (and within
     itself) WITHOUT re-signing the existing corpus. Returns the surviving
     new docs; with ``update_index`` their signatures and shingle sets are
     appended to the index, making the next batch incremental too.
 
+    Build parameters come from the index's own ``_sig_meta`` (written by
+    :func:`write_signature_index`): leave ``n_bands``/``shingle_n``/
+    ``n_sig_buckets``/``n_id_buckets`` as None to use the index's values;
+    any explicitly-passed value is VALIDATED against the meta and a
+    mismatch refuses loudly — a probe signed with different parameters
+    than the index silently misses duplicates (wrong partitions pruned,
+    incomparable signatures), which is exactly the drift the meta file
+    exists to prevent.
+
     Semantics match the full run exactly: provided the index holds an
     already-deduped corpus whose ids precede the batch's (the standard
-    monotonically-increasing crawl-id layout), the union of index docs and
-    this function's survivors equals ``near_dedup_minhash`` over the
-    combined corpus (index docs carry no verified pairs among themselves —
-    the min-id greedy's survivor invariant — so the full run could only
-    drop BATCH docs, and it drops exactly those with a verified pair to an
-    index doc or a smaller batch doc: precisely this function's losers).
-    Property-tested against the full run in tests/test_incremental_dedup.py.
+    monotonically-increasing crawl-id layout) and no LSH bucket overflows
+    ``max_bucket_size`` (the hot-bucket star guard fires on neither side —
+    bucket sizes differ between batch-only and combined-corpus runs, so a
+    guard-triggering boilerplate-heavy corpus can diverge), the union of
+    index docs and this function's survivors equals ``near_dedup_minhash``
+    over the combined corpus (index docs carry no verified pairs among
+    themselves — the min-id greedy's survivor invariant — so the full run
+    could only drop BATCH docs, and it drops exactly those with a verified
+    pair to an index doc or a smaller batch doc: precisely this function's
+    losers). The monotone-id half of that precondition is ENFORCED: the
+    batch's min id must exceed the index meta's ``max_id`` or this raises
+    ``ValueError`` (``allow_replay=True`` waives it for the streaming
+    intake's retried micro-batches, whose ids legitimately overlap their
+    own appended copies — the same-id guard below keeps the replay
+    idempotent). Property-tested against the full run in
+    tests/test_incremental_dedup.py.
 
     100 TB shape: the batch is signed once (O(batch) work); the index side
     is read with ``sig_bucket IN (batch's buckets)`` — a PARTITION filter
@@ -1300,6 +1410,57 @@ def near_dedup_incremental(
     equality of a full band signature is already a strong filter.
     """
     spark = new_docs.sparkSession
+    meta = _read_sig_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"near_dedup_incremental: no _sig_meta at {index_path!r} — the "
+            "index was not written by write_signature_index (or the path "
+            "is wrong). Rebuild it; probing with guessed parameters "
+            "silently misses duplicates."
+        )
+    caller = {
+        "n_bands": n_bands, "shingle_n": shingle_n,
+        "n_sig_buckets": n_sig_buckets, "n_id_buckets": n_id_buckets,
+    }
+    drift = {
+        k: (meta[k], v)
+        for k, v in caller.items()
+        if v is not None and int(v) != int(meta[k])
+    }
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    if id_col != meta["id_col"] or id_type != meta["id_type"]:
+        drift["id"] = (
+            f"{meta['id_col']}:{meta['id_type']}", f"{id_col}:{id_type}"
+        )
+    if drift:
+        raise ValueError(
+            f"near_dedup_incremental: parameters differ from the index at "
+            f"{index_path!r} (meta vs caller): {drift} — pass None to use "
+            "the index's own values."
+        )
+    n_bands, shingle_n = int(meta["n_bands"]), int(meta["shingle_n"])
+    n_sig_buckets = int(meta["n_sig_buckets"])
+    n_id_buckets = int(meta["n_id_buckets"])
+
+    batch_min, batch_max = new_docs.agg(
+        F.min(id_col), F.max(id_col)
+    ).first()  # bounded: two scalars
+    idx_max = _id_as_meta_comparable(meta.get("max_id"), id_type)
+    if (
+        not allow_replay
+        and batch_min is not None
+        and idx_max is not None
+        and _id_as_meta_comparable(str(batch_min), id_type) <= idx_max
+    ):
+        raise ValueError(
+            f"near_dedup_incremental: batch min id {batch_min!r} does not "
+            f"exceed the index's max id {meta['max_id']!r} — the "
+            "full-corpus-equivalence invariant requires monotonically "
+            "increasing ids across batches (the min-id greedy would "
+            "silently keep the wrong copies). Re-id the batch, or pass "
+            "allow_replay=True if this is a retried micro-batch being "
+            "reprocessed against its own appended signatures."
+        )
     sh_new = shingle_rows(
         spread_small_scan(new_docs, id_col), id_col, text_col, shingle_n
     ).persist()
@@ -1408,6 +1569,16 @@ def near_dedup_incremental(
                 .write.mode("append").partitionBy("id_bucket")
                 .parquet(f"{index_path}/shingle_sets")
             )
+            # ratchet the meta's max_id over the FULL batch (kept or
+            # dropped — the next batch's ids must clear this crawl
+            # entirely, matching the monotone crawl-id layout)
+            if batch_max is not None and (
+                idx_max is None
+                or _id_as_meta_comparable(str(batch_max), id_type) > idx_max
+            ):
+                _write_sig_meta(
+                    spark, index_path, {**meta, "max_id": str(batch_max)}
+                )
     finally:
         sh_new.unpersist()
     return kept

@@ -763,20 +763,34 @@ def _apply(
         #  week's batch stays incremental — the 100 TB operating mode.
         from qcardia_data_spark.functions.dedup import near_dedup_incremental
 
+        # signature knobs default to None → taken from the index's own
+        # _sig_meta; a spec that DOES pin them gets the refuse-loudly
+        # drift validation inside near_dedup_incremental
         return near_dedup_incremental(
             df, op["index_path"],
             op.get("id_col", "doc_id"), op.get("text_col", "text"),
-            n_bands=int(op.get("n_bands", 8)),
-            shingle_n=int(op.get("shingle_n", 3)),
+            n_bands=(
+                None if op.get("n_bands") is None else int(op["n_bands"])
+            ),
+            shingle_n=(
+                None if op.get("shingle_n") is None else int(op["shingle_n"])
+            ),
             threshold=float(op.get("threshold", 0.6)),
-            n_sig_buckets=int(op.get("n_sig_buckets", 64)),
-            n_id_buckets=int(op.get("n_id_buckets", 64)),
+            n_sig_buckets=(
+                None if op.get("n_sig_buckets") is None
+                else int(op["n_sig_buckets"])
+            ),
+            n_id_buckets=(
+                None if op.get("n_id_buckets") is None
+                else int(op["n_id_buckets"])
+            ),
             max_bucket_size=(
                 None if op.get("max_bucket_size", 1000) is None
                 else int(op.get("max_bucket_size", 1000))
             ),
             star_rounds=int(op.get("star_rounds", 2)),
             update_index=bool(op.get("update_index", False)),
+            allow_replay=bool(op.get("allow_replay", False)),
         )
     if kind == "zorder_write":
         # materialization boundary like "cache", but with a Z-ordered layout:

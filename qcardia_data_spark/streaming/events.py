@@ -280,6 +280,12 @@ def streaming_near_dedup_intake(
             batch_df, index_path, id_col, text_col,
             n_bands=n_bands, shingle_n=shingle_n, threshold=threshold,
             update_index=True,
+            # a retried micro-batch's ids overlap its own appended index
+            # copies — the monotone-id guard must not kill the retry; the
+            # same-id filter inside near_dedup_incremental keeps the
+            # replay idempotent, and the checkpoint guarantees batches
+            # otherwise arrive in order
+            allow_replay=True,
         )
         (
             kept.withColumn("_batch", F.lit(batch_id))

@@ -38,3 +38,22 @@ def test_grade_window_json_consistent_with_registry():
     assert d["upcoming_window"] == list(QUERIES)[:50]
     unknown = [n for n in d["never_graded"] if n not in QUERIES]
     assert not unknown
+
+
+def test_grade_window_json_fresh():
+    # VERDICT r7 "What's wrong" #3: the committed GRADE_WINDOW.json said
+    # as_of_round 6 while CORRECTNESS_r07.json existed — stale telemetry
+    # presented as current. Freshness is now a standing assertion: the
+    # file must be regenerated after each round's CORRECTNESS lands.
+    import glob
+    import re
+
+    latest = max(
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob("CORRECTNESS_r*.json")
+    )
+    d = json.load(open("GRADE_WINDOW.json"))
+    assert d["as_of_round"] == latest, (
+        f"GRADE_WINDOW.json as_of_round={d['as_of_round']} but newest "
+        f"CORRECTNESS file is r{latest}: rerun `python grade_window.py`"
+    )
