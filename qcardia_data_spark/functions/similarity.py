@@ -252,10 +252,36 @@ def ann_ivf_topk_pruned(
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def normalize_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Replace ``vec_col`` with its unit-length projection (zero vectors
+    pass through). On the unit sphere L2 and cosine rank identically
+    (||q−x||² = 2−2cosθ) — the equivalence that lets the IVF+PQ index use
+    ONE metric end-to-end (cosine cell selection, L2 ADC ranking) without
+    the two orderings disagreeing on unnormalized inputs.
+
+    The norm crosses an ``explode(array(...))`` generator barrier before
+    the per-element division: Catalyst collapses projections and has no
+    CSE across higher-order-function lambdas, so an inlined norm would
+    re-run the O(d) fold per element — O(d²)/row (PERF.md measured
+    lessons #0/#1)."""
+    d = F.col(vec_col).cast("array<double>")
+    others = [c for c in df.columns if c != vec_col]
+    with_n = df.select(
+        *df.columns, F.explode(F.array(l2_norm(d))).alias("_nrm")
+    )
+    unit = F.when(
+        F.col("_nrm") > 0, F.transform(d, lambda x: x / F.col("_nrm"))
+    ).otherwise(d)
+    return with_n.select(*others, unit.alias(vec_col))
+
+
 def ivfpq_write_partitioned(
     embeddings: DataFrame, path: str, n_cells: int = 16,
     m: int = 8, k_codes: int = 16, seed: int = 0, n_refine: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> None:
     """Materialize the FAISS-style IVF+PQ index: vectors are assigned to
     IVF cells (which become parquet PARTITION directories — probes prune
@@ -271,9 +297,22 @@ def ivfpq_write_partitioned(
     Plain per-vector PQ (not residual-PQ): the codebooks stay globally
     shared, which keeps the encode a single map pass and the oracle
     replayable — residual encoding is a drop-in refinement if recall at
-    very low m ever matters."""
+    very low m ever matters.
+
+    With ``normalize`` (default) vectors are projected to unit length
+    before BOTH the cell assignment and the PQ training/encode, and the
+    flag is recorded in the meta so the probe normalizes its query the
+    same way. This keeps the index on ONE metric: cell selection by
+    cosine and ADC ranking by L2 agree on the unit sphere
+    (||q−x||² = 2−2cosθ), whereas on raw vectors the two orderings
+    diverge and recall degrades against either metric's true top-k.
+    ``normalize=False`` preserves raw-L2 ADC for corpora where magnitude
+    is meaningful — then cell selection is L2-inconsistent by
+    construction and documented as such."""
     import json as _json
 
+    if normalize:
+        embeddings = normalize_vectors(embeddings, vec_col)
     assigned, centroids = ivf_assign(
         embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
     )
@@ -296,9 +335,10 @@ def ivfpq_write_partitioned(
         [(
             _json.dumps(cents), _json.dumps(cb),
             int(n_cells), int(m), int(k_codes), int(seed), int(n_refine),
+            bool(normalize),
         )],
         ["centroids_json", "codebooks_json", "n_cells", "m", "k_codes",
-         "seed", "n_refine"],
+         "seed", "n_refine", "normalize"],
     )
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
 
@@ -313,7 +353,12 @@ def ann_ivfpq_topk_pruned(
     directories (``cell IN (...)`` is a partition filter), and rank the
     surviving PQ codes by asymmetric distance against the index's own
     codebooks. Nothing full-precision is read from the corpus at probe
-    time — the query is the only float vector in the plan."""
+    time — the query is the only float vector in the plan.
+
+    The index meta's ``normalize`` flag is honored: a normalized index
+    gets a normalized query, so the cosine cell selection and the L2 ADC
+    ranking agree (unit-sphere equivalence — see
+    :func:`ivfpq_write_partitioned`)."""
     import json as _json
 
     import numpy as np
@@ -322,6 +367,11 @@ def ann_ivfpq_topk_pruned(
     cents = _json.loads(meta["centroids_json"])
     cb = _json.loads(meta["codebooks_json"])
     q = np.asarray(list(query_vec), dtype=np.float64)
+    # pre-r8 indexes have no normalize field → raw (False)
+    if "normalize" in meta.__fields__ and meta["normalize"]:
+        nq = float(np.sqrt(q @ q))
+        if nq > 0:
+            q = q / nq
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
@@ -409,6 +459,10 @@ def pq_encode(
     from qcardia_data_spark.operators.sorts import seeded_sample_n
 
     first = embeddings.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError(
+            "pq_encode: empty embeddings input — nothing to train on"
+        )
     d = int(first[0])
     if d % m != 0:
         raise ValueError(f"pq_encode: dim {d} not divisible by m={m}")

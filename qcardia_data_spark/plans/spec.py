@@ -88,6 +88,16 @@ Spec grammar (one dict per op, applied in order):
     {"op": "inverted_index_write", "path": ..., "id_col": ...,
      "text_col": ..., "n_buckets": 64}   # side artifact: BM25 postings
         (probe later with retrieval.bm25_topk_from_index)
+    {"op": "ann_index_write", "path": ..., "kind": "lsh"|"ivfpq",
+     "id_col": ..., "vec_col": ..., ...index params...}
+        # side artifact: persisted ANN index (hyperplane-bucket LSH or
+        # cell-partitioned IVF+PQ); frame passes through unchanged
+    {"op": "ann_probe", "index_path": ..., "k": 5, ...}
+        # probe a persisted ANN index; the index KIND and its build
+        # params come from the index's own meta (_lsh_meta/_ivfpq_meta),
+        # so spec and index can never drift. LSH: current frame = probe
+        # batch -> per-row top-k join. IVF+PQ: "query_id" picks the query
+        # row from the current frame -> ADC top-k, "n_probe" cells read
 """
 
 from __future__ import annotations
@@ -735,6 +745,103 @@ def _apply(
             n_buckets=int(op.get("n_buckets", 64)),
         )
         return df
+    if kind == "ann_index_write":
+        # materialization boundary like inverted_index_write: persist the
+        # current frame as a standing ANN index (a side artifact probed
+        # later via ann_probe), pass the frame through unchanged
+        ikind = op.get("kind", "lsh")
+        if ikind == "lsh":
+            from qcardia_data_spark.functions.similarity import (
+                lsh_write_partitioned,
+            )
+
+            lsh_write_partitioned(
+                df, op["path"],
+                n_planes=int(op.get("n_planes", 6)),
+                seed=int(op.get("seed", 0)),
+                id_col=op.get("id_col", "vec_id"),
+                vec_col=op.get("vec_col", "embedding"),
+            )
+        elif ikind == "ivfpq":
+            from qcardia_data_spark.functions.similarity import (
+                ivfpq_write_partitioned,
+            )
+
+            ivfpq_write_partitioned(
+                df, op["path"],
+                n_cells=int(op.get("n_cells", 16)),
+                m=int(op.get("m", 8)),
+                k_codes=int(op.get("k_codes", 16)),
+                seed=int(op.get("seed", 0)),
+                n_refine=int(op.get("n_refine", 1)),
+                id_col=op.get("id_col", "vec_id"),
+                vec_col=op.get("vec_col", "embedding"),
+                normalize=bool(op.get("normalize", True)),
+            )
+        else:
+            raise SpecError(f"ann_index_write: unknown kind {ikind!r}")
+        return df
+    if kind == "ann_probe":
+        # {"op": "ann_probe", "index_path": ..., "k": 5,
+        #  "id_col"/"vec_col": ..., LSH extra: "id_right";
+        #  IVF+PQ extra: "query_id", "n_probe"} — the index kind and its
+        #  build params are read from the index's OWN meta file (the
+        #  bm25_topk_from_index form): specs carry only the path + probe
+        #  knobs, so a spec can never sign/bucket differently than the
+        #  index it probes.
+        path = op["index_path"]
+
+        def _has_meta(name: str) -> bool:
+            try:
+                spark.read.json(f"{path}/{name}").first()
+                return True
+            except Exception:
+                return False
+
+        if _has_meta("_lsh_meta"):
+            from qcardia_data_spark.functions.similarity import (
+                pairwise_topk_join_pruned,
+            )
+
+            id_left = op.get("id_col", "vec_id")
+            id_right = op.get("id_right", "vec_id")
+            if id_left == id_right:
+                # probe batch and index share the id name (the common
+                # self-join case): disambiguate the probe side — output
+                # columns become (<id>_probe, <id>, score)
+                probe_id = f"{id_left}_probe"
+                df = df.withColumnRenamed(id_left, probe_id)
+                id_left = probe_id
+            return pairwise_topk_join_pruned(
+                df, path, k=int(op.get("k", 5)),
+                id_left=id_left, id_right=id_right,
+                vec_col=op.get("vec_col", "embedding"),
+            )
+        if _has_meta("_ivfpq_meta"):
+            from qcardia_data_spark.functions.similarity import (
+                ann_ivfpq_topk_pruned,
+            )
+
+            if "query_id" not in op:
+                raise SpecError("ann_probe (ivfpq): 'query_id' required")
+            id_col = op.get("id_col", "vec_id")
+            vec_col = op.get("vec_col", "embedding")
+            row = df.filter(
+                F.col(id_col) == op["query_id"]
+            ).select(vec_col).first()  # bounded: one query row
+            if row is None:
+                raise SpecError(
+                    f"ann_probe: query_id {op['query_id']!r} not in frame"
+                )
+            return ann_ivfpq_topk_pruned(
+                spark, path, row[0], k=int(op.get("k", 10)),
+                n_probe=int(op.get("n_probe", 4)), id_col=id_col,
+            )
+        raise SpecError(
+            f"ann_probe: no _lsh_meta or _ivfpq_meta under {path!r} — not "
+            "an ANN index written by ann_index_write/lsh_write_partitioned/"
+            "ivfpq_write_partitioned"
+        )
     if kind == "signature_index_write":
         # {"op": "signature_index_write", "path": ..., "id_col": ...,
         #  "text_col": ..., "n_bands": 8, "shingle_n": 3, "mode":

@@ -3365,18 +3365,34 @@ def emb_random_projection(spark, sf_dir):
     )
 
 
-def _ivf_assign_cte() -> str:
+def _ivf_assign_cte(normalized: bool = False) -> str:
     """Shared DuckDB CTE chain for the deterministic IVF/k-means
     assignment: md5-seeded centroid sample → argmax-cosine assignment →
     one Lloyd round (per-cell per-dim means, empty cells keep seeds) →
     reassignment (``a1`` = final vec_id→cell, ``c1`` = final centroids).
-    Used by both the sim_ivf_topk probe oracle and the dedup_semantic
-    oracle — one transcription of the iterative pipeline, two queries."""
+    Used by the sim_ivf_topk probe oracle, the dedup_semantic oracle and
+    (``normalized=True`` — unit-length vectors, the IVF+PQ index's
+    one-metric invariant) the sim_ivfpq_topk oracle — one transcription
+    of the iterative pipeline, three queries."""
     seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
-    return f"""
+    if normalized:
+        v_cte = """
+    WITH v0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rd
+      FROM embeddings),
+    vn AS (SELECT vec_id, rd,
+                  sqrt(list_sum(list_transform(rd, x -> x * x))) AS nn
+           FROM v0),
+    v AS (SELECT vec_id,
+                 CASE WHEN nn > 0 THEN list_transform(rd, x -> x / nn)
+                      ELSE rd END AS d
+          FROM vn),"""
+    else:
+        v_cte = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
-      FROM embeddings),
+      FROM embeddings),"""
+    return v_cte + f"""
     c0 AS (
       SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS cell, d AS c
       FROM v ORDER BY {seed_order} LIMIT 16),
@@ -3926,6 +3942,109 @@ def sim_pq(spark, sf_dir):
     codes, cb = SIM.pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return SIM.pq_adc_topk(codes, cb, qvec, k=10)
+
+
+def _ivfpq_oracle_sql(
+    m: int = 8, d: int = 64, k_codes: int = 16, n_probe: int = 4, k: int = 10
+) -> str:
+    """The PERSISTED IVF+PQ probe restated in DuckDB SQL: unit-normalize
+    (the index's one-metric invariant — cosine cell selection ≡ L2 ADC on
+    the unit sphere), run the shared deterministic k-means chain for the
+    cell layout, train the PQ codebooks (md5-seeded + one Lloyd round,
+    ``p``-prefixed CTEs — same recipe as _pq_oracle_sql but over the
+    normalized vectors), restrict candidates to the ``n_probe``
+    cosine-closest cells, and rank by round-6 asymmetric distance. The
+    Spark side writes the index to parquet and probes it back
+    (ivfpq_write_partitioned → ann_ivfpq_topk_pruned), so a value match
+    grades the index round-trip, the partition-pruned probe, and the
+    normalize flag in one row."""
+    ds = d // m
+    seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
+    return _ivf_assign_cte(normalized=True) + f""",
+    -- PQ training over the SAME normalized vectors (p-prefixed CTEs)
+    subs AS (SELECT unnest(range({m})) AS sub),
+    subr AS (SELECT vec_id, sub, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS sd
+             FROM v CROSS JOIN subs),
+    pseeds AS (
+      SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS code, d
+      FROM v ORDER BY {seed_order} LIMIT {k_codes}),
+    pc0 AS (SELECT sub, code, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS c
+            FROM pseeds CROSS JOIN subs),
+    pp0 AS (SELECT subr.vec_id, subr.sub, pc0.code,
+                   unnest(subr.sd) AS x, unnest(pc0.c) AS y
+            FROM subr JOIN pc0 ON pc0.sub = subr.sub),
+    ps0 AS (SELECT vec_id, sub, code, round(sum((x-y)*(x-y)), 6) AS dist
+            FROM pp0 GROUP BY vec_id, sub, code),
+    pa0 AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist, code) AS rn
+              FROM ps0) WHERE rn = 1),
+    pmres AS (SELECT pa0.sub, pa0.code, unnest(subr.sd) AS val,
+                     unnest(range({ds})) AS dim
+              FROM subr JOIN pa0 ON pa0.vec_id = subr.vec_id AND pa0.sub = subr.sub),
+    pmm AS (SELECT sub, code, dim, avg(val) AS mv
+            FROM pmres GROUP BY sub, code, dim),
+    pc1m AS (SELECT sub, code, list(mv ORDER BY dim) AS c
+             FROM pmm GROUP BY sub, code),
+    pc1 AS (SELECT pc0.sub, pc0.code, coalesce(pc1m.c, pc0.c) AS c
+            FROM pc0 LEFT JOIN pc1m ON pc1m.sub = pc0.sub AND pc1m.code = pc0.code),
+    pp1 AS (SELECT subr.vec_id, subr.sub, pc1.code,
+                   unnest(subr.sd) AS x, unnest(pc1.c) AS y
+            FROM subr JOIN pc1 ON pc1.sub = subr.sub),
+    ps1 AS (SELECT vec_id, sub, code, round(sum((x-y)*(x-y)), 6) AS dist
+            FROM pp1 GROUP BY vec_id, sub, code),
+    pa1 AS (SELECT vec_id, sub, code FROM (
+              SELECT vec_id, sub, code,
+                     row_number() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY dist, code) AS rn
+              FROM ps1) WHERE rn = 1),
+    -- probe: the n_probe cells cosine-closest to the vec_id = 0 query
+    q AS (SELECT d AS qd FROM v WHERE vec_id = 0),
+    cpq AS (SELECT c1.cell, unnest(c1.c) AS x, unnest(q.qd) AS y
+            FROM c1 CROSS JOIN q),
+    csq AS (SELECT cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+            FROM cpq GROUP BY cell),
+    probe AS (SELECT cell FROM csq ORDER BY cs DESC, cell LIMIT {n_probe}),
+    cand AS (SELECT vec_id FROM a1
+             WHERE cell IN (SELECT cell FROM probe)),
+    -- ADC vs the query: per-sub round-6 lookup dists, summed
+    qs AS (SELECT sub, list_slice(q.qd, sub*{ds} + 1, sub*{ds} + {ds}) AS qd
+           FROM q CROSS JOIN subs),
+    lt AS (SELECT pa1.vec_id, pa1.sub, pc1.c, qs.qd
+           FROM pa1 JOIN cand USING (vec_id)
+           JOIN pc1 ON pc1.sub = pa1.sub AND pc1.code = pa1.code
+           JOIN qs ON qs.sub = pa1.sub),
+    pd AS (SELECT vec_id, sub, unnest(c) AS y, unnest(qd) AS x FROM lt),
+    sd_ AS (SELECT vec_id, sub, round(sum((x-y)*(x-y)), 6) AS dsub
+            FROM pd GROUP BY vec_id, sub),
+    tot AS (SELECT vec_id, round(sum(dsub), 6) AS adist FROM sd_ GROUP BY vec_id)
+    SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT {k}
+    """
+
+
+@_q("sim_ivfpq_topk", _ivfpq_oracle_sql())
+def sim_ivfpq(spark, sf_dir):
+    # [ext] The persisted IVF+PQ index END TO END (VERDICT r7 #6: the
+    # probe paths were tests-only): write the cell-partitioned PQ-coded
+    # index (unit-normalized — one metric end-to-end), then probe it back
+    # for the vec_id=0 query. The probe reads only the n_probe cell
+    # directories (partition filter) and never a full-precision corpus
+    # vector; the oracle replays normalize → k-means cells → PQ train →
+    # cell probe → ADC entirely in SQL.
+    import os as _os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"ivfpq_idx_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIM.ivfpq_write_partitioned(
+        emb, path, n_cells=16, m=8, k_codes=16, seed=0, n_refine=1
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
 
 
 @_q("sim_ivf_topk", _ivf_oracle_sql())
@@ -5141,11 +5260,21 @@ _PRIORITY = [
 ]
 
 
+# Queued for the NEXT round's window (registry positions 51+, in order):
+# declared net-new that did not fit this round's 50 slots. Keeping them
+# immediately after the window makes "first in line" a property of the
+# registry itself, not a comment.
+_NEXT_IN_LINE = [
+    "sim_ivfpq_topk",
+]
+
+
 def _reorder_registry() -> None:
-    missing = [n for n in _PRIORITY if n not in QUERIES]
+    lead = _PRIORITY + [n for n in _NEXT_IN_LINE if n not in _PRIORITY]
+    missing = [n for n in lead if n not in QUERIES]
     if missing:  # fail loud at import — a typo here silently loses coverage
         raise KeyError(f"_PRIORITY names not in QUERIES: {missing}")
-    ordered = {n: QUERIES[n] for n in _PRIORITY}
+    ordered = {n: QUERIES[n] for n in lead}
     ordered.update((n, v) for n, v in QUERIES.items() if n not in ordered)
     QUERIES.clear()
     QUERIES.update(ordered)

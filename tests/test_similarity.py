@@ -449,12 +449,20 @@ def test_ivfpq_partitioned_layout_prunes_and_matches_in_memory(spark, sf_dir, tm
     q = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]
     got = ann_ivfpq_topk_pruned(spark, path, q, k=5, n_probe=3).collect()
 
-    # (2) parity with in-memory: same assignment + codes, probe the same cells
-    assigned, centroids = ivf_assign(emb, 8, 0, 1)
-    codes, cb = pq_encode(emb, m=8, k_codes=16, seed=0, n_refine=1)
+    # (2) parity with in-memory: same assignment + codes, probe the same
+    # cells. The index normalizes by default (one-metric invariant), so
+    # the in-memory replica trains on the normalized frame and the query
+    # is normalized too.
+    from qcardia_data_spark.functions.similarity import normalize_vectors
+
+    nemb = normalize_vectors(emb)
+    assigned, centroids = ivf_assign(nemb, 8, 0, 1)
+    codes, cb = pq_encode(nemb, m=8, k_codes=16, seed=0, n_refine=1)
     import numpy as np
 
     qv = np.asarray(list(q), dtype=np.float64)
+    qv = qv / np.sqrt(qv @ qv)
+    q = [float(x) for x in qv]
     cents = {r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
              for r in centroids.collect()}
 

@@ -2,7 +2,8 @@
 VERDICT r6 #6): one declarative pipeline covering jsonl scan, language +
 quality gates, span + MinHash dedup, the frozen classifier Pareto gate,
 DSIR, UniMax budgets, decontamination and sequence packing, compiled by
-plans.spec.compile_pipeline."""
+plans.spec.compile_pipeline. Plus the persisted-ANN spec pair
+(ann_index_write → ann_probe, VERDICT r7 #5)."""
 
 from __future__ import annotations
 
@@ -92,3 +93,86 @@ def test_frozen_classifier_spec_op_matches_function(spark, sf_dir, e2e_spec):
     assert sorted(map(tuple, via_spec.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_ann_spec_pair_lsh_and_ivfpq(spark, sf_dir, tmp_path):
+    """ann_index_write → ann_probe spec chain equals the direct library
+    calls, for BOTH index kinds, with the probe params coming from the
+    index's own meta (VERDICT r7 #5: the persisted ANN probes join the
+    declarative dialect)."""
+    from qcardia_data_spark.functions.similarity import (
+        ann_ivfpq_topk_pruned,
+        pairwise_topk_join_pruned,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    # --- LSH: write via spec (non-default n_planes), probe a sub-batch ---
+    lsh = str(tmp_path / "lsh_idx")
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "ann_index_write", "kind": "lsh", "path": lsh,
+             "n_planes": 4, "seed": 3},
+        ],
+        sf_dir,
+    )
+    got = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "filter", "expr": "vec_id < 40"},
+            {"op": "ann_probe", "index_path": lsh, "k": 3},
+        ],
+        sf_dir,
+    )
+    want = pairwise_topk_join_pruned(
+        emb.filter(F.col("vec_id") < 40).withColumnRenamed(
+            "vec_id", "vec_id_probe"
+        ),
+        lsh, k=3, id_left="vec_id_probe", id_right="vec_id",
+    )
+    key = lambda r: (r[0], r[1], round(r[2], 9))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # --- IVF+PQ: write via spec, probe by query_id ---
+    ivfpq = str(tmp_path / "ivfpq_idx")
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "ann_index_write", "kind": "ivfpq", "path": ivfpq,
+             "n_cells": 8, "m": 8, "k_codes": 16, "seed": 0},
+        ],
+        sf_dir,
+    )
+    got2 = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "ann_probe", "index_path": ivfpq, "query_id": 3,
+             "k": 5, "n_probe": 3},
+        ],
+        sf_dir,
+    )
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    want2 = ann_ivfpq_topk_pruned(spark, ivfpq, q, k=5, n_probe=3)
+    key2 = lambda r: (r["vec_id"], round(r["adist"], 9))  # noqa: E731
+    assert [key2(r) for r in got2.collect()] == [
+        key2(r) for r in want2.collect()
+    ]
+
+
+def test_ann_probe_refuses_non_index_path(spark, sf_dir, tmp_path):
+    from qcardia_data_spark.plans.spec import SpecError
+
+    with pytest.raises(SpecError, match="_lsh_meta or _ivfpq_meta"):
+        compile_pipeline(
+            spark,
+            [
+                {"op": "source", "table": "embeddings"},
+                {"op": "ann_probe", "index_path": str(tmp_path / "nope")},
+            ],
+            sf_dir,
+        )
