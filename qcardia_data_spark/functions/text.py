@@ -100,8 +100,17 @@ def gopher_rules(
     gate: word-count bounds, mean-word-length band, symbol-to-word ratio
     (``#`` and ellipses), minimum fraction of words containing an
     alphabetic character, and a ≥2-distinct-stopwords requirement.
-    Complements :func:`repetition_scores` (Gopher's repetition rule
-    family) — together they are the full Gopher filter.
+
+    Documented deviations from the paper: A1.1 applies the 0.1
+    symbol-ratio threshold to ``#`` and to ellipses SEPARATELY; this
+    implementation pools the two counts into one ratio against the same
+    threshold — strictly STRICTER (a doc passing both per-symbol checks
+    can fail the pooled one, never the reverse), kept because one
+    regexp pass is cheaper and the combined gate is the conservative
+    side. The paper's line-format rules (≥90 % lines starting with a
+    bullet, ≥30 % ending in an ellipsis) are NOT implemented here —
+    :func:`repetition_scores` covers the repetition rule family, so the
+    pair approximates (not reproduces) the full Gopher filter.
 
     ``toks`` is the token ARRAY column — callers should materialize it
     through an ``explode(array(...))`` generator barrier first (the
