@@ -160,6 +160,44 @@ def gopher_rules(
     }
 
 
+def line_format_scores(lines: Column) -> dict[str, Column]:
+    """[ext] Gopher line-format rules (Rae et al. 2021, Appendix A1.1) —
+    the rule family :func:`gopher_rules` documents as not covered there:
+    drop a document if more than 90 % of its lines start with a bullet
+    point or more than 30 % end with an ellipsis. ``lines`` is the line
+    ARRAY column (pre-split by the caller — newline corpora split on
+    ``\\n``; callers should materialize it through an
+    ``explode(array(...))`` generator barrier first, the
+    :func:`gopher_rules` pattern, since the array is referenced 3× and
+    higher-order lambdas get no cross-reference CSE).
+
+    Bullets: ``- ``/``* ``/``• `` prefixes; ellipses: ``...``/``…``
+    suffixes. Int-count ratios — replayable in plain SQL; map-only."""
+    n = F.size(lines)
+    nz = F.nullif(n, F.lit(0)).cast("double")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines, lambda ln: ln.endswith("...") | ln.endswith("…")
+        )
+    )
+    bullet_frac = F.coalesce(n_bullet.cast("double") / nz, F.lit(0.0))
+    ellipsis_frac = F.coalesce(n_ellipsis.cast("double") / nz, F.lit(0.0))
+    return {
+        "n_lines": n,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "line_format_ok": (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3),
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (the scoring half of language ID)."""
     toks = word_tokens(text)

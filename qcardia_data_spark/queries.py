@@ -4213,6 +4213,75 @@ def text_gopher_rules(spark, sf_dir):
 
 
 @_q(
+    "text_gopher_line_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    lx AS (SELECT doc_id, toks,
+                  unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+           FROM t WHERE len(toks) > 0),
+    ln AS (SELECT doc_id,
+                  concat(
+                    CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END,
+                    array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '),
+                    CASE WHEN (doc_id + i) % 3 = 0 THEN '...' ELSE '' END
+                  ) AS line
+           FROM lx),
+    s AS (SELECT doc_id, count(*) AS n,
+                 count(*) FILTER (line LIKE '- %' OR line LIKE '* %'
+                                  OR line LIKE '• %') AS nb,
+                 count(*) FILTER (line LIKE '%...' OR line LIKE '%…') AS ne
+          FROM ln GROUP BY doc_id)
+    SELECT doc_id, n AS n_lines,
+           round(CAST(nb AS DOUBLE) / n, 6) AS bullet_line_frac,
+           round(CAST(ne AS DOUBLE) / n, 6) AS ellipsis_line_frac,
+           (CAST(nb AS DOUBLE) / n <= 0.9
+            AND CAST(ne AS DOUBLE) / n <= 0.3) AS line_format_ok
+    FROM s
+    """,
+)
+def text_gopher_line_rules_q(spark, sf_dir):
+    # [ext] Gopher A1.1 line-format rules (the family gopher_rules
+    # documents as out of its scope): ≤90 % bullet-started lines, ≤30 %
+    # ellipsis-ended lines. The synthetic corpus has no newlines, so the
+    # query derives a deterministic line structure both engines replay:
+    # 8-token lines, with line i of doc d bulleted when (d+i)%4=0 and
+    # ellipsis-terminated when (d+i)%3=0 — every rule fires non-trivially
+    # (≈8 lines/doc, mixed fractions) and the oracle value-checks the
+    # rule math, not just the plumbing. Map-only: two generator barriers
+    # (tokens, lines — no CSE across HOF lambdas), zero exchanges.
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array(T.word_tokens(F.col("text")))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_lines = F.ceil(F.size("toks") / F.lit(8.0)).cast("int")
+    line = lambda i: F.concat(  # noqa: E731
+        F.when((F.col("doc_id") + i) % 4 == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8)),
+        F.when((F.col("doc_id") + i) % 3 == 0, F.lit("...")).otherwise(F.lit("")),
+    )
+    lined = tok.select(
+        "doc_id",
+        F.explode(
+            F.array(F.transform(F.sequence(F.lit(0), n_lines - 1), line))
+        ).alias("lines"),
+    )
+    s = T.line_format_scores(F.col("lines"))
+    return lined.select(
+        "doc_id",
+        s["n_lines"].cast("long").alias("n_lines"),
+        F.round(s["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(s["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+        s["line_format_ok"].alias("line_format_ok"),
+    )
+
+
+@_q(
     "sim_lsh_topk",
     """
     WITH q AS (
@@ -5266,6 +5335,7 @@ _PRIORITY = [
 # registry itself, not a comment.
 _NEXT_IN_LINE = [
     "sim_ivfpq_topk",
+    "text_gopher_line_rules",
 ]
 
 
