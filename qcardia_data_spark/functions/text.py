@@ -198,6 +198,46 @@ def line_format_scores(lines: Column) -> dict[str, Column]:
     }
 
 
+def c4_rules(
+    lines: Column,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> dict[str, Column]:
+    """[ext] C4 cleaning rules (Raffel et al. 2020, §2.2) as named
+    per-record expressions — the other canonical rule-based pretraining
+    gate beside Gopher: retain only lines that end in a terminal
+    punctuation mark (``.``/``!``/``?``/closing quote) AND contain at
+    least ``min_words_per_line`` words; drop the whole page when fewer
+    than ``min_sentences`` lines survive, when it contains
+    ``lorem ipsum``, or when it contains ``{`` (the JavaScript/code
+    tell). ``lines`` is the line ARRAY column (callers materialize it
+    through an ``explode(array(...))`` barrier first — referenced 4×,
+    and higher-order lambdas get no cross-reference CSE).
+
+    All predicates are element-local (the word count splits ONE line,
+    not an outer expression), so the per-element work is O(line), and
+    the whole gate is map-only — int-count comparisons replayable in
+    plain SQL. The paper's langdetect and bad-words-list pages are
+    separate concerns (:func:`lang_id`, a caller-supplied blocklist)."""
+    is_sentence = lambda ln: ln.rlike(r"""[.!?"]$""") & (  # noqa: E731
+        F.size(F.split(ln, " ")) >= min_words_per_line
+    )
+    kept = F.filter(lines, is_sentence)
+    n_kept = F.size(kept)
+    has_lorem = F.exists(
+        lines, lambda ln: F.lower(ln).contains("lorem ipsum")
+    )
+    has_brace = F.exists(lines, lambda ln: ln.contains("{"))
+    return {
+        "n_lines": F.size(lines),
+        "kept_lines": kept,
+        "n_kept_lines": n_kept,
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep": (n_kept >= min_sentences) & ~has_lorem & ~has_brace,
+    }
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (the scoring half of language ID)."""
     toks = word_tokens(text)

@@ -50,6 +50,10 @@ Spec grammar (one dict per op, applied in order):
      "pairs_only": false}                              # exact, recall 1
     {"op": "gopher_rules", "text_col": ..., "out": "gopher_keep",
      "drop_failing": false, ...rule thresholds...}
+    {"op": "c4_clean", "text_col": ..., "min_words_per_line": 5,
+     "min_sentences": 3, "drop_failing": true}
+        # C4 §2.2: line-level removal (terminal punct + >=5 words,
+        # survivors rejoined) + page gate (<3 sentences, lorem, '{')
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
         # CCNet-style trigram quality gate (hard threshold or the
@@ -359,6 +363,41 @@ def _apply(
             g["keep"].alias(out),
         )
         return audited.drop("_gtoks")
+    if kind == "c4_clean":
+        from qcardia_data_spark.functions.text import c4_rules
+
+        # {"op": "c4_clean", "text_col": "text", "min_words_per_line": 5,
+        #  "min_sentences": 3, "drop_failing": true, "out": "c4_keep"} —
+        # the C4 §2.2 cleaner as it actually runs: LINE-level removal
+        # (only ≥min_words terminal-punct lines survive, rejoined into
+        # text_col) plus the page gate (<min_sentences survivors, lorem
+        # ipsum, '{'). With drop_failing failing pages drop and text_col
+        # is rewritten to the cleaned text; otherwise the gate boolean
+        # and audit counts are appended and the text left untouched.
+        text_col = op.get("text_col", "text")
+        out = op.get("out", "c4_keep")
+        lined = df.withColumn(
+            "_c4lines", F.explode(F.array(F.split(F.col(text_col), "\n")))
+        )
+        c = c4_rules(
+            F.col("_c4lines"),
+            min_words_per_line=int(op.get("min_words_per_line", 5)),
+            min_sentences=int(op.get("min_sentences", 3)),
+        )
+        if op.get("drop_failing", True):
+            cleaned = lined.filter(c["keep"]).withColumn(
+                text_col, F.array_join(c["kept_lines"], "\n")
+            )
+            return cleaned.drop("_c4lines")
+        audited = lined.select(
+            "*",
+            c["n_lines"].alias(f"{out}_n_lines"),
+            c["n_kept_lines"].alias(f"{out}_n_kept_lines"),
+            c["has_lorem"].alias(f"{out}_has_lorem"),
+            c["has_brace"].alias(f"{out}_has_brace"),
+            c["keep"].alias(out),
+        )
+        return audited.drop("_c4lines")
     if kind == "fuzzy_join":
         from qcardia_data_spark.functions.dedup import fuzzy_string_join
 

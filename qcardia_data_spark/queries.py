@@ -4282,6 +4282,88 @@ def text_gopher_line_rules_q(spark, sf_dir):
 
 
 @_q(
+    "text_c4_rules",
+    # The oracle replays the SAME deterministic line derivation, then
+    # counts the two keyed extra lines analytically (the lorem line is a
+    # ≥5-word terminal-punct sentence; the brace line ends in ';' and is
+    # not) — equal values, one less unnest.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    lx AS (SELECT doc_id, toks,
+                  unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS i
+           FROM t WHERE len(toks) > 0),
+    ln AS (SELECT doc_id,
+                  concat(
+                    array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' '),
+                    CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END
+                  ) AS line
+           FROM lx),
+    s AS (SELECT doc_id, count(*) AS n_base,
+                 count(*) FILTER (regexp_matches(line, '[.!?"]$')
+                                  AND len(string_split(line, ' ')) >= 5) AS nk
+          FROM ln GROUP BY doc_id),
+    x AS (SELECT doc_id,
+                 n_base + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS n_lines,
+                 nk + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS nk2,
+                 (doc_id % 7 = 0) AS has_lorem,
+                 (doc_id % 11 = 0) AS has_brace
+          FROM s)
+    SELECT doc_id, n_lines, nk2 AS n_kept_lines, has_lorem, has_brace,
+           (nk2 >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+    FROM x
+    """,
+)
+def text_c4_rules_q(spark, sf_dir):
+    # [ext] C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-punct +
+    # ≥5-word line retention, <3-sentence / lorem-ipsum / '{' page drops.
+    # Same derived-line-structure trick as text_gopher_line_rules (the
+    # synthetic corpus has no punctuation): 8-token lines with a
+    # (doc_id+i)-keyed terminal '.', plus a keyed lorem line (doc_id%7)
+    # and a keyed '{'-bearing line (doc_id%11) so every page-drop rule
+    # fires non-trivially. Map-only, two generator barriers.
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array(T.word_tokens(F.col("text")))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_lines = F.ceil(F.size("toks") / F.lit(8.0)).cast("int")
+    line = lambda i: F.concat(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("toks"), i * 8 + 1, 8)),
+        F.when((F.col("doc_id") + i) % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    empty = F.array().cast("array<string>")
+    lines_expr = F.concat(
+        F.transform(F.sequence(F.lit(0), n_lines - 1), line),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur.")),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array(F.lit("var cfg = { a: 1, b: 2 };")),
+        ).otherwise(empty),
+    )
+    lined = tok.select(
+        "doc_id", F.explode(F.array(lines_expr)).alias("lines")
+    )
+    c = T.c4_rules(F.col("lines"))
+    return lined.select(
+        "doc_id",
+        c["n_lines"].cast("long").alias("n_lines"),
+        c["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        c["has_lorem"].alias("has_lorem"),
+        c["has_brace"].alias("has_brace"),
+        c["keep"].alias("keep"),
+    )
+
+
+@_q(
     "sim_lsh_topk",
     """
     WITH q AS (
@@ -5336,6 +5418,7 @@ _PRIORITY = [
 _NEXT_IN_LINE = [
     "sim_ivfpq_topk",
     "text_gopher_line_rules",
+    "text_c4_rules",
 ]
 
 

@@ -449,3 +449,56 @@ def test_gopher_rules_edge_cases(spark):
     assert out[3]["symbol_ratio"] == 0.0 and out[3]["keep"] is False
     # mean word length: 'tiny doc' -> (4+3)/2
     assert abs(out[4]["mean_word_len"] - 3.5) < 1e-12
+
+
+def test_c4_clean_spec_op(spark, tmp_path):
+    """C4 §2.2 as a spec op on a REAL newline corpus: line-level removal
+    (terminal punct + >=5 words, survivors rejoined) and all three page
+    gates (<3 sentences, lorem ipsum, brace)."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    rows = [
+        (1, "this is a proper sentence with words.\nshort line\n"
+            "another good long sentence right here!\n"
+            "a third fine sentence is present here."),
+        (2, "only one good sentence lives here today.\nnope\nnah"),
+        (3, "this is a proper sentence with words.\n"
+            "lorem ipsum dolor sit amet consectetur.\n"
+            "another good long sentence right here!\n"
+            "third full sentence with enough words here."),
+        (4, "this is a proper sentence with words.\n"
+            "var cfg = { a: 1 };\n"
+            "another good long sentence right here!\n"
+            "third full sentence with enough words here."),
+    ]
+    src = str(tmp_path / "c4_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    cleaned = compile_pipeline(
+        spark,
+        [{"op": "source", "path": src}, {"op": "c4_clean"}],
+        None,
+    ).collect()
+    assert [r["doc_id"] for r in cleaned] == [1]
+    # the short non-sentence line is REMOVED from the surviving page
+    assert cleaned[0]["text"] == (
+        "this is a proper sentence with words.\n"
+        "another good long sentence right here!\n"
+        "a third fine sentence is present here."
+    )
+
+    audit = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": src},
+            {"op": "c4_clean", "drop_failing": False},
+        ],
+        None,
+    )
+    flags = {r["doc_id"]: r for r in audit.collect()}
+    assert flags[1]["c4_keep"] and flags[1]["c4_keep_n_kept_lines"] == 3
+    assert not flags[2]["c4_keep"]  # <3 surviving sentences
+    assert flags[3]["c4_keep_has_lorem"] and not flags[3]["c4_keep"]
+    assert flags[4]["c4_keep_has_brace"] and not flags[4]["c4_keep"]
+    # audit mode leaves the text untouched
+    assert flags[3]["text"].count("\n") == 3
