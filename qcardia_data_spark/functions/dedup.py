@@ -1273,9 +1273,13 @@ def _write_sig_meta(spark, path: str, meta: dict) -> None:
 
 def _id_as_meta_comparable(raw: str | None, id_type: str):
     """max_id is persisted as a string; compare numerically for numeric id
-    types (lexicographic '9' > '10' would corrupt the monotone check)."""
+    types (lexicographic '9' > '10' would corrupt the monotone check).
+    Integer types compare as exact ints — float would silently lose
+    precision above 2^53, and 64-bit crawl ids are realistic."""
     if raw is None:
         return None
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
     return float(raw) if id_type in _NUMERIC_ID_TYPES else raw
 
 

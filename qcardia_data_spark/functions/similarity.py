@@ -261,6 +261,23 @@ def normalize_vectors(
     ONE metric end-to-end (cosine cell selection, L2 ADC ranking) without
     the two orderings disagreeing on unnormalized inputs.
 
+    Determinism contract: the norm is the SEQUENTIAL left fold
+    ``0.0 + x₀² + x₁² + …`` (arrays.l2_norm) — any engine replaying the
+    same fold order (DuckDB: ``list_reduce`` over the squared list; a
+    driver-side loop for the query vector: ``_seq_fold_normalize``) gets
+    bit-identical unit vectors (verified component-for-component at
+    sf0.1), where a pairwise/parallel summation (numpy ``@``, SQL
+    ``sum()``) differs in ulps. Do NOT additionally quantize the
+    quotients to a decimal grid: grid-valued inputs make downstream
+    distance sums land on exact decimal .5 ties, where Spark's
+    BigDecimal HALF_UP and other engines' float-multiply rounding
+    diverge SYSTEMATICALLY (measured: ~8 flipped last digits per top-10
+    at every SF with round-6 components, ~0 without). The remaining
+    noise source — order-unspecified Lloyd-mean reductions — is closed
+    by rounding the PQ codebook means to 9 decimals on both sides
+    (pq_encode), after which ADC totals agree digit-for-digit at
+    round-6.
+
     The norm crosses an ``explode(array(...))`` generator barrier before
     the per-element division: Catalyst collapses projections and has no
     CSE across higher-order-function lambdas, so an inlined norm would
@@ -275,6 +292,18 @@ def normalize_vectors(
         F.col("_nrm") > 0, F.transform(d, lambda x: x / F.col("_nrm"))
     ).otherwise(d)
     return with_n.select(*others, unit.alias(vec_col))
+
+
+def _seq_fold_normalize(vec) -> list[float]:
+    """Driver-side unit-normalization matching :func:`normalize_vectors`
+    exactly: sequential-fold norm, plain quotients (numpy's pairwise
+    summation differs in ulps — enough to flip round-6 distances)."""
+    xs = [float(x) for x in vec]
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    n = acc ** 0.5
+    return xs if n == 0.0 else [x / n for x in xs]
 
 
 def ivfpq_write_partitioned(
@@ -369,9 +398,8 @@ def ann_ivfpq_topk_pruned(
     q = np.asarray(list(query_vec), dtype=np.float64)
     # pre-r8 indexes have no normalize field → raw (False)
     if "normalize" in meta.__fields__ and meta["normalize"]:
-        nq = float(np.sqrt(q @ q))
-        if nq > 0:
-            q = q / nq
+        # sequential-fold normalize (NOT numpy @ — see _seq_fold_normalize)
+        q = np.asarray(_seq_fold_normalize(q), dtype=np.float64)
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
@@ -382,7 +410,9 @@ def ann_ivfpq_topk_pruned(
         key=lambda i: (-cos(np.asarray(cents[i], dtype=np.float64), q), i),
     )[:n_probe]
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
-    return pq_adc_topk(cand, cb, query_vec, k=k, id_col=id_col)
+    # q, not query_vec: a normalized index must see the NORMALIZED query
+    # in the ADC too, or the ranking quietly reverts to the raw metric
+    return pq_adc_topk(cand, cb, q, k=k, id_col=id_col)
 
 
 def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:
@@ -499,7 +529,14 @@ def pq_encode(
         )  # bounded: m·k_codes·d_sub rows
         by_key: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
-            by_key.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mv"]
+            # means come from an order-unspecified reduction (F.avg) —
+            # ±1e-16 ulp noise vs any other engine's avg. Round to 9
+            # decimals so codebooks are BIT-IDENTICAL cross-engine (the
+            # noise window at 1e-9 is ~1e-7 per value); unrounded
+            # codebooks were measured flipping round-6 ADC last digits
+            by_key.setdefault((r["sub"], r["code"]), {})[r["dim"]] = round(
+                r["mv"], 9
+            )
         cb = [
             [
                 [by_key[(s, j)][t] for t in sorted(by_key[(s, j)])]

@@ -3376,12 +3376,17 @@ def _ivf_assign_cte(normalized: bool = False) -> str:
     of the iterative pipeline, three queries."""
     seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
     if normalized:
+        # norm = the SAME sequential left fold as Spark's arrays.l2_norm
+        # (list_reduce, not list_sum/SUM — summation order is part of the
+        # cross-engine determinism contract; see
+        # similarity.normalize_vectors docstring)
         v_cte = """
     WITH v0 AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rd
       FROM embeddings),
     vn AS (SELECT vec_id, rd,
-                  sqrt(list_sum(list_transform(rd, x -> x * x))) AS nn
+                  sqrt(list_reduce(list_transform(rd, x -> x * x),
+                                   (a, b) -> a + b)) AS nn
            FROM v0),
     v AS (SELECT vec_id,
                  CASE WHEN nn > 0 THEN list_transform(rd, x -> x / nn)
@@ -3900,7 +3905,7 @@ def _pq_oracle_sql(m: int = 8, d: int = 64, k_codes: int = 16, k: int = 10) -> s
     mres AS (SELECT a0.sub, a0.code, unnest(subr.sd) AS val,
                     unnest(range({ds})) AS dim
              FROM subr JOIN a0 ON a0.vec_id = subr.vec_id AND a0.sub = subr.sub),
-    mm AS (SELECT sub, code, dim, avg(val) AS mv FROM mres GROUP BY sub, code, dim),
+    mm AS (SELECT sub, code, dim, round(avg(val), 9) AS mv FROM mres GROUP BY sub, code, dim),
     c1m AS (SELECT sub, code, list(mv ORDER BY dim) AS c FROM mm GROUP BY sub, code),
     c1 AS (SELECT c0.sub, c0.code, coalesce(c1m.c, c0.c) AS c
            FROM c0 LEFT JOIN c1m ON c1m.sub = c0.sub AND c1m.code = c0.code),
@@ -3983,7 +3988,7 @@ def _ivfpq_oracle_sql(
     pmres AS (SELECT pa0.sub, pa0.code, unnest(subr.sd) AS val,
                      unnest(range({ds})) AS dim
               FROM subr JOIN pa0 ON pa0.vec_id = subr.vec_id AND pa0.sub = subr.sub),
-    pmm AS (SELECT sub, code, dim, avg(val) AS mv
+    pmm AS (SELECT sub, code, dim, round(avg(val), 9) AS mv
             FROM pmres GROUP BY sub, code, dim),
     pc1m AS (SELECT sub, code, list(mv ORDER BY dim) AS c
              FROM pmm GROUP BY sub, code),

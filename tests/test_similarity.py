@@ -460,9 +460,10 @@ def test_ivfpq_partitioned_layout_prunes_and_matches_in_memory(spark, sf_dir, tm
     codes, cb = pq_encode(nemb, m=8, k_codes=16, seed=0, n_refine=1)
     import numpy as np
 
-    qv = np.asarray(list(q), dtype=np.float64)
-    qv = qv / np.sqrt(qv @ qv)
-    q = [float(x) for x in qv]
+    from qcardia_data_spark.functions.similarity import _seq_fold_normalize
+
+    q = _seq_fold_normalize(q)  # fold order matters — see its docstring
+    qv = np.asarray(q, dtype=np.float64)
     cents = {r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
              for r in centroids.collect()}
 
