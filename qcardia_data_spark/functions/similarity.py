@@ -310,7 +310,7 @@ def ivfpq_write_partitioned(
     embeddings: DataFrame, path: str, n_cells: int = 16,
     m: int = 8, k_codes: int = 16, seed: int = 0, n_refine: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    normalize: bool = True,
+    normalize: bool = True, residual: bool = False,
 ) -> None:
     """Materialize the FAISS-style IVF+PQ index: vectors are assigned to
     IVF cells (which become parquet PARTITION directories — probes prune
@@ -323,10 +323,16 @@ def ivfpq_write_partitioned(
     Index metadata (centroids + codebooks + params) is written to
     ``path/_ivfpq_meta`` (underscore-prefixed → invisible to the parquet
     scan); the probe reads it back, so the two sides can never drift.
-    Plain per-vector PQ (not residual-PQ): the codebooks stay globally
-    shared, which keeps the encode a single map pass and the oracle
-    replayable — residual encoding is a drop-in refinement if recall at
-    very low m ever matters.
+    With ``residual`` (Jégou §IV.B, the IVFADC form), PQ trains on and
+    encodes the RESIDUAL vector − centroid[cell] instead of the vector:
+    residuals concentrate near zero, so the same m×k code budget spends
+    its resolution on a tighter distribution — measurably lower
+    reconstruction error (test-asserted) and the standard recall lever
+    at low m. Still one map pass (the centroid table is a plan literal
+    indexed by the ``cell`` column) and one shared codebook across
+    cells; the flag is persisted so the probe computes the matching
+    per-cell query residuals. ``residual=False`` (default) keeps plain
+    per-vector PQ — the form the sim_pq/sim_ivfpq SQL oracles replay.
 
     With ``normalize`` (default) vectors are projected to unit length
     before BOTH the cell assignment and the PQ training/encode, and the
@@ -345,8 +351,26 @@ def ivfpq_write_partitioned(
     assigned, centroids = ivf_assign(
         embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
     )
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(centroids.collect(), key=lambda r: r["cell"])
+    ]
+    if residual:
+        # residual = vec − centroid[cell]: map-only (the centroid table is
+        # an n_cells×d plan literal indexed by the cell column)
+        centl = F.lit(cents)
+        pq_input = assigned.select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(centl, F.col("cell") + 1),
+                lambda x, c: x - c,
+            ).alias(vec_col),
+        )
+    else:
+        pq_input = embeddings
     codes, cb = pq_encode(
-        embeddings, m=m, k_codes=k_codes, seed=seed, n_refine=n_refine,
+        pq_input, m=m, k_codes=k_codes, seed=seed, n_refine=n_refine,
         id_col=id_col, vec_col=vec_col,
     )
     (
@@ -356,18 +380,14 @@ def ivfpq_write_partitioned(
         .partitionBy("cell")
         .parquet(path)
     )
-    cents = [
-        [float(x) for x in r["centroid"]]
-        for r in sorted(centroids.collect(), key=lambda r: r["cell"])
-    ]
     meta = embeddings.sparkSession.createDataFrame(
         [(
             _json.dumps(cents), _json.dumps(cb),
             int(n_cells), int(m), int(k_codes), int(seed), int(n_refine),
-            bool(normalize),
+            bool(normalize), bool(residual),
         )],
         ["centroids_json", "codebooks_json", "n_cells", "m", "k_codes",
-         "seed", "n_refine", "normalize"],
+         "seed", "n_refine", "normalize", "residual"],
     )
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
 
@@ -412,7 +432,54 @@ def ann_ivfpq_topk_pruned(
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     # q, not query_vec: a normalized index must see the NORMALIZED query
     # in the ADC too, or the ranking quietly reverts to the raw metric
+    if "residual" in meta.__fields__ and meta["residual"]:
+        # residual index: each candidate's codes encode vec − centroid[cell],
+        # so the ADC compares against q − centroid[cell] — one residual per
+        # cell, shipped as an n_cells×m×d_sub plan literal (bounded)
+        return _pq_adc_topk_residual(cand, cb, q, cents, k=k, id_col=id_col)
     return pq_adc_topk(cand, cb, q, k=k, id_col=id_col)
+
+
+def _pq_adc_topk_residual(
+    cand: DataFrame, codebooks: list[list[list[float]]], query_vec,
+    centroids: list[list[float]], k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC over a RESIDUAL-encoded index (IVFADC): candidate codes encode
+    ``vec − centroid[cell]``, so the query side is the per-cell residual
+    ``q − centroid[cell]``, selected by each row's ``cell`` column. Same
+    map-only + TakeOrderedAndProject shape as :func:`pq_adc_topk`; the
+    extra literal is n_cells × d doubles — bounded index metadata, never
+    corpus-sized."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    # qres[cell][sub] = (q − centroid[cell]) sliced per subspace
+    qres = [
+        [
+            [q[s * d_sub + t] - float(c[s * d_sub + t]) for t in range(d_sub)]
+            for s in range(m)
+        ]
+        for c in centroids
+    ]
+    qarr = F.lit(qres)
+    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    qcell = F.element_at(qarr, F.col("cell") + 1)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.round(
+            _sq_dist(
+                F.element_at(qcell, s + 1),
+                F.element_at(
+                    F.element_at(cbl, s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ),
+            6,
+        ),
+    )
+    scored = cand.select(F.col(id_col), F.round(dist, 6).alias("adist"))
+    return scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(k)
 
 
 def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:

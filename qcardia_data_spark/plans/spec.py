@@ -816,6 +816,7 @@ def _apply(
                 id_col=op.get("id_col", "vec_id"),
                 vec_col=op.get("vec_col", "embedding"),
                 normalize=bool(op.get("normalize", True)),
+                residual=bool(op.get("residual", False)),
             )
         else:
             raise SpecError(f"ann_index_write: unknown kind {ikind!r}")

@@ -509,3 +509,89 @@ def test_pq_recall_floor_vs_bruteforce(spark, sf_dir):
         recalls.append(len(set(true10) & set(got10)) / 10)
     # chance level for top-10 of N≈500+ is ~2%; require far above it
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivfpq_residual_encoding(spark, sf_dir, tmp_path):
+    """Residual (IVFADC) mode: (1) the same m×k code budget reconstructs
+    the corpus strictly better than plain per-vector PQ; (2) the probe's
+    ranking equals an independent numpy replication of residual ADC over
+    the probed cells; (3) the flag round-trips through the meta."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.similarity import (
+        _seq_fold_normalize,
+        ann_ivfpq_topk_pruned,
+        ivfpq_write_partitioned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain, resid = str(tmp_path / "plain"), str(tmp_path / "resid")
+    ivfpq_write_partitioned(emb, plain, n_cells=8, m=8, k_codes=16, seed=0)
+    ivfpq_write_partitioned(
+        emb, resid, n_cells=8, m=8, k_codes=16, seed=0, residual=True
+    )
+    metas = {}
+    rowss = {}
+    for name, path in (("plain", plain), ("resid", resid)):
+        meta = spark.read.json(f"{path}/_ivfpq_meta").collect()[0]
+        metas[name] = {
+            "cents": np.asarray(json.loads(meta["centroids_json"])),
+            "cb": np.asarray(json.loads(meta["codebooks_json"])),
+            "residual": bool(meta["residual"]),
+        }
+        rowss[name] = {
+            r["vec_id"]: (r["cell"], list(r["codes"]))
+            for r in spark.read.parquet(path).collect()
+        }
+    assert not metas["plain"]["residual"] and metas["resid"]["residual"]
+
+    # ground truth = the normalized vectors (both indexes normalize)
+    vecs = {
+        r["vec_id"]: np.asarray(_seq_fold_normalize(r["embedding"]))
+        for r in emb.collect()
+    }
+
+    def mse(name):
+        m_ = metas[name]
+        errs = []
+        for vid, v in vecs.items():
+            cell, codes = rowss[name][vid]
+            rec = np.concatenate([m_["cb"][s][codes[s]] for s in range(8)])
+            if m_["residual"]:
+                rec = rec + m_["cents"][cell]
+            errs.append(float(((v - rec) ** 2).sum()))
+        return sum(errs) / len(errs)
+
+    assert mse("resid") < mse("plain"), (
+        f"residual MSE {mse('resid')} not below plain {mse('plain')}"
+    )
+
+    # probe parity vs an independent numpy ADC over the probed cells
+    q_raw = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    got = [
+        (r["vec_id"], round(r["adist"], 9))
+        for r in ann_ivfpq_topk_pruned(spark, resid, q_raw, k=5, n_probe=3).collect()
+    ]
+    q = np.asarray(_seq_fold_normalize(q_raw))
+    m_ = metas["resid"]
+
+    def cos(a):
+        return float(a @ q / (np.linalg.norm(a) * np.linalg.norm(q)))
+
+    probe = sorted(range(8), key=lambda i: (-cos(m_["cents"][i]), i))[:3]
+    scored = []
+    for vid, (cell, codes) in rowss["resid"].items():
+        if cell not in probe:
+            continue
+        qr = q - m_["cents"][cell]
+        tot = 0.0
+        for s in range(8):
+            dsub = float(((qr[s * 8:(s + 1) * 8] - m_["cb"][s][codes[s]]) ** 2).sum())
+            tot += round(dsub, 6)
+        scored.append((round(tot, 6), vid))
+    want = [(vid, round(t, 9)) for t, vid in sorted(scored)[:5]]
+    assert got == want
