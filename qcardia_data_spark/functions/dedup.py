@@ -1559,6 +1559,22 @@ def near_dedup_incremental(
         )
         kept = new_docs.join(losers, on=id_col, how="left_anti")
         if update_index:
+            # ratchet the meta's max_id over the FULL batch (kept or
+            # dropped — the next batch's ids must clear this crawl
+            # entirely, matching the monotone crawl-id layout) BEFORE the
+            # data appends: a crash between the two steps then leaves a
+            # meta that over-claims (future overlapping batches are
+            # REFUSED — safe) instead of a meta that under-claims (a
+            # batch overlapping half-appended signatures would pass the
+            # guard and silently diverge). Refuse-loudly under crashes,
+            # not just under misuse.
+            if batch_max is not None and (
+                idx_max is None
+                or _id_as_meta_comparable(str(batch_max), id_type) > idx_max
+            ):
+                _write_sig_meta(
+                    spark, index_path, {**meta, "max_id": str(batch_max)}
+                )
             kept_ids = kept.select(id_col)
             (
                 sigs_new.join(kept_ids, id_col, "left_semi")
@@ -1573,16 +1589,6 @@ def near_dedup_incremental(
                 .write.mode("append").partitionBy("id_bucket")
                 .parquet(f"{index_path}/shingle_sets")
             )
-            # ratchet the meta's max_id over the FULL batch (kept or
-            # dropped — the next batch's ids must clear this crawl
-            # entirely, matching the monotone crawl-id layout)
-            if batch_max is not None and (
-                idx_max is None
-                or _id_as_meta_comparable(str(batch_max), id_type) > idx_max
-            ):
-                _write_sig_meta(
-                    spark, index_path, {**meta, "max_id": str(batch_max)}
-                )
     finally:
         sh_new.unpersist()
     return kept

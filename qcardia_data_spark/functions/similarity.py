@@ -482,6 +482,21 @@ def _pq_adc_topk_residual(
     return scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(k)
 
 
+def auto_n_cells(n_rows: int, target_cell: int = 4096) -> int:
+    """IVF cell count for a corpus of ``n_rows``: the classic
+    ``~sqrt(N)`` rule, floored so the EXPECTED cell occupancy stays at
+    least ``target_cell`` (tiny corpora should not shatter into
+    singleton cells — a probe that reads n_probe near-empty directories
+    pays file-listing overhead for no candidate pool). At 1e9 vectors
+    this gives ~31k cells ≈ sqrt(N); at the test SFs it collapses to a
+    handful — the same scale-dial shape as :func:`auto_n_planes`."""
+    import math
+
+    if n_rows <= target_cell:
+        return 1
+    return max(1, min(int(math.isqrt(n_rows)), n_rows // target_cell))
+
+
 def auto_n_planes(n_rows: int, target_bucket: int = 256) -> int:
     """Plane count for a corpus of ``n_rows``: enough hyperplanes that the
     EXPECTED bucket occupancy is ~``target_bucket`` (within-bucket pair

@@ -595,3 +595,16 @@ def test_ivfpq_residual_encoding(spark, sf_dir, tmp_path):
         scored.append((round(tot, 6), vid))
     want = [(vid, round(t, 9)) for t, vid in sorted(scored)[:5]]
     assert got == want
+
+
+def test_auto_n_cells_scale_dial():
+    from qcardia_data_spark.functions.similarity import auto_n_cells
+
+    assert auto_n_cells(100) == 1          # tiny corpus: one cell
+    assert auto_n_cells(4096) == 1
+    assert auto_n_cells(40_960) == 10      # occupancy floor governs
+    n = auto_n_cells(1_000_000_000)
+    assert 30_000 <= n <= 32_000           # ~sqrt(N) at billion scale
+    # expected occupancy never below the floor
+    for rows in (5_000, 100_000, 10_000_000, 1_000_000_000):
+        assert rows / auto_n_cells(rows) >= 4096
