@@ -54,6 +54,9 @@ Spec grammar (one dict per op, applied in order):
      "min_sentences": 3, "drop_failing": true}
         # C4 §2.2: line-level removal (terminal punct + >=5 words,
         # survivors rejoined) + page gate (<3 sentences, lorem, '{')
+    {"op": "gopher_line_rules", "text_col": ..., "drop_failing": true}
+        # Gopher A1.1 line-format page gate (bullet/ellipsis line
+        # fractions) over newline-split text
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
         # CCNet-style trigram quality gate (hard threshold or the
@@ -363,6 +366,31 @@ def _apply(
             g["keep"].alias(out),
         )
         return audited.drop("_gtoks")
+    if kind == "gopher_line_rules":
+        from qcardia_data_spark.functions.text import line_format_scores
+
+        # {"op": "gopher_line_rules", "text_col": "text",
+        #  "out": "line_format_ok", "drop_failing": true} — the Gopher
+        # A1.1 line-format page gate (>90 % bullet-started or >30 %
+        # ellipsis-ended lines drops the page) over newline-split text.
+        # Unlike c4_clean this gate never rewrites the text — Gopher
+        # drops pages, it does not edit them.
+        text_col = op.get("text_col", "text")
+        out = op.get("out", "line_format_ok")
+        lined = df.withColumn(
+            "_gllines", F.explode(F.array(F.split(F.col(text_col), "\n")))
+        )
+        s = line_format_scores(F.col("_gllines"))
+        if op.get("drop_failing", True):
+            return lined.filter(s["line_format_ok"]).drop("_gllines")
+        audited = lined.select(
+            "*",
+            s["n_lines"].alias(f"{out}_n_lines"),
+            s["bullet_line_frac"].alias(f"{out}_bullet_frac"),
+            s["ellipsis_line_frac"].alias(f"{out}_ellipsis_frac"),
+            s["line_format_ok"].alias(out),
+        )
+        return audited.drop("_gllines")
     if kind == "c4_clean":
         from qcardia_data_spark.functions.text import c4_rules
 

@@ -502,3 +502,43 @@ def test_c4_clean_spec_op(spark, tmp_path):
     assert flags[4]["c4_keep_has_brace"] and not flags[4]["c4_keep"]
     # audit mode leaves the text untouched
     assert flags[3]["text"].count("\n") == 3
+
+
+def test_gopher_line_rules_spec_op(spark, tmp_path):
+    """Gopher A1.1 line-format page gate as a spec op on newline text:
+    bullet-heavy and ellipsis-heavy pages drop; normal pages pass with
+    text untouched (Gopher drops pages, it never edits them)."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    bullets = "\n".join(f"- bullet item number {i}" for i in range(10))
+    dots = "\n".join(
+        [f"truncated preview line {i}..." for i in range(4)]
+        + ["one full line stands here"] * 6
+    )
+    ok = "\n".join(f"an ordinary prose line number {i}" for i in range(10))
+    rows = [(1, bullets), (2, dots), (3, ok)]
+    src = str(tmp_path / "gl_docs.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+    kept = compile_pipeline(
+        spark,
+        [{"op": "source", "path": src}, {"op": "gopher_line_rules"}],
+        None,
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [3]
+    assert kept[0]["text"] == ok  # untouched
+
+    audit = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": src},
+            {"op": "gopher_line_rules", "drop_failing": False},
+        ],
+        None,
+    )
+    flags = {r["doc_id"]: r for r in audit.collect()}
+    assert flags[1]["line_format_ok_bullet_frac"] == 1.0
+    assert not flags[1]["line_format_ok"]
+    assert flags[2]["line_format_ok_ellipsis_frac"] == 0.4
+    assert not flags[2]["line_format_ok"]
+    assert flags[3]["line_format_ok"]
