@@ -49,13 +49,18 @@ def word_tokens(text: Column) -> Column:
     )
 
 
-def quality_scores(text: Column) -> dict[str, Column]:
+def quality_scores(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signals: length, mean word length, punctuation ratio,
     stopword ratio, alpha ratio. Returned as named expressions so callers
-    select only what they need (keeps column pruning effective)."""
+    select only what they need (keeps column pruning effective).
+
+    Pass ``toks`` (a materialized :func:`word_tokens` column, behind an
+    ``explode(array(...))`` barrier) to reuse an existing token pass —
+    otherwise the tokenizer is built inline from ``text``."""
     t = normalize_ws(text)
     n_chars = F.length(t)
-    toks = word_tokens(text)
+    if toks is None:
+        toks = word_tokens(text)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:'\"()\[\]-]", ""))
     n_alpha = n_chars - F.length(F.regexp_replace(t, r"[a-z]", ""))

@@ -57,6 +57,10 @@ Spec grammar (one dict per op, applied in order):
     {"op": "gopher_line_rules", "text_col": ..., "drop_failing": true}
         # Gopher A1.1 line-format page gate (bullet/ellipsis line
         # fractions) over newline-split text
+    {"op": "quality_signals", "text_col": ..., "prefix": "qs"}
+        # RedPajama-V2 pattern: the whole per-doc signal table
+        # (length/punct/stopword/repetition/gopher/lang/fingerprint)
+        # appended in ONE map pass; gate downstream against the columns
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
         # CCNet-style trigram quality gate (hard threshold or the
@@ -366,6 +370,53 @@ def _apply(
             g["keep"].alias(out),
         )
         return audited.drop("_gtoks")
+    if kind == "quality_signals":
+        from qcardia_data_spark.functions.text import (
+            doc_fingerprint,
+            gopher_rules,
+            lang_id,
+            quality_scores,
+            repetition_scores,
+            word_tokens,
+        )
+
+        # {"op": "quality_signals", "text_col": "text", "prefix": "qs"} —
+        # the RedPajama-V2 operating pattern: compute the WHOLE
+        # per-document signal table in one map pass and append it as
+        # audit columns (`<prefix>_*`); gating happens downstream
+        # (filter / gopher_rules / quality_classifier) against the
+        # materialized signals instead of re-deriving them per gate. One
+        # token barrier feeds every signal family; zero exchanges.
+        text_col = op.get("text_col", "text")
+        p = op.get("prefix", "qs")
+        tok = df.withColumn(
+            "_qstoks", F.explode(F.array(word_tokens(F.col(text_col))))
+        )
+        q = quality_scores(F.col(text_col), toks=F.col("_qstoks"))
+        r = repetition_scores(F.col("_qstoks"))
+        g = gopher_rules(F.col("_qstoks"), F.col(text_col))
+        sig = {
+            "n_chars": q["n_chars"],
+            "n_tokens": q["n_tokens"],
+            "mean_token_len": q["mean_token_len"],
+            "punct_ratio": q["punct_ratio"],
+            "alpha_ratio": q["alpha_ratio"],
+            "stopword_ratio": q["stopword_ratio"],
+            "max_tok_count": r["max_tok_count"],
+            "n_distinct_tokens": r["n_distinct"],
+            "top_bigram_count": r["top_bigram_count"],
+            "mean_word_len": g["mean_word_len"],
+            "frac_alpha_words": g["frac_alpha_words"],
+            "stop_hits": g["stop_hits"],
+            "symbol_ratio": g["symbol_ratio"],
+            "gopher_keep": g["keep"],
+            "lang_pred": lang_id(F.col(text_col)),
+            "fingerprint": doc_fingerprint(F.col(text_col)),
+        }
+        out = tok.select(
+            "*", *[v.alias(f"{p}_{k}") for k, v in sig.items()]
+        )
+        return out.drop("_qstoks")
     if kind == "gopher_line_rules":
         from qcardia_data_spark.functions.text import line_format_scores
 

@@ -542,3 +542,67 @@ def test_gopher_line_rules_spec_op(spark, tmp_path):
     assert flags[2]["line_format_ok_ellipsis_frac"] == 0.4
     assert not flags[2]["line_format_ok"]
     assert flags[3]["line_format_ok"]
+
+
+def test_quality_signals_spec_op(spark, sf_dir):
+    """One-pass signal table (the RedPajama-V2 pattern): every appended
+    column must equal the value the individual expression families
+    produce, and the op must be map-only (no exchange in the plan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.text import (
+        gopher_rules,
+        lang_id,
+        quality_scores,
+        repetition_scores,
+        word_tokens,
+    )
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    nosort = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "quality_signals"},
+        ],
+        sf_dir,
+    )
+    plan = nosort._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only beside the scan
+
+    out = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "filter", "expr": "doc_id < 50"},
+            {"op": "quality_signals"},
+        ],
+        sf_dir,
+    )
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 50)
+        .withColumn("_t", F.explode(F.array(word_tokens(F.col("text")))))
+    )
+    q = quality_scores(F.col("text"), toks=F.col("_t"))
+    r = repetition_scores(F.col("_t"))
+    g = gopher_rules(F.col("_t"), F.col("text"))
+    want = docs.select(
+        "doc_id",
+        q["stopword_ratio"].alias("sr"),
+        r["top_bigram_count"].alias("tb"),
+        g["symbol_ratio"].alias("sy"),
+        g["keep"].alias("gk"),
+        lang_id(F.col("text")).alias("lp"),
+    )
+    wm = {r2["doc_id"]: r2 for r2 in want.collect()}
+    for row in out.collect():
+        w = wm[row["doc_id"]]
+        assert abs(row["qs_stopword_ratio"] - w["sr"]) < 1e-12
+        assert row["qs_top_bigram_count"] == w["tb"]
+        assert abs(row["qs_symbol_ratio"] - w["sy"]) < 1e-12
+        assert row["qs_gopher_keep"] == w["gk"]
+        assert row["qs_lang_pred"] == w["lp"]
+        assert row["qs_n_tokens"] > 0
