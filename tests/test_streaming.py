@@ -497,3 +497,54 @@ def test_streaming_near_dedup_intake_chains_and_resumes(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert {r["doc_id"] for r in a.collect()} | got2 == full
+
+
+def test_streaming_c4_and_line_format_gates_match_batch(spark, tmp_path):
+    """The r8 rule gates (C4 §2.2, Gopher A1.1 line-format) are stateless
+    map-only expressions, so they compose with readStream unchanged — the
+    streaming intake can gate pages before the stateful dedup stages.
+    Collected survivors must match the batch twin doc-for-doc."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.text import c4_rules, line_format_scores
+
+    d = tmp_path / "c4_incoming"
+    d.mkdir()
+    good = ("this is a proper sentence with words.\n"
+            "another good long sentence right here!\n"
+            "a third fine sentence is present here.")
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "only one good sentence lives here today.\nnope"},
+        {"doc_id": 3, "text": good.replace(
+            "another good long sentence right here!",
+            "lorem ipsum dolor sit amet consectetur.")},
+        {"doc_id": 4, "text": "- a\n- b\n- c\n- d\n- e"},  # all-bullet page
+        {"doc_id": 5, "text": good},
+    ]
+    (d / "b0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:3]))
+    (d / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[3:]))
+
+    schema = "doc_id BIGINT, text STRING"
+
+    def gate(df):
+        lined = df.withColumn(
+            "_l", F.explode(F.array(F.split(F.col("text"), "\n")))
+        )
+        c = c4_rules(F.col("_l"))
+        g = line_format_scores(F.col("_l"))
+        return lined.filter(c["keep"] & g["line_format_ok"]).drop("_l")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    got = {r["doc_id"] for r in S.run_to_memory(gate(stream)).collect()}
+    batch = spark.read.schema(schema).json(str(d))
+    want = {r["doc_id"] for r in gate(batch).collect()}
+    assert got == want == {1, 5}
