@@ -157,7 +157,12 @@ def ivf_assign(
         )
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+            # round-9 like pq_encode's codebook means: F.avg is an
+            # order-unspecified reduction, and in residual-PQ mode these
+            # centroids are SUBTRACTED INTO the encoded vectors, so
+            # cross-engine ulp noise would propagate into every round-6
+            # distance downstream
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = round(r["m"], 9)
         # empty cells keep their previous centroid
         cents = [
             [by_cell[i][d] for d in sorted(by_cell[i])] if i in by_cell else cents[i]

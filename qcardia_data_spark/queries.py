@@ -3414,7 +3414,7 @@ def _ivf_assign_cte(normalized: bool = False) -> str:
     -- one Lloyd round: per-cell per-dim means (empty cells keep the seed)
     m AS (SELECT a0.cell, unnest(v.d) AS val, unnest(range(64)) AS dim
           FROM v JOIN a0 USING (vec_id)),
-    mm AS (SELECT cell, dim, avg(val) AS mv FROM m GROUP BY cell, dim),
+    mm AS (SELECT cell, dim, round(avg(val), 9) AS mv FROM m GROUP BY cell, dim),
     c1m AS (SELECT cell, list(mv ORDER BY dim) AS c FROM mm GROUP BY cell),
     c1 AS (SELECT c0.cell, coalesce(c1m.c, c0.c) AS c
            FROM c0 LEFT JOIN c1m ON c0.cell = c1m.cell),
@@ -3950,7 +3950,8 @@ def sim_pq(spark, sf_dir):
 
 
 def _ivfpq_oracle_sql(
-    m: int = 8, d: int = 64, k_codes: int = 16, n_probe: int = 4, k: int = 10
+    m: int = 8, d: int = 64, k_codes: int = 16, n_probe: int = 4, k: int = 10,
+    residual: bool = False,
 ) -> str:
     """The PERSISTED IVF+PQ probe restated in DuckDB SQL: unit-normalize
     (the index's one-metric invariant — cosine cell selection ≡ L2 ADC on
@@ -3965,14 +3966,43 @@ def _ivfpq_oracle_sql(
     normalize flag in one row."""
     ds = d // m
     seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
-    return _ivf_assign_cte(normalized=True) + f""",
-    -- PQ training over the SAME normalized vectors (p-prefixed CTEs)
+    if residual:
+        # residual (IVFADC) mode: PQ trains on and encodes d − centroid[cell]
+        pv_cte = f"""
+    pv AS (SELECT v.vec_id, a1.cell,
+                  list_transform(range({d}), i -> v.d[i+1] - c1.c[i+1]) AS d
+           FROM v JOIN a1 USING (vec_id) JOIN c1 ON c1.cell = a1.cell),"""
+    else:
+        pv_cte = """
+    pv AS (SELECT vec_id, d FROM v),"""
+    if residual:
+        adc_tail = f"""
+    qr AS (SELECT c1.cell,
+                  list_transform(range({d}), i -> q.qd[i+1] - c1.c[i+1]) AS rqd
+           FROM c1 CROSS JOIN q
+           WHERE c1.cell IN (SELECT cell FROM probe)),
+    qs AS (SELECT cell, sub, list_slice(rqd, sub*{ds} + 1, sub*{ds} + {ds}) AS qd
+           FROM qr CROSS JOIN subs),
+    lt AS (SELECT pa1.vec_id, pa1.sub, pc1.c, qs.qd
+           FROM pa1 JOIN cand USING (vec_id)
+           JOIN pc1 ON pc1.sub = pa1.sub AND pc1.code = pa1.code
+           JOIN qs ON qs.sub = pa1.sub AND qs.cell = cand.cell),"""
+    else:
+        adc_tail = f"""
+    qs AS (SELECT sub, list_slice(q.qd, sub*{ds} + 1, sub*{ds} + {ds}) AS qd
+           FROM q CROSS JOIN subs),
+    lt AS (SELECT pa1.vec_id, pa1.sub, pc1.c, qs.qd
+           FROM pa1 JOIN cand USING (vec_id)
+           JOIN pc1 ON pc1.sub = pa1.sub AND pc1.code = pa1.code
+           JOIN qs ON qs.sub = pa1.sub),"""
+    return _ivf_assign_cte(normalized=True) + "," + pv_cte + f"""
+    -- PQ training over the {'per-cell residuals' if residual else 'SAME normalized vectors'} (p-prefixed CTEs)
     subs AS (SELECT unnest(range({m})) AS sub),
     subr AS (SELECT vec_id, sub, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS sd
-             FROM v CROSS JOIN subs),
+             FROM pv CROSS JOIN subs),
     pseeds AS (
       SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS code, d
-      FROM v ORDER BY {seed_order} LIMIT {k_codes}),
+      FROM pv ORDER BY {seed_order} LIMIT {k_codes}),
     pc0 AS (SELECT sub, code, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS c
             FROM pseeds CROSS JOIN subs),
     pp0 AS (SELECT subr.vec_id, subr.sub, pc0.code,
@@ -4011,15 +4041,8 @@ def _ivfpq_oracle_sql(
     csq AS (SELECT cell, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
             FROM cpq GROUP BY cell),
     probe AS (SELECT cell FROM csq ORDER BY cs DESC, cell LIMIT {n_probe}),
-    cand AS (SELECT vec_id FROM a1
-             WHERE cell IN (SELECT cell FROM probe)),
-    -- ADC vs the query: per-sub round-6 lookup dists, summed
-    qs AS (SELECT sub, list_slice(q.qd, sub*{ds} + 1, sub*{ds} + {ds}) AS qd
-           FROM q CROSS JOIN subs),
-    lt AS (SELECT pa1.vec_id, pa1.sub, pc1.c, qs.qd
-           FROM pa1 JOIN cand USING (vec_id)
-           JOIN pc1 ON pc1.sub = pa1.sub AND pc1.code = pa1.code
-           JOIN qs ON qs.sub = pa1.sub),
+    cand AS (SELECT vec_id, cell FROM a1
+             WHERE cell IN (SELECT cell FROM probe)),{adc_tail}
     pd AS (SELECT vec_id, sub, unnest(c) AS y, unnest(qd) AS x FROM lt),
     sd_ AS (SELECT vec_id, sub, round(sum((x-y)*(x-y)), 6) AS dsub
             FROM pd GROUP BY vec_id, sub),
@@ -4047,6 +4070,33 @@ def sim_ivfpq(spark, sf_dir):
     )
     SIM.ivfpq_write_partitioned(
         emb, path, n_cells=16, m=8, k_codes=16, seed=0, n_refine=1
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
+
+
+@_q("sim_ivfpq_residual_topk", _ivfpq_oracle_sql(residual=True))
+def sim_ivfpq_residual(spark, sf_dir):
+    # [ext] Residual-PQ / IVFADC probe (Jégou 2011 §IV.B) END TO END:
+    # same persisted layout as sim_ivfpq_topk but the codes encode
+    # vec − centroid[cell] and the ADC ranks against per-cell query
+    # residuals — the standard recall lever at low m (reconstruction-MSE
+    # improvement test-asserted in test_similarity). The oracle replays
+    # the additional residual algebra on top of the full normalize →
+    # k-means → PQ-train → pruned-probe chain; round-9 Lloyd means on
+    # BOTH the cell centroids and the codebooks keep every subtracted
+    # value bit-identical cross-engine.
+    import os as _os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"ivfpq_res_idx_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIM.ivfpq_write_partitioned(
+        emb, path, n_cells=16, m=8, k_codes=16, seed=0, n_refine=1,
+        residual=True,
     )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
@@ -5424,6 +5474,7 @@ _NEXT_IN_LINE = [
     "sim_ivfpq_topk",
     "text_gopher_line_rules",
     "text_c4_rules",
+    "sim_ivfpq_residual_topk",
 ]
 
 
