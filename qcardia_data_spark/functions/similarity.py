@@ -214,13 +214,49 @@ def ivf_write_partitioned(
     whole FILES, not just rows: reading ``cell IN (probed)`` touches only
     the probed directories, verified by inputFiles in the test suite.
 
-    Returns the centroid frame (tiny — keep it as the index metadata next
-    to the table)."""
+    Returns the centroid frame; since r8 the centroids and build params
+    are ALSO persisted to ``path/_ivf_meta`` (the ``_lsh_meta``/
+    ``_ivfpq_meta`` pattern), so probes that only hold the path —
+    :func:`ann_ivf_topk_from_meta`, the spec ``ann_probe`` op — can
+    never drift from the layout they scan."""
+    import json as _json
+
     assigned, centroids = ivf_assign(
         embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(centroids.collect(), key=lambda r: r["cell"])
+    ]
+    meta = embeddings.sparkSession.createDataFrame(
+        [(_json.dumps(cents), int(n_cells), int(seed), int(n_refine))],
+        ["centroids_json", "n_cells", "seed", "n_refine"],
+    )
+    meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_meta")
     return centroids
+
+
+def ann_ivf_topk_from_meta(
+    spark, path: str, query_vec, k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe that needs ONLY the index path: centroids come from the
+    index's own ``_ivf_meta``, so the probe can never rank cells with a
+    different clustering than the one the directories were laid out by.
+    Same plan as :func:`ann_ivf_topk_pruned` (partition-filtered cell
+    scan + cosine top-k)."""
+    import json as _json
+
+    meta = spark.read.json(f"{path}/_ivf_meta").collect()[0]
+    cents = _json.loads(meta["centroids_json"])
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["cell", "centroid"]
+    )
+    return ann_ivf_topk_pruned(
+        spark, path, centroids, query_vec, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 def ivf_probe_cells(centroids: DataFrame, query_vec, n_probe: int) -> list[int]:

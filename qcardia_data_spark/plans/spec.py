@@ -99,7 +99,7 @@ Spec grammar (one dict per op, applied in order):
     {"op": "inverted_index_write", "path": ..., "id_col": ...,
      "text_col": ..., "n_buckets": 64}   # side artifact: BM25 postings
         (probe later with retrieval.bm25_topk_from_index)
-    {"op": "ann_index_write", "path": ..., "kind": "lsh"|"ivfpq",
+    {"op": "ann_index_write", "path": ..., "kind": "lsh"|"ivf"|"ivfpq",
      "id_col": ..., "vec_col": ..., ...index params...}
         # side artifact: persisted ANN index (hyperplane-bucket LSH or
         # cell-partitioned IVF+PQ); frame passes through unchanged
@@ -880,6 +880,19 @@ def _apply(
                 id_col=op.get("id_col", "vec_id"),
                 vec_col=op.get("vec_col", "embedding"),
             )
+        elif ikind == "ivf":
+            from qcardia_data_spark.functions.similarity import (
+                ivf_write_partitioned,
+            )
+
+            ivf_write_partitioned(
+                df, op["path"],
+                n_cells=int(op.get("n_cells", 16)),
+                seed=int(op.get("seed", 0)),
+                n_refine=int(op.get("n_refine", 1)),
+                id_col=op.get("id_col", "vec_id"),
+                vec_col=op.get("vec_col", "embedding"),
+            )
         elif ikind == "ivfpq":
             from qcardia_data_spark.functions.similarity import (
                 ivfpq_write_partitioned,
@@ -936,13 +949,9 @@ def _apply(
                 id_left=id_left, id_right=id_right,
                 vec_col=op.get("vec_col", "embedding"),
             )
-        if _has_meta("_ivfpq_meta"):
-            from qcardia_data_spark.functions.similarity import (
-                ann_ivfpq_topk_pruned,
-            )
-
+        if _has_meta("_ivfpq_meta") or _has_meta("_ivf_meta"):
             if "query_id" not in op:
-                raise SpecError("ann_probe (ivfpq): 'query_id' required")
+                raise SpecError("ann_probe (ivf/ivfpq): 'query_id' required")
             id_col = op.get("id_col", "vec_id")
             vec_col = op.get("vec_col", "embedding")
             row = df.filter(
@@ -952,13 +961,28 @@ def _apply(
                 raise SpecError(
                     f"ann_probe: query_id {op['query_id']!r} not in frame"
                 )
-            return ann_ivfpq_topk_pruned(
+            if _has_meta("_ivfpq_meta"):
+                from qcardia_data_spark.functions.similarity import (
+                    ann_ivfpq_topk_pruned,
+                )
+
+                return ann_ivfpq_topk_pruned(
+                    spark, path, row[0], k=int(op.get("k", 10)),
+                    n_probe=int(op.get("n_probe", 4)), id_col=id_col,
+                )
+            from qcardia_data_spark.functions.similarity import (
+                ann_ivf_topk_from_meta,
+            )
+
+            return ann_ivf_topk_from_meta(
                 spark, path, row[0], k=int(op.get("k", 10)),
                 n_probe=int(op.get("n_probe", 4)), id_col=id_col,
+                vec_col=vec_col,
             )
         raise SpecError(
-            f"ann_probe: no _lsh_meta or _ivfpq_meta under {path!r} — not "
-            "an ANN index written by ann_index_write/lsh_write_partitioned/"
+            f"ann_probe: no _lsh_meta, _ivfpq_meta or _ivf_meta under "
+            f"{path!r} — not an ANN index written by ann_index_write/"
+            "lsh_write_partitioned/ivf_write_partitioned/"
             "ivfpq_write_partitioned"
         )
     if kind == "signature_index_write":

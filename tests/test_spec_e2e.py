@@ -167,7 +167,7 @@ def test_ann_spec_pair_lsh_and_ivfpq(spark, sf_dir, tmp_path):
 def test_ann_probe_refuses_non_index_path(spark, sf_dir, tmp_path):
     from qcardia_data_spark.plans.spec import SpecError
 
-    with pytest.raises(SpecError, match="_lsh_meta or _ivfpq_meta"):
+    with pytest.raises(SpecError, match="_ivfpq_meta or _ivf_meta"):
         compile_pipeline(
             spark,
             [
@@ -176,3 +176,35 @@ def test_ann_probe_refuses_non_index_path(spark, sf_dir, tmp_path):
             ],
             sf_dir,
         )
+
+
+def test_ann_spec_pair_ivf(spark, sf_dir, tmp_path):
+    """Third index kind for the declarative ANN pair: plain IVF. The
+    probe holds only the path — centroids come from the index's own
+    _ivf_meta — and must equal the library probe fed the same meta."""
+    from qcardia_data_spark.functions.similarity import ann_ivf_topk_from_meta
+
+    idx = str(tmp_path / "ivf_idx")
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "ann_index_write", "kind": "ivf", "path": idx,
+             "n_cells": 8, "seed": 3},
+        ],
+        sf_dir,
+    )
+    got = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "ann_probe", "index_path": idx, "query_id": 3,
+             "k": 5, "n_probe": 2},
+        ],
+        sf_dir,
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    want = ann_ivf_topk_from_meta(spark, idx, q, k=5, n_probe=2)
+    key = lambda r: (r["vec_id"], round(r["score"], 9))  # noqa: E731
+    assert [key(r) for r in got.collect()] == [key(r) for r in want.collect()]
