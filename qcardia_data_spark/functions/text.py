@@ -458,6 +458,107 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    chunk_tokens: int = 32, overlap: int = 8,
+):
+    """[ext] Sliding token-window chunking — split each document into
+    fixed-size, optionally overlapping token windows, the preprocessing
+    step every embedding / retrieval pipeline runs before vectorizing
+    (reference analog: fixed-size window extraction from larger records,
+    `src/qcardia_data/pipeline/transforms/resampler.py:12` RandResample2Dd
+    — this is the text-modality counterpart, deterministic rather than
+    randomized).
+
+    Chunk starts are every ``stride = chunk_tokens - overlap`` tokens
+    while ``start < n_tokens``, so every token belongs to at least one
+    chunk and consecutive chunks share ``overlap`` tokens; the final
+    chunk may be shorter. Text is whitespace-normalized + lowercased
+    (:func:`normalize_ws`) so chunk text is canonical; whitespace-only
+    documents yield zero chunks.
+
+    Emitted per chunk: ``chunk_id`` (0-based, = start // stride),
+    ``chunk_n_tokens``, ``chunk_text``.
+
+    100 TB design: map-only — one narrow generator (posexplode over the
+    start sequence), zero exchanges, no Python. The token array crosses
+    the generator barrier once (HOF-CSE rule, PERF.md lesson #1), and
+    per-chunk work is one O(chunk_tokens) slice, so cost is
+    O(n_tokens / stride * chunk_tokens) per document regardless of
+    corpus size. Chunk ids derive from the doc's own token offsets, so
+    the op shards embarrassingly and is retry-deterministic.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    norm = normalize_ws(F.col(text_col))
+    base = df.filter(F.length(norm) > 0).select(
+        id_col, F.explode(F.array(F.split(norm, " "))).alias("_toks")
+    )
+    starts = base.select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+        ).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return starts.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).alias("chunk_n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def token_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """[ext] Vocabulary-entropy quality signals per document: token count,
+    distinct-token count (types), type/token ratio, and Shannon entropy of
+    the token distribution — the lexical-diversity gate that catches
+    keyword-stuffed / template / low-diversity pages which pass
+    length-based filters (used alongside the Gopher and C4 rule families).
+
+    Entropy is computed in the shuffle-friendly algebraic form
+    ``H = ln(n) - sum(cnt * ln(cnt)) / n`` so one pass over the per-type
+    counts suffices; the oracle replays the identical formula so the
+    float path matches term-for-term (cross-engine fold rule, PERF.md
+    lesson — only unordered sums of irrational terms remain, which
+    round(6) absorbs). Documents with zero tokens are dropped (no
+    distribution to measure).
+
+    100 TB design: explode -> groupBy(id, token) with map-side partial
+    count (shuffle volume = per-doc *distinct* tokens, not tokens), then
+    a second, strictly smaller groupBy(id). No Python, no collect, no
+    per-doc quadratic HOF scan — the two-exchange shape beats a map-only
+    O(types x tokens) nested-lambda scan as soon as documents exceed a
+    few hundred tokens, and the second exchange carries one row per
+    (doc, type).
+    """
+    toks = word_tokens(F.col(text_col))
+    per_type = (
+        df.select(id_col, F.explode(toks).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    cnt = F.col("_cnt").cast("double")
+    agg = per_type.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(cnt * F.log(cnt)).alias("_s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(F.log(n) - F.col("_s") / n, 6).alias("token_entropy"),
+    )
+
+
 def corpus_mix(
     df, token_col: str, key_col: str, by: str,
     weights: dict[str, float], total_budget: int, seed: int = 0,

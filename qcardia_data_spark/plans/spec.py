@@ -61,6 +61,12 @@ Spec grammar (one dict per op, applied in order):
         # RedPajama-V2 pattern: the whole per-doc signal table
         # (length/punct/stopword/repetition/gopher/lang/fingerprint)
         # appended in ONE map pass; gate downstream against the columns
+    {"op": "chunk", "id_col": ..., "text_col": ...,
+     "chunk_tokens": 32, "overlap": 8}
+        # sliding token-window chunking; one row per chunk (stream-safe)
+    {"op": "token_entropy", "id_col": ..., "text_col": ...,
+     "append": false}
+        # vocabulary-entropy signal table (or appended via left join)
     {"op": "lm_score", "ref": ..., "id_col": ..., "text_col": ...,
      "min_score": -7.5 | "keep_buckets": ["head", "middle"]}
         # CCNet-style trigram quality gate (hard threshold or the
@@ -417,6 +423,34 @@ def _apply(
             "*", *[v.alias(f"{p}_{k}") for k, v in sig.items()]
         )
         return out.drop("_qstoks")
+    if kind == "chunk":
+        from qcardia_data_spark.functions.text import chunk_documents
+
+        # {"op": "chunk", "id_col": "doc_id", "text_col": "text",
+        #  "chunk_tokens": 32, "overlap": 8} — sliding token-window
+        # chunking (the embed/retrieval preprocessing step). REPLACES the
+        # frame with one row per chunk (doc_id, chunk_id, chunk_n_tokens,
+        # chunk_text); map-only, stream-safe.
+        return chunk_documents(
+            df,
+            op.get("id_col", "doc_id"),
+            op.get("text_col", "text"),
+            chunk_tokens=int(op.get("chunk_tokens", 32)),
+            overlap=int(op.get("overlap", 8)),
+        )
+    if kind == "token_entropy":
+        from qcardia_data_spark.functions.text import token_entropy_stats
+
+        # {"op": "token_entropy", "id_col": ..., "text_col": ...,
+        #  "append": false} — vocabulary-entropy signals. Default returns
+        # the per-doc signal table; append=true joins the four signal
+        # columns back onto the frame by id_col (left join: zero-token
+        # docs keep nulls). Batch-only (aggregation).
+        id_col = op.get("id_col", "doc_id")
+        stats = token_entropy_stats(df, id_col, op.get("text_col", "text"))
+        if op.get("append", False):
+            return df.join(stats, id_col, "left")
+        return stats
     if kind == "gopher_line_rules":
         from qcardia_data_spark.functions.text import line_format_scores
 
@@ -1084,7 +1118,7 @@ def compile_stream_pipeline(
        "how": "inner"}   # stream-stream join; watermarks + time-bound
                          # condition required (state expiry)
       ...plus every STATELESS batch op (select / filter / with_columns /
-      rename / drop / explode / quality_filter / gopher_rules) — reused
+      rename / drop / explode / quality_filter / gopher_rules / chunk) — reused
       verbatim from the batch compiler, which is the point: one spec
       dialect, two execution modes. The two text gates are map-only
       expressions, so a crawl STREAM can run the same quality spec ops
@@ -1096,7 +1130,7 @@ def compile_stream_pipeline(
     """
     _STATELESS = {
         "select", "filter", "with_columns", "rename", "drop", "explode",
-        "quality_filter", "gopher_rules",
+        "quality_filter", "gopher_rules", "chunk",
     }
     df: DataFrame | None = None
     prior_ops: list[dict] = []

@@ -5373,6 +5373,68 @@ def dedup_incremental_q(spark, sf_dir):
     return head_ids.unionByName(kept.select("doc_id"))
 
 
+@_q(
+    "text_chunk_windows",
+    # Oracle replays the identical chunking arithmetic with integer
+    # stepping only (range(0, n, stride) / list slices are 1-based
+    # end-inclusive, matching F.slice(start+1, len)) — no float division
+    # anywhere, so the two engines agree exactly.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+      WHERE len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) > 0),
+    c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM t)
+    SELECT doc_id,
+           s // 24 AS chunk_id,
+           len(toks[s + 1 : s + 32]) AS chunk_n_tokens,
+           array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """[ext] Sliding token-window chunking (chunk=32, overlap=8): every
+    document split into the overlapping token windows an embedding /
+    retrieval pipeline vectorizes. Map-only, one narrow generator, zero
+    exchanges (text.chunk_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+@_q(
+    "text_token_entropy",
+    # Oracle computes the SAME algebraic form H = ln(n) - sum(c*ln(c))/n
+    # over the same per-(doc, token) counts; the only float
+    # nondeterminism left is the unordered sum of irrational c*ln(c)
+    # terms, absorbed by round(6) on both sides.
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0)) AS tok
+      FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),
+    a AS (SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 count(*) AS n_types,
+                 sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           round(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS token_entropy
+    FROM a
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """[ext] Vocabulary-entropy quality signals: token count, type count,
+    type/token ratio, Shannon entropy per document — the lexical-diversity
+    gate (text.token_entropy_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.token_entropy_stats(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -5475,6 +5537,8 @@ _NEXT_IN_LINE = [
     "text_gopher_line_rules",
     "text_c4_rules",
     "sim_ivfpq_residual_topk",
+    "text_chunk_windows",
+    "text_token_entropy",
 ]
 
 

@@ -548,3 +548,35 @@ def test_streaming_c4_and_line_format_gates_match_batch(spark, tmp_path):
     batch = spark.read.schema(schema).json(str(d))
     want = {r["doc_id"] for r in gate(batch).collect()}
     assert got == want == {1, 5}
+
+
+def test_streaming_chunk_spec_op_matches_batch(spark, tmp_path):
+    """`chunk` is a stateless generator expression, so the same spec op
+    runs mid-stream — a crawl intake can chunk pages for embedding before
+    the sink. Streamed chunks must match the batch twin exactly."""
+    import json as _json
+
+    from qcardia_data_spark.functions.text import chunk_documents
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+
+    d = tmp_path / "chunk_incoming"
+    d.mkdir()
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(5 + 13 * i))}
+        for i in range(6)
+    ]
+    (d / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[:3]))
+    (d / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[3:]))
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(d), "schema": schema,
+         "format": "json"},
+        {"op": "chunk", "chunk_tokens": 16, "overlap": 4},
+    ])
+    got = sorted(map(tuple, S.run_to_memory(stream).collect()))
+    batch = spark.read.schema(schema).json(str(d))
+    want = sorted(
+        map(tuple, chunk_documents(batch, chunk_tokens=16, overlap=4).collect())
+    )
+    assert got == want and len(got) > 6  # multi-chunk docs exist

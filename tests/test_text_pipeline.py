@@ -606,3 +606,124 @@ def test_quality_signals_spec_op(spark, sf_dir):
         assert row["qs_gopher_keep"] == w["gk"]
         assert row["qs_lang_pred"] == w["lp"]
         assert row["qs_n_tokens"] > 0
+
+
+# ---------------------------------------------------------------------------
+# r8 late additions: sliding-window chunking + token-entropy signals
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    import math
+    import pytest
+
+    toks = [f"w{i}" for i in range(70)]
+    rows = [(0, " ".join(toks)), (1, "short doc"), (2, "   "), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # whitespace-only / empty docs yield no chunks
+    assert set(by_doc) == {0, 1}
+    # doc 1 fits one chunk entirely
+    (c1,) = by_doc[1]
+    assert (c1["chunk_id"], c1["chunk_n_tokens"], c1["chunk_text"]) == (0, 2, "short doc")
+
+    # doc 0: starts every 24 while < 70 -> 0, 24, 48
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2]
+    assert [c["chunk_n_tokens"] for c in chunks] == [32, 32, 22]
+    # every token covered, in order, with 8-token overlap between neighbors
+    assert chunks[0]["chunk_text"].split(" ") == toks[0:32]
+    assert chunks[1]["chunk_text"].split(" ") == toks[24:56]
+    assert chunks[2]["chunk_text"].split(" ") == toks[48:70]
+    covered = set()
+    for c in chunks:
+        covered.update(c["chunk_text"].split(" "))
+    assert covered == set(toks)
+
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, chunk_tokens=8, overlap=-1)
+
+
+def test_chunk_documents_zero_overlap_reconstructs(spark):
+    # overlap=0 partitions the token stream exactly
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    chunks = sorted(
+        T.chunk_documents(df, chunk_tokens=16, overlap=0).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert sum(c["chunk_n_tokens"] for c in chunks) == 50
+    assert " ".join(c["chunk_text"] for c in chunks) == text
+
+
+def test_token_entropy_stats_known_distributions(spark):
+    import math
+
+    rows = [
+        (0, "aaa aaa aaa aaa"),          # one type -> entropy 0
+        (1, "a b c d"),                   # uniform over 4 -> ln(4)
+        (2, "a a b"),                     # H = ln3 - (2 ln2)/3
+        (3, "???"),                       # no alnum tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.token_entropy_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_tokens"], out[0]["n_types"], out[0]["token_entropy"]) == (4, 1, 0.0)
+    assert out[1]["token_entropy"] == round(math.log(4), 6)
+    assert out[1]["type_token_ratio"] == 1.0
+    expected = math.log(3) - (2 * math.log(2)) / 3
+    assert abs(out[2]["token_entropy"] - expected) < 1e-6
+    assert out[2]["type_token_ratio"] == round(2 / 3, 6)
+
+
+def test_chunk_and_token_entropy_spec_ops(spark, sf_dir):
+    """`chunk` must compile map-only (no exchange beside the scan) and
+    match the library call row-for-row; `token_entropy` append mode must
+    left-join the four signal columns back onto the frame."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    chunked = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "chunk", "chunk_tokens": 16, "overlap": 4},
+        ],
+        sf_dir,
+    )
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only beside the scan
+
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = T.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(tuple, chunked.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, want.collect()), key=lambda t: t[:2]
+    )
+
+    appended = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "filter", "expr": "doc_id < 20"},
+            {"op": "token_entropy", "append": True},
+        ],
+        sf_dir,
+    )
+    assert {"token_entropy", "type_token_ratio", "n_types", "text"} <= set(
+        appended.columns
+    )
+    rows = appended.collect()
+    assert len(rows) == docs.filter("doc_id < 20").count()  # left join keeps all
+    direct = {
+        r["doc_id"]: r["token_entropy"]
+        for r in T.token_entropy_stats(docs.filter("doc_id < 20")).collect()
+    }
+    for r in rows:
+        assert r["token_entropy"] == direct.get(r["doc_id"])
