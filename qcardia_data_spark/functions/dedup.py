@@ -354,6 +354,107 @@ def ngram_jaccard_join(
         sh.unpersist()
 
 
+def containment_join(
+    df: DataFrame, id_col: str, text_col: str,
+    threshold: float = 0.8, shingle_n: int = 3,
+) -> DataFrame:
+    """[ext] EXACT shingle-set CONTAINMENT self-join — the asymmetric
+    sibling of :func:`ngram_jaccard_join` for SUB-DOCUMENT duplication:
+    ``containment(A ⊆ B) = |A∩B| / |A|`` over the smaller set, which
+    catches a short doc embedded in a longer one (quotes, boilerplate,
+    excerpt pages) that symmetric Jaccard never flags (a 12-token doc
+    inside a 30-token doc has jac ≈ 0.36 but containment 1.0). Public
+    algorithm family (overlap-threshold prefix filtering, Chaudhuri
+    SSJoin ICDE'06 / Xiao WWW'08), original Spark plan; no reference
+    counterpart.
+
+    Losslessness: orient every pair so ``a`` is the doc with the smaller
+    ``(|S|, id)``. ``containment ≥ t`` needs overlap ≥ ``⌈t·|A|⌉``, so
+    A's rarest-first prefix of length ``|A| − ⌈t·|A|⌉ + 1`` must contain
+    a shared shingle (pigeonhole) — but no such bound exists for the
+    LARGER side, whose required overlap is set by its partner. The
+    candidate join therefore matches the smaller side's PREFIX rows
+    against the larger side's FULL shingle rows: still every qualifying
+    pair, by construction. Verification attaches both distinct-shingle
+    sets and intersects JVM-side (the :func:`jaccard_verify_sets`
+    machinery, containment-normalized), once per pair behind the explode
+    barrier.
+
+    100 TB shape: same O(tokens) shingle pass, frequency groupBy and
+    per-doc prefix window as the Jaccard join; the candidate join is
+    prefix × all-shingles, so volume is bounded by prefix co-occurrence —
+    rarest-first ordering keeps corpus stop-shingles out of prefixes, and
+    the full side only multiplies within docs actually sharing a rare
+    shingle. No all-pairs stage.
+
+    Returns distinct ``(a, b, containment)``, ``a`` the smaller/contained
+    side; both engines compute the ratio as a division of exact ints, so
+    no rounding is needed for cross-engine parity.
+    """
+    from pyspark.sql.window import Window
+
+    t = float(threshold)
+    sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_df").asc(), F.col("shingle").asc()
+        )
+        szw = F.count("*").over(Window.partitionBy(id_col))
+        pref = (
+            sh.join(freq, "shingle")
+            .select(
+                id_col, "shingle",
+                F.row_number().over(w).alias("_rn"), szw.alias("_sz"),
+            )
+            .filter(
+                F.col("_rn")
+                <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)) + 1
+            )
+            .select(id_col, "shingle", "_sz")
+            .localCheckpoint(eager=True)
+        )
+        cands = (
+            pref.select(F.col(id_col).alias("a"), "shingle", F.col("_sz").alias("_sza"))
+            .join(
+                sh.join(sizes, id_col).select(
+                    F.col(id_col).alias("b"), "shingle", F.col("_sz").alias("_szb")
+                ),
+                "shingle",
+            )
+            .filter(
+                (F.col("_sza") < F.col("_szb"))
+                | ((F.col("_sza") == F.col("_szb")) & (F.col("a") < F.col("b")))
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_s"))
+        once = (
+            cands
+            .join(sets.select(F.col(id_col).alias("a"), F.col("_s").alias("_sa")), "a")
+            .join(sets.select(F.col(id_col).alias("b"), F.col("_s").alias("_sb")), "b")
+            .select(
+                "a", "b",
+                F.size("_sa").alias("_na"),
+                # evaluated exactly once per pair behind the generator
+                # barrier (same no-inline rule as jaccard_verify_sets)
+                F.explode(
+                    F.array(F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))))
+                ).alias("_i"),
+            )
+        )
+        cont = F.col("_i").cast("double") / F.col("_na")
+        return (
+            once.select("a", "b", cont.alias("containment"))
+            .filter(F.col("containment") >= t)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
+
+
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,

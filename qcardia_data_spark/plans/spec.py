@@ -48,6 +48,10 @@ Spec grammar (one dict per op, applied in order):
     {"op": "semantic_dedup", "n_cells": 16, "threshold": 0.35, ...}
     {"op": "ngram_jaccard_dedup", "threshold": 0.6, "shingle_n": 3,
      "pairs_only": false}                              # exact, recall 1
+    {"op": "containment_dedup", "threshold": 0.8, "shingle_n": 3,
+     "pairs_only": false}
+        # exact |A∩B|/|A| sub-document dup gate: drops docs contained
+        # in a larger doc (excerpts/quotes — invisible to Jaccard)
     {"op": "gopher_rules", "text_col": ..., "out": "gopher_keep",
      "drop_failing": false, ...rule thresholds...}
     {"op": "c4_clean", "text_col": ..., "min_words_per_line": 5,
@@ -346,6 +350,25 @@ def _apply(
             return pairs
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
         return df.join(losers, id_col, "left_anti")
+    if kind == "containment_dedup":
+        from qcardia_data_spark.functions.dedup import containment_join
+
+        # {"op": "containment_dedup", "id_col": ..., "text_col": ...,
+        #  "threshold": 0.8, "shingle_n": 3, "pairs_only": false} — EXACT
+        # sub-document duplication gate (|A∩B|/|A| over the smaller set):
+        # drops every doc whose shingle set is >= threshold contained in
+        # a LARGER doc's (the excerpt/quote/boilerplate case symmetric
+        # Jaccard misses); pairs_only returns (a, b, containment) pairs.
+        id_col = op.get("id_col", "doc_id")
+        pairs = containment_join(
+            df, id_col, op.get("text_col", "text"),
+            threshold=float(op.get("threshold", 0.8)),
+            shingle_n=int(op.get("shingle_n", 3)),
+        )
+        if op.get("pairs_only", False):
+            return pairs
+        contained = pairs.select(F.col("a").alias(id_col)).distinct()
+        return df.join(contained, id_col, "left_anti")
     if kind == "gopher_rules":
         from qcardia_data_spark.functions.text import gopher_rules, word_tokens
 

@@ -5435,6 +5435,60 @@ def text_token_entropy(spark, sf_dir):
     return T.token_entropy_stats(docs, "doc_id", "text")
 
 
+@_q(
+    "dedup_containment",
+    # Oracle replays the EXHAUSTIVE candidate set — every (smaller,
+    # larger) pair sharing ANY shingle — then the same |A∩B|/|A|
+    # formula, so a value-hash match proves the Spark side's
+    # smaller-prefix × full-shingle join is lossless (the same proof
+    # style as dedup_ngram_jaccard). The ratio is a division of exact
+    # ints: no rounding needed.
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (
+      SELECT doc_id, len(toks) AS k,
+             unnest(toks) AS w, unnest(range(len(toks))) AS pos
+      FROM norm),
+    sh0 AS (
+      SELECT doc_id, k, pos,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+      FROM tok),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE pos <= k - 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+             FROM sh s1
+             JOIN sh s2 ON s1.shingle = s2.shingle
+             JOIN sizes za ON za.doc_id = s1.doc_id
+             JOIN sizes zb ON zb.doc_id = s2.doc_id
+             WHERE za.n < zb.n OR (za.n = zb.n AND s1.doc_id < s2.doc_id)),
+    inter AS (SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.a
+              JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY c.a, c.b)
+    SELECT c.a, c.b, CAST(i.i AS DOUBLE) / za.n AS containment
+    FROM cand c
+    JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes za ON za.doc_id = c.a
+    WHERE CAST(i.i AS DOUBLE) / za.n >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """[ext] Exact containment (asymmetric Jaccard) pair search:
+    |A∩B|/|A| >= 0.8 over 3-gram shingle sets, a = the smaller/contained
+    doc — the sub-document duplication auditor symmetric Jaccard misses
+    (dedup.containment_join: smaller-side prefix filter, lossless)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -5539,6 +5593,7 @@ _NEXT_IN_LINE = [
     "sim_ivfpq_residual_topk",
     "text_chunk_windows",
     "text_token_entropy",
+    "dedup_containment",
 ]
 
 

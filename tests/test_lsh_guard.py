@@ -380,3 +380,104 @@ def test_simhash_near_pairs64_lossless_and_selective(spark, sf_dir):
 
     with pytest.raises(ValueError):
         simhash_near_pairs64(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_containment_join_lossless_vs_naive(spark):
+    """containment_join must equal the naive all-pairs containment result
+    on a corpus with: an exact duplicate (containment 1.0 both ways ->
+    one oriented pair), a short doc strictly EMBEDDED in a longer one
+    (the motivating case: containment 1.0 while jaccard is far below any
+    useful threshold), a boundary pair, and sub-floor docs."""
+    import itertools
+    import random
+    import re
+
+    from qcardia_data_spark.functions.dedup import containment_join, ngram_jaccard_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 22)))))
+    long_toks = [f"u{i}" for i in range(30)]
+    rows.append((200, " ".join(long_toks)))            # host doc, unique vocab
+    rows.append((201, " ".join(long_toks[9:21])))      # strictly embedded excerpt
+    rows.append((202, " ".join(long_toks)))            # exact dup of 200
+    rows.append((203, "tiny doc"))                     # < 3 tokens: no shingles
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh_of(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh_of(t) for i, t in rows}
+    naive = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        sx, sy = sets[x], sets[y]
+        if not sx or not sy:
+            continue
+        # orient: a = smaller (|S|, id)
+        a, b = (x, y) if (len(sx), x) < (len(sy), y) else (y, x)
+        i = len(sx & sy)
+        c = i / len(sets[a])
+        if i and c >= 0.8:
+            naive[(a, b)] = round(c, 9)
+
+    got = {
+        (r["a"], r["b"]): round(r["containment"], 9)
+        for r in containment_join(df, "doc_id", "text", 0.8, 3).collect()
+    }
+    assert got == naive
+    # embedded excerpt: containment 1.0, oriented excerpt-first
+    assert got[(201, 200)] == 1.0
+    # exact dup pair: equal sizes -> lower id first
+    assert got[(200, 202)] == 1.0
+    # the motivating miss: symmetric Jaccard at 0.6 never sees 201 in 200
+    jac = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_join(df, "doc_id", "text", 0.6, 3).collect()
+    }
+    assert (200, 201) not in jac and (201, 200) not in jac
+
+
+def test_containment_join_property_random_corpora(shared_spark):
+    """Property sweep: random same-vocab corpora (heavy shingle sharing)
+    at two thresholds — prefix-filtered result == naive all-pairs."""
+    import itertools
+    import random
+    import re
+
+    from qcardia_data_spark.functions.dedup import containment_join
+
+    def naive(rows, t):
+        def sh_of(text):
+            toks = [w for w in re.split(r"[^a-z0-9]+", text.lower().strip()) if w]
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = {i: sh_of(x) for i, x in rows}
+        out = {}
+        for x, y in itertools.combinations(sorted(sets), 2):
+            sx, sy = sets[x], sets[y]
+            if not sx or not sy:
+                continue
+            a, b = (x, y) if (len(sx), x) < (len(sy), y) else (y, x)
+            i = len(sx & sy)
+            c = i / len(sets[a])
+            if i and c >= t:
+                out[(a, b)] = round(c, 9)
+        return out
+
+    for seed, t in ((3, 0.8), (4, 0.95), (5, 0.5)):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(8)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+            for i in range(40)
+        ]
+        df = shared_spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["a"], r["b"]): round(r["containment"], 9)
+            for r in containment_join(df, "doc_id", "text", t, 3).collect()
+        }
+        assert got == naive(rows, t), f"seed={seed} t={t}"

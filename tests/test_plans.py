@@ -1124,3 +1124,37 @@ def test_stream_spec_text_gates_match_batch(spark, sf_dir, tmp_path):
         ).select("doc_id").collect()
     }
     assert got == want and got
+
+
+def test_spec_containment_dedup_op(spark, sf_dir):
+    """containment_dedup spec op: pairs_only returns the library pairs;
+    gate form drops exactly the distinct contained ('a') docs."""
+    from qcardia_data_spark.functions.dedup import containment_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "containment_dedup", "threshold": 0.8, "pairs_only": True},
+        ],
+        sf_dir,
+    )
+    want = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_join(docs, "doc_id", "text", 0.8, 3).collect()
+    }
+    got = {(r["a"], r["b"]): r["containment"] for r in pairs.collect()}
+    assert got == want and len(got) > 0
+
+    gated = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "containment_dedup", "threshold": 0.8},
+        ],
+        sf_dir,
+    )
+    contained = {a for (a, _b) in want}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in gated.select("doc_id").collect()} == all_ids - contained
