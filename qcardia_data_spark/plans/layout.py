@@ -108,6 +108,56 @@ def zorder_write(
     )
 
 
+def compact_files(
+    spark, src: str, dst: str, target_mb: int = 256,
+    order_by: Sequence[str] | None = None,
+) -> int:
+    """[ext] Small-file compaction — rewrite a parquet directory into
+    files near ``target_mb`` each, the standing maintenance op every
+    long-lived 100 TB table needs (streaming sinks and incremental
+    appends accrete KB-scale files whose per-file open/footer/task
+    overhead eventually dominates scans; `_batch=`-partitioned survivor
+    sinks and index appends in this repo are exactly such producers).
+
+    File count is sized from the source's actual COMPRESSED bytes
+    (parquet→parquet rewrite preserves encoding, so source bytes are an
+    honest estimate of output bytes), never from row counts or sampled
+    row widths. Two layouts:
+
+    - ``order_by=None``: ``coalesce`` — ZERO shuffle; each output file
+      concatenates input partitions. Right when the source layout is
+      already acceptable and only the file count is wrong.
+    - ``order_by=[cols]``: one ``repartitionByRange`` exchange + in-file
+      sort — equal-frequency files with tight per-file min/max on the
+      order columns, so compaction doubles as a pruning-layout rebuild
+      (the cheaper single-axis sibling of :func:`zorder_write`).
+
+    Returns the output file count. Scale note: on a real cluster the
+    listing comes from the same FileIndex the scan uses (`inputFiles`),
+    so no driver directory walk of 100 TB — it is one metadata pass.
+    """
+    import math
+    import os
+
+    reader = spark.read.parquet(src)
+    files = reader.inputFiles()
+    if not files:
+        raise ValueError(f"compact_files: no parquet files under {src!r}")
+    total = sum(
+        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+        for f in files
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if order_by:
+        out = reader.repartitionByRange(n_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = reader.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def file_stats(spark, path: str, col: str) -> list[tuple[str, object, object]]:
     """Per-file (min, max) of ``col`` — the statistics the reader's pruning
     consults, surfaced for layout-quality audits and tests."""

@@ -116,3 +116,48 @@ def test_z_value_bijective_and_coordinate_monotone(spark):
     for x in range(4):
         zs = [got[(x, y)] for y in range(4)]
         assert zs == sorted(zs)  # monotone in y for fixed x
+
+
+def test_compact_files_coalesce_and_range_layouts(spark, sf_dir, tmp_path):
+    """compact_files must size output from real compressed bytes, round-trip
+    rows exactly, keep the default path shuffle-free (coalesce), and make
+    per-file min/max ranges non-overlapping in order_by mode."""
+    import os
+
+    from qcardia_data_spark.plans.layout import compact_files, file_stats
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.repartition(40).write.parquet(src)  # 40 tiny files
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 40
+
+    total_mb = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    ) / (1024 * 1024)
+    target = max(1, int(total_mb / 3) + 1)  # aim for ~3-4 files
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, src, dst, target_mb=target)
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == n_out < n_src
+    # round-trip equality
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    dst2 = str(tmp_path / "compacted_ordered")
+    n2 = compact_files(spark, src, dst2, target_mb=target, order_by=["doc_id"])
+    stats = file_stats(spark, dst2, "doc_id")
+    assert len(stats) == n2
+    # ranges sorted by min must be non-overlapping: layout doubles as pruning
+    stats.sort(key=lambda s: s[1])
+    for (_, _, hi), (_, lo, _) in zip(stats, stats[1:]):
+        assert hi < lo
+    assert sorted(map(tuple, spark.read.parquet(dst2).collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    # missing/empty sources: spark.read.parquet itself refuses loudly
+    # (AnalysisException) before the file-count guard is reached
