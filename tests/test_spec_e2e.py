@@ -36,8 +36,8 @@ def test_e2e_chain_runs_and_gates_monotonically(spark, sf_dir, e2e_spec):
         i + 1
         for i, op in enumerate(ops)
         if op["op"] in ("filter", "quality_filter", "gopher_rules", "near_dedup",
-                        "quality_classifier", "dsir_weights", "unimax_mix",
-                        "decontaminate")
+                        "containment_dedup", "quality_classifier", "dsir_weights",
+                        "unimax_mix", "decontaminate")
     ]
     counts = [
         compile_pipeline(spark, ops[:end], sf_dir).count()
@@ -208,3 +208,25 @@ def test_ann_spec_pair_ivf(spark, sf_dir, tmp_path):
     want = ann_ivf_topk_from_meta(spark, idx, q, k=5, n_probe=2)
     key = lambda r: (r["vec_id"], round(r["score"], 9))  # noqa: E731
     assert [key(r) for r in got.collect()] == [key(r) for r in want.collect()]
+
+
+def test_e2e_retrieval_fork_chunks_after_dedup(spark, sf_dir, e2e_spec):
+    """Specs fork: the same cleaned/deduped prefix feeds the RETRIEVAL
+    branch (chunk for embedding) instead of the packing tail — one row
+    per token window, every surviving doc represented."""
+    ops = e2e_spec["pipeline"]
+    cut = next(
+        i for i, op in enumerate(ops) if op["op"] == "containment_dedup"
+    ) + 1
+    fork = ops[:cut] + [
+        {"op": "chunk", "id_col": "doc_id", "text_col": "text",
+         "chunk_tokens": 32, "overlap": 8},
+    ]
+    chunks = compile_pipeline(spark, fork, sf_dir)
+    assert chunks.columns == ["doc_id", "chunk_id", "chunk_n_tokens", "chunk_text"]
+    survivors = compile_pipeline(spark, ops[:cut], sf_dir)
+    n_docs = survivors.count()
+    got_docs = chunks.select("doc_id").distinct().count()
+    assert 0 < got_docs == n_docs  # every nonempty survivor chunked
+    per = chunks.groupBy("doc_id").count()
+    assert per.filter("count < 1").count() == 0
