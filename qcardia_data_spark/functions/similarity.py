@@ -679,6 +679,141 @@ def pq_encode(
     return codes, cb
 
 
+def pq_encode_with_codebooks(
+    embeddings: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against an EXISTING (frozen) [m][k][d_sub] codebook
+    — the append path of a standing PQ index: no training jobs, one
+    narrow map pass (:func:`_pq_assign`) + one per-id collect, exactly the
+    encode tail of :func:`pq_encode`. New vectors get the same codes the
+    original training run would have assigned them, which is what makes
+    an incremental index equal to encode-everything-at-once."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    first = embeddings.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pq_encode_with_codebooks: empty embeddings input")
+    d = int(first[0])
+    if d != m * d_sub:
+        raise ValueError(
+            f"pq_encode_with_codebooks: dim {d} != m*d_sub = {m}*{d_sub}"
+        )
+    slices = F.array(*[
+        F.slice(F.col(vec_col).cast("array<double>"), s * d_sub + 1, d_sub)
+        for s in range(m)
+    ])
+    sub_rows = embeddings.select(
+        F.col(id_col), F.posexplode(slices).alias("sub", "sd")
+    )
+    assigned = _pq_assign(sub_rows, codebooks)
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def _ann_meta(spark, path: str):
+    """(kind, meta_row) for a persisted ANN index — probes the three meta
+    names the writers use. Raises with all three paths on a non-index."""
+    from pyspark.errors import AnalysisException
+
+    for kind, name in (
+        ("lsh", "_lsh_meta"), ("ivfpq", "_ivfpq_meta"), ("ivf", "_ivf_meta"),
+    ):
+        try:
+            return kind, spark.read.json(f"{path}/{name}").collect()[0]
+        except AnalysisException:
+            continue
+    raise ValueError(
+        f"ann_index_append: no _lsh_meta/_ivfpq_meta/_ivf_meta under "
+        f"{path!r} — not a persisted ANN index"
+    )
+
+
+def ann_index_append(
+    embeddings: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> int:
+    """[ext] Grow a persisted ANN index IN PLACE with a new vector batch —
+    the operational sibling of the dedup signature index's append path
+    (SURVEY r8 index-metadata contracts): a standing 100 TB corpus adds
+    crawl batches without re-indexing, and every derived quantity comes
+    from the index's OWN meta (planes / centroids / codebooks / normalize
+    / residual), so an append can never bucket, assign, or encode
+    differently than the original build.
+
+    Retry-idempotent by a SAME-ID GUARD instead of a monotone-id ratchet
+    (ANN rows carry no min-id-winner semantics): ids already present are
+    anti-joined out before the write, and the existence check reads ONLY
+    the partition directories the batch itself occupies (bucket/cell
+    pruning — bounded by the batch, never the corpus). The surviving rows
+    cross a localCheckpoint BEFORE the append so the lazy plan cannot
+    re-read the index mid-write (the near_dedup_incremental lineage
+    lesson). A crash mid-append therefore needs no recovery protocol:
+    re-run the same call; written rows are guarded out, missing rows are
+    written.
+
+    Returns the number of rows appended."""
+    import json as _json
+
+    spark = embeddings.sparkSession
+    kind, meta = _ann_meta(spark, path)
+
+    if kind == "lsh":
+        n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+        rows = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed)
+        )
+        part_col = "bucket"
+    else:
+        cents = _json.loads(meta["centroids_json"]) if kind == "ivfpq" else [
+            [float(x) for x in c] for c in _json.loads(meta["centroids_json"])
+        ]
+        if kind == "ivfpq":
+            if "normalize" in meta.__fields__ and meta["normalize"]:
+                embeddings = normalize_vectors(embeddings, vec_col)
+            assigned = _assign_to_centroids(embeddings, cents, vec_col).select(
+                id_col, vec_col, "cell"
+            )
+            cb = _json.loads(meta["codebooks_json"])
+            if "residual" in meta.__fields__ and meta["residual"]:
+                centl = F.lit(cents)
+                pq_input = assigned.select(
+                    F.col(id_col),
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.element_at(centl, F.col("cell") + 1),
+                        lambda x, c: x - c,
+                    ).alias(vec_col),
+                    "cell",
+                )
+            else:
+                pq_input = assigned
+            codes = pq_encode_with_codebooks(
+                pq_input.select(id_col, vec_col), cb,
+                id_col=id_col, vec_col=vec_col,
+            )
+            rows = assigned.select(id_col, "cell").join(codes, id_col)
+        else:  # plain ivf: writer keeps EVERY input column — match it
+            rows = _assign_to_centroids(embeddings, cents, vec_col)
+        part_col = "cell"
+
+    parts = [r[part_col] for r in rows.select(part_col).distinct().collect()]
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col(part_col).isin(parts))
+        .select(id_col)
+    )
+    fresh = rows.join(existing, id_col, "left_anti").localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy(part_col).parquet(path)
+    return n
+
+
 def pq_adc_topk(
     codes: DataFrame, codebooks: list[list[list[float]]],
     query_vec: Sequence[float], k: int = 10, id_col: str = "vec_id",

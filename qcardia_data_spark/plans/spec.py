@@ -113,6 +113,9 @@ Spec grammar (one dict per op, applied in order):
      "id_col": ..., "vec_col": ..., ...index params...}
         # side artifact: persisted ANN index (hyperplane-bucket LSH or
         # cell-partitioned IVF+PQ); frame passes through unchanged
+    {"op": "ann_index_append", "index_path": ...}
+        # grow a standing ANN index with the current frame (params from
+        # the index's own meta; same-id-guarded, retry-idempotent)
     {"op": "ann_probe", "index_path": ..., "k": 5, ...}
         # probe a persisted ANN index; the index KIND and its build
         # params come from the index's own meta (_lsh_meta/_ivfpq_meta),
@@ -969,6 +972,20 @@ def _apply(
             )
         else:
             raise SpecError(f"ann_index_write: unknown kind {ikind!r}")
+        return df
+    if kind == "ann_index_append":
+        from qcardia_data_spark.functions.similarity import ann_index_append
+
+        # {"op": "ann_index_append", "index_path": ..., "id_col"/"vec_col"}
+        # — grow the standing index with the current frame; every derived
+        # quantity (planes/centroids/codebooks/normalize/residual) comes
+        # from the index's own meta, same-id-guarded so retries are
+        # no-ops. Frame passes through unchanged.
+        ann_index_append(
+            df, op["index_path"],
+            id_col=op.get("id_col", "vec_id"),
+            vec_col=op.get("vec_col", "embedding"),
+        )
         return df
     if kind == "ann_probe":
         # {"op": "ann_probe", "index_path": ..., "k": 5,

@@ -608,3 +608,115 @@ def test_auto_n_cells_scale_dial():
     # expected occupancy never below the floor
     for rows in (5_000, 100_000, 10_000_000, 1_000_000_000):
         assert rows / auto_n_cells(rows) >= 4096
+
+
+# ---------------------------------------------------------------------------
+# r8 late addition: in-place ANN index append (meta-frozen growth)
+# ---------------------------------------------------------------------------
+
+def test_ann_index_append_lsh_equals_full_build(spark, sf_dir, tmp_path):
+    """LSH: head-build + tail-append must be probe-identical to a
+    full-corpus build (bucketing is meta-frozen, so the layouts are the
+    same rows in the same directories); re-appending the same batch is a
+    0-row no-op (same-id guard)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.similarity import (
+        ann_index_append,
+        lsh_write_partitioned,
+        pairwise_topk_join_pruned,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head, tail = emb.filter("vec_id < 150"), emb.filter("vec_id >= 150")
+
+    full, grown = str(tmp_path / "lsh_full"), str(tmp_path / "lsh_grown")
+    lsh_write_partitioned(emb, full, n_planes=4, seed=3)
+    lsh_write_partitioned(head, grown, n_planes=4, seed=3)
+    n1 = ann_index_append(tail, grown)
+    assert n1 == tail.count() > 0
+    assert ann_index_append(tail, grown) == 0  # retry: guarded out
+
+    probe = emb.filter("vec_id < 30").withColumnRenamed("vec_id", "qid")
+    key = lambda r: (r[0], r[1], round(r[2], 9))  # noqa: E731
+    got = sorted(map(key, pairwise_topk_join_pruned(
+        probe, grown, k=3, id_left="qid").collect()))
+    want = sorted(map(key, pairwise_topk_join_pruned(
+        probe, full, k=3, id_left="qid").collect()))
+    assert got == want
+
+    # appended rows landed in the right bucket DIRECTORIES (layout, not
+    # just values): every file read for a tail id sits under bucket=
+    tail_rows = spark.read.parquet(grown).filter("vec_id >= 150")
+    assert tail_rows.count() == n1
+    assert all("bucket=" in f for f in tail_rows.inputFiles())
+
+
+def test_ann_index_append_ivfpq_matches_frozen_encode(spark, sf_dir, tmp_path):
+    """IVF+PQ: appended rows must carry exactly the cell and codes the
+    index's own frozen meta assigns (centroids + codebooks + normalize),
+    and a probe whose true neighbor arrived by append must find it."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.similarity import (
+        _assign_to_centroids,
+        ann_index_append,
+        ann_ivfpq_topk_pruned,
+        ivfpq_write_partitioned,
+        normalize_vectors,
+        pq_encode_with_codebooks,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head, tail = emb.filter("vec_id < 150"), emb.filter("vec_id >= 150")
+
+    idx = str(tmp_path / "ivfpq_grown")
+    ivfpq_write_partitioned(head, idx, n_cells=4, m=8, k_codes=8, seed=0)
+    n = ann_index_append(tail, idx)
+    assert n == tail.count() > 0
+    assert ann_index_append(tail, idx) == 0
+
+    meta = spark.read.json(f"{idx}/_ivfpq_meta").collect()[0]
+    cents = json.loads(meta["centroids_json"])
+    cb = json.loads(meta["codebooks_json"])
+    norm_tail = normalize_vectors(tail, "embedding")
+    want_cells = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_to_centroids(norm_tail, cents, "embedding")
+        .select("vec_id", "cell").collect()
+    }
+    want_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_with_codebooks(norm_tail, cb).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in spark.read.parquet(idx).filter("vec_id >= 150").collect()
+    }
+    assert len(got) == n
+    for vid, (cell, codes) in got.items():
+        assert cell == want_cells[vid] and codes == want_codes[vid]
+
+    # a query equal to an appended vector must retrieve itself first
+    q = emb.filter("vec_id = 180").select("embedding").first()[0]
+    top = ann_ivfpq_topk_pruned(spark, idx, q, k=1, n_probe=4).collect()
+    assert top and top[0]["vec_id"] == 180
+
+
+def test_ann_index_append_refuses_non_index(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest
+
+    from qcardia_data_spark.functions.similarity import ann_index_append
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    plain = str(tmp_path / "plain_table")
+    emb.limit(10).write.parquet(plain)
+    with pytest.raises(ValueError, match="not a persisted ANN index"):
+        ann_index_append(emb.limit(5), plain)

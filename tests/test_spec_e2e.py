@@ -230,3 +230,48 @@ def test_e2e_retrieval_fork_chunks_after_dedup(spark, sf_dir, e2e_spec):
     assert 0 < got_docs == n_docs  # every nonempty survivor chunked
     per = chunks.groupBy("doc_id").count()
     assert per.filter("count < 1").count() == 0
+
+
+def test_ann_spec_write_append_probe_chain(spark, sf_dir, tmp_path):
+    """Declarative index lifecycle: write on the head batch, append the
+    tail batch, probe — identical to probing a full-corpus write (LSH:
+    meta-frozen bucketing makes grown == full exactly)."""
+    from qcardia_data_spark.functions.similarity import lsh_write_partitioned
+
+    grown = str(tmp_path / "lsh_spec_grown")
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "filter", "expr": "vec_id < 150"},
+            {"op": "ann_index_write", "kind": "lsh", "path": grown,
+             "n_planes": 4, "seed": 3},
+        ],
+        sf_dir,
+    )
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "embeddings"},
+            {"op": "filter", "expr": "vec_id >= 150"},
+            {"op": "ann_index_append", "index_path": grown},
+        ],
+        sf_dir,
+    )
+    full = str(tmp_path / "lsh_spec_full")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lsh_write_partitioned(emb, full, n_planes=4, seed=3)
+
+    def probe(path):
+        got = compile_pipeline(
+            spark,
+            [
+                {"op": "source", "table": "embeddings"},
+                {"op": "filter", "expr": "vec_id < 25"},
+                {"op": "ann_probe", "index_path": path, "k": 3},
+            ],
+            sf_dir,
+        )
+        return sorted((r[0], r[1], round(r[2], 9)) for r in got.collect())
+
+    assert probe(grown) == probe(full) and len(probe(grown)) > 0
