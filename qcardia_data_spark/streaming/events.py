@@ -302,3 +302,41 @@ def streaming_near_dedup_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ann_index_intake(
+    vec_stream: DataFrame, index_path: str, checkpoint: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """[ext] Streaming ANN-index intake — the continuous form of
+    `similarity.ann_index_append`: each micro-batch of freshly embedded
+    vectors is bucketed/assigned/encoded from the standing index's OWN
+    meta and appended in place, so the index serves queries over
+    everything ingested so far without a rebuild. State lives entirely
+    in the index table — memory is O(batch), the same argument as
+    :func:`streaming_near_dedup_intake`.
+
+    Delivery: the append is at-least-once per micro-batch, but
+    `ann_index_append`'s same-id guard (a partition-pruned anti-join
+    against the batch's own bucket/cell directories) makes a retried
+    batch a 0-row no-op, so the INDEX converges exactly-once with no
+    `_batch=` sink machinery needed.
+
+    Returns the started `StreamingQuery` (availableNow drains the
+    backlog and stops — the cron-style "index this week's embeddings").
+    """
+    from qcardia_data_spark.functions.similarity import ann_index_append
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ann_index_append(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

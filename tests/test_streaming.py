@@ -580,3 +580,54 @@ def test_streaming_chunk_spec_op_matches_batch(spark, tmp_path):
         map(tuple, chunk_documents(batch, chunk_tokens=16, overlap=4).collect())
     )
     assert got == want and len(got) > 6  # multi-chunk docs exist
+
+
+def test_streaming_ann_index_intake_converges_to_full_build(spark, sf_dir, tmp_path):
+    """Streaming ANN intake: head-build the LSH index, stream the tail in
+    per-file micro-batches, and the grown index must be probe-identical
+    to a full-corpus build. A replay from a FRESH checkpoint re-offers
+    every batch and the same-id guard keeps the index unchanged."""
+    from qcardia_data_spark.functions.similarity import (
+        lsh_write_partitioned,
+        pairwise_topk_join_pruned,
+    )
+    from qcardia_data_spark.streaming.events import streaming_ann_index_intake
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head, tail = emb.filter("vec_id < 150"), emb.filter("vec_id >= 150")
+
+    grown, full = str(tmp_path / "grown_idx"), str(tmp_path / "full_idx")
+    lsh_write_partitioned(head, grown, n_planes=4, seed=3)
+    lsh_write_partitioned(emb, full, n_planes=4, seed=3)
+
+    incoming = str(tmp_path / "incoming")
+    tail.repartition(3).write.parquet(incoming)  # 3 micro-batches
+    schema = spark.read.parquet(incoming).schema
+
+    def drain(checkpoint):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_ann_index_intake(
+            stream, grown, str(tmp_path / checkpoint)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain("ckpt1")
+    probe = emb.filter("vec_id < 30").withColumnRenamed("vec_id", "qid")
+    key = lambda r: (r[0], r[1], round(r[2], 9))  # noqa: E731
+    want = sorted(map(key, pairwise_topk_join_pruned(
+        probe, full, k=3, id_left="qid").collect()))
+    got = sorted(map(key, pairwise_topk_join_pruned(
+        probe, grown, k=3, id_left="qid").collect()))
+    assert got == want
+
+    n_before = spark.read.parquet(grown).count()
+    drain("ckpt2")  # fresh checkpoint: full replay, all guarded out
+    assert spark.read.parquet(grown).count() == n_before
+    got2 = sorted(map(key, pairwise_topk_join_pruned(
+        probe, grown, k=3, id_left="qid").collect()))
+    assert got2 == want
