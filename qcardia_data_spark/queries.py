@@ -3365,7 +3365,7 @@ def emb_random_projection(spark, sf_dir):
     )
 
 
-def _ivf_assign_cte(normalized: bool = False) -> str:
+def _ivf_assign_cte(normalized: bool = False, train_pred: str = "") -> str:
     """Shared DuckDB CTE chain for the deterministic IVF/k-means
     assignment: md5-seeded centroid sample → argmax-cosine assignment →
     one Lloyd round (per-cell per-dim means, empty cells keep seeds) →
@@ -3373,8 +3373,16 @@ def _ivf_assign_cte(normalized: bool = False) -> str:
     Used by the sim_ivf_topk probe oracle, the dedup_semantic oracle and
     (``normalized=True`` — unit-length vectors, the IVF+PQ index's
     one-metric invariant) the sim_ivfpq_topk oracle — one transcription
-    of the iterative pipeline, three queries."""
+    of the iterative pipeline, three queries.
+
+    ``train_pred`` (r8, the incremental-index form): a SQL predicate on
+    ``vec_id`` restricting which vectors TRAIN the layout (seed sample +
+    round-0 assignment feeding the Lloyd means); the FINAL assignment
+    ``a1`` still covers every vector — exactly what a head-built index
+    plus a meta-frozen append produces (`ann_index_append` assigns
+    appended batches with the index's final centroids)."""
     seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
+    tw = f" WHERE {train_pred}" if train_pred else ""
     if normalized:
         # norm = the SAME sequential left fold as Spark's arrays.l2_norm
         # (list_reduce, not list_sum/SUM — summation order is part of the
@@ -3400,10 +3408,10 @@ def _ivf_assign_cte(normalized: bool = False) -> str:
     return v_cte + f"""
     c0 AS (
       SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS cell, d AS c
-      FROM v ORDER BY {seed_order} LIMIT 16),
-    -- assignment round 0 vs seed centroids
+      FROM v{tw} ORDER BY {seed_order} LIMIT 16),
+    -- assignment round 0 vs seed centroids (training vectors only)
     p0 AS (SELECT v.vec_id, c0.cell,
-                  unnest(v.d) AS x, unnest(c0.c) AS y FROM v CROSS JOIN c0),
+                  unnest(v.d) AS x, unnest(c0.c) AS y FROM v CROSS JOIN c0{tw}),
     s0 AS (SELECT vec_id, cell,
                   sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
            FROM p0 GROUP BY vec_id, cell),
@@ -3951,7 +3959,7 @@ def sim_pq(spark, sf_dir):
 
 def _ivfpq_oracle_sql(
     m: int = 8, d: int = 64, k_codes: int = 16, n_probe: int = 4, k: int = 10,
-    residual: bool = False,
+    residual: bool = False, train_pred: str = "",
 ) -> str:
     """The PERSISTED IVF+PQ probe restated in DuckDB SQL: unit-normalize
     (the index's one-metric invariant — cosine cell selection ≡ L2 ADC on
@@ -3966,6 +3974,10 @@ def _ivfpq_oracle_sql(
     normalize flag in one row."""
     ds = d // m
     seed_order = "md5(concat_ws('|', '0', CAST(vec_id AS VARCHAR))), vec_id"
+    # incremental form: PQ seed sample + round-0 training assignments come
+    # from the training slice only; final encode (pp1/pa1) covers all
+    tw = f" WHERE {train_pred}" if train_pred else ""
+    tw2 = tw  # pp0: only subr carries vec_id, so the bare predicate binds
     if residual:
         # residual (IVFADC) mode: PQ trains on and encodes d − centroid[cell]
         pv_cte = f"""
@@ -3995,19 +4007,19 @@ def _ivfpq_oracle_sql(
            FROM pa1 JOIN cand USING (vec_id)
            JOIN pc1 ON pc1.sub = pa1.sub AND pc1.code = pa1.code
            JOIN qs ON qs.sub = pa1.sub),"""
-    return _ivf_assign_cte(normalized=True) + "," + pv_cte + f"""
+    return _ivf_assign_cte(normalized=True, train_pred=train_pred) + "," + pv_cte + f"""
     -- PQ training over the {'per-cell residuals' if residual else 'SAME normalized vectors'} (p-prefixed CTEs)
     subs AS (SELECT unnest(range({m})) AS sub),
     subr AS (SELECT vec_id, sub, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS sd
              FROM pv CROSS JOIN subs),
     pseeds AS (
       SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS code, d
-      FROM pv ORDER BY {seed_order} LIMIT {k_codes}),
+      FROM pv{tw} ORDER BY {seed_order} LIMIT {k_codes}),
     pc0 AS (SELECT sub, code, list_slice(d, sub*{ds} + 1, sub*{ds} + {ds}) AS c
             FROM pseeds CROSS JOIN subs),
     pp0 AS (SELECT subr.vec_id, subr.sub, pc0.code,
                    unnest(subr.sd) AS x, unnest(pc0.c) AS y
-            FROM subr JOIN pc0 ON pc0.sub = subr.sub),
+            FROM subr JOIN pc0 ON pc0.sub = subr.sub{tw2}),
     ps0 AS (SELECT vec_id, sub, code, round(sum((x-y)*(x-y)), 6) AS dist
             FROM pp0 GROUP BY vec_id, sub, code),
     pa0 AS (SELECT vec_id, sub, code FROM (
@@ -5489,6 +5501,35 @@ def dedup_containment(spark, sf_dir):
     return D.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
 
 
+_INCR_TRAIN_PRED = "vec_id < (SELECT (max(vec_id) * 8) // 10 FROM embeddings)"
+
+
+@_q("sim_ivfpq_incremental", _ivfpq_oracle_sql(train_pred=_INCR_TRAIN_PRED))
+def sim_ivfpq_incremental(spark, sf_dir):
+    """[ext] The GROWN IVF+PQ index end to end: build on the head 80% of
+    ids (training = head only), ann_index_append the tail with the
+    index's own frozen meta, probe for the vec_id=0 query. The oracle
+    replays head-restricted training + full-corpus final assignment/
+    encode in SQL — a value match grades the append path itself: cells,
+    codes and the probe over rows that never saw a training job."""
+    import os as _os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.max("vec_id")).first()[0] * 8 // 10  # bounded scalar
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"ivfpq_incr_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIM.ivfpq_write_partitioned(
+        emb.filter(F.col("vec_id") < cut), path,
+        n_cells=16, m=8, k_codes=16, seed=0, n_refine=1,
+    )
+    SIM.ann_index_append(emb.filter(F.col("vec_id") >= cut), path)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -5594,6 +5635,7 @@ _NEXT_IN_LINE = [
     "text_chunk_windows",
     "text_token_entropy",
     "dedup_containment",
+    "sim_ivfpq_incremental",
 ]
 
 
