@@ -72,10 +72,15 @@ def main() -> None:
     from qcardia_data_spark import get_spark
     from qcardia_data_spark.functions import selection as SEL
     from qcardia_data_spark.functions.dedup import (
+        containment_join,
         near_dedup_incremental,
         ngram_jaccard_join,
         remove_duplicate_spans,
         write_signature_index,
+    )
+    from qcardia_data_spark.functions.text import (
+        chunk_documents,
+        token_entropy_stats,
     )
     from qcardia_data_spark.functions.retrieval import (
         bm25_topk_from_index,
@@ -159,6 +164,18 @@ def main() -> None:
     def q_ivfpq_probe():
         return ann_ivfpq_topk_pruned(spark, ivfpq_idx, qvec, k=10, n_probe=4)
 
+    # late-r8 additions: keys APPEND to the series (prior keys unchanged,
+    # so per-query r8→r9 comparisons stay like-for-like; the total is
+    # comparable only within same-key-set revisions)
+    def q_containment():
+        return containment_join(docs, "doc_id", "text", threshold=0.8)
+
+    def q_chunk():
+        return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+    def q_token_entropy():
+        return token_entropy_stats(docs)
+
     BENCH = {
         "ngram_jaccard": q_ngram_jaccard,
         "span_removal": q_span_removal,
@@ -166,6 +183,9 @@ def main() -> None:
         "dsir_weights": q_dsir_weights,
         "incremental_dedup_batch": q_incremental_dedup_batch,
         "ivfpq_probe": q_ivfpq_probe,
+        "containment": q_containment,
+        "chunk": q_chunk,
+        "token_entropy": q_token_entropy,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
