@@ -86,6 +86,65 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, e: acc + e)
 
 
+def multiprobe_buckets(
+    vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 64,
+    n_flip: int = 0,
+) -> Column:
+    """[ext] Multi-probe LSH bucket list (Lv et al. VLDB'07): the vector's
+    own bucket plus the buckets reached by flipping the ``n_flip`` LOWEST-
+    MARGIN sign bits — the planes whose dot product sits closest to zero,
+    i.e. where a true neighbor most plausibly landed on the other side.
+    The standard recall lever that costs extra PROBES instead of a bigger
+    index: no layout change, no second hash family, the probe just reads
+    ``n_flip`` more bucket directories.
+
+    Same plan-literal economics as :func:`hyperplane_bucket` (one nested
+    sign-matrix literal, per-plane dots folded in one transform); the
+    flip order is deterministic (|dot| ascending, plane index tiebreak),
+    so probes are retry-stable. Returns an array<long> of
+    ``n_flip + 1`` DISTINCT buckets, the vector's own bucket first."""
+    if not 0 <= n_flip <= n_planes:
+        raise ValueError(f"need 0 <= n_flip <= n_planes, got {n_flip}")
+    signs = hyperplane_signs(n_planes, dim, seed)
+    sm = F.lit(signs)
+    d = vec.cast("array<double>")
+    dots = F.transform(
+        sm,
+        lambda s: F.aggregate(
+            F.zip_with(d, s, lambda x, sg: x * sg),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            dots,
+            F.lit(list(range(n_planes))),
+            lambda dot, p: F.when(
+                dot > 0, F.pow(F.lit(2.0), p).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    if n_flip == 0:
+        return F.array(bucket)
+    margins = F.array_sort(
+        F.zip_with(
+            dots,
+            F.lit(list(range(n_planes))),
+            lambda dot, p: F.struct(
+                F.abs(dot).alias("m"), p.cast("int").alias("p")
+            ),
+        )
+    )
+    flips = F.transform(
+        F.slice(margins, 1, n_flip),
+        lambda s: bucket.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long")),
+    )
+    return F.concat(F.array(bucket), flips)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     n_planes: int = 8, seed: int = 0,
@@ -1010,6 +1069,7 @@ def lsh_write_partitioned(
 def pairwise_topk_join_pruned(
     left: DataFrame, path: str, k: int = 5,
     id_left: str = "a", id_right: str = "vec_id", vec_col: str = "embedding",
+    n_flip: int = 0,
 ) -> DataFrame:
     """ANN join of a probe batch against the persisted LSH table: the
     batch is bucketed with the table's OWN (n_planes, seed) from
@@ -1020,12 +1080,23 @@ def pairwise_topk_join_pruned(
     in-memory :func:`pairwise_topk_join` re-buckets the full right side
     every run). Bucket list is collected driver-side — bounded by
     2^n_planes, never by corpus size. Same output as the unguarded
-    in-memory join for identical inputs and parameters."""
+    in-memory join for identical inputs and parameters.
+
+    ``n_flip`` (r8): multi-probe LSH — each probe row ALSO visits the
+    buckets reached by flipping its ``n_flip`` lowest-margin sign bits
+    (:func:`multiprobe_buckets`), trading ``n_flip`` extra bucket-
+    directory reads for recall. Per-left top-k scores are pointwise ≥
+    the single-probe run's (candidate sets only grow); (left, right)
+    candidate pairs stay unique because each right row lives in exactly
+    one bucket."""
     spark = left.sparkSession
     meta = spark.read.json(f"{path}/_lsh_meta").collect()[0]
     n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
     lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed)
+        "bucket",
+        F.explode(
+            multiprobe_buckets(F.col("_vl"), n_planes, seed, n_flip=n_flip)
+        ),
     ).withColumn("_nl", l2_norm(F.col("_vl")))
     probe = [
         r["bucket"] for r in lb.select("bucket").distinct().collect()

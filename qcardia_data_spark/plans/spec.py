@@ -989,8 +989,8 @@ def _apply(
         return df
     if kind == "ann_probe":
         # {"op": "ann_probe", "index_path": ..., "k": 5,
-        #  "id_col"/"vec_col": ..., LSH extra: "id_right";
-        #  IVF+PQ extra: "query_id", "n_probe"} — the index kind and its
+        #  "id_col"/"vec_col": ..., LSH extras: "id_right", "n_flip"
+        #  (multi-probe); IVF+PQ extra: "query_id", "n_probe"} — the index kind and its
         #  build params are read from the index's OWN meta file (the
         #  bm25_topk_from_index form): specs carry only the path + probe
         #  knobs, so a spec can never sign/bucket differently than the
@@ -1022,6 +1022,7 @@ def _apply(
                 df, path, k=int(op.get("k", 5)),
                 id_left=id_left, id_right=id_right,
                 vec_col=op.get("vec_col", "embedding"),
+                n_flip=int(op.get("n_flip", 0)),  # multi-probe recall knob
             )
         if _has_meta("_ivfpq_meta") or _has_meta("_ivf_meta"):
             if "query_id" not in op:

@@ -97,3 +97,26 @@ def test_pii_scan_is_map_only(spark, sf_dir):
     # regex counts + scrub are a pure map stage: zero exchanges
     plan = _plan(spark, sf_dir, "text_pii_scan")
     assert "Exchange" not in plan
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir):
+    # one generator chain beside the scan: zero exchanges, no UDF
+    plan = _plan(spark, sf_dir, "text_chunk_windows")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_token_entropy_two_bounded_exchanges(spark, sf_dir):
+    # explode -> partial+final (doc, token) count -> partial+final per-doc
+    # agg: exactly two exchanges, both with map-side partials
+    plan = _plan(spark, sf_dir, "text_token_entropy")
+    assert plan.count("Exchange") == 2
+    assert plan.count("HashAggregate") >= 4  # partial + final, twice
+
+
+def test_containment_has_no_cartesian_and_prunes_prefix(spark, sf_dir):
+    # candidates come from shingle equi-joins — an accidental cartesian
+    # (all-pairs stage) would show as CartesianProduct / NestedLoop
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

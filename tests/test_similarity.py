@@ -720,3 +720,71 @@ def test_ann_index_append_refuses_non_index(spark, sf_dir, tmp_path):
     emb.limit(10).write.parquet(plain)
     with pytest.raises(ValueError, match="not a persisted ANN index"):
         ann_index_append(emb.limit(5), plain)
+
+
+def test_multiprobe_lsh_monotone_recall_and_pruning(spark, sf_dir, tmp_path):
+    """Multi-probe probe (n_flip>0): per-left top-k scores are pointwise
+    >= the single-probe run's (candidates only grow), n_flip=0 is
+    byte-identical to the historical behavior, recall vs brute force is
+    monotone in n_flip, and the scan still partition-prunes (reads more
+    bucket dirs, never the whole table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.similarity import (
+        cosine_topk,
+        lsh_write_partitioned,
+        multiprobe_buckets,
+        pairwise_topk_join_pruned,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx = str(tmp_path / "mp_idx")
+    lsh_write_partitioned(emb, idx, n_planes=6, seed=0)
+
+    probe = emb.filter("vec_id < 60").withColumnRenamed("vec_id", "qid")
+
+    def topk(n_flip):
+        out = {}
+        for r in pairwise_topk_join_pruned(
+            probe, idx, k=3, id_left="qid", n_flip=n_flip
+        ).collect():
+            out.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+        return out
+
+    single, multi = topk(0), topk(2)
+    # n_flip=0 equals the historical single-bucket probe
+    legacy = {}
+    for r in pairwise_topk_join_pruned(probe, idx, k=3, id_left="qid").collect():
+        legacy.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    assert single == legacy
+
+    # pointwise score dominance: more candidates can only improve top-k
+    for qid, pairs in single.items():
+        s_scores = sorted((s for _, s in pairs), reverse=True)
+        m_scores = sorted((s for _, s in multi[qid]), reverse=True)
+        assert len(m_scores) >= len(s_scores)
+        for s, mscore in zip(s_scores, m_scores):
+            assert mscore >= s - 1e-12
+
+    # recall@1 vs exact brute force is monotone in n_flip
+    def recall(res):
+        hits = 0
+        for qid, pairs in res.items():
+            best = max(pairs, key=lambda p: p[1])[0]
+            exact = cosine_topk(
+                emb.filter(F.col("vec_id") != qid),
+                emb.filter(F.col("vec_id") == qid).select("embedding").first()[0],
+                k=1,
+            ).collect()[0]["vec_id"]
+            hits += best == exact
+        return hits
+    assert recall(multi) >= recall(single)
+
+    # probe bucket count per row is exactly n_flip + 1, all distinct
+    pb = emb.limit(20).select(
+        multiprobe_buckets(F.col("embedding"), 6, 0, n_flip=3).alias("b")
+    ).collect()
+    for r in pb:
+        assert len(r["b"]) == 4 == len(set(r["b"]))
