@@ -5501,6 +5501,80 @@ def dedup_containment(spark, sf_dir):
     return D.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
 
 
+def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
+    """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
+    (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
+    bucket every vector with the library's own md5-parity signs
+    (hyperplane_signs(6, 64, seed=0) — generated here from the same
+    function, zero transcription drift), then probe the vec_id=0 query's
+    bucket PLUS the buckets across its ``n_flip`` lowest-|dot| planes
+    (abs ascending, plane-index tiebreak — the deterministic Lv'07 flip
+    order), cosine-score the candidate union, top-``k``."""
+    from qcardia_data_spark.functions.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(_LSH_PLANES, _LSH_DIM, 0)
+    dots = []
+    for p in range(_LSH_PLANES):
+        terms = " + ".join(
+            f"d[{j + 1}] * {signs[p][j]:.1f}" for j in range(_LSH_DIM)
+        )
+        dots.append(f"({terms}) AS dot{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN dot{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    )
+    qm = " UNION ALL ".join(
+        f"SELECT {p} AS p, abs(dot{p}) AS ad FROM q"
+        for p in range(_LSH_PLANES)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+      FROM embeddings),
+    dp AS (SELECT vec_id, d, {', '.join(dots)} FROM v),
+    b AS (SELECT *, {bucket} AS bucket FROM dp),
+    q AS (SELECT * FROM b WHERE vec_id = 0),
+    qm AS ({qm}),
+    fl AS (SELECT p FROM qm ORDER BY ad, p LIMIT {n_flip}),
+    probe AS (SELECT bucket FROM q
+              UNION ALL
+              SELECT xor(q.bucket, CAST(round(pow(2, fl.p)) AS BIGINT))
+              FROM fl, q),
+    cand AS (SELECT vec_id, d FROM b
+             WHERE bucket IN (SELECT bucket FROM probe) AND vec_id != 0),
+    pairs AS (SELECT cand.vec_id, unnest(cand.d) AS x, unnest(q.d) AS y
+              FROM cand, q),
+    s AS (SELECT vec_id, sum(x * y) AS dp_, sum(x * x) AS sx, sum(y * y) AS sy
+          FROM pairs GROUP BY vec_id)
+    SELECT vec_id, round(dp_ / (sqrt(sx) * sqrt(sy)), 6) AS score
+    FROM s ORDER BY dp_ / (sqrt(sx) * sqrt(sy)) DESC, vec_id LIMIT {k}
+    """
+
+
+@_q("sim_lsh_multiprobe_topk", _multiprobe_oracle_sql())
+def sim_lsh_multiprobe(spark, sf_dir):
+    """[ext] Multi-probe LSH end to end through the PERSISTED index:
+    write the bucket-partitioned table, probe the vec_id=0 query with
+    n_flip=2 lowest-margin bit flips (similarity.multiprobe_buckets),
+    top-10 by cosine. The oracle replays bucketing, the deterministic
+    flip choice and the candidate-union scoring in SQL — the driver
+    value-grades the Lv'07 probe policy itself."""
+    import os as _os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"lsh_mp_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    SIM.lsh_write_partitioned(emb, path, n_planes=_LSH_PLANES, seed=0)
+    probe = emb.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "qid")
+    res = SIM.pairwise_topk_join_pruned(
+        probe, path, k=10, id_left="qid", n_flip=2
+    )
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
 _INCR_TRAIN_PRED = "vec_id < (SELECT (max(vec_id) * 8) // 10 FROM embeddings)"
 
 
@@ -5636,6 +5710,7 @@ _NEXT_IN_LINE = [
     "text_token_entropy",
     "dedup_containment",
     "sim_ivfpq_incremental",
+    "sim_lsh_multiprobe_topk",
 ]
 
 
