@@ -86,6 +86,35 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, e: acc + e)
 
 
+def hashed_token_buckets(toks: Column, dim: int = 64) -> Column:
+    """Per-token md5 bucket ids (ONE md5 per token). Materialize the
+    result behind an ``explode(array(...))`` barrier before handing it to
+    :func:`hashed_embedding` — otherwise the md5 pass re-evaluates per
+    output dimension (no CSE across HOF lambdas, PERF.md lesson #1)."""
+    return F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long") % dim
+        ),
+    )
+
+
+def hashed_embedding(buckets: Column, dim: int = 64) -> Column:
+    """[ext] Deterministic HashingTF-style text embedding — the STAND-IN
+    for a model-UDF encoder in plumbing tests and examples (the
+    multimodal stance: stub the model, make the Spark-side schema /
+    partitioning / batch shape real): the bucket-count histogram of a
+    materialized :func:`hashed_token_buckets` array, as array<double>.
+    The per-dim counting loop compares ints only. Pure JVM expression:
+    map-only, stream-safe, identical across engines."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(buckets, lambda b: b == j.cast("long"))).cast(
+            "double"
+        ),
+    )
+
+
 def multiprobe_buckets(
     vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 64,
     n_flip: int = 0,

@@ -631,3 +631,78 @@ def test_streaming_ann_index_intake_converges_to_full_build(spark, sf_dir, tmp_p
     got2 = sorted(map(key, pairwise_topk_join_pruned(
         probe, grown, k=3, id_left="qid").collect()))
     assert got2 == want
+
+
+def test_streaming_retrieval_ingest_chunk_embed_append_probe(spark, tmp_path):
+    """The retrieval-ingest capstone: streamed documents are chunked (spec
+    op), encoded with the deterministic embed stand-in, and appended to
+    the standing LSH index — then a probe finds the cross-document
+    duplicate chunk at cosine 1.0. Every stage is map-only/stream-safe up
+    to the foreachBatch append."""
+    import json as _json
+
+    from qcardia_data_spark.functions.similarity import (
+        hashed_embedding,
+        hashed_token_buckets,
+        lsh_write_partitioned,
+        pairwise_topk_join_pruned,
+    )
+    from qcardia_data_spark.functions.text import word_tokens
+    from qcardia_data_spark.plans.spec import compile_stream_pipeline
+    from qcardia_data_spark.streaming.events import streaming_ann_index_intake
+
+    shared = " ".join(f"boiler{i}" for i in range(20))  # cross-doc dup chunk
+    docs0 = [{"doc_id": 1, "text": shared + " " + " ".join(f"a{i}" for i in range(30))}]
+    docs1 = [
+        {"doc_id": 2, "text": " ".join(f"b{i}" for i in range(25))},
+        {"doc_id": 3, "text": shared},  # the duplicate arrives by stream
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "b0.jsonl").write_text("\n".join(_json.dumps(r) for r in docs0))
+
+    def embed(df):
+        with_toks = df.withColumn(
+            "_bk",
+            F.explode(
+                F.array(hashed_token_buckets(word_tokens(F.col("chunk_text"))))
+            ),
+        )
+        return with_toks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("vec_id"),
+            hashed_embedding(F.col("_bk")).alias("embedding"),
+        )
+
+    schema = "doc_id BIGINT, text STRING"
+    # seed index from the first file, BATCH form of the same chain
+    batch0 = spark.read.schema(schema).json(str(d / "b0.jsonl"))
+    from qcardia_data_spark.functions.text import chunk_documents
+
+    idx = str(tmp_path / "retrieval_idx")
+    lsh_write_partitioned(
+        embed(chunk_documents(batch0, chunk_tokens=20, overlap=0)),
+        idx, n_planes=4, seed=7,
+    )
+
+    # stream the second file through the SAME declarative chunk op
+    (d / "b1.jsonl").write_text("\n".join(_json.dumps(r) for r in docs1))
+    chunks = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(d), "schema": schema,
+         "format": "json", "max_files_per_trigger": 1},
+        {"op": "chunk", "chunk_tokens": 20, "overlap": 0},
+    ])
+    q = streaming_ann_index_intake(
+        embed(chunks), idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    # doc 3 == the shared chunk; its nearest indexed neighbor must be
+    # doc 1's first chunk (identical text -> identical stub embedding)
+    probe = embed(chunk_documents(
+        spark.createDataFrame([(3, shared)], ["doc_id", "text"]),
+        chunk_tokens=20, overlap=0,
+    )).withColumnRenamed("vec_id", "qid")
+    top = pairwise_topk_join_pruned(probe, idx, k=2, id_left="qid").collect()
+    best = max(top, key=lambda r: r["score"])
+    assert best["vec_id"] == 1000 and round(best["score"], 6) == 1.0
