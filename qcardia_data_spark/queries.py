@@ -5501,6 +5501,48 @@ def dedup_containment(spark, sf_dir):
     return D.containment_join(docs, "doc_id", "text", threshold=0.8, shingle_n=3)
 
 
+@_q(
+    "emb_chunk_bucket_counts",
+    # Oracle replays the chunk derivation (integer stepping + 1-based
+    # inclusive slices, as in text_chunk_windows) and the embed stub's
+    # exact hash: bucket = int(md5(token)[:4], 16) % 64 — the DSIR
+    # cross-engine md5-bucket idiom. Counts are exact ints: a value
+    # match grades the whole deterministic half of the retrieval-ingest
+    # chain (chunk -> hashed_token_buckets -> histogram).
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+      WHERE len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) > 0),
+    c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM t),
+    ch AS (SELECT doc_id, s // 24 AS chunk_id,
+                  unnest(toks[s + 1 : s + 32]) AS tok
+           FROM c)
+    SELECT doc_id, chunk_id,
+           CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 64 AS bucket,
+           count(*) AS n
+    FROM ch GROUP BY doc_id, chunk_id, bucket
+    """,
+)
+def emb_chunk_bucket_counts(spark, sf_dir):
+    """[ext] The deterministic half of the retrieval-ingest chain,
+    value-graded: sliding-window chunks (32/8) -> the embed stand-in's
+    md5 token buckets (similarity.hashed_token_buckets) -> per-chunk
+    bucket histogram as (doc_id, chunk_id, bucket, n) rows."""
+    chunks = T.chunk_documents(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                               chunk_tokens=32, overlap=8)
+    toks = F.split(F.col("chunk_text"), " ")
+    return (
+        chunks.select(
+            "doc_id", "chunk_id",
+            F.explode(SIM.hashed_token_buckets(toks, 64)).alias("bucket"),
+        )
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -5711,6 +5753,7 @@ _NEXT_IN_LINE = [
     "dedup_containment",
     "sim_ivfpq_incremental",
     "sim_lsh_multiprobe_topk",
+    "emb_chunk_bucket_counts",
 ]
 
 
