@@ -823,9 +823,29 @@ def simhash_near_pairs64(
             f"simhash_near_pairs64: max_hamming={k} needs 64/(k+1) to "
             "divide 32 (k in 1, 3, 7, 15, 31)"
         )
+    sig = simhash64_md5_table(df, id_col, text_col).localCheckpoint(eager=True)
+    return hamming_near_pairs64(sig, id_col, max_hamming=k)
+
+
+def hamming_near_pairs64(
+    sig: DataFrame, id_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Manku block-permutation Hamming-≤k pair search over ANY 64-bit
+    signature table ``(id, lo, hi)`` — the blocking/verify engine shared
+    by text SimHash (:func:`simhash_near_pairs64`) and image perceptual
+    hashes (`multimodal.phash_images`): k+1 bit blocks, pigeonhole-
+    lossless equi-join on (block, value), xor bit_count verify on
+    candidates only. ``sig`` should be materialized (checkpoint/persist)
+    — it is scanned 2·(k+1) times by the block union."""
+    k = int(max_hamming)
+    n_blocks = k + 1
+    if 64 % n_blocks != 0 or 32 % (64 // n_blocks) != 0:
+        raise ValueError(
+            f"hamming_near_pairs64: max_hamming={k} needs 64/(k+1) to "
+            "divide 32 (k in 1, 3, 7, 15, 31)"
+        )
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    sig = simhash64_md5_table(df, id_col, text_col).localCheckpoint(eager=True)
 
     def blocks_of(side: str) -> DataFrame:
         s = sig.select(

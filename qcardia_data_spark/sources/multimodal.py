@@ -480,3 +480,103 @@ def decode_video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
     return binary_df.select("path", "content").mapInPandas(decode, VIDEO_SCHEMA)
+
+
+PHASH_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("lo", LongType()),
+    StructField("hi", LongType()),
+    StructField("payload_bytes", LongType()),
+])
+
+
+def _phash64(img: np.ndarray, hash_size: int = 8, grid: int = 32) -> int:
+    """64-bit perceptual hash of one image array (any H×W[, C] uint8):
+    channel-mean grayscale → equal-frequency mean-pool to ``grid``² →
+    2-D DCT-II (explicit cosine matrices — no scipy dependency) →
+    top-left ``hash_size``² coefficients minus DC → median threshold.
+    Deterministic: pure numpy float64 with a fixed reduction layout.
+    Brightness shifts land only in the DC coefficient, so the hash is
+    exposure-invariant by construction (test-asserted)."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    # equal-frequency mean pooling to grid×grid (handles any H, W ≥ 1)
+    ry = np.linspace(0, h, grid + 1).astype(int)
+    rx = np.linspace(0, w, grid + 1).astype(int)
+    pooled = np.empty((grid, grid), dtype=np.float64)
+    for i in range(grid):
+        y0, y1 = ry[i], max(ry[i + 1], ry[i] + 1)
+        for j in range(grid):
+            x0, x1 = rx[j], max(rx[j + 1], rx[j] + 1)
+            pooled[i, j] = a[min(y0, h - 1):min(y1, h), min(x0, w - 1):min(x1, w)].mean()
+    n = grid
+    k = np.arange(hash_size)[:, None]
+    x = np.arange(n)[None, :]
+    dct = np.cos(np.pi / n * (x + 0.5) * k)  # DCT-II basis, first hash_size rows
+    coef = dct @ pooled @ dct.T              # top-left hash_size×hash_size block
+    # round-before-compare (the repo-wide determinism pattern): structured
+    # or flat regions put many coefficients at analytic zero, where ulp
+    # noise (e.g. a pure exposure shift leaking ~1e-12 into non-DC terms)
+    # would coin-flip the > comparison
+    flat = np.round(coef.ravel(), 6)
+    med = np.median(flat[1:])                # exclude DC from the threshold
+    bits = flat > med
+    bits[0] = False                          # DC carries exposure, not structure
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def phash_images(binary_df: DataFrame, fmt: str = "png") -> DataFrame:
+    """[ext] Perceptual-hash table for an image corpus: binaryFile rows →
+    REAL decode (``png`` via the pure-Python codec; ``fake`` keeps the
+    deterministic stub for container-less plumbing tests) → 64-bit pHash
+    split into ``(lo, hi)`` int32-half columns — the exact signature shape
+    `dedup.hamming_near_pairs64` consumes, so image near-dup search reuses
+    the Manku blocking engine unchanged. Arrow-batched mapInPandas,
+    decode-after-predicate (filter on path/length upstream)."""
+    from qcardia_data_spark.sources.png import decode_png
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fmt == "png":
+                    img = decode_png(raw)
+                elif fmt == "fake":
+                    img = _fake_decode(raw)[:, :, 0]
+                else:
+                    raise NotImplementedError(
+                        f"phash_images: unsupported fmt {fmt!r} (png, fake)"
+                    )
+                v = _phash64(img)
+                rows.append({
+                    "path": path,
+                    "lo": v & 0xFFFFFFFF,
+                    "hi": v >> 32,
+                    "payload_bytes": len(raw),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(decode, PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    binary_df: DataFrame, fmt: str = "png", max_hamming: int = 3,
+) -> DataFrame:
+    """[ext] Image near-duplicate pair search: :func:`phash_images` +
+    `dedup.hamming_near_pairs64` — perceptual hashing bounds candidate
+    generation exactly like text SimHash (k+1-block pigeonhole, never
+    all-pairs), so the image dedup path scales the same way the text one
+    does. Returns distinct ``(a, b, hamming)`` with path ids."""
+    from qcardia_data_spark.functions.dedup import hamming_near_pairs64
+
+    sig = phash_images(binary_df, fmt=fmt).select(
+        F.col("path"), "lo", "hi"
+    ).localCheckpoint(eager=True)
+    return hamming_near_pairs64(sig, "path", max_hamming=max_hamming)

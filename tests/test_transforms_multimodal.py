@@ -515,3 +515,84 @@ def test_codec_decoders_robust_to_corruption():
             pass
 
     fuzz()
+
+
+# ---------------------------------------------------------------------------
+# r8 late addition: perceptual-hash image near-dup over the real PNG codec
+# ---------------------------------------------------------------------------
+
+def _png_rows(tmp_path):
+    import numpy as np
+
+    from qcardia_data_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(5)
+    # textured image: coarse random field mean-pooled up — non-degenerate
+    # DCT spectrum (a pure ramp puts ~all coefficients at analytic zero)
+    coarse = rng.randint(0, 200, size=(8, 6)).astype(np.float64)
+    base = np.kron(coarse, np.ones((8, 8)))[:64, :48].astype(np.uint8)
+    brighter = (base + 20).astype(np.uint8)                 # exposure shift only
+    tweaked = base.copy()
+    tweaked[10:14, 10:14] += 30                             # small local edit
+    noise = rng.randint(0, 255, size=(64, 48)).astype(np.uint8)
+    return [
+        ("img/base.png", bytearray(encode_png(base))),
+        ("img/brighter.png", bytearray(encode_png(brighter))),
+        ("img/tweaked.png", bytearray(encode_png(tweaked))),
+        ("img/noise.png", bytearray(encode_png(noise))),
+    ]
+
+
+def test_phash_exposure_invariant_and_discriminative(spark, tmp_path):
+    from qcardia_data_spark.sources.multimodal import phash_images
+
+    df = spark.createDataFrame(_png_rows(tmp_path), ["path", "content"])
+    sig = {r["path"]: (r["lo"], r["hi"]) for r in phash_images(df).collect()}
+
+    def ham(a, b):
+        return bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+            sig[a][1] ^ sig[b][1]
+        ).count("1")
+
+    # uniform brightness lands only in the DC coefficient -> identical hash
+    assert ham("img/base.png", "img/brighter.png") == 0
+    # a small local edit moves few bits; an unrelated image moves many
+    assert ham("img/base.png", "img/tweaked.png") <= 3
+    assert ham("img/base.png", "img/noise.png") > 10
+
+
+def test_image_near_dup_pairs_blocked_equals_naive(spark, tmp_path):
+    import itertools
+
+    from qcardia_data_spark.sources.multimodal import (
+        image_near_dup_pairs,
+        phash_images,
+    )
+
+    df = spark.createDataFrame(_png_rows(tmp_path), ["path", "content"])
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    sig = {r["path"]: (r["lo"], r["hi"]) for r in phash_images(df).collect()}
+    naive = {}
+    for a, b in itertools.combinations(sorted(sig), 2):
+        h = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+            sig[a][1] ^ sig[b][1]
+        ).count("1")
+        if h <= 3:
+            naive[(a, b)] = h
+    assert got == naive
+    # the exposure pair and the local-edit pair are in; noise is not
+    assert ("img/base.png", "img/brighter.png") in got
+    assert not any("noise" in a or "noise" in b for a, b in got)
+
+
+def test_phash_refuses_unknown_format(spark):
+    import pytest
+
+    from qcardia_data_spark.sources.multimodal import phash_images
+
+    df = spark.createDataFrame([("x", bytearray(b"zz"))], ["path", "content"])
+    with pytest.raises(Exception, match="unsupported fmt"):
+        phash_images(df, fmt="jpeg2000").collect()
