@@ -580,3 +580,135 @@ def image_near_dup_pairs(
         F.col("path"), "lo", "hi"
     ).localCheckpoint(eager=True)
     return hamming_near_pairs64(sig, "path", max_hamming=max_hamming)
+
+
+AUDIO_FP_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("lo", LongType()),
+    StructField("hi", LongType()),
+])
+
+
+def audio_fingerprints(
+    decoded: DataFrame, frame_len: int = 2048, hop: int = 1024,
+    n_bands: int = 65,
+) -> DataFrame:
+    """[ext] Haitsma-Kalker robust audio sub-fingerprints (ISMIR 2002 —
+    the Philips hash), widened to 64 bits per frame: per overlapping
+    window, rFFT energy in ``n_bands`` log-spaced bands; bit ``m`` of
+    frame ``n`` is the sign of the TIME-AND-FREQUENCY energy difference
+    ``(E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1])``, computed over
+    PER-FRAME-NORMALIZED energies (each frame's bands divided by the
+    frame total): normalization makes gain invariance EXACT rather than
+    sign-preserved, and — with the round-before-compare guard at 1e-6 —
+    pins noise-floor bands to an exact zero so their signs cannot
+    coin-flip on quantization noise (a spectrally sparse signal leaves
+    most bands noise-dominated; unnormalized sign-of-difference is
+    random there). Overlapping windows keep the usual robustness to
+    time shifts near a hop multiple. The first frame has no predecessor
+    and emits nothing (standard). Emitted as ``(lo, hi)`` 32-bit halves
+    — the signature
+    shape `dedup.hamming_near_pairs64` consumes, because matching must
+    tolerate a few flipped bits (PCM quantization alone flips marginal
+    bits), exactly as the paper matches with a bit-error-rate threshold
+    rather than equality.
+
+    Arrow-batched map over decoded audio; the per-file frame explode
+    happens inside the batch. One row per (file, frame)."""
+
+    def bands_of(n_bins: int) -> np.ndarray:
+        edges = np.logspace(0, np.log10(n_bins - 1), n_bands + 1)
+        edges = np.maximum.accumulate(edges.astype(int))
+        # strictly increasing (log spacing collapses small-bin edges)
+        for i in range(1, len(edges)):
+            if edges[i] <= edges[i - 1]:
+                edges[i] = edges[i - 1] + 1
+        return np.minimum(edges, n_bins - 1)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, samples in zip(pdf["path"], pdf["samples"]):
+                mono = np.asarray(samples, dtype=np.float64)
+                n = (len(mono) - frame_len) // hop + 1 if len(mono) >= frame_len else 0
+                if n < 2:
+                    continue
+                win = np.hanning(frame_len)
+                spec = np.empty((n, n_bands), dtype=np.float64)
+                edges = None
+                for f in range(n):
+                    seg = mono[f * hop:f * hop + frame_len] * win
+                    mag = np.abs(np.fft.rfft(seg)) ** 2
+                    if edges is None:
+                        edges = bands_of(len(mag))
+                    row = np.array([
+                        mag[edges[b]:max(edges[b + 1], edges[b] + 1)].sum()
+                        for b in range(n_bands)
+                    ])
+                    spec[f] = row / max(row.sum(), 1e-30)  # per-frame norm
+                fd = np.diff(spec, axis=1) * -1.0        # E[m] - E[m+1]
+                td = np.round(np.diff(fd, axis=0), 6)    # minus previous frame
+                for f in range(td.shape[0]):
+                    v = 0
+                    for m in range(min(64, n_bands - 1)):
+                        if td[f, m] > 0:
+                            v |= 1 << m
+                    rows.append({
+                        "path": path, "frame_idx": f,
+                        "lo": v & 0xFFFFFFFF, "hi": v >> 32,
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return decoded.select("path", "samples").mapInPandas(extract, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    decoded: DataFrame, min_share: float = 0.35, max_hamming: int = 3,
+    frame_len: int = 2048, hop: int = 1024,
+) -> DataFrame:
+    """[ext] Audio near-duplicate pair search, alignment-free: two files
+    match when >= ``min_share`` of the smaller side's frames have a
+    Hamming-<=``max_hamming`` counterpart in the other file (the paper's
+    bit-error-rate criterion, at frame granularity). Frame-level
+    candidates come from `dedup.hamming_near_pairs64` over the per-frame
+    64-bit sub-fingerprints — Manku k+1-block pigeonhole, never
+    all-pairs — so the audio path scales exactly like text SimHash and
+    image pHash.
+
+    Returns distinct ``(a, b, share)`` with ``a < b`` on path."""
+    from qcardia_data_spark.functions.dedup import hamming_near_pairs64
+
+    sep = "\x1f"  # unit separator: cannot occur in a sane path
+    fps = audio_fingerprints(decoded, frame_len=frame_len, hop=hop)
+    sig = fps.select(
+        F.concat_ws(sep, "path", F.col("frame_idx").cast("string")).alias("_fid"),
+        "lo", "hi",
+    ).localCheckpoint(eager=True)
+    frame_pairs = hamming_near_pairs64(sig, "_fid", max_hamming=max_hamming)
+    fa = F.split(F.col("a"), sep).getItem(0)
+    fb = F.split(F.col("b"), sep).getItem(0)
+    cross = frame_pairs.select(fa.alias("fa"), fb.alias("fb"), "a", "b").filter(
+        F.col("fa") != F.col("fb")
+    )
+    # orient by path so (x matches y) and (y matches x) pool per pair;
+    # count MATCHED FRAMES on the smaller-id side (distinct, so several
+    # partners for one frame count once)
+    oriented = cross.select(
+        F.least("fa", "fb").alias("pa"), F.greatest("fa", "fb").alias("pb"),
+        F.when(F.col("fa") < F.col("fb"), F.col("a")).otherwise(F.col("b")).alias("_fr"),
+    )
+    matched = oriented.groupBy("pa", "pb").agg(
+        F.count_distinct("_fr").alias("_m")
+    )
+    sizes = fps.groupBy("path").agg(F.count("*").alias("_n"))
+    out = (
+        matched
+        .join(sizes.select(F.col("path").alias("pa"), F.col("_n").alias("_na")), "pa")
+        .join(sizes.select(F.col("path").alias("pb"), F.col("_n").alias("_nb")), "pb")
+        .select(
+            F.col("pa").alias("a"), F.col("pb").alias("b"),
+            (F.col("_m").cast("double") / F.least("_na", "_nb")).alias("share"),
+        )
+    )
+    return out.filter(F.col("share") >= min_share)

@@ -596,3 +596,87 @@ def test_phash_refuses_unknown_format(spark):
     df = spark.createDataFrame([("x", bytearray(b"zz"))], ["path", "content"])
     with pytest.raises(Exception, match="unsupported fmt"):
         phash_images(df, fmt="jpeg2000").collect()
+
+
+# ---------------------------------------------------------------------------
+# r8 late addition: Haitsma-Kalker audio fingerprints over the real WAV codec
+# ---------------------------------------------------------------------------
+
+def _wav_rows():
+    import numpy as np
+
+    from qcardia_data_spark.sources.audio import encode_wav
+
+    rate, dur = 8000, 4.0
+    t = np.arange(int(rate * dur)) / rate
+
+    def clip(seed):
+        # broadband "recording": 8 random partials with drifting
+        # amplitudes + noise floor — the signal class the band-energy
+        # scheme is built for (a lone chirp is spectrally degenerate:
+        # near-empty fingerprints match everything)
+        rng = np.random.RandomState(seed)
+        sig = 0.02 * rng.randn(len(t))
+        for _ in range(8):
+            f0 = rng.uniform(100, 3500)
+            am = 0.3 + 0.7 * np.sin(2 * np.pi * rng.uniform(0.2, 1.0) * t + rng.uniform(0, 6))
+            sig += 0.1 * am * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6))
+        return 0.6 * sig / np.abs(sig).max()
+
+    base = clip(1)
+    quiet = 0.4 * base                                 # pure gain change
+    shifted = np.concatenate([base[1024:], base[:1024]])  # rotate by one hop
+    other = clip(2)                                    # different recording
+    return [
+        ("au/base.wav", bytearray(encode_wav(base, rate))),
+        ("au/quiet.wav", bytearray(encode_wav(quiet, rate))),
+        ("au/shifted.wav", bytearray(encode_wav(shifted, rate))),
+        ("au/other.wav", bytearray(encode_wav(other, rate))),
+    ]
+
+
+def test_audio_fingerprints_gain_invariant_shift_robust(spark):
+    from qcardia_data_spark.sources.multimodal import (
+        audio_fingerprints,
+        decode_audio,
+    )
+
+    decoded = decode_audio(spark.createDataFrame(_wav_rows(), ["path", "content"]))
+    fps = {}
+    for r in audio_fingerprints(decoded).collect():
+        fps.setdefault(r["path"], []).append((r["frame_idx"], r["lo"], r["hi"]))
+
+    def share(a, b, k=3):
+        # fraction of a's frames with a Hamming<=k counterpart in b —
+        # the paper's BER criterion at frame granularity
+        hits = 0
+        for _, lo, hi in fps[a]:
+            best = min(
+                bin(lo ^ l2).count("1") + bin(hi ^ h2).count("1")
+                for _, l2, h2 in fps[b]
+            )
+            hits += best <= k
+        return hits / len(fps[a])
+
+    # gain change: per-frame normalization makes the match near-total
+    assert share("au/base.wav", "au/quiet.wav") > 0.8
+    # a one-hop rotation realigns most windows
+    assert share("au/base.wav", "au/shifted.wav") > 0.6
+    # a different recording matches almost nowhere
+    assert share("au/base.wav", "au/other.wav") < 0.15
+
+
+def test_audio_near_dup_pairs_finds_gain_and_shift_copies(spark):
+    from qcardia_data_spark.sources.multimodal import (
+        audio_near_dup_pairs,
+        decode_audio,
+    )
+
+    decoded = decode_audio(spark.createDataFrame(_wav_rows(), ["path", "content"]))
+    got = {
+        (r["a"], r["b"]): r["share"]
+        for r in audio_near_dup_pairs(decoded, min_share=0.35).collect()
+    }
+    assert ("au/base.wav", "au/quiet.wav") in got
+    assert ("au/base.wav", "au/shifted.wav") in got
+    assert not any("other" in a or "other" in b for a, b in got)
