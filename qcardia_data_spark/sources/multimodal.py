@@ -663,25 +663,23 @@ def audio_fingerprints(
     return decoded.select("path", "samples").mapInPandas(extract, AUDIO_FP_SCHEMA)
 
 
-def audio_near_dup_pairs(
-    decoded: DataFrame, min_share: float = 0.35, max_hamming: int = 3,
-    frame_len: int = 2048, hop: int = 1024,
+def frame_signature_share_pairs(
+    sig_frames: DataFrame, min_share: float = 0.35, max_hamming: int = 3,
 ) -> DataFrame:
-    """[ext] Audio near-duplicate pair search, alignment-free: two files
-    match when >= ``min_share`` of the smaller side's frames have a
-    Hamming-<=``max_hamming`` counterpart in the other file (the paper's
-    bit-error-rate criterion, at frame granularity). Frame-level
-    candidates come from `dedup.hamming_near_pairs64` over the per-frame
-    64-bit sub-fingerprints — Manku k+1-block pigeonhole, never
-    all-pairs — so the audio path scales exactly like text SimHash and
-    image pHash.
+    """Alignment-free near-dup over any per-frame 64-bit signature table
+    ``(path, frame_idx, lo, hi)`` — the matching tail shared by the audio
+    (Haitsma-Kalker) and video (per-frame pHash) paths: two files match
+    when >= ``min_share`` of the smaller side's frames have a
+    Hamming-<=``max_hamming`` counterpart in the other file. Frame-level
+    candidates come from `dedup.hamming_near_pairs64` (Manku k+1-block
+    pigeonhole — never all-pairs), so every modality's dedup shares one
+    scaling argument.
 
     Returns distinct ``(a, b, share)`` with ``a < b`` on path."""
     from qcardia_data_spark.functions.dedup import hamming_near_pairs64
 
     sep = "\x1f"  # unit separator: cannot occur in a sane path
-    fps = audio_fingerprints(decoded, frame_len=frame_len, hop=hop)
-    sig = fps.select(
+    sig = sig_frames.select(
         F.concat_ws(sep, "path", F.col("frame_idx").cast("string")).alias("_fid"),
         "lo", "hi",
     ).localCheckpoint(eager=True)
@@ -701,7 +699,7 @@ def audio_near_dup_pairs(
     matched = oriented.groupBy("pa", "pb").agg(
         F.count_distinct("_fr").alias("_m")
     )
-    sizes = fps.groupBy("path").agg(F.count("*").alias("_n"))
+    sizes = sig_frames.groupBy("path").agg(F.count("*").alias("_n"))
     out = (
         matched
         .join(sizes.select(F.col("path").alias("pa"), F.col("_n").alias("_na")), "pa")
@@ -712,3 +710,60 @@ def audio_near_dup_pairs(
         )
     )
     return out.filter(F.col("share") >= min_share)
+
+
+def audio_near_dup_pairs(
+    decoded: DataFrame, min_share: float = 0.35, max_hamming: int = 3,
+    frame_len: int = 2048, hop: int = 1024,
+) -> DataFrame:
+    """[ext] Audio near-duplicate pair search: Haitsma-Kalker per-frame
+    sub-fingerprints (:func:`audio_fingerprints`) through the shared
+    :func:`frame_signature_share_pairs` matching tail."""
+    fps = audio_fingerprints(decoded, frame_len=frame_len, hop=hop)
+    return frame_signature_share_pairs(
+        fps, min_share=min_share, max_hamming=max_hamming
+    )
+
+
+def video_frame_phashes(decoded_video: DataFrame) -> DataFrame:
+    """Per sampled video frame: the 64-bit image pHash of the decoded
+    pixels (:func:`_phash64` — same transform the still-image path uses),
+    emitted in the shared ``(path, frame_idx, lo, hi)`` signature shape."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, h, w, fr, px in zip(
+                pdf["path"], pdf["height"], pdf["width"],
+                pdf["frame_nr"], pdf["pixels"],
+            ):
+                img = np.asarray(px, dtype=np.float64).reshape(int(h), int(w))
+                v = _phash64(img)
+                rows.append({
+                    "path": path, "frame_idx": int(fr),
+                    "lo": v & 0xFFFFFFFF, "hi": v >> 32,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields])
+
+    return decoded_video.select(
+        "path", "height", "width", "frame_nr", "pixels"
+    ).mapInPandas(extract, AUDIO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(
+    binary_df: DataFrame, keep_frames: Sequence[int],
+    min_share: float = 0.5, max_hamming: int = 3, fps: float = 25.0,
+) -> DataFrame:
+    """[ext] Video near-duplicate pair search: REAL MJPEG/AVI decode of
+    the SAMPLED frames only (decode-after-predicate on the time axis),
+    per-frame pHash, then the shared alignment-free matching tail — two
+    clips match when >= ``min_share`` of the smaller side's sampled
+    frames have a Hamming-<=k visual counterpart. Completes the
+    per-modality dedup family (text SimHash / image pHash / audio
+    Haitsma-Kalker / video frame-pHash), all on ONE Manku blocking
+    engine."""
+    decoded = decode_video_frames(binary_df, keep_frames, fps=fps)
+    return frame_signature_share_pairs(
+        video_frame_phashes(decoded),
+        min_share=min_share, max_hamming=max_hamming,
+    )

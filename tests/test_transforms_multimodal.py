@@ -680,3 +680,38 @@ def test_audio_near_dup_pairs_finds_gain_and_shift_copies(spark):
     assert ("au/base.wav", "au/quiet.wav") in got
     assert ("au/base.wav", "au/shifted.wav") in got
     assert not any("other" in a or "other" in b for a, b in got)
+
+
+def test_video_near_dup_pairs_real_mjpeg(spark):
+    """Video near-dup through the REAL MJPEG/AVI pipeline: an
+    exposure-shifted re-encode matches frame-for-frame; an unrelated clip
+    does not. Completes the per-modality dedup family on the shared
+    Manku engine."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg
+    from qcardia_data_spark.sources.multimodal import video_near_dup_pairs
+
+    rng = np.random.RandomState(9)
+    frames = []
+    for _ in range(4):
+        coarse = rng.randint(0, 200, size=(8, 8)).astype(np.float64)
+        frames.append(np.kron(coarse, np.ones((8, 8))).astype(np.uint8))  # 64x64
+    brighter = [(f + 15).astype(np.uint8) for f in frames]
+    other = [
+        np.kron(rng.randint(0, 200, size=(8, 8)), np.ones((8, 8))).astype(np.uint8)
+        for _ in range(4)
+    ]
+    rows = [
+        ("vid/a.avi", bytearray(encode_avi_mjpeg(frames))),
+        ("vid/bright.avi", bytearray(encode_avi_mjpeg(brighter))),
+        ("vid/other.avi", bytearray(encode_avi_mjpeg(other))),
+    ]
+    df = spark.createDataFrame(rows, ["path", "content"])
+    got = {
+        (r["a"], r["b"]): r["share"]
+        for r in video_near_dup_pairs(df, keep_frames=[0, 1, 2, 3]).collect()
+    }
+    assert ("vid/a.avi", "vid/bright.avi") in got
+    assert got[("vid/a.avi", "vid/bright.avi")] >= 0.75
+    assert not any("other" in a or "other" in b for a, b in got)
