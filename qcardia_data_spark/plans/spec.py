@@ -65,6 +65,10 @@ Spec grammar (one dict per op, applied in order):
         # RedPajama-V2 pattern: the whole per-doc signal table
         # (length/punct/stopword/repetition/gopher/lang/fingerprint)
         # appended in ONE map pass; gate downstream against the columns
+    {"op": "media_near_dup", "modality": "image"|"audio"|"video",
+     "max_hamming": 3, ...}
+        # perceptual near-dup pairs over a binaryFile frame (pHash /
+        # Haitsma-Kalker / frame-pHash, one Manku engine)
     {"op": "chunk", "id_col": ..., "text_col": ...,
      "chunk_tokens": 32, "overlap": 8}
         # sliding token-window chunking; one row per chunk (stream-safe)
@@ -449,6 +453,32 @@ def _apply(
             "*", *[v.alias(f"{p}_{k}") for k, v in sig.items()]
         )
         return out.drop("_qstoks")
+    if kind == "media_near_dup":
+        from qcardia_data_spark.sources import multimodal as MM
+
+        # {"op": "media_near_dup", "modality": "image"|"audio"|"video",
+        #  "max_hamming": 3, image: "fmt"; audio/video: "min_share";
+        #  video: "keep_frames"} — REPLACES the binaryFile frame with the
+        # near-duplicate pair table of the modality's perceptual
+        # signature family (pHash / Haitsma-Kalker / frame-pHash), all on
+        # the shared Manku blocking engine.
+        modality = op.get("modality", "image")
+        mh = int(op.get("max_hamming", 3))
+        if modality == "image":
+            return MM.image_near_dup_pairs(
+                df, fmt=op.get("fmt", "png"), max_hamming=mh
+            )
+        if modality == "audio":
+            return MM.audio_near_dup_pairs(
+                MM.decode_audio(df),
+                min_share=float(op.get("min_share", 0.35)), max_hamming=mh,
+            )
+        if modality == "video":
+            return MM.video_near_dup_pairs(
+                df, keep_frames=list(op.get("keep_frames", [0])),
+                min_share=float(op.get("min_share", 0.5)), max_hamming=mh,
+            )
+        raise SpecError(f"media_near_dup: unknown modality {modality!r}")
     if kind == "chunk":
         from qcardia_data_spark.functions.text import chunk_documents
 

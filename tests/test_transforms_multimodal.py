@@ -715,3 +715,30 @@ def test_video_near_dup_pairs_real_mjpeg(spark):
     assert ("vid/a.avi", "vid/bright.avi") in got
     assert got[("vid/a.avi", "vid/bright.avi")] >= 0.75
     assert not any("other" in a or "other" in b for a, b in got)
+
+
+def test_media_near_dup_spec_op_image(spark, tmp_path):
+    """The declarative dialect reaches the multimodal dedup family: a
+    binaryFile source + media_near_dup(image) equals the library call."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+    from qcardia_data_spark.sources.multimodal import image_near_dup_pairs
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name, content in _png_rows(tmp_path):
+        (d / name.split("/")[-1]).write_bytes(bytes(content))
+
+    got = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": str(d), "format": "binaryFile",
+             "glob": "*.png"},
+            {"op": "media_near_dup", "modality": "image", "max_hamming": 3},
+        ],
+        None,
+    )
+    binary = spark.read.format("binaryFile").load(str(d))
+    want = image_near_dup_pairs(binary, max_hamming=3)
+    key = lambda r: (r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1], r["hamming"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0
