@@ -5543,6 +5543,57 @@ def emb_chunk_bucket_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_time_weighted_avg",
+    # Both engines order by the SAME truncated epoch second (+ event_id
+    # tiebreak): ordering by raw ts while weighting by truncated deltas
+    # could pair sub-second neighbors differently across engines.
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (SELECT user_id, value, s,
+                 lead(s) OVER (PARTITION BY user_id
+                               ORDER BY s, event_id) AS ns
+          FROM e),
+    a AS (SELECT user_id,
+                 sum(value * (ns - s)) AS num,
+                 max(s) - min(s) AS den,
+                 count(*) AS n_events
+          FROM l GROUP BY user_id)
+    SELECT user_id, n_events, round(num / den, 6) AS twa
+    FROM a WHERE den > 0
+    """,
+)
+def ev_time_weighted_avg(spark, sf_dir):
+    """[ext] Time-weighted average of ``value`` per user — the
+    last-observation-carried-forward mean (the TimescaleDB
+    ``time_weight('LOCF')`` analog): each reading is weighted by how long
+    it remained current, Σ v_i·(t_{i+1}−t_i) / (t_N−t_1). One window
+    pass riding the per-user exchange + one groupBy on the same keys;
+    users whose observations all share a second have no elapsed time and
+    are excluded (den > 0)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "value", _epoch_s(F.col("ts")).alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    l = e.select(
+        "user_id", "value", "s", (F.lead("s").over(w) - F.col("s")).alias("_dt")
+    )
+    a = l.groupBy("user_id").agg(
+        F.sum(F.col("value") * F.col("_dt")).alias("_num"),
+        (F.max("s") - F.min("s")).alias("_den"),
+        F.count("*").alias("n_events"),
+    )
+    return a.filter(F.col("_den") > 0).select(
+        "user_id", "n_events",
+        F.round(F.col("_num") / F.col("_den"), 6).alias("twa"),
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -5754,6 +5805,7 @@ _NEXT_IN_LINE = [
     "sim_ivfpq_incremental",
     "sim_lsh_multiprobe_topk",
     "emb_chunk_bucket_counts",
+    "ev_time_weighted_avg",
 ]
 
 
