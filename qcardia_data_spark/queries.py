@@ -5594,6 +5594,83 @@ def ev_time_weighted_avg(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_gapfill_locf",
+    # Union-probe LOCF: one probe row per (user, hour) at the bucket's
+    # last second, ordered AFTER any event in that second; the running
+    # last-non-null then fills every bucket. The tiebreak column is an
+    # explicit coalesce on both sides — Spark sorts NULLs first, DuckDB
+    # last, so a bare nullable event_id in the ORDER BY would diverge.
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    span AS (SELECT user_id, min(s) // 3600 AS h0, max(s) // 3600 AS h1
+             FROM e GROUP BY user_id),
+    b AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
+    u AS (SELECT user_id, s AS t, value AS v, 0 AS probe,
+                 event_id AS tb, CAST(NULL AS BIGINT) AS h
+          FROM e
+          UNION ALL
+          SELECT user_id, h * 3600 + 3599, NULL, 1, 4611686018427387904, h
+          FROM b),
+    w AS (SELECT user_id, h, probe,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY t, probe, tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+          FROM u)
+    SELECT user_id, h AS bucket_hour, locf AS value
+    FROM w WHERE probe = 1
+    """,
+)
+def ev_gapfill_locf(spark, sf_dir):
+    """[ext] Hourly gap-fill with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill + locf`` analog: every (user, hour)
+    bucket between the user's first and last event gets the value current
+    at the bucket's close, including hours with no events. Shape: the
+    probe-union trick — bucket probe rows interleave into the event
+    stream at position (t, probe) and a running ``last(ignorenulls)``
+    fills them; ONE per-user exchange carries the window, and bucket
+    generation is a bounded sequence explode off the per-user span (no
+    calendar cross-join)."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "value", _epoch_s(F.col("ts")).alias("s")
+    )
+    span = e.groupBy("user_id").agg(
+        F.floor(F.min("s") / 3600).alias("h0"),
+        F.floor(F.max("s") / 3600).alias("h1"),
+    )
+    b = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    probes = b.select(
+        "user_id",
+        (F.col("h") * 3600 + 3599).alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("probe"),
+        F.lit(4611686018427387904).alias("tb"),
+        "h",
+    )
+    events = e.select(
+        "user_id", F.col("s").alias("t"), F.col("value").alias("v"),
+        F.lit(0).alias("probe"), F.col("event_id").alias("tb"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "probe", "tb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = events.unionByName(probes).select(
+        "user_id", "h", "probe",
+        F.last("v", ignorenulls=True).over(w).alias("locf"),
+    )
+    return filled.filter(F.col("probe") == 1).select(
+        "user_id", F.col("h").alias("bucket_hour"), F.col("locf").alias("value")
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -5806,6 +5883,7 @@ _NEXT_IN_LINE = [
     "sim_lsh_multiprobe_topk",
     "emb_chunk_bucket_counts",
     "ev_time_weighted_avg",
+    "ev_gapfill_locf",
 ]
 
 
