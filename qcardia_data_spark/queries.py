@@ -5671,6 +5671,58 @@ def ev_gapfill_locf(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) // 3600 AS h,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s,
+             event_id, value
+      FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, h
+                                    ORDER BY s, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, h
+                                    ORDER BY s DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, h AS bucket_hour,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY event_type, h
+    """,
+)
+def ev_ohlc_hourly(spark, sf_dir):
+    """[ext] OHLC candlestick downsampling per (event_type, hour): open =
+    first value by (time, event_id), close = last, plus high/low/count —
+    the standard time-series compaction (TimescaleDB ``candlestick_agg``).
+    ONE groupBy with map-side partials: open/close ride struct-min/max
+    aggregates ((s, event_id, value) tuples order field-wise, total by
+    the unique event_id), so no window pass and no second exchange —
+    whereas the oracle's row_number form needs two window sorts. At
+    100 TB this is the shape that matters: a pure mergeable aggregation
+    downsamples any cardinality in one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "event_id", "value", _epoch_s(F.col("ts")).alias("s")
+    ).withColumn("h", F.floor(F.col("s") / 3600))
+    tup = F.struct("s", "event_id", "value")
+    return e.groupBy("event_type", "h").agg(
+        F.min(tup).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(tup).getField("value").alias("close"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type", F.col("h").alias("bucket_hour"),
+        "open", "high", "low", "close", "n_events",
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -5884,6 +5936,7 @@ _NEXT_IN_LINE = [
     "emb_chunk_bucket_counts",
     "ev_time_weighted_avg",
     "ev_gapfill_locf",
+    "ev_ohlc_hourly",
 ]
 
 
