@@ -5723,6 +5723,134 @@ def ev_ohlc_hourly(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_state_durations",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (SELECT user_id, event_type, s,
+                 lead(s) OVER (PARTITION BY user_id
+                               ORDER BY s, event_id) AS ns
+          FROM e)
+    SELECT user_id, event_type AS state,
+           sum(ns - s) AS seconds_in_state,
+           count(*) AS n_entries
+    FROM l WHERE ns IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def ev_state_durations(spark, sf_dir):
+    """[ext] State-timeline aggregation (the TimescaleDB ``state_agg``
+    analog): treat each event's type as the state the user is in until
+    their next event, and total the seconds spent per (user, state). One
+    window pass for the successor timestamp riding the per-user
+    exchange, then a mergeable groupBy; the open-ended final state
+    carries no duration and is excluded (ns IS NULL), matching the
+    LOCF reading of the timeline."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    l = e.select(
+        "user_id", "event_type", "s", (F.lead("s").over(w)).alias("ns")
+    )
+    return (
+        l.filter(F.col("ns").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("state"))
+        .agg(
+            F.sum(F.col("ns") - F.col("s")).alias("seconds_in_state"),
+            F.count("*").alias("n_entries"),
+        )
+    )
+
+
+@_q(
+    "ev_retention_cohorts",
+    """
+    WITH e AS (
+      SELECT user_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) // 604800 AS wk
+      FROM events),
+    c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, c.cohort_wk, e.wk - c.cohort_wk AS offset_wk
+          FROM e JOIN c ON c.user_id = e.user_id)
+    SELECT cohort_wk, offset_wk, count(*) AS n_users
+    FROM a GROUP BY cohort_wk, offset_wk
+    """,
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """[ext] Cohort retention matrix — the standard product-analytics
+    rollup: users grouped by their first-activity week, counted in every
+    later week they return (offset 0 = the cohort's size). Three
+    mergeable aggregations, all keyed by user_id so the cohort join
+    broadcasts the bounded per-user cohort table; no window pass at
+    all."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.floor(_epoch_s(F.col("ts")) / 604800).alias("wk")
+    )
+    c = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    a = (
+        e.join(F.broadcast(c), "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    return a.groupBy("cohort_wk", "offset_wk").agg(F.count("*").alias("n_users"))
+
+
+@_q(
+    "ev_counter_agg",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (SELECT user_id, value,
+                 value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id) AS d
+          FROM e)
+    SELECT user_id,
+           round(sum(CASE WHEN d >= 0 THEN d ELSE value END), 6) AS counter_delta,
+           sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_resets
+    FROM l WHERE d IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ev_counter_agg(spark, sf_dir):
+    """[ext] Counter aggregation with reset handling (the TimescaleDB /
+    PromQL ``counter_agg``/``increase`` analog): a monotone counter's true
+    increase sums the positive deltas, and a negative delta means the
+    counter reset — the post-reset reading itself is the increase since
+    the reset. One lag window riding the per-user exchange + a mergeable
+    groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "value", _epoch_s(F.col("ts")).alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    l = e.select(
+        "user_id", "value", (F.col("value") - F.lag("value").over(w)).alias("d")
+    )
+    return (
+        l.filter(F.col("d").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("d") >= 0, F.col("d")).otherwise(F.col("value"))
+                ), 6,
+            ).alias("counter_delta"),
+            F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("n_resets"),
+        )
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -5937,6 +6065,9 @@ _NEXT_IN_LINE = [
     "ev_time_weighted_avg",
     "ev_gapfill_locf",
     "ev_ohlc_hourly",
+    "ev_state_durations",
+    "ev_retention_cohorts",
+    "ev_counter_agg",
 ]
 
 
