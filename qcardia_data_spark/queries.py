@@ -5787,16 +5787,18 @@ def ev_retention_cohorts(spark, sf_dir):
     """[ext] Cohort retention matrix — the standard product-analytics
     rollup: users grouped by their first-activity week, counted in every
     later week they return (offset 0 = the cohort's size). Three
-    mergeable aggregations, all keyed by user_id so the cohort join
-    broadcasts the bounded per-user cohort table; no window pass at
-    all."""
+    mergeable aggregations and one user_id-keyed join with NO broadcast
+    hint: the cohort table is one row PER USER — corpus-cardinality, not
+    a dimension — so forcing a broadcast would be wrong at scale; the
+    groupBy and the join share the user_id clustering, and AQE picks
+    broadcast only when the user count actually fits. No window pass."""
     ev = _t(spark, sf_dir, "events")
     e = ev.select(
         "user_id", F.floor(_epoch_s(F.col("ts")) / 604800).alias("wk")
     )
     c = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     a = (
-        e.join(F.broadcast(c), "user_id")
+        e.join(c, "user_id")
         .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
         .distinct()
     )
