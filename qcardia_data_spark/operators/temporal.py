@@ -133,3 +133,42 @@ def bucketed_range_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame, right: DataFrame,
+    start_l: str, end_l: str, start_r: str, end_r: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """[ext] Interval-OVERLAP join (``[start_l, end_l] ∩ [start_r, end_r]
+    ≠ ∅``, i.e. ``end_l >= start_r AND end_r >= start_l``) — the
+    interval-interval sibling of :func:`bucketed_range_join`, completing
+    the temporal-join family (as-of, point-in-interval, overlap). The
+    bound columns are EPOCH-SECOND numerics.
+
+    Same no-theta-join shape: both sides explode into the time buckets
+    they cover, equi-join on the bucket, apply the exact overlap
+    residual, then DISTINCT (an overlapping pair shares every bucket the
+    intersection spans — one bucket per overlap is guaranteed because
+    any common instant lies in a bucket both cover, which is also the
+    losslessness proof). Shuffle is O(rows × buckets_per_interval) with
+    a hash-partitionable equi-join; pick ``bucket_seconds`` ≈ the median
+    interval length so the explode factor stays O(1). Column names must
+    be disjoint across the two frames (caller disambiguates)."""
+    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_seconds),
+                    F.floor(F.col(e) / bucket_seconds),
+                )
+            ),
+        )
+
+    joined = buckets(left, start_l, end_l).join(
+        buckets(right, start_r, end_r), "_bucket"
+    ).filter(
+        (F.col(end_l) >= F.col(start_r)) & (F.col(end_r) >= F.col(start_l))
+    )
+    return joined.drop("_bucket").distinct()

@@ -5853,6 +5853,74 @@ def ev_counter_agg(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_session_overlap_pairs",
+    # Oracle: the ev_sessionize CTE chain builds the same session
+    # intervals, then a NAIVE inequality join replays the overlap
+    # semantics — a value match proves the bucketed equi-join +
+    # residual + distinct is lossless on real session data.
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_nr
+      FROM g),
+    iv AS (
+      SELECT user_id, session_nr,
+             date_diff('second', TIMESTAMP '1970-01-01', min(ts)) AS s0,
+             date_diff('second', TIMESTAMP '1970-01-01', max(ts)) AS s1
+      FROM s GROUP BY user_id, session_nr),
+    p AS (SELECT a.user_id AS ua, b.user_id AS ub
+          FROM iv a JOIN iv b
+            ON a.user_id < b.user_id AND a.s1 >= b.s0 AND b.s1 >= a.s0)
+    SELECT ua, ub, count(*) AS n_overlaps
+    FROM p GROUP BY ua, ub
+    """,
+)
+def ev_session_overlap_pairs(spark, sf_dir):
+    """[ext] Concurrent-session detection: sessionize every user (30-min
+    gap), then count, per user pair, how many of their session intervals
+    OVERLAP in time — the interval-interval join the temporal family was
+    missing (temporal.interval_overlap_join: shared-time-bucket equi-join
+    + exact residual + distinct, never a theta join)."""
+    from qcardia_data_spark.operators.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((_epoch_s(F.col("ts")) - _epoch_s(F.lag("ts").over(w))) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = gapped.withColumn("session_nr", F.sum("new_sess").over(wsum))
+    iv = sess.groupBy("user_id", "session_nr").agg(
+        F.min(_epoch_s(F.col("ts"))).alias("s0"),
+        F.max(_epoch_s(F.col("ts"))).alias("s1"),
+    )
+    a = iv.select(
+        F.col("user_id").alias("ua"), F.col("s0").alias("a0"), F.col("s1").alias("a1")
+    )
+    b = iv.select(
+        F.col("user_id").alias("ub"), F.col("s0").alias("b0"), F.col("s1").alias("b1")
+    )
+    pairs = interval_overlap_join(a, b, "a0", "a1", "b0", "b1").filter(
+        F.col("ua") < F.col("ub")
+    )
+    return pairs.groupBy("ua", "ub").agg(F.count("*").alias("n_overlaps"))
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -6070,6 +6138,7 @@ _NEXT_IN_LINE = [
     "ev_state_durations",
     "ev_retention_cohorts",
     "ev_counter_agg",
+    "ev_session_overlap_pairs",
 ]
 
 

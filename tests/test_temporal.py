@@ -221,3 +221,35 @@ def test_asof_join_supports_map_carry(spark):
     )
     out = asof_join(left, right, ["k"], "ts", "ts", ["props"]).collect()
     assert out[0]["props"] == {"a": "1"}
+
+
+def test_interval_overlap_join_lossless_vs_naive(spark):
+    """Bucketed interval-overlap join == naive inequality join, including
+    touch-at-boundary, containment, identical, disjoint and
+    bucket-straddling interval pairs."""
+    import itertools
+
+    from qcardia_data_spark.operators.temporal import interval_overlap_join
+
+    ivs = [
+        (0, 0, 100), (1, 100, 200),        # touch exactly at 100
+        (2, 50, 5000), (3, 600, 700),      # containment, straddles buckets
+        (4, 9000, 9010), (5, 9990, 10000), # disjoint pair
+        (6, 50, 5000),                     # identical to 2
+        (7, 4999, 12000),                  # long, overlaps several
+    ]
+    a = spark.createDataFrame([(i, s, e) for i, s, e in ivs], ["ia", "a0", "a1"])
+    b = spark.createDataFrame([(i, s, e) for i, s, e in ivs], ["ib", "b0", "b1"])
+    got = {
+        (r["ia"], r["ib"])
+        for r in interval_overlap_join(
+            a, b, "a0", "a1", "b0", "b1", bucket_seconds=1000
+        ).collect()
+    }
+    naive = {
+        (x[0], y[0])
+        for x, y in itertools.product(ivs, ivs)
+        if x[2] >= y[1] and y[2] >= x[1]
+    }
+    assert got == naive
+    assert (0, 1) in got and (4, 5) not in got  # boundary in, disjoint out
