@@ -29,6 +29,9 @@ Spec grammar (one dict per op, applied in order):
     {"op": "asof_join", "table"/"pipeline": ..., "by": [...],
      "left_ts": ..., "right_ts": ..., "carry": [...],
      "direction": "backward"|"forward"}
+    {"op": "overlap_join", "table"/"pipeline": ..., "start_l"/"end_l"/
+     "start_r"/"end_r": ..., "bucket_seconds": 3600}
+        # interval×interval overlap (bucketed equi-join, no theta join)
     {"op": "group_agg", "by": [...], "aggs": {"out": "sum(expr)"}}
     {"op": "window", "cols": {"out": "count(*)"}, "partition_by": [...],
      "order_by": [...]}
@@ -267,6 +270,18 @@ def _apply(
             df, _side(spark, op, sf_dir), by=op["by"],
             left_ts=op["left_ts"], right_ts=op["right_ts"],
             carry=op["carry"], direction=op.get("direction", "backward"),
+        )
+    if kind == "overlap_join":
+        from qcardia_data_spark.operators.temporal import interval_overlap_join
+
+        # {"op": "overlap_join", "table"/"pipeline": ..., "start_l"/"end_l"/
+        #  "start_r"/"end_r": epoch-second cols, "bucket_seconds": 3600} —
+        # interval×interval overlap via the bucketed equi-join (never a
+        # theta join); column names must be disjoint across the sides.
+        return interval_overlap_join(
+            df, _side(spark, op, sf_dir),
+            op["start_l"], op["end_l"], op["start_r"], op["end_r"],
+            bucket_seconds=int(op.get("bucket_seconds", 3600)),
         )
     if kind == "group_agg":
         aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]

@@ -253,3 +253,32 @@ def test_interval_overlap_join_lossless_vs_naive(spark):
     }
     assert got == naive
     assert (0, 1) in got and (4, 5) not in got  # boundary in, disjoint out
+
+
+def test_overlap_join_spec_op(spark, sf_dir, tmp_path):
+    """The overlap_join spec op equals the library call (pipeline side)."""
+    from qcardia_data_spark.operators.temporal import interval_overlap_join
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    ivs_a = [(i, i * 100, i * 100 + 150) for i in range(20)]
+    ivs_b = [(i, i * 130 + 40, i * 130 + 90) for i in range(20)]
+    a = spark.createDataFrame(ivs_a, ["ia", "a0", "a1"])
+    b = spark.createDataFrame(ivs_b, ["ib", "b0", "b1"])
+    pa, pb = str(tmp_path / "ov_a"), str(tmp_path / "ov_b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    got = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": pa},
+            {"op": "overlap_join",
+             "pipeline": [{"op": "source", "path": pb}],
+             "start_l": "a0", "end_l": "a1", "start_r": "b0", "end_r": "b1",
+             "bucket_seconds": 100},
+        ],
+        sf_dir,
+    )
+    want = interval_overlap_join(a, b, "a0", "a1", "b0", "b1", bucket_seconds=100)
+    key = lambda r: (r["ia"], r["ib"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() > 0
