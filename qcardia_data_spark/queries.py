@@ -5921,6 +5921,115 @@ def ev_session_overlap_pairs(spark, sf_dir):
     return pairs.groupBy("ua", "ub").agg(F.count("*").alias("n_overlaps"))
 
 
+@_q(
+    "emb_hygiene_audit",
+    # Norms use the SAME sequential left fold as arrays.l2_norm
+    # (list_reduce — cross-engine fold rule); averages of norms are the
+    # only unordered float sums and sit under round(6).
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+             len(embedding) AS dim
+      FROM embeddings),
+    n AS (SELECT vec_id, dim,
+                 CASE WHEN len(list_filter(d, x -> isnan(x))) > 0
+                      THEN 1 ELSE 0 END AS has_nan,
+                 sqrt(list_reduce(list_transform(d, x -> x * x),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v),
+    m AS (SELECT mode() WITHIN GROUP (ORDER BY dim) AS mode_dim FROM n)
+    SELECT count(*) AS n_vecs,
+           count(DISTINCT dim) AS n_distinct_dims,
+           sum(CASE WHEN dim != m.mode_dim THEN 1 ELSE 0 END) AS n_dim_mismatch,
+           sum(has_nan) AS n_nan_vecs,
+           sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero_norm,
+           round(avg(nrm), 6) AS mean_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n, m GROUP BY m.mode_dim
+    """,
+)
+def emb_hygiene_audit(spark, sf_dir):
+    """[ext] Embedding-corpus hygiene audit — the validation gate an ANN
+    pipeline runs before indexing: row count, dimension drift (distinct
+    dims + rows off the modal dim), NaN vectors, zero-norm vectors, and
+    the norm envelope. One pass, one corpus-level row; the modal dim is
+    a bounded 1-row subquery (dims are few)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    n = emb.select(
+        F.size("embedding").alias("dim"),
+        F.when(
+            F.size(F.filter(d, lambda x: F.isnan(x))) > 0, 1
+        ).otherwise(0).alias("has_nan"),
+        nrm.alias("nrm"),
+    )
+    mode_dim = (
+        n.groupBy("dim").count().orderBy(F.desc("count"), "dim").limit(1)
+        .select("dim").collect()[0][0]
+    )  # bounded: one scalar
+    return n.agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.sum(F.when(F.col("dim") != mode_dim, 1).otherwise(0)).alias("n_dim_mismatch"),
+        F.sum("has_nan").alias("n_nan_vecs"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+@_q(
+    "doc_hygiene_audit",
+    """
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             len(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN text IS NULL OR norm_len = 0 THEN 1 ELSE 0 END) AS n_empty,
+           sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS n_len_mismatch,
+           sum(CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                    THEN 1 ELSE 0 END) AS n_control_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+    FROM d
+    """,
+)
+def doc_hygiene_audit(spark, sf_dir):
+    """[ext] Document-corpus hygiene audit: empties/whitespace-only,
+    metadata drift (stored n_chars vs actual length), control characters,
+    and the length envelope — the cheap full-scan validation a crawl
+    pipeline runs before spending compute downstream. One pass, one
+    corpus-level row, pure JVM regex."""
+    docs = _t(spark, sf_dir, "documents")
+    norm_len = F.length(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNull() | (norm_len == 0), 1).otherwise(0)
+        ).alias("n_empty"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_len_mismatch"),
+        F.sum(
+            F.when(
+                F.col("text").rlike(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"), 1
+            ).otherwise(0)
+        ).alias("n_control_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+    )
+
+
 def _multiprobe_oracle_sql(n_flip: int = 2, k: int = 10) -> str:
     """DuckDB restatement of the MULTI-PROBE persisted-LSH probe
     (similarity.multiprobe_buckets + pairwise_topk_join_pruned(n_flip)):
@@ -6139,6 +6248,8 @@ _NEXT_IN_LINE = [
     "ev_retention_cohorts",
     "ev_counter_agg",
     "ev_session_overlap_pairs",
+    "emb_hygiene_audit",
+    "doc_hygiene_audit",
 ]
 
 
