@@ -30,6 +30,7 @@ from qcardia_data_spark.operators import joins as J
 from qcardia_data_spark.operators import projections as P
 from qcardia_data_spark.operators import sampling as X
 from qcardia_data_spark.operators import setops as U
+from qcardia_data_spark.operators import timeseries as TS
 from qcardia_data_spark.operators import sorts as O
 from qcardia_data_spark.operators import windows as W
 
@@ -6133,6 +6134,229 @@ def sim_ivfpq_incremental(spark, sf_dir):
     return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
 
 
+@_q(
+    "ev_gapfill_interpolate",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    span AS (SELECT user_id, min(s) // 3600 AS h0, max(s) // 3600 AS h1
+             FROM e GROUP BY user_id),
+    b AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
+    u AS (SELECT user_id, s AS t, value AS v, 0 AS probe,
+                 event_id AS tb, CAST(NULL AS BIGINT) AS h
+          FROM e
+          UNION ALL
+          SELECT user_id, h * 3600 + 3599, NULL, 1, 4611686018427387904, h
+          FROM b),
+    w AS (SELECT user_id, h, probe, t,
+            last_value(CASE WHEN probe = 0 THEN t END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t, probe, tb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+            last_value(CASE WHEN probe = 0 THEN v END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t, probe, tb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN probe = 0 THEN t END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t DESC, probe DESC, tb DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns,
+            last_value(CASE WHEN probe = 0 THEN v END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t DESC, probe DESC, tb DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+          FROM u)
+    SELECT user_id, h AS bucket,
+           CAST(floor((pv + (nv - pv) *
+                       (CAST(t - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM w WHERE probe = 1
+    """,
+)
+def ev_gapfill_interpolate(spark, sf_dir):
+    """[ext] Hourly gap-fill with LINEAR INTERPOLATION — the TimescaleDB
+    ``time_bucket_gapfill + interpolate()`` analog, completing the
+    gapfill pair with ``ev_gapfill_locf``. Every (user, hour) bucket
+    close gets the value interpolated between its nearest observations on
+    either side; the final bucket (no successor) is NULL, as in
+    Timescale. Shape: probe-union rows + two running last-non-null
+    passes (ascending = prev, descending = next) sharing ONE hash
+    exchange on user_id with two sorts; output quantized by the exact
+    floor-e6 idiom, so the value check is integer-exact.
+    Impl: operators/timeseries.py::gapfill_interpolate."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "value", _epoch_s(F.col("ts")).alias("s")
+    )
+    return TS.gapfill_interpolate(
+        e, "user_id", "s", "value", "event_id", bucket_s=3600
+    )
+
+
+@_q(
+    "ev_trend_slope",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    c AS (SELECT user_id, yc,
+                 s - min(s) OVER (PARTITION BY user_id) AS x
+          FROM e),
+    a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(yc) AS sy,
+                 sum(x * yc) AS sxy, sum(x * x) AS sx2,
+                 sum(yc * yc) AS sy2
+          FROM c GROUP BY user_id)
+    SELECT user_id, n AS n_events,
+      CAST(floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sx2 - sx * sx AS DOUBLE)) * 3600)
+                 * 1000000 + 0.5) AS BIGINT) AS slope_cph_e6,
+      CAST(floor(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sx2 - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                 * 100 + 0.5) AS BIGINT) AS intercept_c_e2,
+      CASE WHEN n * sy2 - sy * sy > 0 THEN
+        CAST(floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sx2 - sx * sx AS DOUBLE)
+                       * CAST(n * sy2 - sy * sy AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT)
+      END AS r2_e6
+    FROM a WHERE n * sx2 - sx * sx > 0
+    """,
+)
+def ev_trend_slope(spark, sf_dir):
+    """[ext] Per-user least-squares trend — the TimescaleDB ``stats_agg``
+    → ``slope()/intercept()/corr()`` analog on an EXACT integer core: x
+    is centered to the user's first observation (int64 seconds), y is
+    cents, and all six sufficient statistics are exact integer sums —
+    mergeable, order-independent, map-side-combining — so the closed-form
+    slope/intercept/r² doubles are bit-identical across engines and the
+    floor-e6 outputs are integer-exact. One window-min for the origin
+    rides the SAME per-user exchange as the groupBy: one shuffle total.
+    Impl: operators/timeseries.py::trend_stats."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", _epoch_s(F.col("ts")).alias("s"), "value")
+    return TS.trend_stats(e, "user_id", "s", "value")
+
+
+@_q(
+    "ev_value_histogram",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+      FROM events),
+    b AS (SELECT event_type, yc,
+                 least(greatest(CAST(floor(yc / 2000.0) AS BIGINT), 0), 24)
+                   AS bin
+          FROM e)
+    SELECT event_type, bin, bin * 2000 AS bin_lo_cents,
+           count(*) AS n, min(yc) AS min_c, max(yc) AS max_c,
+           sum(yc) AS sum_c
+    FROM b GROUP BY event_type, bin
+    """,
+)
+def ev_value_histogram(spark, sf_dir):
+    """[ext] Fixed-bin value histogram per event type — the TimescaleDB
+    ``histogram(value, lo, hi, n)`` analog: 25 bins of 2000 cents with
+    Postgres-style edge clamping, every output an exact int64 (bins come
+    from integer cents, not float boundaries). ONE mergeable groupBy
+    with map-side partials — the single-shuffle shape that survives any
+    cardinality. Impl: operators/timeseries.py::value_histogram."""
+    ev = _t(spark, sf_dir, "events")
+    return TS.value_histogram(
+        ev, "event_type", "value", bin_width_cents=2000, n_bins=25
+    )
+
+
+@_q(
+    "ev_heartbeat_uptime",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (SELECT user_id, s,
+                 lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                   - s AS gap
+          FROM e),
+    a AS (SELECT user_id, count(*) AS n_beats, max(s) - min(s) AS span_s,
+                 sum(CASE WHEN gap IS NOT NULL
+                          THEN least(gap, 600) END) AS uptime_s,
+                 count(CASE WHEN gap > 600 THEN 1 END) AS n_outages
+          FROM l GROUP BY user_id)
+    SELECT user_id, n_beats, span_s, uptime_s, n_outages,
+           CAST(floor((CAST(uptime_s AS DOUBLE) / CAST(span_s AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS uptime_ratio_e6
+    FROM a WHERE span_s > 0
+    """,
+)
+def ev_heartbeat_uptime(spark, sf_dir):
+    """[ext] Heartbeat liveness per user — the TimescaleDB
+    ``heartbeat_agg`` → ``uptime()`` analog: each event keeps its user
+    "live" for 600 s, covered time is Σ min(gap, 600) within the user's
+    own span, and gaps beyond the window count as outages. One lead()
+    pass riding the per-user exchange + a mergeable groupBy on the same
+    key; exact int64 throughout (both engines' least() SKIPS nulls, so
+    the final open-ended beat is gated out explicitly — see module
+    comment). Impl: operators/timeseries.py::heartbeat_uptime."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", _epoch_s(F.col("ts")).alias("s"), "event_id")
+    return TS.heartbeat_uptime(e, "user_id", "s", "event_id", liveness_s=600)
+
+
+@_q(
+    "ev_lttb_downsample",
+    """
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    n AS (SELECT event_type, s, yc, event_id, s // 3600 AS h,
+                 lag(s)   OVER w AS xp, lag(yc)  OVER w AS yp,
+                 lead(s)  OVER w AS xn, lead(yc) OVER w AS yn
+          FROM e WINDOW w AS (PARTITION BY event_type ORDER BY s, event_id)),
+    a AS (SELECT event_type, h, s, yc, event_id,
+                 CASE WHEN xp IS NULL OR xn IS NULL
+                      THEN 4611686018427387904
+                      ELSE abs((xp - xn) * (yc - yp)
+                               - (xp - s) * (yn - yp)) END AS a2
+          FROM n),
+    r AS (SELECT event_type, h, s, yc, a2,
+                 row_number() OVER (PARTITION BY event_type, h
+                                    ORDER BY a2 DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY event_type, h) AS n_points
+          FROM a)
+    SELECT event_type, h AS bucket, s AS sel_s, yc AS sel_value_c,
+           a2 AS area2, n_points
+    FROM r WHERE rn = 1
+    """,
+)
+def ev_lttb_downsample(spark, sf_dir):
+    """[ext] Largest-triangle downsampling to one point per (event_type,
+    hour) — the LTOB variant of Steinarsson's LTTB (U. Iceland thesis,
+    2013; the standard time-series plot downsampler). True LTTB chains
+    each bucket on the previous bucket's pick (unshuffleable); LTOB
+    scores each point by the triangle with its immediate neighbors via
+    one lag/lead pass, then keeps the per-bucket argmax via struct-max —
+    no second window sort (the oracle's row_number form needs one). The
+    doubled area is an EXACT int64 (seconds × cents), so the argmax has
+    no float compare; endpoints get area 2^62 = always kept, LTTB's
+    keep-first/last rule. Impl: operators/timeseries.py::lttb_downsample."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", _epoch_s(F.col("ts")).alias("s"), "value", "event_id"
+    )
+    return TS.lttb_downsample(
+        e, "event_type", "s", "value", "event_id", bucket_s=3600
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -6250,6 +6474,11 @@ _NEXT_IN_LINE = [
     "ev_session_overlap_pairs",
     "emb_hygiene_audit",
     "doc_hygiene_audit",
+    "ev_gapfill_interpolate",
+    "ev_trend_slope",
+    "ev_value_histogram",
+    "ev_heartbeat_uptime",
+    "ev_lttb_downsample",
 ]
 
 
