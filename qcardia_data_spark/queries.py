@@ -6134,6 +6134,556 @@ def sim_ivfpq_incremental(spark, sf_dir):
     return SIM.ann_ivfpq_topk_pruned(spark, path, qvec, k=10, n_probe=4)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H anchor widening (r8): the ten classic shapes the testdata schema
+# supports beyond q1/q3/q4/q5/q6/q12/q14 — nation-pair flows (q7), market
+# share (q8), returned items (q10), outer-join histogram (q13), scalar-
+# subquery argmax (q15), correlated-avg antijoin of a fact to its own
+# aggregate (q17), having-subquery (q18), disjunctive pushdown (q19),
+# exists/not-exists double correlation (q21), anti-join prospects (q22).
+# partsupp does not exist in the testdata, so q2/q9/q11/q16/q20 are out of
+# scope; predicates on columns the schema lacks (commitdate, container,
+# phone, comment) are adapted to live columns with the SAME plan shape.
+# Money stays in exact integer basis points / cents (the q1/q3 idiom) so
+# every sum, comparison and ordering is engine-exact.
+# ---------------------------------------------------------------------------
+
+_REV_BP_SQL = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+)
+
+
+def _rev_bp() -> F.Column:
+    """Revenue in integer basis points: cents x (100 - discount pct)."""
+    return F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    )
+
+
+@_q(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev_bp) AS DOUBLE) / 10000 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+             {_REV_BP_SQL} AS rev_bp
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume between two nations by ship year.
+    Shape: the fact filters on shipdate at the scan, probes two
+    BROADCAST nation-keyed dims (supplier⋈n1, customer⋈n2 pre-reduced to
+    the two nations), and the pair-direction disjunction lands on tiny
+    joined dims, never on the fact. One groupBy on 3 low-cardinality
+    keys."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_orderkey", "l_shipdate",
+             _rev_bp().alias("rev_bp"))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    two = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = _t(spark, sf_dir, "supplier").join(
+        two.withColumnRenamed("n_name", "supp_nation"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        two.withColumnRenamed("n_name", "cust_nation"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"), "rev_bp",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_bp").cast("double") / 10000).alias("revenue"))
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN rev_bp ELSE 0 END)
+                AS DOUBLE) / CAST(sum(rev_bp) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+             {_REV_BP_SQL} AS rev_bp, n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3 suppliers' share of PROMO-part volume sold into
+    ASIA, by order year. Shape: the p_type filter reduces part to ~1/6
+    before the fact probe; ASIA customers come pre-joined through
+    nation⋈region (broadcast); the share is a conditional-sum /
+    total-sum pair riding ONE groupBy — exact int64 basis points, so
+    the division is bit-identical across engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", _rev_bp().alias("rev_bp")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n1 = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(n1, F.col("c_nationkey") == n1["n_nationkey"])
+        .join(r, n1["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    sn = s.join(n2, s["s_nationkey"] == n2["sn_key"]).select(
+        "s_suppkey", "nation"
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(asia_cust, o["o_custkey"] == asia_cust["c_custkey"])
+    )
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), "rev_bp", "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("rev_bp"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("rev_bp").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_REV_BP_SQL}) AS DOUBLE) / 10000 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter. Shape: returnflag filter at the fact scan, date window at
+    orders, customer attributes + broadcast nation join AFTER the
+    aggregate would be ideal but the group key needs them — so the
+    groupBy keys ride c_custkey (unique) with the attributes as
+    functional dependents; ordering is on exact basis-point sums
+    (custkey tiebreak) so the TakeOrderedAndProject is deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", _rev_bp().alias("rev_bp"))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum("rev_bp").cast("double") / 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of order counts per customer, including
+    zero-order customers — the outer-join histogram. Shape: the
+    non-join predicate (priority) lives IN the left-join condition (not
+    a post-filter, which would turn the join inner); count(o_orderkey)
+    counts only matched rows. Two groupBys: the first on the join key it
+    already shuffled on, the second on the tiny count domain."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    j = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    return (
+        j.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, sum({_REV_BP_SQL}) AS total_bp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(total_bp AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_bp = (SELECT max(total_bp) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
+    scalar-subquery argmax. Shape: ONE aggregation builds the per-
+    supplier revenue (exact basis points); the max is a 1-row broadcast
+    joined back on equality (never a global sort, never a window over a
+    single partition); the supplier dim probes the tiny winner set.
+    Ties (exact ints) surface ALL maximal suppliers, as in the spec."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", _rev_bp().alias("rev_bp"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum("rev_bp").alias("total_bp")
+    )
+    mx = rev.agg(F.max("total_bp").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = rev.join(F.broadcast(mx), rev["total_bp"] == mx["mx"]).select(
+        "supplier_no", "total_bp"
+    )
+    return s.join(top, s["s_suppkey"] == top["supplier_no"]).select(
+        "s_suppkey", "s_name",
+        (F.col("total_bp").cast("double") / 10000).alias("total_revenue"),
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 700 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 10
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue that would vanish if sub-20%-of-average-
+    quantity orders stopped — the correlated-average subquery
+    (container predicate adapted to p_size; the schema has no
+    p_container). Shape: the correlation decorrelates to ONE per-part
+    aggregate of the fact joined back to the fact on partkey — two
+    passes over lineitem, no per-row subquery. The 0.2*avg threshold is
+    bit-identical across engines because quantities are integer-valued
+    doubles (exact sums any order). Money in exact cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(thr, li["l_partkey"] == thr["t_partkey"])
+        .filter(F.col("l_quantity") < F.col("thr"))
+    )
+    return j.agg(
+        (F.sum("c").cast("double") / 700).alias("avg_yearly")
+    )
+
+
+@_q(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18: customers with orders above 250 total quantity — the
+    having-subquery membership test. Shape: the subquery is ONE
+    aggregate of the fact; its small survivor set broadcasts as a semi-
+    join filter back onto the fact (never a second full shuffle), then
+    orders/customer attach. Quantities are integer-valued doubles: sums
+    exact in any order; ordering ties break on o_orderkey."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                  "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q19_discounted_revenue",
+    f"""
+    SELECT CAST(sum({_REV_BP_SQL}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: revenue under three OR'd (brand, size, quantity)
+    predicate groups — the disjunctive-pushdown shape. Shape: the
+    common superset predicates (brand IN the three, quantity/size in the
+    union ranges) are what Catalyst can push through the join to BOTH
+    scans; the exact disjunction evaluates post-join. One broadcast-able
+    part dim, one aggregate row out."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _rev_bp().alias("rev_bp")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(grp).agg(
+        (F.sum("rev_bp").cast("double") / 10000).alias("revenue")
+    )
+
+
+@_q(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY)
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN late l1 ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21: suppliers who were the SOLE late shipper on completed
+    multi-supplier orders — the exists / not-exists double correlation
+    (lateness adapted to shipdate > orderdate + 60 days; the schema has
+    no commit/receipt dates). Shape: ONE filtered 'late' fact reused for
+    both correlations — a semi-join against all lines (another supplier
+    exists) and an anti-join against late lines (no OTHER supplier was
+    late) — both plain hash joins on l_orderkey with the supplier
+    inequality in the condition; no row-at-a-time subquery anywhere."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+    thr AS (SELECT CAST(sum(CASE WHEN bal_c > 0 THEN bal_c END) AS DOUBLE)
+                   / count(CASE WHEN bal_c > 0 THEN 1 END) AS avg_c
+            FROM pool)
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
+    FROM pool
+    WHERE CAST(bal_c AS DOUBLE) > (SELECT avg_c FROM thr)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22: wealthy-but-inactive customers per country — the
+    scalar-average threshold + anti-join prospects query (country code
+    adapted to c_nationkey; the schema has no c_phone). Shape: the
+    positive-balance average is ONE 1-row broadcast (computed from
+    exact cents so the threshold is engine-identical); prospects are an
+    anti-join of customer against orders on custkey; final rollup on
+    the tiny country domain."""
+    pool = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    ).select(
+        "c_custkey", "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+    )
+    thr = pool.agg(
+        (
+            F.sum(F.when(F.col("bal_c") > 0, F.col("bal_c"))).cast("double")
+            / F.count(F.when(F.col("bal_c") > 0, 1))
+        ).alias("avg_c")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    prospects = (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("bal_c").cast("double") > F.col("avg_c"))
+        .join(o, pool["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return prospects.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count("*").alias("numcust"),
+        (F.sum("bal_c").cast("double") / 100).alias("totacctbal"),
+    )
+
+
 @_q(
     "ev_gapfill_interpolate",
     """
@@ -6479,6 +7029,16 @@ _NEXT_IN_LINE = [
     "ev_value_histogram",
     "ev_heartbeat_uptime",
     "ev_lttb_downsample",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
 ]
 
 
