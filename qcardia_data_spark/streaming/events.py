@@ -194,6 +194,72 @@ def attribution_join(
     )
 
 
+def ohlc_candles(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC candlestick downsampling — the live twin of the
+    graded ``ev_ohlc_hourly`` query, same mergeable core: open/close ride
+    struct-min/max over (epoch_s, event_id, value) tuples (total order by
+    the unique event_id), so the whole candle is ONE watermarked groupBy
+    with map-side partials — no window-function pass, which streaming
+    could not run anyway. Windows finalize in append mode once the
+    watermark passes; in complete mode the output equals the batch twin
+    row-for-row (test-asserted)."""
+    e = _watermarked(events, "ts", watermark).withColumn(
+        "_s", F.unix_timestamp("ts")
+    )
+    tup = F.struct("_s", "event_id", "value")
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min(tup).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(tup).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
+def value_histogram_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    bin_width_cents: int = 2000,
+    n_bins: int = 25,
+) -> DataFrame:
+    """Streaming fixed-bin value histogram — the live twin of the graded
+    ``ev_value_histogram`` query with a time axis: per (window,
+    event_type, bin) exact-integer counts. Bins come from int64 cents
+    floor-division (no float boundaries), so the aggregation is a pure
+    mergeable count — the same partial-combine shape at 32 cores or
+    1000 executors, and identical between micro-batches and one batch
+    pass (test-asserted in complete mode)."""
+    e = _watermarked(events, "ts", watermark).withColumn(
+        "_yc", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ).withColumn(
+        "_bin",
+        F.least(
+            F.greatest(F.floor(F.col("_yc") / bin_width_cents), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("long"),
+    )
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type", "_bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_yc").alias("sum_c"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type",
+            F.col("_bin").alias("bin"),
+            (F.col("_bin") * bin_width_cents).alias("bin_lo_cents"),
+            "n", "sum_c",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup: FIRST event per key wins — later events
     with the same key but a different event time are also dropped, as long

@@ -28,6 +28,44 @@ def test_tumbling_stream_equals_batch(spark, sf_dir):
     assert len(want) > 0
 
 
+def test_ohlc_stream_equals_batch(spark, sf_dir):
+    # the struct-min/max candle is a pure mergeable aggregate: micro-batch
+    # partials must combine to exactly the one-pass batch result
+    stream_out = S.run_to_memory(S.ohlc_candles(S.events_stream(spark, sf_dir)), "complete")
+    batch_out = S.ohlc_candles(_batch_events(spark, sf_dir))
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_ohlc_stream_twin_matches_graded_query(spark, sf_dir):
+    # bridge to the oracle-graded batch query: same candles keyed by
+    # epoch-hour (window start // 3600 == bucket_hour)
+    from qcardia_data_spark.queries import QUERIES
+    twin = S.ohlc_candles(_batch_events(spark, sf_dir))
+    got = {
+        (r["event_type"], int(r["win_start"].timestamp()) // 3600,
+         r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in twin.collect()
+    }
+    graded = QUERIES["ev_ohlc_hourly"][0](spark, sf_dir)
+    want = {
+        (r["event_type"], r["bucket_hour"], r["open"], r["high"], r["low"],
+         r["close"], r["n_events"])
+        for r in graded.collect()
+    }
+    assert got == want
+
+
+def test_histogram_stream_equals_batch(spark, sf_dir):
+    stream_out = S.run_to_memory(
+        S.value_histogram_stream(S.events_stream(spark, sf_dir)), "complete")
+    batch_out = S.value_histogram_stream(_batch_events(spark, sf_dir))
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_sliding_windows_overlap(spark, sf_dir):
     out = S.sliding_counts(_batch_events(spark, sf_dir), "1 hour", "30 minutes")
     tumb = S.tumbling_counts(_batch_events(spark, sf_dir), "1 hour")
@@ -250,6 +288,8 @@ _STREAM_ENTRY_POINTS = {
     "stateful_totals": lambda ev: __import__(
         "qcardia_data_spark.streaming.stateful", fromlist=["running_user_totals"]
     ).running_user_totals(ev),
+    "ohlc": lambda ev: S.ohlc_candles(ev),
+    "histogram": lambda ev: S.value_histogram_stream(ev),
 }
 
 
