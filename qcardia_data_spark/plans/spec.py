@@ -129,6 +129,13 @@ Spec grammar (one dict per op, applied in order):
         # so spec and index can never drift. LSH: current frame = probe
         # batch -> per-row top-k join. IVF+PQ: "query_id" picks the query
         # row from the current frame -> ADC top-k, "n_probe" cells read
+    {"op": "gapfill_interpolate" | "trend_stats" | "value_histogram" |
+     "heartbeat_uptime" | "lttb_downsample", "key": ..., ...}
+        # time-series hyperfunction family (operators/timeseries.py):
+        # linear-interp gapfill, least-squares trend, fixed-bin
+        # histogram, liveness/uptime, largest-triangle downsampling —
+        # params mirror the module signatures; frames must carry an
+        # int64 epoch-seconds column (ts_s) built upstream
 """
 
 from __future__ import annotations
@@ -1174,6 +1181,51 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind in (
+        "gapfill_interpolate", "trend_stats", "value_histogram",
+        "heartbeat_uptime", "lttb_downsample",
+    ):
+        # Time-series hyperfunction family (operators/timeseries.py) —
+        # each REPLACES the frame with the operator's result table, like
+        # chunk/token_entropy. The frame must already carry an int64
+        # epoch-seconds column (ts_col; build one upstream with
+        # with_columns + unix_timestamp — the NTZ-safe idiom):
+        #   {"op": "gapfill_interpolate", "key": "user_id", "ts_s": "s",
+        #    "value_col": "value", "tiebreak": "event_id",
+        #    "bucket_s": 3600}
+        #   {"op": "trend_stats", "key": ..., "ts_s": ..., "value_col": ...}
+        #   {"op": "value_histogram", "key": ..., "value_col": ...,
+        #    "bin_width_cents": 2000, "n_bins": 25}
+        #   {"op": "heartbeat_uptime", "key": ..., "ts_s": ...,
+        #    "tiebreak": ..., "liveness_s": 600}
+        #   {"op": "lttb_downsample", "key": ..., "ts_s": ...,
+        #    "value_col": ..., "tiebreak": ..., "bucket_s": 3600}
+        from qcardia_data_spark.operators import timeseries as _TS
+
+        key = op["key"]
+        if kind == "value_histogram":
+            return _TS.value_histogram(
+                df, key, op.get("value_col", "value"),
+                bin_width_cents=int(op.get("bin_width_cents", 2000)),
+                n_bins=int(op.get("n_bins", 25)),
+            )
+        ts_s = op.get("ts_s", "s")
+        if kind == "trend_stats":
+            return _TS.trend_stats(df, key, ts_s, op.get("value_col", "value"))
+        tb = op.get("tiebreak", "event_id")
+        if kind == "heartbeat_uptime":
+            return _TS.heartbeat_uptime(
+                df, key, ts_s, tb, liveness_s=int(op.get("liveness_s", 600))
+            )
+        fn = (
+            _TS.gapfill_interpolate
+            if kind == "gapfill_interpolate"
+            else _TS.lttb_downsample
+        )
+        return fn(
+            df, key, ts_s, op.get("value_col", "value"), tb,
+            bucket_s=int(op.get("bucket_s", 3600)),
+        )
     raise SpecError(f"unknown op {kind!r}")
 
 

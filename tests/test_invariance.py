@@ -31,6 +31,12 @@ SENSITIVE = [
     "dedup_fuzzy_keys",
     "text_unimax_mix",
     "text_corpus_report",
+    # round-8 additions: probe-union running windows, exact-int argmax
+    # over lag/lead neighbors, scalar-max ties, semi+anti correlation
+    "ev_gapfill_interpolate",
+    "ev_lttb_downsample",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
 ]
 
 

@@ -275,3 +275,50 @@ def test_ann_spec_write_append_probe_chain(spark, sf_dir, tmp_path):
         return sorted((r[0], r[1], round(r[2], 9)) for r in got.collect())
 
     assert probe(grown) == probe(full) and len(probe(grown)) > 0
+
+
+def test_spec_timeseries_ops_match_module(spark, sf_dir):
+    # the five hyperfunction spec ops must compile to exactly the module
+    # operators (same result rows), with the epoch-seconds column built
+    # by an upstream with_columns — the declarative twin of the graded
+    # ev_* timeseries queries
+    from qcardia_data_spark.operators import timeseries as TS
+
+    base = [
+        {"op": "source", "table": "events"},
+        {"op": "with_columns", "cols": {"s": "unix_timestamp(ts)"}},
+    ]
+
+    def run(tail):
+        return compile_pipeline(spark, base + [tail], sf_dir)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "s", F.unix_timestamp("ts")
+    )
+
+    def canon(df):
+        return sorted(
+            tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+        )
+
+    got = run({"op": "trend_stats", "key": "user_id"})
+    want = TS.trend_stats(ev, "user_id", "s", "value")
+    assert canon(got) == canon(want) and len(canon(want)) > 0
+
+    got = run({"op": "value_histogram", "key": "event_type"})
+    want = TS.value_histogram(ev, "event_type", "value")
+    assert canon(got) == canon(want)
+
+    got = run({"op": "heartbeat_uptime", "key": "user_id"})
+    want = TS.heartbeat_uptime(ev, "user_id", "s", "event_id")
+    assert canon(got) == canon(want)
+
+    got = run({"op": "lttb_downsample", "key": "event_type"})
+    want = TS.lttb_downsample(ev, "event_type", "s", "value", "event_id")
+    assert canon(got) == canon(want)
+
+    got = run({"op": "gapfill_interpolate", "key": "user_id",
+               "bucket_s": 86400})
+    want = TS.gapfill_interpolate(ev, "user_id", "s", "value", "event_id",
+                                  bucket_s=86400)
+    assert canon(got) == canon(want)
