@@ -6907,6 +6907,86 @@ def ev_lttb_downsample(spark, sf_dir):
     )
 
 
+_PR_ITER_SQL = """
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+      FROM edges e
+      JOIN r{p} r ON e.src = r.node
+      JOIN outdeg d ON e.src = d.src
+      GROUP BY e.dst),
+    d{i} AS (
+      SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dang
+      FROM r{p} r LEFT JOIN outdeg d ON r.node = d.src
+      WHERE d.src IS NULL),
+    r{i} AS (
+      SELECT n.node,
+             CAST(0.125 AS DOUBLE) / (SELECT n FROM nn)
+             + CAST(0.875 AS DOUBLE)
+               * (coalesce(c.s, CAST(0.0 AS DOUBLE))
+                  + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+
+
+@_q(
+    "ev_handoff_pagerank",
+    """
+    WITH e0 AS (
+      SELECT event_type, event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    h AS (
+      SELECT user_id,
+             lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY s, event_id) AS prev_user
+      FROM e0),
+    edges AS (SELECT prev_user AS src, user_id AS dst
+              FROM h WHERE prev_user IS NOT NULL AND prev_user <> user_id),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes),"""
+    + _PR_ITER_SQL.format(i=1, p=0) + ","
+    + _PR_ITER_SQL.format(i=2, p=1) + ","
+    + _PR_ITER_SQL.format(i=3, p=2) + """
+    SELECT node AS user_id,
+           CAST(floor(rank * 1000000000 + 0.5) AS BIGINT) AS rank_e9
+    FROM r3
+    """,
+)
+def ev_handoff_pagerank(spark, sf_dir):
+    """[ext] PageRank over the user HANDOFF graph — who acts right after
+    whom: one lag() pass per event_type yields directed (prev_user ->
+    user) edges, then 3 iterations of functions/graph.py::pagerank
+    (damping 7/8 — binary-exact, see module docstring) with dangling-mass
+    redistribution. The oracle unrolls all three iterations as SQL CTEs —
+    contributions, dangling scalar and teleport term expression-mirrored
+    — so a value match grades the whole iterative loop, not just the
+    final shape. Each Spark iteration is one edge-join + one mergeable
+    groupBy(dst) with two 1-row broadcast scalars; lineage is truncated
+    per round (localCheckpoint, the CC idiom)."""
+    from qcardia_data_spark.functions.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    h = ev.select(
+        "event_type", "event_id", "user_id", _epoch_s(F.col("ts")).alias("s")
+    ).select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    edges = h.filter(
+        F.col("prev_user").isNotNull()
+        & (F.col("prev_user") != F.col("user_id"))
+    ).select(F.col("prev_user").alias("src"), F.col("user_id").alias("dst"))
+    pr = pagerank(edges, damping=0.875, iters=3)
+    return pr.select(
+        F.col("node").alias("user_id"),
+        F.floor(F.col("rank") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rank_e9"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -7039,6 +7119,7 @@ _NEXT_IN_LINE = [
     "q19_discounted_revenue",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "ev_handoff_pagerank",
 ]
 
 
