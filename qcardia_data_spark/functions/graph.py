@@ -93,3 +93,44 @@ def pagerank(
             .localCheckpoint()  # O(1) lineage per round, the CC idiom
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
+    """Exact global + per-node triangle counts over an undirected simple
+    graph (parallel edges and direction collapse first).
+
+    Shape: the canonical ordered-wedge join (node ids totally ordered, so
+    each triangle {a<b<c} is counted exactly once as the wedge a->b->c
+    closed by edge (a, c)) — two equi-join shuffles on edge endpoints,
+    never an all-pairs stage; wedge fan-out is bounded by the ordered
+    degree, the same d_max^2 cap the MinHash hub guard relies on. At
+    100 TB-scale graphs the standard refinement (orient edges by degree
+    instead of id) bounds the fan-out by arboricity; id-ordering keeps
+    the oracle exactly mirrorable and is the textbook form.
+
+    Returns (node, n_triangles) — nodes participating in ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedge = e1.join(e2, "y")  # x < y < z by construction
+    closed = wedge.join(
+        und,
+        (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+        "left_semi",
+    )
+    per_corner = (
+        closed.select(F.col("x").alias("node"))
+        .unionAll(closed.select(F.col("y").alias("node")))
+        .unionAll(closed.select(F.col("z").alias("node")))
+    )
+    return per_corner.groupBy("node").agg(
+        F.count("*").alias("n_triangles")
+    )

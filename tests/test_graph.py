@@ -55,3 +55,25 @@ def test_rank_sum_is_one_on_real_edges(spark, sf_dir):
     df = QUERIES["ev_handoff_pagerank"][0](spark, sf_dir)
     total = sum(r["rank_e9"] for r in df.collect())
     assert total == pytest.approx(1_000_000_000, rel=1e-6)
+
+
+def test_triangle_count_hand_graph(spark):
+    from qcardia_data_spark.functions.graph import triangle_count
+
+    # K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} — nodes 1,2 in
+    # two each, nodes 3,4 in one; direction/parallel edges collapse
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 4), (4, 2), (1, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_free_graph_is_empty(spark):
+    from qcardia_data_spark.functions.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"  # C4
+    )
+    assert triangle_count(edges).count() == 0
