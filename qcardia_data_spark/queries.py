@@ -6646,7 +6646,9 @@ def q21_waiting_supplier(spark, sf_dir):
            CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
     FROM pool
     WHERE CAST(bal_c AS DOUBLE) > (SELECT avg_c FROM thr)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_nationkey
     """,
 )
@@ -6656,8 +6658,10 @@ def q22_global_sales_opportunity(spark, sf_dir):
     adapted to c_nationkey; the schema has no c_phone). Shape: the
     positive-balance average is ONE 1-row broadcast (computed from
     exact cents so the threshold is engine-identical); prospects are an
-    anti-join of customer against orders on custkey; final rollup on
-    the tiny country domain."""
+    anti-join of customer against RECENT orders on custkey (inactive =
+    no order since 2000 — this synthetic data gives every customer at
+    least one lifetime order, so the canonical no-orders-ever form would
+    be vacuously empty); final rollup on the tiny country domain."""
     pool = _t(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(1, 3, 5, 7, 9)
     ).select(
@@ -6670,7 +6674,9 @@ def q22_global_sales_opportunity(spark, sf_dir):
             / F.count(F.when(F.col("bal_c") > 0, 1))
         ).alias("avg_c")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
     prospects = (
         pool.join(F.broadcast(thr))
         .filter(F.col("bal_c").cast("double") > F.col("avg_c"))
