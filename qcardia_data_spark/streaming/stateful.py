@@ -170,3 +170,233 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TREND_STATE_SCHEMA = StructType([
+    StructField("x0", LongType()),
+    StructField("n", LongType()),
+    StructField("sx", LongType()),
+    StructField("sy", LongType()),
+    StructField("sxy", LongType()),
+    StructField("sx2", LongType()),
+    StructField("sy2", LongType()),
+])
+
+TREND_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("slope_cph_e6", LongType()),
+    StructField("intercept_c_e2", LongType()),
+    StructField("r2_e6", LongType()),
+])
+
+
+def streaming_trend_stats(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming least-squares trend per user — the live twin of
+    ``operators/timeseries.py::trend_stats``, maintained as EXACT integer
+    sufficient statistics in state: (x0, n, Σx, Σy_c, Σxy_c, Σx², Σy_c²)
+    with x = epoch_s − x0 and y_c = cents.
+
+    The statistics are mergeable under ORIGIN SHIFT: when a batch brings
+    an event earlier than the current origin (out-of-order arrival inside
+    the watermark horizon), the shift theorem re-bases the sums exactly —
+    x0' = x0 − δ gives Σx += n·δ, Σxy += δ·Σy, Σx² += 2δ·Σx_old + n·δ²,
+    all integer arithmetic — so the final state is IDENTICAL to a batch
+    pass whatever the arrival order (test-asserted: availableNow over
+    chronologically shuffled files equals the batch operator row-for-row,
+    exact ints). Emits the current fit per update; keys with zero
+    x-variance emit nothing yet, like the batch twin's den>0 gate.
+
+    State is 7 int64s per user — O(active keys), no event buffer.
+    """
+    try:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("applyInPandasWithState unavailable") from e
+
+    def update(key, pdfs, state: "GroupState"):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            x0, n, sx, sy, sxy, sx2, sy2 = (int(v) for v in state.get)
+        else:
+            x0, n, sx, sy, sxy, sx2, sy2 = 0, 0, 0, 0, 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            s = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+            yc = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 100 + 0.5
+            ).astype("int64")
+            b0 = int(s.min())
+            if n == 0:
+                x0 = b0
+            elif b0 < x0:  # shift theorem: re-base to the earlier origin
+                d = x0 - b0
+                sx2 += 2 * d * sx + n * d * d
+                sxy += d * sy
+                sx += n * d
+                x0 = b0
+            x = s - x0
+            n += len(pdf)
+            sx += int(x.sum())
+            sy += int(yc.sum())
+            sxy += int((x * yc).sum())
+            sx2 += int((x * x).sum())
+            sy2 += int((yc * yc).sum())
+        state.update((x0, n, sx, sy, sxy, sx2, sy2))
+        num = n * sxy - sx * sy
+        den = n * sx2 - sx * sx
+        deny = n * sy2 - sy * sy
+        if den <= 0:
+            return
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r2 = (
+            int(math.floor((float(num) * float(num))
+                           / (float(den) * float(deny)) * 1000000 + 0.5))
+            if deny > 0 else None
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "slope_cph_e6": [int(math.floor(slope * 3600 * 1000000 + 0.5))],
+                "intercept_c_e2": [int(math.floor(intercept * 100 + 0.5))],
+                "r2_e6": [r2],
+            }
+        )
+
+    from qcardia_data_spark.streaming.events import _watermarked
+
+    return (
+        _watermarked(events, "ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TREND_OUTPUT_SCHEMA,
+            stateStructType=TREND_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+GAPFILL_STATE_SCHEMA = StructType([
+    StructField("started", LongType()),
+    StructField("next_b", LongType()),
+    StructField("last_v", DoubleType()),
+    StructField("max_s", LongType()),
+    StructField("buf_s", ArrayType(LongType())),
+    StructField("buf_tb", ArrayType(LongType())),
+    StructField("buf_v", ArrayType(DoubleType())),
+])
+
+GAPFILL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("bucket_hour", LongType()),
+    StructField("value", DoubleType()),
+])
+
+
+def streaming_gapfill_locf(
+    events: DataFrame, watermark: str = "2 hours", bucket_s: int = 3600
+) -> DataFrame:
+    """Streaming LOCF gap-fill — the CONTINUOUS-AGGREGATE twin of the
+    graded ``ev_gapfill_locf`` query: as the watermark advances, every
+    (user, bucket) between the user's first event and their latest seen
+    event is emitted exactly once with the value current at the bucket's
+    close, including empty buckets.
+
+    Finalization rule: a bucket emits only when ``close(b) < watermark``
+    — at that point no non-late event can change what was current at the
+    close, so each emission is immutable (append-mode semantics). Events
+    newer than the watermark wait in a per-user buffer; consumed events
+    are dropped immediately, so state is (a few scalars) + O(events
+    inside the watermark horizon) per user — the same horizon bound every
+    watermarked aggregation carries, NOT the corpus.
+
+    Out-of-order safety: an event can only insert below an already-
+    emitted close if it is late beyond the watermark, and the upstream
+    watermark filter drops exactly those — so the emitted prefix equals
+    the batch query on the same finalized horizon row-for-row
+    (test-asserted, including the per-user first-bucket bootstrap under
+    reordered files)."""
+    try:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("applyInPandasWithState unavailable") from e
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            started, next_b, last_v, max_s, buf_s, buf_tb, buf_v = state.get
+            buf = list(zip(buf_s, buf_tb, buf_v))
+            started = bool(started)
+        else:
+            started, next_b, last_v, max_s, buf = False, 0, None, -1, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            s = (pdf["ts"].astype("int64") // 10**9).tolist()
+            tb = pdf["event_id"].tolist()
+            v = pdf["value"].tolist()
+            buf.extend(zip((int(x) for x in s), (int(x) for x in tb),
+                           (float(x) for x in v)))
+            max_s = max(max_s, max(int(x) for x in s))
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        if not started and buf:
+            # provisional origin: the earliest event seen so far (safe —
+            # a yet-earlier arrival before first emission just re-lowers
+            # it; after first emission such an arrival would be late and
+            # the upstream watermark filter has already dropped it)
+            next_b = min(e[0] for e in buf) // bucket_s
+        out_b, out_v = [], []
+        if started or buf:
+            buf.sort()
+            # highest finalized bucket: close(b) < wm AND b within the
+            # observed span (the batch twin's h1 = floor(max_s/bucket))
+            b_hi = min((wm_s - bucket_s) // bucket_s, max_s // bucket_s)
+            i = 0
+            for b in range(next_b, b_hi + 1):
+                close = b * bucket_s + (bucket_s - 1)
+                while i < len(buf) and buf[i][0] <= close:
+                    last_v = buf[i][2]
+                    i += 1
+                out_b.append(b)
+                out_v.append(last_v)
+            if out_b:
+                started = True
+                next_b = b_hi + 1
+            buf = buf[i:]
+        state.update((
+            1 if started else 0, int(next_b),
+            last_v if last_v is not None else float("nan"),
+            int(max_s),
+            [x[0] for x in buf], [x[1] for x in buf], [x[2] for x in buf],
+        ))
+        if out_b:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out_b), "bucket_hour": out_b,
+                 "value": out_v}
+            )
+
+    from qcardia_data_spark.streaming.events import _watermarked
+
+    return (
+        _watermarked(events, "ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=GAPFILL_OUTPUT_SCHEMA,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -746,3 +746,141 @@ def test_streaming_retrieval_ingest_chunk_embed_append_probe(spark, tmp_path):
     top = pairwise_topk_join_pruned(probe, idx, k=2, id_left="qid").collect()
     best = max(top, key=lambda r: r["score"])
     assert best["vec_id"] == 1000 and round(best["score"], 6) == 1.0
+
+
+def test_streaming_trend_stats_exact_match_with_origin_shift(spark, tmp_path):
+    """The integer sufficient-statistics state must reproduce the batch
+    trend EXACTLY (int-for-int) even when files arrive in REVERSE
+    chronological order — the origin-shift merge path."""
+    import glob
+    import shutil
+
+    from qcardia_data_spark.operators.timeseries import trend_stats
+    from qcardia_data_spark.streaming.stateful import streaming_trend_stats
+
+    ev = _batch_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "stream"
+    src.mkdir()
+    # file 0 = LATER half, file 1 = EARLIER half (event_id ~ time order)
+    for i, pred in enumerate([F.col("event_id") >= med, F.col("event_id") < med]):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp" / str(i))
+        )
+        part = glob.glob(str(tmp_path / "tmp" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", ev.schema)
+    out = S.run_to_memory(
+        streaming_trend_stats(stream, watermark="100 days"), "update"
+    )
+    # last update per user = the fit over everything seen
+    final = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    batch = trend_stats(
+        ev.withColumn("s", F.unix_timestamp("ts")), "user_id", "s", "value"
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) > 0
+
+
+def _chronological_files(spark, ev, tmp_path, n_files=4):
+    import glob
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    qs = ev.approxQuantile(
+        "event_id", [i / n_files for i in range(1, n_files)], 0.0
+    )
+    bounds = [float("-inf")] + qs + [float("inf")]
+    for i in range(n_files):
+        part_df = ev.filter(
+            (F.col("event_id") >= bounds[i]) & (F.col("event_id") < bounds[i + 1])
+        )
+        part_df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp" / str(i))
+        )
+        part = glob.glob(str(tmp_path / "tmp" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+    return str(src) + "/*.parquet"
+
+
+def test_streaming_gapfill_locf_hand_timeline(spark, tmp_path):
+    """Controlled watermark walk: buckets emit exactly when finalized
+    (close < watermark), gap buckets carry the LOCF value, unfinalized
+    buckets stay unemitted."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from qcardia_data_spark.streaming.stateful import streaming_gapfill_locf
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    rows = [
+        [(0, dt.datetime(2024, 6, 1, 10, 30), 1, 1.0)],
+        [(1, dt.datetime(2024, 6, 1, 14, 5), 1, 2.0)],
+        [(2, dt.datetime(2024, 6, 1, 18, 20), 1, 3.0)],
+    ]
+    for i, rs in enumerate(rows):
+        df = spark.createDataFrame(rs, ["event_id", "ts", "user_id", "value"])
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp" / str(i)))
+        part = glob.glob(str(tmp_path / "tmp" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+    schema = spark.createDataFrame(rows[0], ["event_id", "ts", "user_id", "value"]).schema
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+    out = S.run_to_memory(streaming_gapfill_locf(stream, "1 hour"), "append")
+    h10 = int(dt.datetime(2024, 6, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    got = {(r["user_id"], r["bucket_hour"], r["value"]) for r in out.collect()}
+    # final batch sees wm = 14:05 - 1h = 13:05 -> H10..H12 finalized; the
+    # empty H11/H12 carry the 10:30 value; H13+ awaits more watermark
+    assert got == {(1, h10, 1.0), (1, h10 + 1, 1.0), (1, h10 + 2, 1.0)}
+
+
+def test_streaming_gapfill_locf_prefix_matches_batch_query(spark, tmp_path):
+    """Over real data in chronological files: every emitted row must equal
+    the graded batch query's row exactly, and each user's emitted buckets
+    must be a contiguous prefix of the batch row set starting at h0."""
+    from qcardia_data_spark.queries import QUERIES
+    from qcardia_data_spark.streaming.stateful import streaming_gapfill_locf
+
+    ev = _batch_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = _chronological_files(spark, ev, tmp_path)
+    stream = S.stream_from_dir(spark, path, ev.schema)
+    out = S.run_to_memory(streaming_gapfill_locf(stream, "2 hours"), "append")
+    got = {(r["user_id"], r["bucket_hour"]): r["value"] for r in out.collect()}
+    assert len(got) > 0
+    batch = QUERIES["ev_gapfill_locf"][0](spark, "/root/testdata/sf0.001")
+    want = {(r["user_id"], r["bucket_hour"]): r["value"] for r in batch.collect()}
+    # exact-subset: every emitted value identical to the batch twin's
+    for k, v in got.items():
+        assert k in want and v == want[k], k
+    # contiguous prefix per user from the user's first batch bucket
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for (u, b) in got:
+        by_user[u].append(b)
+    want_h0 = collections.defaultdict(lambda: 1 << 62)
+    for (u, b) in want:
+        want_h0[u] = min(want_h0[u], b)
+    for u, bs in by_user.items():
+        bs.sort()
+        assert bs[0] == want_h0[u]
+        assert bs == list(range(bs[0], bs[-1] + 1))
