@@ -290,6 +290,13 @@ _STREAM_ENTRY_POINTS = {
     ).running_user_totals(ev),
     "ohlc": lambda ev: S.ohlc_candles(ev),
     "histogram": lambda ev: S.value_histogram_stream(ev),
+    "trend": lambda ev: __import__(
+        "qcardia_data_spark.streaming.stateful",
+        fromlist=["streaming_trend_stats"],
+    ).streaming_trend_stats(ev),
+    # streaming_gapfill_locf is append-mode watermark-gated (a single
+    # availableNow batch emits nothing by design) — its NTZ coverage is
+    # the chronological-files prefix test above
 }
 
 
@@ -298,6 +305,7 @@ def test_every_entry_point_runs_from_parquet_stream(spark, sf_dir, name):
     ev = S.events_stream(spark, sf_dir)
     assert ev.isStreaming
     mode = {"stateful_totals": "update",
+            "trend": "update",
             "dedup_within_watermark": "append",
             "dedup_exact_events": "append",
             "attribution": "append"}.get(name, "complete")
