@@ -48,19 +48,26 @@ def pagerank(
 
     Returns (node, rank) with ranks summing to ~1 over the node set.
     """
+    # the edge frame feeds every iteration (plus nodes/outdeg) — persist
+    # once so the upstream derivation (often a window over a fact table)
+    # runs a single time, not once per iteration action (PERF.md
+    # "persist shared subtrees")
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
+        .persist()
     )
-    outdeg = edges.groupBy(F.col(src).alias("od_node")).agg(
+    outdeg = e.groupBy(F.col("e_src").alias("od_node")).agg(
         F.count("*").alias("outdeg")
     )
     nn = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.join(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     for _ in range(iters):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["od_node"], "left"
@@ -117,6 +124,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()  # consumed 3× (both wedge sides + the closing semi)
     )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
