@@ -322,3 +322,16 @@ def test_spec_timeseries_ops_match_module(spark, sf_dir):
     want = TS.gapfill_interpolate(ev, "user_id", "s", "value", "event_id",
                                   bucket_s=86400)
     assert canon(got) == canon(want)
+
+
+def test_events_analytics_example_runs(spark, sf_dir):
+    # the shipped analytics example must compile and produce the top-mover
+    # table with the documented columns
+    spec = json.load(open("examples/events_analytics.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    assert {"user_id", "slope_cph_e6", "r2_e6", "abs_slope"} <= set(out.columns)
+    # sorted by descending absolute slope
+    slopes = [r["abs_slope"] for r in rows]
+    assert slopes == sorted(slopes, reverse=True)
