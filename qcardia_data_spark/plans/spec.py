@@ -129,6 +129,10 @@ Spec grammar (one dict per op, applied in order):
         # so spec and index can never drift. LSH: current frame = probe
         # batch -> per-row top-k join. IVF+PQ: "query_id" picks the query
         # row from the current frame -> ADC top-k, "n_probe" cells read
+    {"op": "pagerank" | "triangle_count", "src": ..., "dst": ...}
+        # graph family over an edge-shaped frame (functions/graph.py):
+        # PageRank with dangling-mass redistribution / exact per-node
+        # triangle counts via the ordered-wedge join
     {"op": "gapfill_interpolate" | "trend_stats" | "value_histogram" |
      "heartbeat_uptime" | "lttb_downsample", "key": ..., ...}
         # time-series hyperfunction family (operators/timeseries.py):
@@ -1181,6 +1185,22 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind in ("pagerank", "triangle_count"):
+        # Graph family (functions/graph.py) over an edge-shaped frame:
+        #   {"op": "pagerank", "src": "src", "dst": "dst",
+        #    "damping": 0.875, "iters": 3}       -> (node, rank)
+        #   {"op": "triangle_count", "src": ..., "dst": ...}
+        #                                        -> (node, n_triangles)
+        from qcardia_data_spark.functions import graph as _G
+
+        src_c, dst_c = op.get("src", "src"), op.get("dst", "dst")
+        if kind == "pagerank":
+            return _G.pagerank(
+                df, src_c, dst_c,
+                damping=float(op.get("damping", 0.875)),
+                iters=int(op.get("iters", 3)),
+            )
+        return _G.triangle_count(df, src_c, dst_c)
     if kind in (
         "gapfill_interpolate", "trend_stats", "value_histogram",
         "heartbeat_uptime", "lttb_downsample",

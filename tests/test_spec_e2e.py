@@ -335,3 +335,35 @@ def test_events_analytics_example_runs(spark, sf_dir):
     # sorted by descending absolute slope
     slopes = [r["abs_slope"] for r in rows]
     assert slopes == sorted(slopes, reverse=True)
+
+
+def test_spec_graph_ops_match_module(spark, sf_dir):
+    # pagerank / triangle_count spec ops over a window-derived edge frame
+    # must equal the module calls exactly (exact-int triangle counts;
+    # rank doubles compared bitwise via repr)
+    from qcardia_data_spark.functions import graph as G
+
+    edge_ops = [
+        {"op": "source", "table": "events"},
+        {"op": "with_columns", "cols": {"s": "unix_timestamp(ts)"}},
+        {"op": "window", "cols": {"prev_user": "lag(user_id)"},
+         "partition_by": ["event_type"], "order_by": ["s", "event_id"]},
+        {"op": "filter",
+         "expr": "prev_user IS NOT NULL AND prev_user <> user_id"},
+        {"op": "select", "cols": ["prev_user AS src", "user_id AS dst"]},
+    ]
+    edges = compile_pipeline(spark, edge_ops, sf_dir)
+
+    got_pr = compile_pipeline(
+        spark, edge_ops + [{"op": "pagerank"}], sf_dir
+    )
+    want_pr = G.pagerank(edges)
+    assert sorted((r["node"], repr(r["rank"])) for r in got_pr.collect()) == \
+        sorted((r["node"], repr(r["rank"])) for r in want_pr.collect())
+
+    got_tc = compile_pipeline(
+        spark, edge_ops + [{"op": "triangle_count"}], sf_dir
+    )
+    want_tc = G.triangle_count(edges)
+    assert sorted(map(tuple, got_tc.collect())) == \
+        sorted(map(tuple, want_tc.collect()))
