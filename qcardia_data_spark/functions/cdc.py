@@ -1,0 +1,311 @@
+"""Change-data-capture operators: SCD type-2 history build and a
+partition-pruned merge-upsert over a persisted keyed table.
+
+The reference engine has no CDC surface; these are [ext] operators for the
+pipeline the engine targets at 100 TB: corpus metadata dimensions (document
+registry, source catalog, per-user state) are maintained by exactly this
+shape — "apply this batch of changed rows without rewriting the table".
+
+Scale shape:
+
+- ``scd2_from_changes`` is two window passes riding ONE per-key exchange:
+  ``lag`` compresses consecutive no-change rows, and because the filter
+  preserves the child's clustering and ordering, the follow-up
+  ``lead``/``row_number`` pass reuses the same exchange — no second
+  shuffle.
+- ``upsert_write_partitioned`` lays the table out hash-bucketed on the
+  merge key (md5-derived bucket: deterministic in any engine and under
+  task retry, unlike ``rand()``-seeded layouts). ``merge_upsert_partitioned``
+  reads ONLY the bucket partitions the batch touches (whole-FILE pruning,
+  asserted via ``inputFiles`` in the test suite), resolves latest-wins
+  inside those buckets, and dynamically overwrites just them. Untouched
+  partitions are neither read nor rewritten: the merge cost is O(touched
+  buckets + batch), not O(table) — a 64-key CDC batch against a 100 TB
+  dimension touches at most 64 bucket directories.
+- ``upsert_lookup`` is the serving-side point read: key → bucket → one
+  partition directory scanned.
+
+Storage contract (the ``_lsh_meta``/``_sig_meta`` pattern): build params
+live in ``path/_merge_meta`` and every later merge/lookup derives its
+bucketing from the table's own meta, so a caller can never bucket a batch
+differently than the table it merges into (ADVICE r7: indexes whose probes
+can silently drift from their build params are bugs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "scd2_from_changes",
+    "upsert_write_partitioned",
+    "merge_upsert_partitioned",
+    "upsert_lookup",
+    "read_upsert_table",
+]
+
+_BUCKET = "up_bucket"
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history from a change log
+# ---------------------------------------------------------------------------
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str] | tuple[str, ...],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change log.
+
+    Input: one row per observed (key, ts, attrs...) state. Output: one row
+    per *distinct consecutive state* (consecutive rows whose ``attrs`` all
+    match are compressed into one validity interval) with::
+
+        key, attrs..., valid_from, valid_to, version, is_current
+
+    ``valid_from`` inclusive / ``valid_to`` exclusive (the next change's
+    timestamp; NULL on the open current row), ``version`` a 1-based per-key
+    ordinal, ``is_current`` true on the open row — the standard warehouse
+    SCD2 columns.
+
+    Determinism contract: rows within a key are ordered by (ts, tiebreak);
+    pass ``tiebreak`` (e.g. an event id) whenever timestamps can tie, or
+    the lag comparison is not reproducible. NULL attribute values compare
+    null-safely (NULL -> NULL is "no change").
+
+    Plan shape: one hash exchange on ``key``; the lag pass, the
+    change-point filter, and the lead/row_number pass all ride it (the
+    filter preserves child clustering+ordering, so Spark plans a single
+    sort + three window operators with no second shuffle).
+    """
+    if not attrs:
+        raise ValueError("scd2_from_changes: attrs must name >= 1 column")
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+
+    differs: Column | None = None
+    for a in attrs:
+        d = ~F.col(a).eqNullSafe(F.lag(a).over(w))
+        differs = d if differs is None else (differs | d)
+    # first row per key: lag is NULL for every attr, but an attr that is
+    # itself NULL would null-safe-match — mark the first row explicitly.
+    is_first = F.row_number().over(w) == 1
+    pts = changes.withColumn("_chg", is_first | differs).filter(F.col("_chg"))
+
+    valid_to = F.lead(ts).over(w)
+    return pts.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned merge-upsert over a persisted keyed table
+# ---------------------------------------------------------------------------
+
+
+def _bucket_of(key: Column, n_buckets: int) -> Column:
+    """Deterministic hash bucket: first 8 md5 hex chars -> int, mod n.
+
+    md5 (not Spark ``hash()``) so the layout is reproducible in any
+    engine — the same idiom as ``keyed_rand`` / the DSIR buckets — and
+    stable across Spark versions and task retries.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(int(n_buckets)),
+    ).cast("int")
+
+
+def _read_merge_meta(spark: SparkSession, path: str) -> dict | None:
+    try:
+        row = spark.read.json(f"{path}/_merge_meta").collect()[0]
+    except Exception:
+        return None
+    return {k: row[k] for k in row.asDict()}
+
+
+def _write_merge_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("n_buckets", T.IntegerType()),
+            T.StructField("key_type", T.StringType()),
+        ]
+    )
+    row = tuple(meta[f.name] for f in schema.fields)
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_merge_meta")
+
+
+def upsert_write_partitioned(
+    df: DataFrame,
+    path: str,
+    key: str,
+    ts: str,
+    n_buckets: int = 64,
+) -> None:
+    """Initialize a merge-upsert table: rows hash-bucketed on ``key`` into
+    ``n_buckets`` partition directories, params frozen in ``_merge_meta``.
+
+    ``n_buckets`` bounds later merges' driver-side bucket collection and
+    sets the pruning grain: a batch touching k distinct keys reads at most
+    min(k, n_buckets) directories. Size it so one bucket of the dimension
+    fits an executor's working memory at the target scale.
+    """
+    for c in (key, ts):
+        if c not in df.columns:
+            raise ValueError(f"upsert_write_partitioned: no column {c!r}")
+    if _BUCKET in df.columns:
+        raise ValueError(f"upsert_write_partitioned: reserved column {_BUCKET!r}")
+    key_type = dict(df.dtypes)[key]
+    (
+        df.withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(f"{path}/rows")
+    )
+    _write_merge_meta(
+        df.sparkSession,
+        path,
+        {"key": key, "ts": ts, "n_buckets": int(n_buckets), "key_type": key_type},
+    )
+
+
+def _require_meta(spark: SparkSession, path: str, who: str) -> dict:
+    meta = _read_merge_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{who}: no _merge_meta at {path!r} — not an upsert table "
+            "(initialize with upsert_write_partitioned)"
+        )
+    return meta
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    tiebreak: str | None = None,
+) -> None:
+    """Apply a CDC batch to a persisted upsert table, latest-wins.
+
+    For every key present in ``updates``, the surviving row after the
+    merge is the one with the greatest (ts, [tiebreak], source) among the
+    stored row and the batch rows — source breaks exact ties in favor of
+    the batch (an update that carries the same timestamp as the stored row
+    is a correction and wins). Keys absent from the batch are untouched:
+    their partitions are neither read nor rewritten.
+
+    Replay-idempotent: merging the same batch twice is a no-op (latest-wins
+    is associative/idempotent given a deterministic order — pass
+    ``tiebreak`` whenever (key, ts) can repeat within a batch).
+
+    Implementation: batch -> touched buckets (bounded driver collect,
+    <= n_buckets rows) -> partition-pruned read of only those directories
+    -> one per-key window inside the touched buckets -> ``localCheckpoint``
+    materialization barrier -> dynamic partition overwrite of exactly the
+    touched directories. The barrier is load-bearing: the merged frame is
+    derived FROM the directories the write replaces, and a lazy plan would
+    re-read them mid-overwrite (the dedup.py index-append lesson).
+    """
+    meta = _require_meta(spark, path, "merge_upsert_partitioned")
+    key, ts, n_buckets = meta["key"], meta["ts"], int(meta["n_buckets"])
+    for c in (key, ts):
+        if c not in updates.columns:
+            raise ValueError(
+                f"merge_upsert_partitioned: batch lacks column {c!r} "
+                f"required by the table's _merge_meta at {path!r}"
+            )
+    if dict(updates.dtypes)[key] != meta["key_type"]:
+        raise ValueError(
+            "merge_upsert_partitioned: batch key type "
+            f"{dict(updates.dtypes)[key]!r} != table key type "
+            f"{meta['key_type']!r} (md5 bucketing casts to string — a "
+            "mismatched type would bucket the same key differently)"
+        )
+
+    up = updates.withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
+    touched = [
+        r[0] for r in up.select(_BUCKET).distinct().collect()
+    ]  # bounded: <= n_buckets rows, by construction
+    if not touched:
+        return
+
+    stored = spark.read.parquet(f"{path}/rows").filter(
+        F.col(_BUCKET).isin(touched)
+    )
+    order = [F.col(ts).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    order.append(F.col("_src").desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    merged = (
+        stored.withColumn("_src", F.lit(0))
+        .unionByName(up.withColumn("_src", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+        .localCheckpoint(eager=True)
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
+            f"{path}/rows"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_upsert_table(
+    spark: SparkSession, path: str, include_bucket: bool = False
+) -> DataFrame:
+    """Read the current state of an upsert table (bucket column dropped
+    unless requested — it is layout, not data)."""
+    _require_meta(spark, path, "read_upsert_table")
+    df = spark.read.parquet(f"{path}/rows")
+    return df if include_bucket else df.drop(_BUCKET)
+
+
+def upsert_lookup(
+    spark: SparkSession, path: str, keys: list
+) -> DataFrame:
+    """Point lookup: current rows for the given keys, reading ONLY their
+    bucket directories (the serving path — O(|keys|) partitions, not
+    O(table); file pruning asserted in the test suite)."""
+    meta = _require_meta(spark, path, "upsert_lookup")
+    if not keys:
+        raise ValueError("upsert_lookup: empty key list")
+    key, n_buckets = meta["key"], int(meta["n_buckets"])
+    kdf = spark.createDataFrame([(k,) for k in keys], [key])
+    buckets = sorted(
+        {
+            r[0]
+            for r in kdf.select(
+                _bucket_of(F.col(key), n_buckets).alias("b")
+            ).collect()
+        }
+    )
+    df = spark.read.parquet(f"{path}/rows").filter(
+        F.col(_BUCKET).isin(buckets)
+    )
+    vals = F.broadcast(kdf.distinct())
+    return df.join(vals, key, "left_semi").drop(_BUCKET)

@@ -133,6 +133,14 @@ Spec grammar (one dict per op, applied in order):
         # graph family over an edge-shaped frame (functions/graph.py):
         # PageRank with dangling-mass redistribution / exact per-node
         # triangle counts via the ordered-wedge join
+    {"op": "scd2", "key": ..., "ts": ..., "attrs": [...], "tiebreak": ...}
+        # SCD type-2 history from a change log (functions/cdc.py)
+    {"op": "upsert_table_write", "path": ..., "key": ..., "ts": ...,
+     "n_buckets": 64}                    # init persisted merge-upsert table
+    {"op": "merge_upsert", "path": ..., "tiebreak": ...}
+        # merge the current frame (a CDC batch) latest-wins into the
+        # table; key/ts/bucketing from its _merge_meta; only touched
+        # bucket partitions read+rewritten; downstream sees the merged table
     {"op": "gapfill_interpolate" | "trend_stats" | "value_histogram" |
      "heartbeat_uptime" | "lttb_downsample", "key": ..., ...}
         # time-series hyperfunction family (operators/timeseries.py):
@@ -1185,6 +1193,45 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind == "scd2":
+        # {"op": "scd2", "key": ..., "ts": ..., "attrs": [...],
+        #  "tiebreak": ...} — SCD type-2 history from the current change
+        # log: one validity-interval row per distinct consecutive state
+        # (valid_from/valid_to/version/is_current; functions/cdc.py)
+        from qcardia_data_spark.functions.cdc import scd2_from_changes
+
+        return scd2_from_changes(
+            df, op["key"], op["ts"], list(op["attrs"]),
+            tiebreak=op.get("tiebreak"),
+        )
+    if kind == "upsert_table_write":
+        # {"op": "upsert_table_write", "path": ..., "key": ..., "ts": ...,
+        #  "n_buckets": 64} — initialize the persisted merge-upsert table
+        # (md5-bucketed on key, params frozen in _merge_meta); the frame
+        # passes through unchanged (the signature_index_write form)
+        from qcardia_data_spark.functions.cdc import upsert_write_partitioned
+
+        upsert_write_partitioned(
+            df, op["path"], key=op["key"], ts=op["ts"],
+            n_buckets=int(op.get("n_buckets", 64)),
+        )
+        return df
+    if kind == "merge_upsert":
+        # {"op": "merge_upsert", "path": ..., "tiebreak": ...} — the
+        # current frame is a CDC batch merged latest-wins into the table
+        # at path (key/ts/bucketing from the table's OWN _merge_meta, so
+        # spec and table can never drift); reads at most the batch's
+        # bucket partitions and rewrites only those. Downstream ops see
+        # the post-merge table state.
+        from qcardia_data_spark.functions.cdc import (
+            merge_upsert_partitioned,
+            read_upsert_table,
+        )
+
+        merge_upsert_partitioned(
+            spark, op["path"], df, tiebreak=op.get("tiebreak")
+        )
+        return read_upsert_table(spark, op["path"])
     if kind in ("pagerank", "triangle_count"):
         # Graph family (functions/graph.py) over an edge-shaped frame:
         #   {"op": "pagerank", "src": "src", "dst": "dst",

@@ -7047,6 +7047,124 @@ def ev_handoff_triangles(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_scd2_user_state",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, event_type, s,
+             lag(event_type) OVER w AS prev_state,
+             row_number() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    c AS (
+      SELECT user_id, event_id, event_type, s FROM l
+      WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type, s AS valid_from,
+             lead(s) OVER w2 AS valid_to,
+             row_number() OVER w2 AS version
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY s, event_id))
+    SELECT user_id, event_type AS state, valid_from, valid_to, version,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+)
+def ev_scd2_user_state(spark, sf_dir):
+    """[ext] SCD type-2 history build (functions/cdc.py::scd2_from_changes)
+    — the warehouse-standard versioned dimension from a change log:
+    consecutive same-state events compress into one validity interval;
+    each interval carries valid_from (inclusive), valid_to (exclusive,
+    NULL on the open row), a per-key version ordinal and is_current.
+    Differs from ev_state_durations (which totals seconds per state):
+    SCD2 preserves the interval ROWS, re-opening a version when a state
+    recurs. Plan: ONE hash exchange on user_id carries all three window
+    passes (lag change-compression, lead validity close, row_number
+    version) — the change-point filter preserves clustering+ordering, so
+    no second shuffle (asserted in test_cdc.py)."""
+    from qcardia_data_spark.functions.cdc import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    return scd2_from_changes(
+        e, key="user_id", ts="s", attrs=["event_type"], tiebreak="event_id"
+    ).withColumnRenamed("event_type", "state")
+
+
+@_q(
+    "dim_upsert_latest",
+    """
+    WITH base AS (
+      SELECT c_custkey, CAST(-1 AS BIGINT) AS ts,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+             CAST(-1 AS BIGINT) AS src_id
+      FROM customer),
+    ups AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(o_orderdate AS TIMESTAMP)) AS ts,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS bal_cents,
+             o_orderkey AS src_id
+      FROM orders),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM ups),
+    r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY ts DESC, src_id DESC) AS rn
+          FROM u)
+    SELECT c_custkey, ts, bal_cents, src_id FROM r WHERE rn = 1
+    """,
+)
+def dim_upsert_latest(spark, sf_dir):
+    """[ext] The persisted CDC merge path end to end
+    (functions/cdc.py::upsert_write_partitioned / merge_upsert_partitioned):
+    a customer balance dimension is initialized from the customer snapshot
+    (ts = -1), then a CDC batch derived from orders (each order = a
+    balance observation at its orderdate) is merged latest-wins, and the
+    post-merge table is read back. The oracle replays union + row_number
+    over the SAME derivation, so a value match grades the whole storage
+    path: md5 bucket layout, partition-pruned read, per-key latest-wins
+    window, the localCheckpoint lineage barrier, and the dynamic
+    partition overwrite. Money in exact cents (the q1/q3 idiom).
+    100 TB shape: the merge reads and rewrites ONLY the bucket
+    directories the batch touches — O(batch), not O(table); pruning and
+    rewrite-isolation are test-asserted in test_cdc.py."""
+    import os as _os
+
+    from qcardia_data_spark.functions.cdc import (
+        merge_upsert_partitioned,
+        read_upsert_table,
+        upsert_write_partitioned,
+    )
+
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lit(-1).cast("long").alias("ts"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+        F.lit(-1).cast("long").alias("src_id"),
+    )
+    ups = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        _epoch_s(F.col("o_orderdate")).alias("ts"),
+        cents(F.col("o_totalprice")).alias("bal_cents"),
+        F.col("o_orderkey").alias("src_id"),
+    )
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"upsert_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    upsert_write_partitioned(base, path, key="c_custkey", ts="ts", n_buckets=16)
+    merge_upsert_partitioned(spark, path, ups, tiebreak="src_id")
+    return read_upsert_table(spark, path).select(
+        "c_custkey", "ts", "bal_cents", "src_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -7181,6 +7299,8 @@ _NEXT_IN_LINE = [
     "q22_global_sales_opportunity",
     "ev_handoff_pagerank",
     "ev_handoff_triangles",
+    "ev_scd2_user_state",
+    "dim_upsert_latest",
 ]
 
 

@@ -1,0 +1,331 @@
+"""CDC operators: SCD2 history build + partition-pruned merge-upsert.
+
+Done-criteria mirror the persisted-index suites (test_incremental_dedup,
+test_similarity): (a) value parity of the pruned merge vs a full-table
+latest-wins rebuild, (b) untouched partitions neither READ (inputFiles)
+nor REWRITTEN (file mtimes), (c) replay idempotence, (d) the _merge_meta
+contract refuses drifted callers loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.cdc import (
+    merge_upsert_partitioned,
+    read_upsert_table,
+    scd2_from_changes,
+    upsert_lookup,
+    upsert_write_partitioned,
+)
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def _hist(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "t", "state"])
+    out = scd2_from_changes(df, "k", "t", ["state"], tiebreak=None)
+    return {
+        (r["k"], r["version"]): (
+            r["state"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+
+
+def test_scd2_compresses_consecutive_repeats(spark):
+    got = _hist(
+        spark,
+        [
+            ("u", 1, "a"),
+            ("u", 2, "a"),  # no change — compressed into version 1
+            ("u", 3, "b"),
+            ("u", 4, "b"),
+            ("u", 9, "a"),  # back to a — NEW version, not merged with v1
+        ],
+    )
+    assert got == {
+        ("u", 1): ("a", 1, 3, False),
+        ("u", 2): ("b", 3, 9, False),
+        ("u", 3): ("a", 9, None, True),
+    }
+
+
+def test_scd2_single_row_key_is_current_v1(spark):
+    got = _hist(spark, [("solo", 5, "x")])
+    assert got == {("solo", 1): ("x", 5, None, True)}
+
+
+def test_scd2_null_attr_is_nullsafe(spark):
+    # NULL -> NULL is "no change"; NULL -> value and value -> NULL are
+    # changes; a leading NULL state still yields version 1.
+    rows = [
+        ("u", 1, None),
+        ("u", 2, None),  # compressed
+        ("u", 3, "a"),
+        ("u", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, state string")
+    out = scd2_from_changes(df, "k", "t", ["state"])
+    got = {r["version"]: (r["state"], r["valid_from"]) for r in out.collect()}
+    assert got == {1: (None, 1), 2: ("a", 3), 3: (None, 4)}
+
+
+def test_scd2_multi_attr_any_change_opens_version(spark):
+    rows = [("u", 1, "a", 10), ("u", 2, "a", 20), ("u", 3, "b", 20)]
+    df = spark.createDataFrame(rows, ["k", "t", "s1", "s2"])
+    out = scd2_from_changes(df, "k", "t", ["s1", "s2"])
+    assert out.count() == 3  # every row changes SOME attr
+
+
+def test_scd2_tiebreak_orders_equal_timestamps(spark):
+    rows = [("u", 1, 2, "b"), ("u", 1, 1, "a")]
+    df = spark.createDataFrame(rows, ["k", "t", "seq", "state"])
+    out = scd2_from_changes(df, "k", "t", ["state"], tiebreak="seq")
+    got = {r["version"]: r["state"] for r in out.collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_scd2_requires_attrs(spark):
+    df = spark.createDataFrame([("u", 1)], ["k", "t"])
+    with pytest.raises(ValueError, match="attrs"):
+        scd2_from_changes(df, "k", "t", [])
+
+
+def test_scd2_single_exchange_plan(spark):
+    """All three window passes ride ONE exchange on the key."""
+    df = spark.createDataFrame([("u", 1, "a")], ["k", "t", "state"])
+    plan = scd2_from_changes(df, "k", "t", ["state"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-upsert
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def _base(spark):
+    rows = [(k, 0, f"v{k}") for k in range(40)]
+    return spark.createDataFrame(rows, ["k", "ts", "val"])
+
+
+def _batch(spark):
+    # updates touch 3 keys: newer ts wins (k=1), older ts loses (k=2,
+    # stored ts bumped below), same-ts correction wins (k=3)
+    rows = [(1, 5, "new1"), (2, -1, "stale2"), (3, 0, "corr3")]
+    return spark.createDataFrame(rows, ["k", "ts", "val"])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    upsert_write_partitioned(_base(spark), path, key="k", ts="ts", n_buckets=N_BUCKETS)
+    return path
+
+
+def _state(spark, path):
+    return {
+        r["k"]: (r["ts"], r["val"])
+        for r in read_upsert_table(spark, path).collect()
+    }
+
+
+def test_merge_latest_wins_semantics(spark, table):
+    merge_upsert_partitioned(spark, table, _batch(spark))
+    got = _state(spark, table)
+    assert got[1] == (5, "new1")  # newer batch ts wins
+    assert got[2] == (0, "v2")  # stale batch row loses
+    assert got[3] == (0, "corr3")  # same-ts: batch (the correction) wins
+    assert got[0] == (0, "v0") and len(got) == 40
+
+
+def test_merge_parity_vs_full_rebuild(spark, table):
+    from pyspark.sql.window import Window
+
+    merge_upsert_partitioned(spark, table, _batch(spark))
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("_src").desc())
+    rebuilt = (
+        _base(spark).withColumn("_src", F.lit(0))
+        .unionByName(_batch(spark).withColumn("_src", F.lit(1)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("k", "ts", "val")
+    )
+    got = {tuple(r) for r in read_upsert_table(spark, table).select("k", "ts", "val").collect()}
+    want = {tuple(r) for r in rebuilt.collect()}
+    assert got == want
+
+
+def test_merge_inserts_new_keys(spark, table):
+    merge_upsert_partitioned(
+        spark, table, spark.createDataFrame([(999, 1, "ins")], ["k", "ts", "val"])
+    )
+    assert _state(spark, table)[999] == (1, "ins")
+    assert len(_state(spark, table)) == 41
+
+
+def test_merge_reads_only_touched_buckets(spark, table):
+    """The merge's pruned read must touch only the batch's bucket dirs."""
+    from qcardia_data_spark.functions.cdc import _bucket_of
+
+    batch = _batch(spark)
+    touched = {
+        r[0]
+        for r in batch.select(_bucket_of(F.col("k"), N_BUCKETS).alias("b")).collect()
+    }
+    assert 0 < len(touched) < N_BUCKETS  # pruning is non-vacuous
+    # input_file_name() in the scan stage reflects the post-pruning list
+    # (inputFiles() reports the relation's full index, pre-pruning — the
+    # test_incremental_dedup idiom)
+    pruned = spark.read.parquet(f"{table}/rows").filter(
+        F.col("up_bucket").isin(list(touched))
+    )
+    got_buckets = {
+        r["f"].split("up_bucket=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert got_buckets and got_buckets <= {str(b) for b in touched}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "up_bucket" in plan
+
+
+def test_merge_does_not_rewrite_untouched_partitions(spark, table):
+    """Dynamic overwrite replaces ONLY touched bucket directories."""
+    rows_dir = f"{table}/rows"
+    before = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(rows_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    merge_upsert_partitioned(spark, table, _batch(spark))
+    after = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(rows_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    from qcardia_data_spark.functions.cdc import _bucket_of
+
+    touched = {
+        r[0]
+        for r in _batch(spark)
+        .select(_bucket_of(F.col("k"), N_BUCKETS).alias("b"))
+        .collect()
+    }
+    untouched_before = {f for f in before if not any(f"up_bucket={b}/" in f for b in touched)}
+    untouched_after = {f for f in after if not any(f"up_bucket={b}/" in f for b in touched)}
+    # untouched buckets: identical file sets (same paths — never rewritten)
+    assert untouched_before == untouched_after
+    # touched buckets: file set changed (rewritten)
+    assert (before - untouched_before) != (after - untouched_after)
+
+
+def test_merge_replay_is_idempotent(spark, table):
+    merge_upsert_partitioned(spark, table, _batch(spark))
+    once = _state(spark, table)
+    merge_upsert_partitioned(spark, table, _batch(spark))
+    assert _state(spark, table) == once
+
+
+def test_merge_empty_batch_is_noop(spark, table):
+    before = _state(spark, table)
+    merge_upsert_partitioned(
+        spark, table, spark.createDataFrame([], "k bigint, ts bigint, val string")
+    )
+    assert _state(spark, table) == before
+
+
+def test_merge_meta_guards(spark, table, tmp_path):
+    # missing meta
+    with pytest.raises(ValueError, match="_merge_meta"):
+        merge_upsert_partitioned(spark, str(tmp_path / "nope"), _batch(spark))
+    # missing required column
+    with pytest.raises(ValueError, match="lacks column"):
+        merge_upsert_partitioned(
+            spark, table, spark.createDataFrame([(1, "x")], ["k", "val"])
+        )
+    # drifted key type: string batch key vs long table key
+    with pytest.raises(ValueError, match="key type"):
+        merge_upsert_partitioned(
+            spark,
+            table,
+            spark.createDataFrame([("1", 5, "x")], "k string, ts bigint, val string"),
+        )
+    # reserved column at init
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_write_partitioned(
+            spark.createDataFrame([(1, 0, 0)], ["k", "ts", "up_bucket"]),
+            str(tmp_path / "t2"),
+            key="k",
+            ts="ts",
+        )
+
+
+def test_spec_ops_cdc_chain(spark, tmp_path):
+    """Declarative form: one spec initializes the upsert table, a second
+    merges a CDC batch and reads the merged state; scd2 as a spec op."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    path = str(tmp_path / "spec_dim")
+    base_pq = str(tmp_path / "base_pq")
+    batch_pq = str(tmp_path / "batch_pq")
+    _base(spark).write.parquet(base_pq)
+    _batch(spark).write.parquet(batch_pq)
+    compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": base_pq},
+            {"op": "upsert_table_write", "path": path, "key": "k",
+             "ts": "ts", "n_buckets": N_BUCKETS},
+        ],
+    ).count()  # side-artifact op: force execution
+    merged = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": batch_pq},
+            {"op": "merge_upsert", "path": path},
+        ],
+    )
+    got = {r["k"]: (r["ts"], r["val"]) for r in merged.collect()}
+    assert got[1] == (5, "new1") and got[2] == (0, "v2") and len(got) == 40
+
+    hist = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "path": base_pq},
+            {"op": "scd2", "key": "k", "ts": "ts", "attrs": ["val"]},
+        ],
+    )
+    assert hist.filter(F.col("is_current")).count() == 40
+
+
+def test_lookup_prunes_to_key_buckets(spark, table):
+    from qcardia_data_spark.functions.cdc import _bucket_of
+
+    got = upsert_lookup(spark, table, [1, 3])
+    assert {r["k"] for r in got.collect()} == {1, 3}
+    want_buckets = {
+        r[0]
+        for r in spark.createDataFrame([(1,), (3,)], ["k"])
+        .select(_bucket_of(F.col("k"), N_BUCKETS).alias("b"))
+        .collect()
+    }
+    got_buckets = {
+        r["f"].split("up_bucket=")[1].split("/")[0]
+        for r in upsert_lookup(spark, table, [1, 3])
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert got_buckets and got_buckets <= {str(b) for b in want_buckets}
