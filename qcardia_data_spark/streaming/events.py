@@ -406,3 +406,44 @@ def streaming_ann_index_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_upsert_intake(
+    change_stream: DataFrame, table_path: str, checkpoint: str,
+    tiebreak: str | None = None, available_now: bool = True,
+):
+    """[ext] Streaming CDC intake — the continuous form of
+    `cdc.merge_upsert_partitioned`: each micro-batch of change rows is
+    merged latest-wins into the persisted upsert table (key/ts/bucketing
+    frozen in the table's own ``_merge_meta``), so the table serves
+    current-state reads over everything ingested so far. State lives
+    entirely in the table — memory is O(batch), the
+    :func:`streaming_ann_index_intake` argument.
+
+    Delivery: the merge is at-least-once per micro-batch, but latest-wins
+    is idempotent AND out-of-order-safe — a replayed batch re-offers rows
+    that are never newer than what the table already holds, so every
+    retry (even one arriving after later batches merged) is a no-op and
+    the TABLE converges exactly-once with no ``_batch=`` sink machinery.
+    Pass ``tiebreak`` whenever (key, ts) can repeat within a batch, the
+    same determinism contract as the batch op.
+
+    Returns the started `StreamingQuery` (availableNow drains the
+    backlog and stops — the cron-style "apply today's CDC feed").
+    """
+    from qcardia_data_spark.functions.cdc import merge_upsert_partitioned
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_partitioned(
+            batch_df.sparkSession, table_path, batch_df, tiebreak=tiebreak
+        )
+
+    writer = (
+        change_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

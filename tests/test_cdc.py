@@ -310,6 +310,41 @@ def test_spec_ops_cdc_chain(spark, tmp_path):
     assert hist.filter(F.col("is_current")).count() == 40
 
 
+def test_streaming_upsert_intake_converges_and_replays_safely(spark, table, tmp_path):
+    """Streaming CDC intake: change rows streamed in per-file micro-batches
+    converge the table to the all-at-once merge state; a FRESH-checkpoint
+    full replay (re-offering every batch after all merges landed) leaves
+    the table unchanged — latest-wins makes out-of-order retries no-ops."""
+    from qcardia_data_spark.streaming.events import streaming_upsert_intake
+
+    # 3 micro-batches with an intra-key progression across batches
+    changes = spark.createDataFrame(
+        [(1, 5, "b1"), (1, 7, "b2"), (2, 3, "b3"), (99, 1, "ins")],
+        ["k", "ts", "val"],
+    )
+    incoming = str(tmp_path / "incoming")
+    changes.repartition(3).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_upsert_intake(stream, table, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+        q.stop()
+
+    drain("ckpt1")
+    got = _state(spark, table)
+    assert got[1] == (7, "b2")  # later change wins regardless of batch order
+    assert got[2] == (3, "b3") and got[99] == (1, "ins") and len(got) == 41
+
+    drain("ckpt2")  # fresh checkpoint: full replay after all merges landed
+    assert _state(spark, table) == got
+
+
 def test_lookup_prunes_to_key_buckets(spark, table):
     from qcardia_data_spark.functions.cdc import _bucket_of
 
