@@ -129,7 +129,8 @@ Spec grammar (one dict per op, applied in order):
         # so spec and index can never drift. LSH: current frame = probe
         # batch -> per-row top-k join. IVF+PQ: "query_id" picks the query
         # row from the current frame -> ADC top-k, "n_probe" cells read
-    {"op": "pagerank" | "triangle_count", "src": ..., "dst": ...}
+    {"op": "pagerank" | "triangle_count" | "connected_components",
+     "src": ..., "dst": ...}
         # graph family over an edge-shaped frame (functions/graph.py):
         # PageRank with dangling-mass redistribution / exact per-node
         # triangle counts via the ordered-wedge join
@@ -1232,12 +1233,16 @@ def _apply(
             spark, op["path"], df, tiebreak=op.get("tiebreak")
         )
         return read_upsert_table(spark, op["path"])
-    if kind in ("pagerank", "triangle_count"):
+    if kind in ("pagerank", "triangle_count", "connected_components"):
         # Graph family (functions/graph.py) over an edge-shaped frame:
         #   {"op": "pagerank", "src": "src", "dst": "dst",
         #    "damping": 0.875, "iters": 3}       -> (node, rank)
         #   {"op": "triangle_count", "src": ..., "dst": ...}
         #                                        -> (node, n_triangles)
+        #   {"op": "connected_components", "src": ..., "dst": ...,
+        #    "max_rounds": 40}                   -> (node, component)
+        #       large-star/small-star alternation: O(log n) rounds for
+        #       ANY diameter — the scale-correct CC for arbitrary graphs
         from qcardia_data_spark.functions import graph as _G
 
         src_c, dst_c = op.get("src", "src"), op.get("dst", "dst")
@@ -1246,6 +1251,11 @@ def _apply(
                 df, src_c, dst_c,
                 damping=float(op.get("damping", 0.875)),
                 iters=int(op.get("iters", 3)),
+            )
+        if kind == "connected_components":
+            return _G.connected_components_star(
+                df, src_c, dst_c,
+                max_rounds=int(op.get("max_rounds", 40)),
             )
         return _G.triangle_count(df, src_c, dst_c)
     if kind in (
