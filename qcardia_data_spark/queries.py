@@ -7165,6 +7165,126 @@ def dim_upsert_latest(spark, sf_dir):
     )
 
 
+_DRIFT_SPLIT_SQL = """
+      SELECT value AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS _a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS _b
+      FROM events WHERE value IS NOT NULL"""
+
+
+def _drift_halves(spark, sf_dir):
+    """Two deterministic samples at any SF: even vs odd event ids."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    )
+
+
+_PSI_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]
+_PSI_BUCKET_SQL = " + ".join(
+    f"CASE WHEN v > {e} THEN 1 ELSE 0 END" for e in _PSI_EDGES
+)
+
+
+@_q(
+    "ev_drift_psi",
+    f"""
+    WITH u AS ({_DRIFT_SPLIT_SQL}),
+    bkt AS (SELECT {_PSI_BUCKET_SQL} AS bucket, _a, _b FROM u),
+    c AS (SELECT bucket, sum(_a) AS n_a, sum(_b) AS n_b
+          FROM bkt GROUP BY bucket),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+    SELECT bucket, n_a, n_b,
+           round(((n_a + 0.5) / (ta + 3.0) - (n_b + 0.5) / (tb + 3.0))
+                 * ln(((n_a + 0.5) / (ta + 3.0))
+                      / ((n_b + 0.5) / (tb + 3.0))), 6) AS contrib
+    FROM c, t
+    """,
+)
+def ev_drift_psi(spark, sf_dir):
+    """[ext] Population stability index (functions/drift.py::psi_buckets)
+    between the even- and odd-event-id halves of the events table, over
+    frozen value edges — the post-ingest distribution monitor. One
+    mergeable groupBy into <= 6 bucket rows; proportions are
+    Laplace-smoothed (the 0.5/k formula the oracle replays literally).
+    100 TB shape: map-side bucket fold (a literal CASE chain, no join),
+    k-row result; the totals join is a 1-row broadcast."""
+    from qcardia_data_spark.functions.drift import psi_buckets
+
+    a, b = _drift_halves(spark, sf_dir)
+    return psi_buckets(a, b, "value", edges=_PSI_EDGES)
+
+
+@_q(
+    "ev_drift_chisq",
+    """
+    WITH u AS (
+      SELECT event_type AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS _a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS _b
+      FROM events),
+    c AS (SELECT v AS category, sum(_a) AS n_a, sum(_b) AS n_b
+          FROM u GROUP BY v),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+    SELECT category, n_a, n_b,
+           round((n_a - (n_a + n_b) * ta / CAST(ta + tb AS DOUBLE))
+                 * (n_a - (n_a + n_b) * ta / CAST(ta + tb AS DOUBLE))
+                 / ((n_a + n_b) * ta / CAST(ta + tb AS DOUBLE))
+               + (n_b - (n_a + n_b) * tb / CAST(ta + tb AS DOUBLE))
+                 * (n_b - (n_a + n_b) * tb / CAST(ta + tb AS DOUBLE))
+                 / ((n_a + n_b) * tb / CAST(ta + tb AS DOUBLE)), 6)
+             AS contrib
+    FROM c, t
+    """,
+)
+def ev_drift_chisq(spark, sf_dir):
+    """[ext] Two-sample chi-square over event_type categories
+    (functions/drift.py::chi_square_drift) between the even/odd halves —
+    the categorical drift monitor beside ev_drift_psi's numeric one.
+    Exact integer counts; expected-count arithmetic in doubles of those
+    ints, replayed term-for-term by the oracle."""
+    from qcardia_data_spark.functions.drift import chi_square_drift
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return chi_square_drift(a, b, "event_type")
+
+
+@_q(
+    "ev_drift_ks",
+    f"""
+    WITH u AS ({_DRIFT_SPLIT_SQL}),
+    pv AS (SELECT v, sum(_a) AS ca, sum(_b) AS cb FROM u GROUP BY v),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+    c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+                 sum(cb) OVER (ORDER BY v) AS cum_b FROM pv)
+    SELECT round(max(abs(cum_a / CAST((SELECT na FROM t) AS DOUBLE)
+                       - cum_b / CAST((SELECT nb FROM t) AS DOUBLE))), 6)
+             AS ks,
+           (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b
+    FROM c
+    """,
+)
+def ev_drift_ks(spark, sf_dir):
+    """[ext] EXACT two-sample Kolmogorov-Smirnov distance
+    (functions/drift.py::ks_statistic) between the halves' value
+    distributions. The oracle uses DuckDB's global-window cumsum; the
+    Spark side must NOT (a bare Window.orderBy collapses to one
+    partition) — it runs the two-level prefix sum: 64 coarse range
+    buckets from the global min/max, bucket totals to the driver
+    (bounded), exclusive offsets broadcast back, in-bucket cumsum on a
+    bucket-PARTITIONED window (plan-asserted in test_drift.py). A value
+    match proves the distributed decomposition reconstructs the exact
+    global CDF, duplicates included."""
+    from qcardia_data_spark.functions.drift import ks_statistic
+
+    a, b = _drift_halves(spark, sf_dir)
+    return ks_statistic(a, b, "value")
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -7301,6 +7421,9 @@ _NEXT_IN_LINE = [
     "ev_handoff_triangles",
     "ev_scd2_user_state",
     "dim_upsert_latest",
+    "ev_drift_psi",
+    "ev_drift_chisq",
+    "ev_drift_ks",
 ]
 
 
