@@ -134,6 +134,9 @@ Spec grammar (one dict per op, applied in order):
         # graph family over an edge-shaped frame (functions/graph.py):
         # PageRank with dangling-mass redistribution / exact per-node
         # triangle counts via the ordered-wedge join
+    {"op": "drift", "stat": "psi"|"chisq"|"ks", "col": ...,
+     "against": {"table"|"pipeline": ...}, ...stat knobs...}
+        # distribution drift of the frame vs a baseline (functions/drift.py)
     {"op": "scd2", "key": ..., "ts": ..., "attrs": [...], "tiebreak": ...}
         # SCD type-2 history from a change log (functions/cdc.py)
     {"op": "upsert_table_write", "path": ..., "key": ..., "ts": ...,
@@ -1194,6 +1197,30 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind == "drift":
+        # {"op": "drift", "stat": "psi"|"chisq"|"ks", "col": ...,
+        #  "against": {"table": ...|"pipeline": [...]},
+        #  psi: "edges": [...], "smooth": 0.5; ks: "n_coarse": 64}
+        # — drift statistics of the current frame (sample A) vs the
+        # `against` side (sample B, the standing-corpus baseline):
+        # functions/drift.py. Replaces the frame with the stat table.
+        from qcardia_data_spark.functions import drift as _DR
+
+        other = _side(spark, op["against"], sf_dir)
+        stat, col = op.get("stat", "psi"), op["col"]
+        if stat == "psi":
+            return _DR.psi_buckets(
+                df, other, col,
+                edges=[float(e) for e in op["edges"]],
+                smooth=float(op.get("smooth", 0.5)),
+            )
+        if stat == "chisq":
+            return _DR.chi_square_drift(df, other, col)
+        if stat == "ks":
+            return _DR.ks_statistic(
+                df, other, col, n_coarse=int(op.get("n_coarse", 64))
+            )
+        raise SpecError(f"drift: unknown stat {stat!r} (psi|chisq|ks)")
     if kind == "scd2":
         # {"op": "scd2", "key": ..., "ts": ..., "attrs": [...],
         #  "tiebreak": ...} — SCD type-2 history from the current change

@@ -143,3 +143,32 @@ def test_ks_no_single_partition_global_window(spark):
     # cumsum never requires a global (single-partition) ordering
     assert "hashpartitioning(bucket" in plan
     assert "windowspecdefinition(bucket" in plan
+
+
+def test_drift_spec_op(spark, sf_dir):
+    """Declarative form: events even-half vs odd-half via nested side
+    pipelines — all three stats through the spec dialect."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    def _half(parity):
+        return [
+            {"op": "source", "table": "events"},
+            {"op": "filter", "expr": f"event_id % 2 = {parity}"},
+        ]
+
+    psi = compile_pipeline(
+        spark,
+        _half(0)
+        + [{"op": "drift", "stat": "psi", "col": "value",
+            "against": {"pipeline": _half(1)}, "edges": [10.0, 50.0]}],
+        sf_dir,
+    )
+    assert {r["bucket"] for r in psi.collect()} <= {0, 1, 2}
+    ks = compile_pipeline(
+        spark,
+        _half(0)
+        + [{"op": "drift", "stat": "ks", "col": "value",
+            "against": {"pipeline": _half(1)}}],
+        sf_dir,
+    ).first()
+    assert 0.0 <= ks["ks"] <= 1.0 and ks["n_a"] > 0
