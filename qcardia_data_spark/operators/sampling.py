@@ -140,3 +140,37 @@ def subject_kfold(
     rank = F.row_number().over(Window.orderBy(rnd, subject_col))
     assigned = subjects.withColumn(out, ((rank - 1) % k).cast("int"))
     return df.join(assigned, on=subject_col, how="left")
+
+
+def weighted_reservoir(
+    df: DataFrame, key: str, weight: str, k: int, seed: str | int = 0,
+) -> DataFrame:
+    """[ext] Exact-k weighted sampling WITHOUT replacement (A-Res,
+    Efraimidis & Spirakis, IPL 2006): each row draws a keyed uniform u
+    and ranks by u^(1/w) — the top k are a weight-proportional sample.
+    Complements X4's inverse-frequency equalizer (expected-share
+    semantics) with the exact-k, caller-supplied-weight form a corpus
+    sampler needs ("draw 10k documents proportional to token count").
+
+    Determinism: u is ``keyed_uniform`` (md5 of seed+key), so the sample
+    is reproducible across retries AND replayable by a SQL oracle; the
+    rank uses the monotone-equivalent ln(u)/w (avoids pow; w > 0
+    enforced — refuse loudly, a zero weight would divide by zero into
+    NaN ordering).
+
+    Scale shape: map-only scoring + TakeOrdered top-k (per-partition
+    heaps, no global sort shuffle) — the o1_top_k plan.
+    """
+    from qcardia_data_spark.functions.transforms import keyed_uniform
+
+    if k <= 0:
+        raise ValueError(f"weighted_reservoir: k must be positive, got {k}")
+    bad = df.filter(F.col(weight) <= 0).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_reservoir: column {weight!r} contains non-positive "
+            "weights — A-Res keys u^(1/w) are undefined for w <= 0 "
+            "(filter or clamp upstream)"
+        )
+    score = F.log(keyed_uniform(seed, "ares", F.col(key))) / F.col(weight)
+    return df.orderBy(score.desc(), F.col(key)).limit(k)

@@ -936,6 +936,16 @@ def _apply(
             df, op["group"], op["key"],
             float(op.get("accept_scale", 1.0)), op.get("seed", 0),
         )
+    if kind == "weighted_reservoir":
+        # {"op": "weighted_reservoir", "key": ..., "weight": ..., "k": N,
+        #  "seed": 0} — exact-k weight-proportional sample without
+        # replacement (A-Res; operators/sampling.py), keyed-md5
+        # deterministic; e.g. "10k documents proportional to token count"
+        from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+        return weighted_reservoir(
+            df, op["key"], op["weight"], int(op["k"]), op.get("seed", 0)
+        )
     if kind == "cache":
         # materialization boundary: everything upstream is built once into a
         # fingerprint-keyed parquet (or hit), downstream reads the cache —

@@ -7285,6 +7285,35 @@ def ev_drift_ks(spark, sf_dir):
     return ks_statistic(a, b, "value")
 
 
+@_q(
+    "x7_weighted_reservoir",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ln(CAST('0x' || substr(md5(concat_ws('|', '7', 'ares',
+                                    CAST(doc_id AS VARCHAR))), 1, 13)
+                     AS BIGINT) / 4503599627370496.0) / n_chars AS score
+      FROM documents WHERE n_chars > 0)
+    ORDER BY score DESC, doc_id
+    LIMIT 25
+    """,
+)
+def x7_weighted_reservoir(spark, sf_dir):
+    """[ext] A-Res weighted reservoir (operators/sampling.py::
+    weighted_reservoir): 25 documents drawn weight-proportionally by
+    n_chars, exact-k without replacement, keyed-md5 deterministic. The
+    oracle replays the ln(u)/w rank and the tie-broken top-k ordering.
+    Plan: map-only scoring + TakeOrderedAndProject per-partition heaps —
+    no global sort exchange (the o1 idiom)."""
+    from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return weighted_reservoir(
+        docs.select("doc_id", "n_chars"), key="doc_id", weight="n_chars",
+        k=25, seed=7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -7424,6 +7453,7 @@ _NEXT_IN_LINE = [
     "ev_drift_psi",
     "ev_drift_chisq",
     "ev_drift_ks",
+    "x7_weighted_reservoir",
 ]
 
 

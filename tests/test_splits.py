@@ -91,3 +91,83 @@ def test_subject_kfold_balanced_and_leakfree(spark, sf_dir):
 
     with pytest.raises(ValueError, match="k >= 2"):
         subject_kfold(o, "o_custkey", k=1)
+
+
+# ---------------------------------------------------------------------------
+# weighted_reservoir (A-Res)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_matches_pure_python(spark):
+    """Exact replica: the Spark top-k by ln(u)/w must equal a pure-Python
+    A-Res over the same keyed uniforms."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def u(i):
+        h = hashlib.md5(f"9|ares|{i}".encode()).hexdigest()
+        return int(h[:13], 16) / float(16**13)
+
+    want = sorted(rows, key=lambda r: (-(math.log(u(r[0])) / r[1]), r[0]))[:10]
+    got = [
+        (r["id"], r["w"])
+        for r in weighted_reservoir(df, "id", "w", k=10, seed=9).collect()
+    ]
+    assert got == [(i, w) for i, w in want]
+
+
+def test_weighted_reservoir_is_weight_proportional(spark):
+    """A 1000x-weight row must (with these keyed draws) appear in a small
+    sample where uniform sampling would almost surely exclude it."""
+    from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+    rows = [(i, 1.0) for i in range(500)] + [(999, 100000.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_reservoir(df, "id", "w", k=5, seed=0).collect()}
+    assert 999 in got and len(got) == 5
+
+
+def test_weighted_reservoir_refuses_bad_inputs(spark):
+    import pytest as _pytest
+
+    from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+    df = spark.createDataFrame([(1, 0.0)], "id long, w double")
+    with _pytest.raises(ValueError, match="non-positive"):
+        weighted_reservoir(df, "id", "w", k=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_reservoir(df, "id", "w", k=0)
+
+
+def test_weighted_reservoir_plan_is_take_ordered(spark):
+    from qcardia_data_spark.operators.sampling import weighted_reservoir
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)], "id long, w double")
+    plan = (
+        weighted_reservoir(df, "id", "w", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_spec_op(spark, sf_dir):
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    out = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "documents"},
+            {"op": "filter", "expr": "n_chars > 0"},
+            {"op": "weighted_reservoir", "key": "doc_id",
+             "weight": "n_chars", "k": 5, "seed": 3},
+        ],
+        sf_dir,
+    )
+    assert out.count() == 5
