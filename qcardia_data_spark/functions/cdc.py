@@ -44,6 +44,8 @@ __all__ = [
     "merge_upsert_partitioned",
     "upsert_lookup",
     "read_upsert_table",
+    "upsert_append_batch",
+    "read_upsert_as_of",
 ]
 
 _BUCKET = "up_bucket"
@@ -309,3 +311,117 @@ def upsert_lookup(
     )
     vals = F.broadcast(kdf.distinct())
     return df.join(vals, key, "left_semi").drop(_BUCKET)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read: append-log batches + as-of (time-travel) reads.
+#
+# merge_upsert_partitioned above is copy-on-write: each batch rewrites its
+# touched bucket directories — cheapest READS (one file set, no merge at
+# query time), O(touched buckets) write amplification per batch. The
+# append-log form below is the merge-on-write-averse twin (the Hudi/
+# Iceberg MOR tradeoff): a batch lands as an immutable `_batch=N`
+# partition in O(batch) time regardless of how many buckets it touches,
+# reads reconstruct latest-wins state on the fly (read amplification =
+# #batches until compaction), and every historical state stays queryable
+# — `read_upsert_as_of(batch=N)` is exact time travel. Compaction is just
+# `merge_upsert_partitioned(read_upsert_as_of(...))` back into the base.
+# ---------------------------------------------------------------------------
+
+
+def upsert_append_batch(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    batch_id: int | None = None,
+) -> int:
+    """Append a CDC batch to the table's log as the immutable partition
+    ``_batch=<id>`` (bucketed on the merge key inside, so as-of point
+    lookups still prune). Returns the batch id.
+
+    ``batch_id=None`` auto-assigns max existing + 1. A caller-PINNED id
+    that already exists is skipped (retry-idempotent, the exactly-once
+    idiom of the streaming sinks); an auto-assigned id never collides
+    because assignment lists the log first. Batch ids must be >= 1 —
+    id 0 is the base table.
+    """
+    import os as _os
+
+    meta = _require_meta(spark, path, "upsert_append_batch")
+    key, ts, n_buckets = meta["key"], meta["ts"], int(meta["n_buckets"])
+    for c in (key, ts):
+        if c not in updates.columns:
+            raise ValueError(
+                f"upsert_append_batch: batch lacks column {c!r} required "
+                f"by the table's _merge_meta at {path!r}"
+            )
+    if dict(updates.dtypes)[key] != meta["key_type"]:
+        raise ValueError(
+            "upsert_append_batch: batch key type "
+            f"{dict(updates.dtypes)[key]!r} != table key type "
+            f"{meta['key_type']!r}"
+        )
+    log_dir = f"{path}/log"
+    existing = set()
+    if _os.path.isdir(log_dir):
+        for d in _os.listdir(log_dir):
+            if d.startswith("_batch="):
+                existing.add(int(d.split("=", 1)[1]))
+    if batch_id is None:
+        batch_id = (max(existing) + 1) if existing else 1
+    elif batch_id < 1:
+        raise ValueError("upsert_append_batch: batch_id must be >= 1")
+    elif batch_id in existing:
+        return batch_id  # pinned replay: already landed, no-op
+    (
+        updates.withColumn("_batch", F.lit(int(batch_id)))
+        .withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
+        .write.mode("append")
+        .partitionBy("_batch", _BUCKET)
+        .parquet(log_dir)
+    )
+    return batch_id
+
+
+def read_upsert_as_of(
+    spark: SparkSession,
+    path: str,
+    batch: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Current-state (latest-wins) read of base + log batches <= ``batch``
+    (None = all): exact time travel — the state the table had after that
+    batch landed. The ``_batch <= N`` predicate is a PARTITION filter, so
+    later batches' files are never read.
+
+    Order: greatest (ts, [tiebreak], batch) wins — a later batch beats an
+    earlier one (and the base, batch 0) on exact ties, matching the
+    copy-on-write merge's source rule.
+    """
+    import os as _os
+
+    _require_meta(spark, path, "read_upsert_as_of")
+    base = spark.read.parquet(f"{path}/rows").withColumn(
+        "_batch", F.lit(0)
+    )
+    log_dir = f"{path}/log"
+    if _os.path.isdir(log_dir) and any(
+        d.startswith("_batch=") for d in _os.listdir(log_dir)
+    ):
+        log = spark.read.parquet(log_dir)
+        if batch is not None:
+            log = log.filter(F.col("_batch") <= int(batch))
+        combined = base.unionByName(log.select(*base.columns))
+    else:
+        combined = base
+    meta = _read_merge_meta(spark, path)
+    order = [F.col(meta["ts"]).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    order.append(F.col("_batch").desc())
+    w = Window.partitionBy(meta["key"]).orderBy(*order)
+    return (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch", _BUCKET)
+    )

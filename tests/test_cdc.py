@@ -364,3 +364,92 @@ def test_lookup_prunes_to_key_buckets(spark, table):
         .collect()
     }
     assert got_buckets and got_buckets <= {str(b) for b in want_buckets}
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: append log + as-of reads
+# ---------------------------------------------------------------------------
+
+
+def _asof_state(spark, path, batch=None):
+    from qcardia_data_spark.functions.cdc import read_upsert_as_of
+
+    return {
+        r["k"]: (r["ts"], r["val"])
+        for r in read_upsert_as_of(spark, path, batch=batch).collect()
+    }
+
+
+def test_mor_time_travel_reconstructs_every_state(spark, table):
+    from qcardia_data_spark.functions.cdc import upsert_append_batch
+
+    b1 = spark.createDataFrame([(1, 5, "b1"), (99, 1, "ins")], ["k", "ts", "val"])
+    b2 = spark.createDataFrame([(1, 9, "b2"), (2, -1, "stale")], ["k", "ts", "val"])
+    assert upsert_append_batch(spark, table, b1) == 1
+    assert upsert_append_batch(spark, table, b2) == 2
+
+    s0 = _asof_state(spark, table, batch=0)
+    assert s0[1] == (0, "v1") and 99 not in s0 and len(s0) == 40
+    s1 = _asof_state(spark, table, batch=1)
+    assert s1[1] == (5, "b1") and s1[99] == (1, "ins") and len(s1) == 41
+    s2 = _asof_state(spark, table)  # None = everything
+    assert s2[1] == (9, "b2")  # later batch wins
+    assert s2[2] == (0, "v2")  # stale row loses to base on ts
+    assert s2 == _asof_state(spark, table, batch=2)
+
+
+def test_mor_later_batch_wins_exact_tie(spark, table):
+    from qcardia_data_spark.functions.cdc import upsert_append_batch
+
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(3, 0, "from_b1")], ["k", "ts", "val"]))
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(3, 0, "from_b2")], ["k", "ts", "val"]))
+    # same ts everywhere: batch 2 > batch 1 > base
+    assert _asof_state(spark, table)[3] == (0, "from_b2")
+
+
+def test_mor_pinned_batch_replay_is_noop(spark, table):
+    from qcardia_data_spark.functions.cdc import upsert_append_batch
+
+    b = spark.createDataFrame([(1, 5, "b1")], ["k", "ts", "val"])
+    upsert_append_batch(spark, table, b, batch_id=1)
+    before = _asof_state(spark, table)
+    assert upsert_append_batch(spark, table, b, batch_id=1) == 1  # skipped
+    assert _asof_state(spark, table) == before
+    with pytest.raises(ValueError, match=">= 1"):
+        upsert_append_batch(spark, table, b, batch_id=0)
+
+
+def test_mor_asof_prunes_later_batch_files(spark, table):
+    from qcardia_data_spark.functions.cdc import upsert_append_batch
+
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(1, 5, "b1")], ["k", "ts", "val"]))
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(2, 5, "b2")], ["k", "ts", "val"]))
+    log = spark.read.parquet(f"{table}/log").filter(F.col("_batch") <= 1)
+    batches = {
+        r["f"].split("_batch=")[1].split("/")[0]
+        for r in log.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert batches == {"1"}
+    plan = log._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_batch" in plan
+
+
+def test_mor_compaction_is_cow_merge_of_asof_state(spark, table):
+    """Compaction = merging the as-of state back into the base; afterwards
+    a base-only read equals the pre-compaction MOR read."""
+    from qcardia_data_spark.functions.cdc import (
+        merge_upsert_partitioned,
+        read_upsert_as_of,
+        upsert_append_batch,
+    )
+
+    upsert_append_batch(spark, table, _batch(spark))
+    want = _asof_state(spark, table)
+    merge_upsert_partitioned(
+        spark, table, read_upsert_as_of(spark, table)
+    )
+    assert _state(spark, table) == want
