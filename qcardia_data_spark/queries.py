@@ -6141,9 +6141,14 @@ def sim_ivfpq_incremental(spark, sf_dir):
 # subquery argmax (q15), correlated-avg antijoin of a fact to its own
 # aggregate (q17), having-subquery (q18), disjunctive pushdown (q19),
 # exists/not-exists double correlation (q21), anti-join prospects (q22).
-# partsupp does not exist in the testdata, so q2/q9/q11/q16/q20 are out of
-# scope; predicates on columns the schema lacks (commitdate, container,
-# phone, comment) are adapted to live columns with the SAME plan shape.
+# partsupp does not exist in the testdata; q2/q11/q16/q20 derive the
+# supplier-part relation from lineitem (distinct (l_partkey, l_suppkey),
+# cost = min observed extended price in exact cents) and q9 derives
+# supplycost from p_retailprice, preserving each query's plan shape
+# (correlated min, fraction-of-total scalar subquery, NOT-IN + count
+# distinct, nested double aggregate). Predicates on columns the schema
+# lacks (commitdate, container, phone, comment) are adapted to live
+# columns with the SAME plan shape.
 # Money stays in exact integer basis points / cents (the q1/q3 idiom) so
 # every sum, comparison and ordering is engine-exact.
 # ---------------------------------------------------------------------------
@@ -6690,6 +6695,335 @@ def q22_global_sales_opportunity(spark, sf_dir):
     )
 
 
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS ps_cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey"""
+
+
+def _ps(spark, sf_dir) -> DataFrame:
+    """Derived supplier-part relation (the testdata has no partsupp):
+    one row per observed (l_partkey, l_suppkey) pair, supply cost = the
+    minimum extended price ever observed for the pair, in exact cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("c").alias("ps_cost_c"))
+
+
+@_q(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+      SELECT ps_partkey, ps_cost_c, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    w AS (SELECT eu.*, min(ps_cost_c) OVER (PARTITION BY ps_partkey) AS min_c
+          FROM eu)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_cost_c AS DOUBLE) / 100 AS min_cost
+    FROM w JOIN part ON p_partkey = ps_partkey
+    WHERE p_size <= 5 AND p_type = 'STANDARD' AND ps_cost_c = min_c
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2: the minimum-cost supplier per part within a region — the
+    correlated-min subquery (partsupp derived per _ps; type/size
+    predicates adapted to the live single-word p_type domain). Shape: the
+    correlation decorrelates to a per-part window MIN riding the partkey
+    exchange (never a per-row subquery, never a self-join); supplier ⋈
+    nation ⋈ region pre-reduces to a tiny BROADCAST dim before touching
+    the pair relation, and the part slice broadcasts too. Ties on exact
+    integer cents surface ALL minimal suppliers, as in the spec; the
+    LIMIT rides a total (acctbal, n_name, s_name, p_partkey) order."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = _ps(spark, sf_dir).join(
+        F.broadcast(sn), F.col("ps_suppkey") == sn["s_suppkey"]
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    # part-slice join BEFORE the window: dropping whole partkeys never
+    # changes the per-partkey min, and the window then runs on ~1% of eu.
+    j = eu.join(F.broadcast(p), eu["ps_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("ps_partkey")
+    return (
+        j.withColumn("min_c", F.min("ps_cost_c").over(w))
+        .filter(F.col("ps_cost_c") == F.col("min_c"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("ps_cost_c").cast("double") / 100).alias("min_cost"),
+        )
+    )
+
+
+@_q(
+    "q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount_bp) AS DOUBLE) / 10000
+             AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+             {_REV_BP_SQL}
+               - CAST(floor(p_retailprice * 60 + 0.5) AS BIGINT)
+                 * CAST(floor(l_quantity + 0.5) AS BIGINT) * 100 AS amount_bp
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9: profit on a product line by supplier nation and order
+    year (supplycost adapted to 60% of p_retailprice — the schema has no
+    partsupp — so profit = revenue - unit_cost x qty keeps Q9's exact
+    arithmetic shape in integer basis points). Shape: the name-sliced
+    part dim BROADCASTS into the fact scan, orders attaches on the fact's
+    orderkey (the one big shuffle), supplier/nation broadcast; one
+    groupBy on the tiny (nation, year) domain with map-side partials."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 60 + 0.5).cast("long").alias("cost_c"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        _rev_bp().alias("rev_bp"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    amount = F.col("rev_bp") - F.col("cost_c") * F.col("qty") * 100
+    return (
+        j.select(F.col("n_name").alias("nation"), "o_year",
+                 amount.alias("amount_bp"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_bp").cast("double") / 10000).alias("sum_profit"))
+    )
+
+
+@_q(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS val_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey)
+    SELECT ps_partkey, CAST(val_c AS DOUBLE) / 100 AS part_value
+    FROM v
+    WHERE CAST(val_c AS DOUBLE) >
+          (SELECT 0.001 * CAST(sum(val_c) AS DOUBLE) FROM v)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11: parts holding an outsized share of one region's supply
+    value — the fraction-of-global-total scalar subquery (value derived
+    from lineitem extended price in exact cents; GERMANY adapted to the
+    EUROPE region so the tiny-SF supplier sample is non-empty). Shape:
+    supplier ⋈ nation ⋈ region pre-reduces to a BROADCAST semi-filter on
+    the fact; ONE groupBy on partkey builds v; the global total re-
+    aggregates v's partials (1 row) and broadcasts back as the threshold
+    — never a second fact scan, never a window over a single partition.
+    Threshold selective at graded SF (99/1984 parts at sf0.01); the cents
+    sums are engine-exact, the one 0.001x multiply is a single IEEE op."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    v = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("c").alias("val_c"))
+    )
+    thr = v.agg((F.lit(0.001) * F.sum("val_c").cast("double")).alias("thr"))
+    return (
+        v.join(F.broadcast(thr))
+        .filter(F.col("val_c").cast("double") > F.col("thr"))
+        .select(
+            "ps_partkey",
+            (F.col("val_c").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "q16_parts_supplier_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                                l_suppkey AS ps_suppkey
+                FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16: how many distinct suppliers can deliver each part
+    profile, excluding a denylisted supplier set — the NOT-IN anti-join +
+    count-distinct rollup (pair relation derived per _ps; the complaints
+    comment-LIKE adapted to s_acctbal < 0 — the schema has no s_comment).
+    Shape: the distinct pair build is the one fact shuffle; the denylist
+    is a tiny BROADCAST anti-join (s_suppkey is never NULL, so NOT IN ≡
+    anti-join); the sliced part dim broadcasts; countDistinct rides a
+    (brand, type, size) exchange over the pre-shrunk pair set."""
+    pairs = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(
+            F.broadcast(bad),
+            pairs["ps_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_excess_stock_suppliers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    pair AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      ELSE 0 END) AS q96,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      ELSE 0 END) AS q97
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM pair
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_13', 'NATION_23')
+      AND 2 * q96 > q97 AND q97 > 0
+    """,
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20: suppliers in chosen nations sitting on excess stock of a
+    part family — the nested double-correlated subquery (availqty adapted
+    to 1996 shipped volume vs half of 1997 demand: 2·q96 > q97 in exact
+    integers; 'forest%' adapted to 'red%'). Shape: Q20's two nested
+    subqueries decorrelate into ONE conditional aggregate — the part
+    family BROADCAST-semi-joins the fact BEFORE the (partkey, suppkey)
+    groupBy, both year sums ride that single exchange as filtered
+    partials, and the nation-sliced supplier dim broadcasts onto the
+    tiny survivor set; DISTINCT runs on <= |suppliers| rows."""
+    red = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    def _year_sum(y0: str, y1: str) -> F.Column:
+        in_y = (F.col("l_shipdate") >= F.lit(y0).cast("timestamp")) & (
+            F.col("l_shipdate") < F.lit(y1).cast("timestamp")
+        )
+        return F.sum(F.when(in_y, F.col("qty")).otherwise(F.lit(0)))
+
+    pair = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"],
+                "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            _year_sum("1996-01-01", "1997-01-01").alias("q96"),
+            _year_sum("1997-01-01", "1998-01-01").alias("q97"),
+        )
+        .filter((2 * F.col("q96") > F.col("q97")) & (F.col("q97") > 0))
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_13", "NATION_23")
+    ).select("n_nationkey")
+    sn = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    return (
+        pair.join(F.broadcast(sn), pair["l_suppkey"] == sn["s_suppkey"])
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
 @_q(
     "ev_gapfill_interpolate",
     """
@@ -7165,6 +7499,84 @@ def dim_upsert_latest(spark, sf_dir):
     )
 
 
+@_q(
+    "dim_upsert_asof",
+    """
+    WITH base AS (
+      SELECT c_custkey, CAST(-1 AS BIGINT) AS ts,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+             CAST(-1 AS BIGINT) AS src_id
+      FROM customer),
+    b1 AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(o_orderdate AS TIMESTAMP)) AS ts,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS bal_cents,
+             o_orderkey AS src_id
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM b1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY ts DESC, src_id DESC) AS rn
+          FROM u)
+    SELECT c_custkey, ts, bal_cents, src_id FROM r WHERE rn = 1
+    """,
+)
+def dim_upsert_asof(spark, sf_dir):
+    """[ext] The merge-on-read CDC path end to end
+    (functions/cdc.py::upsert_append_batch / read_upsert_as_of): the same
+    customer-balance dimension as dim_upsert_latest, but the two CDC
+    batches (orders before / since 1997) land as immutable append-log
+    partitions and the query reads the table AS OF batch 1 — exact time
+    travel. The oracle replays base + pre-1997 orders only, so a value
+    match proves the ``_batch <= 1`` partition filter really excluded
+    batch 2's files (plus the bucket layout, the latest-wins window and
+    the (ts, src_id, batch) tie order). 100 TB shape: each batch append
+    is O(batch) regardless of how many keys it touches — the
+    copy-on-write merge's write amplification traded for read-side
+    reconstruction, with every historical state queryable."""
+    import os as _os
+    import shutil as _shutil
+
+    from qcardia_data_spark.functions.cdc import (
+        read_upsert_as_of,
+        upsert_append_batch,
+        upsert_write_partitioned,
+    )
+
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lit(-1).cast("long").alias("ts"),
+        cents(F.col("c_acctbal")).alias("bal_cents"),
+        F.lit(-1).cast("long").alias("src_id"),
+    )
+    ups = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        _epoch_s(F.col("o_orderdate")).alias("ts"),
+        cents(F.col("o_totalprice")).alias("bal_cents"),
+        F.col("o_orderkey").alias("src_id"),
+        F.col("o_orderdate").alias("_od"),
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp",
+        f"upsert_asof_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if _os.path.isdir(path):  # a stale log would accrete extra batches
+        _shutil.rmtree(path)
+    upsert_write_partitioned(base, path, key="c_custkey", ts="ts", n_buckets=16)
+    upsert_append_batch(
+        spark, path, ups.filter(F.col("_od") < cut).drop("_od"), batch_id=1
+    )
+    upsert_append_batch(
+        spark, path, ups.filter(F.col("_od") >= cut).drop("_od"), batch_id=2
+    )
+    return read_upsert_as_of(spark, path, batch=1, tiebreak="src_id").select(
+        "c_custkey", "ts", "bal_cents", "src_id"
+    )
+
+
 _DRIFT_SPLIT_SQL = """
       SELECT value AS v,
              CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS _a,
@@ -7454,6 +7866,12 @@ _NEXT_IN_LINE = [
     "ev_drift_chisq",
     "ev_drift_ks",
     "x7_weighted_reservoir",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_excess_stock_suppliers",
+    "dim_upsert_asof",
 ]
 
 
