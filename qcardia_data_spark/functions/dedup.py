@@ -455,6 +455,55 @@ def containment_join(
         sh.unpersist()
 
 
+def winnow_share_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, w: int = 4, min_shared: int = 2, max_df: int = 20,
+) -> DataFrame:
+    """[ext] Near-duplicate candidate pairs from shared WINNOWING
+    fingerprints (:func:`~qcardia_data_spark.functions.text.
+    winnow_fingerprints`, Schleimer et al. SIGMOD'03) — the MOSS design:
+    detection guaranteed for any shared token run >= w + k - 1, on an
+    index only ~2/(w+1) the size of full n-gram indexing (what
+    :func:`ngram_jaccard_join` pays). The coarse/cheap tier of the
+    dedup ladder: winnowing pairs -> jaccard/containment verify.
+
+    ``max_df`` drops fingerprints selected in more than that many docs
+    BEFORE the pair join — the stop-shingle / star-hub guard: a
+    boilerplate gram selected corpus-wide would otherwise produce a
+    quadratic bucket (same lesson as lsh_candidate_pairs' hot-bucket
+    guard). ``min_shared`` keeps pairs sharing >= that many surviving
+    fingerprints.
+
+    100 TB shape: fingerprint rows are O(tokens · 2/(w+1)); the df table
+    is one map-side-combined groupBy; the pair join is an equi-join on
+    fp with every bucket <= max_df, so output per fp is <= max_df², never
+    data x data.
+    """
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    sel = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+    )
+    ok = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    s = sel.join(ok, "fp")
+    a = s.select("fp", F.col("_id").alias("a"))
+    b = s.select("fp", F.col("_id").alias("b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,

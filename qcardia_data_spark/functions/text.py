@@ -363,6 +363,79 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(hashed)
 
 
+_WINNOW_POS_CEIL = 10_000_000  # packed-key position bound (grams per doc)
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, w: int = 4,
+):
+    """[ext] MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every k-token gram, slide a window over w consecutive hashes, select
+    each window's MINIMUM hash (rightmost occurrence on ties). The
+    guarantee rolling_fingerprint lacks: any token run of length
+    >= w + k - 1 shared by two documents shares at least one SELECTED
+    fingerprint, at an expected index size of 2/(w+1) of the grams
+    (measured 0.39 at w=4 on the testdata corpus).
+
+    Returns one row per selected gram occurrence: (id, pos, fp).
+
+    Plan shape: gram hashing is map-only behind the explode(array())
+    tokenizer barrier (the no-CSE-in-HOF rule); selection is ONE window
+    pass riding a single (doc) exchange. The rightmost-tie rule needs no
+    nested window: (hash, reversed-position) pack into one string sort
+    key, so min() alone picks the winner. Windows that would run past
+    the last gram are dropped (start <= n_grams - w), except start 0
+    when the doc is shorter than one window — then the single truncated
+    window selects the doc's global rightmost min. 100 TB: O(tokens)
+    rows, one shuffle on doc id, no data x data joins.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
+    )
+    n_g = F.size("toks") - k + 1
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_g - 1),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")),
+    )
+    guarded = F.when(n_g > 0, hashes).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = tok.select(
+        F.col(id_col),
+        n_g.alias("ng"),
+        F.posexplode(guarded).alias("pos", "h"),
+    )
+    key = F.concat(
+        F.col("h"),
+        F.lpad(
+            (F.lit(_WINNOW_POS_CEIL) - F.col("pos")).cast("string"), 8, "0"
+        ),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.withColumn("skey", F.min(key).over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
+        .select(
+            F.col(id_col),
+            (F.lit(_WINNOW_POS_CEIL) - F.substring("skey", 33, 8).cast("int"))
+            .cast("long")
+            .alias("pos"),
+            F.substring("skey", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )
+
+
 # PII patterns kept to syntax shared by Java regex (Spark) and RE2 (DuckDB),
 # so every count/scrub is oracle-checkable. The phone pattern requires a
 # leading '+' so it cannot swallow IPv4 digit runs; scrub order is

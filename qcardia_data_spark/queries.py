@@ -2452,6 +2452,70 @@ def text_rolling_fp(spark, sf_dir):
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fp"))
 
 
+_WINNOW_SQL = r"""
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+        x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS nt, unnest(toks) AS wd,
+                   unnest(range(len(toks))) AS pos FROM norm),
+    g AS (SELECT doc_id, pos, nt - 2 AS ng,
+            md5(concat_ws(' ', wd, lead(wd, 1) OVER win,
+                          lead(wd, 2) OVER win)) AS h
+          FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    gg AS (SELECT doc_id, pos, ng,
+             h || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS key
+           FROM g WHERE pos < ng),
+    wsel AS (SELECT doc_id, pos, ng,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+            FROM gg),
+    fps AS (SELECT DISTINCT doc_id,
+              CAST(10000000 - CAST(substr(skey, 33, 8) AS BIGINT) AS BIGINT)
+                AS pos,
+              substr(skey, 1, 32) AS fp
+            FROM wsel WHERE pos <= greatest(ng - 4, 0))"""
+
+
+@_q(
+    "text_winnowing",
+    _WINNOW_SQL + """
+    SELECT doc_id, pos, fp FROM fps
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    # [ext] MOSS winnowing (SIGMOD'03): per-window rightmost-min gram
+    # hash selection, k=3 w=4 — guaranteed detection of shared runs
+    # >= w+k-1 tokens at ~2/(w+1) index size (functions/text.py::
+    # winnow_fingerprints). One window pass on the doc exchange.
+    docs = _t(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+@_q(
+    "dedup_winnowing_pairs",
+    _WINNOW_SQL + """,
+    u AS (SELECT DISTINCT doc_id, fp FROM fps),
+    ok AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 20),
+    s AS (SELECT u.doc_id, u.fp FROM u JOIN ok ON u.fp = ok.fp)
+    SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+    FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing_pairs(spark, sf_dir):
+    # [ext] the MOSS pair search: docs sharing >= 2 winnowed fingerprints
+    # after the max_df=20 stop-fingerprint guard (the star-hub lesson) —
+    # equi-join buckets bounded by max_df, never data x data
+    # (functions/dedup.py::winnow_share_pairs).
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_share_pairs(
+        docs, "doc_id", "text", k=3, w=4, min_shared=2, max_df=20
+    )
+
+
 @_q(
     "text_repetition_filter",
     r"""
@@ -7872,6 +7936,8 @@ _NEXT_IN_LINE = [
     "q16_parts_supplier_counts",
     "q20_excess_stock_suppliers",
     "dim_upsert_asof",
+    "text_winnowing",
+    "dedup_winnowing_pairs",
 ]
 
 

@@ -727,3 +727,102 @@ def test_chunk_and_token_entropy_spec_ops(spark, sf_dir):
     }
     for r in rows:
         assert r["token_entropy"] == direct.get(r["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, rows, k=3, w=4):
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+
+
+def test_winnow_detection_guarantee(spark):
+    """Any shared token run >= w + k - 1 tokens must share a SELECTED
+    fingerprint — the winnowing guarantee, on adversarial placements."""
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    docs = [
+        (1, f"xx yy {run} zz ww qq"),
+        (2, f"{run} pp oo nn mm ll kk jj"),
+        (3, f"aa bb cc dd ee ff gg hh {run}"),
+    ]
+    sel = _winnow(spark, docs).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert by_doc[a] & by_doc[b], f"docs {a},{b} share a 6-token run"
+
+
+def test_winnow_sampling_rate_and_determinism(spark):
+    """Selection is a strict subset of grams, deterministic across runs,
+    and every selected pos indexes a real gram."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(50)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(120)))
+            for i in range(20)]
+    a = sorted(map(tuple, _winnow(spark, docs).collect()))
+    b = sorted(map(tuple, _winnow(spark, docs).collect()))
+    assert a == b and a
+    n_grams = 20 * (120 - 3 + 1)
+    assert len(a) < n_grams  # strictly sampled
+    assert all(0 <= r[1] <= 120 - 3 for r in a)
+
+
+def test_winnow_short_and_empty_docs(spark):
+    """Docs shorter than one window select their global rightmost min;
+    docs shorter than k tokens (or empty) select nothing."""
+    sel = _winnow(spark, [(1, "a b c d"), (2, "a b"), (3, "   "), (4, "")])
+    rows = sel.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == 1  # 2 grams, one truncated window, one winner
+
+
+def test_winnow_rightmost_tie(spark):
+    """A doc of one repeated token has identical gram hashes everywhere:
+    each window must select its RIGHTMOST position (Schleimer's robust
+    rule), so selected positions are exactly {w-1, ..., ng-1} ∩ starts+w-1."""
+    rows = _winnow(spark, [(1, " ".join(["x"] * 10))]).collect()
+    # ng = 8 grams, w = 4: window starting at i selects pos i+3 (rightmost)
+    assert sorted(r["pos"] for r in rows) == [3, 4, 5, 6, 7]
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange for the doc window; the distinct's exchange rides
+    # the same partitioning only if keys align — allow <= 2 total
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_winnow_share_pairs_guard_and_floor(spark):
+    """max_df drops corpus-wide boilerplate fingerprints before the join;
+    min_shared floors the pair evidence."""
+    from qcardia_data_spark.functions.dedup import winnow_share_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    docs = [(i, boiler + f" uniq{i} end{i}") for i in range(8)]
+    docs += [(100, "one two three four five six seven eight nine"),
+             (101, "one two three four five six seven eight nine ten")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # guard OFF (max_df high): the 8 boilerplate docs all pair up
+    loose = winnow_share_pairs(df, max_df=100, min_shared=2).collect()
+    boiler_pairs = {(r["a"], r["b"]) for r in loose if r["a"] < 100}
+    assert len(boiler_pairs) == 8 * 7 // 2
+    # guard ON: boilerplate fps (df=8 > 5) drop; the near-dup pair stays
+    tight = winnow_share_pairs(df, max_df=5, min_shared=2).collect()
+    keys = {(r["a"], r["b"]) for r in tight}
+    assert (100, 101) in keys
+    assert not any(a < 100 for a, _ in keys)
