@@ -102,6 +102,62 @@ def pagerank(
     return ranks
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source node, bounded
+    at ``max_hops`` — the fourth iterative family (single-source /
+    multi-source shortest paths on an unweighted directed graph).
+
+    ``sources`` is a one-column DataFrame of seed nodes (column ``node``);
+    unreachable nodes (within the bound) are absent from the output.
+    Returns (node, hops) with hops = the BFS level the node was FIRST
+    reached at, which is the exact shortest hop distance.
+
+    Plan shape per level: frontier ⋈ edges equi-join on src, distinct on
+    the new frontier, anti-join against the visited set — the standard
+    no-Pregel BFS; every step is a key-partitioned join, never data x
+    data. The visited set grows monotonically but is only ever probed by
+    key (anti-join), and each level ends in ``localCheckpoint`` so
+    lineage is O(1) per level instead of O(levels²) (the CC/PageRank
+    idiom). Early exit when a frontier empties: one bounded driver
+    count per level, never a row collect. 100 TB: levels are driver-
+    bounded; skewed out-degree hubs land in the distinct's map-side
+    partials.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).persist()
+    try:
+        dist = (
+            sources.select(F.col("node"))
+            .distinct()
+            .withColumn("hops", F.lit(0).cast("int"))
+            .localCheckpoint()
+        )
+        frontier = dist.select("node")
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["e_src"])
+                .select(F.col("e_dst").alias("node"))
+                .distinct()
+                .join(dist.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("int"))
+                .localCheckpoint()
+            )
+            if not nxt.take(1):
+                break
+            dist = dist.unionByName(nxt).localCheckpoint()
+            frontier = nxt.select("node")
+        return dist
+    finally:
+        e.unpersist()
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
     """Exact global + per-node triangle counts over an undirected simple
     graph (parallel edges and direction collapse first).

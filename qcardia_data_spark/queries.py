@@ -7446,6 +7446,73 @@ def ev_handoff_triangles(spark, sf_dir):
 
 
 @_q(
+    "ev_handoff_bfs_hops",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT event_type, event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    h AS (
+      SELECT user_id,
+             lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY s, event_id) AS prev_user
+      FROM e0),
+    edges AS (SELECT DISTINCT prev_user AS src, user_id AS dst
+              FROM h WHERE prev_user IS NOT NULL
+                AND prev_user < user_id AND user_id - prev_user <= 12),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+    srcs AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 8)
+    SELECT node AS user_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def ev_handoff_bfs_hops(spark, sf_dir):
+    """[ext] Multi-source BFS shortest hop counts
+    (functions/graph.py::bfs_hops) — the fourth iterative family, over
+    the ESCALATION slice of the handoff graph (handoffs to a nearby
+    higher user id: a DAG deep enough to need 8 BFS levels at sf0.01,
+    where the full handoff graph has diameter ~2). Sources = user ids
+    divisible by 97. The oracle replays the frontier expansion as a
+    recursive CTE with min(hops) — exactly the BFS level a node is
+    first reached at — so a value match grades every level of the
+    iterative loop. Each Spark level: frontier ⋈ edges equi-join,
+    distinct, anti-join vs visited, localCheckpoint (O(1) lineage);
+    early exit on an empty frontier costs one take(1) per level."""
+    from qcardia_data_spark.functions.graph import bfs_hops
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    h = ev.select(
+        "event_type", "event_id", "user_id", _epoch_s(F.col("ts")).alias("s")
+    ).select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    edges = h.filter(
+        F.col("prev_user").isNotNull()
+        & (F.col("prev_user") < F.col("user_id"))
+        & (F.col("user_id") - F.col("prev_user") <= 12)
+    ).select(
+        F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = nodes.filter(F.col("node") % 97 == 0)
+    out = bfs_hops(edges, srcs, max_hops=8)
+    return out.select(
+        F.col("node").alias("user_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+@_q(
     "ev_scd2_user_state",
     """
     WITH e AS (
@@ -7938,6 +8005,7 @@ _NEXT_IN_LINE = [
     "dim_upsert_asof",
     "text_winnowing",
     "dedup_winnowing_pairs",
+    "ev_handoff_bfs_hops",
 ]
 
 

@@ -169,3 +169,44 @@ def test_star_cc_spec_op(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_chain_and_bound(spark):
+    from qcardia_data_spark.functions.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3 -> 4, plus a shortcut 0 -> 3 and an island 9 -> 10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (9, 10)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, srcs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # shortcut wins; island absent
+    # bound truncates: max_hops=1 reaches only direct neighbors
+    got1 = {r["node"]: r["hops"]
+            for r in bfs_hops(edges, srcs, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    from qcardia_data_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 3)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(0,), (5,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, srcs).collect()}
+    assert got[3] == 1  # reached from 5 in 1 hop, not from 0 in 3
+
+
+def test_bfs_hops_cycle_terminates(spark):
+    from qcardia_data_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, srcs, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # visited set stops the cycle
