@@ -101,3 +101,83 @@ def heavy_hitters(
                     f"budget m={m} too small for this corpus; raise m"
                 )
     return result
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table — the mergeable-sketch form of approx distinct
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(df, keys, value_col: str, p: int = 4):
+    """Deterministic HyperLogLog register table (Flajolet et al., AofA'07):
+    md5-bucket each value into ``m = 2**p`` registers and keep
+    ``max_rho`` = the maximum leading-zero rank observed per register.
+
+    The register table IS the sketch, and it is the point: registers
+    merge by plain ``max`` across any partitioning of the data — per
+    group, per partition, per day — so a 100 TB distinct count is one
+    map-side-combined groupBy producing ``groups × m`` tiny rows, never
+    a count-distinct shuffle of the raw values. Spark's own
+    ``approx_count_distinct`` keeps its HLL buffers opaque; this form
+    persists/merges/rolls up as ordinary rows (the Timescale
+    "two-step aggregate" pattern) and — because bucket and rank both
+    derive from md5 — is bit-identical in any engine, so the whole
+    sketch is oracle-checkable (unlike engine-native HLL).
+
+    rho uses 24 bits after the bucket nibble(s): rho = 25 - bitlength(v)
+    (v = 0 → 25), via the minimal binary-string length — integer/string
+    ops only, no cross-engine float log. ``p`` must be a multiple of 4
+    (whole md5 hex chars). Returns (keys..., register, max_rho); absent
+    registers mean "never hit" (rank 0) and are left implicit.
+    """
+    if p % 4 != 0 or p <= 0 or p > 16:
+        raise ValueError("hll_registers: p must be a multiple of 4 in 4..16")
+    nib = p // 4
+    h = F.md5(F.col(value_col).cast("string"))
+    register = F.conv(F.substring(h, 1, nib), 16, 10).cast("long")
+    v = F.conv(F.substring(h, nib + 1, 6), 16, 10).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin(v)))
+        .cast("long")
+    )
+    return (
+        df.select(*keys, register.alias("register"), rho.alias("rho"))
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(registers, group_out: dict[str, str], by=("register",)):
+    """Merge HLL register tables upward: max over registers across the
+    collapsed keys. ``group_out`` maps output key columns to literal
+    values (e.g. ``{"event_type": "__all__"}``)."""
+    out = registers.groupBy(*by).agg(F.max("max_rho").alias("max_rho"))
+    for c, lit in group_out.items():
+        out = out.withColumn(c, F.lit(lit))
+    return out.select(*group_out.keys(), *by, "max_rho")
+
+
+def hll_estimate(registers, keys, p: int = 4):
+    """Distinct-count estimate from a register table (per ``keys`` group):
+    the standard HLL raw estimator with linear-counting small-range
+    correction. Float path (harmonic mean + ln) — use for consumption;
+    the register table itself is the exact, oracle-checkable artifact.
+    """
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    g = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s_hit"),
+        F.count("*").alias("_n_hit"),
+    )
+    zeros = F.lit(m) - F.col("_n_hit")
+    s = F.col("_s_hit") + zeros.cast("double")  # absent registers: 2^0 each
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return g.select(*keys, est.alias("estimate"))

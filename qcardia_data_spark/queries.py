@@ -870,6 +870,49 @@ def a12_approx(spark, sf_dir):
 
 
 @_q(
+    "a15_hll_rollup",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                  AS BIGINT) AS register,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 2, 6)
+                  AS BIGINT) AS v
+      FROM events),
+    r AS (SELECT event_type, register,
+                 CASE WHEN v = 0 THEN 25
+                      ELSE 25 - length(bin(v)) END AS rho
+          FROM h),
+    per AS (SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
+            FROM r GROUP BY event_type, register)
+    SELECT event_type, register, max_rho FROM per
+    UNION ALL
+    SELECT '__all__' AS event_type, register,
+           max(max_rho) AS max_rho
+    FROM per GROUP BY register
+    """,
+)
+def a15_hll_rollup(spark, sf_dir):
+    """[ext] Deterministic HyperLogLog register table + rollup merge
+    (functions/sketches.py::hll_registers/hll_merge) — the
+    VALUE-CHECKABLE sibling of a12: Spark's native HLL buffers are
+    engine-opaque (a12 can only grade an error bound), but md5-derived
+    registers are bit-identical in any engine, so the driver grades the
+    ENTIRE sketch, including the two-step rollup: the '__all__' level is
+    max-merged FROM the per-type registers, never recomputed from raw
+    rows — the mergeability property that makes the sketch a sketch.
+    rho comes from binary-string length (no cross-engine float log).
+    100 TB: one map-side-combined groupBy to groups x 16 rows; the
+    rollup reads only those."""
+    from qcardia_data_spark.functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    per = SK.hll_registers(ev, ["event_type"], "user_id", p=4)
+    merged = SK.hll_merge(per, {"event_type": "__all__"})
+    return per.unionByName(merged.select("event_type", "register", "max_rho"))
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8006,6 +8049,7 @@ _NEXT_IN_LINE = [
     "text_winnowing",
     "dedup_winnowing_pairs",
     "ev_handoff_bfs_hops",
+    "a15_hll_rollup",
 ]
 
 

@@ -98,3 +98,54 @@ def test_jsonl_document_scan_roundtrip_and_corrupt_audit(spark, tmp_path):
     # materializing before a corrupt-column-only query (docstring NB)
     parsed = df.localCheckpoint(eager=True)
     assert parsed.filter(F.col("_corrupt").isNotNull()).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL register sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_merge_equals_direct(spark):
+    """Mergeability: max-merging per-group registers == building the
+    sketch over the whole table in one pass."""
+    from qcardia_data_spark.functions.sketches import hll_merge, hll_registers
+
+    rows = [(f"g{i % 3}", f"v{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    per = hll_registers(df, ["grp"], "val", p=4)
+    merged = {
+        (r["register"], r["max_rho"])
+        for r in hll_merge(per, {"grp": "__all__"}).collect()
+    }
+    direct = {
+        (r["register"], r["max_rho"])
+        for r in hll_registers(
+            df.withColumn("grp", __import__("pyspark").sql.functions.lit("__all__")),
+            ["grp"], "val", p=4,
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_error(spark):
+    """p=8 (256 registers, ~6.5% rsd): estimate lands within 4 sigma of
+    the true distinct count on each of three cardinalities."""
+    from qcardia_data_spark.functions.sketches import hll_estimate, hll_registers
+
+    for true_n in (50, 1000, 20000):
+        df = spark.createDataFrame(
+            [(("x"), f"k{i}") for i in range(true_n)], ["grp", "val"]
+        )
+        regs = hll_registers(df, ["grp"], "val", p=8)
+        est = hll_estimate(regs, ["grp"], p=8).collect()[0]["estimate"]
+        assert abs(est - true_n) <= 4 * 0.065 * true_n + 3, (true_n, est)
+
+
+def test_hll_registers_p_validation(spark):
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.sketches import hll_registers
+
+    df = spark.createDataFrame([("a", "b")], ["g", "v"])
+    with _pytest.raises(ValueError, match="multiple of 4"):
+        hll_registers(df, ["g"], "v", p=5)
