@@ -414,6 +414,41 @@ def _apply(
             return pairs
         contained = pairs.select(F.col("a").alias(id_col)).distinct()
         return df.join(contained, id_col, "left_anti")
+    if kind == "winnow_dedup":
+        from qcardia_data_spark.functions.dedup import winnow_share_pairs
+
+        # {"op": "winnow_dedup", "id_col": ..., "text_col": ..., "k": 3,
+        #  "w": 4, "min_shared": 2, "max_df": 20, "pairs_only": false} —
+        # MOSS winnowing near-dup gate: guaranteed detection of shared
+        # runs >= w+k-1 tokens at ~2/(w+1) index size (the cheap coarse
+        # tier before ngram_jaccard/containment verify); drops the larger
+        # id of each pair, pairs_only returns (a, b, shared).
+        id_col = op.get("id_col", "doc_id")
+        pairs = winnow_share_pairs(
+            df, id_col, op.get("text_col", "text"),
+            k=int(op.get("k", 3)), w=int(op.get("w", 4)),
+            min_shared=int(op.get("min_shared", 2)),
+            max_df=int(op.get("max_df", 20)),
+        )
+        if op.get("pairs_only", False):
+            return pairs
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
+    if kind == "hll_registers":
+        from qcardia_data_spark.functions import sketches as _SK
+
+        # {"op": "hll_registers", "keys": [...], "value_col": ...,
+        #  "p": 4, "merge_to": {"col": "literal", ...}?} — deterministic
+        # md5 HLL register table per key group (engine-portable,
+        # value-checkable); with merge_to, max-merges the per-group
+        # registers into ONE rolled-up sketch labeled by the literals.
+        regs = _SK.hll_registers(
+            df, list(op.get("keys", [])), op["value_col"],
+            p=int(op.get("p", 4)),
+        )
+        if "merge_to" in op:
+            return _SK.hll_merge(regs, dict(op["merge_to"]))
+        return regs
     if kind == "gopher_rules":
         from qcardia_data_spark.functions.text import gopher_rules, word_tokens
 
@@ -1270,7 +1305,8 @@ def _apply(
             spark, op["path"], df, tiebreak=op.get("tiebreak")
         )
         return read_upsert_table(spark, op["path"])
-    if kind in ("pagerank", "triangle_count", "connected_components"):
+    if kind in ("pagerank", "triangle_count", "connected_components",
+                "bfs_hops"):
         # Graph family (functions/graph.py) over an edge-shaped frame:
         #   {"op": "pagerank", "src": "src", "dst": "dst",
         #    "damping": 0.875, "iters": 3}       -> (node, rank)
@@ -1293,6 +1329,22 @@ def _apply(
             return _G.connected_components_star(
                 df, src_c, dst_c,
                 max_rounds=int(op.get("max_rounds", 40)),
+            )
+        if kind == "bfs_hops":
+            #   {"op": "bfs_hops", "src": ..., "dst": ...,
+            #    "sources_where": "node % 97 = 0", "max_hops": 6}
+            #                                      -> (node, hops)
+            #       multi-source shortest hop counts; sources_where is a
+            #       SQL predicate over the derived `node` column
+            nodes = (
+                df.select(F.col(src_c).alias("node"))
+                .unionByName(df.select(F.col(dst_c).alias("node")))
+                .distinct()
+            )
+            srcs = nodes.filter(F.expr(op["sources_where"]))
+            return _G.bfs_hops(
+                df, srcs, src_c, dst_c,
+                max_hops=int(op.get("max_hops", 6)),
             )
         return _G.triangle_count(df, src_c, dst_c)
     if kind in (

@@ -1158,3 +1158,70 @@ def test_spec_containment_dedup_op(spark, sf_dir):
     contained = {a for (a, _b) in want}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert {r["doc_id"] for r in gated.select("doc_id").collect()} == all_ids - contained
+
+
+def test_spec_winnow_dedup_op(spark, sf_dir, tmp_path):
+    run = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, run + " tail one"), (2, run + " tail two"),
+         (3, "entirely different words here to stand alone quietly")],
+        ["doc_id", "text"],
+    )
+    p = str(tmp_path / "winnow_in")
+    docs.write.parquet(p)
+    pairs = compile_pipeline(
+        spark,
+        [{"op": "source", "path": p},
+         {"op": "winnow_dedup", "max_df": 10, "pairs_only": True}],
+        sf_dir,
+    ).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+    kept = compile_pipeline(
+        spark,
+        [{"op": "source", "path": p},
+         {"op": "winnow_dedup", "max_df": 10}],
+        sf_dir,
+    ).collect()
+    assert {r["doc_id"] for r in kept} == {1, 3}  # larger id of the pair drops
+
+
+def test_spec_bfs_hops_op(spark, sf_dir, tmp_path):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 8)], ["src", "dst"]
+    )
+    p = str(tmp_path / "bfs_edges")
+    edges.write.parquet(p)
+    out = compile_pipeline(
+        spark,
+        [{"op": "source", "path": p},
+         {"op": "bfs_hops", "sources_where": "node = 0", "max_hops": 2}],
+        sf_dir,
+    ).collect()
+    assert {(r["node"], r["hops"]) for r in out} == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_spec_hll_registers_op(spark, sf_dir):
+    from qcardia_data_spark.functions.sketches import hll_registers
+
+    base = [
+        {"op": "source", "table": "events"},
+        {"op": "hll_registers", "keys": ["event_type"],
+         "value_col": "user_id", "p": 4},
+    ]
+    regs = compile_pipeline(spark, base, sf_dir)
+    direct = hll_registers(
+        compile_pipeline(spark, [{"op": "source", "table": "events"}], sf_dir),
+        ["event_type"], "user_id", p=4,
+    )
+    assert sorted(map(tuple, regs.collect())) == sorted(map(tuple, direct.collect()))
+    rolled = compile_pipeline(
+        spark,
+        [
+            {"op": "source", "table": "events"},
+            {"op": "hll_registers", "keys": ["event_type"],
+             "value_col": "user_id", "p": 4,
+             "merge_to": {"event_type": "__all__"}},
+        ],
+        sf_dir,
+    ).collect()
+    assert all(r["event_type"] == "__all__" for r in rolled) and rolled
