@@ -181,3 +181,68 @@ def hll_estimate(registers, keys, p: int = 4):
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return g.select(*keys, est.alias("estimate"))
+
+
+def hll_store_merge(spark, path: str, registers, p: int) -> None:
+    """Merge a register table into a persisted HLL store at ``path``
+    (creating it on first call), the incremental-index form of the
+    sketch: the store always holds the max-merged registers of every
+    batch ever offered.
+
+    Params and key columns are frozen in ``_hll_meta`` on first write and
+    enforced afterwards (the `_lsh_meta`/`_sig_meta` pattern — a probe or
+    merge with different params would silently produce garbage, so drift
+    refuses loudly). Merging is max: idempotent and commutative, so
+    replays and out-of-order batches converge with no sink machinery —
+    but the store is derived FROM the rows the overwrite replaces, so the
+    merged frame is materialized through ``localCheckpoint`` first (the
+    cdc/dedup lineage-barrier lesson).
+    """
+    import os
+
+    keys = [c for c in registers.columns if c not in ("register", "max_rho")]
+    meta_path = f"{path}/_hll_meta"
+    rows_path = f"{path}/rows"
+    if os.path.isdir(meta_path):
+        row = spark.read.json(meta_path).collect()[0]
+        if int(row["p"]) != int(p) or list(row["keys"]) != keys:
+            raise ValueError(
+                f"hll_store_merge: store at {path!r} was built with "
+                f"p={row['p']}, keys={list(row['keys'])}; got p={p}, "
+                f"keys={keys} — sketches with different params do not merge"
+            )
+        combined = spark.read.parquet(rows_path).unionByName(registers)
+    else:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("p", T.IntegerType()),
+            T.StructField("keys", T.ArrayType(T.StringType())),
+        ])
+        spark.createDataFrame([(int(p), keys)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(meta_path)
+        combined = registers
+    merged = (
+        combined.groupBy(*keys, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .localCheckpoint(eager=True)  # barrier: derived from rows we replace
+    )
+    merged.write.mode("overwrite").parquet(rows_path)
+
+
+def hll_store_read(spark, path: str):
+    """Read back the persisted register table (keys..., register, max_rho)."""
+    return spark.read.parquet(f"{path}/rows")
+
+
+def hll_register_intake_batch(
+    batch_df, store_path: str, keys: list[str], value_col: str, p: int = 4
+) -> None:
+    """One micro-batch of the streaming HLL intake: sketch the batch,
+    max-merge into the store (no-op on an empty batch). Shared by
+    `streaming.events.streaming_hll_intake` and batch backfills."""
+    if batch_df.isEmpty():
+        return
+    regs = hll_registers(batch_df, keys, value_col, p=p)
+    hll_store_merge(batch_df.sparkSession, store_path, regs, p=p)

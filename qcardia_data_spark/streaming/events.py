@@ -447,3 +447,43 @@ def streaming_upsert_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hll_intake(
+    stream: DataFrame, store_path: str, checkpoint: str,
+    keys: list[str], value_col: str, p: int = 4,
+    available_now: bool = True,
+):
+    """[ext] Streaming distinct-count sketch intake — the continuous form
+    of `sketches.hll_registers` + `hll_store_merge`: each micro-batch is
+    sketched into its md5 register table (groups x 2^p tiny rows) and
+    max-merged into the persisted store, which therefore always answers
+    "distinct values so far, per group" without ever shuffling raw
+    values or holding per-value streaming state. Memory is O(batch) +
+    O(groups x 2^p) — the sketch IS the state, and it lives in the
+    store, the `streaming_ann_index_intake` argument.
+
+    Delivery: max-merge is idempotent and commutative, so at-least-once
+    replays and out-of-order batches converge exactly — no `_batch=`
+    sink machinery; param drift across restarts is refused by the
+    store's own `_hll_meta`.
+
+    Returns the started `StreamingQuery` (availableNow drains the
+    backlog and stops).
+    """
+    from qcardia_data_spark.functions.sketches import (
+        hll_register_intake_batch,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        hll_register_intake_batch(
+            batch_df, store_path, keys=keys, value_col=value_col, p=p
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

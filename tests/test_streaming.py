@@ -892,3 +892,61 @@ def test_streaming_gapfill_locf_prefix_matches_batch_query(spark, tmp_path):
         bs.sort()
         assert bs[0] == want_h0[u]
         assert bs == list(range(bs[0], bs[-1] + 1))
+
+
+def test_streaming_hll_intake_converges_and_replays(spark, sf_dir, tmp_path):
+    """Streaming HLL intake: per-file micro-batches max-merge into the
+    store, which must equal the one-pass sketch over the whole table; a
+    full replay from a fresh checkpoint leaves it unchanged (max is
+    idempotent); param drift is refused by _hll_meta."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.sketches import (
+        hll_registers,
+        hll_store_merge,
+        hll_store_read,
+    )
+    from qcardia_data_spark.streaming.events import streaming_hll_intake
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    incoming = str(tmp_path / "incoming")
+    ev.repartition(3).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    store = str(tmp_path / "hll_store")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_hll_intake(
+            stream, store, str(tmp_path / ckpt),
+            keys=["event_type"], value_col="user_id", p=4,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain("ck1")
+    want = sorted(
+        map(tuple, hll_registers(ev, ["event_type"], "user_id", p=4)
+            .select("event_type", "register", "max_rho").collect())
+    )
+    got = sorted(
+        map(tuple, hll_store_read(spark, store)
+            .select("event_type", "register", "max_rho").collect())
+    )
+    assert got == want
+
+    drain("ck2")  # fresh checkpoint: full replay must converge unchanged
+    got2 = sorted(
+        map(tuple, hll_store_read(spark, store)
+            .select("event_type", "register", "max_rho").collect())
+    )
+    assert got2 == want
+
+    with _pytest.raises(ValueError, match="do not merge"):
+        hll_store_merge(
+            spark, store,
+            hll_registers(ev, ["event_type"], "user_id", p=8), p=8,
+        )
