@@ -246,3 +246,82 @@ def hll_register_intake_batch(
         return
     regs = hll_registers(batch_df, keys, value_col, p=p)
     hll_store_merge(batch_df.sparkSession, store_path, regs, p=p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the mergeable frequency twin of the HLL register table
+# ---------------------------------------------------------------------------
+
+
+def cms_table(df, keys, value_col: str, depth: int = 3, width: int = 64):
+    """Deterministic Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05):
+    ``depth`` independent md5 hash rows of ``width`` counters each, one
+    (row, bucket, n) cell per key group. Like :func:`hll_registers`, the
+    sketch is a plain row table that merges by SUM across any
+    partitioning (per group / per day / per stream batch), and — because
+    every bucket derives from md5 — it is bit-identical in any engine,
+    so the whole sketch is oracle-checkable.
+
+    Point-estimate of a value's frequency = min over the depth rows of
+    its bucket's counter (:func:`cms_lookup`): an overestimate with
+    P[err > 2n/width] < (1/2)^depth, never an underestimate.
+
+    100 TB: one explode to depth x rows (bounded, default 3), one
+    map-side-combined groupBy to groups x depth x width cells — the
+    frequency table for a corpus whose distinct-value count dwarfs
+    memory, without a per-distinct-value shuffle.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("cms_table: depth and width must be >= 1")
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    rows = df.select(*keys, F.col(value_col).cast("string").alias("_v"), d)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("_v"), F.col("row"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(int(width)),
+    ).alias("bucket")
+    return (
+        rows.select(*keys, F.col("row").cast("long").alias("row"), bucket)
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(sketches, group_out: dict[str, str], by=("row", "bucket")):
+    """Merge CMS tables upward: SUM counters across collapsed keys."""
+    out = sketches.groupBy(*by).agg(F.sum("n").alias("n"))
+    for c, lit in group_out.items():
+        out = out.withColumn(c, F.lit(lit))
+    return out.select(*group_out.keys(), *by, "n")
+
+
+def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
+    """Frequency point-estimates: min over the sketch's depth rows of the
+    probed value's buckets. ``probes`` is a DataFrame carrying ``keys``
+    + ``value_col``; returns it with an ``est_n`` column (0 when no row
+    of the sketch was ever hit — a value the sketch never saw still
+    collides into SOME bucket, so absent cells read as 0 via the
+    left join). The probe side is the small side: broadcast it."""
+    d = sketch.select("row").distinct()
+    p = probes.join(F.broadcast(d))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "#", F.col(value_col).cast("string"), F.col("row")
+                )), 1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(int(width)),
+    ).alias("bucket")
+    p = p.select(*keys, F.col(value_col), F.col("row"), bucket)
+    j = p.join(sketch, [*keys, "row", "bucket"], "left")
+    return (
+        j.groupBy(*keys, value_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

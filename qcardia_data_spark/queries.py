@@ -913,6 +913,43 @@ def a15_hll_rollup(spark, sf_dir):
 
 
 @_q(
+    "a16_cms_rollup",
+    """
+    WITH d AS (SELECT unnest(range(3)) AS row),
+    b AS (SELECT event_type, row,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#'
+                                    || CAST(row AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 64 AS bucket
+          FROM events CROSS JOIN d),
+    per AS (SELECT event_type, CAST(row AS BIGINT) AS row, bucket,
+                   count(*) AS n
+            FROM b GROUP BY event_type, row, bucket)
+    SELECT event_type, row, bucket, n FROM per
+    UNION ALL
+    SELECT '__all__' AS event_type, row, bucket, sum(n) AS n
+    FROM per GROUP BY row, bucket
+    """,
+)
+def a16_cms_rollup(spark, sf_dir):
+    """[ext] Count-Min sketch table + rollup merge
+    (functions/sketches.py::cms_table/cms_merge) — the frequency twin of
+    a15's HLL registers: depth x width md5-bucketed counters per group,
+    merged upward by plain SUM ('__all__' is summed FROM the per-type
+    cells, never recomputed from raw rows). Every cell derives from md5,
+    so the driver value-checks the ENTIRE sketch cross-engine — point
+    estimates (cms_lookup: min over depth rows, never an underestimate)
+    are then pure arithmetic on graded cells. 100 TB: one bounded
+    explode (depth 3) + one map-side-combined groupBy to
+    groups x depth x width cells; no per-distinct-value shuffle."""
+    from qcardia_data_spark.functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    per = SK.cms_table(ev, ["event_type"], "user_id", depth=3, width=64)
+    merged = SK.cms_merge(per, {"event_type": "__all__"})
+    return per.unionByName(merged.select("event_type", "row", "bucket", "n"))
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8050,6 +8087,7 @@ _NEXT_IN_LINE = [
     "dedup_winnowing_pairs",
     "ev_handoff_bfs_hops",
     "a15_hll_rollup",
+    "a16_cms_rollup",
 ]
 
 

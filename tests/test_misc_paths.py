@@ -149,3 +149,68 @@ def test_hll_registers_p_validation(spark):
     df = spark.createDataFrame([("a", "b")], ["g", "v"])
     with _pytest.raises(ValueError, match="multiple of 4"):
         hll_registers(df, ["g"], "v", p=5)
+
+
+def test_cms_merge_equals_direct_and_lookup_bounds(spark):
+    """CMS: sum-merge of per-group sketches == one-pass sketch; point
+    estimates never underestimate and are exact when width >> distincts."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.sketches import (
+        cms_lookup,
+        cms_merge,
+        cms_table,
+    )
+
+    rows = [(f"g{i % 2}", f"v{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    per = cms_table(df, ["grp"], "val", depth=3, width=64)
+    merged = sorted(
+        map(tuple, cms_merge(per, {"grp": "__all__"}).collect())
+    )
+    direct = sorted(
+        map(tuple, cms_table(
+            df.withColumn("grp", F.lit("__all__")), ["grp"], "val",
+            depth=3, width=64,
+        ).collect())
+    )
+    assert merged == direct
+
+    true_counts = {("g0", f"v{v}"): 0 for v in range(7)}
+    true_counts.update({("g1", f"v{v}"): 0 for v in range(7)})
+    for g, v in rows:
+        true_counts[(g, v)] += 1
+    probes = spark.createDataFrame(
+        [(g, v) for (g, v) in true_counts], ["grp", "val"]
+    )
+    est = {
+        (r["grp"], r["val"]): r["est_n"]
+        for r in cms_lookup(per, probes, ["grp"], "val", width=64).collect()
+    }
+    for kv, n in true_counts.items():
+        assert est[kv] >= n  # never underestimates
+    # 7 distinct values, width 64: collisions are unlikely but legal;
+    # depth-3 min must be exact here for at least most values
+    assert sum(est[kv] == n for kv, n in true_counts.items()) >= 12
+
+
+def test_cms_lookup_unseen_value_small(spark):
+    from qcardia_data_spark.functions.sketches import cms_lookup, cms_table
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(50)], ["grp", "val"]
+    )
+    sk = cms_table(df, ["grp"], "val", depth=3, width=256)
+    probes = spark.createDataFrame([("g", "never-seen")], ["grp", "val"])
+    est = cms_lookup(sk, probes, ["grp"], "val", width=256).collect()[0]
+    assert 0 <= est["est_n"] <= 2  # collision overestimate bounded
+
+
+def test_cms_validation(spark):
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.sketches import cms_table
+
+    df = spark.createDataFrame([("a", "b")], ["g", "v"])
+    with _pytest.raises(ValueError, match=">= 1"):
+        cms_table(df, ["g"], "v", depth=0)
