@@ -100,3 +100,12 @@ def jsonl_document_scan(
     if schema is not None:
         reader = reader.schema(f"{schema}, {corrupt_col} STRING")
     return reader.json(path)
+
+
+def orc_scan(spark: SparkSession, path: str) -> DataFrame:
+    """[ext] ORC source — Spark's other native columnar format (built-in
+    reader, no extra jar): predicate pushdown + column pruning work the
+    same as parquet, so an ORC-resident corpus plugs into every operator
+    unchanged. Exists so a user migrating an ORC warehouse needs no
+    conversion pass."""
+    return spark.read.orc(path)

@@ -162,3 +162,15 @@ def collect_split_dict(assignment: DataFrame, subject_col: str = "subject_id") -
         for k in datasets:
             datasets[k] = sorted(datasets[k])
     return out
+
+
+def write_records_orc(
+    df: DataFrame, path: str, order_by: Sequence[str],
+    partition_by: Sequence[str] = (), mode: str = "overwrite",
+) -> None:
+    """[ext] ORC twin of :func:`write_records` — canonical sort + atomic
+    commit in Spark's other native columnar format (zlib by default)."""
+    writer = df.orderBy(*order_by).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

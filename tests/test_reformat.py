@@ -67,3 +67,31 @@ def test_reformat_under_cache_layer(spark, raw_dir, tmp_path):
     p2, built2 = materialize(spark, build, str(tmp_path), spec)
     assert built1 and not built2 and len(calls) == 1
     assert spark.read.parquet(p1).count() == 20
+
+
+def test_orc_roundtrip_pushdown_and_partition_prune(spark, sf_dir, tmp_path):
+    """ORC source/sink: values survive the roundtrip, filters reach the
+    ORC scan (PushedFilters), and directory partitioning prunes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.sources.readers import orc_scan
+    from qcardia_data_spark.sources.writers import write_records_orc
+
+    src = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    p = str(tmp_path / "nation_orc")
+    write_records_orc(src, p, order_by=["n_nationkey"],
+                      partition_by=["n_regionkey"])
+    back = orc_scan(spark, p)
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == \
+        sorted(map(tuple, src.collect()))
+    q = back.filter(F.col("n_nationkey") > 10).select("n_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+    pruned = back.filter(F.col("n_regionkey") == 2)
+    files = {
+        r["f"] for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files and all("n_regionkey=2" in f for f in files)
