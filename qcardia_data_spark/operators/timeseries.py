@@ -352,3 +352,63 @@ def lttb_downsample(
         F.col("_t").getField("a2").alias("area2"),
         "n_points",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    id_col: str,
+    cutoff: float = 3.5,
+    consistency: float = 0.6745,
+) -> DataFrame:
+    """[ext] Robust outlier scoring via median absolute deviation — the
+    breakdown-resistant twin of the rolling z-score (a single wild value
+    inflates mean AND stddev, masking itself; the median/MAD pair has a
+    50% breakdown point). score = consistency·(x − median)/MAD (0.6745
+    makes it comparable to a z-score under normality, Iglewicz & Hoaglin
+    1993); |score| > cutoff (3.5) flags the outlier.
+
+    Cross-engine determinism: medians are DISCRETE lower medians — the
+    row at rank (n+1) div 2 under the total order (value, id) — never an
+    interpolated percentile, so both engines pick the SAME stored value
+    with zero float averaging. Keys whose MAD is 0 (over half the values
+    identical) emit nothing: the score there is 0/0 noise, the
+    refuse-quietly analog of the zscore op's sd > 0 gate.
+
+    Plan: two window passes, both riding ONE hash exchange on ``key``
+    (rank-by-value, then rank-by-deviation); the per-key median/MAD
+    frames are one row per key and join back broadcast-cheap. 100 TB:
+    no global sort, no per-key collect.
+    """
+    lower_med_rank = lambda n: F.floor((n + 1) / 2)  # noqa: E731
+
+    e = df.select(id_col, key, F.col(value_col).alias("_v"))
+    w1 = Window.partitionBy(key).orderBy("_v", id_col)
+    wc = Window.partitionBy(key)
+    r1 = e.withColumn("_rn", F.row_number().over(w1)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    med = r1.filter(
+        F.col("_rn") == lower_med_rank(F.col("_n"))
+    ).select(key, F.col("_v").alias("_med"))
+    d = e.join(med, key).withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
+    w2 = Window.partitionBy(key).orderBy("_dev", id_col)
+    r2 = d.withColumn("_rn", F.row_number().over(w2)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    mad = r2.filter(
+        F.col("_rn") == lower_med_rank(F.col("_n"))
+    ).select(key, F.col("_dev").alias("_mad"))
+    score = F.round(
+        F.lit(consistency) * (F.col("_v") - F.col("_med")) / F.col("_mad"), 6
+    )
+    return (
+        d.join(mad, key)
+        .filter(F.col("_mad") > 0)
+        .select(
+            id_col,
+            score.alias("score"),
+            (F.abs(score) > cutoff).alias("is_outlier"),
+        )
+    )

@@ -5113,6 +5113,47 @@ def ev_anomaly_zscore(spark, sf_dir):
     )
 
 
+@_q(
+    "ev_anomaly_mad",
+    """
+    WITH e AS (SELECT event_id, user_id, value FROM events),
+    r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM e),
+    med AS (SELECT user_id, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+    d AS (SELECT e.event_id, e.user_id, e.value, med.med,
+                 abs(e.value - med.med) AS dev
+          FROM e JOIN med USING (user_id)),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY dev, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM d),
+    mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+    j AS (SELECT d.event_id, d.value, d.med, mad.mad
+          FROM d JOIN mad USING (user_id) WHERE mad.mad > 0)
+    SELECT event_id,
+           round(0.6745 * (value - med) / mad, 6) AS score,
+           abs(round(0.6745 * (value - med) / mad, 6)) > 3.5 AS is_outlier
+    FROM j
+    """,
+)
+def ev_anomaly_mad(spark, sf_dir):
+    """[ext] MAD robust outliers (operators/timeseries.py::mad_outliers)
+    — the breakdown-resistant twin of ev_anomaly_zscore: a wild value
+    inflates mean AND stddev, masking itself; median/MAD has a 50%
+    breakdown point. Medians are DISCRETE lower medians (rank (n+1)/2
+    under a (value, event_id) total order) so both engines pick the same
+    stored value — no interpolated percentile, no float averaging. Two
+    window passes on one user_id exchange; MAD=0 keys emit nothing (the
+    sd>0 gate's analog)."""
+    from qcardia_data_spark.operators.timeseries import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return mad_outliers(ev, key="user_id", value_col="value",
+                        id_col="event_id")
+
+
 def _zorder_oracle_sql(bits: int = 6) -> str:
     """DuckDB restatement of the Morton interleave, generated from the SAME
     bit map as the Spark expression (plans/layout.morton_positions — zero
@@ -8088,6 +8129,7 @@ _NEXT_IN_LINE = [
     "ev_handoff_bfs_hops",
     "a15_hll_rollup",
     "a16_cms_rollup",
+    "ev_anomaly_mad",
 ]
 
 

@@ -160,3 +160,45 @@ def test_histogram_plan_partial_final_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ev_value_histogram")
     assert plan.count("HashAggregate") >= 2  # map-side combine
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_outliers_robust_where_zscore_masks(spark):
+    """One wild value among near-constant readings: MAD flags it. The
+    same value's plain z-score stays under 2 sigma on short frames (it
+    inflates its own stddev) — the masking MAD is immune to."""
+    from qcardia_data_spark.operators.timeseries import mad_outliers
+
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, 9.8, 10.1, 1000.0]
+    rows = [(i, "u1", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    out = {r["event_id"]: (r["score"], r["is_outlier"])
+           for r in mad_outliers(df, "user_id", "value", "event_id").collect()}
+    assert out[7][1] is True and abs(out[7][0]) > 100
+    assert all(not flag for eid, (_, flag) in out.items() if eid != 7)
+    # the masking check: classic z-score of the wild point on this frame
+    import statistics
+    z = (1000.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert z < 2.7  # below a 3-sigma rule — masked
+
+
+def test_mad_outliers_zero_mad_keys_emit_nothing(spark):
+    from qcardia_data_spark.operators.timeseries import mad_outliers
+
+    rows = [(i, "const", 5.0) for i in range(6)] + [(10, "const", 7.0)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    assert mad_outliers(df, "user_id", "value", "event_id").count() == 0
+
+
+def test_mad_outliers_single_exchange(spark, sf_dir):
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.operators.timeseries import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    plan = (
+        mad_outliers(ev, "user_id", "value", "event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every window/join rides user_id hash exchanges; no global sort
+    assert "Exchange rangepartitioning" not in plan
