@@ -325,3 +325,70 @@ def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
         j.groupBy(*keys, value_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+def cms_store_append_batch(
+    batch_df, store_path: str, keys: list[str], value_col: str,
+    batch_id: int, depth: int = 3, width: int = 64,
+) -> None:
+    """One micro-batch of the streaming CMS intake: sketch the batch and
+    land it as the immutable partition ``_batch=<id>``. The contrast
+    with :func:`hll_register_intake_batch` is the point: max-merge is
+    idempotent so HLL can merge in place and shrug off replays, but SUM
+    double-counts a replay — so each CMS batch must own its partition
+    (dynamic overwrite: a retried batch REPLACES its own cells,
+    exactly-once) and the read side merges. Because CMS cells merge by
+    sum, the append log IS the sketch — no compaction required for
+    correctness; merge batches back through :func:`cms_table`'s read
+    path when the partition count grows.
+
+    Params/keys are frozen in ``_cms_meta`` on first append and enforced
+    afterwards (sketches with different geometry do not merge).
+    """
+    import os
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    meta_path = f"{store_path}/_cms_meta"
+    if os.path.isdir(meta_path):
+        row = spark.read.json(meta_path).collect()[0]
+        if (
+            int(row["depth"]) != int(depth)
+            or int(row["width"]) != int(width)
+            or list(row["keys"]) != list(keys)
+        ):
+            raise ValueError(
+                f"cms_store_append_batch: store at {store_path!r} was "
+                f"built with depth={row['depth']}, width={row['width']}, "
+                f"keys={list(row['keys'])}; got depth={depth}, "
+                f"width={width}, keys={list(keys)} — sketches with "
+                "different geometry do not merge"
+            )
+    else:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("keys", T.ArrayType(T.StringType())),
+        ])
+        spark.createDataFrame(
+            [(int(depth), int(width), list(keys))], schema
+        ).coalesce(1).write.mode("overwrite").json(meta_path)
+    (
+        cms_table(batch_df, keys, value_col, depth=depth, width=width)
+        .withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(f"{store_path}/rows")
+    )
+
+
+def cms_store_read(spark, store_path: str):
+    """Sum-merge every landed batch partition into the current sketch."""
+    rows = spark.read.parquet(f"{store_path}/rows")
+    keys = [c for c in rows.columns
+            if c not in ("row", "bucket", "n", "_batch")]
+    return rows.groupBy(*keys, "row", "bucket").agg(F.sum("n").alias("n"))

@@ -487,3 +487,35 @@ def streaming_hll_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_intake(
+    stream: DataFrame, store_path: str, checkpoint: str,
+    keys: list[str], value_col: str, depth: int = 3, width: int = 64,
+    available_now: bool = True,
+):
+    """[ext] Streaming frequency-sketch intake — the Count-Min twin of
+    `streaming_hll_intake`, with the OPPOSITE delivery design forced by
+    the merge algebra: HLL merges by max (idempotent — replays are free,
+    merge in place), CMS merges by SUM (a replayed merge double-counts),
+    so each micro-batch lands its sketch as its own `_batch=<epoch id>`
+    partition with dynamic overwrite — a retry replaces its own cells,
+    exactly-once — and `cms_store_read` sum-merges the log on read
+    (sum-mergeable cells make the append log itself the sketch). Memory
+    is O(batch) + the store grows by groups x depth x width per batch.
+    """
+    from qcardia_data_spark.functions.sketches import cms_store_append_batch
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_store_append_batch(
+            batch_df, store_path, keys=keys, value_col=value_col,
+            batch_id=batch_id, depth=depth, width=width,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

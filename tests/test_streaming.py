@@ -950,3 +950,57 @@ def test_streaming_hll_intake_converges_and_replays(spark, sf_dir, tmp_path):
             spark, store,
             hll_registers(ev, ["event_type"], "user_id", p=8), p=8,
         )
+
+
+def test_streaming_cms_intake_converges_and_replays(spark, sf_dir, tmp_path):
+    """Streaming CMS intake: per-file micro-batches land their sketches
+    as _batch partitions; the sum-merged read equals the one-pass sketch;
+    a full replay from a fresh checkpoint overwrites each batch's own
+    partition (exactly-once), leaving the read unchanged; geometry drift
+    refuses."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.sketches import (
+        cms_store_append_batch,
+        cms_store_read,
+        cms_table,
+    )
+    from qcardia_data_spark.streaming.events import streaming_cms_intake
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    incoming = str(tmp_path / "incoming")
+    ev.repartition(3).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    store = str(tmp_path / "cms_store")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_cms_intake(
+            stream, store, str(tmp_path / ckpt),
+            keys=["event_type"], value_col="user_id", depth=3, width=64,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain("ck1")
+    want = sorted(map(tuple, cms_table(
+        ev, ["event_type"], "user_id", depth=3, width=64,
+    ).select("event_type", "row", "bucket", "n").collect()))
+    got = sorted(map(tuple, cms_store_read(spark, store)
+                     .select("event_type", "row", "bucket", "n").collect()))
+    assert got == want
+
+    drain("ck2")  # fresh checkpoint: same epoch ids replace themselves
+    got2 = sorted(map(tuple, cms_store_read(spark, store)
+                      .select("event_type", "row", "bucket", "n").collect()))
+    assert got2 == want
+
+    with _pytest.raises(ValueError, match="do not merge"):
+        cms_store_append_batch(
+            ev, store, ["event_type"], "user_id",
+            batch_id=99, depth=4, width=64,
+        )
