@@ -485,6 +485,41 @@ def url_domain(url: Column) -> Column:
     return F.regexp_extract(url, r"https?://(?:[^/@\s]+@)?([^/:\s]+)", 1)
 
 
+# tracking params dropped by canonical_url — shared Java/RE2 syntax (the
+# PII_PATTERNS lesson) so the oracle replays the same regex
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """[ext] URL canonicalization — the key for URL-level dedup of a crawl
+    (the CommonCrawl/CCNet first pass: most re-crawled duplicates are the
+    SAME url in a different surface form). Collapses, in order: fragment
+    (#...), scheme+host case, userinfo (u:pw@), default ports (https:443,
+    http:80), trailing path slashes, tracking params (utm_*, gclid,
+    fbclid, msclkid, ref), and query-param order (sorted). Path case and
+    non-tracking params are preserved — they are semantically load-
+    bearing. Pure-expression (JVM regex + array ops, map-only), regexes
+    in shared Java/RE2 syntax so the whole form is oracle-checkable."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    _pre_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+    pre = F.lower(F.regexp_extract(u, _pre_re, 0))
+    pre = F.regexp_replace(pre, r"://[^/@]*@", "://")
+    pre = F.regexp_replace(pre, r"^(https://[^/:]+):443$", "$1")
+    pre = F.regexp_replace(pre, r"^(http://[^/:]+):80$", "$1")
+    rest = F.regexp_replace(u, _pre_re, "")
+    path = F.regexp_replace(F.regexp_extract(rest, r"^[^?]*", 0), r"/+$", "")
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+
+    def _keep(p: Column) -> Column:
+        return (F.length(p) > 0) & (~p.rlike(TRACKING_PARAM_RE))
+
+    q2 = F.array_join(F.array_sort(F.filter(F.split(qs, "&"), _keep)), "&")
+    return F.concat(
+        pre, path,
+        F.when(F.length(q2) > 0, F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
 def pack_sequences(
     df, token_col: str, seq_len: int, by: str, order: str,
 ):

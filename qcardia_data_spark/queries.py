@@ -3365,6 +3365,103 @@ def text_url_domains(spark, sf_dir):
     )
 
 
+def _url_synth_spark(doc_id):
+    """Deterministic crawl-URL synth: five surface variants per canonical
+    target (tracking params, case, trailing slash, fragment, userinfo +
+    default port, param order) — the corpus has no real URLs, so the
+    cross-engine canonicalization exercise builds identical strings in
+    both engines (the _pii_synth_spark idiom)."""
+    m = (doc_id % 25).cast("string")
+    lo = F.concat(F.lit("https://site"), m, F.lit(".example.com"))
+    hi = F.concat(F.lit("HTTPS://Site"), m, F.lit(".Example.COM"))
+    path = F.concat(F.lit("/Art/"), m)
+    idp = F.concat(F.lit("id="), m)
+    v = doc_id % 5
+    return (
+        F.when(v == 0, F.concat(lo, path, F.lit("?utm_source=x&"), idp, F.lit("&b=2")))
+        .when(v == 1, F.concat(hi, path, F.lit("/?"), idp, F.lit("&b=2&utm_campaign=y")))
+        .when(v == 2, F.concat(lo, path, F.lit("?b=2&"), idp, F.lit("#frag")))
+        .when(v == 3, F.concat(F.lit("https://u"), m, F.lit(":pw@site"), m,
+                               F.lit(".example.com:443"), path, F.lit("?"), idp, F.lit("&b=2")))
+        .otherwise(F.concat(lo, path, F.lit("?"), idp, F.lit("&b=2&gclid=abc")))
+    )
+
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com'
+                           || '/Art/' || CAST(doc_id % 25 AS VARCHAR)
+                           || '?utm_source=x&id=' || CAST(doc_id % 25 AS VARCHAR) || '&b=2'
+               WHEN 1 THEN 'HTTPS://Site' || CAST(doc_id % 25 AS VARCHAR) || '.Example.COM'
+                           || '/Art/' || CAST(doc_id % 25 AS VARCHAR)
+                           || '/?id=' || CAST(doc_id % 25 AS VARCHAR) || '&b=2&utm_campaign=y'
+               WHEN 2 THEN 'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com'
+                           || '/Art/' || CAST(doc_id % 25 AS VARCHAR)
+                           || '?b=2&id=' || CAST(doc_id % 25 AS VARCHAR) || '#frag'
+               WHEN 3 THEN 'https://u' || CAST(doc_id % 25 AS VARCHAR) || ':pw@site'
+                           || CAST(doc_id % 25 AS VARCHAR) || '.example.com:443'
+                           || '/Art/' || CAST(doc_id % 25 AS VARCHAR)
+                           || '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&b=2'
+               ELSE 'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com'
+                    || '/Art/' || CAST(doc_id % 25 AS VARCHAR)
+                    || '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&b=2&gclid=abc'
+             END AS url
+      FROM documents
+"""
+
+
+@_q(
+    "text_url_canonical",
+    rf"""
+    WITH raw AS ({_URL_SYNTH_SQL}),
+    c1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    c2 AS (SELECT url,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0)),
+              '://[^/@]*@', '://'),
+              '^(https://[^/:]+):443$', '\1'),
+              '^(http://[^/:]+):80$', '\1') AS pre,
+            regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') AS rest
+          FROM c1),
+    c3 AS (SELECT url, pre,
+            regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
+            regexp_extract(rest, '\?(.*)$', 1) AS qs
+          FROM c2),
+    c4 AS (SELECT url, pre, path,
+            array_to_string(list_sort(list_filter(string_split(qs, '&'),
+              p -> len(p) > 0 AND NOT regexp_matches(p,
+                '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)='))), '&') AS q2
+          FROM c3)
+    SELECT pre || path || CASE WHEN len(q2) > 0 THEN '?' || q2 ELSE '' END
+             AS canonical_url,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+           count(*) AS n_urls
+    FROM c4 GROUP BY 1
+    """,
+)
+def text_url_canonical(spark, sf_dir):
+    """[ext] URL canonicalization + dedup-by-canonical-URL
+    (functions/text.py::canonical_url) — the CommonCrawl first pass:
+    most re-crawled duplicates are the same URL in a different surface
+    form. The synth emits five variants per canonical target (tracking
+    params, scheme/host case, trailing slash, fragment, userinfo +
+    default :443, param order) and the oracle replays the full regex/
+    sort pipeline, so a value match proves every collapse rule
+    cross-engine. Map-only canonicalization; one groupBy on the
+    canonical key."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(_url_synth_spark(F.col("doc_id")).alias("url"))
+    return (
+        urls.select("url", T.canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_forms"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )
+
+
 @_q(
     "emb_quantize_int8",
     """
@@ -8130,6 +8227,7 @@ _NEXT_IN_LINE = [
     "a15_hll_rollup",
     "a16_cms_rollup",
     "ev_anomaly_mad",
+    "text_url_canonical",
 ]
 
 

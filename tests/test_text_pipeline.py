@@ -826,3 +826,31 @@ def test_winnow_share_pairs_guard_and_floor(spark):
     keys = {(r["a"], r["b"]) for r in tight}
     assert (100, 101) in keys
     assert not any(a < 100 for a, _ in keys)
+
+
+def test_canonical_url_collapse_rules(spark):
+    """Each collapse rule individually, plus preservation of what must
+    NOT collapse (path case, non-tracking params, non-default ports)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.text import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://Ex.COM/A?b=1#frag", "https://ex.com/A?b=1"),
+        ("HTTPS://ex.com/A/?b=1", "https://ex.com/A?b=1"),
+        ("https://u:pw@ex.com:443/A?b=1", "https://ex.com/A?b=1"),
+        ("http://ex.com:80/A?b=1", "http://ex.com/A?b=1"),
+        ("https://ex.com/A?utm_source=x&b=1&gclid=z", "https://ex.com/A?b=1"),
+        ("https://ex.com/A?z=2&b=1", "https://ex.com/A?b=1&z=2"),
+        ("https://ex.com/A", "https://ex.com/A"),
+        # NOT collapsed: path case, real params, non-default port
+        ("https://ex.com/CaseSensitive?ref2=keep",
+         "https://ex.com/CaseSensitive?ref2=keep"),
+        ("https://ex.com:8443/A", "https://ex.com:8443/A"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
