@@ -7780,6 +7780,71 @@ def ev_scd2_user_state(spark, sf_dir):
 
 
 @_q(
+    "ev_scd2_point_in_time",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, event_type, s,
+             lag(event_type) OVER w AS prev_state,
+             row_number() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+    c AS (
+      SELECT user_id, event_id, event_type, s FROM l
+      WHERE rn = 1 OR prev_state IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type AS state, s AS valid_from,
+             lead(s) OVER w2 AS valid_to,
+             row_number() OVER w2 AS version
+      FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY s, event_id))
+    SELECT e.event_id, v.state, v.version
+    FROM e JOIN v ON e.user_id = v.user_id
+     AND e.s >= v.valid_from
+     AND (v.valid_to IS NULL OR e.s < v.valid_to)
+    """,
+)
+def ev_scd2_point_in_time(spark, sf_dir):
+    """[ext] SCD2 point-in-time enrichment — the read side of the
+    versioned-dimension family: every event is joined to the state
+    VERSION that was valid at its timestamp. The oracle does the
+    canonical interval join (valid_from <= s < valid_to); the Spark plan
+    does what you actually run at 100 TB — the asof join
+    (operators/temporal.py::asof_join): union + running last() on ONE
+    user_id exchange, no range/theta join, no interval blowup. Carry
+    order (version, state) makes the simultaneous-change tie pick the
+    highest version — exactly the row whose interval is non-empty in the
+    oracle's join (an empty [s, s) interval matches nothing). Completes
+    the CDC arc: scd2 build (ev_scd2_user_state) -> time travel
+    (dim_upsert_asof) -> point-in-time lookup (this)."""
+    from qcardia_data_spark.functions.cdc import scd2_from_changes
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    hist = scd2_from_changes(
+        ev, key="user_id", ts="s", attrs=["event_type"], tiebreak="event_id"
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("vf"),
+        F.col("version"),
+        F.col("event_type").alias("state"),
+    )
+    out = asof_join(
+        ev.select("user_id", "event_id", "s"),
+        hist,
+        by=["user_id"],
+        left_ts="s",
+        right_ts="vf",
+        carry=["version", "state"],
+    )
+    return out.select("event_id", "state", "version")
+
+
+@_q(
     "dim_upsert_latest",
     """
     WITH base AS (
@@ -8228,6 +8293,7 @@ _NEXT_IN_LINE = [
     "a16_cms_rollup",
     "ev_anomaly_mad",
     "text_url_canonical",
+    "ev_scd2_point_in_time",
 ]
 
 
