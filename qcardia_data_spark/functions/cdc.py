@@ -46,6 +46,7 @@ __all__ = [
     "read_upsert_table",
     "upsert_append_batch",
     "read_upsert_as_of",
+    "table_diff",
 ]
 
 _BUCKET = "up_bucket"
@@ -424,4 +425,57 @@ def read_upsert_as_of(
         combined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_batch", _BUCKET)
+    )
+
+
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key: str,
+    compare: list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Snapshot diff: one row per key whose state differs between two
+    table versions, tagged ``added`` / ``removed`` / ``changed`` — the
+    audit companion of the upsert/as-of machinery (what DID that batch
+    do?). ``compare`` limits change detection to those columns (default:
+    every shared non-key column). NULLs compare null-safely.
+
+    Output: (key, change, before/after struct columns) — ``b`` is NULL
+    on added keys, ``a`` on removed ones.
+
+    Plan: ONE full-outer equi-join on the key, change classification as
+    map-side expressions — no window, no second shuffle. 100 TB: both
+    sides shuffle once on the key; with bucketed/co-partitioned storage
+    (layout.py) even that exchange drops out.
+    """
+    if compare is None:
+        compare = [
+            c for c in before.columns if c != key and c in set(after.columns)
+        ]
+    compare = list(compare)
+    for side, df in (("before", before), ("after", after)):
+        missing = [c for c in [key, *compare] if c not in df.columns]
+        if missing:
+            raise ValueError(f"table_diff: {side} lacks columns {missing}")
+    b = before.select(
+        F.col(key).alias("_kb"),
+        F.struct(*[F.col(c) for c in compare]).alias("b"),
+    )
+    a = after.select(
+        F.col(key).alias("_ka"),
+        F.struct(*[F.col(c) for c in compare]).alias("a"),
+    )
+    j = b.join(a, b["_kb"] == a["_ka"], "full_outer")
+    change = (
+        F.when(F.col("_kb").isNull(), F.lit("added"))
+        .when(F.col("_ka").isNull(), F.lit("removed"))
+        .when(~F.col("b").eqNullSafe(F.col("a")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("_ka"), F.col("_kb")).alias(key),
+            "change", "b", "a",
+        )
     )

@@ -7845,6 +7845,84 @@ def ev_scd2_point_in_time(spark, sf_dir):
 
 
 @_q(
+    "dim_table_diff",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer),
+    latest AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS bal,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn
+      FROM orders),
+    merged AS (
+      SELECT b.c_custkey, coalesce(l.bal, b.bal) AS bal
+      FROM base b LEFT JOIN (SELECT c_custkey, bal FROM latest
+                             WHERE rn = 1) l USING (c_custkey)),
+    after AS (
+      SELECT c_custkey, bal FROM merged WHERE c_custkey % 50 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, bal FROM base
+      WHERE c_custkey % 97 = 0)
+    SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'added'
+                WHEN a.c_custkey IS NULL THEN 'removed'
+                WHEN a.bal IS DISTINCT FROM b.bal THEN 'changed'
+           END AS change,
+           b.bal AS before_bal, a.bal AS after_bal
+    FROM base b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+    WHERE (CASE WHEN b.c_custkey IS NULL THEN 'added'
+                WHEN a.c_custkey IS NULL THEN 'removed'
+                WHEN a.bal IS DISTINCT FROM b.bal THEN 'changed'
+           END) IS NOT NULL
+    """,
+)
+def dim_table_diff(spark, sf_dir):
+    """[ext] Snapshot diff (functions/cdc.py::table_diff) — the audit
+    companion of the upsert/as-of machinery: which keys a version change
+    added / removed / changed. 'After' is the latest-wins merged balance
+    state minus every 50th key plus a shifted synthetic cohort, so all
+    three change classes are exercised and value-graded. ONE full-outer
+    equi-join, classification as map-side null-safe struct compares —
+    no window, no second shuffle."""
+    from qcardia_data_spark.functions.cdc import table_diff
+
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", cents(F.col("c_acctbal")).alias("bal")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            cents(F.col("o_totalprice")).alias("ubal"),
+        )
+    )
+    merged = base.join(latest, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("ubal", "bal").alias("bal")
+    )
+    after = merged.filter(F.col("c_custkey") % 50 != 0).unionByName(
+        base.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"), "bal"
+        )
+    )
+    d = table_diff(base, after, key="c_custkey")
+    return d.select(
+        "c_custkey", "change",
+        F.col("b.bal").alias("before_bal"),
+        F.col("a.bal").alias("after_bal"),
+    )
+
+
+@_q(
     "dim_upsert_latest",
     """
     WITH base AS (
@@ -8294,6 +8372,7 @@ _NEXT_IN_LINE = [
     "ev_anomaly_mad",
     "text_url_canonical",
     "ev_scd2_point_in_time",
+    "dim_table_diff",
 ]
 
 

@@ -453,3 +453,21 @@ def test_mor_compaction_is_cow_merge_of_asof_state(spark, table):
         spark, table, read_upsert_as_of(spark, table)
     )
     assert _state(spark, table) == want
+
+
+def test_table_diff_classes_and_nullsafe(spark):
+    from qcardia_data_spark.functions.cdc import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5), (3, "c", 6), (4, None, 7)],
+        ["k", "x", "y"],
+    )
+    after = spark.createDataFrame(
+        [(1, "a", None), (2, "B", 5), (5, "new", 1), (4, None, 7)],
+        ["k", "x", "y"],
+    )
+    got = {r["k"]: r["change"] for r in table_diff(before, after, "k").collect()}
+    # 1: identical incl. NULL y (null-safe) -> absent; 4: identical -> absent
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+    with pytest.raises(ValueError, match="lacks columns"):
+        table_diff(before, after.drop("y"), "k", compare=["x", "y"])
