@@ -330,6 +330,16 @@ def upsert_lookup(
 # ---------------------------------------------------------------------------
 
 
+def _read_log(spark: SparkSession, log_dir: str):
+    """The table's append log, or None before the first batch lands —
+    probed through the reader (portable to object stores), the
+    `_read_merge_meta` pattern."""
+    try:
+        return spark.read.parquet(log_dir)
+    except Exception:
+        return None
+
+
 def upsert_append_batch(
     spark: SparkSession,
     path: str,
@@ -346,8 +356,6 @@ def upsert_append_batch(
     because assignment lists the log first. Batch ids must be >= 1 —
     id 0 is the base table.
     """
-    import os as _os
-
     meta = _require_meta(spark, path, "upsert_append_batch")
     key, ts, n_buckets = meta["key"], meta["ts"], int(meta["n_buckets"])
     for c in (key, ts):
@@ -363,11 +371,15 @@ def upsert_append_batch(
             f"{meta['key_type']!r}"
         )
     log_dir = f"{path}/log"
-    existing = set()
-    if _os.path.isdir(log_dir):
-        for d in _os.listdir(log_dir):
-            if d.startswith("_batch="):
-                existing.add(int(d.split("=", 1)[1]))
+    # list landed batch ids through the scan's partition discovery (NOT a
+    # driver os.listdir — the table may live on an object store); the
+    # distinct is over the partition column, bounded by #batches
+    log = _read_log(spark, log_dir)
+    existing = (
+        {r["_batch"] for r in log.select("_batch").distinct().collect()}
+        if log is not None
+        else set()
+    )
     if batch_id is None:
         batch_id = (max(existing) + 1) if existing else 1
     elif batch_id < 1:
@@ -399,17 +411,12 @@ def read_upsert_as_of(
     earlier one (and the base, batch 0) on exact ties, matching the
     copy-on-write merge's source rule.
     """
-    import os as _os
-
     _require_meta(spark, path, "read_upsert_as_of")
     base = spark.read.parquet(f"{path}/rows").withColumn(
         "_batch", F.lit(0)
     )
-    log_dir = f"{path}/log"
-    if _os.path.isdir(log_dir) and any(
-        d.startswith("_batch=") for d in _os.listdir(log_dir)
-    ):
-        log = spark.read.parquet(log_dir)
+    log = _read_log(spark, f"{path}/log")
+    if log is not None:
         if batch is not None:
             log = log.filter(F.col("_batch") <= int(batch))
         combined = base.unionByName(log.select(*base.columns))
