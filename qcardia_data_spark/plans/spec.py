@@ -1242,6 +1242,22 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind == "compact":
+        # {"op": "compact", "src": ..., "dst": ..., "target_mb": 256,
+        #  "order_by": [cols]?} — maintenance boundary: rewrite a
+        # fragmented parquet directory (streaming sinks / index appends
+        # accrete small files) into ~target_mb files, zero-shuffle
+        # coalesce or range+sort pruning layout; downstream ops read the
+        # compacted table. Acts on its named src directory, not the
+        # pipeline frame (a maintenance pipeline sources the same path).
+        from qcardia_data_spark.plans.layout import compact_files
+
+        compact_files(
+            spark, op["src"], op["dst"],
+            target_mb=int(op.get("target_mb", 256)),
+            order_by=op.get("order_by"),
+        )
+        return spark.read.parquet(op["dst"])
     if kind == "drift":
         # {"op": "drift", "stat": "psi"|"chisq"|"ks", "col": ...,
         #  "against": {"table": ...|"pipeline": [...]},

@@ -1225,3 +1225,21 @@ def test_spec_hll_registers_op(spark, sf_dir):
         sf_dir,
     ).collect()
     assert all(r["event_type"] == "__all__" for r in rolled) and rolled
+
+
+def test_spec_compact_op(spark, sf_dir, tmp_path):
+    import glob as _glob
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    ev = compile_pipeline(spark, [{"op": "source", "table": "events"}], sf_dir)
+    ev.repartition(24).write.parquet(src)  # 24 small files
+    out = compile_pipeline(
+        spark,
+        [{"op": "source", "path": src},
+         {"op": "compact", "src": src, "dst": dst, "target_mb": 256}],
+        sf_dir,
+    )
+    assert out.count() == ev.count()
+    n_files = len(_glob.glob(f"{dst}/*.parquet"))
+    assert 1 <= n_files < 24
