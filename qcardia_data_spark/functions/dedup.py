@@ -504,6 +504,33 @@ def winnow_share_pairs(
     )
 
 
+def winnow_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, w: int = 4, min_shared: int = 2, max_df: int = 20,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """[ext] The tiered dedup ladder as one op: WINNOW candidates
+    (:func:`winnow_share_pairs` — cheap, ~2/(w+1) index size, detection
+    guaranteed for runs >= w+k-1) verified by EXACT shingle Jaccard
+    (:func:`jaccard_verify_sets` — set-form, intersection inside
+    codegen). Returns (a, b, jaccard) pairs at/above ``threshold``.
+
+    This is the shape you run at 100 TB when MinHash's probabilistic
+    recall is unacceptable but full n-gram prefix filtering
+    (:func:`ngram_jaccard_join`) is too expensive: the winnow tier
+    bounds candidate generation by the sampled index, the verify tier
+    makes every SURVIVING pair exact. (Unlike ngram_jaccard_join this
+    is NOT lossless below the winnow guarantee — pairs similar via many
+    short runs < w+k-1 can be missed; the guarantee is the contract.)
+    """
+    cands = winnow_share_pairs(
+        df, id_col, text_col, k=k, w=w,
+        min_shared=min_shared, max_df=max_df,
+    ).select("a", "b")
+    sh = shingle_rows(df, id_col, text_col, shingle_n=k)
+    return jaccard_verify_sets(cands, sh, id_col, threshold=threshold)
+
+
 def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,

@@ -2597,6 +2597,41 @@ def dedup_winnowing_pairs(spark, sf_dir):
 
 
 @_q(
+    "dedup_winnow_verified",
+    _WINNOW_SQL + """,
+    u AS (SELECT DISTINCT doc_id, fp FROM fps),
+    ok AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 20),
+    s AS (SELECT u.doc_id, u.fp FROM u JOIN ok ON u.fp = ok.fp),
+    cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+             FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    dh AS (SELECT DISTINCT doc_id, h FROM g WHERE pos < ng),
+    sets AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+              JOIN dh x ON x.doc_id = c.a
+              JOIN dh y ON y.doc_id = c.b AND y.h = x.h
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i JOIN sets sa ON sa.doc_id = i.a
+                 JOIN sets sb ON sb.doc_id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.25
+    """,
+)
+def dedup_winnow_verified(spark, sf_dir):
+    # [ext] the tiered dedup ladder graded end to end: winnow candidates
+    # (sampled index, guaranteed for runs >= w+k-1) -> exact set-form
+    # Jaccard verify at 0.25 (functions/dedup.py::winnow_near_pairs).
+    # The oracle replays BOTH tiers — candidate generation and the exact
+    # intersection algebra — over md5-hashed distinct shingles.
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_near_pairs(
+        docs, "doc_id", "text", k=3, w=4,
+        min_shared=2, max_df=20, threshold=0.25,
+    )
+
+
+@_q(
     "text_repetition_filter",
     r"""
     WITH t AS (
@@ -8373,6 +8408,7 @@ _NEXT_IN_LINE = [
     "text_url_canonical",
     "ev_scd2_point_in_time",
     "dim_table_diff",
+    "dedup_winnow_verified",
 ]
 
 
