@@ -151,3 +151,38 @@ def two_level_agg(
         F.stddev("fine_sum").alias("std_fine_sum"),
         F.count(F.lit(1)).alias("n_fine_groups"),
     )
+
+
+def pivot_counts(
+    df: DataFrame, key: str, pivot_col: str, values: Sequence[str],
+) -> DataFrame:
+    """[ext] PIVOT: long (key, pivot_col) rows to one wide row per key
+    with a count column per pivoted value — the cross-tab every
+    activity-matrix / feature-table build runs. ``values`` is EXPLICIT
+    (never inferred): inference costs an extra distinct scan AND makes
+    the output schema data-dependent, which breaks downstream plans at
+    100 TB; with the list given, Spark plans ONE map-side-combined
+    groupBy, no second pass. Absent combinations emit 0, not NULL (a
+    count that never fired is zero)."""
+    out = (
+        df.groupBy(key)
+        .pivot(pivot_col, list(values))
+        .agg(F.count(F.lit(1)))
+    )
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(f"`{v}`"), F.lit(0)))
+    return out
+
+
+def unpivot_long(
+    df: DataFrame, key: str, value_cols: Sequence[str],
+    var_name: str = "variable", value_name: str = "value",
+) -> DataFrame:
+    """[ext] UNPIVOT/melt: wide columns back to long (key, variable,
+    value) rows — `df.unpivot`, a pure map-side generator (each input
+    row emits len(value_cols) rows, zero shuffles). The roundtrip
+    inverse of :func:`pivot_counts`."""
+    return df.unpivot(
+        [key], list(value_cols), variableColumnName=var_name,
+        valueColumnName=value_name,
+    )

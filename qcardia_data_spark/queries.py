@@ -949,6 +949,68 @@ def a16_cms_rollup(spark, sf_dir):
     return per.unionByName(merged.select("event_type", "row", "bucket", "n"))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "a17_pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def a17_pivot_event_counts(spark, sf_dir):
+    """[ext] PIVOT (operators/aggregates.py::pivot_counts): the per-user
+    activity cross-tab, with the pivoted value list EXPLICIT — inference
+    would cost a distinct scan and make the schema data-dependent, which
+    breaks downstream plans at 100 TB. One map-side-combined groupBy;
+    absent combos emit 0 (a count that never fired is zero), which the
+    oracle's FILTER form states directly."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return agg.pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+
+
+@_q(
+    "a18_unpivot_roundtrip",
+    """
+    WITH w AS (
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click')    AS click,
+             count(*) FILTER (event_type = 'error')    AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup')   AS signup,
+             count(*) FILTER (event_type = 'view')     AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id, event_type, n FROM (
+      SELECT user_id, 'click' AS event_type, click AS n FROM w
+      UNION ALL SELECT user_id, 'error', error FROM w
+      UNION ALL SELECT user_id, 'purchase', purchase FROM w
+      UNION ALL SELECT user_id, 'signup', signup FROM w
+      UNION ALL SELECT user_id, 'view', view FROM w)
+    WHERE n > 0
+    """,
+)
+def a18_unpivot_roundtrip(spark, sf_dir):
+    """[ext] UNPIVOT/melt (operators/aggregates.py::unpivot_long): the
+    wide activity matrix melted back to long rows — a pure map-side
+    generator, zero extra shuffles past the pivot's own. Filtering the
+    structural zeros back out makes the roundtrip exactly the long-form
+    groupBy counts, which is what the oracle replays (pivot -> melt
+    graded as one artifact)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = agg.pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+    long = agg.unpivot_long(
+        wide, "user_id", _EVENT_TYPES,
+        var_name="event_type", value_name="n",
+    )
+    return long.filter(F.col("n") > 0)
+
+
 @_q(
     "p11_nullify_placeholders",
     """
@@ -8409,6 +8471,8 @@ _NEXT_IN_LINE = [
     "ev_scd2_point_in_time",
     "dim_table_diff",
     "dedup_winnow_verified",
+    "a17_pivot_event_counts",
+    "a18_unpivot_roundtrip",
 ]
 
 
