@@ -1243,3 +1243,12 @@ def test_spec_compact_op(spark, sf_dir, tmp_path):
     assert out.count() == ev.count()
     n_files = len(_glob.glob(f"{dst}/*.parquet"))
     assert 1 <= n_files < 24
+
+
+def test_example_sketch_telemetry_compiles(spark, sf_dir):
+    import json as _json
+
+    spec = _json.load(open("examples/sketch_telemetry.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir).collect()
+    assert out and all(r["event_type"] == "__all__" for r in out)
+    assert all(1 <= r["max_rho"] <= 25 for r in out)
