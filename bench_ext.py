@@ -176,6 +176,26 @@ def main() -> None:
     def q_token_entropy():
         return token_entropy_stats(docs)
 
+    # r8-final additions (same append-only rule)
+    def q_winnow_pairs():
+        from qcardia_data_spark.functions.dedup import winnow_share_pairs
+
+        return winnow_share_pairs(docs, "doc_id", "text", max_df=40)
+
+    def q_winnow_verified():
+        from qcardia_data_spark.functions.dedup import winnow_near_pairs
+
+        return winnow_near_pairs(docs, "doc_id", "text", max_df=40)
+
+    def q_hll_cms_sketches():
+        from qcardia_data_spark.functions.sketches import cms_table, hll_registers
+
+        h = hll_registers(docs, ["source"], "doc_id", p=8)
+        c = cms_table(docs, ["source"], "lang", depth=3, width=64)
+        return h.select(F.lit("h").alias("k"), "register").unionByName(
+            c.select(F.lit("c").alias("k"), F.col("bucket").alias("register"))
+        )
+
     BENCH = {
         "ngram_jaccard": q_ngram_jaccard,
         "span_removal": q_span_removal,
@@ -186,6 +206,9 @@ def main() -> None:
         "containment": q_containment,
         "chunk": q_chunk,
         "token_entropy": q_token_entropy,
+        "winnow_pairs": q_winnow_pairs,
+        "winnow_verified": q_winnow_verified,
+        "hll_cms_sketches": q_hll_cms_sketches,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
