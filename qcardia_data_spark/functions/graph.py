@@ -158,6 +158,63 @@ def bfs_hops(
         e.unpersist()
 
 
+def sssp_rounds(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path by ``rounds`` Bellman-Ford
+    relaxations — the WEIGHTED twin of :func:`bfs_hops`. After R rounds
+    the result is exactly "minimum cost over paths of <= R edges", which
+    is the full shortest path once R >= the hop diameter; the bound is
+    the contract (same as PageRank's fixed iterations), so the op never
+    needs a convergence test on data it cannot see. Negative weights are
+    refused (min-cost with negative cycles is undefined at any bound).
+
+    Returns (node, cost) for nodes reachable within ``rounds`` edges.
+    Use integer weights (e.g. whole seconds) for engine-exact costs.
+
+    Plan per round: dist ⋈ edges equi-join on src + one mergeable
+    min-groupBy on dst, union with the standing dist, min again —
+    two key-partitioned shuffles, no data x data; localCheckpoint per
+    round keeps lineage O(1) (the CC/PageRank/BFS idiom).
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).alias("e_w"),
+    ).persist()
+    try:
+        if e.filter(F.col("e_w") < 0).take(1):
+            raise ValueError("sssp_rounds: negative edge weights")
+        dist = (
+            sources.select(F.col("node"))
+            .distinct()
+            .withColumn("cost", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            relaxed = (
+                dist.join(e, dist["node"] == e["e_src"])
+                .select(
+                    F.col("e_dst").alias("node"),
+                    (F.col("cost") + F.col("e_w")).alias("cost"),
+                )
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True)
+            )
+        return dist
+    finally:
+        e.unpersist()
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
     """Exact global + per-node triangle counts over an undirected simple
     graph (parallel edges and direction collapse first).

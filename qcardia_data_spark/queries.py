@@ -7831,6 +7831,81 @@ def ev_handoff_bfs_hops(spark, sf_dir):
 
 
 @_q(
+    "ev_handoff_cheapest_path",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT event_type, event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    h AS (
+      SELECT user_id, s,
+             lag(user_id) OVER w AS prev_user,
+             lag(s) OVER w AS prev_s
+      FROM e0 WINDOW w AS (PARTITION BY event_type ORDER BY s, event_id)),
+    edges AS (SELECT prev_user AS src, user_id AS dst,
+                     min(s - prev_s) AS w
+              FROM h WHERE prev_user IS NOT NULL
+                AND prev_user < user_id AND user_id - prev_user <= 12
+              GROUP BY prev_user, user_id),
+    nodes AS (SELECT DISTINCT node FROM (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+    srcs AS (SELECT node FROM nodes WHERE node % 97 = 0),
+    walk(node, cost, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM srcs
+      UNION
+      SELECT e.dst, w.cost + e.w, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hops < 6)
+    SELECT node AS user_id, min(cost) AS cost
+    FROM walk GROUP BY node
+    """,
+)
+def ev_handoff_cheapest_path(spark, sf_dir):
+    """[ext] Weighted shortest paths (functions/graph.py::sssp_rounds) —
+    the WEIGHTED twin of ev_handoff_bfs_hops: 6 Bellman-Ford relaxation
+    rounds = exactly min cost over paths of <= 6 edges (the bound is the
+    contract, like PageRank's fixed iterations). Edge weight = minimum
+    observed handoff latency in WHOLE SECONDS per escalation edge, so
+    every path cost is an exact integer sum in both engines. The oracle
+    enumerates all <= 6-edge paths in a recursive CTE and takes the min;
+    Spark does two key-partitioned shuffles per round (edge-join +
+    mergeable min) with localCheckpoint lineage truncation."""
+    from qcardia_data_spark.functions.graph import sssp_rounds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    h = ev.select(
+        "event_type", "event_id", "user_id", _epoch_s(F.col("ts")).alias("s")
+    ).select(
+        "user_id", "s",
+        F.lag("user_id").over(w).alias("prev_user"),
+        F.lag("s").over(w).alias("prev_s"),
+    )
+    edges = (
+        h.filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") < F.col("user_id"))
+            & (F.col("user_id") - F.col("prev_user") <= 12)
+        )
+        .groupBy(
+            F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+        )
+        .agg(F.min(F.col("s") - F.col("prev_s")).alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = nodes.filter(F.col("node") % 97 == 0)
+    out = sssp_rounds(edges, srcs, rounds=6)
+    return out.select(
+        F.col("node").alias("user_id"), F.col("cost").cast("long").alias("cost")
+    )
+
+
+@_q(
     "ev_scd2_user_state",
     """
     WITH e AS (
@@ -8476,6 +8551,7 @@ _NEXT_IN_LINE = [
     "dedup_winnow_verified",
     "a17_pivot_event_counts",
     "a18_unpivot_roundtrip",
+    "ev_handoff_cheapest_path",
 ]
 
 

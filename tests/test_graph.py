@@ -210,3 +210,31 @@ def test_bfs_hops_cycle_terminates(spark):
     srcs = spark.createDataFrame([(0,)], ["node"])
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, srcs, max_hops=10).collect()}
     assert got == {0: 0, 1: 1, 2: 2}  # visited set stops the cycle
+
+
+def test_sssp_rounds_prefers_cheap_long_path(spark):
+    from qcardia_data_spark.functions.graph import sssp_rounds
+
+    # direct hop costs 10; the 3-edge detour costs 3 — SSSP must take it
+    # (BFS would stop at the 1-hop answer)
+    edges = spark.createDataFrame(
+        [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 9, 1), (9, 5, 2)],
+        ["src", "dst", "w"],
+    )
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["cost"] for r in sssp_rounds(edges, srcs, rounds=6).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 9: 3, 5: 5}
+    # bounded rounds: with 1 round only the direct edges are reachable
+    got1 = {r["node"]: r["cost"] for r in sssp_rounds(edges, srcs, rounds=1).collect()}
+    assert got1 == {0: 0, 1: 1, 9: 10}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.graph import sssp_rounds
+
+    edges = spark.createDataFrame([(0, 1, -5)], ["src", "dst", "w"])
+    srcs = spark.createDataFrame([(0,)], ["node"])
+    with _pytest.raises(ValueError, match="negative"):
+        sssp_rounds(edges, srcs)
