@@ -1242,6 +1242,51 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind == "expect":
+        # {"op": "expect", "checks": ["l_quantity >= 0", ...],
+        #  "max_violation_frac": 0.0, "mode": "fail"|"drop"|"audit"} —
+        # the dbt-style data-quality gate. fail (default): ONE agg job
+        # counts violations per check (conditional sums — one pass, no
+        # per-check scans) and the pipeline REFUSES loudly above the
+        # budget, naming the failing checks and their rates — bad data
+        # stops at the gate instead of corrupting everything downstream.
+        # drop: keep rows passing ALL checks. audit: append `_ok_<i>`
+        # booleans and let downstream decide. NULL check results count
+        # as violations (an unevaluable expectation is not met).
+        checks = [str(c) for c in op["checks"]]
+        if not checks:
+            raise SpecError("expect: checks must name >= 1 predicate")
+        oks = [F.coalesce(F.expr(c), F.lit(False)) for c in checks]
+        mode = op.get("mode", "fail")
+        if mode == "drop":
+            keep = oks[0]
+            for o in oks[1:]:
+                keep = keep & o
+            return df.filter(keep)
+        if mode == "audit":
+            return df.select(
+                "*", *[o.alias(f"_ok_{i}") for i, o in enumerate(oks)]
+            )
+        budget = float(op.get("max_violation_frac", 0.0))
+        counts = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.when(~o, 1).otherwise(0)).alias(f"_v{i}")
+                for i, o in enumerate(oks)
+            ],
+        ).collect()[0]
+        n = counts["_n"] or 0
+        bad = {
+            c: counts[f"_v{i}"] / n
+            for i, c in enumerate(checks)
+            if n > 0 and counts[f"_v{i}"] / n > budget
+        }
+        if bad:
+            detail = ", ".join(f"{c!r}: {r:.4f}" for c, r in bad.items())
+            raise SpecError(
+                f"expect: violation rate over budget {budget}: {detail}"
+            )
+        return df
     if kind == "compact":
         # {"op": "compact", "src": ..., "dst": ..., "target_mb": 256,
         #  "order_by": [cols]?} — maintenance boundary: rewrite a

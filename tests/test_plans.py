@@ -1252,3 +1252,53 @@ def test_example_sketch_telemetry_compiles(spark, sf_dir):
     out = compile_pipeline(spark, spec["pipeline"], sf_dir).collect()
     assert out and all(r["event_type"] == "__all__" for r in out)
     assert all(1 <= r["max_rho"] <= 25 for r in out)
+
+
+def test_spec_expect_op_modes(spark, sf_dir):
+    from qcardia_data_spark.plans.spec import SpecError
+
+    base = [{"op": "source", "table": "lineitem"}]
+    # fail mode: satisfied expectations pass the frame through untouched
+    ok = compile_pipeline(
+        spark,
+        base + [{"op": "expect",
+                 "checks": ["l_quantity >= 0", "l_discount <= 1.0"]}],
+        sf_dir,
+    )
+    assert ok.count() > 0
+    # a violated expectation refuses loudly, naming the check
+    with pytest.raises(SpecError, match="l_quantity > 30"):
+        compile_pipeline(
+            spark,
+            base + [{"op": "expect", "checks": ["l_quantity > 30"]}],
+            sf_dir,
+        )
+    # ...unless the violation budget covers it
+    n_all = ok.count()
+    frac_over_30 = (
+        compile_pipeline(spark, base, sf_dir)
+        .filter("l_quantity > 30").count() / n_all
+    )
+    compile_pipeline(
+        spark,
+        base + [{"op": "expect", "checks": ["l_quantity > 30"],
+                 "max_violation_frac": 1.0 - frac_over_30 + 0.01}],
+        sf_dir,
+    )
+    # drop mode keeps exactly the passing rows; NULL results are violations
+    dropped = compile_pipeline(
+        spark,
+        base + [{"op": "expect", "mode": "drop",
+                 "checks": ["l_quantity > 30", "nullif(l_tax, l_tax) = 0"]}],
+        sf_dir,
+    )
+    assert dropped.count() == 0  # nullif check is NULL everywhere -> all drop
+    # audit mode appends one boolean per check
+    audited = compile_pipeline(
+        spark,
+        base + [{"op": "expect", "mode": "audit",
+                 "checks": ["l_quantity > 30"]}],
+        sf_dir,
+    )
+    assert "_ok_0" in audited.columns
+    assert audited.filter("_ok_0").count() < n_all
