@@ -186,3 +186,39 @@ def unpivot_long(
         [key], list(value_cols), variableColumnName=var_name,
         valueColumnName=value_name,
     )
+
+
+def discrete_quantiles(
+    df: DataFrame, key: str, value: str, pcts: Sequence[int] = (25, 50, 75, 90),
+) -> DataFrame:
+    """[ext] EXACT per-group quantiles by rank selection: for each
+    percentile p, the stored value at rank ceil(p·n/100) under the value
+    order — never an interpolated average, so the result is always a
+    real data value and is engine-identical (the mad_outliers median
+    generalized to a percentile list). Rank arithmetic is INTEGER
+    ((p·n + 99) div 100): no float percent multiply whose last-ulp
+    position could straddle a ceil boundary.
+
+    One window pass (rank + count ride the same key exchange); the
+    percentile list explodes per row (bounded, len(pcts)) and the rank
+    filter keeps exactly one row per (key, pct). 100 TB: no global
+    sort; per-key work is the sort the window already does.
+
+    vs percentile_approx: that is the sketch path (use it when groups
+    are huge and error is acceptable); this is the exact, auditable
+    path whose per-key cost is one sort.
+    """
+    pcts = [int(p) for p in pcts]
+    if not pcts or any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("discrete_quantiles: pcts must be in 1..100")
+    w = Window.partitionBy(key).orderBy(value)
+    wc = Window.partitionBy(key)
+    r = df.select(key, value).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wc))
+    e = r.select(
+        key, value, "_rn", "_n",
+        F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+    )
+    target = F.floor((F.col("pct") * F.col("_n") + 99) / 100)
+    return e.filter(F.col("_rn") == target).select(key, "pct", value)

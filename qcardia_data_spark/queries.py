@@ -1012,6 +1012,30 @@ def a18_unpivot_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "a19_discrete_quantiles",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    p AS (SELECT unnest([25, 50, 75, 90]) AS pct)
+    SELECT user_id, pct, value FROM r CROSS JOIN p
+    WHERE rn = (pct * n + 99) // 100
+    """,
+)
+def a19_discrete_quantiles(spark, sf_dir):
+    """[ext] Exact per-group quantiles by rank selection
+    (operators/aggregates.py::discrete_quantiles) — always a real stored
+    value at rank ceil(p*n/100), never an interpolated average, with the
+    rank computed in INTEGER arithmetic so no float-percent multiply can
+    straddle a ceil boundary cross-engine. One window pass per key; the
+    exact, auditable sibling of percentile_approx's sketch path."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.discrete_quantiles(ev, "user_id", "value")
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8552,6 +8576,7 @@ _NEXT_IN_LINE = [
     "a17_pivot_event_counts",
     "a18_unpivot_roundtrip",
     "ev_handoff_cheapest_path",
+    "a19_discrete_quantiles",
 ]
 
 
