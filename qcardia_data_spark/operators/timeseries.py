@@ -412,3 +412,46 @@ def mad_outliers(
             (F.abs(score) > cutoff).alias("is_outlier"),
         )
     )
+
+
+def ewma_truncated(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lags: int = 8,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """[ext] Exponentially weighted moving average, TRUNCATED at ``lags``
+    terms: y_t = sum_{j<lags} alpha·(1-alpha)^j · x_{t-j}, normalized by
+    the weights actually present (so early rows and series shorter than
+    the window are unbiased). The truncation is what makes the op a
+    WINDOW expression instead of a stateful scan: the infinite-memory
+    recurrence needs sequential state (or a prefix product that
+    overflows), while the K-term form is a fixed lag chain — one window
+    exchange on ``key``, engine-exact because every weight is a plan
+    literal and the K-term sum is evaluated in one fixed left-to-right
+    order on both engines. Truncation error is bounded by (1-alpha)^K
+    of total weight (0.4% at alpha=0.5, K=8).
+
+    Returns df plus an ``ewma`` column.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("ewma_truncated: alpha must be in (0, 1]")
+    if lags < 1:
+        raise ValueError("ewma_truncated: lags must be >= 1")
+    order = [F.col(ts).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    weights = [alpha * (1 - alpha) ** j for j in range(lags)]
+    num = None
+    den = None
+    for j, wt in enumerate(weights):
+        x = F.lag(value_col, j).over(w) if j else F.col(value_col)
+        term = F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        have = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    return df.withColumn("ewma", num / den)

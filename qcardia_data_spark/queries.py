@@ -7929,6 +7929,58 @@ def ev_handoff_cheapest_path(spark, sf_dir):
     )
 
 
+def _ewma_oracle_sql(alpha: float = 0.5, lags: int = 8) -> str:
+    """DuckDB restatement of the truncated-EWMA lag chain, generated from
+    the SAME weight list as the Spark expression (the zorder zero-drift
+    idiom): identical literals, identical left-to-right sum order."""
+    weights = [alpha * (1 - alpha) ** j for j in range(lags)]
+    lag_cols = ", ".join(
+        f"lag(value, {j}) OVER w AS v{j}" for j in range(1, lags)
+    )
+    terms, have = [], []
+    for j, wt in enumerate(weights):
+        col = "value" if j == 0 else f"v{j}"
+        terms.append(
+            f"CASE WHEN {col} IS NOT NULL THEN {wt!r} * {col} ELSE 0.0 END"
+        )
+        have.append(f"CASE WHEN {col} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    num = " + ".join(terms)
+    den = " + ".join(have)
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (SELECT event_id, value, {lag_cols}
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id))
+    SELECT event_id, ({num}) / ({den}) AS ewma
+    FROM l
+    """
+
+
+@_q("ev_ewma", _ewma_oracle_sql())
+def ev_ewma(spark, sf_dir):
+    """[ext] Truncated EWMA smoother
+    (operators/timeseries.py::ewma_truncated): the K-term form turns the
+    stateful recurrence into a fixed lag chain — ONE window exchange on
+    user_id, engine-exact because every weight is a plan literal (at
+    alpha=1/2 they are exact binary fractions) and the sum order is the
+    same fixed left-to-right chain on both sides; early rows normalize
+    by the weights actually present. Truncation error bound: (1-a)^K of
+    total weight (0.4% at a=0.5, K=8)."""
+    from qcardia_data_spark.operators.timeseries import ewma_truncated
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", _epoch_s(F.col("ts")).alias("s")
+    )
+    out = ewma_truncated(
+        ev, key="user_id", ts="s", value_col="value",
+        alpha=0.5, lags=8, tiebreak="event_id",
+    )
+    return out.select("event_id", "ewma")
+
+
 @_q(
     "ev_scd2_user_state",
     """
@@ -8577,6 +8629,7 @@ _NEXT_IN_LINE = [
     "a18_unpivot_roundtrip",
     "ev_handoff_cheapest_path",
     "a19_discrete_quantiles",
+    "ev_ewma",
 ]
 
 

@@ -202,3 +202,34 @@ def test_mad_outliers_single_exchange(spark, sf_dir):
     )
     # every window/join rides user_id hash exchanges; no global sort
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ewma_truncated_matches_reference_and_normalizes_head(spark):
+    from qcardia_data_spark.operators.timeseries import ewma_truncated
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+    rows = [(i, "u", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "s", "value"])
+    got = {r["event_id"]: r["ewma"]
+           for r in ewma_truncated(df, "user_id", "s", "value",
+                                   alpha=0.5, lags=8).collect()}
+    # reference: truncated weights, normalized by present weights
+    a = 0.5
+    for t in range(len(vals)):
+        ws = [a * (1 - a) ** j for j in range(min(8, t + 1))]
+        want = sum(w * vals[t - j] for j, w in enumerate(ws)) / sum(ws)
+        assert abs(got[t] - want) < 1e-12, (t, got[t], want)
+    assert got[0] == vals[0]  # head row: only its own weight -> identity
+
+
+def test_ewma_validation(spark):
+    import pytest as _pytest
+
+    from qcardia_data_spark.operators.timeseries import ewma_truncated
+
+    df = spark.createDataFrame([(1, "u", 1, 1.0)],
+                               ["event_id", "user_id", "s", "value"])
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_truncated(df, "user_id", "s", "value", alpha=0.0)
+    with _pytest.raises(ValueError, match="lags"):
+        ewma_truncated(df, "user_id", "s", "value", lags=0)
