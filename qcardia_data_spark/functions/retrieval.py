@@ -221,3 +221,51 @@ def bm25_topk_from_index(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[ext] Exact phrase search — consecutive-token match counts per
+    document, the positional-postings capability keyword BM25 lacks.
+    The adjusted-position trick makes it pure joins: token rows
+    (id, term, pos) filtered to the phrase's terms join a tiny (j, term)
+    phrase frame (broadcast); a hit anchored at p exists iff group
+    (id, anchor = pos - j) covers ALL j slots — count(DISTINCT j) =
+    len(phrase) — which handles repeated phrase terms exactly (one
+    token can only fill the slot its offset puts it in). Returns
+    (id, n_hits) for matching docs.
+
+    100 TB: the term filter lands ON the token explode (only phrase
+    terms survive into the shuffle); one groupBy on (id, anchor), one
+    on id. With a positional index the same algebra runs off persisted
+    postings — the build is the one corpus pass, as in
+    :func:`build_inverted_index`.
+    """
+    if not phrase:
+        raise ValueError("phrase_occurrences: phrase must be non-empty")
+    spark = docs.sparkSession
+    ph = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(phrase)], ["j", "term"]
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
+    )
+    pos_rows = tok.select(
+        id_col, F.posexplode("toks").alias("pos", "wd")
+    )
+    m = pos_rows.join(
+        F.broadcast(ph), pos_rows["wd"] == ph["term"]
+    ).select(id_col, (F.col("pos") - F.col("j")).alias("anchor"), "j")
+    hits = (
+        m.distinct()
+        .filter(F.col("anchor") >= 0)
+        .groupBy(id_col, "anchor")
+        .agg(F.countDistinct("j").alias("_slots"))
+        .filter(F.col("_slots") == len(phrase))
+    )
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -2718,6 +2718,39 @@ def dedup_winnow_verified(spark, sf_dir):
 
 
 @_q(
+    "text_phrase_search",
+    """
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[^a-z0-9]+'),
+        x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS wd,
+                   unnest(range(len(toks))) AS pos FROM norm),
+    ph AS (SELECT unnest(['query', 'line', 'value']) AS term,
+                  unnest(range(3)) AS j),
+    m AS (SELECT DISTINCT t.doc_id, t.pos - p.j AS anchor, p.j
+          FROM tok t JOIN ph p ON t.wd = p.term),
+    hits AS (SELECT doc_id, anchor FROM m WHERE anchor >= 0
+             GROUP BY doc_id, anchor HAVING count(DISTINCT j) = 3)
+    SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """[ext] Exact phrase search (functions/retrieval.py::
+    phrase_occurrences) — the positional capability keyword BM25 lacks:
+    a doc matches iff the phrase's tokens appear CONSECUTIVELY. The
+    adjusted-position trick (anchor = pos - slot) turns it into one
+    broadcast join + one (doc, anchor) groupBy requiring all slots
+    covered — exact even with repeated phrase terms. Term filter lands
+    on the token explode, so only phrase terms enter the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from qcardia_data_spark.functions.retrieval import phrase_occurrences
+
+    return phrase_occurrences(docs, ["query", "line", "value"])
+
+
+@_q(
     "text_repetition_filter",
     r"""
     WITH t AS (
@@ -8630,6 +8663,7 @@ _NEXT_IN_LINE = [
     "ev_handoff_cheapest_path",
     "a19_discrete_quantiles",
     "ev_ewma",
+    "text_phrase_search",
 ]
 
 

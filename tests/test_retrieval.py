@@ -389,3 +389,36 @@ def test_bm25_query_terms_case_normalized(spark):
     lower = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["fox"]).collect()}
     upper = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["FOX"]).collect()}
     assert lower == upper and lower  # uppercase query matches, identically
+
+
+def test_phrase_occurrences_exact_semantics(spark):
+    from qcardia_data_spark.functions.retrieval import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d a b c"),      # "a b c" twice
+            (2, "a c b"),              # all terms, wrong order -> no hit
+            (3, "a b"),                # incomplete -> no hit
+            (4, "x a b c y"),          # once, mid-document
+            (5, "b c a b c"),          # once (anchor 2)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_occurrences(docs, ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 4: 1, 5: 1}
+
+
+def test_phrase_occurrences_repeated_terms(spark):
+    from qcardia_data_spark.functions.retrieval import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the the cat"), (3, "cat the the")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_occurrences(docs, ["the", "cat", "the"]).collect()}
+    assert got == {1: 1}  # only doc 1 has the exact t-c-t run
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        phrase_occurrences(docs, [])
