@@ -380,18 +380,21 @@ def winnow_fingerprints(
 
     Returns one row per selected gram occurrence: (id, pos, fp).
 
-    Plan shape: gram hashing is map-only behind the explode(array())
-    tokenizer barrier (the no-CSE-in-HOF rule); selection is ONE window
-    pass riding a single (doc) exchange. The rightmost-tie rule needs no
-    nested window: (hash, reversed-position) pack into one string sort
-    key, so min() alone picks the winner. Windows that would run past
-    the last gram are dropped (start <= n_grams - w), except start 0
-    when the doc is shorter than one window — then the single truncated
-    window selects the doc's global rightmost min. 100 TB: O(tokens)
-    rows, one shuffle on doc id, no data x data joins.
+    Plan shape: ZERO exchanges — a document's selection depends only on
+    its own grams, so the whole op stays in the array domain behind the
+    explode(array()) tokenizer barrier (the no-CSE-in-HOF rule): packed
+    (hash, reversed-position) sort keys are materialized ONCE as a
+    projected column, each window start takes array_min over its
+    w-slice (the rightmost-tie rule rides the pack — no nested
+    window/no window at all), array_distinct dedups within the doc, one
+    explode emits the selections. The original formulation shuffled
+    every gram row for a per-doc window sort; this one ships only the
+    ~2/(w+1) selected rows to whatever comes next. Windows that would
+    run past the last gram are dropped (start <= n_grams - w), except
+    start 0 when the doc is shorter than one window — slice() truncates,
+    so that single window selects the doc's global rightmost min.
+    100 TB: O(tokens·w) map work per doc, no shuffle, no data x data.
     """
-    from pyspark.sql.window import Window
-
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
     tok = df.select(
@@ -399,40 +402,37 @@ def winnow_fingerprints(
         F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
     )
     n_g = F.size("toks") - k + 1
-    hashes = F.transform(
+    keys = F.transform(
         F.sequence(F.lit(0), n_g - 1),
-        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")),
-    )
-    guarded = F.when(n_g > 0, hashes).otherwise(
-        F.array().cast("array<string>")
-    )
-    g = tok.select(
-        F.col(id_col),
-        n_g.alias("ng"),
-        F.posexplode(guarded).alias("pos", "h"),
-    )
-    key = F.concat(
-        F.col("h"),
-        F.lpad(
-            (F.lit(_WINNOW_POS_CEIL) - F.col("pos")).cast("string"), 8, "0"
+        lambda i: F.concat(
+            F.md5(F.array_join(F.slice(F.col("toks"), i + 1, k), " ")),
+            F.lpad((F.lit(_WINNOW_POS_CEIL) - i).cast("string"), 8, "0"),
         ),
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    guarded = F.when(n_g > 0, keys).otherwise(F.array().cast("array<string>"))
+    # keys becomes a real attribute here, so the per-start lambda below
+    # reads it instead of re-running the tokenizer+md5 per window (the
+    # shingle_rows CSE lesson)
+    with_keys = tok.select(F.col(id_col), n_g.alias("ng"),
+                           guarded.alias("_keys"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("ng") - w, F.lit(0)))
+    sel = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice("_keys", i + 1, w)))
     )
-    return (
-        g.withColumn("skey", F.min(key).over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0)))
-        .select(
-            F.col(id_col),
-            (F.lit(_WINNOW_POS_CEIL) - F.substring("skey", 33, 8).cast("int"))
-            .cast("long")
-            .alias("pos"),
-            F.substring("skey", 1, 32).alias("fp"),
-        )
-        .distinct()
+    picked = with_keys.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.col("ng") > 0, sel).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("skey"),
+    )
+    return picked.select(
+        F.col(id_col),
+        (F.lit(_WINNOW_POS_CEIL) - F.substring("skey", 33, 8).cast("int"))
+        .cast("long")
+        .alias("pos"),
+        F.substring("skey", 1, 32).alias("fp"),
     )
 
 

@@ -802,9 +802,9 @@ def test_winnow_single_exchange(spark, sf_dir):
         winnow_fingerprints(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # one hash exchange for the doc window; the distinct's exchange rides
-    # the same partitioning only if keys align — allow <= 2 total
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # array-domain selection: the whole op is map-side — NO exchange at
+    # all (selection depends only on the doc's own grams)
+    assert "Exchange" not in plan
 
 
 def test_winnow_share_pairs_guard_and_floor(spark):
