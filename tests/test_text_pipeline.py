@@ -854,3 +854,49 @@ def test_canonical_url_collapse_rules(spark):
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, (u, g, want)
+
+
+def test_winnow_guarantee_property(shared_spark):
+    """Hypothesis: for random docs with a randomly PLANTED shared run of
+    exactly w+k-1 tokens (the minimum the guarantee covers), every doc
+    pair sharing the run shares a selected fingerprint — regardless of
+    where the run lands or what surrounds it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    k, w = 3, 4
+    run_len = w + k - 1  # 6 tokens: the guarantee's lower bound
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        pos_a=st.integers(0, 30),
+        pos_b=st.integers(0, 30),
+        n_noise=st.integers(6, 40),
+    )
+    def check(seed, pos_a, pos_b, n_noise):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"n{i}" for i in range(200)]
+        run = [f"run{seed}_{i}" for i in range(run_len)]  # unique tokens
+
+        def doc(pos):
+            toks = [rng.choice(vocab) for _ in range(n_noise)]
+            p = min(pos, len(toks))
+            return " ".join(toks[:p] + run + toks[p:])
+
+        df = shared_spark.createDataFrame(
+            [(1, doc(pos_a)), (2, doc(pos_b))], ["doc_id", "text"]
+        )
+        sel = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+        fps = {}
+        for r in sel:
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert fps.get(1, set()) & fps.get(2, set()), (
+            seed, pos_a, pos_b, n_noise
+        )
+
+    check()
