@@ -1036,6 +1036,59 @@ def a19_discrete_quantiles(spark, sf_dir):
 
 
 @_q(
+    "f24_map_functions",
+    """
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 2
+    """,
+)
+def f24_map_functions(spark, sf_dir):
+    """[ext] MapType expression surface — the one F-family container the
+    array ops do not touch: per-user (event_type -> count) and
+    (event_type -> cents) maps built with map_from_entries, fused with
+    map_zip_with, gated with map_filter (two-param map lambdas are
+    (key, value) — distinct from the array (elem, idx) trap), and
+    exploded back through map_entries. The oracle states the equivalent
+    relational form, so a value match proves the whole map round-trip
+    loses nothing. Map build rides the same user_id exchange as the
+    base aggregate; everything after is map-side."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("vc"),
+    )
+    maps = base.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("mn"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "vc"))
+        ).alias("mv"),
+    )
+    fused = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "mn", "mv", lambda k, a, b: F.struct(a.alias("n"), b.alias("vc"))
+            ),
+            lambda k, s: s["n"] >= 2,
+        ).alias("kept"),
+    )
+    return fused.select(
+        "user_id", F.explode(F.map_entries("kept")).alias("e")
+    ).select(
+        "user_id",
+        F.col("e.key").alias("event_type"),
+        F.col("e.value.n").alias("n_events"),
+        F.col("e.value.vc").alias("value_cents"),
+    )
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8664,6 +8717,7 @@ _NEXT_IN_LINE = [
     "a19_discrete_quantiles",
     "ev_ewma",
     "text_phrase_search",
+    "f24_map_functions",
 ]
 
 
