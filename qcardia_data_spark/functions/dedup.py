@@ -1789,3 +1789,222 @@ def near_dedup_incremental(
     finally:
         sh_new.unpersist()
     return kept
+
+
+# ---------------------------------------------------------------------------
+# Winnowing standing index — the incremental operating mode of the MOSS tier
+# ---------------------------------------------------------------------------
+
+_WIN_META_PARAMS = ("k", "w", "n_fp_buckets")
+
+
+def _read_win_meta(spark, path: str) -> dict | None:
+    try:
+        row = spark.read.json(f"{path}/_win_meta").collect()[0]
+    except Exception:
+        return None
+    return {kk: row[kk] for kk in row.asDict()}
+
+
+def _write_win_meta(spark, path: str, meta: dict) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("n_fp_buckets", T.IntegerType()),
+        T.StructField("id_col", T.StringType()),
+        T.StructField("id_type", T.StringType()),
+        T.StructField("max_id", T.StringType(), nullable=True),
+    ])
+    row = tuple(
+        meta[f.name] if f.name != "max_id" or meta["max_id"] is None
+        else str(meta["max_id"])
+        for f in schema.fields
+    )
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_win_meta")
+
+
+def write_winnow_index(
+    df: DataFrame, id_col: str, text_col: str, path: str,
+    k: int = 3, w: int = 4, n_fp_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the winnowing fingerprint index for ``df`` as ONE
+    fp-bucket-partitioned parquet table (id, fp) — the standing-index
+    form of :func:`winnow_share_pairs`'s left side, the `_sig_meta`
+    pattern applied to the MOSS tier: params + id type + corpus max_id
+    frozen in ``path/_win_meta``, appends validate params and ratchet
+    ``max_id``. Because winnowing samples ~2/(w+1) of grams, this index
+    is ~5x smaller than the signature index's shingle sets for the same
+    detection guarantee class."""
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    params = {
+        "k": int(k), "w": int(w), "n_fp_buckets": int(n_fp_buckets),
+        "id_col": id_col, "id_type": id_type,
+    }
+    old = _read_win_meta(spark, path) if mode == "append" else None
+    if old is not None:
+        drift = {
+            kk: (old[kk], params[kk])
+            for kk in (*_WIN_META_PARAMS, "id_col", "id_type")
+            if old.get(kk) != params[kk]
+        }
+        if drift:
+            raise ValueError(
+                f"write_winnow_index(mode='append'): parameters differ "
+                f"from the index at {path!r} (meta vs caller): {drift}"
+            )
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    (
+        fps.withColumn("fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets))
+        .write.mode(mode).partitionBy("fp_bucket").parquet(f"{path}/fps")
+    )
+    batch_max = df.agg(F.max(id_col)).first()[0]
+    max_id = str(batch_max) if batch_max is not None else None
+    if old is not None and old.get("max_id") is not None:
+        if max_id is None or _id_as_meta_comparable(
+            old["max_id"], id_type
+        ) > _id_as_meta_comparable(max_id, id_type):
+            max_id = old["max_id"]
+    _write_win_meta(spark, path, {**params, "max_id": max_id})
+
+
+def winnow_incremental(
+    new_docs: DataFrame, index_path: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int | None = None, w: int | None = None,
+    min_shared: int = 2, max_df: int = 20,
+    update_index: bool = False, allow_replay: bool = False,
+) -> DataFrame:
+    """Winnow-dedup a NEW batch against the standing fingerprint index
+    (and within itself) without re-fingerprinting the corpus: the batch
+    fingerprints only itself (map-only), probes ONLY its own fp_bucket
+    partition directories, and drops every batch doc sharing
+    >= ``min_shared`` surviving fingerprints with ANY lower id (index or
+    batch — the min-id greedy, so under the monotone-id layout the
+    batch-wise result composes like the full run). Params come from
+    ``_win_meta``; explicit values are validated (drift refuses loudly);
+    batch ids at or below the index's ``max_id`` refuse unless
+    ``allow_replay`` (the retried-micro-batch escape — same-id rows
+    dedup in the pool, so a replay converges).
+
+    ``max_df`` counts a fingerprint's docs over (probed index ∪ batch):
+    exact w.r.t. the corpus so far, which matches the full-corpus run
+    whenever no fingerprint crosses ``max_df`` between a batch's turn
+    and the end of the corpus (the same qualification as the LSH
+    star-guard equivalence; the tests pin the within-regime identity).
+
+    With ``update_index`` the SURVIVORS' fingerprints append to the
+    index (through a lineage-severing localCheckpoint — the appended
+    frame's plan reads the index, and a lazy re-read mid-append would
+    self-match).
+    """
+    spark = new_docs.sparkSession
+    meta = _read_win_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"winnow_incremental: no _win_meta at {index_path!r} — "
+            "not a winnow index (build with write_winnow_index)"
+        )
+    for name, val in (("k", k), ("w", w)):
+        if val is not None and int(val) != int(meta[name]):
+            raise ValueError(
+                f"winnow_incremental: {name}={val} != index {name}="
+                f"{meta[name]} at {index_path!r} — reprobe with the "
+                "index's own parameters"
+            )
+    kk, ww = int(meta["k"]), int(meta["w"])
+    n_fp_buckets = int(meta["n_fp_buckets"])
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    if id_type != meta["id_type"]:
+        raise ValueError(
+            f"winnow_incremental: batch id type {id_type!r} != index "
+            f"id type {meta['id_type']!r}"
+        )
+    if meta.get("max_id") is not None and not allow_replay:
+        lo = new_docs.agg(F.min(id_col)).first()[0]
+        if lo is not None and _id_as_meta_comparable(
+            str(lo), id_type
+        ) <= _id_as_meta_comparable(meta["max_id"], id_type):
+            raise ValueError(
+                f"winnow_incremental: batch min id {lo!r} <= index "
+                f"max_id {meta['max_id']!r} — the monotone-id layout the "
+                "min-id greedy requires is violated (allow_replay=True "
+                "only for retried batches of the SAME ids)"
+            )
+    from qcardia_data_spark.functions.text import winnow_fingerprints
+
+    bfps = (
+        winnow_fingerprints(new_docs, id_col, text_col, k=kk, w=ww)
+        .select(F.col(id_col).alias("_id"), "fp")
+        .distinct()
+        .withColumn("fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets))
+        .persist()
+    )
+    try:
+        buckets = [
+            r["fp_bucket"]
+            for r in bfps.select("fp_bucket").distinct().collect()
+        ]  # bounded driver collect: <= n_fp_buckets rows
+        idx = (
+            spark.read.parquet(f"{index_path}/fps")
+            .filter(F.col("fp_bucket").isin(buckets))  # partition filter
+            .select(F.col(id_col).alias("_id"), "fp")
+        )
+        pool = idx.unionByName(bfps.select("_id", "fp")).distinct()
+        ok = (
+            pool.groupBy("fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("fp")
+        )
+        a = bfps.select("fp", F.col("_id").alias("a")).join(ok, "fp")
+        b = pool.select("fp", F.col("_id").alias("b"))
+        losers = (
+            a.join(b, "fp")
+            .filter(F.col("b") < F.col("a"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared)
+            .select(F.col("a").alias(id_col))
+            .distinct()
+        )
+        kept = new_docs.join(losers, id_col, "left_anti")
+        if update_index:
+            kept_fps = (
+                bfps.join(
+                    kept.select(F.col(id_col).alias("_kid")),
+                    bfps["_id"] == F.col("_kid"),
+                    "left_semi",
+                )
+                .select(F.col("_id").alias(id_col), "fp", "fp_bucket")
+                .localCheckpoint(eager=True)  # sever the index-read lineage
+            )
+            kept_fps.write.mode("append").partitionBy("fp_bucket").parquet(
+                f"{index_path}/fps"
+            )
+            batch_max = new_docs.agg(F.max(id_col)).first()[0]
+            max_id = meta.get("max_id")
+            if batch_max is not None and (
+                max_id is None
+                or _id_as_meta_comparable(str(batch_max), id_type)
+                > _id_as_meta_comparable(max_id, id_type)
+            ):
+                max_id = str(batch_max)
+            _write_win_meta(
+                spark, index_path,
+                {**{p: meta[p] for p in _WIN_META_PARAMS},
+                 "id_col": meta["id_col"], "id_type": meta["id_type"],
+                 "max_id": max_id},
+            )
+        return kept
+    finally:
+        bfps.unpersist()

@@ -1173,6 +1173,40 @@ def _apply(
             "lsh_write_partitioned/ivf_write_partitioned/"
             "ivfpq_write_partitioned"
         )
+    if kind == "winnow_index_write":
+        # {"op": "winnow_index_write", "path": ..., "id_col": ...,
+        #  "text_col": ..., "k": 3, "w": 4, "mode": "overwrite"} — the
+        #  MOSS tier's standing-index half: fp-bucket-partitioned
+        #  fingerprint table for the CURRENT frame, ~5x smaller than the
+        #  signature index for the guaranteed-detection class; frame
+        #  passes through unchanged.
+        from qcardia_data_spark.functions.dedup import write_winnow_index
+
+        write_winnow_index(
+            df, op.get("id_col", "doc_id"), op.get("text_col", "text"),
+            op["path"],
+            k=int(op.get("k", 3)), w=int(op.get("w", 4)),
+            n_fp_buckets=int(op.get("n_fp_buckets", 64)),
+            mode=op.get("mode", "overwrite"),
+        )
+        return df
+    if kind == "winnow_incremental":
+        # {"op": "winnow_incremental", "index_path": ...,
+        #  "min_shared": 2, "max_df": 20, "update_index": false,
+        #  "allow_replay": false} — winnow-dedups the current frame
+        #  against the persisted fingerprint index and within itself
+        #  (k/w come from the index's own _win_meta); survivors flow on.
+        from qcardia_data_spark.functions.dedup import winnow_incremental
+
+        return winnow_incremental(
+            df, op["index_path"],
+            id_col=op.get("id_col", "doc_id"),
+            text_col=op.get("text_col", "text"),
+            min_shared=int(op.get("min_shared", 2)),
+            max_df=int(op.get("max_df", 20)),
+            update_index=bool(op.get("update_index", False)),
+            allow_replay=bool(op.get("allow_replay", False)),
+        )
     if kind == "signature_index_write":
         # {"op": "signature_index_write", "path": ..., "id_col": ...,
         #  "text_col": ..., "n_bands": 8, "shingle_n": 3, "mode":
