@@ -519,3 +519,47 @@ def streaming_cms_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_winnow_dedup_intake(
+    docs_stream: DataFrame, index_path: str, out_path: str, checkpoint: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    min_shared: int = 2, max_df: int = 20,
+    available_now: bool = True,
+):
+    """[ext] Streaming winnow-dedup intake — the MOSS tier's continuous
+    form (`dedup.winnow_incremental`), the cheaper sibling of
+    `streaming_near_dedup_intake`: each micro-batch fingerprints only
+    itself (zero-exchange array-domain selection), probes only its own
+    fp_bucket directories of the standing index, survivors land in a
+    `_batch=`-partitioned sink (dynamic overwrite: a retried batch
+    replaces its own output, exactly-once) and their fingerprints append
+    so the NEXT batch sees them. State lives in the index table — memory
+    O(batch); `allow_replay` + the pool's same-id dedup make a retried
+    append converge.
+    """
+    from qcardia_data_spark.functions.dedup import winnow_incremental
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = winnow_incremental(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            min_shared=min_shared, max_df=max_df,
+            update_index=True, allow_replay=True,
+        )
+        (
+            kept.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -161,3 +161,57 @@ def test_spec_ops_winnow_index_pair(spark, corpus, tmp_path):
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
         r["doc_id"] for r in direct.select("doc_id").collect()
     }
+
+
+def test_streaming_winnow_intake_chains_and_replays(spark, corpus, tmp_path):
+    """Stream the new-id block through the standing winnow index: the
+    drained sink must equal the batch-API incremental result, and a
+    FULL replay from a fresh checkpoint converges (same-id pool dedup +
+    per-batch sink ownership). Multi-batch chaining itself is covered by
+    test_winnow_incremental_chains_and_replays — a file stream's batch
+    order is not id-ordered, so the monotone layout is only guaranteed
+    per-drain here."""
+    from qcardia_data_spark.streaming.events import (
+        streaming_winnow_dedup_intake,
+    )
+
+    idx = str(tmp_path / "widx")
+    a = _dedup_once(corpus.filter(F.col("doc_id") < 1_000_000))
+    b = corpus.filter(F.col("doc_id") >= 1_000_000)
+    write_winnow_index(a, "doc_id", "text", idx)
+
+    # batch-at-once expectation on an identical twin index
+    idx2 = str(tmp_path / "widx2")
+    write_winnow_index(a, "doc_id", "text", idx2)
+    want = {
+        r["doc_id"]
+        for r in winnow_incremental(b, idx2, max_df=MAX_DF)
+        .select("doc_id").collect()
+    }
+
+    incoming = str(tmp_path / "incoming")
+    b.orderBy("doc_id").coalesce(1).write.parquet(incoming)  # 1 file...
+    schema = spark.read.parquet(incoming).schema
+    out = str(tmp_path / "survivors")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_winnow_dedup_intake(
+            stream, idx, out, str(tmp_path / ckpt), max_df=MAX_DF,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain("ck1")
+    got = {r["doc_id"] for r in spark.read.parquet(out)
+           .select("doc_id").collect()}
+    assert got == want
+
+    drain("ck2")  # full replay from a fresh checkpoint
+    got2 = {r["doc_id"] for r in spark.read.parquet(out)
+            .select("doc_id").collect()}
+    assert got2 == want
