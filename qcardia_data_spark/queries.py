@@ -2804,6 +2804,78 @@ def text_phrase_search(spark, sf_dir):
 
 
 @_q(
+    "dedup_winnow_incremental",
+    # Oracle = the EXACT two-stage computation the incremental path runs
+    # (no equivalence assumption): head one-shot winnow dedup (both pair
+    # sides df-gated, drop-larger), then the batch probed against
+    # head-survivors ∪ batch with the a-side-only df gate the library
+    # applies — so the value match grades the standing-index round trip
+    # (_win_meta params, bucket-pruned probe, min-id greedy) end to end.
+    _WINNOW_SQL + """,
+    u AS (SELECT DISTINCT doc_id, fp FROM fps),
+    cut AS (SELECT (max(doc_id) * 8) // 10 AS c FROM documents),
+    hu AS (SELECT * FROM u WHERE doc_id < (SELECT c FROM cut)),
+    hok AS (SELECT fp FROM hu GROUP BY fp HAVING count(*) <= 20),
+    hs AS (SELECT hu.doc_id, hu.fp FROM hu JOIN hok ON hu.fp = hok.fp),
+    hlose AS (SELECT DISTINCT b.doc_id
+              FROM hs a JOIN hs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    hkeep AS (SELECT doc_id FROM documents
+              WHERE doc_id < (SELECT c FROM cut)
+                AND doc_id NOT IN (SELECT doc_id FROM hlose)),
+    pool AS (SELECT * FROM u WHERE doc_id >= (SELECT c FROM cut)
+             UNION ALL
+             SELECT u.* FROM u JOIN hkeep ON u.doc_id = hkeep.doc_id),
+    pok AS (SELECT fp FROM pool GROUP BY fp HAVING count(*) <= 20),
+    ba AS (SELECT p.doc_id, p.fp FROM pool p JOIN pok ON p.fp = pok.fp
+           WHERE p.doc_id >= (SELECT c FROM cut)),
+    blose AS (SELECT DISTINCT a.doc_id
+              FROM ba a JOIN pool b ON a.fp = b.fp AND b.doc_id < a.doc_id
+              GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
+    bkeep AS (SELECT doc_id FROM documents
+              WHERE doc_id >= (SELECT c FROM cut)
+                AND doc_id NOT IN (SELECT doc_id FROM blose))
+    SELECT doc_id FROM hkeep UNION ALL SELECT doc_id FROM bkeep
+    """,
+)
+def dedup_winnow_incremental_q(spark, sf_dir):
+    """[ext] The winnowing standing index END TO END
+    (functions/dedup.py::write_winnow_index / winnow_incremental): the
+    id-ordered head is one-shot winnow-deduped, its sampled fingerprints
+    persisted (fp-bucket-partitioned + _win_meta), and the tail batch is
+    probed incrementally — fingerprinting only itself, reading only its
+    own bucket directories, min-id greedy vs head-survivors ∪ batch with
+    the a-side df gate. The oracle replays the SAME two-stage
+    computation, so the driver grades the index round trip itself, not
+    an equivalence claim."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] * 8) // 10
+    head = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    hlosers = (
+        D.winnow_share_pairs(head, "doc_id", "text", min_shared=2, max_df=20)
+        .select(F.col("b").alias("doc_id")).distinct()
+    )
+    head_kept = head.join(hlosers, "doc_id", "left_anti")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp", f"winnow_idx_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if _os.path.isdir(path):
+        _shutil.rmtree(path)
+    D.write_winnow_index(head_kept, "doc_id", "text", path)
+    kept_batch = D.winnow_incremental(
+        batch, path, min_shared=2, max_df=20
+    )
+    return head_kept.select("doc_id").unionByName(
+        kept_batch.select("doc_id")
+    )
+
+
+@_q(
     "text_repetition_filter",
     r"""
     WITH t AS (
@@ -8718,6 +8790,7 @@ _NEXT_IN_LINE = [
     "ev_ewma",
     "text_phrase_search",
     "f24_map_functions",
+    "dedup_winnow_incremental",
 ]
 
 
