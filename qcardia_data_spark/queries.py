@@ -1089,6 +1089,62 @@ def f24_map_functions(spark, sf_dir):
 
 
 @_q(
+    "a20_pearson_corr",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (SELECT g, count(*) AS n,
+                 CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                 sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+          FROM b GROUP BY g)
+    SELECT g, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) /
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM s
+    """,
+)
+def a20_pearson_corr(spark, sf_dir):
+    """[ext] Pearson correlation per group from EXACT decimal sufficient
+    statistics — the Timescale stats_agg two-step pattern done
+    engine-exactly: x (integer quantities) and y (exact cents) sums and
+    cross-products accumulate as DECIMAL(38,0) (every intermediate an
+    exact integer in BOTH engines, immune to float sum order), and only
+    the terminal corr does float math — one cast, one multiply, one
+    IEEE-correctly-rounded sqrt, one divide, each bit-identical given
+    identical inputs. ONE map-side-combined groupBy; the sufficient
+    stats themselves are mergeable rows (rollup-able like a15/a16).
+    Spark's built-in corr() uses running float moments — order-dependent
+    and NOT oracle-checkable; this form is."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = li.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "g", "n", (num / F.sqrt(varx * vary)).alias("corr")
+    )
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8791,6 +8847,7 @@ _NEXT_IN_LINE = [
     "text_phrase_search",
     "f24_map_functions",
     "dedup_winnow_incremental",
+    "a20_pearson_corr",
 ]
 
 
