@@ -913,6 +913,39 @@ def a15_hll_rollup(spark, sf_dir):
 
 
 @_q(
+    "a15b_hll_estimate_bound",
+    """
+    SELECT event_type, CAST(1 AS BOOLEAN) AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def a15b_hll_estimate_bound(spark, sf_dir):
+    """[ext] The HLL ESTIMATOR graded the a12 way: a15 value-grades the
+    registers (exact); the raw+linear-counting estimate is float, so the
+    driver-checkable claim is the BOUND — |estimate - exact distinct| <=
+    4 sigma (sigma = 1.04/sqrt(m), m=16 => 26%) per group, computed
+    in-plan against the exact twin and exported as a boolean the oracle
+    restates as TRUE. A broken estimator now fails the hash compare
+    instead of living untested outside pytest."""
+    from qcardia_data_spark.functions import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, ["event_type"], "user_id", p=4)
+    est = SK.hll_estimate(regs, ["event_type"], p=4)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n")
+    )
+    m = 16
+    sigma = 1.04 / (m ** 0.5)
+    j = est.join(exact, "event_type")
+    ok = (
+        F.abs(F.col("estimate") - F.col("exact_n"))
+        <= 4 * sigma * F.col("exact_n") + F.lit(3.0)
+    )
+    return j.select("event_type", ok.alias("within_bound"))
+
+
+@_q(
     "a16_cms_rollup",
     """
     WITH d AS (SELECT unnest(range(3)) AS row),
@@ -8848,6 +8881,7 @@ _NEXT_IN_LINE = [
     "f24_map_functions",
     "dedup_winnow_incremental",
     "a20_pearson_corr",
+    "a15b_hll_estimate_bound",
 ]
 
 
