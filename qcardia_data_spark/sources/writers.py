@@ -174,3 +174,32 @@ def write_records_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame, path: str, shard_col: str, n_shards: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """[ext] Sharded JSONL corpus export — the interchange format every
+    LLM-data pipeline emits. Shard assignment is md5(shard_col) mod
+    n_shards (deterministic across engines/runs, the keyed_rand idiom),
+    written as ``shard=<i>/`` partition directories so a downstream
+    reader can open one shard without listing the rest; one file per
+    shard via repartition on the shard key (shards stay balanced because
+    the key is a hash). Reread with ``readers.jsonl_document_scan`` on
+    ``path/shard=*/*.json``."""
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(shard_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(int(n_shards)),
+    ).cast("int").alias("shard")
+    (
+        df.withColumn("shard", shard)
+        .repartition(int(n_shards), "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )

@@ -1004,3 +1004,45 @@ def test_streaming_cms_intake_converges_and_replays(spark, sf_dir, tmp_path):
             ev, store, ["event_type"], "user_id",
             batch_id=99, depth=4, width=64,
         )
+
+
+def test_streaming_hll_intake_time_bucketed_keys(spark, sf_dir, tmp_path):
+    """Distinct users per (event_type, hour) continuously: the intake's
+    keys are just columns, so a time bucket computed upstream in the
+    stream makes the store a windowed-distinct table with no extra
+    machinery."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.sketches import (
+        hll_registers,
+        hll_store_read,
+    )
+    from qcardia_data_spark.streaming.events import streaming_hll_intake
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    incoming = str(tmp_path / "incoming")
+    ev.repartition(2).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    store = str(tmp_path / "hll_hourly")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    q = streaming_hll_intake(
+        stream, store, str(tmp_path / "ck"),
+        keys=["event_type", "hour"], value_col="user_id", p=4,
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    want = sorted(map(tuple, hll_registers(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))),
+        ["event_type", "hour"], "user_id", p=4,
+    ).collect()))
+    got = sorted(map(tuple, hll_store_read(spark, store)
+                     .select("event_type", "hour", "register", "max_rho")
+                     .collect()))
+    assert got == want
