@@ -355,3 +355,55 @@ def connected_components_star(
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(roots)
     )
+
+
+def kcore_rounds(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "keep nodes with
+    undirected degree >= k among the survivors" over the canonicalized
+    simple graph (parallel/reversed edges collapse first). The true
+    k-core is this peel's fixpoint; after R rounds the result is the
+    R-round peel — a superset of the core that equals it once the peel
+    stabilizes (bounded rounds are the contract, the PageRank/BFS/SSSP
+    idiom). Returns (node, degree) for survivors, degree measured within
+    the surviving set.
+
+    Plan per round: one edge ⋈ survivors semi-join per endpoint + one
+    mergeable degree groupBy; localCheckpoint per round (O(1) lineage).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("node"), F.col("b").alias("other")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("other"))
+    ).persist()
+    try:
+        kept = sym.select("node").distinct().localCheckpoint(eager=True)
+        deg = None
+        for _ in range(rounds):
+            deg = (
+                sym.join(kept, "node", "left_semi")
+                .join(
+                    kept.select(F.col("node").alias("other")),
+                    "other",
+                    "left_semi",
+                )
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .filter(F.col("degree") >= k)
+                .localCheckpoint(eager=True)
+            )
+            kept = deg.select("node")
+        return deg
+    finally:
+        sym.unpersist()

@@ -8228,6 +8228,74 @@ def ev_ewma(spark, sf_dir):
     return out.select("event_id", "ewma")
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled k-core peel (the _PR_ITER_SQL idiom): each round keeps
+    nodes whose undirected degree within the prior survivors is >= k."""
+    body = """
+    WITH e0 AS (
+      SELECT event_type, event_id, user_id,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    h AS (
+      SELECT user_id,
+             lag(user_id) OVER (PARTITION BY event_type
+                                ORDER BY s, event_id) AS prev_user
+      FROM e0),
+    und AS (SELECT DISTINCT least(prev_user, user_id) AS a,
+                            greatest(prev_user, user_id) AS b
+            FROM h WHERE prev_user IS NOT NULL
+              AND prev_user < user_id AND user_id - prev_user <= 12),
+    sym AS (SELECT a AS node, b AS other FROM und
+            UNION ALL SELECT b, a FROM und),
+    r0 AS (SELECT DISTINCT node FROM sym)"""
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        body += f""",
+    d{i} AS (SELECT s.node, count(*) AS d FROM sym s
+             JOIN {prev} ra ON s.node = ra.node
+             JOIN {prev} rb ON s.other = rb.node
+             GROUP BY s.node),
+    r{i} AS (SELECT node FROM d{i} WHERE d >= {k})"""
+        prev = f"r{i}"
+    body += f"""
+    SELECT node AS user_id, CAST(d AS BIGINT) AS degree
+    FROM d{rounds} WHERE d >= {k}
+    """
+    return body
+
+
+@_q("ev_handoff_kcore", _kcore_oracle_sql(k=2, rounds=6))
+def ev_handoff_kcore(spark, sf_dir):
+    """[ext] Bounded k-core peeling (functions/graph.py::kcore_rounds) —
+    the densest-substructure member of the graph family: 6 rounds of
+    "keep nodes with undirected degree >= 2 among survivors" over the
+    canonicalized escalation graph; the true core is this peel's
+    fixpoint, and the bounded unroll is the contract (the PageRank
+    idiom), which is exactly what the generated oracle replays round by
+    round. Each Spark round: two semi-joins + one mergeable degree
+    groupBy, localCheckpoint lineage truncation."""
+    from qcardia_data_spark.functions.graph import kcore_rounds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    h = ev.select(
+        "event_type", "event_id", "user_id", _epoch_s(F.col("ts")).alias("s")
+    ).select("user_id", F.lag("user_id").over(w).alias("prev_user"))
+    edges = h.filter(
+        F.col("prev_user").isNotNull()
+        & (F.col("prev_user") < F.col("user_id"))
+        & (F.col("user_id") - F.col("prev_user") <= 12)
+    ).select(
+        F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+    )
+    out = kcore_rounds(edges, k=2, rounds=6)
+    return out.select(
+        F.col("node").alias("user_id"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
 @_q(
     "ev_scd2_user_state",
     """
@@ -8882,6 +8950,7 @@ _NEXT_IN_LINE = [
     "dedup_winnow_incremental",
     "a20_pearson_corr",
     "a15b_hll_estimate_bound",
+    "ev_handoff_kcore",
 ]
 
 

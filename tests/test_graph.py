@@ -238,3 +238,28 @@ def test_sssp_rejects_negative_weights(spark):
     srcs = spark.createDataFrame([(0,)], ["node"])
     with _pytest.raises(ValueError, match="negative"):
         sssp_rounds(edges, srcs)
+
+
+def test_kcore_peels_tail_and_keeps_core(spark):
+    from qcardia_data_spark.functions.graph import kcore_rounds
+
+    # triangle 1-2-3 (2-core) with a pendant chain 3-4-5 that must peel
+    # away over TWO rounds (5 first, then 4) — and parallel/reversed
+    # edges must not inflate degrees
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 5), (5, 4)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["degree"]
+           for r in kcore_rounds(edges, k=2, rounds=6).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # one round only: 5 peels (deg 1) but 4 still counts 5 -> survives
+    one = {r["node"] for r in kcore_rounds(edges, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
+
+
+def test_kcore_empty_when_no_core(spark):
+    from qcardia_data_spark.functions.graph import kcore_rounds
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert kcore_rounds(chain, k=2, rounds=6).count() == 0
