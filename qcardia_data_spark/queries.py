@@ -1178,6 +1178,63 @@ def a20_pearson_corr(spark, sf_dir):
 
 
 @_q(
+    "a22_numeric_profile",
+    """
+    SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           min(l_quantity) AS min_v, max(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*) - count(l_discount),
+           count(DISTINCT l_discount), min(l_discount), max(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*) - count(l_tax),
+           count(DISTINCT l_tax), min(l_tax), max(l_tax)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice), min(l_extendedprice),
+           max(l_extendedprice)
+    FROM lineitem
+    """,
+)
+def a22_numeric_profile(spark, sf_dir):
+    """[ext] Column profiler (the deequ/dbt-docs table-stats pass): null
+    count, exact distinct count, min, max for a declared numeric column
+    list, in ONE scan — all 4k aggregates ride a single map-side-combined
+    aggregation, then the wide row melts to the long (col, stats) form
+    with the a18 unpivot machinery (pure map-side). The oracle's
+    per-column UNION ALL restates the same facts, so the driver grades
+    both the stats and the melt. Feeds the `expect` gate: profile first,
+    then pin expectations against the observed ranges."""
+    cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__n_null"),
+            F.countDistinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min_v"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max_v"),
+        ]
+    wide = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min_v").alias("min_v"),
+            F.col(f"{c}__max_v").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col", "r.n_null", "r.n_distinct", "r.min_v", "r.max_v"
+    )
+
+
+@_q(
     "p11_nullify_placeholders",
     """
     SELECT doc_id, nullif(source, 'src0') AS source_key
@@ -8951,6 +9008,7 @@ _NEXT_IN_LINE = [
     "a20_pearson_corr",
     "a15b_hll_estimate_bound",
     "ev_handoff_kcore",
+    "a22_numeric_profile",
 ]
 
 
