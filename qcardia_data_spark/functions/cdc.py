@@ -46,6 +46,7 @@ __all__ = [
     "read_upsert_table",
     "upsert_append_batch",
     "read_upsert_as_of",
+    "compact_upsert_log",
     "table_diff",
 ]
 
@@ -486,3 +487,39 @@ def table_diff(
             "change", "b", "a",
         )
     )
+
+
+def compact_upsert_log(
+    spark: SparkSession, path: str, up_to: int | None = None,
+    tiebreak: str | None = None,
+) -> int:
+    """Fold log batches <= ``up_to`` (None = all) into the base table and
+    DELETE the folded partitions — the MOR maintenance op that trades
+    time travel below the horizon for read amplification 1. The fold is
+    the existing copy-on-write merge over the as-of state, so post-
+    compaction ``read_upsert_as_of(batch=None)`` is unchanged (test-
+    asserted); batches ABOVE the horizon keep their exact as-of reads.
+
+    Returns the number of log batches folded. The merged state is
+    materialized (localCheckpoint inside the merge) BEFORE partitions
+    are removed, so a crash between merge and delete leaves duplicate-
+    but-idempotent data (latest-wins re-fold is a no-op), never loss.
+    """
+    import shutil
+
+    _require_meta(spark, path, "compact_upsert_log")
+    log = _read_log(spark, f"{path}/log")
+    if log is None:
+        return 0
+    batches = [
+        r["_batch"] for r in log.select("_batch").distinct().collect()
+        if up_to is None or r["_batch"] <= int(up_to)
+    ]
+    if not batches:
+        return 0
+    state = read_upsert_as_of(spark, path, batch=max(batches),
+                              tiebreak=tiebreak)
+    merge_upsert_partitioned(spark, path, state, tiebreak=tiebreak)
+    for b in batches:
+        shutil.rmtree(f"{path}/log/_batch={b}", ignore_errors=True)
+    return len(batches)

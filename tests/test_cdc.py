@@ -471,3 +471,35 @@ def test_table_diff_classes_and_nullsafe(spark):
     assert got == {2: "changed", 3: "removed", 5: "added"}
     with pytest.raises(ValueError, match="lacks columns"):
         table_diff(before, after.drop("y"), "k", compare=["x", "y"])
+
+
+def test_mor_compact_log_preserves_state_and_horizon(spark, table):
+    from qcardia_data_spark.functions.cdc import (
+        compact_upsert_log,
+        read_upsert_as_of,
+        upsert_append_batch,
+    )
+
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(1, 5, "b1"), (99, 1, "ins")], ["k", "ts", "val"]), batch_id=1)
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(1, 9, "b2")], ["k", "ts", "val"]), batch_id=2)
+    upsert_append_batch(spark, table, spark.createDataFrame(
+        [(2, 9, "b3")], ["k", "ts", "val"]), batch_id=3)
+
+    latest_before = _asof_state(spark, table)
+    asof2_before = _asof_state(spark, table, batch=2)
+
+    # fold batches <= 2; batch 3 keeps its exact as-of read
+    assert compact_upsert_log(spark, table, up_to=2) == 2
+    import os
+    dirs = {d for d in os.listdir(f"{table}/log") if d.startswith("_batch=")}
+    assert dirs == {"_batch=3"}
+    assert _asof_state(spark, table) == latest_before
+    # the horizon: base now EQUALS the old as-of-2 state
+    assert _asof_state(spark, table, batch=0) == asof2_before
+    # idempotent re-run: nothing left at/below the horizon
+    assert compact_upsert_log(spark, table, up_to=2) == 0
+    # full fold empties the log entirely
+    assert compact_upsert_log(spark, table) == 1
+    assert _asof_state(spark, table) == latest_before
