@@ -269,3 +269,72 @@ def phrase_occurrences(
         .filter(F.col("_slots") == len(phrase))
     )
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def build_positional_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """[ext] Positional postings (term, id, pos) partitioned by
+    term_bucket — what :func:`build_inverted_index`'s tf postings cannot
+    answer: phrase and proximity queries. Same layout contract as the
+    BM25 index (md5 term buckets, session-independent), so a phrase
+    probe reads ONLY its terms' bucket directories. The one corpus-wide
+    pass; positions make it ~|tokens| rows instead of |distinct terms
+    per doc| — the classic positional-index size trade, paid once."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
+    )
+    postings = tok.select(
+        id_col, F.posexplode("toks").alias("pos", "term")
+    ).withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+
+
+def phrase_occurrences_from_index(
+    spark: SparkSession,
+    path: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = N_TERM_BUCKETS,
+) -> DataFrame:
+    """Phrase search off the positional index: reads only the phrase
+    terms' bucket directories (partition filter), then the same
+    adjusted-position algebra as :func:`phrase_occurrences` — value-
+    identical to the scan form (test-asserted) at the cost of the
+    phrase's buckets instead of the corpus."""
+    if not phrase:
+        raise ValueError("phrase_occurrences_from_index: phrase is empty")
+    ph = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(phrase)], ["j", "term"]
+    )
+    # bucket ids via the index's OWN bucketing expression — a hand-rolled
+    # driver-side hash could silently drift from the layout
+    buckets = [
+        r["b"]
+        for r in ph.select(
+            term_bucket(F.col("term"), n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))  # partition filter
+        .filter(F.col("term").isin(list(set(phrase))))
+    )
+    m = postings.join(F.broadcast(ph), "term").select(
+        id_col, (F.col("pos") - F.col("j")).alias("anchor"), "j"
+    )
+    hits = (
+        m.distinct()
+        .filter(F.col("anchor") >= 0)
+        .groupBy(id_col, "anchor")
+        .agg(F.countDistinct("j").alias("_slots"))
+        .filter(F.col("_slots") == len(phrase))
+    )
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -422,3 +422,42 @@ def test_phrase_occurrences_repeated_terms(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         phrase_occurrences(docs, [])
+
+
+def test_positional_index_probe_matches_scan_and_prunes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.retrieval import (
+        build_positional_index,
+        phrase_occurrences,
+        phrase_occurrences_from_index,
+        term_bucket,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "pos_idx")
+    build_positional_index(docs, idx, n_buckets=16)
+
+    phrase = ["query", "line", "value"]
+    want = sorted(map(tuple, phrase_occurrences(docs, phrase).collect()))
+    got = sorted(map(tuple, phrase_occurrences_from_index(
+        spark, idx, phrase, n_buckets=16).collect()))
+    assert got == want and got
+
+    # the probe reads only the phrase terms' bucket directories
+    buckets = {
+        str(r["b"]) for r in spark.createDataFrame(
+            [(t,) for t in phrase], ["term"]
+        ).select(term_bucket(F.col("term"), 16).alias("b")).collect()
+    }
+    scan = spark.read.parquet(f"{idx}/postings").filter(
+        F.col("term_bucket").isin([int(b) for b in buckets])
+    )
+    touched = {
+        r["f"].split("term_bucket=")[1].split("/")[0]
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    }
+    assert touched and touched <= buckets
