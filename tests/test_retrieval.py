@@ -425,6 +425,8 @@ def test_phrase_occurrences_repeated_terms(spark):
 
 
 def test_positional_index_probe_matches_scan_and_prunes(spark, sf_dir, tmp_path):
+    import os
+
     from pyspark.sql import functions as F
 
     from qcardia_data_spark.functions.retrieval import (
