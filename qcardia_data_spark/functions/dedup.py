@@ -2008,3 +2008,222 @@ def winnow_incremental(
         return kept
     finally:
         bfps.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Hamming-64 standing index — the Manku engine's incremental operating mode
+# (shared by text SimHash and the image/audio/video fingerprint families)
+# ---------------------------------------------------------------------------
+
+
+def _h64_blocks(sig: DataFrame, id_col: str, k: int) -> DataFrame:
+    """One row per (id, blk, val) with lo/hi carried for the verify —
+    the same block derivation as hamming_near_pairs64."""
+    n_blocks = k + 1
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    rows = []
+    for b in range(n_blocks):
+        lo_bit = b * width
+        half = "lo" if lo_bit < 32 else "hi"
+        off = lo_bit % 32
+        rows.append(
+            sig.select(
+                F.col(id_col), "lo", "hi", F.lit(b).alias("blk"),
+                F.shiftright(F.col(half), off)
+                .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _read_h64_meta(spark, path: str) -> dict | None:
+    try:
+        row = spark.read.json(f"{path}/_h64_meta").collect()[0]
+    except Exception:
+        return None
+    return {kk: row[kk] for kk in row.asDict()}
+
+
+def _write_h64_meta(spark, path: str, meta: dict) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("max_hamming", T.IntegerType()),
+        T.StructField("n_key_buckets", T.IntegerType()),
+        T.StructField("id_col", T.StringType()),
+        T.StructField("id_type", T.StringType()),
+        T.StructField("max_id", T.StringType(), nullable=True),
+    ])
+    row = tuple(
+        meta[f.name] if f.name != "max_id" or meta["max_id"] is None
+        else str(meta["max_id"])
+        for f in schema.fields
+    )
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_h64_meta")
+
+
+def _h64_kb(k: int, n_key_buckets: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("blk"), F.col("val"))), 1, 8
+            ), 16, 10,
+        ).cast("long"),
+        F.lit(int(n_key_buckets)),
+    ).cast("int")
+
+
+def write_hamming64_index(
+    sig: DataFrame, path: str, id_col: str = "doc_id",
+    max_hamming: int = 3, n_key_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the Manku blocking index for a 64-bit signature table
+    ``(id, lo, hi)`` — the standing form of :func:`hamming_near_pairs64`,
+    shared by every signature family (text simhash64, image pHash, audio
+    Haitsma-Kalker frames, video frame pHash): one row per (id, block,
+    block-value) with lo/hi carried for the verify, partitioned by
+    ``kb = md5(block#value) mod n`` so a probe reads ONLY the key
+    buckets its own blocks hash into. Params + id type + corpus max_id
+    frozen in ``_h64_meta`` (drift refuses, appends ratchet)."""
+    spark = sig.sparkSession
+    k = int(max_hamming)
+    if 64 % (k + 1) != 0 or 32 % (64 // (k + 1)) != 0:
+        raise ValueError(
+            "write_hamming64_index: max_hamming must be in 1, 3, 7, 15, 31"
+        )
+    id_type = sig.schema[id_col].dataType.simpleString()
+    params = {
+        "max_hamming": k, "n_key_buckets": int(n_key_buckets),
+        "id_col": id_col, "id_type": id_type,
+    }
+    old = _read_h64_meta(spark, path) if mode == "append" else None
+    if old is not None:
+        drift = {
+            kk: (old[kk], params[kk])
+            for kk in ("max_hamming", "n_key_buckets", "id_col", "id_type")
+            if old.get(kk) != params[kk]
+        }
+        if drift:
+            raise ValueError(
+                f"write_hamming64_index(mode='append'): parameters differ "
+                f"from the index at {path!r} (meta vs caller): {drift}"
+            )
+    blocks = _h64_blocks(sig, id_col, k).withColumn(
+        "kb", _h64_kb(k, n_key_buckets)
+    )
+    blocks.write.mode(mode).partitionBy("kb").parquet(f"{path}/blocks")
+    batch_max = sig.agg(F.max(id_col)).first()[0]
+    max_id = str(batch_max) if batch_max is not None else None
+    if old is not None and old.get("max_id") is not None:
+        if max_id is None or _id_as_meta_comparable(
+            old["max_id"], id_type
+        ) > _id_as_meta_comparable(max_id, id_type):
+            max_id = old["max_id"]
+    _write_h64_meta(spark, path, {**params, "max_id": max_id})
+
+
+def hamming64_index_probe(
+    batch_sig: DataFrame, index_path: str, id_col: str = "doc_id",
+    update_index: bool = False, allow_replay: bool = False,
+) -> DataFrame:
+    """Find every (batch id, partner id, hamming) pair within the index's
+    ``max_hamming``, where the partner is any OTHER signature in the
+    standing index or the batch itself — without re-blocking the corpus:
+    the batch blocks only itself and reads ONLY the key-bucket
+    directories its blocks hash into. Monotone-id refusal with the
+    ``allow_replay`` escape (replayed same-id rows dedup in the
+    candidate distinct); ``update_index`` appends the batch's blocks
+    through a lineage-severing checkpoint. Pair output keeps partner on
+    ``b``; under the monotone layout ``b < a`` for index partners, so
+    "drop matched batch items" is one anti-join away — the policy stays
+    with the caller (media families keep cluster-best candidates, dedup
+    drops them)."""
+    spark = batch_sig.sparkSession
+    meta = _read_h64_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"hamming64_index_probe: no _h64_meta at {index_path!r} — "
+            "not a hamming64 index (build with write_hamming64_index)"
+        )
+    k = int(meta["max_hamming"])
+    n_kb = int(meta["n_key_buckets"])
+    id_type = batch_sig.schema[id_col].dataType.simpleString()
+    if id_type != meta["id_type"]:
+        raise ValueError(
+            f"hamming64_index_probe: batch id type {id_type!r} != index "
+            f"id type {meta['id_type']!r}"
+        )
+    if meta.get("max_id") is not None and not allow_replay:
+        lo = batch_sig.agg(F.min(id_col)).first()[0]
+        if lo is not None and _id_as_meta_comparable(
+            str(lo), id_type
+        ) <= _id_as_meta_comparable(meta["max_id"], id_type):
+            raise ValueError(
+                f"hamming64_index_probe: batch min id {lo!r} <= index "
+                f"max_id {meta['max_id']!r} — monotone-id layout violated "
+                "(allow_replay=True only for retried batches)"
+            )
+    bblocks = _h64_blocks(batch_sig, id_col, k).withColumn(
+        "kb", _h64_kb(k, n_kb)
+    ).persist()
+    try:
+        buckets = [
+            r["kb"] for r in bblocks.select("kb").distinct().collect()
+        ]  # bounded: <= n_key_buckets
+        idx = (
+            spark.read.parquet(f"{index_path}/blocks")
+            .filter(F.col("kb").isin(buckets))  # partition filter
+        )
+        pool = idx.select(id_col, "lo", "hi", "blk", "val").unionByName(
+            bblocks.select(id_col, "lo", "hi", "blk", "val")
+        )
+        a = bblocks.select(
+            F.col(id_col).alias("a"), F.col("lo").alias("_lo_a"),
+            F.col("hi").alias("_hi_a"), "blk", "val",
+        )
+        b = pool.select(
+            F.col(id_col).alias("b"), F.col("lo").alias("_lo_b"),
+            F.col("hi").alias("_hi_b"), "blk", "val",
+        )
+        cands = (
+            a.join(b, ["blk", "val"])
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b", "_lo_a", "_hi_a", "_lo_b", "_hi_b")
+            .distinct()
+        )
+        ham = (
+            F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+            + F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        )
+        pairs = cands.select("a", "b", ham.alias("hamming")).filter(
+            F.col("hamming") <= k
+        )
+        if update_index:
+            to_append = bblocks.localCheckpoint(eager=True)
+            to_append.write.mode("append").partitionBy("kb").parquet(
+                f"{index_path}/blocks"
+            )
+            batch_max = batch_sig.agg(F.max(id_col)).first()[0]
+            max_id = meta.get("max_id")
+            if batch_max is not None and (
+                max_id is None
+                or _id_as_meta_comparable(str(batch_max), id_type)
+                > _id_as_meta_comparable(max_id, id_type)
+            ):
+                max_id = str(batch_max)
+            _write_h64_meta(
+                spark, index_path,
+                {"max_hamming": k, "n_key_buckets": n_kb,
+                 "id_col": meta["id_col"], "id_type": meta["id_type"],
+                 "max_id": max_id},
+            )
+        return pairs
+    finally:
+        bblocks.unpersist()

@@ -1,0 +1,98 @@
+"""Hamming-64 standing index: the Manku engine's incremental operating
+mode, shared by text simhash64 and the media fingerprint families."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qcardia_data_spark.functions.dedup import (
+    hamming64_index_probe,
+    hamming_near_pairs64,
+    simhash64_md5_table,
+    write_hamming64_index,
+)
+
+
+@pytest.fixture()
+def sigs(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    return simhash64_md5_table(
+        docs.unionByName(clones), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+
+
+def test_probe_matches_batchwise_slice_of_full_pairs(spark, sigs, tmp_path):
+    idx = str(tmp_path / "h64")
+    head = sigs.filter(F.col("doc_id") < 1_000_000)
+    batch = sigs.filter(F.col("doc_id") >= 1_000_000)
+    write_hamming64_index(head, idx, max_hamming=3)
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming64_index_probe(batch, idx).collect()
+    }
+    # reference: every full-corpus pair that involves a batch id, with
+    # the batch id on the a side (partners may be batch-internal too)
+    full = hamming_near_pairs64(sigs, "doc_id", max_hamming=3)
+    want = set()
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    for r in full.collect():
+        if r["a"] in batch_ids:
+            want.add((r["a"], r["b"], r["hamming"]))
+        if r["b"] in batch_ids:
+            want.add((r["b"], r["a"], r["hamming"]))
+    assert got == want and got
+
+
+def test_probe_guards_append_and_replay(spark, sigs, tmp_path):
+    idx = str(tmp_path / "h64")
+    head = sigs.filter(F.col("doc_id") < 1_000_000)
+    batch = sigs.filter(F.col("doc_id") >= 1_000_000)
+    write_hamming64_index(head, idx, max_hamming=3)
+
+    pairs = {
+        (r["a"], r["b"]) for r in hamming64_index_probe(
+            batch, idx, update_index=True
+        ).collect()
+    }
+    # monotone refusal on a replay without the flag
+    with pytest.raises(ValueError, match="monotone"):
+        hamming64_index_probe(batch, idx)
+    # replay converges: same-id rows dedup in the candidate distinct
+    replay = {
+        (r["a"], r["b"]) for r in hamming64_index_probe(
+            batch, idx, allow_replay=True
+        ).collect()
+    }
+    assert replay == pairs
+    # param drift refusals
+    with pytest.raises(ValueError, match="parameters differ"):
+        write_hamming64_index(batch, idx, max_hamming=1, mode="append")
+    with pytest.raises(ValueError, match="no _h64_meta"):
+        hamming64_index_probe(batch, str(tmp_path / "nope"))
+
+
+def test_probe_prunes_key_bucket_files(spark, sigs, tmp_path):
+    idx = str(tmp_path / "h64")
+    write_hamming64_index(
+        sigs.filter(F.col("doc_id") < 1_000_000), idx, n_key_buckets=16
+    )
+    probed = [3, 11]
+    scan = spark.read.parquet(f"{idx}/blocks").filter(
+        F.col("kb").isin(probed)
+    )
+    touched = {
+        r["f"].split("kb=")[1].split("/")[0]
+        for r in scan.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    }
+    assert touched and touched <= {str(p) for p in probed}
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kb" in plan
