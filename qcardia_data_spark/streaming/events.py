@@ -563,3 +563,44 @@ def streaming_winnow_dedup_intake(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_hamming64_intake(
+    sig_stream: DataFrame, index_path: str, pairs_out: str, checkpoint: str,
+    id_col: str = "doc_id", available_now: bool = True,
+):
+    """[ext] Streaming media/simhash near-dup intake — the continuous
+    form of `dedup.hamming64_index_probe`: each micro-batch of 64-bit
+    signatures (text simhash64, image pHash, audio/video fingerprints —
+    whatever feeds the shared Manku engine) probes the standing index
+    for within-k partners, lands the discovered pairs in a
+    `_batch=`-partitioned sink (dynamic overwrite: a retried batch
+    replaces its own output, exactly-once) and appends its blocks so the
+    NEXT batch sees it. State lives in the index table — O(batch)
+    memory; `allow_replay` + the candidate distinct make retried appends
+    converge.
+    """
+    from qcardia_data_spark.functions.dedup import hamming64_index_probe
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = hamming64_index_probe(
+            batch_df, index_path, id_col=id_col,
+            update_index=True, allow_replay=True,
+        )
+        (
+            pairs.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(pairs_out)
+        )
+
+    writer = (
+        sig_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

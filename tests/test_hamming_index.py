@@ -96,3 +96,52 @@ def test_probe_prunes_key_bucket_files(spark, sigs, tmp_path):
     assert touched and touched <= {str(p) for p in probed}
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "kb" in plan
+
+
+def test_streaming_hamming64_intake(spark, sigs, tmp_path):
+    """Drain a signature stream through the standing index: the pair
+    sink must equal the batch-API probe; fresh-checkpoint replay
+    converges."""
+    from qcardia_data_spark.streaming.events import streaming_hamming64_intake
+
+    idx = str(tmp_path / "h64")
+    head = sigs.filter(F.col("doc_id") < 1_000_000)
+    batch = sigs.filter(F.col("doc_id") >= 1_000_000)
+    write_hamming64_index(head, idx)
+    idx2 = str(tmp_path / "h64b")
+    write_hamming64_index(head, idx2)
+    want = {
+        (r["a"], r["b"], r["hamming"])
+        for r in hamming64_index_probe(batch, idx2).collect()
+    }
+
+    incoming = str(tmp_path / "sigs_in")
+    batch.coalesce(1).write.parquet(incoming)
+    schema = spark.read.parquet(incoming).schema
+    out = str(tmp_path / "pairs")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        q = streaming_hamming64_intake(
+            stream, idx, out, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain("c1")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in spark.read.parquet(out).select("a", "b", "hamming").collect()
+    }
+    assert got == want and got
+
+    drain("c2")  # full replay
+    got2 = {
+        (r["a"], r["b"], r["hamming"])
+        for r in spark.read.parquet(out).select("a", "b", "hamming").collect()
+    }
+    assert got2 == want
