@@ -2783,6 +2783,75 @@ def dedup_simhash_pairs64_q(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+_SIMHASH64_SIG_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9]+'),
+               x -> len(x) > 0) AS toks
+      FROM documents),
+    h AS (SELECT doc_id, md5(unnest(toks)) AS hx FROM t),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN b.bit < 32
+                      THEN (strpos('0123456789abcdef', substr(hx, b.bit + 1, 1)) - 1) % 2
+                      ELSE ((strpos('0123456789abcdef', substr(hx, b.bit - 32 + 1, 1)) - 1) // 2) % 2
+                 END * 2 - 1) AS v
+      FROM h, (SELECT unnest(range(64)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 AND bit < 32 THEN power(2, bit) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN v > 0 AND bit >= 32 THEN power(2, bit - 32) ELSE 0 END) AS BIGINT) AS hi
+      FROM votes GROUP BY doc_id)"""
+
+
+@_q(
+    "dedup_simhash_incremental",
+    _SIMHASH64_SIG_SQL + """,
+    cut AS (SELECT (max(doc_id) * 8) // 10 AS c FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+    WHERE a.doc_id >= (SELECT c FROM cut)
+      AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def dedup_simhash_incremental_q(spark, sf_dir):
+    """[ext] The Hamming-64 standing index END TO END
+    (functions/dedup.py::write_hamming64_index / hamming64_index_probe):
+    the id-ordered head's simhash64 signatures are persisted as the
+    Manku block index (md5 key-bucket partitions + _h64_meta), the tail
+    batch signs only itself and probes only its own bucket directories.
+    The probe's contract is "every within-k pair involving a batch id,
+    batch id on the a side" — exactly the all-pairs slice the oracle
+    states, so a value match proves the blocking lossless THROUGH the
+    persisted layout, not just in memory (dedup_simhash_pairs64 proves
+    the in-memory engine)."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = _t(spark, sf_dir, "documents")
+    cut = (docs.agg(F.max("doc_id")).first()[0] * 8) // 10
+    sig = D.simhash64_md5_table(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    head = sig.filter(F.col("doc_id") < cut)
+    batch = sig.filter(F.col("doc_id") >= cut)
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp", f"h64_idx_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if _os.path.isdir(path):
+        _shutil.rmtree(path)
+    D.write_hamming64_index(head, path, max_hamming=3)
+    pairs = D.hamming64_index_probe(batch, path)
+    return pairs.select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 @_q(
     "text_rolling_fingerprint",
     r"""
@@ -9009,6 +9078,7 @@ _NEXT_IN_LINE = [
     "a15b_hll_estimate_bound",
     "ev_handoff_kcore",
     "a22_numeric_profile",
+    "dedup_simhash_incremental",
 ]
 
 
