@@ -21,6 +21,7 @@ def asof_join(
     left: DataFrame, right: DataFrame, by: Sequence[str],
     left_ts: str, right_ts: str, carry: Sequence[str],
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the ``carry`` columns of the
     matching right row with equal ``by`` keys — the LATEST right row with
@@ -46,6 +47,15 @@ def asof_join(
     engine-defined, as in round 1.
 
     ``carry`` names must not collide with left's columns.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a match further than
+    this from the left timestamp (same units as the ts columns) is
+    treated as no match — carries go NULL. Implemented by riding the
+    matched right timestamp inside the fill struct (appended LAST, so
+    the deterministic tie-break among simultaneous right rows is
+    unchanged) and nulling the carry after the fill; the plan stays one
+    exchange + one window pass. ``tolerance=None`` leaves the historical
+    plan byte-identical.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -59,7 +69,11 @@ def asof_join(
     # the preceding-frame fill); forward: right rows sort AFTER left
     side_left, side_right = (1, 0) if direction == "backward" else (0, 1)
     rtypes = dict(right.dtypes)
-    carry_ddl = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in carry) + ">"
+    _fields = list(carry) + (["_rts"] if tolerance is not None else [])
+    _ftypes = {**rtypes, "_rts": rtypes[right_ts]}
+    carry_ddl = "struct<" + ",".join(
+        f"{c}:{_ftypes[c]}" for c in _fields
+    ) + ">"
 
     left_only = [c for c in left.columns if c not in by and c != left_ts]
     l_aligned = left.select(
@@ -74,7 +88,10 @@ def asof_join(
         F.col(right_ts).alias("_t"),
         F.lit(side_right).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
-        F.struct(*[F.col(c) for c in carry]).alias("_carry"),
+        F.struct(
+            *[F.col(c) for c in carry],
+            *([F.col(right_ts).alias("_rts")] if tolerance is not None else []),
+        ).alias("_carry"),
     )
     u = l_aligned.unionByName(r_aligned)
 
@@ -92,6 +109,9 @@ def asof_join(
         filled = F.first("_carry", ignorenulls=True).over(
             base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
+    if tolerance is not None:
+        in_tol = F.abs(F.col("_t") - filled["_rts"]) <= F.lit(tolerance)
+        filled = F.when(in_tol, filled)
     u = u.withColumn("_carry", filled)
     out = u.filter(F.col("_side") == side_left).withColumnRenamed("_t", left_ts)
     return out.select(

@@ -5530,6 +5530,56 @@ def ev_asof_last_view(spark, sf_dir):
 
 
 @_q(
+    "ev_asof_last_view_1h",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_diff('second', TIMESTAMP '1970-01-01',
+                                CAST(ts AS TIMESTAMP)) AS s
+               FROM events),
+    p AS (SELECT event_id, user_id, s FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id AS v_user, s AS v_s FROM e WHERE event_type = 'view'),
+    nxt AS (SELECT p.event_id, max(v.v_s) AS v_s
+            FROM p JOIN v ON v.v_user = p.user_id
+              AND v.v_s <= p.s AND v.v_s >= p.s - 3600
+            GROUP BY p.event_id)
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(p.s - nxt.v_s, -1) AS BIGINT) AS gap_s
+    FROM p LEFT JOIN nxt ON p.event_id = nxt.event_id
+    """,
+)
+def ev_asof_last_view_1h(spark, sf_dir):
+    """[ext] Tolerance-bounded as-of join (pandas merge_asof(tolerance=)
+    parity, operators/temporal.py::asof_join(tolerance=3600)): seconds
+    since the user's latest view within ONE HOUR of each purchase —
+    stale context beyond the horizon is no context. The plan is still
+    union + running last on one key exchange (the matched right
+    timestamp rides the fill struct, nulled after the fill); the oracle
+    does the explicit bounded-window max. Non-vacuous vs
+    ev_asof_last_view: purchases whose last view is older than 1h flip
+    to gap -1."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "s"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", "s", F.col("s").alias("v_s")
+    )
+    out = asof_join(
+        p, v, by=["user_id"], left_ts="s", right_ts="s",
+        carry=["v_s"], tolerance=3600,
+    )
+    gap = F.col("s") - F.col("v_s")
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
+    )
+
+
+@_q(
     "ev_asof_next_purchase",
     """
     WITH e AS (SELECT event_id, user_id, event_type,
@@ -9079,6 +9129,7 @@ _NEXT_IN_LINE = [
     "ev_handoff_kcore",
     "a22_numeric_profile",
     "dedup_simhash_incremental",
+    "ev_asof_last_view_1h",
 ]
 
 

@@ -282,3 +282,33 @@ def test_overlap_join_spec_op(spark, sf_dir, tmp_path):
     key = lambda r: (r["ia"], r["ib"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() > 0
+
+
+def test_asof_join_tolerance(spark):
+    """pandas merge_asof tolerance parity: a match further than the
+    tolerance is no match (NULL carries); within it, identical to the
+    untolerated join; tolerance=None stays byte-identical."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100), ("u", 200), ("u", 310)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 195, "b")], ["k", "rts", "val"]
+    )
+    base = {(r["ts"], r["val"]) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["val"]).collect()}
+    assert base == {(100, "a"), (200, "b"), (310, "b")}
+    tol = {(r["ts"], r["val"]) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tolerance=20).collect()}
+    # 310 - 195 = 115 > 20 -> no match; 100-90=10, 200-195=5 stay
+    assert tol == {(100, "a"), (200, "b"), (310, None)}
+    fwd = {(r["ts"], r["val"]) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["val"],
+        direction="forward", tolerance=10).collect()}
+    # forward: 100 -> 195? gap 95 > 10 -> None; 200 -> none ahead within 10
+    assert fwd == {(100, None), (200, None), (310, None)}
+    fwd2 = {(r["ts"], r["val"]) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["val"],
+        direction="forward", tolerance=100).collect()}
+    assert fwd2 == {(100, "b"), (200, None), (310, None)}
