@@ -57,8 +57,48 @@ def asof_join(
     exchange + one window pass. ``tolerance=None`` leaves the historical
     plan byte-identical.
     """
+    if direction == "nearest":
+        # pandas merge_asof parity: the closer of the backward and
+        # forward matches, backward winning exact-distance ties. Two
+        # fills over the SAME union/exchange would be ideal; composing
+        # the two directional joins keeps each side's documented tie
+        # semantics and still costs one exchange each.
+        lt = left_ts
+        b = asof_join(left, right, by, lt, right_ts,
+                      [*carry], "backward", tolerance)
+        f = asof_join(left, right, by, lt, right_ts,
+                      [*carry], "forward", tolerance)
+        rtypes0 = dict(right.dtypes)
+        bsel = b.select(
+            *[F.col(c) for c in left.columns],
+            F.struct(*[F.col(c) for c in carry]).alias("_cb"),
+        )
+        fsel = f.select(
+            *[F.col(c) for c in left.columns],
+            F.struct(*[F.col(c) for c in carry]).alias("_cf"),
+        )
+        if right_ts not in carry:
+            raise ValueError(
+                "asof_join(direction='nearest') requires right_ts in carry "
+                "(the distances are decided from the carried timestamps)"
+            )
+        j = bsel.join(fsel, list(left.columns))
+        db = F.abs(F.col(lt) - F.col(f"_cb.{right_ts}"))
+        df_ = F.abs(F.col(f"_cf.{right_ts}") - F.col(lt))
+        pick = (
+            F.when(F.col("_cb").isNull(), F.col("_cf"))
+            .when(F.col("_cf").isNull(), F.col("_cb"))
+            .when(db <= df_, F.col("_cb"))
+            .otherwise(F.col("_cf"))
+        )
+        return j.select(
+            *left.columns,
+            *[pick[c].alias(c) for c in carry],
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by)
     carry = list(carry)
     clash = set(carry) & set(left.columns)

@@ -312,3 +312,39 @@ def test_asof_join_tolerance(spark):
         left, right, ["k"], "ts", "rts", ["val"],
         direction="forward", tolerance=100).collect()}
     assert fwd2 == {(100, "b"), (200, None), (310, None)}
+
+
+def test_asof_join_nearest(spark):
+    """pandas merge_asof(direction='nearest') parity: the closer match
+    wins, backward winning exact ties; tolerance bounds both sides."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100), ("u", 200), ("u", 252)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 205, "b"), ("u", 300, "c")],
+        ["k", "rts", "val"],
+    )
+    out = {(r["ts"], r["val"], r["rts"]) for r in asof_join(
+        left, right, ["k"], "ts", "rts", ["val", "rts"],
+        direction="nearest").collect()}
+    # 100: back a (10) vs fwd b (105) -> a; 200: back a (110) vs fwd b
+    # (5) -> b; 252: back b (47) vs fwd c (48) -> b
+    assert out == {(100, "a", 90), (200, "b", 205), (252, "b", 205)}
+    # exact tie -> backward wins
+    tie = spark.createDataFrame([("u", 250)], ["k", "ts"])
+    r2 = spark.createDataFrame(
+        [("u", 200, "lo"), ("u", 300, "hi")], ["k", "rts", "val"]
+    )
+    got = asof_join(tie, r2, ["k"], "ts", "rts", ["val", "rts"],
+                    direction="nearest").collect()[0]
+    assert got["val"] == "lo"
+    # tolerance applies on both sides
+    far = asof_join(tie, r2, ["k"], "ts", "rts", ["val", "rts"],
+                    direction="nearest", tolerance=10).collect()[0]
+    assert far["val"] is None
+    with _pytest.raises(ValueError, match="right_ts in carry"):
+        asof_join(tie, r2, ["k"], "ts", "rts", ["val"], direction="nearest")
