@@ -8473,6 +8473,56 @@ def ev_handoff_kcore(spark, sf_dir):
 
 
 @_q(
+    "ev_pattern_view_view_purchase",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    l AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id))
+    SELECT user_id, count(*) AS n_matches
+    FROM l
+    WHERE event_type = 'view' AND t2 = 'view' AND t3 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def ev_pattern_view_view_purchase(spark, sf_dir):
+    """[ext] Event-pattern matching (MATCH_RECOGNIZE / Flink-CEP lite,
+    STRICT contiguity): count, per user, runs of exactly
+    view -> view -> purchase in event-time order — the
+    browse-intensity-to-conversion signal the funnel ops (which allow
+    gaps) cannot express. A fixed pattern over a row sequence is a lead
+    chain: ONE window exchange on user_id, the match predicate is
+    map-side, overlapping matches count individually (each start
+    position is its own row). Deterministic under the (s, event_id)
+    total order."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    l = e.select(
+        "user_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        l.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t2") == "view")
+            & (F.col("t3") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@_q(
     "ev_scd2_user_state",
     """
     WITH e AS (
@@ -9130,6 +9180,7 @@ _NEXT_IN_LINE = [
     "a22_numeric_profile",
     "dedup_simhash_incremental",
     "ev_asof_last_view_1h",
+    "ev_pattern_view_view_purchase",
 ]
 
 
