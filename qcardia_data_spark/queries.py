@@ -8523,6 +8523,63 @@ def ev_pattern_view_view_purchase(spark, sf_dir):
 
 
 @_q(
+    "ev_pattern_view_run_length",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             date_diff('second', TIMESTAMP '1970-01-01',
+                       CAST(ts AS TIMESTAMP)) AS s
+      FROM events),
+    r0 AS (
+      SELECT user_id, event_id, event_type, s,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY s, event_id) AS rn
+      FROM e),
+    r AS (
+      SELECT user_id, event_id, event_type, rn,
+             max(CASE WHEN event_type <> 'view' THEN rn END) OVER
+               (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_nonview
+      FROM r0)
+    SELECT event_id,
+           CAST(rn - 1 - coalesce(last_nonview, 0) AS BIGINT) AS view_run
+    FROM r WHERE event_type = 'purchase'
+    """,
+)
+def ev_pattern_view_run_length(spark, sf_dir):
+    """[ext] Quantified pattern matching (MATCH_RECOGNIZE's view+ ->
+    purchase with a measure over the quantifier): for every purchase,
+    the length of the maximal contiguous view run immediately before it
+    — browse depth at conversion. The quantifier needs no iteration:
+    run length = own ordinal - ordinal of the last non-view row before
+    it (a running conditional max over the SAME (s, event_id) window),
+    so the whole pattern rides one user_id exchange. Zero runs (a
+    purchase right after a non-view) are legitimate output, not
+    filtered."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    e = ev.select(
+        "user_id", "event_id", "event_type", _epoch_s(F.col("ts")).alias("s")
+    )
+    rn = F.row_number().over(w)
+    r = e.select(
+        "user_id", "event_id", "event_type", "s",
+        rn.alias("rn"),
+        F.max(
+            F.when(F.col("event_type") != "view", rn)
+        ).over(wprev).alias("last_nonview"),
+    )
+    return r.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("rn") - 1 - F.coalesce(F.col("last_nonview"), F.lit(0)))
+        .cast("long")
+        .alias("view_run"),
+    )
+
+
+@_q(
     "ev_scd2_user_state",
     """
     WITH e AS (
@@ -9181,6 +9238,7 @@ _NEXT_IN_LINE = [
     "dedup_simhash_incremental",
     "ev_asof_last_view_1h",
     "ev_pattern_view_view_purchase",
+    "ev_pattern_view_run_length",
 ]
 
 
