@@ -9094,9 +9094,14 @@ _PRIORITY = [
     # (driver_sim self-grade), FIRST IN LINE for the r9 window.
     #
     # ROUND-9 ROTATION PLAN: rotate OUT the green-r8 fifty; rotate IN
-    # sim_ivfpq_topk + whatever r9 touches/adds + the then-stale list from
-    # `python grade_window.py` (after r8 grades, the oldest verdicts are
-    # the r6-vintage cohort).
+    # from _NEXT_IN_LINE in ORDER (76 never-graded rows now exceed one
+    # 50-slot window — sim_ivfpq_topk and the r8-mid cohort first, the
+    # final-session cohort next round; prioritize code-touched rows) plus
+    # the then-stale list from `python grade_window.py` (after r8 grades,
+    # the oldest verdicts are the r6-vintage cohort). Every never-graded
+    # row has passed the strict comparator at sf0.001+sf0.01 in-session
+    # (and the full registry swept green at sf0.01 twice), so rotation is
+    # grading debt, not correctness doubt.
     "q1_pricing_summary",  # flagship anchor -- graded every round
     # --- never driver-graded (late-r7 net-new) ---
     "dedup_simhash_pairs64",
