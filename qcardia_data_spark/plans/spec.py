@@ -1207,6 +1207,55 @@ def _apply(
             update_index=bool(op.get("update_index", False)),
             allow_replay=bool(op.get("allow_replay", False)),
         )
+    if kind == "hamming_index_write":
+        # {"op": "hamming_index_write", "path": ..., "id_col": ...,
+        #  "text_col": ..., "max_hamming": 3, "mode": "overwrite"} —
+        #  simhash64 the CURRENT frame's text and persist the Manku
+        #  block index (the engine's fourth standing index); frame
+        #  passes through unchanged.
+        from qcardia_data_spark.functions.dedup import (
+            simhash64_md5_table,
+            write_hamming64_index,
+        )
+
+        sig = simhash64_md5_table(
+            df, op.get("id_col", "doc_id"), op.get("text_col", "text")
+        )
+        write_hamming64_index(
+            sig, op["path"], id_col=op.get("id_col", "doc_id"),
+            max_hamming=int(op.get("max_hamming", 3)),
+            n_key_buckets=int(op.get("n_key_buckets", 64)),
+            mode=op.get("mode", "overwrite"),
+        )
+        return df
+    if kind == "hamming_probe":
+        # {"op": "hamming_probe", "index_path": ..., "id_col": ...,
+        #  "text_col": ..., "pairs_only": true, "update_index": false,
+        #  "allow_replay": false} — simhash64 the current frame, probe
+        #  the standing Manku index for within-k partners. pairs_only
+        #  (default) returns (a, b, hamming); otherwise drops every
+        #  frame row with a LOWER-id partner (min-id greedy dedup).
+        from qcardia_data_spark.functions.dedup import (
+            hamming64_index_probe,
+            simhash64_md5_table,
+        )
+
+        id_col = op.get("id_col", "doc_id")
+        sig = simhash64_md5_table(
+            df, id_col, op.get("text_col", "text")
+        ).localCheckpoint(eager=True)
+        pairs = hamming64_index_probe(
+            sig, op["index_path"], id_col=id_col,
+            update_index=bool(op.get("update_index", False)),
+            allow_replay=bool(op.get("allow_replay", False)),
+        )
+        if op.get("pairs_only", True):
+            return pairs
+        losers = (
+            pairs.filter(F.col("b") < F.col("a"))
+            .select(F.col("a").alias(id_col)).distinct()
+        )
+        return df.join(losers, id_col, "left_anti")
     if kind == "signature_index_write":
         # {"op": "signature_index_write", "path": ..., "id_col": ...,
         #  "text_col": ..., "n_bands": 8, "shingle_n": 3, "mode":

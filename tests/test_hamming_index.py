@@ -145,3 +145,47 @@ def test_streaming_hamming64_intake(spark, sigs, tmp_path):
         for r in spark.read.parquet(out).select("a", "b", "hamming").collect()
     }
     assert got2 == want
+
+
+def test_spec_ops_hamming_index_pair(spark, sf_dir, tmp_path):
+    """Declarative surface of the fourth standing index: one spec builds
+    it from document text, a second probes a batch through it."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.write.parquet(a_path)
+    clones.write.parquet(b_path)
+    idx = str(tmp_path / "h64")
+
+    compile_pipeline(
+        spark,
+        [{"op": "source", "path": a_path},
+         {"op": "hamming_index_write", "path": idx}],
+        None,
+    ).count()
+    pairs = compile_pipeline(
+        spark,
+        [{"op": "source", "path": b_path},
+         {"op": "hamming_probe", "index_path": idx}],
+        None,
+    )
+    got = {(r["a"], r["b"]) for r in pairs.select("a", "b").collect()}
+    assert got  # clones match their originals
+    assert all(a >= 1_000_000 for a, _ in got)  # a is always a batch id
+    assert any(b < 1_000_000 for _, b in got)   # index partners found
+
+    kept = compile_pipeline(
+        spark,
+        [{"op": "source", "path": b_path},
+         {"op": "hamming_probe", "index_path": idx, "pairs_only": False}],
+        None,
+    )
+    dropped = clones.count() - kept.count()
+    assert dropped == len({a for a, b in got if b < a})
