@@ -3091,6 +3091,56 @@ def dedup_winnow_incremental_q(spark, sf_dir):
 
 
 @_q(
+    "text_phrase_index_probe",
+    """
+    WITH norm AS (
+      SELECT doc_id, list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[^a-z0-9]+'),
+        x -> len(x) > 0) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS wd,
+                   unnest(range(len(toks))) AS pos FROM norm),
+    ph AS (SELECT unnest(['query', 'line', 'value']) AS term,
+                  unnest(range(3)) AS j),
+    m AS (SELECT DISTINCT t.doc_id, t.pos - p.j AS anchor, p.j
+          FROM tok t JOIN ph p ON t.wd = p.term),
+    hits AS (SELECT doc_id, anchor FROM m WHERE anchor >= 0
+             GROUP BY doc_id, anchor HAVING count(DISTINCT j) = 3)
+    SELECT doc_id, count(*) AS n_hits FROM hits GROUP BY doc_id
+    """,
+)
+def text_phrase_index_probe(spark, sf_dir):
+    """[ext] Phrase search THROUGH the persisted positional index
+    (functions/retrieval.py::build_positional_index /
+    phrase_occurrences_from_index): same contract as text_phrase_search
+    — and the same oracle, because the index probe is value-identical to
+    the scan form by design — but the engine path is the term-bucket-
+    partitioned postings table with the probe reading only the phrase
+    terms' directories (pruning test-asserted in test_retrieval.py). A
+    value match here grades the INDEX round trip; text_phrase_search
+    grades the in-plan algebra."""
+    import os as _os
+    import shutil as _shutil
+
+    from qcardia_data_spark.functions.retrieval import (
+        build_positional_index,
+        phrase_occurrences_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".tmp", f"pos_idx_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if _os.path.isdir(path):
+        _shutil.rmtree(path)
+    build_positional_index(docs, path)
+    return phrase_occurrences_from_index(
+        spark, path, ["query", "line", "value"]
+    )
+
+
+@_q(
     "text_repetition_filter",
     r"""
     WITH t AS (
@@ -9244,6 +9294,7 @@ _NEXT_IN_LINE = [
     "ev_asof_last_view_1h",
     "ev_pattern_view_view_purchase",
     "ev_pattern_view_run_length",
+    "text_phrase_index_probe",
 ]
 
 
