@@ -132,6 +132,20 @@ def main() -> None:
             "doc_id", "text", sig_idx,
         )
         setup["signature_index_build"] = round(time.perf_counter() - t0, 3)
+    h64_idx = os.path.join(CORPUS, "h64_idx")
+    if not os.path.isdir(h64_idx):
+        from qcardia_data_spark.functions.dedup import (
+            simhash64_md5_table,
+            write_hamming64_index,
+        )
+
+        t0 = time.perf_counter()
+        head_sig = simhash64_md5_table(
+            docs.filter(F.col("doc_id") < (COPIES - 1) * DOC_STRIDE),
+            "doc_id", "text",
+        )
+        write_hamming64_index(head_sig, h64_idx, max_hamming=3)
+        setup["hamming64_index_build"] = round(time.perf_counter() - t0, 3)
     ivfpq_idx = os.path.join(CORPUS, "ivfpq_idx")
     if not os.path.isdir(ivfpq_idx):
         t0 = time.perf_counter()
@@ -187,6 +201,18 @@ def main() -> None:
 
         return winnow_near_pairs(docs, "doc_id", "text", max_df=40)
 
+    def q_hamming64_probe():
+        # the honest per-batch cost: sign the batch AND probe the index
+        from qcardia_data_spark.functions.dedup import (
+            hamming64_index_probe,
+            simhash64_md5_table,
+        )
+
+        sig = simhash64_md5_table(batch, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+        return hamming64_index_probe(sig, h64_idx, allow_replay=True)
+
     def q_hll_cms_sketches():
         from qcardia_data_spark.functions.sketches import cms_table, hll_registers
 
@@ -209,6 +235,7 @@ def main() -> None:
         "winnow_pairs": q_winnow_pairs,
         "winnow_verified": q_winnow_verified,
         "hll_cms_sketches": q_hll_cms_sketches,
+        "hamming64_probe": q_hamming64_probe,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
