@@ -189,3 +189,42 @@ def test_spec_ops_hamming_index_pair(spark, sf_dir, tmp_path):
     )
     dropped = clones.count() - kept.count()
     assert dropped == len({a for a, b in got if b < a})
+
+
+def test_image_phash_through_standing_index(spark, tmp_path):
+    """The multimodal capstone for the fourth index: image pHash
+    signatures (REAL PNG decode) flow through the SAME standing Manku
+    index as text simhash — head images indexed, a new batch probed,
+    the re-exposed copy found, the unrelated image not."""
+    import numpy as np
+
+    from qcardia_data_spark.sources.multimodal import phash_images
+    from qcardia_data_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(5)
+    coarse = rng.randint(0, 200, size=(8, 6)).astype(np.float64)
+    base = np.kron(coarse, np.ones((8, 8)))[:64, :48].astype(np.uint8)
+    brighter = (base + 20).astype(np.uint8)
+    noise = rng.randint(0, 255, size=(64, 48)).astype(np.uint8)
+
+    head = spark.createDataFrame(
+        [("img/base.png", bytearray(encode_png(base)))],
+        ["path", "content"],
+    )
+    batch = spark.createDataFrame(
+        [("img/brighter.png", bytearray(encode_png(brighter))),
+         ("img/noise.png", bytearray(encode_png(noise)))],
+        ["path", "content"],
+    )
+    hsig = phash_images(head).select(
+        F.col("path").alias("doc_id"), "lo", "hi"
+    )
+    bsig = phash_images(batch).select(
+        F.col("path").alias("doc_id"), "lo", "hi"
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "h64img")
+    write_hamming64_index(hsig, idx, max_hamming=3)
+    got = {(r["a"], r["b"]) for r in hamming64_index_probe(
+        bsig, idx, allow_replay=True).collect()}
+    assert got == {("img/brighter.png", "img/base.png")}
