@@ -179,3 +179,43 @@ def test_q13_outer_join_keeps_left_rows(spark, sf_dir):
     assert df.filter("c_count = 0").count() >= 0  # query runs
     plan = _plan(spark, sf_dir, "q13_customer_distribution")
     assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_completion_queries_broadcast_only(spark, sf_dir):
+    """q2/q9/q11/q16/q20: every dimension join broadcasts — no
+    SortMergeJoin and no CartesianProduct anywhere in the executed plans
+    (the fact-side shuffles are groupBys, not joins; q9's orders join is
+    the one legitimate fact-fact exchange and AQE may still broadcast it
+    at test scale)."""
+    from qcardia_data_spark.queries import QUERIES
+
+    for name in ["q2_min_cost_supplier", "q9_product_type_profit",
+                 "q11_important_stock", "q16_parts_supplier_counts",
+                 "q20_excess_stock_suppliers"]:
+        plan = (
+            QUERIES[name][0](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        if name != "q9_product_type_profit":
+            assert "SortMergeJoin" not in plan, name
+
+
+def test_pattern_and_profile_queries_single_pass(spark, sf_dir):
+    """The CEP pattern queries ride ONE user_id exchange; the column
+    profiler is a single aggregation pass (no join, no second scan
+    exchange beyond the global agg's)."""
+    from qcardia_data_spark.queries import QUERIES
+
+    for name in ["ev_pattern_view_view_purchase", "ev_pattern_view_run_length"]:
+        plan = (
+            QUERIES[name][0](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 2, name  # window + agg
+        assert "Join" not in plan, name
+    plan = (
+        QUERIES["a22_numeric_profile"][0](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
