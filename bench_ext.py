@@ -132,6 +132,16 @@ def main() -> None:
             "doc_id", "text", sig_idx,
         )
         setup["signature_index_build"] = round(time.perf_counter() - t0, 3)
+    win_idx = os.path.join(CORPUS, "win_idx")
+    if not os.path.isdir(win_idx):
+        from qcardia_data_spark.functions.dedup import write_winnow_index
+
+        t0 = time.perf_counter()
+        write_winnow_index(
+            docs.filter(F.col("doc_id") < (COPIES - 1) * DOC_STRIDE),
+            "doc_id", "text", win_idx,
+        )
+        setup["winnow_index_build"] = round(time.perf_counter() - t0, 3)
     h64_idx = os.path.join(CORPUS, "h64_idx")
     if not os.path.isdir(h64_idx):
         from qcardia_data_spark.functions.dedup import (
@@ -201,6 +211,13 @@ def main() -> None:
 
         return winnow_near_pairs(docs, "doc_id", "text", max_df=40)
 
+    def q_winnow_incremental_batch():
+        from qcardia_data_spark.functions.dedup import winnow_incremental
+
+        return winnow_incremental(
+            batch, win_idx, max_df=40, allow_replay=True
+        )
+
     def q_hamming64_probe():
         # the honest per-batch cost: sign the batch AND probe the index
         from qcardia_data_spark.functions.dedup import (
@@ -236,6 +253,7 @@ def main() -> None:
         "winnow_verified": q_winnow_verified,
         "hll_cms_sketches": q_hll_cms_sketches,
         "hamming64_probe": q_hamming64_probe,
+        "winnow_incremental_batch": q_winnow_incremental_batch,
     }
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
