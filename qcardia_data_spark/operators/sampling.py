@@ -174,3 +174,54 @@ def weighted_reservoir(
         )
     score = F.log(keyed_uniform(seed, "ares", F.col(key))) / F.col(weight)
     return df.orderBy(score.desc(), F.col(key)).limit(k)
+
+
+def poisson_cum_thresholds(lam: float = 1.0, k_max: int = 8) -> list[float]:
+    """Cumulative P(K <= k) for k in 0..k_max-1, rounded to 12dp — the
+    plan literals both the Spark expression and the generated oracle SQL
+    embed (the zorder/ewma zero-drift idiom), so the inverse-CDF draw is
+    bit-identical cross-engine."""
+    import math
+
+    p = math.exp(-lam)
+    cum = p
+    out = []
+    for k in range(k_max):
+        out.append(round(cum, 12))
+        p = p * lam / (k + 1)
+        cum += p
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame, key_cols: Sequence[str], lam: float = 1.0,
+    k_max: int = 8, seed: int | str = 0, out: str = "boot_k",
+) -> DataFrame:
+    """[ext] Deterministic Poisson bootstrap — the at-scale resampling
+    scheme (Chamandy et al., Google 2012): instead of drawing n rows
+    with replacement (a global operation), each row independently draws
+    its multiplicity k ~ Poisson(lam), which converges to the true
+    bootstrap for large n and is EMBARRASSINGLY parallel (map-only, no
+    shuffle, no global count). The draw is the inverse CDF of a keyed
+    md5 uniform against plan-literal cumulative thresholds (truncated at
+    ``k_max``: P(K >= 9) at lam=1 is 1.1e-6), so replicates are
+    reproducible under retries and identical in any engine — a bootstrap
+    you can value-grade, unlike rand(). Returns df + the ``out``
+    multiplicity column; downstream aggregates weight by it."""
+    cums = poisson_cum_thresholds(lam, k_max)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|", F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )), 1, 13,
+            ), 16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    k = None
+    for c in cums:
+        term = (u >= F.lit(c)).cast("int")
+        k = term if k is None else k + term
+    return df.withColumn(out, k.cast("long"))

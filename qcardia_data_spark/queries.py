@@ -1234,6 +1234,59 @@ def a22_numeric_profile(spark, sf_dir):
     )
 
 
+def _poisson_boot_sql(lam: float = 1.0, k_max: int = 8, seed=0) -> str:
+    """Oracle restatement of the Poisson-bootstrap draw, generated from
+    the SAME threshold list as the Spark expression."""
+    from qcardia_data_spark.operators.sampling import poisson_cum_thresholds
+
+    cums = poisson_cum_thresholds(lam, k_max)
+    u = (
+        "CAST('0x' || substr(md5('" + str(seed) + "' || '|' || "
+        "CAST(l_orderkey AS VARCHAR) || '|' || "
+        "CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT) "
+        "/ 4503599627370496.0"
+    )
+    k = " + ".join(
+        f"CAST(({u}) >= {c!r} AS INT)" for c in cums
+    )
+    return f"""
+    WITH b AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST({k} AS BIGINT) AS boot_k
+      FROM lineitem)
+    SELECT g, sum(boot_k) AS resampled_rows,
+           sum(boot_k * qty) AS resampled_qty,
+           count(*) AS original_rows
+    FROM b GROUP BY g
+    """
+
+
+@_q("x8_bootstrap_poisson", _poisson_boot_sql())
+def x8_bootstrap_poisson(spark, sf_dir):
+    """[ext] Poisson bootstrap (Chamandy 2012, the at-scale resampling
+    scheme): each row draws its replicate multiplicity k ~ Poisson(1)
+    from a keyed-md5 uniform against plan-literal cumulative thresholds
+    (operators/sampling.py::poisson_bootstrap) — map-only, no shuffle,
+    no global count, reproducible under retries, and — because the
+    thresholds are the SAME literals in the generated oracle — the
+    whole resample is value-graded, which engine rand() can never be.
+    Output: per-group resampled row/quantity totals (exact ints)."""
+    from qcardia_data_spark.operators.sampling import poisson_bootstrap
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        "l_orderkey", "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+    )
+    b = poisson_bootstrap(li, ["l_orderkey", "l_linenumber"], lam=1.0)
+    return b.groupBy("g").agg(
+        F.sum("boot_k").alias("resampled_rows"),
+        F.sum(F.col("boot_k") * F.col("qty")).alias("resampled_qty"),
+        F.count(F.lit(1)).alias("original_rows"),
+    )
+
+
 @_q(
     "p11_nullify_placeholders",
     """
@@ -9295,6 +9348,7 @@ _NEXT_IN_LINE = [
     "ev_pattern_view_view_purchase",
     "ev_pattern_view_run_length",
     "text_phrase_index_probe",
+    "x8_bootstrap_poisson",
 ]
 
 

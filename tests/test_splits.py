@@ -171,3 +171,26 @@ def test_weighted_reservoir_spec_op(spark, sf_dir):
         sf_dir,
     )
     assert out.count() == 5
+
+
+def test_poisson_bootstrap_distribution_and_determinism(spark):
+    """k-multiplicities are deterministic, mean ~ lam, and the truncated
+    tail is negligible; different seeds give different resamples."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.operators.sampling import poisson_bootstrap
+
+    df = spark.range(20000).select(F.col("id"))
+    b = poisson_bootstrap(df, ["id"], lam=1.0, seed=7)
+    stats = b.agg(
+        F.avg("boot_k").alias("mean"),
+        F.max("boot_k").alias("mx"),
+        F.sum((F.col("boot_k") == 0).cast("int")).alias("zeros"),
+    ).collect()[0]
+    assert abs(stats["mean"] - 1.0) < 0.03        # E[k]=lam
+    assert stats["mx"] <= 8                        # truncation bound
+    assert abs(stats["zeros"] / 20000 - 0.3679) < 0.02  # P(0)=e^-1
+    again = poisson_bootstrap(df, ["id"], lam=1.0, seed=7)
+    assert b.collect() == again.collect()          # deterministic
+    other = poisson_bootstrap(df, ["id"], lam=1.0, seed=8)
+    assert b.collect() != other.collect()          # seed matters
