@@ -1325,6 +1325,38 @@ def _apply(
             bits=op.get("bits", 16), n_files=int(op.get("n_files", 8)),
         )
         return spark.read.parquet(op["path"])
+    if kind == "pivot_counts":
+        # {"op": "pivot_counts", "key": ..., "pivot_col": ...,
+        #  "values": [...]} — explicit-values cross-tab (one map-side-
+        #  combined groupBy; absent combos emit 0). Values are REQUIRED:
+        #  inference costs a distinct scan and makes the output schema
+        #  data-dependent.
+        from qcardia_data_spark.operators.aggregates import pivot_counts
+
+        return pivot_counts(
+            df, op["key"], op["pivot_col"], list(op["values"])
+        )
+    if kind == "unpivot":
+        # {"op": "unpivot", "key": ..., "value_cols": [...],
+        #  "var_name": "variable", "value_name": "value"} — melt back to
+        #  long rows (pure map-side generator).
+        from qcardia_data_spark.operators.aggregates import unpivot_long
+
+        return unpivot_long(
+            df, op["key"], list(op["value_cols"]),
+            var_name=op.get("var_name", "variable"),
+            value_name=op.get("value_name", "value"),
+        )
+    if kind == "discrete_quantiles":
+        # {"op": "discrete_quantiles", "key": ..., "value": ...,
+        #  "pcts": [25, 50, 75, 90]} — exact per-group quantiles by
+        #  integer rank selection (always a stored value).
+        from qcardia_data_spark.operators.aggregates import discrete_quantiles
+
+        return discrete_quantiles(
+            df, op["key"], op["value"],
+            pcts=op.get("pcts", (25, 50, 75, 90)),
+        )
     if kind == "expect":
         # {"op": "expect", "checks": ["l_quantity >= 0", ...],
         #  "max_violation_frac": 0.0, "mode": "fail"|"drop"|"audit"} —

@@ -1302,3 +1302,45 @@ def test_spec_expect_op_modes(spark, sf_dir):
     )
     assert "_ok_0" in audited.columns
     assert audited.filter("_ok_0").count() < n_all
+
+
+def test_spec_pivot_unpivot_quantiles_ops(spark, sf_dir):
+    ev_types = ["click", "error", "purchase", "signup", "view"]
+    wide = compile_pipeline(
+        spark,
+        [{"op": "source", "table": "events"},
+         {"op": "pivot_counts", "key": "user_id",
+          "pivot_col": "event_type", "values": ev_types}],
+        sf_dir,
+    )
+    assert set(ev_types) < set(wide.columns)
+    row = wide.collect()[0]
+    assert all(row[t] >= 0 for t in ev_types)  # absent combos are 0
+    long = compile_pipeline(
+        spark,
+        [{"op": "source", "table": "events"},
+         {"op": "pivot_counts", "key": "user_id",
+          "pivot_col": "event_type", "values": ev_types},
+         {"op": "unpivot", "key": "user_id", "value_cols": ev_types,
+          "var_name": "event_type", "value_name": "n"},
+         {"op": "filter", "expr": "n > 0"}],
+        sf_dir,
+    )
+    direct = compile_pipeline(
+        spark,
+        [{"op": "source", "table": "events"},
+         {"op": "group_agg", "by": ["user_id", "event_type"],
+          "aggs": {"n": "count(1)"}}],
+        sf_dir,
+    )
+    assert sorted(map(tuple, long.select("user_id", "event_type", "n").collect())) == \
+        sorted(map(tuple, direct.select("user_id", "event_type", "n").collect()))
+    q = compile_pipeline(
+        spark,
+        [{"op": "source", "table": "events"},
+         {"op": "discrete_quantiles", "key": "user_id",
+          "value": "value", "pcts": [50]}],
+        sf_dir,
+    )
+    rows = q.collect()
+    assert rows and all(r["pct"] == 50 for r in rows)
