@@ -4122,6 +4122,40 @@ def sim_bruteforce(spark, sf_dir):
 
 
 @_q(
+    "emb_matryoshka_topk",
+    """
+    WITH t AS (SELECT vec_id, embedding[1:16] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM t WHERE vec_id = 0),
+    pairs AS (SELECT t.vec_id,
+                     unnest(t.e) AS x, unnest(q.qe) AS y
+              FROM t, q),
+    s AS (SELECT vec_id,
+                 sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dp,
+                 sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+                 sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+          FROM pairs GROUP BY vec_id)
+    SELECT vec_id, round(dp / (sqrt(sx) * sqrt(sy)), 6) AS score
+    FROM s ORDER BY dp / (sqrt(sx) * sqrt(sy)) DESC, vec_id LIMIT 10
+    """,
+)
+def emb_matryoshka_topk(spark, sf_dir):
+    """[ext] Matryoshka retrieval (Kusupati et al. 2022): cosine top-k
+    over the embeddings TRUNCATED to their first 16 of 64 dimensions —
+    the 4x-cheaper first tier of MRL-style coarse-to-fine search (probe
+    the prefix, re-rank survivors at full width). Truncation is a map-
+    only slice; everything downstream is the audited brute-force scorer,
+    which is what makes the tier value-gradeable. Pairs with
+    sim_bruteforce_topk (the full-width twin) so the two tiers' result
+    drift is observable in the registry itself."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = SIM.cosine_topk(emb, qvec, k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@_q(
     "dedup_embedding_cosine",
     """
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
@@ -9349,6 +9383,7 @@ _NEXT_IN_LINE = [
     "ev_pattern_view_run_length",
     "text_phrase_index_probe",
     "x8_bootstrap_poisson",
+    "emb_matryoshka_topk",
 ]
 
 
