@@ -228,3 +228,30 @@ def test_image_phash_through_standing_index(spark, tmp_path):
     got = {(r["a"], r["b"]) for r in hamming64_index_probe(
         bsig, idx, allow_replay=True).collect()}
     assert got == {("img/brighter.png", "img/base.png")}
+
+
+def test_all_standing_indexes_refuse_missing_meta(spark, tmp_path):
+    """The unified contract: every standing index's probe refuses loudly
+    on a path without its meta — a probe that silently treated a random
+    directory as an index would return wrong-but-plausible results."""
+    from qcardia_data_spark.functions.dedup import (
+        near_dedup_incremental,
+        winnow_incremental,
+    )
+    from qcardia_data_spark.functions.similarity import (
+        pairwise_topk_join_pruned,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    sig = spark.createDataFrame([(1, 0, 0)], ["doc_id", "lo", "hi"])
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], ["vec_id", "embedding"])
+    nowhere = str(tmp_path / "not_an_index")
+
+    with pytest.raises(Exception, match="_sig_meta|not an? .*index|meta"):
+        near_dedup_incremental(docs, nowhere, "doc_id", "text")
+    with pytest.raises(ValueError, match="_win_meta"):
+        winnow_incremental(docs, nowhere)
+    with pytest.raises(ValueError, match="_h64_meta"):
+        hamming64_index_probe(sig, nowhere)
+    with pytest.raises(Exception):
+        pairwise_topk_join_pruned(emb, nowhere, k=1)
