@@ -4146,7 +4146,12 @@ def emb_matryoshka_topk(spark, sf_dir):
     only slice; everything downstream is the audited brute-force scorer,
     which is what makes the tier value-gradeable. Pairs with
     sim_bruteforce_topk (the full-width twin) so the two tiers' result
-    drift is observable in the registry itself."""
+    drift is observable in the registry itself. Honesty note: the
+    testdata embeddings are random, not MRL-trained, so the prefix
+    tier's top-10 overlaps the full-width top-10 only at chance level
+    (1-2/10 measured) — this query value-grades the truncation
+    MECHANICS; the recall payoff requires an MRL-trained model, whose
+    vectors drop into the same plan unchanged."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.slice("embedding", 1, 16).alias("embedding")
     )
