@@ -9219,99 +9219,28 @@ def x7_weighted_reservoir(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-8 WINDOW -- executes the rotation plan written at the end of
-    # round 7 (and demanded by VERDICT r7 "Next round" #1): everything
-    # graded green-r7 rotates OUT (keeps local parity coverage via
-    # tests/test_oracle_parity); rotate IN all 47 r4-vintage stale rows
-    # from GRADE_WINDOW.json (regenerated, as_of_round 7), plus
-    # dedup_simhash_pairs64 (late-r7 net-new, never driver-graded -- the
-    # r7 judge value-verified it green at sf0.01), plus ONE r8 net-new
-    # slot. Window arithmetic: 1 anchor + 47 stale + pairs64 = 49, so
-    # exactly one net-new row fits the driver's 50-query window; it goes
-    # to dedup_incremental (grades this round's index-metadata guard on
-    # write_signature_index/near_dedup_incremental -- the code-touched
-    # path, per the rotate-in-what-you-touched discipline). sim_ivfpq_topk
-    # (the other VERDICT #6 probe row) is declared at position 51: value-
-    # verified locally at sf0.001 (pytest parity suite) and sf0.01
-    # (driver_sim self-grade), FIRST IN LINE for the r9 window.
+    # ROUND-9 WINDOW -- executes the rotation plan written at the end of
+    # round 8 (VERDICT r8 "Next round" #1): the green-r8 fifty rotate OUT
+    # (they keep local parity coverage via tests/test_oracle_parity); the
+    # anchor plus the FIRST 49 entries of the r8 _NEXT_IN_LINE queue
+    # rotate IN, in queue order. All 49 are never-driver-graded rows that
+    # the r8 judge value-verified green at sf0.01 (strict comparator,
+    # driver_sim.py, 223/223) and the pytest parity suite holds at
+    # sf0.001 -- rotation is grading bandwidth, not correctness doubt.
+    # Window arithmetic: 1 anchor + 49 never-graded = 50 slots exactly.
     #
-    # ROUND-9 ROTATION PLAN: rotate OUT the green-r8 fifty; rotate IN
-    # from _NEXT_IN_LINE in ORDER (76 never-graded rows now exceed one
-    # 50-slot window — sim_ivfpq_topk and the r8-mid cohort first, the
-    # final-session cohort next round; prioritize code-touched rows) plus
-    # the then-stale list from `python grade_window.py` (after r8 grades,
-    # the oldest verdicts are the r6-vintage cohort). Every never-graded
-    # row has passed the strict comparator at sf0.001+sf0.01 in-session
-    # (and the full registry swept green at sf0.01 twice), so rotation is
-    # grading debt, not correctness doubt.
+    # ROUND-10 ROTATION PLAN (accounts for every row's age, per VERDICT
+    # r8 #6): rotate OUT the green-r9 fifty; rotate IN the anchor + the
+    # 28 remaining never-graded rows below (_NEXT_IN_LINE, in order,
+    # including any r9 net-new code-touched rows appended at its tail) +
+    # the OLDEST 21 of the 47 r6-stale rows from `python grade_window.py`
+    # (alphabetical within vintage, the grade_window.py sort). That fills
+    # 50 and leaves 26 r6-stale rows -- which include the flagship
+    # j2/q3/q5/a4 bench anchors -- for the ROUND-11 window: anchor + 26
+    # r6-stale + 23 then-r7-stale, restoring the <=2-round refresh cadence
+    # with net-new frozen (VERDICT r8 #2) except code-touched paths.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- never driver-graded (late-r7 net-new) ---
-    "dedup_simhash_pairs64",
-    # --- r8 net-new (grades this round's _sig_meta guard end-to-end) ---
-    "dedup_incremental",
-    # --- r4-vintage stale: dedup family ---
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # --- r4-vintage stale: events / temporal family ---
-    "ev_anomaly_zscore",
-    "ev_asof_last_view",
-    "ev_asof_next_purchase",
-    "ev_attribution_join",
-    "ev_funnel_depth",
-    "ev_session_window",
-    "ev_sessionize",
-    "ev_sliding_window",
-    "ev_tumbling_window",
-    "ev_zorder_value",
-    # --- r4-vintage stale: scalar-function family ---
-    "f18_histogram_equalize",
-    "f2_floor_to_zero",
-    "f4_minmax_normalize",
-    "f6_rand_solarize",
-    "f7_rand_resample_2d",
-    "f8_invertible_resample_roundtrip",
-    # --- r4-vintage stale: generators ---
-    "g1_posexplode",
-    "g2_token_explode",
-    "g3_explode_2d",
-    # --- r4-vintage stale: sorts ---
-    "o1_top_k",
-    "o2_natural_sort",
-    "o3_dense_rank_desc",
-    # --- r4-vintage stale: similarity ---
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    # --- r4-vintage stale: text family ---
-    "text_corpus_mix",
-    "text_decontaminate",
-    "text_heavy_hitters",
-    "text_jaccard_pairs",
-    "text_lang_id",
-    "text_pack_sequences",
-    "text_pii_scan",
-    "text_quality_filter",
-    "text_rolling_fingerprint",
-    "text_term_freq",
-    "text_tfidf",
-    "text_token_stats",
-    "text_url_domains",
-    # --- r4-vintage stale: set ops / splits ---
-    "u1_union_by_name",
-    "u2b_except_all",
-    "u3_intersect",
-    "x1_subject_level_split",
-    "x6_subject_kfold",
-]
-
-
-# Queued for the NEXT round's window (registry positions 51+, in order):
-# declared net-new that did not fit this round's 50 slots. Keeping them
-# immediately after the window makes "first in line" a property of the
-# registry itself, not a comment.
-_NEXT_IN_LINE = [
+    # --- never driver-graded: r8 cohort, queue order (positions 2-50) ---
     "sim_ivfpq_topk",
     "text_gopher_line_rules",
     "text_c4_rules",
@@ -9361,6 +9290,15 @@ _NEXT_IN_LINE = [
     "q20_excess_stock_suppliers",
     "dim_upsert_asof",
     "text_winnowing",
+]
+
+
+# Queued for the NEXT round's window (registry positions 51+, in order):
+# the 28 never-graded rows that did not fit round 9's 50 slots. R9
+# net-new (code-touched paths only) appends at the tail. Keeping them
+# immediately after the window makes "first in line" a property of the
+# registry itself, not a comment.
+_NEXT_IN_LINE = [
     "dedup_winnowing_pairs",
     "ev_handoff_bfs_hops",
     "a15_hll_rollup",
