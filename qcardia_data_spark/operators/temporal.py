@@ -59,41 +59,15 @@ def asof_join(
     """
     if direction == "nearest":
         # pandas merge_asof parity: the closer of the backward and
-        # forward matches, backward winning exact-distance ties. Two
-        # fills over the SAME union/exchange would be ideal; composing
-        # the two directional joins keeps each side's documented tie
-        # semantics and still costs one exchange each.
-        lt = left_ts
-        b = asof_join(left, right, by, lt, right_ts,
-                      [*carry], "backward", tolerance)
-        f = asof_join(left, right, by, lt, right_ts,
-                      [*carry], "forward", tolerance)
-        rtypes0 = dict(right.dtypes)
-        bsel = b.select(
-            *[F.col(c) for c in left.columns],
-            F.struct(*[F.col(c) for c in carry]).alias("_cb"),
-        )
-        fsel = f.select(
-            *[F.col(c) for c in left.columns],
-            F.struct(*[F.col(c) for c in carry]).alias("_cf"),
-        )
-        if right_ts not in carry:
-            raise ValueError(
-                "asof_join(direction='nearest') requires right_ts in carry "
-                "(the distances are decided from the carried timestamps)"
-            )
-        j = bsel.join(fsel, list(left.columns))
-        db = F.abs(F.col(lt) - F.col(f"_cb.{right_ts}"))
-        df_ = F.abs(F.col(f"_cf.{right_ts}") - F.col(lt))
-        pick = (
-            F.when(F.col("_cb").isNull(), F.col("_cf"))
-            .when(F.col("_cf").isNull(), F.col("_cb"))
-            .when(db <= df_, F.col("_cb"))
-            .otherwise(F.col("_cf"))
-        )
-        return j.select(
-            *left.columns,
-            *[pick[c].alias(c) for c in carry],
+        # forward matches, backward winning exact-distance ties. BOTH
+        # fills ride ONE union/exchange (two sorts, zero joins) — the
+        # earlier composed-join form re-joined the directional results on
+        # list(left.columns), which silently dropped left rows containing
+        # any NULL (null-unsafe equality) and multiplied duplicate left
+        # rows combinatorially (ADVICE r8, high). Each row now decides
+        # its own winner in place, so NULLs and duplicates are inert.
+        return _asof_nearest(
+            left, right, list(by), left_ts, right_ts, list(carry), tolerance
         )
     if direction not in ("backward", "forward"):
         raise ValueError(
@@ -160,6 +134,79 @@ def asof_join(
     )
 
 
+def _asof_nearest(
+    left: DataFrame, right: DataFrame, by: list, left_ts: str,
+    right_ts: str, carry: list, tolerance,
+) -> DataFrame:
+    """Nearest-direction as-of: one union, one exchange, two in-partition
+    sorts (backward ordering sorts right rows before simultaneous left
+    rows; forward, after). Each left row carries both directional fills
+    and picks the closer, backward winning exact ties — pandas
+    ``merge_asof(direction='nearest')`` semantics. The matched right
+    timestamp always rides the fill struct (appended last, so the
+    deterministic carry-struct tie-break is unchanged), so ``carry`` no
+    longer needs to include ``right_ts``."""
+    clash = set(carry) & set(left.columns)
+    if clash:
+        raise ValueError(f"carry columns collide with left columns: {sorted(clash)}")
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    fields = list(carry) + ["_rts"]
+    ftypes = {**rtypes, "_rts": rtypes[right_ts]}
+    carry_ddl = "struct<" + ",".join(f"{c}:{ftypes[c]}" for c in fields) + ">"
+    left_only = [c for c in left.columns if c not in by and c != left_ts]
+    l_aligned = left.select(
+        *by,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *left_only,
+        F.lit(None).cast(carry_ddl).alias("_carry"),
+    )
+    r_aligned = right.select(
+        *by,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
+        F.struct(
+            *[F.col(c) for c in carry], F.col(right_ts).alias("_rts")
+        ).alias("_carry"),
+    )
+    u = l_aligned.unionByName(r_aligned)
+    orderable = not any("map<" in rtypes[c] for c in carry)
+    tail = [F.col("_carry")] if orderable else []
+    # backward: right rows sort BEFORE a simultaneous left row (visible in
+    # the preceding frame); forward flips the side key so they sort AFTER
+    wb = Window.partitionBy(*by).orderBy(
+        F.col("_t"), F.col("_side"), *tail
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.partitionBy(*by).orderBy(
+        F.col("_t"), (F.lit(1) - F.col("_side")), *tail
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cb = F.last("_carry", ignorenulls=True).over(wb)
+    cf = F.first("_carry", ignorenulls=True).over(wf)
+    if tolerance is not None:
+        cb = F.when(F.abs(F.col("_t") - cb["_rts"]) <= F.lit(tolerance), cb)
+        cf = F.when(F.abs(cf["_rts"] - F.col("_t")) <= F.lit(tolerance), cf)
+    u = u.withColumn("_cb", cb).withColumn("_cf", cf)
+    db = F.abs(F.col("_t") - F.col("_cb")["_rts"])
+    df_ = F.abs(F.col("_cf")["_rts"] - F.col("_t"))
+    pick = (
+        F.when(F.col("_cb").isNull(), F.col("_cf"))
+        .when(F.col("_cf").isNull(), F.col("_cb"))
+        .when(db <= df_, F.col("_cb"))
+        .otherwise(F.col("_cf"))
+    )
+    out = (
+        u.withColumn("_pick", pick)
+        .filter(F.col("_side") == 1)
+        .withColumnRenamed("_t", left_ts)
+    )
+    return out.select(
+        *by, left_ts, *left_only,
+        *[F.col("_pick")[c].alias(c) for c in carry],
+    )
+
+
 def bucketed_range_join(
     points: DataFrame, intervals: DataFrame, point_ts: str,
     start_ts: str, end_ts: str, bucket_seconds: int = 3600,
@@ -208,13 +255,17 @@ def interval_overlap_join(
 
     Same no-theta-join shape: both sides explode into the time buckets
     they cover, equi-join on the bucket, apply the exact overlap
-    residual, then DISTINCT (an overlapping pair shares every bucket the
-    intersection spans — one bucket per overlap is guaranteed because
-    any common instant lies in a bucket both cover, which is also the
-    losslessness proof). Shuffle is O(rows × buckets_per_interval) with
-    a hash-partitionable equi-join; pick ``bucket_seconds`` ≈ the median
-    interval length so the explode factor stays O(1). Column names must
-    be disjoint across the two frames (caller disambiguates)."""
+    residual, then keep each pair ONLY in its first shared bucket — the
+    bucket of ``max(start_l, start_r)``, i.e. where the intersection
+    begins, which both sides cover whenever the overlap is non-empty
+    (the losslessness proof). A per-pair bucket predicate instead of a
+    full-row DISTINCT means duplicate input rows yield duplicate joined
+    pairs, exactly as a true overlap join would (ADVICE r8), and the
+    dedup shuffle disappears from the plan. Shuffle is O(rows ×
+    buckets_per_interval) with a hash-partitionable equi-join; pick
+    ``bucket_seconds`` ≈ the median interval length so the explode
+    factor stays O(1). Column names must be disjoint across the two
+    frames (caller disambiguates)."""
     def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
             "_bucket",
@@ -230,5 +281,9 @@ def interval_overlap_join(
         buckets(right, start_r, end_r), "_bucket"
     ).filter(
         (F.col(end_l) >= F.col(start_r)) & (F.col(end_r) >= F.col(start_l))
+        & (
+            F.col("_bucket")
+            == F.floor(F.greatest(F.col(start_l), F.col(start_r)) / bucket_seconds)
+        )
     )
-    return joined.drop("_bucket").distinct()
+    return joined.drop("_bucket")

@@ -255,6 +255,26 @@ def test_interval_overlap_join_lossless_vs_naive(spark):
     assert (0, 1) in got and (4, 5) not in got  # boundary in, disjoint out
 
 
+def test_interval_overlap_join_keeps_duplicate_rows(spark):
+    """ADVICE r8 regression: the old full-row DISTINCT (to undo the
+    multi-bucket explode) also collapsed legitimately duplicated input
+    rows. The per-pair first-shared-bucket predicate keeps multiplicity:
+    2 identical left rows x 1 right row -> 2 joined pairs, and the plan
+    carries no dedup aggregate."""
+    from qcardia_data_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 5000), (1, 0, 5000)], ["ia", "a0", "a1"]
+    )  # duplicate rows, straddling multiple 1000s buckets
+    b = spark.createDataFrame([(9, 100, 200)], ["ib", "b0", "b1"])
+    out = interval_overlap_join(a, b, "a0", "a1", "b0", "b1",
+                                bucket_seconds=1000)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r["ib"] == 9 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan  # no distinct stage left
+
+
 def test_overlap_join_spec_op(spark, sf_dir, tmp_path):
     """The overlap_join spec op equals the library call (pipeline side)."""
     from qcardia_data_spark.operators.temporal import interval_overlap_join
@@ -346,5 +366,50 @@ def test_asof_join_nearest(spark):
     far = asof_join(tie, r2, ["k"], "ts", "rts", ["val", "rts"],
                     direction="nearest", tolerance=10).collect()[0]
     assert far["val"] is None
-    with _pytest.raises(ValueError, match="right_ts in carry"):
-        asof_join(tie, r2, ["k"], "ts", "rts", ["val"], direction="nearest")
+    # right_ts no longer needs to ride in carry: the matched timestamp
+    # travels inside the fill struct (one-union form, ADVICE r8 fix)
+    slim = asof_join(tie, r2, ["k"], "ts", "rts", ["val"],
+                     direction="nearest").collect()[0]
+    assert slim["val"] == "lo"
+
+
+def test_asof_join_nearest_null_and_duplicate_left_rows(spark):
+    """ADVICE r8 (high) regression: the composed-join nearest form joined
+    backward x forward on list(left.columns) with null-unsafe equality —
+    a left row with a NULL in any column vanished, and duplicate left
+    rows multiplied combinatorially. The one-union form keeps each left
+    row standing alone: NULLs survive, duplicates stay 1:1."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, None), ("u", 200, "x"), ("u", 200, "x")],
+        ["k", "ts", "payload"],
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 205, "b")], ["k", "rts", "val"]
+    )
+    rows = asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], direction="nearest"
+    ).collect()
+    # 3 rows in -> 3 rows out (the NULL-payload row is kept; the two
+    # duplicate rows do not become four)
+    assert len(rows) == 3
+    got = sorted((r["ts"], r["payload"], r["val"]) for r in rows)
+    assert got == [(100, None, "a"), (200, "x", "b"), (200, "x", "b")]
+
+
+def test_asof_join_nearest_plan_is_joinless(spark):
+    """The nearest direction must share the directional plan shape: one
+    union + windows, zero join operators (the old form had two asof
+    unions PLUS an inner join)."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([("u", 100)], ["k", "ts"])
+    right = spark.createDataFrame([("u", 90, "a")], ["k", "rts", "val"])
+    out = asof_join(left, right, ["k"], "ts", "rts", ["val"],
+                    direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # and exactly ONE key exchange feeds both window sorts
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
