@@ -68,6 +68,17 @@ def pagerank(
     ranks = nodes.join(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    try:
+        return _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters)
+    finally:
+        # unpersist like the bfs/sssp/kcore siblings — the final ranks
+        # frame is localCheckpoint-ed, so dropping the inputs is safe and
+        # a long-lived session does not accumulate cached blocks
+        e.unpersist()
+        nodes.unpersist()
+
+
+def _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters):
     for _ in range(iters):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["od_node"], "left"

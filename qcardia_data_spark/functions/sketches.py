@@ -392,3 +392,25 @@ def cms_store_read(spark, store_path: str):
     keys = [c for c in rows.columns
             if c not in ("row", "bucket", "n", "_batch")]
     return rows.groupBy(*keys, "row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_store_lookup(spark, store_path: str, probes, value_col: str):
+    """Probe a CMS store with the geometry it was BUILT with: ``width``
+    and ``keys`` come from the store's own ``_cms_meta``, never from the
+    caller — :func:`cms_lookup`'s caller-supplied width lets a probe
+    silently use a different geometry than the build and read garbage
+    estimates (ADVICE r8), exactly the drift the meta-file contract
+    (``_sig_meta``/``_h64_meta``/``_hll_meta``) exists to refuse."""
+    import os
+
+    meta_path = f"{store_path}/_cms_meta"
+    if not os.path.isdir(meta_path):
+        raise ValueError(
+            f"cms_store_lookup: no _cms_meta at {store_path!r} — not a "
+            "CMS store (build one with cms_store_append_batch)"
+        )
+    row = spark.read.json(meta_path).collect()[0]
+    sketch = cms_store_read(spark, store_path)
+    return cms_lookup(
+        sketch, probes, list(row["keys"]), value_col, width=int(row["width"])
+    )

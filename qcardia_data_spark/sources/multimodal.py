@@ -690,14 +690,19 @@ def frame_signature_share_pairs(
         F.col("fa") != F.col("fb")
     )
     # orient by path so (x matches y) and (y matches x) pool per pair;
-    # count MATCHED FRAMES on the smaller-id side (distinct, so several
-    # partners for one frame count once)
+    # count MATCHED FRAMES distinctly on EACH side (several partners for
+    # one frame count once), then divide the count from the side with
+    # FEWER frames by that side's frame count — counting the lex-smaller
+    # side while dividing by the smaller frame count let share exceed 1.0
+    # whenever the lex-smaller file was the longer one (ADVICE r8)
     oriented = cross.select(
         F.least("fa", "fb").alias("pa"), F.greatest("fa", "fb").alias("pb"),
-        F.when(F.col("fa") < F.col("fb"), F.col("a")).otherwise(F.col("b")).alias("_fr"),
+        F.when(F.col("fa") < F.col("fb"), F.col("a")).otherwise(F.col("b")).alias("_fra"),
+        F.when(F.col("fa") < F.col("fb"), F.col("b")).otherwise(F.col("a")).alias("_frb"),
     )
     matched = oriented.groupBy("pa", "pb").agg(
-        F.count_distinct("_fr").alias("_m")
+        F.count_distinct("_fra").alias("_ma"),
+        F.count_distinct("_frb").alias("_mb"),
     )
     sizes = sig_frames.groupBy("path").agg(F.count("*").alias("_n"))
     out = (
@@ -706,7 +711,11 @@ def frame_signature_share_pairs(
         .join(sizes.select(F.col("path").alias("pb"), F.col("_n").alias("_nb")), "pb")
         .select(
             F.col("pa").alias("a"), F.col("pb").alias("b"),
-            (F.col("_m").cast("double") / F.least("_na", "_nb")).alias("share"),
+            (
+                F.when(F.col("_na") <= F.col("_nb"), F.col("_ma"))
+                .otherwise(F.col("_mb")).cast("double")
+                / F.least("_na", "_nb")
+            ).alias("share"),
         )
     )
     return out.filter(F.col("share") >= min_share)

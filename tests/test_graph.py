@@ -57,6 +57,34 @@ def test_rank_sum_is_one_on_real_edges(spark, sf_dir):
     assert total == pytest.approx(1_000_000_000, rel=1e-6)
 
 
+def test_pagerank_unpersists_its_caches(spark, monkeypatch):
+    """ADVICE r8 regression: pagerank persisted its edge and node frames
+    and never released them, leaking cached blocks across repeated calls
+    in a long-lived session (the bfs/sssp/kcore siblings all unpersist
+    in finally). Every frame pagerank persists must be unpersisted by
+    the time it returns — localCheckpoint blocks are excluded (they are
+    context-cleaner-managed and the final result rides one)."""
+    DataFrame = type(spark.range(1))  # the concrete (classic) class
+
+    persisted, unpersisted = [], []
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+
+    def spy_p(self, *a, **k):
+        persisted.append(id(self))
+        return orig_p(self, *a, **k)
+
+    def spy_u(self, *a, **k):
+        unpersisted.append(id(self))
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_p)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_u)
+    ranks = _ranks(spark, [(1, 2), (2, 3), (3, 1)], iters=2)
+    assert len(ranks) == 3
+    assert persisted, "pagerank should persist its shared subtrees"
+    assert set(persisted) <= set(unpersisted)
+
+
 def test_triangle_count_hand_graph(spark):
     from qcardia_data_spark.functions.graph import triangle_count
 

@@ -1005,6 +1005,26 @@ def test_streaming_cms_intake_converges_and_replays(spark, sf_dir, tmp_path):
             batch_id=99, depth=4, width=64,
         )
 
+    # store-resolved probe (ADVICE r8): width/keys come from _cms_meta,
+    # so the estimate equals a cms_lookup with the BUILD geometry even
+    # though the caller never states it — and a non-store path refuses
+    from qcardia_data_spark.functions.sketches import (
+        cms_lookup,
+        cms_store_lookup,
+    )
+
+    probes = ev.select("event_type", "user_id").distinct().limit(8)
+    want_est = sorted(map(tuple, cms_lookup(
+        cms_store_read(spark, store), probes,
+        ["event_type"], "user_id", width=64,
+    ).collect()))
+    got_est = sorted(map(tuple, cms_store_lookup(
+        spark, store, probes, "user_id",
+    ).collect()))
+    assert got_est == want_est
+    with _pytest.raises(ValueError, match="no _cms_meta"):
+        cms_store_lookup(spark, str(tmp_path / "nope"), probes, "user_id")
+
 
 def test_streaming_hll_intake_time_bucketed_keys(spark, sf_dir, tmp_path):
     """Distinct users per (event_type, hour) continuously: the intake's

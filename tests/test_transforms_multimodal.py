@@ -682,6 +682,39 @@ def test_audio_near_dup_pairs_finds_gain_and_shift_copies(spark):
     assert not any("other" in a or "other" in b for a, b in got)
 
 
+def test_frame_share_pairs_asymmetric_lengths_bounded(spark):
+    """ADVICE r8 regression: share counted matched frames on the
+    LEX-SMALLER path but divided by the SMALLER frame count, so a longer
+    lex-smaller file could report share > 1.0. The count must come from
+    the side with fewer frames: here the lex-smaller file 'a' has 4
+    frames (two of them matching), the shorter file 'z' has 2 frames
+    (one matching) -> share = 1/2, not 2/2."""
+    from qcardia_data_spark.sources.multimodal import (
+        frame_signature_share_pairs,
+    )
+
+    s1, s2, s3, s4 = (0, 0), (0xFFFFFFFF, 0), (0, 0xFFFFFFFF), (0xFFFF, 0xFF0000)
+    rows = [
+        ("a", 0, *s1), ("a", 1, *s1), ("a", 2, *s2), ("a", 3, *s3),
+        ("z", 0, *s1), ("z", 1, *s4),
+    ]
+    sig = spark.createDataFrame(rows, ["path", "frame_idx", "lo", "hi"])
+    got = {
+        (r["a"], r["b"]): r["share"]
+        for r in frame_signature_share_pairs(sig, min_share=0.1).collect()
+    }
+    assert got == {("a", "z"): 0.5}
+    # and an identical-signature pair caps at exactly 1.0 even when one
+    # side is 4x longer
+    rows2 = [("a", i, *s1) for i in range(4)] + [("z", 0, *s1)]
+    sig2 = spark.createDataFrame(rows2, ["path", "frame_idx", "lo", "hi"])
+    got2 = {
+        (r["a"], r["b"]): r["share"]
+        for r in frame_signature_share_pairs(sig2, min_share=0.1).collect()
+    }
+    assert got2 == {("a", "z"): 1.0}
+
+
 def test_video_near_dup_pairs_real_mjpeg(spark):
     """Video near-dup through the REAL MJPEG/AVI pipeline: an
     exposure-shifted re-encode matches frame-for-frame; an unrelated clip
