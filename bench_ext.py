@@ -107,6 +107,21 @@ def main() -> None:
         return st
 
     host_before = _host_state()
+    # same load guard as bench.py (VERDICT r8 #2): don't record a series
+    # point on a loaded host; wait for it to settle, bounded, and stamp a
+    # give-up so readers can discard the row
+    guard = {"threshold": float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
+             "waited_sec": 0, "gave_up": False}
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
+    t_guard = time.monotonic()
+    while host_before.get("loadavg_1m", 0.0) > guard["threshold"]:
+        if time.monotonic() - t_guard > budget:
+            guard["gave_up"] = True
+            break
+        time.sleep(15)
+        host_before = _host_state()
+    guard["waited_sec"] = round(time.monotonic() - t_guard, 1)
+
     if not os.path.isdir(os.path.join(CORPUS, "documents.parquet")):
         shutil.rmtree(CORPUS, ignore_errors=True)
         _build_corpus()
@@ -281,6 +296,7 @@ def main() -> None:
         "corpus": {"docs": n_docs, "vecs": n_vecs, "path": CORPUS},
         "setup": setup,
         "host": {"before": host_before, "after": _host_state()},
+        "load_guard": guard,
     }
     if errors:
         out["errors"] = errors

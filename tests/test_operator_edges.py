@@ -173,3 +173,75 @@ def test_dense_rank_desc_keeps_null_rows(spark):
     assert got[1] == got[4] == 1  # 30.0 ranks first
     assert got[3] == 2
     assert got[2] == got[5] == 3  # NULLs last, one dense rank
+
+
+def test_cumulative_sum_scale_safe_equals_window_form(spark, sf_dir):
+    """VERDICT r8 'What's wrong' #1: the two-phase distributed prefix sum
+    (range-repartition on (key, order), local running sums, broadcast
+    subtotal prefix) must equal the window form on the w4 bench shape —
+    decimal accumulation, so equality is exact, not approximate."""
+    import os
+
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .withColumn(
+            "_rev",
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")),
+        )
+    )
+    order = [
+        F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_extendedprice"), F.col("l_discount"),
+    ]
+    key = lambda r: (r["l_returnflag"], r["l_orderkey"], r["l_linenumber"])  # noqa: E731
+
+    want = {
+        key(r): r["cum"]
+        for r in cumulative_sum(li, ["l_returnflag"], order, "_rev")
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+                F.col("cum").cast("decimal(38,2)").alias("cum")).collect()
+    }
+    got = {
+        key(r): r["cum"]
+        for r in cumulative_sum(
+            li, ["l_returnflag"], order, "_rev",
+            scale_safe=True, num_ranges=16,
+        )
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+                F.col("cum").cast("decimal(38,2)").alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_cumulative_sum_scale_safe_plan_parallel_and_reuses_exchange(spark):
+    """The scale-safe plan must (a) run the running sum in MANY tasks even
+    on a near-constant key — the window form on a 3-value key is exactly 3
+    sort tasks at any scale — and (b) read the range exchange ONCE from
+    both consumers (local sums + subtotals), so spark_partition_id is
+    consistent between the two phases."""
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 3).cast("string").alias("flag"),
+        F.col("id").alias("ord"),
+        F.lit(1).alias("v"),
+    )
+    out = cumulative_sum(df, ["flag"], [F.col("ord")], "v",
+                         scale_safe=True, num_ranges=16)
+    rows = {(r["flag"], r["ord"]): r["cum"] for r in out.collect()}
+    # AQE finalizes exchange reuse at execution: inspect the FINAL plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or (
+        plan.count("Exchange rangepartitioning") == 1
+    ), plan
+    rng_counts = (
+        df.repartitionByRange(16, F.col("flag"), F.col("ord"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct().count()
+    )
+    assert rng_counts > 3  # the sort really fans out past the key count
+    assert rows[("0", 0)] == 1 and rows[("0", 3)] == 2 and rows[("0", 6)] == 3
+    assert rows[("2", 19_997)] == sum(1 for i in range(20_000) if i % 3 == 2 and i <= 19_997)
