@@ -85,46 +85,14 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    # Host-state snapshot BEFORE the run: the r6→r7 series discontinuity
-    # (13.88 s → 17.2 s on byte-identical code, reproduced independently by
-    # the r7 judge and an r8 same-code re-run) was host-window drift, and
-    # the three readings could only be adjudicated after the fact. Record
-    # the confounds with every run so future comparisons carry them.
-    def _host_state() -> dict:
-        st: dict = {}
-        try:
-            st["loadavg_1m"] = float(open("/proc/loadavg").read().split()[0])
-        except Exception:
-            pass
-        try:
-            for line in open("/proc/meminfo"):
-                if line.startswith(("Cached:", "MemAvailable:")):
-                    k, v = line.split(":")
-                    st[k.strip().lower() + "_kb"] = int(v.split()[0])
-        except Exception:
-            pass
-        return st
+    # Host-state snapshot BEFORE the run (the r6→r7 series discontinuity
+    # could only be adjudicated after the fact — record the confounds with
+    # every run) + the load guard (VERDICT r8 #2: BENCH_r08 was recorded
+    # at loadavg 4.73). Both shared with bench_ext.py via bench_common.
+    from bench_common import host_state as _host_state
+    from bench_common import wait_for_idle_host
 
-    host_before = _host_state()
-
-    # Load guard (VERDICT r8 "What's wrong" #2): BENCH_r08 was recorded at
-    # loadavg 4.73 and its 18.41 s overstated the steady state by ~15%. A
-    # loaded host must not become the round's series point again: spin-wait
-    # until loadavg_1m drops under the threshold, up to a bounded budget.
-    # If the host never settles, proceed (the driver still needs a JSON
-    # line) but stamp the guard's give-up in the record so series readers
-    # discard the row.
-    guard = {"threshold": float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
-             "waited_sec": 0, "gave_up": False}
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
-    t_guard = time.monotonic()
-    while host_before.get("loadavg_1m", 0.0) > guard["threshold"]:
-        if time.monotonic() - t_guard > budget:
-            guard["gave_up"] = True
-            break
-        time.sleep(15)
-        host_before = _host_state()
-    guard["waited_sec"] = round(time.monotonic() - t_guard, 1)
+    host_before, guard = wait_for_idle_host(_host_state())
 
     spark = get_spark(app_name="qds-bench")
     # warm up JVM/codegen and the parquet footers/file listing so the first

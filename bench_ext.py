@@ -91,36 +91,12 @@ def main() -> None:
         ivfpq_write_partitioned,
     )
 
-    def _host_state() -> dict:
-        st: dict = {}
-        try:
-            st["loadavg_1m"] = float(open("/proc/loadavg").read().split()[0])
-        except Exception:
-            pass
-        try:
-            for line in open("/proc/meminfo"):
-                if line.startswith(("Cached:", "MemAvailable:")):
-                    kk, v = line.split(":")
-                    st[kk.strip().lower() + "_kb"] = int(v.split()[0])
-        except Exception:
-            pass
-        return st
+    # host snapshot + load guard shared with bench.py (one definition,
+    # VERDICT r8 #2)
+    from bench_common import host_state as _host_state
+    from bench_common import wait_for_idle_host
 
-    host_before = _host_state()
-    # same load guard as bench.py (VERDICT r8 #2): don't record a series
-    # point on a loaded host; wait for it to settle, bounded, and stamp a
-    # give-up so readers can discard the row
-    guard = {"threshold": float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0")),
-             "waited_sec": 0, "gave_up": False}
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
-    t_guard = time.monotonic()
-    while host_before.get("loadavg_1m", 0.0) > guard["threshold"]:
-        if time.monotonic() - t_guard > budget:
-            guard["gave_up"] = True
-            break
-        time.sleep(15)
-        host_before = _host_state()
-    guard["waited_sec"] = round(time.monotonic() - t_guard, 1)
+    host_before, guard = wait_for_idle_host(_host_state())
 
     if not os.path.isdir(os.path.join(CORPUS, "documents.parquet")):
         shutil.rmtree(CORPUS, ignore_errors=True)

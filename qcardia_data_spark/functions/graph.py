@@ -71,14 +71,21 @@ def pagerank(
     try:
         return _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters)
     finally:
-        # unpersist like the bfs/sssp/kcore siblings — the final ranks
-        # frame is localCheckpoint-ed, so dropping the inputs is safe and
-        # a long-lived session does not accumulate cached blocks
+        # unpersist like the bfs/sssp/kcore siblings — the returned ranks
+        # frame is localCheckpoint-ed (every loop round ends in one, and
+        # the iters<=0 degenerate case checkpoints explicitly below), so
+        # dropping the inputs is safe and a long-lived session does not
+        # accumulate cached blocks
         e.unpersist()
         nodes.unpersist()
 
 
 def _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters):
+    if iters <= 0:
+        # the initial uniform frame has no checkpoint of its own; without
+        # one, every action after the finally-unpersist would recompute
+        # the whole edge derivation
+        return ranks.localCheckpoint()
     for _ in range(iters):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["od_node"], "left"

@@ -130,6 +130,14 @@ def _cumulative_sum_ranged(
     ranged = df.repartitionByRange(num_ranges, *pcols, *order_by).withColumn(
         "_rng", F.spark_partition_id()
     )
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        # _rng consistency between the two consumers is exactly exchange
+        # reuse; with reuse disabled each consumer would re-execute the
+        # range exchange with its own RangePartitioner sampling and the
+        # subtotal offsets would be misattributed SILENTLY (verified: 87%
+        # wrong rows at 200k/16 with reuse off). Materialize the split
+        # ids once instead — costlier, never wrong.
+        ranged = ranged.localCheckpoint(eager=True)
     wloc = (
         Window.partitionBy(*partition, "_rng")
         .orderBy(*order_by)
@@ -143,10 +151,20 @@ def _cumulative_sum_ranged(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre = tot.select(
-        *partition, "_rng",
+        *[F.col(c).alias(f"_p_{c}") for c in partition],
+        F.col("_rng").alias("_p_rng"),
         F.sum("_tot").over(wpre).alias("_off"),  # NULL for the first split
     )
-    joined = local.join(F.broadcast(pre), [*partition, "_rng"])
+    # null-SAFE join: a NULL partition-key value is a legitimate group in
+    # the window form (sum over the NULL-key rows), so the subtotal join
+    # must not drop it — plain `==` on the key columns silently loses
+    # every NULL-key row
+    cond = F.col("_rng") == F.col("_p_rng")
+    for c in partition:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
+    joined = local.join(F.broadcast(pre), cond).drop(
+        "_p_rng", *[f"_p_{c}" for c in partition]
+    )
     return joined.withColumn(
         out,
         F.when(F.col("_off").isNull(), F.col("_loc"))

@@ -245,3 +245,64 @@ def test_cumulative_sum_scale_safe_plan_parallel_and_reuses_exchange(spark):
     assert rng_counts > 3  # the sort really fans out past the key count
     assert rows[("0", 0)] == 1 and rows[("0", 3)] == 2 and rows[("0", 6)] == 3
     assert rows[("2", 19_997)] == sum(1 for i in range(20_000) if i % 3 == 2 and i <= 19_997)
+
+
+def test_cumulative_sum_scale_safe_keeps_null_partition_keys(spark):
+    """Self-review r9 regression: the subtotal-prefix join used null-
+    unsafe key equality, silently dropping every row whose partition-key
+    value is NULL — a legitimate group the window form keeps. Both forms
+    must agree on a NULL-key frame."""
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), (None, 2, 20), ("a", 3, 30), (None, 4, 40)],
+        ["k", "o", "v"],
+    )
+
+    def run(**kw):
+        return sorted(
+            (
+                (r["k"], r["o"], r["cum"])
+                for r in cumulative_sum(
+                    df, ["k"], [F.col("o")], "v", **kw
+                ).collect()
+            ),
+            key=lambda t: (t[0] is None, t[0] or "", t[1]),
+        )
+
+    want = run()
+    assert want == [
+        ("a", 1, 10), ("a", 3, 40), (None, 2, 20), (None, 4, 60),
+    ]
+    assert run(scale_safe=True, num_ranges=4) == want
+
+
+def test_cumulative_sum_scale_safe_survives_reuse_disabled(spark):
+    """Self-review r9 regression: _rng consistency between the local-sum
+    and subtotal consumers IS exchange reuse; with
+    spark.sql.exchange.reuse=false each consumer re-samples its own range
+    bounds and 87% of sums came back wrong SILENTLY. The fallback
+    (materialize the split ids) must keep the result exact."""
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    df = spark.range(0, 50_000).select(
+        (F.col("id") % 3).cast("string").alias("flag"),
+        F.col("id").alias("o"),
+        F.lit(1).alias("v"),
+    )
+    want = sorted(
+        (r["flag"], r["o"], r["cum"])
+        for r in cumulative_sum(df, ["flag"], [F.col("o")], "v").collect()
+    )
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = sorted(
+            (r["flag"], r["o"], r["cum"])
+            for r in cumulative_sum(
+                df, ["flag"], [F.col("o")], "v",
+                scale_safe=True, num_ranges=16,
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    assert got == want
