@@ -9327,15 +9327,16 @@ _PRIORITY = [
     # Window arithmetic: 1 anchor + 49 never-graded = 50 slots exactly.
     #
     # ROUND-10 ROTATION PLAN (accounts for every row's age, per VERDICT
-    # r8 #6): rotate OUT the green-r9 fifty; rotate IN the anchor + the
-    # 28 remaining never-graded rows below (_NEXT_IN_LINE, in order,
-    # including any r9 net-new code-touched rows appended at its tail) +
-    # the OLDEST 21 of the 47 r6-stale rows from `python grade_window.py`
-    # (alphabetical within vintage, the grade_window.py sort). That fills
-    # 50 and leaves 26 r6-stale rows -- which include the flagship
-    # j2/q3/q5/a4 bench anchors -- for the ROUND-11 window: anchor + 26
-    # r6-stale + 23 then-r7-stale, restoring the <=2-round refresh cadence
-    # with net-new frozen (VERDICT r8 #2) except code-touched paths.
+    # r8 #6): rotate OUT the green-r9 fifty; rotate IN the anchor + ALL
+    # 30 remaining never-graded rows below (_NEXT_IN_LINE in order: the
+    # 28 r8 leftovers + the 2 r9 net-new code-touched rows at its tail)
+    # + the OLDEST 19 of the 47 r6-stale rows from `python
+    # grade_window.py` (alphabetical within vintage, the grade_window.py
+    # sort). That fills 50 exactly and leaves 28 r6-stale rows -- which
+    # include the flagship j2/q3/q5/a4 bench anchors -- for the ROUND-11
+    # window: anchor + those 28 + 21 then-oldest-stale, restoring the
+    # <=2-round refresh cadence with net-new frozen (VERDICT r8 #2)
+    # except code-touched paths.
     "q1_pricing_summary",  # flagship anchor -- graded every round
     # --- never driver-graded: r8 cohort, queue order (positions 2-50) ---
     "sim_ivfpq_topk",
