@@ -413,3 +413,56 @@ def test_asof_join_nearest_plan_is_joinless(spark):
     # and exactly ONE key exchange feeds both window sorts
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_asof_join_randomized_differential_vs_pandas(spark):
+    """Permanent differential: all three directions (+tolerance) against
+    pandas merge_asof on seeded random data — the reference semantics the
+    operator claims parity with. Keys/timestamps collide on purpose."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 120),
+        "ts": rng.randint(0, 500, 120),
+        "lid": np.arange(120),
+    }).sort_values("ts").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 80),
+        "rts": rng.randint(0, 500, 80),
+        "val": np.arange(80),
+    }).drop_duplicates(
+        # equal (k, rts) right rows are an ENGINE-DEFINED tie in
+        # merge_asof (positional) vs this operator (carry-struct order)
+        # — same caveat the older differentials document; left-side
+        # collisions and duplicates stay in
+        subset=["k", "rts"]
+    ).sort_values("rts").reset_index(drop=True)
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 30):
+            want = pd.merge_asof(
+                left_pd.sort_values("ts"),
+                right_pd.sort_values("rts").rename(columns={"rts": "ts"}),
+                on="ts", by="k", direction=direction,
+                tolerance=tol,
+            )
+            want_map = {
+                int(r.lid): (None if pd.isna(r.val) else int(r.val))
+                for r in want.itertuples()
+            }
+            got = asof_join(
+                left, right, ["k"], "ts", "rts", ["val"],
+                direction=direction, tolerance=tol,
+            ).collect()
+            got_map = {r["lid"]: r["val"] for r in got}
+            assert len(got_map) == 120, (direction, tol)
+            mismatches = {
+                lid: (got_map[lid], want_map[lid])
+                for lid in want_map
+                if got_map[lid] != want_map[lid]
+            }
+            assert not mismatches, (direction, tol, mismatches)
