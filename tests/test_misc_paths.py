@@ -214,3 +214,20 @@ def test_cms_validation(spark):
     df = spark.createDataFrame([("a", "b")], ["g", "v"])
     with _pytest.raises(ValueError, match=">= 1"):
         cms_table(df, ["g"], "v", depth=0)
+
+
+def test_cms_lookup_null_group_key_reachable(spark):
+    """r9 null-safety sweep: cms_table's groupBy keeps a NULL group key as
+    a legitimate sketch group, so the probe join must reach it — the old
+    null-unsafe column-list join read every NULL-key probe as est 0."""
+    from qcardia_data_spark.functions.sketches import cms_lookup, cms_table
+
+    df = spark.createDataFrame(
+        [(None, "x")] * 5 + [("g", "x")] * 2, ["grp", "val"]
+    )
+    sk = cms_table(df, ["grp"], "val", depth=3, width=16)
+    probes = spark.createDataFrame([(None, "x"), ("g", "x")], ["grp", "val"])
+    got = {r["grp"]: r["est_n"] for r in
+           cms_lookup(sk, probes, ["grp"], "val", width=16).collect()}
+    assert got["g"] >= 2          # CMS never underestimates
+    assert got[None] >= 5         # the NULL group is probe-reachable
