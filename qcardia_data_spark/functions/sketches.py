@@ -323,18 +323,13 @@ def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
     # null-SAFE key equality: a NULL-valued group key is a legitimate
     # sketch group (cms_table's groupBy keeps it), so the probe join must
     # reach it — plain `==` would read every NULL-key probe as est 0
-    sk = sketch.select(
-        *[F.col(c).alias(f"_s_{c}") for c in keys],
-        F.col("row").alias("_s_row"),
-        F.col("bucket").alias("_s_bucket"),
-        "n",
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+    j = null_safe_equi_join(
+        p, sketch.select(*keys, "row", "bucket", "n"),
+        nullsafe_keys=keys, plain_keys=["row", "bucket"],
+        carry=["n"], how="left",
     )
-    cond = (F.col("row") == F.col("_s_row")) & (
-        F.col("bucket") == F.col("_s_bucket")
-    )
-    for c in keys:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
-    j = p.join(sk, cond, "left")
     return (
         j.groupBy(*keys, value_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))

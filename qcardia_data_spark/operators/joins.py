@@ -64,3 +64,37 @@ def orphan_check(df: DataFrame, universe: DataFrame, on: Sequence[str]) -> int:
     no match in ``universe`` (subject-not-in-any-split assert, reference
     pipeline/utils.py:71-72). Returns the orphan count (0 = healthy)."""
     return df.join(universe, on=list(on), how="left_anti").count()
+
+
+def null_safe_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    nullsafe_keys: Sequence[str],
+    plain_keys: Sequence[str] = (),
+    carry: Sequence[str] = (),
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join whose ``nullsafe_keys`` compare with ``eqNullSafe`` (a
+    NULL key value is a legitimate group and must match its NULL twin —
+    plain ``==`` silently drops it) while ``plain_keys`` use ``==``
+    (never-NULL by construction, keeps them sargable). The right side is
+    FRAME-aliased, not column-renamed, so arbitrary column names on
+    either side can never collide with an internal prefix. Returns
+    left's columns plus ``carry`` from the right.
+
+    One definition for the shape that round-9's null-safety sweep found
+    hand-rolled twice (the CMS probe join and the scale-safe cumsum
+    subtotal join) — the next null-unsafe join fix reuses this instead
+    of diverging.
+    """
+    l, r = left.alias("_nsj_l"), right.alias("_nsj_r")
+    rhs = F.broadcast(r) if broadcast_right else r
+    cond = F.lit(True)
+    for c in plain_keys:
+        cond = cond & (F.col(f"_nsj_l.{c}") == F.col(f"_nsj_r.{c}"))
+    for c in nullsafe_keys:
+        cond = cond & F.col(f"_nsj_l.{c}").eqNullSafe(F.col(f"_nsj_r.{c}"))
+    return l.join(rhs, cond, how).select(
+        "_nsj_l.*", *[F.col(f"_nsj_r.{c}").alias(c) for c in carry]
+    )

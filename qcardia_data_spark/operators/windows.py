@@ -122,6 +122,13 @@ def _cumulative_sum_ranged(
     exchange once and ``spark_partition_id()`` is consistent between them
     — the property the plan test pins. A driver-side collect is never
     taken; the subtotal prefix is a window over a ≤ num_ranges-row frame.
+
+    ``spark.sql.exchange.reuse`` is read when this plan is BUILT: with
+    reuse disabled the split ids are materialized via localCheckpoint
+    instead (each consumer would otherwise re-sample its own range bounds
+    and misattribute subtotals silently). Toggling the conf between
+    building the frame and acting on it defeats that check — build and
+    execute under the same session conf, the normal case.
     """
     spark = df.sparkSession
     if num_ranges is None:
@@ -151,19 +158,19 @@ def _cumulative_sum_ranged(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre = tot.select(
-        *[F.col(c).alias(f"_p_{c}") for c in partition],
-        F.col("_rng").alias("_p_rng"),
+        *partition, "_rng",
         F.sum("_tot").over(wpre).alias("_off"),  # NULL for the first split
     )
-    # null-SAFE join: a NULL partition-key value is a legitimate group in
-    # the window form (sum over the NULL-key rows), so the subtotal join
-    # must not drop it — plain `==` on the key columns silently loses
-    # every NULL-key row
-    cond = F.col("_rng") == F.col("_p_rng")
-    for c in partition:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
-    joined = local.join(F.broadcast(pre), cond).drop(
-        "_p_rng", *[f"_p_{c}" for c in partition]
+    # null-SAFE subtotal join (frame-aliased, so user column names can
+    # never collide with an internal prefix): a NULL partition-key value
+    # is a legitimate group in the window form, so the join must not
+    # drop it — plain `==` on the key columns silently loses every
+    # NULL-key row
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+    joined = null_safe_equi_join(
+        local, pre, nullsafe_keys=partition, plain_keys=["_rng"],
+        carry=["_off"], broadcast_right=True,
     )
     return joined.withColumn(
         out,

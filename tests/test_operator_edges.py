@@ -306,3 +306,22 @@ def test_cumulative_sum_scale_safe_survives_reuse_disabled(spark):
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
     assert got == want
+
+
+def test_cumulative_sum_scale_safe_awkward_column_names(spark):
+    """r9 second-review regression: the rename-prefix join scheme broke
+    for a partition column literally named 'rng' (alias collision with
+    the internal split id). The frame-aliased null-safe join must handle
+    any column names."""
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("b", 1, 5)], ["rng", "o", "v"]
+    )
+    got = sorted(
+        (r["rng"], r["o"], r["cum"])
+        for r in cumulative_sum(
+            df, ["rng"], [F.col("o")], "v", scale_safe=True, num_ranges=2
+        ).collect()
+    )
+    assert got == [("a", 1, 10), ("a", 2, 40), ("b", 1, 5)]

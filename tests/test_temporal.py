@@ -458,6 +458,9 @@ def test_asof_join_randomized_differential_vs_pandas(spark):
                 left, right, ["k"], "ts", "rts", ["val"],
                 direction=direction, tolerance=tol,
             ).collect()
+            # raw row count FIRST: a dict keyed by lid would silently
+            # absorb the r8 duplicate-multiplication regression
+            assert len(got) == 120, (direction, tol, len(got))
             got_map = {r["lid"]: r["val"] for r in got}
             assert len(got_map) == 120, (direction, tol)
             mismatches = {
