@@ -322,18 +322,38 @@ def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
     p = p.select(*keys, F.col(value_col), F.col("row"), bucket)
     # null-SAFE key equality: a NULL-valued group key is a legitimate
     # sketch group (cms_table's groupBy keeps it), so the probe join must
-    # reach it — plain `==` would read every NULL-key probe as est 0
-    from qcardia_data_spark.operators.joins import null_safe_equi_join
+    # reach it — plain `==` would read every NULL-key probe as est 0.
+    # The counter is carried under a FRESH name: a probe whose value or
+    # key column is literally named "n" would otherwise make the carried
+    # column ambiguous
+    from qcardia_data_spark.operators.joins import (
+        fresh_name,
+        null_safe_equi_join,
+    )
 
+    n_c = fresh_name("_cms_n", p.columns)
     j = null_safe_equi_join(
-        p, sketch.select(*keys, "row", "bucket", "n"),
+        p,
+        sketch.select(*keys, "row", "bucket", F.col("n").alias(n_c)),
         nullsafe_keys=keys, plain_keys=["row", "bucket"],
-        carry=["n"], how="left",
+        carry=[n_c], how="left",
     )
     return (
         j.groupBy(*keys, value_col)
-        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+        .agg(F.min(F.coalesce(F.col(n_c), F.lit(0))).alias("est_n"))
     )
+
+
+def _read_cms_meta(spark, store_path: str):
+    """Read ``store_path/_cms_meta`` through the READER (None if absent)
+    — the FS-agnostic `_read_sig_meta` pattern: an os.path.isdir check
+    rejects scheme-qualified paths (file:/, hdfs://, s3a://) for stores
+    that exist, and on an append silently skips geometry enforcement."""
+    try:
+        rows = spark.read.json(f"{store_path}/_cms_meta").collect()
+        return rows[0] if rows else None
+    except Exception:
+        return None
 
 
 def cms_store_append_batch(
@@ -354,14 +374,12 @@ def cms_store_append_batch(
     Params/keys are frozen in ``_cms_meta`` on first append and enforced
     afterwards (sketches with different geometry do not merge).
     """
-    import os
-
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
     meta_path = f"{store_path}/_cms_meta"
-    if os.path.isdir(meta_path):
-        row = spark.read.json(meta_path).collect()[0]
+    row = _read_cms_meta(spark, store_path)
+    if row is not None:
         if (
             int(row["depth"]) != int(depth)
             or int(row["width"]) != int(width)
@@ -410,15 +428,12 @@ def cms_store_lookup(spark, store_path: str, probes, value_col: str):
     silently use a different geometry than the build and read garbage
     estimates (ADVICE r8), exactly the drift the meta-file contract
     (``_sig_meta``/``_h64_meta``/``_hll_meta``) exists to refuse."""
-    import os
-
-    meta_path = f"{store_path}/_cms_meta"
-    if not os.path.isdir(meta_path):
+    row = _read_cms_meta(spark, store_path)
+    if row is None:
         raise ValueError(
             f"cms_store_lookup: no _cms_meta at {store_path!r} — not a "
             "CMS store (build one with cms_store_append_batch)"
         )
-    row = spark.read.json(meta_path).collect()[0]
     sketch = cms_store_read(spark, store_path)
     return cms_lookup(
         sketch, probes, list(row["keys"]), value_col, width=int(row["width"])

@@ -66,6 +66,17 @@ def orphan_check(df: DataFrame, universe: DataFrame, on: Sequence[str]) -> int:
     return df.join(universe, on=list(on), how="left_anti").count()
 
 
+def fresh_name(base: str, taken: Sequence[str]) -> str:
+    """``base``, suffixed with underscores until it collides with nothing
+    in ``taken`` — for internal working columns that must never silently
+    overwrite (or be confused with) a user column of the same name."""
+    name = base
+    taken = set(taken)
+    while name in taken:
+        name += "_"
+    return name
+
+
 def null_safe_equi_join(
     left: DataFrame,
     right: DataFrame,
@@ -79,15 +90,24 @@ def null_safe_equi_join(
     NULL key value is a legitimate group and must match its NULL twin —
     plain ``==`` silently drops it) while ``plain_keys`` use ``==``
     (never-NULL by construction, keeps them sargable). The right side is
-    FRAME-aliased, not column-renamed, so arbitrary column names on
-    either side can never collide with an internal prefix. Returns
-    left's columns plus ``carry`` from the right.
+    FRAME-aliased, not column-renamed, so key names on either side never
+    collide with an internal prefix. Returns left's columns plus
+    ``carry`` from the right; a carried name that already exists on the
+    left would make the output ambiguous, so it is REFUSED loudly —
+    pick a fresh output name (:func:`fresh_name`) at the call site.
 
     One definition for the shape that round-9's null-safety sweep found
     hand-rolled twice (the CMS probe join and the scale-safe cumsum
     subtotal join) — the next null-unsafe join fix reuses this instead
     of diverging.
     """
+    clash = set(carry) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"null_safe_equi_join: carry columns {sorted(clash)} already "
+            "exist on the left frame — the joined output would be "
+            "ambiguous; alias them to fresh names first"
+        )
     l, r = left.alias("_nsj_l"), right.alias("_nsj_r")
     rhs = F.broadcast(r) if broadcast_right else r
     cond = F.lit(True)

@@ -130,53 +130,60 @@ def _cumulative_sum_ranged(
     building the frame and acting on it defeats that check — build and
     execute under the same session conf, the normal case.
     """
+    from qcardia_data_spark.operators.joins import (
+        fresh_name,
+        null_safe_equi_join,
+    )
+
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # internal working columns get FRESH names — fixed "_rng"/"_loc"/"_off"
+    # silently overwrote (and then dropped) user columns of those names
+    rng = fresh_name("_rng", df.columns)
+    loc = fresh_name("_loc", [*df.columns, rng])
+    off = fresh_name("_off", [*df.columns, rng, loc])
+    tot_c = fresh_name("_tot", [*df.columns, rng, loc, off])
     pcols = [F.col(c) for c in partition]
     ranged = df.repartitionByRange(num_ranges, *pcols, *order_by).withColumn(
-        "_rng", F.spark_partition_id()
+        rng, F.spark_partition_id()
     )
     if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
-        # _rng consistency between the two consumers is exactly exchange
-        # reuse; with reuse disabled each consumer would re-execute the
-        # range exchange with its own RangePartitioner sampling and the
-        # subtotal offsets would be misattributed SILENTLY (verified: 87%
-        # wrong rows at 200k/16 with reuse off). Materialize the split
-        # ids once instead — costlier, never wrong.
+        # split-id consistency between the two consumers is exactly
+        # exchange reuse; with reuse disabled each consumer would
+        # re-execute the range exchange with its own RangePartitioner
+        # sampling and the subtotal offsets would be misattributed
+        # SILENTLY (verified: 87% wrong rows at 200k/16 with reuse off).
+        # Materialize the split ids once instead — costlier, never wrong.
         ranged = ranged.localCheckpoint(eager=True)
     wloc = (
-        Window.partitionBy(*partition, "_rng")
+        Window.partitionBy(*partition, rng)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_loc", F.sum(value).over(wloc))
-    tot = ranged.groupBy(*partition, "_rng").agg(F.sum(value).alias("_tot"))
+    local = ranged.withColumn(loc, F.sum(value).over(wloc))
+    tot = ranged.groupBy(*partition, rng).agg(F.sum(value).alias(tot_c))
     wpre = (
         Window.partitionBy(*partition)
-        .orderBy("_rng")
+        .orderBy(rng)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pre = tot.select(
-        *partition, "_rng",
-        F.sum("_tot").over(wpre).alias("_off"),  # NULL for the first split
+        *partition, rng,
+        F.sum(tot_c).over(wpre).alias(off),  # NULL for the first split
     )
-    # null-SAFE subtotal join (frame-aliased, so user column names can
-    # never collide with an internal prefix): a NULL partition-key value
-    # is a legitimate group in the window form, so the join must not
-    # drop it — plain `==` on the key columns silently loses every
-    # NULL-key row
-    from qcardia_data_spark.operators.joins import null_safe_equi_join
-
+    # null-SAFE subtotal join: a NULL partition-key value is a legitimate
+    # group in the window form, so the join must not drop it — plain `==`
+    # on the key columns silently loses every NULL-key row
     joined = null_safe_equi_join(
-        local, pre, nullsafe_keys=partition, plain_keys=["_rng"],
-        carry=["_off"], broadcast_right=True,
+        local, pre, nullsafe_keys=partition, plain_keys=[rng],
+        carry=[off], broadcast_right=True,
     )
     return joined.withColumn(
         out,
-        F.when(F.col("_off").isNull(), F.col("_loc"))
-        .otherwise(F.col("_loc") + F.col("_off")),
-    ).drop("_rng", "_loc", "_off")
+        F.when(F.col(off).isNull(), F.col(loc))
+        .otherwise(F.col(loc) + F.col(off)),
+    ).drop(rng, loc, off)
 
 
 def first_match_over(

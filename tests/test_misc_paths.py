@@ -231,3 +231,45 @@ def test_cms_lookup_null_group_key_reachable(spark):
            cms_lookup(sk, probes, ["grp"], "val", width=16).collect()}
     assert got["g"] >= 2          # CMS never underestimates
     assert got[None] >= 5         # the NULL group is probe-reachable
+
+
+def test_cms_store_scheme_qualified_path(spark, sf_dir, tmp_path):
+    """r9 deep-review regression: store existence was checked with
+    os.path.isdir, so a scheme-qualified path (file:/) to a VALID store
+    was rejected as 'not a CMS store' — and on append silently skipped
+    geometry enforcement. Meta now reads through the reader."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.functions.sketches import (
+        cms_store_append_batch,
+        cms_store_lookup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(200)
+    store = str(tmp_path / "cms_scheme")
+    cms_store_append_batch(ev, store, ["event_type"], "user_id", batch_id=1)
+    probes = ev.select("event_type", "user_id").distinct().limit(4)
+    plain = sorted(map(tuple, cms_store_lookup(
+        spark, store, probes, "user_id").collect()))
+    scheme = sorted(map(tuple, cms_store_lookup(
+        spark, f"file:{store}", probes, "user_id").collect()))
+    assert scheme == plain and plain
+    # geometry drift through the scheme path refuses too
+    with _pytest.raises(ValueError, match="do not merge"):
+        cms_store_append_batch(
+            ev, f"file:{store}", ["event_type"], "user_id",
+            batch_id=2, depth=4,
+        )
+
+
+def test_cms_lookup_value_col_named_n(spark):
+    """r9 deep-review regression: a probe whose value column is literally
+    named 'n' collided with the carried sketch counter and raised
+    AMBIGUOUS_REFERENCE; the counter now travels under a fresh name."""
+    from qcardia_data_spark.functions.sketches import cms_lookup, cms_table
+
+    df = spark.createDataFrame([("g", "x")] * 3, ["grp", "n"])
+    sk = cms_table(df, ["grp"], "n", depth=3, width=16)
+    probes = spark.createDataFrame([("g", "x")], ["grp", "n"])
+    got = cms_lookup(sk, probes, ["grp"], "n", width=16).collect()
+    assert got[0]["est_n"] >= 3

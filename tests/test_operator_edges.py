@@ -325,3 +325,35 @@ def test_cumulative_sum_scale_safe_awkward_column_names(spark):
         ).collect()
     )
     assert got == [("a", 1, 10), ("a", 2, 40), ("b", 1, 5)]
+
+
+def test_cumulative_sum_scale_safe_preserves_internal_named_columns(spark):
+    """r9 deep-review regression: fixed internal names meant a user
+    column literally called _rng (or _loc/_off) was silently overwritten
+    and dropped from the output. Internals are fresh-named now."""
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 7), ("a", 2, 30, 8)], ["k", "o", "v", "_rng"]
+    )
+    rows = sorted(
+        (r["k"], r["o"], r["cum"], r["_rng"])
+        for r in cumulative_sum(
+            df, ["k"], [F.col("o")], "v", scale_safe=True, num_ranges=2
+        ).collect()
+    )
+    assert rows == [("a", 1, 10, 7), ("a", 2, 40, 8)]
+
+
+def test_null_safe_equi_join_refuses_carry_clash(spark):
+    """The shared helper refuses a carried name that already exists on
+    the left (the output would be ambiguous) instead of producing
+    duplicate columns that crash at first reference."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+    left = spark.createDataFrame([("a", 1)], ["k", "x"])
+    right = spark.createDataFrame([("a", 2)], ["k", "x"])
+    with _pytest.raises(ValueError, match="already.*exist|ambiguous"):
+        null_safe_equi_join(left, right, ["k"], carry=["x"])
