@@ -959,7 +959,8 @@ def a15b_hll_estimate_bound(spark, sf_dir):
             FROM b GROUP BY event_type, row, bucket)
     SELECT event_type, row, bucket, n FROM per
     UNION ALL
-    SELECT '__all__' AS event_type, row, bucket, sum(n) AS n
+    SELECT '__all__' AS event_type, row, bucket,
+           CAST(sum(n) AS BIGINT) AS n
     FROM per GROUP BY row, bucket
     """,
 )
@@ -1073,7 +1074,8 @@ def a19_discrete_quantiles(spark, sf_dir):
     """
     SELECT user_id, event_type,
            count(*) AS n_events,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_cents
     FROM events
     GROUP BY user_id, event_type
     HAVING count(*) >= 2
@@ -1255,8 +1257,8 @@ def _poisson_boot_sql(lam: float = 1.0, k_max: int = 8, seed=0) -> str:
              CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
              CAST({k} AS BIGINT) AS boot_k
       FROM lineitem)
-    SELECT g, sum(boot_k) AS resampled_rows,
-           sum(boot_k * qty) AS resampled_qty,
+    SELECT g, CAST(sum(boot_k) AS BIGINT) AS resampled_rows,
+           CAST(sum(boot_k * qty) AS BIGINT) AS resampled_qty,
            count(*) AS original_rows
     FROM b GROUP BY g
     """
@@ -6802,7 +6804,7 @@ def ev_ohlc_hourly(spark, sf_dir):
                                ORDER BY s, event_id) AS ns
           FROM e)
     SELECT user_id, event_type AS state,
-           sum(ns - s) AS seconds_in_state,
+           CAST(sum(ns - s) AS BIGINT) AS seconds_in_state,
            count(*) AS n_entries
     FROM l WHERE ns IS NOT NULL
     GROUP BY user_id, event_type
@@ -6885,7 +6887,7 @@ def ev_retention_cohorts(spark, sf_dir):
           FROM e)
     SELECT user_id,
            round(sum(CASE WHEN d >= 0 THEN d ELSE value END), 6) AS counter_delta,
-           sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS n_resets
+           CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
     FROM l WHERE d IS NOT NULL
     GROUP BY user_id
     """,
@@ -7007,9 +7009,11 @@ def ev_session_overlap_pairs(spark, sf_dir):
     m AS (SELECT mode() WITHIN GROUP (ORDER BY dim) AS mode_dim FROM n)
     SELECT count(*) AS n_vecs,
            count(DISTINCT dim) AS n_distinct_dims,
-           sum(CASE WHEN dim != m.mode_dim THEN 1 ELSE 0 END) AS n_dim_mismatch,
-           sum(has_nan) AS n_nan_vecs,
-           sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero_norm,
+           CAST(sum(CASE WHEN dim != m.mode_dim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_mismatch,
+           CAST(sum(has_nan) AS BIGINT) AS n_nan_vecs,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_norm,
            round(avg(nrm), 6) AS mean_norm,
            round(min(nrm), 6) AS min_norm,
            round(max(nrm), 6) AS max_norm
@@ -7060,10 +7064,12 @@ def emb_hygiene_audit(spark, sf_dir):
              len(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
       FROM documents)
     SELECT count(*) AS n_docs,
-           sum(CASE WHEN text IS NULL OR norm_len = 0 THEN 1 ELSE 0 END) AS n_empty,
-           sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS n_len_mismatch,
-           sum(CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
-                    THEN 1 ELSE 0 END) AS n_control_chars,
+           CAST(sum(CASE WHEN text IS NULL OR norm_len = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_len_mismatch,
+           CAST(sum(CASE WHEN regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_control_chars,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
            round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
     FROM d
@@ -8212,7 +8218,7 @@ def ev_trend_slope(spark, sf_dir):
           FROM e)
     SELECT event_type, bin, bin * 2000 AS bin_lo_cents,
            count(*) AS n, min(yc) AS min_c, max(yc) AS max_c,
-           sum(yc) AS sum_c
+           CAST(sum(yc) AS BIGINT) AS sum_c
     FROM b GROUP BY event_type, bin
     """,
 )
@@ -8242,8 +8248,8 @@ def ev_value_histogram(spark, sf_dir):
                    - s AS gap
           FROM e),
     a AS (SELECT user_id, count(*) AS n_beats, max(s) - min(s) AS span_s,
-                 sum(CASE WHEN gap IS NOT NULL
-                          THEN least(gap, 600) END) AS uptime_s,
+                 CAST(sum(CASE WHEN gap IS NOT NULL
+                          THEN least(gap, 600) END) AS BIGINT) AS uptime_s,
                  count(CASE WHEN gap > 600 THEN 1 END) AS n_outages
           FROM l GROUP BY user_id)
     SELECT user_id, n_beats, span_s, uptime_s, n_outages,
@@ -9184,7 +9190,8 @@ _PSI_BUCKET_SQL = " + ".join(
     f"""
     WITH u AS ({_DRIFT_SPLIT_SQL}),
     bkt AS (SELECT {_PSI_BUCKET_SQL} AS bucket, _a, _b FROM u),
-    c AS (SELECT bucket, sum(_a) AS n_a, sum(_b) AS n_b
+    c AS (SELECT bucket, CAST(sum(_a) AS BIGINT) AS n_a,
+                 CAST(sum(_b) AS BIGINT) AS n_b
           FROM bkt GROUP BY bucket),
     t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
     SELECT bucket, n_a, n_b,
@@ -9216,7 +9223,8 @@ def ev_drift_psi(spark, sf_dir):
              CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS _a,
              CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS _b
       FROM events),
-    c AS (SELECT v AS category, sum(_a) AS n_a, sum(_b) AS n_b
+    c AS (SELECT v AS category, CAST(sum(_a) AS BIGINT) AS n_a,
+                 CAST(sum(_b) AS BIGINT) AS n_b
           FROM u GROUP BY v),
     t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
     SELECT category, n_a, n_b,
@@ -9316,87 +9324,36 @@ def x7_weighted_reservoir(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-9 WINDOW -- executes the rotation plan written at the end of
-    # round 8 (VERDICT r8 "Next round" #1): the green-r8 fifty rotate OUT
-    # (they keep local parity coverage via tests/test_oracle_parity); the
-    # anchor plus the FIRST 49 entries of the r8 _NEXT_IN_LINE queue
-    # rotate IN, in queue order. All 49 are never-driver-graded rows that
-    # the r8 judge value-verified green at sf0.01 (strict comparator,
-    # driver_sim.py, 223/223) and the pytest parity suite holds at
-    # sf0.001 -- rotation is grading bandwidth, not correctness doubt.
-    # Window arithmetic: 1 anchor + 49 never-graded = 50 slots exactly.
+    # ROUND-10 WINDOW -- executes VERDICT r9 "Next round" #3 (the r8-era
+    # written plan was amended: 8 of "the green-r9 fifty" came back RED --
+    # a DuckDB HUGEINT hashing artifact, values judge-verified exact --
+    # so they re-enter the window after the CAST(... AS BIGINT) oracle
+    # fix instead of rotating out). Window arithmetic: 1 anchor + 8
+    # re-grade reds + all 30 never-graded + the 11 oldest r6-stale
+    # (alphabetical within vintage, the grade_window.py sort) = 50.
     #
-    # ROUND-10 ROTATION PLAN (accounts for every row's age, per VERDICT
-    # r8 #6): rotate OUT the green-r9 fifty; rotate IN the anchor + ALL
-    # 30 remaining never-graded rows below (_NEXT_IN_LINE in order: the
-    # 28 r8 leftovers + the 2 r9 net-new code-touched rows at its tail)
-    # + the OLDEST 19 of the 47 r6-stale rows from `python
-    # grade_window.py` (alphabetical within vintage, the grade_window.py
-    # sort). That fills 50 exactly and leaves 28 r6-stale rows -- which
-    # include the flagship j2/q3/q5/a4 bench anchors -- for the ROUND-11
-    # window: anchor + those 28 + 21 then-oldest-stale, restoring the
-    # <=2-round refresh cadence with net-new frozen (VERDICT r8 #2)
-    # except code-touched paths.
+    # CADENCE POLICY (VERDICT r9 #5, standing from r11): with
+    # never-graded = 0 after this window, 225 queries / 50 slots = ~4.5
+    # rounds per full sweep. Flagship anchors q1/j2/q3/q5/a4 get a
+    # <=3-round refresh by reserving ~5 window slots per round; net-new
+    # stays frozen except code-touched paths.
+    #
+    # ROUND-11 ROTATION PLAN: anchor + the 36 remaining r6-stale rows
+    # (these include the j2/q3/q5/a4 flagships, satisfying the cadence
+    # policy for free this once) + the 13 oldest r7-stale = 50 exactly;
+    # _NEXT_IN_LINE below IS that queue. Round 12 then takes the
+    # remaining 36 r7-stale + the 13 then-oldest r9-vintage rows.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- never driver-graded: r8 cohort, queue order (positions 2-50) ---
-    "sim_ivfpq_topk",
-    "text_gopher_line_rules",
-    "text_c4_rules",
-    "sim_ivfpq_residual_topk",
-    "text_chunk_windows",
-    "text_token_entropy",
-    "dedup_containment",
-    "sim_ivfpq_incremental",
-    "sim_lsh_multiprobe_topk",
-    "emb_chunk_bucket_counts",
-    "ev_time_weighted_avg",
-    "ev_gapfill_locf",
-    "ev_ohlc_hourly",
+    # --- r9 driver-red re-grades (oracle HUGEINT fixed, values verified) ---
     "ev_state_durations",
-    "ev_retention_cohorts",
     "ev_counter_agg",
-    "ev_session_overlap_pairs",
     "emb_hygiene_audit",
     "doc_hygiene_audit",
-    "ev_gapfill_interpolate",
-    "ev_trend_slope",
     "ev_value_histogram",
     "ev_heartbeat_uptime",
-    "ev_lttb_downsample",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "ev_handoff_pagerank",
-    "ev_handoff_triangles",
-    "ev_scd2_user_state",
-    "dim_upsert_latest",
     "ev_drift_psi",
     "ev_drift_chisq",
-    "ev_drift_ks",
-    "x7_weighted_reservoir",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_excess_stock_suppliers",
-    "dim_upsert_asof",
-    "text_winnowing",
-]
-
-
-# Queued for the NEXT round's window (registry positions 51+, in order):
-# the 28 never-graded rows that did not fit round 9's 50 slots. R9
-# net-new (code-touched paths only) appends at the tail. Keeping them
-# immediately after the window makes "first in line" a property of the
-# registry itself, not a comment.
-_NEXT_IN_LINE = [
+    # --- never driver-graded: the full r9 _NEXT_IN_LINE queue, in order ---
     "dedup_winnowing_pairs",
     "ev_handoff_bfs_hops",
     "a15_hll_rollup",
@@ -9425,12 +9382,80 @@ _NEXT_IN_LINE = [
     "text_phrase_index_probe",
     "x8_bootstrap_poisson",
     "emb_matryoshka_topk",
-    # --- r9 net-new, code-touched paths only (the VERDICT r8 #2 freeze
-    # allows exactly these): the one-union nearest as-of rebuilt this
-    # round (ADVICE r8 high) and the scale-safe two-phase prefix sum
-    # (VERDICT r8 "What's wrong" #1) ---
     "ev_asof_nearest_purchase",
     "w4b_cumulative_sum_distributed",
+    # --- oldest 11 of the 47 r6-stale (grade_window.py sort) ---
+    "a12_approx_count_distinct",
+    "a13_cube",
+    "a2_stratified_sample",
+    "a4_quantile_summary",
+    "a4b_exploration_frame",
+    "dedup_semantic",
+    "dedup_span_removal",
+    "emb_random_projection",
+    "ev_latest_dedup",
+    "ev_props_json",
+    "f10_one_hot",
+]
+
+
+# Queued for the ROUND-11 window (registry positions 51+, in order): the
+# 36 remaining r6-stale rows (including the j2/q3/q5/a4 flagships), then
+# the 13 oldest r7-stale -- anchor + these 49 = the written r11 plan.
+# Keeping them immediately after the window makes "first in line" a
+# property of the registry itself, not a comment.
+_NEXT_IN_LINE = [
+    # --- r6-stale remainder (alphabetical, grade_window.py sort) ---
+    "f11_enclosing_circle",
+    "f16_md5_fingerprint",
+    "f19_overlay_rgb",
+    "f20_softmax",
+    "f22_unit_conversion",
+    "f3_standardize",
+    "g6_flatten",
+    "j2_broadcast_star_join",
+    "j3_anti_join",
+    "j4_semi_join",
+    "o4_seeded_sample_k",
+    "p2_drop_columns",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "s4_scan_project_filter",
+    "sim_ann_join",
+    "sim_diversity_sample",
+    "sim_lsh_topk",
+    "text_alpha_mix",
+    "text_bm25_topk",
+    "text_bpe_tokens",
+    "text_ccnet_buckets",
+    "text_corpus_report",
+    "text_decontaminate_bloom",
+    "text_dsir_weights",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "text_unimax_mix",
+    "w5_first_match_over",
+    "w6_time_range_frame",
+    "w7_analytic_functions",
+    "x4_weighted_sample",
+    # --- oldest 13 of the 49 r7-stale ---
+    "a10_two_level_agg",
+    "a11_rollup",
+    "a14_grouping_sets",
+    "a1_group_weights_nullsafe",
+    "a3_summary_stats",
+    "a5_distinct_set_per_group",
+    "a6_argmax_per_group",
+    "a7_count_if",
+    "a8_histogram_cdf",
+    "a9_grouped_counts",
+    "dedup_cluster_best",
+    "dedup_fuzzy_keys",
+    "dedup_fuzzy_keys_short",
 ]
 
 

@@ -43,13 +43,43 @@ def _canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def run_oracle(sql: str, sf_dir: str):
+# DuckDB result types the driver's hasher is known to represent the same
+# way as the matching Spark type. Everything else — HUGEINT above all —
+# must be CAST away in the oracle SQL: `fetchall()` converts HUGEINT to a
+# plain Python int, so a value-level comparison can NEVER see the type
+# mismatch that made the driver hash-red 8 queries in round 9 (DuckDB
+# SUM(<integer>) returns HUGEINT/int128; Spark sum(long) returns int64).
+# See README "Cross-engine oracle discipline".
+DRIVER_SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP"}
+
+
+def assert_driver_safe_types(sql: str, con, name: str = "?") -> None:
+    """Raise if the oracle's bound result schema has a type outside the
+    driver-safe set (binding only — the query is not executed)."""
+    rel = con.sql(sql)
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).split("(")[0] not in DRIVER_SAFE_TYPES
+    ]
+    if bad:
+        raise AssertionError(
+            f"[{name}] oracle result types outside the driver-safe set "
+            f"{sorted(DRIVER_SAFE_TYPES)}: {bad}. DuckDB SUM(<integer>) "
+            f"returns HUGEINT which the driver hashes differently from "
+            f"Spark's int64 — wrap the column in CAST(... AS BIGINT) in "
+            f"the ORACLE SQL (the Spark side is already LongType)."
+        )
+
+
+def run_oracle(sql: str, sf_dir: str, name: str = "?"):
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
             )
+        assert_driver_safe_types(sql, con, name)
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
@@ -63,7 +93,7 @@ def compare(spark_df, sql: str, sf_dir: str, name: str = "?") -> list[str]:
     issues: list[str] = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    o_cols, o_rows = run_oracle(sql, sf_dir)
+    o_cols, o_rows = run_oracle(sql, sf_dir, name)
 
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
         issues.append(f"[{name}] column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
