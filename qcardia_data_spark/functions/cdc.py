@@ -134,9 +134,13 @@ def _bucket_of(key: Column, n_buckets: int) -> Column:
 
 
 def _read_merge_meta(spark: SparkSession, path: str) -> dict | None:
-    try:
-        row = spark.read.json(f"{path}/_merge_meta").collect()[0]
-    except Exception:
+    """None ONLY when the meta path is absent; other read errors re-raise
+    (a swallowed permission/corrupt read would skip key/ts enforcement on
+    a real table — the ADVICE-r9 CMS bug, same class)."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    row = read_meta_json(spark, f"{path}/_merge_meta")
+    if row is None:
         return None
     return {k: row[k] for k in row.asDict()}
 
@@ -332,13 +336,26 @@ def upsert_lookup(
 
 
 def _read_log(spark: SparkSession, log_dir: str):
-    """The table's append log, or None before the first batch lands —
-    probed through the reader (portable to object stores), the
-    `_read_merge_meta` pattern."""
+    """The table's append log, or None when there is none — probed
+    through the reader (portable to object stores). Two conditions mean
+    "no log" BY DESIGN: path-not-found (no batch ever landed) and
+    schema-inference failure on an existing-but-empty dir
+    (compact_upsert_log deletes every _batch= partition but keeps the
+    directory). Anything else re-raises (ADVICE r9 — a permission/
+    corrupt-footer read must not silently read as 'empty log')."""
+    from pyspark.errors import AnalysisException
+
+    from qcardia_data_spark.sources.readers import (
+        error_condition,
+        is_path_not_found,
+    )
+
     try:
         return spark.read.parquet(log_dir)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if is_path_not_found(e) or error_condition(e) == "UNABLE_TO_INFER_SCHEMA":
+            return None
+        raise
 
 
 def upsert_append_batch(

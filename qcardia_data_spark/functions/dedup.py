@@ -1434,10 +1434,13 @@ _NUMERIC_ID_TYPES = frozenset(
 
 
 def _read_sig_meta(spark, path: str) -> dict | None:
-    """Read ``path/_sig_meta`` (None if absent — a pre-metadata index)."""
-    try:
-        row = spark.read.json(f"{path}/_sig_meta").collect()[0]
-    except Exception:
+    """Read ``path/_sig_meta`` (None ONLY if the path is absent — a
+    pre-metadata index); other read failures re-raise so they can't be
+    mistaken for "no meta" and skip param enforcement (ADVICE r9)."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    row = read_meta_json(spark, f"{path}/_sig_meta")
+    if row is None:
         return None
     return {k: row[k] for k in row.asDict()}
 
@@ -1799,9 +1802,10 @@ _WIN_META_PARAMS = ("k", "w", "n_fp_buckets")
 
 
 def _read_win_meta(spark, path: str) -> dict | None:
-    try:
-        row = spark.read.json(f"{path}/_win_meta").collect()[0]
-    except Exception:
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    row = read_meta_json(spark, f"{path}/_win_meta")
+    if row is None:
         return None
     return {kk: row[kk] for kk in row.asDict()}
 
@@ -2041,9 +2045,10 @@ def _h64_blocks(sig: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def _read_h64_meta(spark, path: str) -> dict | None:
-    try:
-        row = spark.read.json(f"{path}/_h64_meta").collect()[0]
-    except Exception:
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    row = read_meta_json(spark, f"{path}/_h64_meta")
+    if row is None:
         return None
     return {kk: row[kk] for kk in row.asDict()}
 

@@ -805,16 +805,17 @@ def pq_encode_with_codebooks(
 
 def _ann_meta(spark, path: str):
     """(kind, meta_row) for a persisted ANN index — probes the three meta
-    names the writers use. Raises with all three paths on a non-index."""
-    from pyspark.errors import AnalysisException
+    names the writers use. Raises with all three paths on a non-index;
+    non-path-not-found read errors re-raise (a permission/corrupt read of
+    a REAL index must not be reported as "not an index" — ADVICE r9)."""
+    from qcardia_data_spark.sources.readers import read_meta_json
 
     for kind, name in (
         ("lsh", "_lsh_meta"), ("ivfpq", "_ivfpq_meta"), ("ivf", "_ivf_meta"),
     ):
-        try:
-            return kind, spark.read.json(f"{path}/{name}").collect()[0]
-        except AnalysisException:
-            continue
+        row = read_meta_json(spark, f"{path}/{name}")
+        if row is not None:
+            return kind, row
     raise ValueError(
         f"ann_index_append: no _lsh_meta/_ivfpq_meta/_ivf_meta under "
         f"{path!r} — not a persisted ANN index"

@@ -198,13 +198,13 @@ def hll_store_merge(spark, path: str, registers, p: int) -> None:
     merged frame is materialized through ``localCheckpoint`` first (the
     cdc/dedup lineage-barrier lesson).
     """
-    import os
+    from qcardia_data_spark.sources.readers import read_meta_json
 
     keys = [c for c in registers.columns if c not in ("register", "max_rho")]
     meta_path = f"{path}/_hll_meta"
     rows_path = f"{path}/rows"
-    if os.path.isdir(meta_path):
-        row = spark.read.json(meta_path).collect()[0]
+    row = read_meta_json(spark, meta_path)  # FS-agnostic, absence-only None
+    if row is not None:
         if int(row["p"]) != int(p) or list(row["keys"]) != keys:
             raise ValueError(
                 f"hll_store_merge: store at {path!r} was built with "
@@ -345,15 +345,14 @@ def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
 
 
 def _read_cms_meta(spark, store_path: str):
-    """Read ``store_path/_cms_meta`` through the READER (None if absent)
-    — the FS-agnostic `_read_sig_meta` pattern: an os.path.isdir check
-    rejects scheme-qualified paths (file:/, hdfs://, s3a://) for stores
-    that exist, and on an append silently skips geometry enforcement."""
-    try:
-        rows = spark.read.json(f"{store_path}/_cms_meta").collect()
-        return rows[0] if rows else None
-    except Exception:
-        return None
+    """Read ``store_path/_cms_meta`` through the READER (None ONLY when
+    the path does not exist) — FS-agnostic (an os.path.isdir check would
+    reject scheme-qualified paths), and errors OTHER than path-not-found
+    re-raise so a transient/permission/corrupt read on a real store can
+    never bypass the geometry-drift guard (ADVICE r9)."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    return read_meta_json(spark, f"{store_path}/_cms_meta")
 
 
 def cms_store_append_batch(
@@ -427,7 +426,18 @@ def cms_store_lookup(spark, store_path: str, probes, value_col: str):
     caller — :func:`cms_lookup`'s caller-supplied width lets a probe
     silently use a different geometry than the build and read garbage
     estimates (ADVICE r8), exactly the drift the meta-file contract
-    (``_sig_meta``/``_h64_meta``/``_hll_meta``) exists to refuse."""
+    (``_sig_meta``/``_h64_meta``/``_hll_meta``) exists to refuse.
+
+    Consistency contract (ADVICE r9): the meta and the rows directory are
+    two separate FS reads, so the store assumes a SINGLE WRITER — the
+    same assumption the append path already makes (batch partitions are
+    only exactly-once under one streaming query). A concurrent first
+    append between the two reads is benign (geometry matches, some rows
+    merely not yet visible); what is NOT supported is dropping and
+    re-creating the store with a different geometry while a reader is in
+    flight — the probe could hash under the stale width. Re-creating a
+    store must use a fresh path (or pause readers), as with every other
+    persisted index in this engine."""
     row = _read_cms_meta(spark, store_path)
     if row is None:
         raise ValueError(

@@ -79,33 +79,44 @@ def asof_join(
     if clash:
         raise ValueError(f"carry columns collide with left columns: {sorted(clash)}")
 
+    # internal working names must never shadow a user column (a left
+    # column literally named "_t"/"_side"/"_carry", or a carry column
+    # named "_rts", silently corrupted the pick — ADVICE r9)
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    taken = list(left.columns) + list(right.columns)
+    t_c = fresh_name("_t", taken)
+    side_c = fresh_name("_side", taken)
+    carry_c = fresh_name("_carry", taken)
+    rts_f = fresh_name("_rts", carry)
+
     # backward: right rows sort BEFORE left at the same instant (visible to
     # the preceding-frame fill); forward: right rows sort AFTER left
     side_left, side_right = (1, 0) if direction == "backward" else (0, 1)
     rtypes = dict(right.dtypes)
-    _fields = list(carry) + (["_rts"] if tolerance is not None else [])
-    _ftypes = {**rtypes, "_rts": rtypes[right_ts]}
+    _fields = list(carry) + ([rts_f] if tolerance is not None else [])
+    _ftypes = {**rtypes, rts_f: rtypes[right_ts]}
     carry_ddl = "struct<" + ",".join(
-        f"{c}:{_ftypes[c]}" for c in _fields
+        f"`{c}`:{_ftypes[c]}" for c in _fields
     ) + ">"
 
     left_only = [c for c in left.columns if c not in by and c != left_ts]
     l_aligned = left.select(
         *by,
-        F.col(left_ts).alias("_t"),
-        F.lit(side_left).alias("_side"),
+        F.col(left_ts).alias(t_c),
+        F.lit(side_left).alias(side_c),
         *left_only,
-        F.lit(None).cast(carry_ddl).alias("_carry"),
+        F.lit(None).cast(carry_ddl).alias(carry_c),
     )
     r_aligned = right.select(
         *by,
-        F.col(right_ts).alias("_t"),
-        F.lit(side_right).alias("_side"),
+        F.col(right_ts).alias(t_c),
+        F.lit(side_right).alias(side_c),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_only],
         F.struct(
             *[F.col(c) for c in carry],
-            *([F.col(right_ts).alias("_rts")] if tolerance is not None else []),
-        ).alias("_carry"),
+            *([F.col(right_ts).alias(rts_f)] if tolerance is not None else []),
+        ).alias(carry_c),
     )
     u = l_aligned.unionByName(r_aligned)
 
@@ -113,24 +124,26 @@ def asof_join(
     # not) — it exists purely as a deterministic tie-break among
     # simultaneous right rows
     orderable = not any("map<" in rtypes[c] for c in carry)
-    order_cols = [F.col("_t"), F.col("_side")] + ([F.col("_carry")] if orderable else [])
+    order_cols = [F.col(t_c), F.col(side_c)] + (
+        [F.col(carry_c)] if orderable else []
+    )
     base = Window.partitionBy(*by).orderBy(*order_cols)
     if direction == "backward":
-        filled = F.last("_carry", ignorenulls=True).over(
+        filled = F.last(carry_c, ignorenulls=True).over(
             base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
-        filled = F.first("_carry", ignorenulls=True).over(
+        filled = F.first(carry_c, ignorenulls=True).over(
             base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
     if tolerance is not None:
-        in_tol = F.abs(F.col("_t") - filled["_rts"]) <= F.lit(tolerance)
+        in_tol = F.abs(F.col(t_c) - filled[rts_f]) <= F.lit(tolerance)
         filled = F.when(in_tol, filled)
-    u = u.withColumn("_carry", filled)
-    out = u.filter(F.col("_side") == side_left).withColumnRenamed("_t", left_ts)
+    u = u.withColumn(carry_c, filled)
+    out = u.filter(F.col(side_c) == side_left).withColumnRenamed(t_c, left_ts)
     return out.select(
         *by, left_ts, *left_only,
-        *[F.col(f"_carry.{c}").alias(c) for c in carry],
+        *[F.col(carry_c)[c].alias(c) for c in carry],
     )
 
 
@@ -146,64 +159,77 @@ def _asof_nearest(
     timestamp always rides the fill struct (appended last, so the
     deterministic carry-struct tie-break is unchanged), so ``carry`` no
     longer needs to include ``right_ts``."""
+    from qcardia_data_spark.operators.joins import fresh_name
+
     clash = set(carry) & set(left.columns)
     if clash:
         raise ValueError(f"carry columns collide with left columns: {sorted(clash)}")
+    # fresh internal names: a left column named "_t"/"_side"/"_carry"/
+    # "_cb"/"_cf"/"_pick", or a carry column named "_rts", must not
+    # collide with the working columns / struct field (ADVICE r9)
+    taken = list(left.columns) + list(right.columns)
+    t_c = fresh_name("_t", taken)
+    side_c = fresh_name("_side", taken)
+    carry_c = fresh_name("_carry", taken)
+    cb_c = fresh_name("_cb", taken)
+    cf_c = fresh_name("_cf", taken)
+    pick_c = fresh_name("_pick", taken)
+    rts_f = fresh_name("_rts", carry)
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
-    fields = list(carry) + ["_rts"]
-    ftypes = {**rtypes, "_rts": rtypes[right_ts]}
-    carry_ddl = "struct<" + ",".join(f"{c}:{ftypes[c]}" for c in fields) + ">"
+    fields = list(carry) + [rts_f]
+    ftypes = {**rtypes, rts_f: rtypes[right_ts]}
+    carry_ddl = "struct<" + ",".join(f"`{c}`:{ftypes[c]}" for c in fields) + ">"
     left_only = [c for c in left.columns if c not in by and c != left_ts]
     l_aligned = left.select(
         *by,
-        F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.col(left_ts).alias(t_c),
+        F.lit(1).alias(side_c),
         *left_only,
-        F.lit(None).cast(carry_ddl).alias("_carry"),
+        F.lit(None).cast(carry_ddl).alias(carry_c),
     )
     r_aligned = right.select(
         *by,
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(t_c),
+        F.lit(0).alias(side_c),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_only],
         F.struct(
-            *[F.col(c) for c in carry], F.col(right_ts).alias("_rts")
-        ).alias("_carry"),
+            *[F.col(c) for c in carry], F.col(right_ts).alias(rts_f)
+        ).alias(carry_c),
     )
     u = l_aligned.unionByName(r_aligned)
     orderable = not any("map<" in rtypes[c] for c in carry)
-    tail = [F.col("_carry")] if orderable else []
+    tail = [F.col(carry_c)] if orderable else []
     # backward: right rows sort BEFORE a simultaneous left row (visible in
     # the preceding frame); forward flips the side key so they sort AFTER
     wb = Window.partitionBy(*by).orderBy(
-        F.col("_t"), F.col("_side"), *tail
+        F.col(t_c), F.col(side_c), *tail
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = Window.partitionBy(*by).orderBy(
-        F.col("_t"), (F.lit(1) - F.col("_side")), *tail
+        F.col(t_c), (F.lit(1) - F.col(side_c)), *tail
     ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cb = F.last("_carry", ignorenulls=True).over(wb)
-    cf = F.first("_carry", ignorenulls=True).over(wf)
+    cb = F.last(carry_c, ignorenulls=True).over(wb)
+    cf = F.first(carry_c, ignorenulls=True).over(wf)
     if tolerance is not None:
-        cb = F.when(F.abs(F.col("_t") - cb["_rts"]) <= F.lit(tolerance), cb)
-        cf = F.when(F.abs(cf["_rts"] - F.col("_t")) <= F.lit(tolerance), cf)
-    u = u.withColumn("_cb", cb).withColumn("_cf", cf)
-    db = F.abs(F.col("_t") - F.col("_cb")["_rts"])
-    df_ = F.abs(F.col("_cf")["_rts"] - F.col("_t"))
+        cb = F.when(F.abs(F.col(t_c) - cb[rts_f]) <= F.lit(tolerance), cb)
+        cf = F.when(F.abs(cf[rts_f] - F.col(t_c)) <= F.lit(tolerance), cf)
+    u = u.withColumn(cb_c, cb).withColumn(cf_c, cf)
+    db = F.abs(F.col(t_c) - F.col(cb_c)[rts_f])
+    df_ = F.abs(F.col(cf_c)[rts_f] - F.col(t_c))
     pick = (
-        F.when(F.col("_cb").isNull(), F.col("_cf"))
-        .when(F.col("_cf").isNull(), F.col("_cb"))
-        .when(db <= df_, F.col("_cb"))
-        .otherwise(F.col("_cf"))
+        F.when(F.col(cb_c).isNull(), F.col(cf_c))
+        .when(F.col(cf_c).isNull(), F.col(cb_c))
+        .when(db <= df_, F.col(cb_c))
+        .otherwise(F.col(cf_c))
     )
     out = (
-        u.withColumn("_pick", pick)
-        .filter(F.col("_side") == 1)
-        .withColumnRenamed("_t", left_ts)
+        u.withColumn(pick_c, pick)
+        .filter(F.col(side_c) == 1)
+        .withColumnRenamed(t_c, left_ts)
     )
     return out.select(
         *by, left_ts, *left_only,
-        *[F.col("_pick")[c].alias(c) for c in carry],
+        *[F.col(pick_c)[c].alias(c) for c in carry],
     )
 
 

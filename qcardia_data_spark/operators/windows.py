@@ -105,6 +105,17 @@ def cumulative_sum(
     return df.withColumn(out, F.sum(value).over(w))
 
 
+def _default_num_ranges(spark) -> int:
+    """Range count when the caller passes none: the session's shuffle
+    parallelism. The conf may be NON-NUMERIC on managed platforms that
+    accept "auto" for AQE (ADVICE r9) — fall back to the cluster's
+    default parallelism instead of raising ValueError."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def _cumulative_sum_ranged(
     df: DataFrame, partition: Sequence[str], order_by: Sequence[Column],
     value: str, out: str, num_ranges: int | None,
@@ -137,7 +148,7 @@ def _cumulative_sum_ranged(
 
     spark = df.sparkSession
     if num_ranges is None:
-        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_ranges = _default_num_ranges(spark)
     # internal working columns get FRESH names — fixed "_rng"/"_loc"/"_off"
     # silently overwrote (and then dropped) user columns of those names
     rng = fresh_name("_rng", df.columns)

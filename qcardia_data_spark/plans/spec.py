@@ -1130,11 +1130,11 @@ def _apply(
         path = op["index_path"]
 
         def _has_meta(name: str) -> bool:
-            try:
-                spark.read.json(f"{path}/{name}").first()
-                return True
-            except Exception:
-                return False
+            from qcardia_data_spark.sources.readers import read_meta_json
+
+            # absence-only None: a permission/corrupt read of a real
+            # index raises instead of mis-dispatching the op (ADVICE r9)
+            return read_meta_json(spark, f"{path}/{name}") is not None
 
         if _has_meta("_lsh_meta"):
             from qcardia_data_spark.functions.similarity import (

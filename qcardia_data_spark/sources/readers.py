@@ -102,6 +102,51 @@ def jsonl_document_scan(
     return reader.json(path)
 
 
+def read_meta_json(spark: SparkSession, path: str):
+    """Read a one-row index/store meta file (``_sig_meta``, ``_cms_meta``,
+    ``_lsh_meta``, ...) written by the JSON sink; ``None`` ONLY when the
+    path does not exist (a pre-metadata or not-yet-created store).
+
+    Every other failure re-raises: a bare ``except Exception`` here made a
+    transient/permission/corrupt read on a REAL store indistinguishable
+    from "store absent", so an append would overwrite the meta with the
+    caller's geometry and silently bypass the geometry-drift guard
+    (ADVICE r9). An empty meta directory (interrupted write) raises
+    UNABLE_TO_INFER_SCHEMA — also NOT treated as absent, for the same
+    reason."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.json(f"{path}").collect()
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return None
+        raise
+    return rows[0] if rows else None
+
+
+def error_condition(e: Exception) -> str | None:
+    """The AnalysisException error class/condition name (PySpark 4 names
+    it getCondition, older getErrorClass), or None when unavailable."""
+    get = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    if get is None:
+        return None
+    try:
+        return get()
+    except Exception:
+        return None
+
+
+def is_path_not_found(e: Exception) -> bool:
+    """True iff an AnalysisException means the read PATH does not exist
+    (vs permission / corrupt-file / schema errors, which callers must
+    surface, not swallow)."""
+    cond = error_condition(e)
+    return cond == "PATH_NOT_FOUND" or (
+        cond is None and "Path does not exist" in str(e)
+    )
+
+
 def orc_scan(spark: SparkSession, path: str) -> DataFrame:
     """[ext] ORC source — Spark's other native columnar format (built-in
     reader, no extra jar): predicate pushdown + column pruning work the

@@ -273,3 +273,69 @@ def test_cms_lookup_value_col_named_n(spark):
     probes = spark.createDataFrame([("g", "x")], ["grp", "n"])
     got = cms_lookup(sk, probes, ["grp"], "n", width=16).collect()
     assert got[0]["est_n"] >= 3
+
+
+def test_read_meta_json_absence_only_none(spark, tmp_path):
+    """ADVICE r9 regression: meta reads return None ONLY on
+    path-not-found. Any other failure (here: an existing-but-empty meta
+    dir from an interrupted write -> UNABLE_TO_INFER_SCHEMA) re-raises,
+    so a broken read of a REAL store can't impersonate 'store absent'
+    and bypass geometry enforcement."""
+    from pyspark.errors import AnalysisException
+
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    # absent path -> None (both plain and scheme-qualified)
+    assert read_meta_json(spark, str(tmp_path / "nope" / "_cms_meta")) is None
+    assert read_meta_json(spark, f"file:{tmp_path}/nope2/_meta") is None
+
+    # existing but unreadable-as-json meta -> raises, NOT None
+    broken = tmp_path / "store" / "_cms_meta"
+    broken.mkdir(parents=True)
+    with pytest.raises(AnalysisException):
+        read_meta_json(spark, str(broken))
+
+
+def test_cms_append_raises_on_broken_meta(spark, sf_dir, tmp_path):
+    """The concrete ADVICE r9 scenario: a real store whose _cms_meta read
+    fails must REFUSE the append (previously it silently re-wrote the
+    meta with the caller's geometry and landed the batch)."""
+    from pyspark.errors import AnalysisException
+
+    from qcardia_data_spark.functions.sketches import (
+        cms_store_append_batch,
+        cms_store_lookup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(50)
+    store = tmp_path / "cms_broken"
+    # simulate an interrupted meta write: dir exists, no json inside
+    (store / "_cms_meta").mkdir(parents=True)
+    with pytest.raises(AnalysisException):
+        cms_store_append_batch(ev, str(store), ["event_type"], "user_id", batch_id=1)
+    # nothing landed
+    assert not (store / "rows").exists()
+    with pytest.raises(AnalysisException):
+        cms_store_lookup(
+            spark, str(store),
+            ev.select("event_type", "user_id").limit(1), "user_id",
+        )
+
+
+def test_default_num_ranges_non_numeric_conf():
+    """ADVICE r9: platforms that set spark.sql.shuffle.partitions='auto'
+    (AQE-managed) must not break scale_safe cumulative_sum's default."""
+    from types import SimpleNamespace
+
+    from qcardia_data_spark.operators.windows import _default_num_ranges
+
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda k, d=None: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=48),
+    )
+    assert _default_num_ranges(fake) == 48
+    numeric = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda k, d=None: "17"),
+        sparkContext=SimpleNamespace(defaultParallelism=48),
+    )
+    assert _default_num_ranges(numeric) == 17

@@ -469,3 +469,44 @@ def test_asof_join_randomized_differential_vs_pandas(spark):
                 if got_map[lid] != want_map[lid]
             }
             assert not mismatches, (direction, tol, mismatches)
+
+
+def test_asof_join_reserved_internal_names(spark):
+    """ADVICE r9 regression: internal working names (_t/_side/_carry/
+    _cb/_cf/_pick) and the reserved struct field (_rts) are now FRESH —
+    a left column or carry column with those literal names must flow
+    through untouched instead of colliding/corrupting the pick."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    # left carries columns literally named after the old working names
+    left = spark.createDataFrame(
+        [("u", 100, "L1", "S1", "C1"), ("u", 252, "L2", "S2", "C2")],
+        ["k", "ts", "_t", "_side", "_carry"],
+    )
+    # right carries a column literally named _rts (reserved struct field)
+    right = spark.createDataFrame(
+        [("u", 90, "a", 900), ("u", 205, "b", 2050), ("u", 300, "c", 3000)],
+        ["k", "rts", "val", "_rts"],
+    )
+    for direction, want in (
+        ("backward", {(100, "a", 900), (252, "b", 2050)}),
+        ("forward", {(100, "b", 2050), (252, "c", 3000)}),
+        ("nearest", {(100, "a", 900), (252, "b", 2050)}),
+    ):
+        rows = asof_join(
+            left, right, ["k"], "ts", "rts", ["val", "_rts"],
+            direction=direction,
+        ).collect()
+        assert {(r["ts"], r["val"], r["_rts"]) for r in rows} == want, direction
+        # the left passenger columns are intact
+        assert {(r["ts"], r["_t"], r["_side"], r["_carry"]) for r in rows} == {
+            (100, "L1", "S1", "C1"), (252, "L2", "S2", "C2"),
+        }, direction
+    # tolerance path exercises the fresh _rts field inside the fill struct
+    got = asof_join(
+        left, right, ["k"], "ts", "rts", ["val", "_rts"],
+        direction="nearest", tolerance=10,
+    ).collect()
+    by_ts = {r["ts"]: (r["val"], r["_rts"]) for r in got}
+    assert by_ts[100] == ("a", 900)       # |100-90| = 10, in tolerance
+    assert by_ts[252] == (None, None)     # nearest is 47 away, out
