@@ -1,0 +1,26 @@
+# Round workflow helpers (VERDICT r9 "Next round" #4).
+
+.PHONY: round-start test bench bench-ext window-check
+
+# FIRST command of every round: refresh grading telemetry so the
+# committed GRADE_WINDOW.json can never lag the driver's newest
+# CORRECTNESS file (tests/test_grade_window.py::test_grade_window_json_fresh
+# is red until this runs), then show the debt summary.
+round-start:
+	python grade_window.py
+	python -m pytest tests/test_grade_window.py -q
+
+test:
+	python -m pytest tests/ -q
+
+# Never run these while another Spark job is active on the host — the
+# load guard only checks at START (bench_common.py).
+bench:
+	python bench.py
+
+bench-ext:
+	python bench_ext.py
+
+# Strict-compare the current 50-query grading window at the driver's SF.
+window-check:
+	python driver_sim.py
