@@ -137,12 +137,9 @@ def _read_merge_meta(spark: SparkSession, path: str) -> dict | None:
     """None ONLY when the meta path is absent; other read errors re-raise
     (a swallowed permission/corrupt read would skip key/ts enforcement on
     a real table — the ADVICE-r9 CMS bug, same class)."""
-    from qcardia_data_spark.sources.readers import read_meta_json
+    from qcardia_data_spark.sources.readers import read_meta_dict
 
-    row = read_meta_json(spark, f"{path}/_merge_meta")
-    if row is None:
-        return None
-    return {k: row[k] for k in row.asDict()}
+    return read_meta_dict(spark, f"{path}/_merge_meta")
 
 
 def _write_merge_meta(spark: SparkSession, path: str, meta: dict) -> None:

@@ -222,6 +222,16 @@ def jaccard_verify_rows(
     return joined.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
+def _ceil_loose(x):
+    """``ceil`` of a nonnegative float-product threshold with slack in the
+    LOOSENING direction only (longer prefix / kept pair — never a dropped
+    one): absolute 1e-9 for small values plus RELATIVE 1e-12 for large
+    ones. Float multiplication error is relative (~ulps of the value), so
+    a fixed 1e-9 stops covering it past ~5e6-shingle docs (r10
+    self-review) — exactly the corpus scale the 100 TB claims assume."""
+    return F.ceil(x - x * F.lit(1e-12) - F.lit(1e-9))
+
+
 def _ranked_encoded_shingles(sh: DataFrame, id_col: str):
     """One materialized pass shared by the exact set-similarity joins:
     join the shingle rows to the corpus frequency table ONCE, rank each
@@ -334,7 +344,8 @@ def ngram_jaccard_join(
     equi-join of prefix rows on the shingle value produces EVERY
     qualifying pair (lossless), and :func:`jaccard_verify_sets` keeps
     exactly those at/above the threshold. ``⌈·⌉`` is computed as
-    ``ceil(t·|S| − 1e-9)``: float error can only LENGTHEN the prefix
+    ``_ceil_loose(t·|S|)`` (relative+absolute slack): float error can
+    only LENGTHEN the prefix
     (still lossless), never shorten it.
 
     100 TB shape: shingle rows are O(total tokens); frequency table is one
@@ -368,7 +379,7 @@ def ngram_jaccard_join(
         ranked = _ranked_encoded_shingles(sh, id_col)
         pref = ranked.filter(
             F.col("_rn")
-            <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)) + 1
+            <= F.col("_sz") - _ceil_loose(F.lit(t) * F.col("_sz")) + 1
         )
         # Candidate generation with the two LOSSLESS PPJoin prunes — both
         # provable from jac >= t alone, so recall stays exactly 1:
@@ -380,7 +391,7 @@ def ngram_jaccard_join(
         #    doc), and no common shingle can precede it (it would sit in
         #    both prefixes and be an earlier match), so
         #    overlap <= 1 + min(|A|-ra, |B|-rb); jac >= t needs
-        #    overlap >= ceil(t/(1+t)*(|A|+|B|)) exactly. ceil(x - 1e-9):
+        #    overlap >= ceil(t/(1+t)*(|A|+|B|)) exactly. _ceil_loose:
         #    float error can only keep a pair, never drop one.
         # Measured at the 125k-doc EXT corpus: 7.49M -> 1.72M verify
         # pairs (4.4x), with the exact same 6400-pair result. The groupBy
@@ -402,7 +413,7 @@ def ngram_jaccard_join(
                 (F.col("a") < F.col("b"))
                 & (
                     F.least("_sza", "_szb")
-                    >= F.ceil(F.lit(t) * F.greatest("_sza", "_szb") - F.lit(1e-9))
+                    >= _ceil_loose(F.lit(t) * F.greatest("_sza", "_szb"))
                 )
             )
             .groupBy("a", "b")
@@ -415,9 +426,8 @@ def ngram_jaccard_join(
                 + F.least(
                     F.col("_sza") - F.col("_ra"), F.col("_szb") - F.col("_rb")
                 )
-                >= F.ceil(
+                >= _ceil_loose(
                     F.lit(t / (1.0 + t)) * (F.col("_sza") + F.col("_szb"))
-                    - F.lit(1e-9)
                 )
             )
             .select("a", "b")
@@ -480,7 +490,7 @@ def containment_join(
         ranked = _ranked_encoded_shingles(sh, id_col)
         pref = ranked.filter(
             F.col("_rn")
-            <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz") - F.lit(1e-9)) + 1
+            <= F.col("_sz") - _ceil_loose(F.lit(t) * F.col("_sz")) + 1
         )
         cands = (
             pref.select(F.col(id_col).alias("a"), "_sid", F.col("_sz").alias("_sza"))
@@ -1509,12 +1519,9 @@ def _read_sig_meta(spark, path: str) -> dict | None:
     """Read ``path/_sig_meta`` (None ONLY if the path is absent — a
     pre-metadata index); other read failures re-raise so they can't be
     mistaken for "no meta" and skip param enforcement (ADVICE r9)."""
-    from qcardia_data_spark.sources.readers import read_meta_json
+    from qcardia_data_spark.sources.readers import read_meta_dict
 
-    row = read_meta_json(spark, f"{path}/_sig_meta")
-    if row is None:
-        return None
-    return {k: row[k] for k in row.asDict()}
+    return read_meta_dict(spark, f"{path}/_sig_meta")
 
 
 def _write_sig_meta(spark, path: str, meta: dict) -> None:
@@ -1874,12 +1881,9 @@ _WIN_META_PARAMS = ("k", "w", "n_fp_buckets")
 
 
 def _read_win_meta(spark, path: str) -> dict | None:
-    from qcardia_data_spark.sources.readers import read_meta_json
+    from qcardia_data_spark.sources.readers import read_meta_dict
 
-    row = read_meta_json(spark, f"{path}/_win_meta")
-    if row is None:
-        return None
-    return {kk: row[kk] for kk in row.asDict()}
+    return read_meta_dict(spark, f"{path}/_win_meta")
 
 
 def _write_win_meta(spark, path: str, meta: dict) -> None:
@@ -2117,12 +2121,9 @@ def _h64_blocks(sig: DataFrame, id_col: str, k: int) -> DataFrame:
 
 
 def _read_h64_meta(spark, path: str) -> dict | None:
-    from qcardia_data_spark.sources.readers import read_meta_json
+    from qcardia_data_spark.sources.readers import read_meta_dict
 
-    row = read_meta_json(spark, f"{path}/_h64_meta")
-    if row is None:
-        return None
-    return {kk: row[kk] for kk in row.asDict()}
+    return read_meta_dict(spark, f"{path}/_h64_meta")
 
 
 def _write_h64_meta(spark, path: str, meta: dict) -> None:

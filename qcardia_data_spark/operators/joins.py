@@ -69,10 +69,16 @@ def orphan_check(df: DataFrame, universe: DataFrame, on: Sequence[str]) -> int:
 def fresh_name(base: str, taken: Sequence[str]) -> str:
     """``base``, suffixed with underscores until it collides with nothing
     in ``taken`` — for internal working columns that must never silently
-    overwrite (or be confused with) a user column of the same name."""
+    overwrite (or be confused with) a user column of the same name.
+
+    Comparison is CASE-INSENSITIVE: Spark resolves column names
+    case-insensitively by default (``spark.sql.caseSensitive=false``), so
+    a user column ``_T`` collides with a working column ``_t`` even
+    though the strings differ (r10 self-review — reproduced as
+    COLUMN_ALREADY_EXISTS in asof_join)."""
     name = base
-    taken = set(taken)
-    while name in taken:
+    taken = {t.casefold() for t in taken}
+    while name.casefold() in taken:
         name += "_"
     return name
 

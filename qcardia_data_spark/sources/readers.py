@@ -113,7 +113,10 @@ def read_meta_json(spark: SparkSession, path: str):
     caller's geometry and silently bypass the geometry-drift guard
     (ADVICE r9). An empty meta directory (interrupted write) raises
     UNABLE_TO_INFER_SCHEMA — also NOT treated as absent, for the same
-    reason."""
+    reason; likewise a readable-but-ZERO-ROW meta (torn write leaving
+    blank/empty JSON) raises instead of impersonating absence (r10
+    self-review: the `rows[0] if rows else None` fallback re-opened the
+    geometry-guard bypass this function exists to close)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -122,7 +125,22 @@ def read_meta_json(spark: SparkSession, path: str):
         if is_path_not_found(e):
             return None
         raise
-    return rows[0] if rows else None
+    if not rows:
+        raise ValueError(
+            f"read_meta_json: meta at {path!r} exists but holds no rows — "
+            "a torn/partial write; refusing to treat it as 'store absent' "
+            "(delete or repair the meta file explicitly)"
+        )
+    return rows[0]
+
+
+def read_meta_dict(spark: SparkSession, path: str) -> dict | None:
+    """:func:`read_meta_json`, returned as a plain dict (None iff the
+    path is absent) — the shape the `_read_*_meta` wrappers share."""
+    row = read_meta_json(spark, path)
+    if row is None:
+        return None
+    return {k: row[k] for k in row.asDict()}
 
 
 def error_condition(e: Exception) -> str | None:

@@ -339,3 +339,26 @@ def test_default_num_ranges_non_numeric_conf():
         sparkContext=SimpleNamespace(defaultParallelism=48),
     )
     assert _default_num_ranges(numeric) == 17
+
+
+def test_read_meta_json_zero_row_meta_raises(spark, tmp_path):
+    """r10 self-review: a READABLE meta that yields zero rows (torn write
+    leaving blank JSON) must raise, not report 'store absent' — the
+    absent branch re-freezes geometry and overwrites store rows."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    meta = tmp_path / "store" / "_hll_meta"
+    meta.mkdir(parents=True)
+    (meta / "part-00000.json").write_text("\n")
+    with pytest.raises(ValueError, match="no rows"):
+        read_meta_json(spark, str(meta))
+
+
+def test_fresh_name_case_insensitive():
+    """r10 self-review: Spark resolves columns case-insensitively by
+    default, so fresh_name must too ('_T' collides with '_t')."""
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    assert fresh_name("_t", ["_T"]) == "_t_"
+    assert fresh_name("_carry", ["_CARRY", "_carry_"]) == "_carry__"
+    assert fresh_name("_x", ["y"]) == "_x"

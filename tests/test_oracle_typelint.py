@@ -21,9 +21,8 @@ import pytest
 
 import __spark_entry__ as entry
 from qcardia_data_spark.catalog import TABLES, table_path
+from tests.conftest import SF_TEST_DIR
 from tests.oracle import assert_driver_safe_types
-
-SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -31,7 +30,8 @@ def con():
     c = duckdb.connect()
     for t in TABLES:
         c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_TEST_DIR, t)}')"
         )
     yield c
     c.close()

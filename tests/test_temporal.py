@@ -510,3 +510,24 @@ def test_asof_join_reserved_internal_names(spark):
     by_ts = {r["ts"]: (r["val"], r["_rts"]) for r in got}
     assert by_ts[100] == ("a", 900)       # |100-90| = 10, in tolerance
     assert by_ts[252] == (None, None)     # nearest is 47 away, out
+
+
+def test_asof_join_case_variant_reserved_names(spark):
+    """r10 self-review reproduction: a left column named '_T' (case
+    variant of the internal working name) raised COLUMN_ALREADY_EXISTS
+    because fresh_name compared case-sensitively while Spark's column
+    namespace is case-insensitive."""
+    from qcardia_data_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, "L1"), ("u", 252, "L2")], ["k", "ts", "_T"]
+    )
+    right = spark.createDataFrame(
+        [("u", 90, "a"), ("u", 205, "b")], ["k", "rts", "val"]
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = asof_join(
+            left, right, ["k"], "ts", "rts", ["val"], direction=direction
+        ).collect()
+        assert len(rows) == 2, direction
+        assert {r["_T"] for r in rows} == {"L1", "L2"}, direction
