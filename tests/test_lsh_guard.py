@@ -481,3 +481,64 @@ def test_containment_join_property_random_corpora(shared_spark):
             for r in containment_join(df, "doc_id", "text", t, 3).collect()
         }
         assert got == naive(rows, t), f"seed={seed} t={t}"
+
+
+def test_containment_join_property_random_corpora(shared_spark):
+    """Property twin of the ngram_jaccard random-corpora test: on
+    small-vocab corpora (maximum shingle collision — the adversarial
+    regime for the prefix candidate join) and across thresholds,
+    containment_join equals naive all-pairs containment exactly."""
+    import itertools
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qcardia_data_spark.functions.dedup import containment_join
+
+    def naive(rows, threshold, n=3):
+        def sh_of(text):
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower().strip()) if t]
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+        sets = {i: sh_of(t) for i, t in rows}
+        out = {}
+        for x, y in itertools.combinations(sorted(sets), 2):
+            sx, sy = sets[x], sets[y]
+            if not sx or not sy:
+                continue
+            a, b = (x, y) if (len(sx), x) < (len(sy), y) else (y, x)
+            i = len(sx & sy)
+            c = i / len(sets[a])
+            if i and c >= threshold:
+                out[(a, b)] = round(c, 9)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        vocab_n=st.integers(3, 8),
+        n_docs=st.integers(5, 18),
+        threshold=st.sampled_from([0.5, 0.7, 0.8, 1.0]),
+    )
+    def check(seed, vocab_n, n_docs, threshold):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(vocab_n)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+            for i in range(n_docs)
+        ]
+        # plant an embedded excerpt so the asymmetric case is exercised
+        if n_docs >= 2 and len(rows[0][1].split()) >= 6:
+            toks = rows[0][1].split()
+            rows[1] = (1, " ".join(toks[1:5]))
+        df = shared_spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["a"], r["b"]): round(r["containment"], 9)
+            for r in containment_join(df, "doc_id", "text", threshold, 3).collect()
+        }
+        assert got == naive(rows, threshold)
+
+    check()
