@@ -65,11 +65,69 @@ def _require_fixed_offset_session_tz(spark: SparkSession) -> None:
         pass
 
 
+def _require_utc_session_tz(spark: SparkSession, op: str) -> None:
+    """The applyInPandasWithState operators mix pandas-NAIVE event epochs
+    (Arrow hands the UDF session-tz wall clocks; ``.timestamp()`` /
+    ``astype('int64')`` then read them as UTC) with TRUE-epoch engine APIs
+    (``setTimeoutTimestamp``, ``getCurrentWatermarkMs``). Those two time
+    bases agree only when the session time zone IS UTC — under any other
+    fixed offset the timeout/finalization arithmetic skews by the offset
+    (r10 streaming review), so the stateful ops refuse loudly instead.
+    The engine pins UTC in ``catalog.get_spark``; this guards frames
+    built outside it."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz in ("UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z", "+00:00", "-00:00"):
+        return
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        jan = datetime(2026, 1, 1, tzinfo=zone)
+        jul = datetime(2026, 7, 1, tzinfo=zone)
+        if not jan.utcoffset() and not jul.utcoffset():
+            return  # resolves to offset 0 year-round (UTC alias)
+    except (ImportError, KeyError):
+        pass
+    raise ValueError(
+        f"{op}: session timeZone {tz!r} is not UTC — this stateful "
+        "operator compares pandas-naive event epochs against the engine's "
+        "true-epoch watermark, which is only exact under UTC; set "
+        "spark.sql.session.timeZone=UTC (the engine default)"
+    )
+
+
 def _watermarked(df: DataFrame, col: str, delay: str) -> DataFrame:
     """ensure_event_time + withWatermark — the only way any operator in this
     package attaches a watermark, so an env timestamp-type change can never
     break one path and not another."""
     return ensure_event_time(df, col).withWatermark(col, delay)
+
+
+def _start_intake(stream: DataFrame, batch_fn, checkpoint: str,
+                  available_now: bool):
+    """The shared foreachBatch writer tail every streaming_*_intake uses —
+    one place to change the delivery contract instead of seven."""
+    writer = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, out_path: str) -> None:
+    """The shared exactly-once sink: land rows under ``_batch=<id>/`` with
+    dynamic partition overwrite, so a retried micro-batch REPLACES its own
+    output instead of duplicating it."""
+    (
+        df.withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out_path)
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +219,11 @@ def attribution_join(
     import re
 
     m = re.match(r"(\d+)\s*(hour|minute|second)", within)
+    if m is None:
+        raise ValueError(
+            f"attribution_join: within={within!r} not parseable — use "
+            "'<N> hour|minute|second' (e.g. '90 minutes' for fractional hours)"
+        )
     secs = int(m.group(1)) * {"hour": 3600, "minute": 60, "second": 1}[m.group(2)]
 
     trig = (
@@ -292,7 +355,14 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFram
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = stream_df.sparkSession
+    # materialize, then release the memory-sink table — the sink pins the
+    # full result in driver memory and the temp view would otherwise live
+    # for the session (r10 streaming review)
+    table = spark.table(name)
+    rows, schema = table.collect(), table.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def streaming_ingest_dedup(
@@ -342,6 +412,8 @@ def streaming_near_dedup_intake(
     from qcardia_data_spark.functions.dedup import near_dedup_incremental
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         kept = near_dedup_incremental(
             batch_df, index_path, id_col, text_col,
             n_bands=n_bands, shingle_n=shingle_n, threshold=threshold,
@@ -353,21 +425,9 @@ def streaming_near_dedup_intake(
             # otherwise arrive in order
             allow_replay=True,
         )
-        (
-            kept.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(out_path)
-        )
+        _write_batch_partition(kept, batch_id, out_path)
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(docs_stream, _batch, checkpoint, available_now)
 
 
 def streaming_ann_index_intake(
@@ -399,17 +459,11 @@ def streaming_ann_index_intake(
             return
         ann_index_append(batch_df, index_path, id_col=id_col, vec_col=vec_col)
 
-    writer = (
-        vec_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(vec_stream, _batch, checkpoint, available_now)
 
 
 def streaming_upsert_intake(
-    change_stream: DataFrame, table_path: str, checkpoint: str,
+    change_stream: DataFrame, store_path: str, checkpoint: str,
     tiebreak: str | None = None, available_now: bool = True,
 ):
     """[ext] Streaming CDC intake — the continuous form of
@@ -437,16 +491,10 @@ def streaming_upsert_intake(
         if batch_df.isEmpty():
             return
         merge_upsert_partitioned(
-            batch_df.sparkSession, table_path, batch_df, tiebreak=tiebreak
+            batch_df.sparkSession, store_path, batch_df, tiebreak=tiebreak
         )
 
-    writer = (
-        change_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(change_stream, _batch, checkpoint, available_now)
 
 
 def streaming_hll_intake(
@@ -480,13 +528,7 @@ def streaming_hll_intake(
             batch_df, store_path, keys=keys, value_col=value_col, p=p
         )
 
-    writer = (
-        stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(stream, _batch, checkpoint, available_now)
 
 
 def streaming_cms_intake(
@@ -512,13 +554,7 @@ def streaming_cms_intake(
             batch_id=batch_id, depth=depth, width=width,
         )
 
-    writer = (
-        stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(stream, _batch, checkpoint, available_now)
 
 
 def streaming_winnow_dedup_intake(
@@ -548,21 +584,9 @@ def streaming_winnow_dedup_intake(
             min_shared=min_shared, max_df=max_df,
             update_index=True, allow_replay=True,
         )
-        (
-            kept.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(out_path)
-        )
+        _write_batch_partition(kept, batch_id, out_path)
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(docs_stream, _batch, checkpoint, available_now)
 
 
 def streaming_hamming64_intake(
@@ -589,18 +613,6 @@ def streaming_hamming64_intake(
             batch_df, index_path, id_col=id_col,
             update_index=True, allow_replay=True,
         )
-        (
-            pairs.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(pairs_out)
-        )
+        _write_batch_partition(pairs, batch_id, pairs_out)
 
-    writer = (
-        sig_stream.writeStream.foreachBatch(_batch)
-        .option("checkpointLocation", checkpoint)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_intake(sig_stream, _batch, checkpoint, available_now)

@@ -41,11 +41,19 @@ def running_user_totals(
     last event is finalized and REMOVED — state size stays proportional to
     *active* users, not all users ever. ``evict=False`` keeps state forever
     (NoTimeout), for short bounded backfills.
+
+    Requires a UTC session time zone (enforced): the timeout timestamp is
+    derived from pandas-naive event times, which only align with the
+    engine's true-epoch watermark under UTC.
     """
     try:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("applyInPandasWithState unavailable") from e
+    if evict:
+        from qcardia_data_spark.streaming.events import _require_utc_session_tz
+
+        _require_utc_session_tz(events.sparkSession, "running_user_totals")
 
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
@@ -209,7 +217,14 @@ def streaming_trend_stats(
     exact ints). Emits the current fit per update; keys with zero
     x-variance emit nothing yet, like the batch twin's den>0 gate.
 
-    State is 7 int64s per user — O(active keys), no event buffer.
+    State is 7 int64s per user with NO timeout — O(every key ever seen),
+    not O(active keys): a running trend cannot evict its sufficient
+    statistics without forgetting the fit (r10 review — the honest
+    contract). For populations too large to hold 7 int64s per lifetime
+    key, finalize-and-evict semantics belong to
+    :func:`running_user_totals`'s timeout pattern instead. The fit itself
+    is time-zone-safe (x values are relative to the per-key origin), so
+    no UTC requirement here.
     """
     try:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -326,11 +341,21 @@ def streaming_gapfill_locf(
     watermark filter drops exactly those — so the emitted prefix equals
     the batch query on the same finalized horizon row-for-row
     (test-asserted, including the per-user first-bucket bootstrap under
-    reordered files)."""
+    reordered files).
+
+    Requires a UTC session time zone (enforced): bucket labels and the
+    finalization cut compare pandas-naive event epochs against the
+    engine's true-epoch watermark. Per-user scalars persist for the
+    stream's lifetime (NoTimeout) — the LOCF value must survive quiet
+    periods to fill their buckets; only the event buffer is
+    horizon-bounded."""
     try:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("applyInPandasWithState unavailable") from e
+    from qcardia_data_spark.streaming.events import _require_utc_session_tz
+
+    _require_utc_session_tz(events.sparkSession, "streaming_gapfill_locf")
 
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd

@@ -1066,3 +1066,58 @@ def test_streaming_hll_intake_time_bucketed_keys(spark, sf_dir, tmp_path):
                      .select("event_type", "hour", "register", "max_rho")
                      .collect()))
     assert got == want
+
+
+def test_stateful_ops_require_utc_session_tz(spark, sf_dir):
+    """r10 streaming review: the stateful ops mix pandas-naive event
+    epochs with true-epoch watermark APIs — coherent only under UTC, so
+    a non-UTC (even fixed-offset) session tz must refuse at build time."""
+    import pytest as _pytest
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.streaming.stateful import (
+        running_user_totals,
+        streaming_gapfill_locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/GMT+8")  # fixed offset, non-UTC
+    try:
+        with _pytest.raises(ValueError, match="not UTC"):
+            running_user_totals(ev)
+        with _pytest.raises(ValueError, match="not UTC"):
+            streaming_gapfill_locf(ev)
+        # evict=False has no timeout arithmetic -> allowed
+        running_user_totals(ev, evict=False)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_attribution_join_rejects_unparseable_within(spark, sf_dir):
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.streaming.events import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="within"):
+        attribution_join(ev, within="1 day")
+
+
+def test_run_to_memory_releases_temp_view(spark, sf_dir):
+    """r10 streaming review: the memory sink pinned every result table in
+    driver memory for the session; run_to_memory now materializes and
+    drops the temp view."""
+    from qcardia_data_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    stream = tumbling_counts(events_stream(spark, sf_dir))
+    out = run_to_memory(stream, output_mode="complete")
+    assert out.count() > 0
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("qds_mem_")}
