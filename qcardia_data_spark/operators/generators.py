@@ -40,13 +40,21 @@ def explode_with_position(
     arr: Column = F.col(array_col)
     others = list(keep_other) if keep_other is not None else [c for c in df.columns if c != array_col]
     if keep_positions is not None:
-        # element_at is 1-based; build the filtered (pos, val) struct array
+        # F.get is 0-based and NULL-safe out of range (element_at threw
+        # under ANSI past the array end and on index 0); the bound filter
+        # keeps the fused form row-identical to posexplode + isin — an
+        # out-of-range or negative position matches NOTHING instead of
+        # emitting a phantom NULL row (r10 review)
         pairs = F.array(*[
-            F.struct(F.lit(p).alias(pos_out), F.element_at(arr, p + 1).alias(val_out))
+            F.struct(F.lit(int(p)).alias(pos_out), F.get(arr, int(p)).alias(val_out))
             for p in keep_positions
         ])
         exploded = df.select(*others, F.size(arr).alias(f"total_{pos_out}"), F.explode(pairs).alias("_pv"))
-        return exploded.select(*others, f"total_{pos_out}", f"_pv.{pos_out}", f"_pv.{val_out}")
+        return exploded.select(
+            *others, f"total_{pos_out}", f"_pv.{pos_out}", f"_pv.{val_out}"
+        ).filter(
+            (F.col(pos_out) >= 0) & (F.col(pos_out) < F.col(f"total_{pos_out}"))
+        )
     return df.select(
         *others,
         F.size(arr).alias(f"total_{pos_out}"),

@@ -204,6 +204,12 @@ def compile_pipeline(
             continue
         kind = op["op"]
         if kind == "source":
+            if df is not None:
+                raise SpecError(
+                    f"op #{i}: a second 'source' mid-pipeline would discard "
+                    "everything built so far — use 'union' or a join op's "
+                    "'right' side to bring in another table"
+                )
             df = _source(spark, op, sf_dir)
             prior_ops.append(op)
             continue
@@ -238,9 +244,20 @@ def _push_filters_below_explode(ops: Sequence[dict]) -> list[dict]:
             and nxt.get("op") == "filter"
             and nxt.get("col") == op.get("pos", "pos")
             and isinstance(nxt.get("in"), list)
+            # fusion must be a pure optimization (r10 review): never fuse
+            # across a 'when' toggle (a disabled filter would still apply /
+            # a disabled explode would swallow the filter), and only fuse
+            # plain non-negative int positions — negatives and floats fall
+            # back to the always-correct posexplode + isin form
+            and "when" not in op
+            and "when" not in nxt
+            and all(
+                isinstance(p, int) and not isinstance(p, bool) and p >= 0
+                for p in nxt["in"]
+            )
         ):
             fused = dict(op)
-            fused["keep_positions"] = [int(p) for p in nxt["in"]]
+            fused["keep_positions"] = list(nxt["in"])
             out.append(fused)
             i += 2
             continue
@@ -956,14 +973,27 @@ def _apply(
             )
             return (
                 out.crossJoin(F.broadcast(thr))
-                .filter(bucket.isin(*sorted(keep)))
+                # unscorable docs (NULL lm_score — no trigrams) are DROPPED,
+                # matching the min_score gate; without the isNotNull they
+                # fell through both when()s into 'tail' (r10 review)
+                .filter(rounded.isNotNull() & bucket.isin(*sorted(keep)))
                 .drop("_t1", "_t2", "lm_score")
             )
         return out
     if kind == "quality_filter":
         from qcardia_data_spark.functions.text import word_tokens
+        from qcardia_data_spark.operators.joins import fresh_name
 
-        toks = word_tokens(F.col(op["text_col"]))
+        # tokenize ONCE behind the explode(array()) generator barrier —
+        # referencing the word_tokens expression from the size gate, the
+        # blocklist lambda and the ratio would re-run the tokenizer up to
+        # 3x per row (no CSE across HOF lambdas — the repo's standing
+        # text.py rule, r10 review)
+        qtoks = fresh_name("_qtoks", df.columns)
+        toked = df.withColumn(
+            qtoks, F.explode(F.array(word_tokens(F.col(op["text_col"]))))
+        )
+        toks = F.col(qtoks)
         cond = F.size(toks) >= int(op.get("min_tokens", 10))
         if "min_chars" in op:
             cond = cond & (F.length(op["text_col"]) >= int(op["min_chars"]))
@@ -982,7 +1012,7 @@ def _apply(
                 n_blocked.cast("double")
                 <= ratio * F.size(toks).cast("double")
             )
-        return df.filter(cond)
+        return toked.filter(cond).drop(qtoks)
     if kind == "weighted_sample":
         from qcardia_data_spark.operators.sampling import weighted_rejection_sample
 
@@ -1011,9 +1041,12 @@ def _apply(
             spark,
             build=lambda: upstream,
             cache_root=op["cache_root"],
-            # cache identity = the upstream op list (the producing plan),
+            # cache identity = the upstream op list (the producing plan)
+            # PLUS the data directory it was compiled against — without
+            # sf_dir the same spec at two scales collided on one cache
+            # path and silently served the other's data (r10 review) —
             # mirroring the reference's config-derived cache name (C1)
-            spec={"upstream": list(prior_ops)},
+            spec={"upstream": list(prior_ops), "sf_dir": sf_dir},
             overwrite=op.get("overwrite", False),
         )
         return read_cache(spark, path)
@@ -1156,7 +1189,8 @@ def _apply(
                 vec_col=op.get("vec_col", "embedding"),
                 n_flip=int(op.get("n_flip", 0)),  # multi-probe recall knob
             )
-        if _has_meta("_ivfpq_meta") or _has_meta("_ivf_meta"):
+        is_ivfpq = _has_meta("_ivfpq_meta")  # read the meta ONCE (r10 review)
+        if is_ivfpq or _has_meta("_ivf_meta"):
             if "query_id" not in op:
                 raise SpecError("ann_probe (ivf/ivfpq): 'query_id' required")
             id_col = op.get("id_col", "vec_id")
@@ -1168,7 +1202,7 @@ def _apply(
                 raise SpecError(
                     f"ann_probe: query_id {op['query_id']!r} not in frame"
                 )
-            if _has_meta("_ivfpq_meta"):
+            if is_ivfpq:
                 from qcardia_data_spark.functions.similarity import (
                     ann_ivfpq_topk_pruned,
                 )
@@ -1392,6 +1426,11 @@ def _apply(
             raise SpecError("expect: checks must name >= 1 predicate")
         oks = [F.coalesce(F.expr(c), F.lit(False)) for c in checks]
         mode = op.get("mode", "fail")
+        if mode not in ("fail", "drop", "audit"):
+            raise SpecError(
+                f"expect: unknown mode {mode!r} — use 'fail', 'drop' or "
+                "'audit' (a typo must not silently run the fail gate)"
+            )
         if mode == "drop":
             keep = oks[0]
             for o in oks[1:]:

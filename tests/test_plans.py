@@ -1344,3 +1344,76 @@ def test_spec_pivot_unpivot_quantiles_ops(spark, sf_dir):
     )
     rows = q.collect()
     assert rows and all(r["pct"] == 50 for r in rows)
+
+
+def test_explode_filter_fusion_is_semantics_preserving(spark, sf_dir):
+    """r10 spec review: fused keep_positions must be ROW-IDENTICAL to the
+    unfused posexplode + isin — out-of-range positions match nothing (no
+    phantom NULL rows), negatives/floats/'when' toggles skip the fusion."""
+    df = spark.createDataFrame([(1, ["x"]), (2, ["a", "b", "c"])], ["k", "arr"])
+
+    from qcardia_data_spark.operators.generators import explode_with_position
+
+    # out-of-range position: unfused semantics = only in-range rows
+    out = explode_with_position(
+        df, "arr", keep_positions=[0, 5], keep_other=["k"]
+    )
+    got = {(r["k"], r["pos"], r["val"]) for r in out.collect()}
+    assert got == {(1, 0, "x"), (2, 0, "a")}
+    # negative position: matches nothing, never throws
+    out = explode_with_position(
+        df, "arr", keep_positions=[-1], keep_other=["k"]
+    )
+    assert out.collect() == []
+
+    # the peephole skips fusion for 'when'-carrying ops and non-int values
+    from qcardia_data_spark.plans.spec import _push_filters_below_explode
+
+    ex = {"op": "explode", "col": "arr", "pos": "pos", "val": "val"}
+    flt_when = {"op": "filter", "col": "pos", "in": [0], "when": False}
+    assert _push_filters_below_explode([ex, flt_when]) == [ex, flt_when]
+    flt_float = {"op": "filter", "col": "pos", "in": [1.5]}
+    assert _push_filters_below_explode([ex, flt_float]) == [ex, flt_float]
+    flt_neg = {"op": "filter", "col": "pos", "in": [-1]}
+    assert _push_filters_below_explode([ex, flt_neg]) == [ex, flt_neg]
+    flt_ok = {"op": "filter", "col": "pos", "in": [0, 2]}
+    fused = _push_filters_below_explode([ex, flt_ok])
+    assert fused[0]["keep_positions"] == [0, 2] and len(fused) == 1
+
+
+def test_spec_second_source_refused(spark, sf_dir):
+    with pytest.raises(SpecError, match="second 'source'"):
+        compile_pipeline(spark, [
+            {"op": "source", "table": "region"},
+            {"op": "limit", "n": 1},
+            {"op": "source", "table": "nation"},
+        ], sf_dir)
+
+
+def test_spec_expect_unknown_mode_refused(spark, sf_dir):
+    with pytest.raises(SpecError, match="unknown mode"):
+        compile_pipeline(spark, [
+            {"op": "source", "table": "region"},
+            {"op": "expect", "checks": ["r_regionkey >= 0"], "mode": "Audit"},
+        ], sf_dir)
+
+
+def test_spec_cache_identity_includes_sf_dir(spark, sf_dir, tmp_path):
+    """r10 spec review: the same spec compiled against two data dirs must
+    not collide on one cache path (the old fingerprint hashed only the op
+    list and silently served the first dir's rows to the second)."""
+    import os
+
+    root = str(tmp_path / "cache_root")
+    ops = [
+        {"op": "source", "table": "region"},
+        {"op": "cache", "cache_root": root},
+    ]
+    a = compile_pipeline(spark, ops, sf_dir).count()
+    sub = str(tmp_path / "other_sf")
+    os.makedirs(sub)
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(2).write.parquet(
+        f"{sub}/region.parquet"
+    )
+    b = compile_pipeline(spark, ops, sub).count()
+    assert a == 5 and b == 2
