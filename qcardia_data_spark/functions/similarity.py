@@ -54,6 +54,27 @@ def hyperplane_signs(n_planes: int, dim: int, seed: int = 0) -> list[list[float]
     ]
 
 
+def _dim_checked(d: Column, dim: int, where: str) -> Column:
+    """Refuse-loudly guard for the sign-matrix ops: a vector whose length
+    differs from the configured ``dim`` zip_with-null-pads against the
+    sign rows, every dot folds to NULL, and EVERY row silently lands in
+    bucket 0 — degrading the bucketed join to the O(N²) scan it exists to
+    avoid (r10 review). One size comparison per row."""
+    return F.when(F.size(d) == dim, d).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: vector dim "),
+                F.size(d).cast("string"),
+                F.lit(
+                    f" != configured dim {dim} — every plane dot would "
+                    "NULL-fold and all rows would silently bucket to 0; "
+                    "pass the embedding's true dim"
+                ),
+            )
+        ).cast("array<double>")
+    )
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern of n_planes dot
     products). Sign matrices are precomputed literals — the per-row work is
@@ -70,7 +91,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 
     2.0**p == 1<<p exactly for the plane counts in use."""
     signs = hyperplane_signs(n_planes, dim, seed)
     sm = F.lit(signs)
-    d = vec.cast("array<double>")
+    d = _dim_checked(vec.cast("array<double>"), dim, "hyperplane_bucket")
     bits = F.transform(
         sm,
         lambda s, p: F.when(
@@ -136,7 +157,7 @@ def multiprobe_buckets(
         raise ValueError(f"need 0 <= n_flip <= n_planes, got {n_flip}")
     signs = hyperplane_signs(n_planes, dim, seed)
     sm = F.lit(signs)
-    d = vec.cast("array<double>")
+    d = _dim_checked(vec.cast("array<double>"), dim, "multiprobe_buckets")
     dots = F.transform(
         sm,
         lambda s: F.aggregate(
@@ -177,7 +198,7 @@ def multiprobe_buckets(
 def ann_lsh_topk(
     embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     n_planes: int = 8, seed: int = 0,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's hyperplane
     bucket. Recall/eff tradeoff via n_planes; multi-probe = union of
@@ -188,8 +209,8 @@ def ann_lsh_topk(
     """
     spark = embeddings.sparkSession
     q = F.lit([float(x) for x in query_vec])
-    bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed))
-    qrow = spark.range(1).select(hyperplane_bucket(q, n_planes, seed).alias("qb")).collect()
+    bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim))
+    qrow = spark.range(1).select(hyperplane_bucket(q, n_planes, seed, dim).alias("qb")).collect()
     qb = qrow[0]["qb"]
     # multi-probe: exact bucket + single-bit flips
     probes = [qb] + [qb ^ (1 << p) for p in range(n_planes)]
@@ -234,6 +255,12 @@ def ivf_assign(
         .collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in sample]
+    if not cents:
+        raise ValueError("ivf_assign: empty embeddings input — nothing to cluster")
+    # a corpus smaller than n_cells yields that many seed centroids — cap
+    # the cell count (k-means k <= N) instead of IndexError-ing on the
+    # empty-cell fallback below (r10 review)
+    n_cells = min(int(n_cells), len(cents))
 
     assigned = _assign_to_centroids(embeddings, cents, vec_col)
     for _ in range(n_refine):
@@ -271,23 +298,11 @@ def ann_ivf_topk(
 ) -> DataFrame:
     """IVF probe: score only vectors in the ``n_probe`` cells whose
     centroids are closest to the query — the classic recall/cost dial."""
-    import numpy as np
-
     assigned, centroids = ivf_assign(
         embeddings, n_cells, seed, id_col=id_col, vec_col=vec_col
     )
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    cent_rows = centroids.collect()
-
-    def cos(a, b):
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float(a @ b / (na * nb)) if na and nb else -1.0
-
-    probes = sorted(
-        cent_rows, key=lambda r: -cos(np.asarray(r["centroid"], dtype=np.float64), q)
-    )[:n_probe]
-    probe_cells = [r["cell"] for r in probes]
-    qcol = F.lit([float(x) for x in q])
+    probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
+    qcol = F.lit([float(x) for x in query_vec])
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -318,7 +333,9 @@ def ivf_write_partitioned(
         for r in sorted(centroids.collect(), key=lambda r: r["cell"])
     ]
     meta = embeddings.sparkSession.createDataFrame(
-        [(_json.dumps(cents), int(n_cells), int(seed), int(n_refine))],
+        # len(cents), not the requested n_cells: ivf_assign caps the cell
+        # count at the corpus size — the meta records the ACTUAL geometry
+        [(_json.dumps(cents), len(cents), int(seed), int(n_refine))],
         ["centroids_json", "n_cells", "seed", "n_refine"],
     )
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivf_meta")
@@ -336,7 +353,14 @@ def ann_ivf_topk_from_meta(
     scan + cosine top-k)."""
     import json as _json
 
-    meta = spark.read.json(f"{path}/_ivf_meta").collect()[0]
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    meta = read_meta_json(spark, f"{path}/_ivf_meta")
+    if meta is None:
+        raise ValueError(
+            f"ann_ivf_topk_from_meta: no _ivf_meta at {path!r} — not a "
+            "persisted IVF index (build with ivf_write_partitioned)"
+        )
     cents = _json.loads(meta["centroids_json"])
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], ["cell", "centroid"]
@@ -347,22 +371,34 @@ def ann_ivf_topk_from_meta(
     )
 
 
-def ivf_probe_cells(centroids: DataFrame, query_vec, n_probe: int) -> list[int]:
-    """The n_probe cells whose centroids are cosine-closest to the query
-    (driver-side: centroids are index metadata, cells × dim floats)."""
+def _rank_cells(cells: "list[tuple[int, list[float]]]", query_vec, n_probe: int) -> list[int]:
+    """THE cell-ranking rule, shared by every IVF probe entry point
+    (ivf_probe_cells / ann_ivf_topk / ann_ivfpq_topk_pruned — three
+    drifted copies before r10): cosine-closest first, EQUAL cosines
+    broken by ascending cell id, so every probe path selects the same
+    cells for the same index. Driver-side: cells × dim floats, bounded
+    index metadata."""
     import numpy as np
 
     q = np.asarray(list(query_vec), dtype=np.float64)
+    nq = np.linalg.norm(q)
 
-    def cos(a, b):
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float(a @ b / (na * nb)) if na and nb else -1.0
+    def cos(a):
+        a = np.asarray(a, dtype=np.float64)
+        na = np.linalg.norm(a)
+        return float(a @ q / (na * nq)) if na and nq else -1.0
 
-    probes = sorted(
-        centroids.collect(),
-        key=lambda r: -cos(np.asarray(r["centroid"], dtype=np.float64), q),
-    )[:n_probe]
-    return [int(r["cell"]) for r in probes]
+    ranked = sorted(cells, key=lambda ic: (-cos(ic[1]), int(ic[0])))[:n_probe]
+    return [int(ic[0]) for ic in ranked]
+
+
+def ivf_probe_cells(centroids: DataFrame, query_vec, n_probe: int) -> list[int]:
+    """The n_probe cells whose centroids are cosine-closest to the query
+    (driver-side: centroids are index metadata, cells × dim floats)."""
+    return _rank_cells(
+        [(r["cell"], r["centroid"]) for r in centroids.collect()],
+        query_vec, n_probe,
+    )
 
 
 def ann_ivf_topk_pruned(
@@ -412,15 +448,22 @@ def normalize_vectors(
     CSE across higher-order-function lambdas, so an inlined norm would
     re-run the O(d) fold per element — O(d²)/row (PERF.md measured
     lessons #0/#1)."""
+    from qcardia_data_spark.operators.joins import fresh_name
+
     d = F.col(vec_col).cast("array<double>")
-    others = [c for c in df.columns if c != vec_col]
+    # fresh working name (an input column literally named _nrm collided)
+    # and the original column ORDER preserved — positional consumers must
+    # see the same schema in and out (r10 review)
+    nrm = fresh_name("_nrm", df.columns)
     with_n = df.select(
-        *df.columns, F.explode(F.array(l2_norm(d))).alias("_nrm")
+        *df.columns, F.explode(F.array(l2_norm(d))).alias(nrm)
     )
     unit = F.when(
-        F.col("_nrm") > 0, F.transform(d, lambda x: x / F.col("_nrm"))
+        F.col(nrm) > 0, F.transform(d, lambda x: x / F.col(nrm))
     ).otherwise(d)
-    return with_n.select(*others, unit.alias(vec_col))
+    return with_n.select(
+        *[unit.alias(vec_col) if c == vec_col else c for c in df.columns]
+    )
 
 
 def _seq_fold_normalize(vec) -> list[float]:
@@ -485,17 +528,7 @@ def ivfpq_write_partitioned(
         for r in sorted(centroids.collect(), key=lambda r: r["cell"])
     ]
     if residual:
-        # residual = vec − centroid[cell]: map-only (the centroid table is
-        # an n_cells×d plan literal indexed by the cell column)
-        centl = F.lit(cents)
-        pq_input = assigned.select(
-            F.col(id_col),
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                F.element_at(centl, F.col("cell") + 1),
-                lambda x, c: x - c,
-            ).alias(vec_col),
-        )
+        pq_input = _residualize(assigned, cents, id_col, vec_col)
     else:
         pq_input = embeddings
     codes, cb = pq_encode(
@@ -510,15 +543,37 @@ def ivfpq_write_partitioned(
         .parquet(path)
     )
     meta = embeddings.sparkSession.createDataFrame(
+        # actual geometry, not the requested params: ivf_assign/pq_encode
+        # cap cell and code counts at the corpus size
         [(
             _json.dumps(cents), _json.dumps(cb),
-            int(n_cells), int(m), int(k_codes), int(seed), int(n_refine),
+            len(cents), int(m), len(cb[0]), int(seed), int(n_refine),
             bool(normalize), bool(residual),
         )],
         ["centroids_json", "codebooks_json", "n_cells", "m", "k_codes",
          "seed", "n_refine", "normalize", "residual"],
     )
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/_ivfpq_meta")
+
+
+def _residualize(
+    assigned: DataFrame, cents: list[list[float]], id_col: str, vec_col: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """``vec − centroid[cell]`` as one map-only pass (the centroid table is
+    an n_cells×d plan literal indexed by the ``cell`` column) — THE
+    residual expression, shared by the index build and the append path so
+    the two can never encode residuals differently (r10 review)."""
+    centl = F.lit(cents)
+    return assigned.select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(centl, F.col("cell") + 1),
+            lambda x, c: x - c,
+        ).alias(vec_col),
+        *extra_cols,
+    )
 
 
 def ann_ivfpq_topk_pruned(
@@ -541,7 +596,14 @@ def ann_ivfpq_topk_pruned(
 
     import numpy as np
 
-    meta = spark.read.json(f"{path}/_ivfpq_meta").collect()[0]
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    meta = read_meta_json(spark, f"{path}/_ivfpq_meta")
+    if meta is None:
+        raise ValueError(
+            f"ann_ivfpq_topk_pruned: no _ivfpq_meta at {path!r} — not a "
+            "persisted IVF+PQ index (build with ivfpq_write_partitioned)"
+        )
     cents = _json.loads(meta["centroids_json"])
     cb = _json.loads(meta["codebooks_json"])
     q = np.asarray(list(query_vec), dtype=np.float64)
@@ -550,14 +612,7 @@ def ann_ivfpq_topk_pruned(
         # sequential-fold normalize (NOT numpy @ — see _seq_fold_normalize)
         q = np.asarray(_seq_fold_normalize(q), dtype=np.float64)
 
-    def cos(a, b):
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
-        return float(a @ b / (na * nb)) if na and nb else -1.0
-
-    probe = sorted(
-        range(len(cents)),
-        key=lambda i: (-cos(np.asarray(cents[i], dtype=np.float64), q), i),
-    )[:n_probe]
+    probe = _rank_cells(list(enumerate(cents)), q, n_probe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     # q, not query_vec: a normalized index must see the NORMALIZED query
     # in the ADC too, or the ranking quietly reverts to the raw metric
@@ -722,6 +777,9 @@ def pq_encode(
         .select(vec_col)
         .collect()
     )  # bounded: k_codes rows
+    # a corpus smaller than k_codes yields that many seed codes — cap
+    # (k-means k <= N) instead of IndexError-ing in the Lloyd refresh
+    k_codes = min(int(k_codes), len(sample))
     cb = [
         [
             [float(x) for x in r[vec_col]][s * d_sub:(s + 1) * d_sub]
@@ -853,8 +911,9 @@ def ann_index_append(
 
     if kind == "lsh":
         n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+        dim = int(meta["dim"]) if "dim" in meta.__fields__ else 64
         rows = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
-            "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed)
+            "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
         )
         part_col = "bucket"
     else:
@@ -869,15 +928,8 @@ def ann_index_append(
             )
             cb = _json.loads(meta["codebooks_json"])
             if "residual" in meta.__fields__ and meta["residual"]:
-                centl = F.lit(cents)
-                pq_input = assigned.select(
-                    F.col(id_col),
-                    F.zip_with(
-                        F.col(vec_col).cast("array<double>"),
-                        F.element_at(centl, F.col("cell") + 1),
-                        lambda x, c: x - c,
-                    ).alias(vec_col),
-                    "cell",
+                pq_input = _residualize(
+                    assigned, cents, id_col, vec_col, extra_cols=("cell",)
                 )
             else:
                 pq_input = assigned
@@ -939,6 +991,7 @@ def pairwise_topk_join(
     id_left: str = "a", id_right: str = "b", vec_col: str = "embedding",
     n_planes: "int | str" = 6, seed: int = 0,
     max_bucket_size: int | None = None, extra_planes: int = 4,
+    dim: int = 64, exclude_self: bool = True,
 ) -> DataFrame:
     """All-pairs ANN join: bucket both sides on hyperplane signature, join
     within buckets, keep top-k matches per left row. The join shuffles
@@ -971,6 +1024,12 @@ def pairwise_topk_join(
     ``n_planes="auto"`` sizes the plane count to the RIGHT side's row
     count via :func:`auto_n_planes` (one count() job) — the knob that must
     grow with log2(N) at corpus scale.
+
+    ``exclude_self`` (default True) drops pairs whose LEFT and RIGHT id
+    VALUES coincide — correct for self-joins; set False when joining two
+    DIFFERENT corpora whose id spaces overlap (query 5 vs doc 5 is a
+    legitimate pair there — r10 review). ``dim`` must match the
+    embeddings' length (checked loudly per row).
     """
     from pyspark.sql.window import Window
 
@@ -983,10 +1042,10 @@ def pairwise_topk_join(
     # doubles (identical expression on identical arrays), ~3× less
     # higher-order-function work in the pair stage.
     lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed)
+        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed, dim)
     ).withColumn("_nl", l2_norm(F.col("_vl")))
     rb = right.select(F.col(id_right), F.col(vec_col).alias("_vr")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed)
+        "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed, dim)
     ).withColumn("_nr", l2_norm(F.col("_vr")))
     if max_bucket_size is not None:
         # NOTE: the bucketed right side is referenced three times (count
@@ -1014,7 +1073,7 @@ def pairwise_topk_join(
                 "sub", F.lit(-1)
             )
             hot_rows = df.join(F.broadcast(hot), "bucket", "left_semi").withColumn(
-                "sub", hyperplane_bucket(F.col(vcol), extra_planes, seed + 1_000_003)
+                "sub", hyperplane_bucket(F.col(vcol), extra_planes, seed + 1_000_003, dim)
             )
             return cold, hot_rows
 
@@ -1032,9 +1091,11 @@ def pairwise_topk_join(
         )
         lb = l_cold.unionByName(l_hot)
         rb = r_cold.unionByName(r_hot)
-        joined = lb.join(rb, ["bucket", "sub"]).filter(F.col(id_left) != F.col(id_right))
+        joined = lb.join(rb, ["bucket", "sub"])
     else:
-        joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
+        joined = lb.join(rb, "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(id_left) != F.col(id_right))
     return _topk_pair_scores(joined, id_left, id_right, k)
 
 
@@ -1074,7 +1135,7 @@ def _topk_pair_scores(
 
 def lsh_write_partitioned(
     embeddings: DataFrame, path: str, n_planes: int = 6, seed: int = 0,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> None:
     """Materialize an embedding table as a hyperplane-bucket-partitioned
     parquet table (``bucket=<i>/`` directories, one per LSH signature) —
@@ -1087,11 +1148,11 @@ def lsh_write_partitioned(
     ``path/_lsh_meta`` (underscore-prefixed → invisible to the parquet
     scan), and the probe reads it back — the two sides can never drift."""
     rb = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed)
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
     )
     rb.write.mode("overwrite").partitionBy("bucket").parquet(path)
     meta = embeddings.sparkSession.createDataFrame(
-        [(int(n_planes), int(seed))], ["n_planes", "seed"]
+        [(int(n_planes), int(seed), int(dim))], ["n_planes", "seed", "dim"]
     )
     meta.coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
 
@@ -1099,7 +1160,7 @@ def lsh_write_partitioned(
 def pairwise_topk_join_pruned(
     left: DataFrame, path: str, k: int = 5,
     id_left: str = "a", id_right: str = "vec_id", vec_col: str = "embedding",
-    n_flip: int = 0,
+    n_flip: int = 0, exclude_self: bool = True,
 ) -> DataFrame:
     """ANN join of a probe batch against the persisted LSH table: the
     batch is bucketed with the table's OWN (n_planes, seed) from
@@ -1120,12 +1181,21 @@ def pairwise_topk_join_pruned(
     candidate pairs stay unique because each right row lives in exactly
     one bucket."""
     spark = left.sparkSession
-    meta = spark.read.json(f"{path}/_lsh_meta").collect()[0]
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    meta = read_meta_json(spark, f"{path}/_lsh_meta")
+    if meta is None:
+        raise ValueError(
+            f"pairwise_topk_join_pruned: no _lsh_meta at {path!r} — not a "
+            "persisted LSH index (build with lsh_write_partitioned)"
+        )
     n_planes, seed = int(meta["n_planes"]), int(meta["seed"])
+    # dim persisted since r10; pre-r10 indexes fall back to the default
+    dim = int(meta["dim"]) if "dim" in meta.__fields__ else 64
     lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
         "bucket",
         F.explode(
-            multiprobe_buckets(F.col("_vl"), n_planes, seed, n_flip=n_flip)
+            multiprobe_buckets(F.col("_vl"), n_planes, seed, dim, n_flip=n_flip)
         ),
     ).withColumn("_nl", l2_norm(F.col("_vl")))
     probe = [
@@ -1139,26 +1209,28 @@ def pairwise_topk_join_pruned(
         )
         .withColumn("_nr", l2_norm(F.col("_vr")))
     )
-    joined = lb.join(rb, "bucket").filter(F.col(id_left) != F.col(id_right))
+    joined = lb.join(rb, "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(id_left) != F.col(id_right))
     return _topk_pair_scores(joined, id_left, id_right, k)
 
 
 def oversized_ann_buckets(
     right: DataFrame, max_bucket_size: int, vec_col: str = "embedding",
-    n_planes: int = 6, seed: int = 0, extra_planes: int = 4,
+    n_planes: int = 6, seed: int = 0, extra_planes: int = 4, dim: int = 64,
 ) -> DataFrame:
     """Audit companion to :func:`pairwise_topk_join`'s hot-bucket guard:
     (bucket, sub, bucket_n, rows_capped) for every subdivided group the
     backstop cap would truncate — log this instead of truncating silently
     (rows_capped = candidates each left row in that group will never see)."""
-    rb = right.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed))
+    rb = right.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim))
     hot = (
         rb.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
         .select("bucket")
     )
-    sub = hyperplane_bucket(F.col(vec_col), extra_planes, seed + 1_000_003)
+    sub = hyperplane_bucket(F.col(vec_col), extra_planes, seed + 1_000_003, dim)
     groups = (
         rb.join(F.broadcast(hot), "bucket")
         .withColumn("sub", sub)

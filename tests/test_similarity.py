@@ -158,7 +158,7 @@ def test_ann_join_hot_bucket_guard_bounds_candidates(spark):
     cap = 50
     out = SIM.pairwise_topk_join(
         left, right, k=3, id_left="a", id_right="b", vec_col="embedding",
-        n_planes=4, seed=0, max_bucket_size=cap,
+        n_planes=4, seed=0, max_bucket_size=cap, dim=dim,
     )
     got = out.collect()
     # scored pairs per left row bounded by the cap (minus possible self-hit),
@@ -169,14 +169,15 @@ def test_ann_join_hot_bucket_guard_bounds_candidates(spark):
     # plan with a huge k — ≤ cap candidates per left row, NOT 999
     all_pairs = SIM.pairwise_topk_join(
         left, right, k=10_000, id_left="a", id_right="b", vec_col="embedding",
-        n_planes=4, seed=0, max_bucket_size=cap,
+        n_planes=4, seed=0, max_bucket_size=cap, dim=dim,
     )
     per_left = all_pairs.groupBy("a").count().agg(F.max("count")).collect()[0][0]
     assert per_left <= cap
 
     # audit names the capped group and how many rows each left row never saw
     audit = SIM.oversized_ann_buckets(
-        right, max_bucket_size=cap, vec_col="embedding", n_planes=4, seed=0
+        right, max_bucket_size=cap, vec_col="embedding", n_planes=4, seed=0,
+        dim=dim,
     ).collect()
     assert len(audit) == 1
     assert audit[0]["bucket_n"] == 1000
@@ -835,3 +836,72 @@ def test_matryoshka_prefix_recall_on_structured_embeddings(spark):
     # and the tier is genuinely discriminative, not trivially so: the
     # full-width top-10 is all cluster 0 (ids < 40)
     assert all(v < 40 for v in full)
+
+
+def test_ivf_and_pq_small_corpus_cap(spark):
+    """r10 review: a corpus smaller than n_cells / k_codes must cap the
+    cell/code count (k-means k <= N), not IndexError in the Lloyd
+    refresh; empty input refuses loudly."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = SIM.ivf_assign(emb, n_cells=16, n_refine=1)
+    n_cents = centroids.count()
+    assert n_cents <= 10
+    assert assigned.count() == 10
+    codes, cb = SIM.pq_encode(emb, m=4, k_codes=16, n_refine=1)
+    assert len(cb[0]) <= 10 and codes.count() == 10
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        SIM.ivf_assign(empty)
+
+
+def test_hyperplane_bucket_dim_mismatch_raises(spark):
+    """r10 review: a dim mismatch NULL-folds every plane dot and silently
+    sent every row to bucket 0 (quadratic join); now it refuses loudly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8)], ["vec_id", "embedding"]
+    )
+    bad = emb.select(SIM.hyperplane_bucket(F.col("embedding"), 4, 0, 64))
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception),
+                       match="dim 8 != configured dim 64"):
+        bad.collect()
+    ok = emb.select(
+        SIM.hyperplane_bucket(F.col("embedding"), 4, 0, 8).alias("b")
+    ).collect()
+    assert ok[0]["b"] >= 0
+
+
+def test_pairwise_topk_join_cross_corpus_keeps_coinciding_ids(spark):
+    """r10 review: with exclude_self=False, (query 5, doc 5) is a
+    legitimate cross-corpus pair and must survive."""
+    vecs = [(5, [1.0, 0.0, 0.0, 0.0])]
+    left = spark.createDataFrame(vecs, ["a", "embedding"])
+    right = spark.createDataFrame(vecs, ["b", "embedding"])
+    none_kept = SIM.pairwise_topk_join(
+        left, right, k=1, n_planes=2, dim=4
+    ).collect()
+    assert none_kept == []  # self-join semantics: value-equal pair dropped
+    kept = SIM.pairwise_topk_join(
+        left, right, k=1, n_planes=2, dim=4, exclude_self=False
+    ).collect()
+    assert len(kept) == 1 and abs(kept[0]["score"] - 1.0) < 1e-9
+
+
+def test_normalize_vectors_preserves_schema_and_tolerates_nrm_column(spark):
+    """r10 review: output column ORDER must equal input order, and an
+    input column literally named _nrm must not collide."""
+    df = spark.createDataFrame(
+        [(1, "x", [3.0, 4.0], 9.9)], ["id", "tag", "embedding", "_nrm"]
+    )
+    out = SIM.normalize_vectors(df, "embedding")
+    assert out.columns == ["id", "tag", "embedding", "_nrm"]
+    row = out.collect()[0]
+    assert abs(row["embedding"][0] - 0.6) < 1e-12
+    assert abs(row["embedding"][1] - 0.8) < 1e-12
+    assert row["_nrm"] == 9.9
