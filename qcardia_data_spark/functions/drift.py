@@ -63,8 +63,12 @@ def psi_buckets(
     compares TODAY against the SAME ruler as yesterday; pass the edges
     your baseline froze.
     """
-    if not edges or sorted(edges) != list(edges):
-        raise ValueError("psi_buckets: edges must be a sorted non-empty list")
+    if not edges or any(b <= a for a, b in zip(edges, edges[1:])):
+        # strictly increasing: a duplicate edge makes one bucket index
+        # unreachable while still inflating the Laplace denominator k
+        raise ValueError(
+            "psi_buckets: edges must be a strictly increasing non-empty list"
+        )
     u = _tag_union(df_a, df_b, col)
     # bucket index = count of edges strictly below v — a fold over a
     # literal array, one map-side expression, no join
@@ -72,10 +76,20 @@ def psi_buckets(
     for e in edges:
         bucket = bucket + F.when(F.col("v") > F.lit(float(e)), 1).otherwise(0)
     k = len(edges) + 1
-    counts = (
+    observed = (
         u.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
+    )
+    # full k-bucket spine: a bucket empty in BOTH samples still has a
+    # nonzero Laplace-smoothed contrib whenever the totals differ, and
+    # the monitor's row count must not vary with the data (the documented
+    # one-row-per-bucket contract — r10 review)
+    spine = u.sparkSession.range(k).select(F.col("id").cast("int").alias("bucket"))
+    counts = spine.join(observed, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
     # totals ride the same pass via a grouping-free aggregate of counts
     # (k rows in, 1 out — trivially broadcast)
@@ -138,9 +152,13 @@ def ks_statistic(
     (counts aggregate per distinct value before the cumsum).
     """
     u = _tag_union(df_a, df_b, col)
+    # materialized once: per_v feeds THREE actions (min/max, the bucket
+    # totals collect, and the final cum/agg job) — unmaterialized, each
+    # re-scanned and re-shuffled both inputs, and the driver offsets and
+    # distributed cumsums came from independent recomputations (r10)
     per_v = u.groupBy("v").agg(
         F.sum("_a").alias("ca"), F.sum("_b").alias("cb")
-    )
+    ).localCheckpoint(eager=True)
     lohi = per_v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
     if lohi["lo"] is None:
         raise ValueError("ks_statistic: both samples are empty/null")

@@ -116,8 +116,12 @@ def gapfill_interpolate(
     dsc = run.partitionBy("k").orderBy(
         F.col("t").desc(), F.col("probe").desc(), F.col("tb").desc()
     )
-    ev_t = F.when(F.col("probe") == 0, F.col("t"))
-    ev_v = F.when(F.col("probe") == 0, F.col("v"))
+    # BOTH gates require a non-null value: an event row whose value is
+    # NULL must be absent from interpolation entirely — gating only the
+    # value pass advanced ps/ns from one row while pv/nv came from an
+    # earlier one, interpolating between mismatched (t, v) pairs (r10)
+    ev_t = F.when((F.col("probe") == 0) & F.col("v").isNotNull(), F.col("t"))
+    ev_v = F.when((F.col("probe") == 0) & F.col("v").isNotNull(), F.col("v"))
     w = u.select(
         "k", "h", "probe", "t",
         F.last(ev_t, ignorenulls=True).over(asc).alias("ps"),
@@ -159,7 +163,12 @@ def trend_stats(
     observation) in cents hundredths, r² in micro-units.
     """
     kw = Window.partitionBy("k")
-    e = df.select(
+    # rows with a NULL ts or value are excluded up front: count(*) would
+    # include them in n while every sum skipped them, silently corrupting
+    # slope/intercept/r² for the key (r10 review)
+    e = df.filter(
+        F.col(ts_s_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col).alias("k"),
         F.col(ts_s_col).alias("s"),
         _cents(F.col(value_col)).alias("yc"),
@@ -220,8 +229,15 @@ def value_histogram(
     ).select(
         "k",
         "yc",
+        # exact int64 integer division (the docstring's contract): `/` on
+        # longs is DOUBLE division in Spark, which can misbin a ratio an
+        # epsilon below an integer boundary at 2^53-scale cents. Spark div
+        # and DuckDB // both truncate toward zero (probed), and negative
+        # yc clamps to bin 0 under either convention anyway
         F.least(
-            F.greatest(F.floor(F.col("yc") / bin_width_cents), F.lit(0)),
+            F.greatest(
+                F.expr(f"yc div {int(bin_width_cents)}"), F.lit(0)
+            ),
             F.lit(n_bins - 1),
         ).cast("long").alias("bin"),
     )
@@ -383,7 +399,13 @@ def mad_outliers(
     """
     lower_med_rank = lambda n: F.floor((n + 1) / 2)  # noqa: E731
 
-    e = df.select(id_col, key, F.col(value_col).alias("_v"))
+    # NULL values are excluded: Spark ranks NULLS FIRST ascending while
+    # DuckDB ranks them LAST, so an unfiltered NULL shifts which row is
+    # the discrete median differently per engine (and a NULL median nulls
+    # every score) — the same guard _tag_union applies (r10 review)
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        id_col, key, F.col(value_col).alias("_v")
+    )
     w1 = Window.partitionBy(key).orderBy("_v", id_col)
     wc = Window.partitionBy(key)
     r1 = e.withColumn("_rn", F.row_number().over(w1)).withColumn(

@@ -5998,7 +5998,8 @@ def ev_anomaly_zscore(spark, sf_dir):
 @_q(
     "ev_anomaly_mad",
     """
-    WITH e AS (SELECT event_id, user_id, value FROM events),
+    WITH e AS (SELECT event_id, user_id, value FROM events
+               WHERE value IS NOT NULL),
     r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                         ORDER BY value, event_id) AS rn,
                   count(*) OVER (PARTITION BY user_id) AS n
@@ -8116,13 +8117,15 @@ def q20_excess_stock_suppliers(spark, sf_dir):
           SELECT user_id, h * 3600 + 3599, NULL, 1, 4611686018427387904, h
           FROM b),
     w AS (SELECT user_id, h, probe, t,
-            last_value(CASE WHEN probe = 0 THEN t END IGNORE NULLS) OVER (
+            last_value(CASE WHEN probe = 0 AND v IS NOT NULL THEN t END
+                       IGNORE NULLS) OVER (
               PARTITION BY user_id ORDER BY t, probe, tb
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
             last_value(CASE WHEN probe = 0 THEN v END IGNORE NULLS) OVER (
               PARTITION BY user_id ORDER BY t, probe, tb
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-            last_value(CASE WHEN probe = 0 THEN t END IGNORE NULLS) OVER (
+            last_value(CASE WHEN probe = 0 AND v IS NOT NULL THEN t END
+                       IGNORE NULLS) OVER (
               PARTITION BY user_id ORDER BY t DESC, probe DESC, tb DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ns,
             last_value(CASE WHEN probe = 0 THEN v END IGNORE NULLS) OVER (
@@ -8163,7 +8166,7 @@ def ev_gapfill_interpolate(spark, sf_dir):
       SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
              date_diff('second', TIMESTAMP '1970-01-01',
                        CAST(ts AS TIMESTAMP)) AS s
-      FROM events),
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     c AS (SELECT user_id, yc,
                  s - min(s) OVER (PARTITION BY user_id) AS x
           FROM e),
@@ -8213,8 +8216,7 @@ def ev_trend_slope(spark, sf_dir):
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
       FROM events),
     b AS (SELECT event_type, yc,
-                 least(greatest(CAST(floor(yc / 2000.0) AS BIGINT), 0), 24)
-                   AS bin
+                 least(greatest(yc // 2000, 0), 24) AS bin
           FROM e)
     SELECT event_type, bin, bin * 2000 AS bin_lo_cents,
            count(*) AS n, min(yc) AS min_c, max(yc) AS max_c,
@@ -9193,12 +9195,17 @@ _PSI_BUCKET_SQL = " + ".join(
     c AS (SELECT bucket, CAST(sum(_a) AS BIGINT) AS n_a,
                  CAST(sum(_b) AS BIGINT) AS n_b
           FROM bkt GROUP BY bucket),
-    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+    spine AS (SELECT CAST(unnest(range({len(_PSI_EDGES) + 1})) AS INTEGER)
+                AS bucket),
+    cz AS (SELECT s.bucket, CAST(coalesce(c.n_a, 0) AS BIGINT) AS n_a,
+                  CAST(coalesce(c.n_b, 0) AS BIGINT) AS n_b
+           FROM spine s LEFT JOIN c USING (bucket)),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cz)
     SELECT bucket, n_a, n_b,
            round(((n_a + 0.5) / (ta + 3.0) - (n_b + 0.5) / (tb + 3.0))
                  * ln(((n_a + 0.5) / (ta + 3.0))
                       / ((n_b + 0.5) / (tb + 3.0))), 6) AS contrib
-    FROM c, t
+    FROM cz, t
     """,
 )
 def ev_drift_psi(spark, sf_dir):

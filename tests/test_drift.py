@@ -55,8 +55,26 @@ def test_psi_open_ended_buckets_cover_everything(spark):
 
 def test_psi_rejects_unsorted_edges(spark):
     a = _df(spark, [1])
-    with pytest.raises(ValueError, match="sorted"):
+    with pytest.raises(ValueError, match="increasing"):
         psi_buckets(a, a, "x", edges=[2.0, 1.0])
+    # duplicate edges create an unreachable bucket index while inflating
+    # the Laplace denominator — refused too (r10 review)
+    with pytest.raises(ValueError, match="increasing"):
+        psi_buckets(a, a, "x", edges=[1.0, 1.0, 5.0])
+
+
+def test_psi_emits_every_bucket(spark):
+    """r10 review: a bucket empty in BOTH samples still contributes its
+    Laplace-smoothed term when the totals differ — the output is always
+    exactly k = len(edges)+1 rows, whatever the data occupies."""
+    a = _df(spark, [0.5] * 4)
+    b = _df(spark, [0.5] * 8)
+    rows = psi_buckets(a, b, "x", edges=[1.0, 2.0]).collect()
+    assert sorted(r["bucket"] for r in rows) == [0, 1, 2]
+    by_b = {r["bucket"]: r for r in rows}
+    assert by_b[1]["n_a"] == 0 and by_b[1]["n_b"] == 0
+    # smoothed contrib of an empty bucket is nonzero for unequal totals
+    assert by_b[1]["contrib"] != 0.0
 
 
 # ---------------------------------------------------------------------------
