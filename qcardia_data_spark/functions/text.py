@@ -24,7 +24,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def normalize_ws(text: Column) -> Column:
     """Collapse whitespace runs + trim + lowercase — the canonical text form
-    used by fingerprinting and shingling."""
+    used by fingerprinting and shingling.
+
+    Whitespace is ASCII ``\\s`` BY CONTRACT: Java regex and DuckDB's RE2
+    agree on it exactly, which is what makes every fingerprint/shingle
+    oracle-checkable. Unicode spaces (NBSP and friends) deliberately
+    survive — two crawls differing only in NBSP-vs-space therefore get
+    different exact-dedup fingerprints. That recall loss belongs to an
+    upstream transliteration pass, NOT here: widening to ``\\p{Zs}``
+    would have to be replayed byte-identically by every engine that ever
+    re-computes a fingerprint, a much worse contract (r10 review,
+    documented-limitation verdict)."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
@@ -41,8 +51,14 @@ def token_count(text: Column) -> Column:
 
 
 def word_tokens(text: Column) -> Column:
-    """BPE-ish tokenization: split into word pieces / numbers / single
-    non-space symbols (regex analog of a GPT-2-style pre-tokenizer)."""
+    """Lowercase ``[a-z0-9]`` runs of the normalized text — the corpus
+    tokenizer every token-count/shingle/quality signal shares. Symbols
+    and NON-ASCII letters are dropped (they are split points, not
+    tokens): 'café!' → ['caf'], and a non-Latin-script document yields
+    ZERO tokens — by design its ``lang_id`` is 'und' and token-based
+    quality gates see n_words=0 (route such docs by language first).
+    ASCII-only for the same cross-engine-replay contract as
+    :func:`normalize_ws`."""
     return F.filter(
         F.split(normalize_ws(text), r"[^a-z0-9]+"),
         lambda w: F.length(w) > 0,
@@ -68,7 +84,15 @@ def quality_scores(text: Column, toks: Column | None = None) -> dict[str, Column
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "mean_token_len": F.when(n_tokens > 0, (n_alpha.cast("double")) / n_tokens).otherwise(F.lit(0.0)),
+        # true mean token length (Σ len(tok) / n) — the previous
+        # alpha-chars/token form was digit-blind: '42 42 42' scored 0.0
+        # and numeric-heavy docs failed mean-length bands (r10 review)
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            F.aggregate(
+                toks, F.lit(0), lambda acc, w: acc + F.length(w)
+            ).cast("double") / n_tokens,
+        ).otherwise(F.lit(0.0)),
         "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
         "alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)),
@@ -224,8 +248,12 @@ def c4_rules(
     the whole gate is map-only — int-count comparisons replayable in
     plain SQL. The paper's langdetect and bad-words-list pages are
     separate concerns (:func:`lang_id`, a caller-supplied blocklist)."""
+    # word count = non-empty \s+ splits: a single-space split counted
+    # empty strings in space runs as words and never split tabs (r10
+    # review — raw crawl lines carry both)
     is_sentence = lambda ln: ln.rlike(r"""[.!?"]$""") & (  # noqa: E731
-        F.size(F.split(ln, " ")) >= min_words_per_line
+        F.size(F.filter(F.split(ln, r"\s+"), lambda w: F.length(w) > 0))
+        >= min_words_per_line
     )
     kept = F.filter(lines, is_sentence)
     n_kept = F.size(kept)
@@ -243,19 +271,27 @@ def c4_rules(
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the scoring half of language ID)."""
-    toks = word_tokens(text)
+def lang_scores(text: Column, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the scoring half of language ID).
+
+    Pass ``toks`` (a materialized :func:`word_tokens` column behind an
+    ``explode(array(...))`` barrier) to reuse an existing token pass —
+    inlined, the tokenizer re-runs once PER LANGUAGE (no CSE across HOF
+    lambdas, the file's standing rule)."""
+    if toks is None:
+        toks = word_tokens(text)
     return {
         lang: F.size(F.filter(toks, _isin_filter(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: argmax of stopword-marker hits, ties broken by
-    language code order, 'und' when nothing matches."""
-    scores = lang_scores(text)
+    language code order, 'und' when nothing matches. Pass a materialized
+    ``toks`` to avoid one tokenizer pass per language (see
+    :func:`lang_scores`)."""
+    scores = lang_scores(text, toks)
     pairs = F.array(*[
         F.struct((-s).alias("neg"), F.lit(lang).alias("lang"), s.alias("score"))
         for lang, s in scores.items()
@@ -402,6 +438,20 @@ def winnow_fingerprints(
         F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
     )
     n_g = F.size("toks") - k + 1
+    # packed-key bound made real: past _WINNOW_POS_CEIL grams the
+    # (CEIL - i) suffix goes negative, breaking the rightmost-tie sort
+    # order and the pos-recovery cast — refuse loudly per row instead
+    # of silently mis-selecting (r10 review)
+    n_g = F.when(
+        n_g <= _WINNOW_POS_CEIL, n_g
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("winnow_fingerprints: document has "),
+            n_g.cast("string"),
+            F.lit(f" grams > position bound {_WINNOW_POS_CEIL} — "
+                  "split the document before fingerprinting"),
+        )).cast("int")
+    )
     keys = F.transform(
         F.sequence(F.lit(0), n_g - 1),
         lambda i: F.concat(
@@ -482,7 +532,10 @@ def url_domain(url: Column) -> Column:
     quality/mix statistics every pretraining corpus tracks. Userinfo
     ('user:pass@') and port (':8080') are stripped: the optional non-capturing
     group consumes through '@' and the host class stops at ':' or '/'."""
-    return F.regexp_extract(url, r"https?://(?:[^/@\s]+@)?([^/:\s]+)", 1)
+    # userinfo and host classes exclude '?' and '#' too: an '@' inside a
+    # query/fragment ('?email=a@b.org') otherwise parses as userinfo and
+    # the domain comes out as 'b.org' (r10 review, reproduced)
+    return F.regexp_extract(url, r"https?://(?:[^/?#@\s]+@)?([^/:?#\s]+)", 1)
 
 
 # tracking params dropped by canonical_url — shared Java/RE2 syntax (the
@@ -687,8 +740,6 @@ def corpus_mix(
     sources drop), but the plan stays O(1) in expression size however many
     sources a real corpus mix declares.
     """
-    from pyspark.sql.window import Window
-
     if len(weights) <= 64:
         budget = None
         for src, wgt in weights.items():
@@ -700,9 +751,17 @@ def corpus_mix(
         df = df.withColumn("_budget", budget).filter(F.col("_budget") > 0)
     else:
         spark = df.sparkSession
+        # explicit schema, the unimax_mix lesson: the group column must
+        # keep the SOURCE column's type — inferring from Python values
+        # would make a non-string `by` key join by implicit cast (r10)
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         wdf = spark.createDataFrame(
             [(k, float(v) * total_budget) for k, v in weights.items() if v > 0],
-            [by, "_budget"],
+            StructType([
+                StructField(by, df.schema[by].dataType, True),
+                StructField("_budget", DoubleType(), False),
+            ]),
         )
         df = df.join(F.broadcast(wdf), by, "inner")
     return _budget_ranked_sample(df, token_col, key_col, by, seed)
@@ -807,8 +866,9 @@ def decontaminate(
 def bloom_build(grams, gram_col: str, m_bits: int = 1 << 16, k: int = 3) -> list[int]:
     """Build a Bloom filter over a (small-ish, e.g. benchmark) gram set:
     k md5-derived bit positions per gram, OR-ed into ``m_bits`` bits packed
-    as ``m_bits/64`` longs. Collected to the driver — the filter is
-    m_bits/8 BYTES total (8 KiB at the 2^16 default), the whole point:
+    as ``m_bits/32`` long words (32 payload bits per word — the packing
+    the probe's conv()-based reader needs). Collected to the driver — the
+    filter is ``m_bits/32`` 8-byte words, 16 KiB at the 2^16 default:
     it rides into every task as ONE plan literal no matter how large the
     eval set grows.
 
@@ -885,7 +945,7 @@ def decontaminate_bloom(
     shape. Same contract as :func:`decontaminate` (docs + ``contaminated``
     boolean), different scaling: instead of broadcasting the full distinct
     eval-gram set (which grows with the benchmark suite), every corpus
-    gram first tests k bits of an 8 KiB Bloom literal JVM-side; only the
+    gram first tests k bits of a 16 KiB Bloom literal JVM-side; only the
     bloom-POSITIVE grams (true overlaps + ~(1-e^(-kn/m))^k false
     positives) reach the exact semi-join against the eval grams. The
     exact join's input is bounded by the true overlap, not the corpus.

@@ -555,7 +555,7 @@ def _apply(
             "stop_hits": g["stop_hits"],
             "symbol_ratio": g["symbol_ratio"],
             "gopher_keep": g["keep"],
-            "lang_pred": lang_id(F.col(text_col)),
+            "lang_pred": lang_id(F.col(text_col), toks=F.col("_qstoks")),
             "fingerprint": doc_fingerprint(F.col(text_col)),
         }
         out = tok.select(

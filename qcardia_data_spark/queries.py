@@ -3981,7 +3981,7 @@ def text_pii_scan(spark, sf_dir):
     rf"""
     WITH s AS ({_PII_SYNTH_SQL}),
     u AS (SELECT doc_id, unnest(regexp_extract_all(synth, 'https?://[^\s]+')) AS url FROM s)
-    SELECT regexp_extract(url, 'https?://(?:[^/@\s]+@)?([^/:\s]+)', 1) AS domain,
+    SELECT regexp_extract(url, 'https?://(?:[^/?#@\s]+@)?([^/:?#\s]+)', 1) AS domain,
            CAST(count(*) AS BIGINT) AS n_urls
     FROM u GROUP BY 1
     """,
