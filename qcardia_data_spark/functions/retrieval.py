@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 from qcardia_data_spark.functions.text import word_tokens
 
 
+_RESERVED_INTERNAL = frozenset(
+    {"dl", "term", "toks", "tf", "df", "pos", "wd", "anchor", "j",
+     "score", "term_bucket", "n_hits"}
+)
+
+
+def _check_id_col(id_col: str, where: str) -> None:
+    """Refuse id columns that collide with this module's internal working
+    names — 'term'/'dl'/... as an id would alias the explode outputs and
+    either raise AMBIGUOUS_REFERENCE mid-job or group on the wrong column
+    (r10 review; the commit-66b3f46 carry-clash pattern)."""
+    if id_col in _RESERVED_INTERNAL:
+        raise ValueError(
+            f"{where}: id_col {id_col!r} collides with an internal working "
+            f"column — rename it (reserved: {sorted(_RESERVED_INTERNAL)})"
+        )
+
+
 def _match_rows(
     docs: DataFrame, query_terms: list[str], id_col: str, text_col: str
 ) -> DataFrame:
@@ -70,6 +88,7 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    _check_id_col(id_col, "bm25_scores")
     # tokens are lowercased by word_tokens — normalize the query the same
     # way, or an uppercase term would silently match nothing
     query_terms = sorted({t.lower() for t in query_terms})
@@ -149,6 +168,15 @@ def build_inverted_index(
     At 100 TB this is the one corpus-wide pass; every later keyword query
     reads only its terms' buckets (verified file pruning in
     `test_retrieval.py`)."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    marker = read_meta_json(docs.sparkSession, f"{path}/_idx_kind")
+    if marker is not None and marker["kind"] != "bm25":
+        raise ValueError(
+            f"build_inverted_index: {path!r} holds a {marker['kind']} "
+            "index — both kinds write '{path}/postings' with incompatible "
+            "schemas; use a fresh path"
+        )
     tok = docs.select(
         F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
     )
@@ -166,6 +194,25 @@ def build_inverted_index(
     docs.select(F.size(word_tokens(F.col(text_col))).alias("_dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/_stats")
+    docs.sparkSession.createDataFrame([("bm25",)], ["kind"]).coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/_idx_kind")
+
+
+def _stats_exists(spark: SparkSession, path: str) -> bool:
+    """True when a pre-marker BM25 index lives at ``path`` (its `_stats`
+    side table exists) — FS-agnostic probe through the reader."""
+    from pyspark.errors import AnalysisException
+
+    from qcardia_data_spark.sources.readers import is_path_not_found
+
+    try:
+        spark.read.parquet(f"{path}/_stats").schema
+        return True
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return False
+        raise
 
 
 def bm25_topk_from_index(
@@ -187,11 +234,18 @@ def bm25_topk_from_index(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    _check_id_col(id_col, "bm25_topk_from_index")
     query_terms = sorted({t.lower() for t in query_terms})  # postings are lowercase
-    import hashlib
-
+    # bucket ids via the index's OWN bucketing expression (the
+    # phrase_occurrences_from_index stance): a hand-rolled driver-side
+    # hash could silently drift from the layout and read the wrong
+    # partitions with no error signal (r10 review)
     buckets = sorted(
-        {int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets for t in query_terms}
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in query_terms], ["term"])
+        .select(term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
     )
     postings = (
         spark.read.parquet(f"{path}/postings")
@@ -247,6 +301,11 @@ def phrase_occurrences(
     """
     if not phrase:
         raise ValueError("phrase_occurrences: phrase must be non-empty")
+    _check_id_col(id_col, "phrase_occurrences")
+    # corpus tokens are lowercased by word_tokens — normalize the phrase
+    # the same way or an uppercase term silently matches nothing (the
+    # bm25_scores rule; slot order preserved, so no sort/dedup)
+    phrase = [t.lower() for t in phrase]
     spark = docs.sparkSession
     ph = spark.createDataFrame(
         [(j, t) for j, t in enumerate(phrase)], ["j", "term"]
@@ -261,9 +320,11 @@ def phrase_occurrences(
     m = pos_rows.join(
         F.broadcast(ph), pos_rows["wd"] == ph["term"]
     ).select(id_col, (F.col("pos") - F.col("j")).alias("anchor"), "j")
+    # no distinct: (id, anchor, j) is unique by construction (anchor =
+    # pos - j pins pos for a given j) — the old distinct() forced a full
+    # extra shuffle of the widest intermediate for nothing (r10 review)
     hits = (
-        m.distinct()
-        .filter(F.col("anchor") >= 0)
+        m.filter(F.col("anchor") >= 0)
         .groupBy(id_col, "anchor")
         .agg(F.countDistinct("j").alias("_slots"))
         .filter(F.col("_slots") == len(phrase))
@@ -285,6 +346,18 @@ def build_positional_index(
     probe reads ONLY its terms' bucket directories. The one corpus-wide
     pass; positions make it ~|tokens| rows instead of |distinct terms
     per doc| — the classic positional-index size trade, paid once."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    spark = docs.sparkSession
+    if read_meta_json(spark, f"{path}/_idx_kind") is not None or _stats_exists(
+        spark, path
+    ):
+        raise ValueError(
+            f"build_positional_index: {path!r} already holds an index — "
+            "both index kinds write '{path}/postings' with incompatible "
+            "schemas, so an overwrite would silently clobber it; use a "
+            "fresh path"
+        )
     tok = docs.select(
         F.col(id_col),
         F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks"),
@@ -295,6 +368,9 @@ def build_positional_index(
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
+    spark.createDataFrame([("positional",)], ["kind"]).coalesce(1).write.mode(
+        "overwrite"
+    ).json(f"{path}/_idx_kind")
 
 
 def phrase_occurrences_from_index(
@@ -311,6 +387,8 @@ def phrase_occurrences_from_index(
     phrase's buckets instead of the corpus."""
     if not phrase:
         raise ValueError("phrase_occurrences_from_index: phrase is empty")
+    _check_id_col(id_col, "phrase_occurrences_from_index")
+    phrase = [t.lower() for t in phrase]  # postings are lowercase
     ph = spark.createDataFrame(
         [(j, t) for j, t in enumerate(phrase)], ["j", "term"]
     )
@@ -331,8 +409,7 @@ def phrase_occurrences_from_index(
         id_col, (F.col("pos") - F.col("j")).alias("anchor"), "j"
     )
     hits = (
-        m.distinct()
-        .filter(F.col("anchor") >= 0)
+        m.filter(F.col("anchor") >= 0)
         .groupBy(id_col, "anchor")
         .agg(F.countDistinct("j").alias("_slots"))
         .filter(F.col("_slots") == len(phrase))

@@ -43,6 +43,14 @@ def hashed_gram_rows(
     The tokenizer crosses an ``explode(array(...))`` barrier first
     (shingle_rows lesson: no CSE across higher-order-function lambdas).
     """
+    reserved = {"toks", "gram", "bucket"}
+    clash = ({id_col, *(carry_cols or [])}) & reserved
+    if clash:
+        raise ValueError(
+            f"hashed_gram_rows: column(s) {sorted(clash)} collide with "
+            f"internal working names {sorted(reserved)} — rename them "
+            "(the carry-clash refusal rule)"
+        )
     carry = [F.col(c) for c in (carry_cols or [])]
     tok = df.select(
         F.col(id_col),
@@ -77,10 +85,11 @@ def hashed_gram_rows(
             F.when(k >= n, grams_n).otherwise(F.array().cast("array<string>"))
         )
     grams = parts[0] if len(parts) == 1 else F.concat(*parts)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    ).cast("int")
+    # THE md5 bucket expression (retrieval.term_bucket) — a verbatim copy
+    # here had to never diverge from the index layout's (r10 review)
+    from qcardia_data_spark.functions.retrieval import term_bucket
+
+    bucket = term_bucket(F.col("gram"), n_buckets)
     return (
         tok.select(F.col(id_col), *carry, F.explode(grams).alias("gram"))
         .select(F.col(id_col), *carry, bucket.alias("bucket"))
@@ -104,7 +113,11 @@ def dsir_log_weights(
 
         p(b) = (count(b) + α) / (total + α·n_buckets)
 
-    Returns (id_col, dsir_logw) for every document with ≥1 token.
+    Returns (id_col, dsir_logw) for every document that PRODUCES at
+    least one feature gram — with the default ``ns=(1, 2)`` that is every
+    document with ≥1 token, but e.g. ``ns=(2,)`` drops single-token
+    documents entirely (no bigram exists); left-joining callers must
+    treat such docs as unscored, not zero-weighted.
 
     Plan: ONE tokenize+hash pass over the corpus, checkpointed (the rows
     feed both sides; (id, tgt, bucket) triples are compact) → (a) the

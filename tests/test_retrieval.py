@@ -463,3 +463,50 @@ def test_positional_index_probe_matches_scan_and_prunes(spark, sf_dir, tmp_path)
         .distinct().collect()
     }
     assert touched and touched <= buckets
+
+
+def test_phrase_terms_are_case_normalized(spark, sf_dir):
+    """r10 review: corpus tokens are lowercased, so an uppercase phrase
+    term silently matched nothing (bm25 already normalized; the phrase
+    functions did not)."""
+    from qcardia_data_spark.functions.retrieval import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta gamma alpha beta")], ["doc_id", "text"]
+    )
+    lo = {r["doc_id"]: r["n_hits"]
+          for r in phrase_occurrences(docs, ["alpha", "beta"]).collect()}
+    hi = {r["doc_id"]: r["n_hits"]
+          for r in phrase_occurrences(docs, ["Alpha", "Beta"]).collect()}
+    assert lo == hi == {1: 2}
+
+
+def test_index_kind_collision_refused(spark, sf_dir, tmp_path):
+    """r10 review: both index kinds write {path}/postings with
+    incompatible schemas — building one over the other must refuse, not
+    silently clobber."""
+    from qcardia_data_spark.functions.retrieval import (
+        build_inverted_index,
+        build_positional_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    p1 = str(tmp_path / "bm25_idx")
+    build_inverted_index(docs, p1)
+    with pytest.raises(ValueError, match="already holds an index"):
+        build_positional_index(docs, p1)
+    p2 = str(tmp_path / "pos_idx")
+    build_positional_index(docs, p2)
+    with pytest.raises(ValueError, match="positional"):
+        build_inverted_index(docs, p2)
+
+
+def test_reserved_id_col_refused(spark):
+    from qcardia_data_spark.functions.retrieval import bm25_scores
+    from qcardia_data_spark.functions.selection import hashed_gram_rows
+
+    docs = spark.createDataFrame([(1, "a b")], ["term", "text"])
+    with pytest.raises(ValueError, match="collides"):
+        bm25_scores(docs, ["a"], id_col="term")
+    with pytest.raises(ValueError, match="collide"):
+        hashed_gram_rows(docs.withColumnRenamed("term", "gram"), "gram", "text")
