@@ -124,11 +124,21 @@ def _bucket_of(key: Column, n_buckets: int) -> Column:
     md5 (not Spark ``hash()``) so the layout is reproducible in any
     engine — the same idiom as ``keyed_rand`` / the DSIR buckets — and
     stable across Spark versions and task retries.
+
+    NULL keys bucket like the empty string (coalesce before md5): an
+    md5(NULL)=NULL bucket made every NULL-key stored row invisible to
+    the merge's ``isin(touched)`` read while dynamic overwrite still
+    replaced its partition — silent data loss for the NULL-key group
+    (r10 review). The per-key window still separates NULL from '' keys;
+    they merely share a bucket directory.
     """
     return F.pmod(
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(key.cast("string"), F.lit(""))), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
         F.lit(int(n_buckets)),
     ).cast("int")
 
@@ -193,6 +203,23 @@ def upsert_write_partitioned(
     )
 
 
+_RESERVED_COLS = frozenset({"_src", "_rn", "_batch", _BUCKET})
+
+
+def _check_reserved(df: DataFrame, who: str) -> None:
+    """Refuse frames whose data columns collide with the merge machinery's
+    internal names — withColumn would silently OVERWRITE them and the
+    final drop would delete the user's column from the rewritten
+    partitions (r10 review; the carry-clash refusal rule)."""
+    clash = _RESERVED_COLS & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{who}: column(s) {sorted(clash)} collide with the upsert "
+            f"machinery's internal names {sorted(_RESERVED_COLS)} — "
+            "rename them before writing"
+        )
+
+
 def _require_meta(spark: SparkSession, path: str, who: str) -> dict:
     meta = _read_merge_meta(spark, path)
     if meta is None:
@@ -231,6 +258,7 @@ def merge_upsert_partitioned(
     re-read them mid-overwrite (the dedup.py index-append lesson).
     """
     meta = _require_meta(spark, path, "merge_upsert_partitioned")
+    _check_reserved(updates, "merge_upsert_partitioned")
     key, ts, n_buckets = meta["key"], meta["ts"], int(meta["n_buckets"])
     for c in (key, ts):
         if c not in updates.columns:
@@ -426,7 +454,7 @@ def read_upsert_as_of(
     earlier one (and the base, batch 0) on exact ties, matching the
     copy-on-write merge's source rule.
     """
-    _require_meta(spark, path, "read_upsert_as_of")
+    meta = _require_meta(spark, path, "read_upsert_as_of")
     base = spark.read.parquet(f"{path}/rows").withColumn(
         "_batch", F.lit(0)
     )
@@ -437,7 +465,6 @@ def read_upsert_as_of(
         combined = base.unionByName(log.select(*base.columns))
     else:
         combined = base
-    meta = _read_merge_meta(spark, path)
     order = [F.col(meta["ts"]).desc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).desc())
@@ -519,8 +546,6 @@ def compact_upsert_log(
     are removed, so a crash between merge and delete leaves duplicate-
     but-idempotent data (latest-wins re-fold is a no-op), never loss.
     """
-    import shutil
-
     _require_meta(spark, path, "compact_upsert_log")
     log = _read_log(spark, f"{path}/log")
     if log is None:
@@ -534,6 +559,18 @@ def compact_upsert_log(
     state = read_upsert_as_of(spark, path, batch=max(batches),
                               tiebreak=tiebreak)
     merge_upsert_partitioned(spark, path, state, tiebreak=tiebreak)
+    # FS-agnostic delete through the Hadoop FileSystem API: a local
+    # shutil.rmtree was a silent no-op on scheme-qualified/object-store
+    # paths (the folded batches stayed visible forever) and swallowed
+    # local errors (r10 review)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for b in batches:
-        shutil.rmtree(f"{path}/log/_batch={b}", ignore_errors=True)
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/log/_batch={b}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(
+                f"compact_upsert_log: failed to delete folded log "
+                f"partition {path}/log/_batch={b}"
+            )
     return len(batches)

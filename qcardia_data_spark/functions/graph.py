@@ -257,22 +257,28 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"):
         .distinct()
         .persist()  # consumed 3× (both wedge sides + the closing semi)
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedge = e1.join(e2, "y")  # x < y < z by construction
-    closed = wedge.join(
-        und,
-        (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
-        "left_semi",
-    )
-    per_corner = (
-        closed.select(F.col("x").alias("node"))
-        .unionAll(closed.select(F.col("y").alias("node")))
-        .unionAll(closed.select(F.col("z").alias("node")))
-    )
-    return per_corner.groupBy("node").agg(
-        F.count("*").alias("n_triangles")
-    )
+    try:
+        e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        wedge = e1.join(e2, "y")  # x < y < z by construction
+        closed = wedge.join(
+            und,
+            (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+            "left_semi",
+        )
+        per_corner = (
+            closed.select(F.col("x").alias("node"))
+            .unionAll(closed.select(F.col("y").alias("node")))
+            .unionAll(closed.select(F.col("z").alias("node")))
+        )
+        # materialize before unpersisting — the result is derived from the
+        # cached frame (the pagerank try/finally pattern; und leaked one
+        # pinned cache per call in long sessions before — r10 review)
+        return per_corner.groupBy("node").agg(
+            F.count("*").alias("n_triangles")
+        ).localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
 
 
 def connected_components_star(
@@ -402,6 +408,11 @@ def kcore_rounds(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if rounds < 1:
+        raise ValueError(
+            f"kcore_rounds: rounds must be >= 1 (got {rounds}) — a 0-round "
+            "peel is not a k-core approximation"
+        )
     sym = und.select(F.col("a").alias("node"), F.col("b").alias("other")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("other"))
     ).persist()

@@ -92,13 +92,31 @@ def heavy_hitters(
     if verify:
         result = result.persist()
         rows = result.collect()  # ≤ k rows — driver-side scalar boundary
-        if len(rows) == k:  # fewer than k distinct values ⇒ trivially exact
+        if len(rows) == k:
             n_total = df.select(F.count(F.col(col))).first()[0]
             if rows[-1]["n"] * m <= n_total:
                 raise ValueError(
                     f"heavy_hitters exactness bound violated: k-th count "
                     f"{rows[-1]['n']} ≤ n/m = {n_total}/{m} — counter "
                     f"budget m={m} too small for this corpus; raise m"
+                )
+        else:
+            # < k rows is only exact when EVERY distinct value became a
+            # candidate — MG candidate COLLAPSE (all counts below the
+            # prune cut, e.g. a near-uniform corpus) also yields < k rows
+            # while real values were dropped (r10 review). One bounded
+            # probe: any non-candidate value ⇒ cannot certify.
+            missing = (
+                df.join(F.broadcast(candidates), col, "left_anti")
+                .limit(1)
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"heavy_hitters exactness bound violated: only "
+                    f"{len(rows)} < k={k} candidates survived the "
+                    f"Misra-Gries pass while non-candidate values exist "
+                    f"(near-uniform frequencies) — raise m (got m={m})"
                 )
     return result
 
@@ -133,6 +151,10 @@ def hll_registers(df, keys, value_col: str, p: int = 4):
     if p % 4 != 0 or p <= 0 or p > 16:
         raise ValueError("hll_registers: p must be a multiple of 4 in 4..16")
     nib = p // 4
+    # NULLs are ignored, the approx_count_distinct semantics: md5(NULL)
+    # is NULL and the bogus (register=NULL, max_rho=NULL) group inflated
+    # hll_estimate's zeros arithmetic and polluted persisted stores (r10)
+    df = df.filter(F.col(value_col).isNotNull())
     h = F.md5(F.col(value_col).cast("string"))
     register = F.conv(F.substring(h, 1, nib), 16, 10).cast("long")
     v = F.conv(F.substring(h, nib + 1, 6), 16, 10).cast("long")
@@ -306,36 +328,52 @@ def cms_lookup(sketch, probes, keys, value_col: str, width: int = 64):
     of the sketch was ever hit — a value the sketch never saw still
     collides into SOME bucket, so absent cells read as 0 via the
     left join). The probe side is the small side: broadcast it."""
-    d = sketch.select("row").distinct()
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    # fresh internal names: a probe column literally named "row"/"bucket"
+    # made the cross/equi joins ambiguous (r10 review; the same rule as
+    # the fresh "n" carry below)
+    rw = fresh_name("_cms_row", probes.columns)
+    bk = fresh_name("_cms_bucket", [*probes.columns, rw])
+    d = sketch.select(F.col("row").alias(rw)).distinct()
+    if d.isEmpty():
+        # empty sketch: the depth rows are derived from sketch data, so
+        # the cross join would drop every probe — the documented contract
+        # is est_n = 0 for values the sketch never saw (r10 review)
+        return (
+            probes.select(*keys, value_col)
+            .distinct()
+            .withColumn("est_n", F.lit(0).cast("long"))
+        )
     p = probes.join(F.broadcast(d))
     bucket = F.pmod(
         F.conv(
             F.substring(
                 F.md5(F.concat_ws(
-                    "#", F.col(value_col).cast("string"), F.col("row")
+                    "#", F.col(value_col).cast("string"), F.col(rw)
                 )), 1, 8,
             ),
             16, 10,
         ).cast("long"),
         F.lit(int(width)),
-    ).alias("bucket")
-    p = p.select(*keys, F.col(value_col), F.col("row"), bucket)
+    ).alias(bk)
+    p = p.select(*keys, F.col(value_col), F.col(rw), bucket)
     # null-SAFE key equality: a NULL-valued group key is a legitimate
     # sketch group (cms_table's groupBy keeps it), so the probe join must
     # reach it — plain `==` would read every NULL-key probe as est 0.
     # The counter is carried under a FRESH name: a probe whose value or
     # key column is literally named "n" would otherwise make the carried
     # column ambiguous
-    from qcardia_data_spark.operators.joins import (
-        fresh_name,
-        null_safe_equi_join,
-    )
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
 
     n_c = fresh_name("_cms_n", p.columns)
     j = null_safe_equi_join(
         p,
-        sketch.select(*keys, "row", "bucket", F.col("n").alias(n_c)),
-        nullsafe_keys=keys, plain_keys=["row", "bucket"],
+        sketch.select(
+            *keys, F.col("row").alias(rw), F.col("bucket").alias(bk),
+            F.col("n").alias(n_c),
+        ),
+        nullsafe_keys=keys, plain_keys=[rw, bk],
         carry=[n_c], how="left",
     )
     return (

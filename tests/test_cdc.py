@@ -503,3 +503,42 @@ def test_mor_compact_log_preserves_state_and_horizon(spark, table):
     # full fold empties the log entirely
     assert compact_upsert_log(spark, table) == 1
     assert _asof_state(spark, table) == latest_before
+
+
+def test_upsert_null_key_rows_survive_merge(spark, tmp_path):
+    """r10 review: _bucket_of(NULL) was NULL, so stored NULL-key rows
+    were invisible to the partition-pruned read while dynamic overwrite
+    still replaced their partition — the newer stored row was lost."""
+    from qcardia_data_spark.functions.cdc import (
+        merge_upsert_partitioned,
+        read_upsert_table,
+        upsert_write_partitioned,
+    )
+
+    path = str(tmp_path / "null_key_tbl")
+    base = spark.createDataFrame(
+        [(None, 5, "new"), (1, 5, "k1")], "k int, ts int, v string"
+    )
+    upsert_write_partitioned(base, path, key="k", ts="ts", n_buckets=4)
+    older = spark.createDataFrame([(None, 1, "old")], "k int, ts int, v string")
+    merge_upsert_partitioned(spark, path, older)
+    rows = {(r["k"], r["ts"], r["v"]) for r in read_upsert_table(spark, path).collect()}
+    # latest-wins: the stored (None, ts=5) row must survive the older batch
+    assert (None, 5, "new") in rows and (1, 5, "k1") in rows
+    assert (None, 1, "old") not in rows
+
+
+def test_upsert_reserved_columns_refused(spark, tmp_path):
+    from qcardia_data_spark.functions.cdc import (
+        merge_upsert_partitioned,
+        upsert_write_partitioned,
+    )
+
+    path = str(tmp_path / "resv_tbl")
+    base = spark.createDataFrame([(1, 1, "x")], "k int, ts int, v string")
+    upsert_write_partitioned(base, path, key="k", ts="ts", n_buckets=4)
+    bad = spark.createDataFrame([(1, 2, "y", 9)], "k int, ts int, v string, _src int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        merge_upsert_partitioned(spark, path, bad)

@@ -362,3 +362,60 @@ def test_fresh_name_case_insensitive():
     assert fresh_name("_t", ["_T"]) == "_t_"
     assert fresh_name("_carry", ["_CARRY", "_carry_"]) == "_carry__"
     assert fresh_name("_x", ["y"]) == "_x"
+
+
+def test_heavy_hitters_refuses_on_candidate_collapse(spark):
+    """r10 review: a near-uniform corpus collapses the Misra-Gries
+    candidate set (every count equals the prune cut) — verify=True must
+    refuse instead of returning an incomplete top-k."""
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    rows = [(f"v{i}",) for i in range(2000)]  # every value once
+    df = spark.createDataFrame(rows, "x string").repartition(4)
+    with pytest.raises(ValueError, match="bound violated"):
+        heavy_hitters(df, "x", k=10, m=20)
+
+
+def test_hll_registers_ignore_null_values(spark):
+    """r10 review: md5(NULL) produced a bogus (NULL, NULL) register row
+    that inflated the estimate's zeros arithmetic."""
+    from qcardia_data_spark.functions.sketches import hll_estimate, hll_registers
+
+    vals = [(i % 50,) for i in range(500)]
+    clean = spark.createDataFrame(vals, "v long")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,)] * 25, "v long")
+    )
+    rc = hll_registers(clean.selectExpr("'g' AS g", "v"), ["g"], "v", p=4)
+    rd = hll_registers(dirty.selectExpr("'g' AS g", "v"), ["g"], "v", p=4)
+    assert {tuple(r) for r in rc.collect()} == {tuple(r) for r in rd.collect()}
+    ec = hll_estimate(rc, ["g"], p=4).first()["estimate"]
+    ed = hll_estimate(rd, ["g"], p=4).first()["estimate"]
+    assert ec == ed
+
+
+def test_cms_lookup_probe_column_named_row_and_empty_sketch(spark):
+    """r10 review: a probe column literally named 'row' was ambiguous;
+    an empty sketch dropped every probe instead of estimating 0."""
+    from qcardia_data_spark.functions.sketches import cms_lookup, cms_table
+
+    ev = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 11), ("b", 2, 12)], ["g", "row", "v"]
+    )
+    sk = cms_table(ev.select("g", "v"), ["g"], "v", depth=3, width=16)
+    probes = ev.select("g", "row", "v")
+    est = {(r["g"], r["v"]): r["est_n"]
+           for r in cms_lookup(sk, probes, ["g"], "v", width=16).collect()}
+    assert est[("a", 10)] >= 1 and est[("b", 12)] >= 1
+
+    empty = sk.filter(F.lit(False))
+    out = cms_lookup(empty, probes, ["g"], "v", width=16).collect()
+    assert len(out) == 3 and all(r["est_n"] == 0 for r in out)
+
+
+def test_kcore_rounds_zero_refused(spark):
+    from qcardia_data_spark.functions.graph import kcore_rounds
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_rounds(e, k=2, rounds=0)
