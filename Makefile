@@ -8,7 +8,7 @@
 # is red until this runs), then show the debt summary.
 round-start:
 	python grade_window.py
-	python -m pytest tests/test_grade_window.py -q
+	python -m pytest tests/test_grade_window.py -q -m ""
 
 test:
 	python -m pytest tests/ -q
@@ -22,5 +22,7 @@ bench-ext:
 	python bench_ext.py
 
 # Strict-compare the current 50-query grading window at the driver's SF.
+# Runs the freshness tripwire first (same marker override as round-start).
 window-check:
+	python -m pytest tests/test_grade_window.py -q -m ""
 	python driver_sim.py

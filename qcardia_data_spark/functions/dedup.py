@@ -257,6 +257,12 @@ def _ranked_encoded_shingles(sh: DataFrame, id_col: str):
     from pyspark.sql.window import Window
 
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # monotonically_increasing_id is nondeterministic across RECOMPUTATION,
+    # which is safe here ONLY because the eager localCheckpoint freezes the
+    # assignment: downstream stages read checkpointed blocks, and a lost
+    # executor fails the job loudly instead of silently re-encoding with
+    # different ids. The 100 TB upgrade path is reliable `checkpoint()`
+    # (or a persisted dict table) so the lineage survives executor loss.
     dic = freq.select(
         "shingle", F.monotonically_increasing_id().alias("_sid"), "_df"
     ).localCheckpoint(eager=True)

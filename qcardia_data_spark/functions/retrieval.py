@@ -174,8 +174,8 @@ def build_inverted_index(
     if marker is not None and marker["kind"] != "bm25":
         raise ValueError(
             f"build_inverted_index: {path!r} holds a {marker['kind']} "
-            "index — both kinds write '{path}/postings' with incompatible "
-            "schemas; use a fresh path"
+            f"index — both kinds write {path + '/postings'!r} with "
+            "incompatible schemas; use a fresh path"
         )
     tok = docs.select(
         F.col(id_col), F.explode(F.array(word_tokens(F.col(text_col)))).alias("toks")
@@ -354,9 +354,9 @@ def build_positional_index(
     ):
         raise ValueError(
             f"build_positional_index: {path!r} already holds an index — "
-            "both index kinds write '{path}/postings' with incompatible "
-            "schemas, so an overwrite would silently clobber it; use a "
-            "fresh path"
+            f"both index kinds write {path + '/postings'!r} with "
+            "incompatible schemas, so an overwrite would silently clobber "
+            "it; use a fresh path"
         )
     tok = docs.select(
         F.col(id_col),

@@ -106,8 +106,13 @@ def heavy_hitters(
             # prune cut, e.g. a near-uniform corpus) also yields < k rows
             # while real values were dropped (r10 review). One bounded
             # probe: any non-candidate value ⇒ cannot certify.
+            # NULLs are outside the documented contract (the MG pass
+            # counts non-null values only) AND never equi-match in a
+            # left_anti join — unfiltered they'd impersonate missing
+            # candidates and spuriously raise (ADVICE r10).
             missing = (
-                df.join(F.broadcast(candidates), col, "left_anti")
+                df.filter(F.col(col).isNotNull())
+                .join(F.broadcast(candidates), col, "left_anti")
                 .limit(1)
                 .count()
             )

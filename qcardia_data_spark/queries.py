@@ -9331,88 +9331,28 @@ def x7_weighted_reservoir(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-10 WINDOW -- executes VERDICT r9 "Next round" #3 (the r8-era
-    # written plan was amended: 8 of "the green-r9 fifty" came back RED --
-    # a DuckDB HUGEINT hashing artifact, values judge-verified exact --
-    # so they re-enter the window after the CAST(... AS BIGINT) oracle
-    # fix instead of rotating out). Window arithmetic: 1 anchor + 8
-    # re-grade reds + all 30 never-graded + the 11 oldest r6-stale
-    # (alphabetical within vintage, the grade_window.py sort) = 50.
+    # ROUND-11 WINDOW -- executes VERDICT r10 "Next round" #1 exactly as
+    # written at the end of r10 (the former _NEXT_IN_LINE queue, verbatim):
+    # 1 anchor + the 36 remaining r6-stale rows (these include the
+    # j2/q3/q5/a4 flagships -- 4 rounds without a driver row, cleared
+    # here) + the 13 oldest r7-stale (alphabetical within vintage, the
+    # grade_window.py sort) = 50 exactly. After this window: r6-stale = 0.
     #
-    # CADENCE POLICY (VERDICT r9 #5, standing from r11): with
-    # never-graded = 0 after this window, 225 queries / 50 slots = ~4.5
-    # rounds per full sweep. Flagship anchors q1/j2/q3/q5/a4 get a
-    # <=3-round refresh by reserving ~5 window slots per round; net-new
-    # stays frozen except code-touched paths.
+    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4): registry FROZEN
+    # at 225 -- net-new queries only for code-touched paths, each
+    # justified by a code-touch citation. 225 / 50 slots = ~4.5 rounds
+    # per full sweep; flagship anchors q1/j2/q3/q5/a4 get a <=3-round
+    # refresh via reserved slots (satisfied this round: all four ride in
+    # with the r6-stale batch).
     #
-    # ROUND-11 ROTATION PLAN: anchor + the 36 remaining r6-stale rows
-    # (these include the j2/q3/q5/a4 flagships, satisfying the cadence
-    # policy for free this once) + the 13 oldest r7-stale = 50 exactly;
-    # _NEXT_IN_LINE below IS that queue. Round 12 then takes the
-    # remaining 36 r7-stale + the 13 then-oldest r9-vintage rows.
+    # ROUND-12 ROTATION PLAN: anchor + the 36 remaining r7-stale + the
+    # 13 oldest r8-vintage rows = 50; _NEXT_IN_LINE below IS that queue.
+    # (The r10-era sketch said "13 oldest r9-vintage" -- a vintage typo:
+    # after r11 the oldest ungraded-longest cohort is r8 (49 rows, one
+    # round older than r9's 41). grade_window.py sorts by (round, name),
+    # so r8 rows are first in line; the queue below follows the data.)
+    # Round 13 then takes the 36 r8-stale remainder + 13 oldest r9.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- r9 driver-red re-grades (oracle HUGEINT fixed, values verified) ---
-    "ev_state_durations",
-    "ev_counter_agg",
-    "emb_hygiene_audit",
-    "doc_hygiene_audit",
-    "ev_value_histogram",
-    "ev_heartbeat_uptime",
-    "ev_drift_psi",
-    "ev_drift_chisq",
-    # --- never driver-graded: the full r9 _NEXT_IN_LINE queue, in order ---
-    "dedup_winnowing_pairs",
-    "ev_handoff_bfs_hops",
-    "a15_hll_rollup",
-    "a16_cms_rollup",
-    "ev_anomaly_mad",
-    "text_url_canonical",
-    "ev_scd2_point_in_time",
-    "dim_table_diff",
-    "dedup_winnow_verified",
-    "a17_pivot_event_counts",
-    "a18_unpivot_roundtrip",
-    "ev_handoff_cheapest_path",
-    "a19_discrete_quantiles",
-    "ev_ewma",
-    "text_phrase_search",
-    "f24_map_functions",
-    "dedup_winnow_incremental",
-    "a20_pearson_corr",
-    "a15b_hll_estimate_bound",
-    "ev_handoff_kcore",
-    "a22_numeric_profile",
-    "dedup_simhash_incremental",
-    "ev_asof_last_view_1h",
-    "ev_pattern_view_view_purchase",
-    "ev_pattern_view_run_length",
-    "text_phrase_index_probe",
-    "x8_bootstrap_poisson",
-    "emb_matryoshka_topk",
-    "ev_asof_nearest_purchase",
-    "w4b_cumulative_sum_distributed",
-    # --- oldest 11 of the 47 r6-stale (grade_window.py sort) ---
-    "a12_approx_count_distinct",
-    "a13_cube",
-    "a2_stratified_sample",
-    "a4_quantile_summary",
-    "a4b_exploration_frame",
-    "dedup_semantic",
-    "dedup_span_removal",
-    "emb_random_projection",
-    "ev_latest_dedup",
-    "ev_props_json",
-    "f10_one_hot",
-]
-
-
-# Queued for the ROUND-11 window (registry positions 51+, in order): the
-# 36 remaining r6-stale rows (including the j2/q3/q5/a4 flagships), then
-# the 13 oldest r7-stale -- anchor + these 49 = the written r11 plan.
-# Keeping them immediately after the window makes "first in line" a
-# property of the registry itself, not a comment.
-_NEXT_IN_LINE = [
-    # --- r6-stale remainder (alphabetical, grade_window.py sort) ---
     "f11_enclosing_circle",
     "f16_md5_fingerprint",
     "f19_overlay_rgb",
@@ -9449,7 +9389,6 @@ _NEXT_IN_LINE = [
     "w6_time_range_frame",
     "w7_analytic_functions",
     "x4_weighted_sample",
-    # --- oldest 13 of the 49 r7-stale ---
     "a10_two_level_agg",
     "a11_rollup",
     "a14_grouping_sets",
@@ -9463,6 +9402,66 @@ _NEXT_IN_LINE = [
     "dedup_cluster_best",
     "dedup_fuzzy_keys",
     "dedup_fuzzy_keys_short",
+]
+
+
+# Queued for the ROUND-12 window (registry positions 51+, in order): the
+# 36 remaining r7-stale rows, then the 13 oldest r8-vintage (alphabetical,
+# the grade_window.py sort) -- anchor + these 49 = the written r12 plan.
+# Keeping them immediately after the window makes "first in line" a
+# property of the registry itself, not a comment.
+_NEXT_IN_LINE = [
+    # --- r7-stale remainder (alphabetical, grade_window.py sort) ---
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "emb_quantize_int8",
+    "ev_hypertable_rollup",
+    "ev_monthly_rollup",
+    "ev_range_join_views_before_purchase",
+    "ev_value_delta",
+    "f17_file_id",
+    "f5_clamp",
+    "f9_intensity_augs",
+    "g5_replicate_rows",
+    "j1_weight_join",
+    "j5_first_match",
+    "o5_first_k_preview",
+    "p10_cyclic_renumber",
+    "p11_nullify_placeholders",
+    "p12_composite_key_roundtrip",
+    "p1_reorder_columns",
+    "p3_rename_columns",
+    "p4_eq_filter",
+    "p5_in_list",
+    "p6_conditional_skip",
+    "p7_orphan_check",
+    "p8_string_normalize",
+    "p9_derived_flags",
+    "sim_ann_join_md5",
+    "sim_lsh_md5_topk",
+    "sim_pq_topk",
+    "text_gopher_rules",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "u2_except",
+    "w1_count_over_partition",
+    "w2_seeded_split",
+    "w3_rownum_per_group",
+    "w4_cumulative_sum",
+    # --- oldest 13 of the 49 r8-vintage ---
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs64",
+    "ev_anomaly_zscore",
+    "ev_asof_last_view",
+    "ev_asof_next_purchase",
+    "ev_attribution_join",
+    "ev_funnel_depth",
+    "ev_session_window",
 ]
 
 

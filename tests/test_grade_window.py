@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 
 def test_priority_window_shape():
     from qcardia_data_spark.queries import _PRIORITY, QUERIES
@@ -40,11 +42,16 @@ def test_grade_window_json_consistent_with_registry():
     assert not unknown
 
 
+@pytest.mark.round_start
 def test_grade_window_json_fresh():
     # VERDICT r7 "What's wrong" #3: the committed GRADE_WINDOW.json said
     # as_of_round 6 while CORRECTNESS_r07.json existed — stale telemetry
     # presented as current. Freshness is now a standing assertion: the
     # file must be regenerated after each round's CORRECTNESS lands.
+    # VERDICT r10 #2: runs ONLY under `-m round_start` (make round-start /
+    # window-check) — on an end-of-round tree it is red by construction
+    # (CORRECTNESS_rN lands after the final commit), so it is deselected
+    # from the default suite to keep "pytest green" unambiguous.
     import glob
     import re
 

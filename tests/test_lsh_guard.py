@@ -483,11 +483,13 @@ def test_containment_join_property_random_corpora(shared_spark):
         assert got == naive(rows, t), f"seed={seed} t={t}"
 
 
-def test_containment_join_property_random_corpora(shared_spark):
+def test_containment_join_property_hypothesis(shared_spark):
     """Property twin of the ngram_jaccard random-corpora test: on
     small-vocab corpora (maximum shingle collision — the adversarial
     regime for the prefix candidate join) and across thresholds,
-    containment_join equals naive all-pairs containment exactly."""
+    containment_join equals naive all-pairs containment exactly.
+    (ADVICE r10: renamed — it previously shadowed the deterministic
+    three-seed sweep above, which therefore never ran.)"""
     import itertools
     import re
 

@@ -376,6 +376,20 @@ def test_heavy_hitters_refuses_on_candidate_collapse(spark):
         heavy_hitters(df, "x", k=10, m=20)
 
 
+def test_heavy_hitters_nulls_excluded_from_collapse_probe(spark):
+    """ADVICE r10: the collapse probe's left_anti join is null-unsafe —
+    NULL rows never equi-match a candidate, so a NULL-bearing corpus
+    with < k distinct values used to spuriously raise despite the
+    documented nulls-excluded contract. Now NULLs are filtered before
+    the probe: this corpus (3 distinct + NULLs, k=10) must succeed."""
+    from qcardia_data_spark.functions.sketches import heavy_hitters
+
+    rows = [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 10 + [(None,)] * 15
+    df = spark.createDataFrame(rows, "x string").repartition(4)
+    got = [(r["x"], r["n"]) for r in heavy_hitters(df, "x", k=10, m=50).collect()]
+    assert got == [("a", 30), ("b", 20), ("c", 10)]
+
+
 def test_hll_registers_ignore_null_values(spark):
     """r10 review: md5(NULL) produced a bogus (NULL, NULL) register row
     that inflated the estimate's zeros arithmetic."""
