@@ -129,11 +129,14 @@ Spec grammar (one dict per op, applied in order):
         # so spec and index can never drift. LSH: current frame = probe
         # batch -> per-row top-k join. IVF+PQ: "query_id" picks the query
         # row from the current frame -> ADC top-k, "n_probe" cells read
-    {"op": "pagerank" | "triangle_count" | "connected_components",
+    {"op": "pagerank" | "triangle_count" | "connected_components"
+         | "bfs_hops" | "sssp" | "kcore",
      "src": ..., "dst": ...}
         # graph family over an edge-shaped frame (functions/graph.py):
         # PageRank with dangling-mass redistribution / exact per-node
-        # triangle counts via the ordered-wedge join
+        # triangle counts via the ordered-wedge join / large-star CC /
+        # multi-source BFS hop counts / bounded Bellman-Ford costs /
+        # bounded k-core peel
     {"op": "drift", "stat": "psi"|"chisq"|"ks", "col": ...,
      "against": {"table"|"pipeline": ...}, ...stat knobs...}
         # distribution drift of the frame vs a baseline (functions/drift.py)
@@ -158,12 +161,15 @@ Spec grammar (one dict per op, applied in order):
         # maintenance: fold log batches <= up_to into the base table;
         # downstream sees the (unchanged) current state
     {"op": "gapfill_interpolate" | "trend_stats" | "value_histogram" |
-     "heartbeat_uptime" | "lttb_downsample", "key": ..., ...}
+     "heartbeat_uptime" | "lttb_downsample" | "mad_outliers" | "ewma",
+     "key": ..., ...}
         # time-series hyperfunction family (operators/timeseries.py):
         # linear-interp gapfill, least-squares trend, fixed-bin
-        # histogram, liveness/uptime, largest-triangle downsampling —
-        # params mirror the module signatures; frames must carry an
-        # int64 epoch-seconds column (ts_s) built upstream
+        # histogram, liveness/uptime, largest-triangle downsampling,
+        # robust MAD outlier scores, truncated EWMA — params mirror the
+        # module signatures; frames must carry an int64 epoch-seconds
+        # column (ts_s) built upstream (except value_histogram /
+        # mad_outliers, which are order-free)
 """
 
 from __future__ import annotations
@@ -470,6 +476,31 @@ def _apply(
             return pairs
         losers = pairs.select(F.col("b").alias(id_col)).distinct()
         return df.join(losers, id_col, "left_anti")
+    if kind == "winnow_near_pairs":
+        from qcardia_data_spark.functions.dedup import winnow_near_pairs
+
+        # {"op": "winnow_near_pairs", "id_col": ..., "text_col": ...,
+        #  "k": 3, "w": 4, "min_shared": 2, "max_df": 20,
+        #  "threshold": 0.25, "pairs_only": false} — the tiered ladder as
+        # one op (functions/dedup.py::winnow_near_pairs): WINNOW
+        # candidates (guaranteed for shared runs >= w+k-1) verified by
+        # EXACT set-form shingle Jaccard, so every surviving pair carries
+        # a true jaccard. The 100 TB shape when MinHash's probabilistic
+        # recall is unacceptable but full prefix filtering is too dear.
+        # pairs_only returns (a, b, jaccard); default drops the larger id
+        # of each verified pair (the winnow_dedup convention).
+        id_col = op.get("id_col", "doc_id")
+        pairs = winnow_near_pairs(
+            df, id_col, op.get("text_col", "text"),
+            k=int(op.get("k", 3)), w=int(op.get("w", 4)),
+            min_shared=int(op.get("min_shared", 2)),
+            max_df=int(op.get("max_df", 20)),
+            threshold=float(op.get("threshold", 0.25)),
+        )
+        if op.get("pairs_only", False):
+            return pairs
+        losers = pairs.select(F.col("b").alias(id_col)).distinct()
+        return df.join(losers, id_col, "left_anti")
     if kind == "hll_registers":
         from qcardia_data_spark.functions import sketches as _SK
 
@@ -485,6 +516,42 @@ def _apply(
         if "merge_to" in op:
             return _SK.hll_merge(regs, dict(op["merge_to"]))
         return regs
+    if kind == "cms_sketch":
+        from qcardia_data_spark.functions import sketches as _SK
+
+        # {"op": "cms_sketch", "keys": [...], "value_col": ..., "depth": 3,
+        #  "width": 64, "merge_to": {"col": "literal", ...}?} — the CMS
+        # twin of hll_registers (functions/sketches.py::cms_table):
+        # deterministic md5 Count-Min counter cells per key group,
+        # sum-mergeable across any partitioning; with merge_to the
+        # per-group cells collapse into ONE rolled-up sketch labeled by
+        # the literals (cms_merge). Probe it with the cms_lookup op —
+        # depth/width must match between build and probe (the store form,
+        # cms_store_*, persists them in _cms_meta; the in-plan form keeps
+        # them in the spec, side by side).
+        sk = _SK.cms_table(
+            df, list(op.get("keys", [])), op["value_col"],
+            depth=int(op.get("depth", 3)), width=int(op.get("width", 64)),
+        )
+        if "merge_to" in op:
+            return _SK.cms_merge(sk, dict(op["merge_to"]))
+        return sk
+    if kind == "cms_lookup":
+        from qcardia_data_spark.functions import sketches as _SK
+
+        # {"op": "cms_lookup", "keys": [...], "value_col": ...,
+        #  "width": 64, "probes": {"table": ...} | {"pipeline": [...]}} —
+        # frequency point-estimates off the frame, which must BE a CMS
+        # cell table (the cms_sketch op's output shape): min over the
+        # depth rows of the probed value's buckets, est_n = 0 for values
+        # the sketch never saw. width must equal the sketch's build
+        # width (the bucket derivation replays it). The probe side is
+        # the small side — cms_lookup broadcasts it internally.
+        probes = _side(spark, op["probes"], sf_dir)
+        return _SK.cms_lookup(
+            df, probes, list(op.get("keys", [])), op["value_col"],
+            width=int(op.get("width", 64)),
+        )
     if kind == "gopher_rules":
         from qcardia_data_spark.functions.text import gopher_rules, word_tokens
 
@@ -515,6 +582,22 @@ def _apply(
             g["keep"].alias(out),
         )
         return audited.drop("_gtoks")
+    if kind == "pii_scrub":
+        from qcardia_data_spark.functions.text import pii_counts, pii_scrub
+
+        # {"op": "pii_scrub", "text_col": "text", "audit": false} —
+        # redact emails/IPv4s/phone numbers in place (text.py::pii_scrub,
+        # map-only JVM regex, zero exchanges); with audit, the
+        # per-category match counts are appended as pii_<category>
+        # columns BEFORE the scrub (measured on what was removed).
+        text_col = op.get("text_col", "text")
+        out = df
+        if op.get("audit", False):
+            counts = pii_counts(F.col(text_col))
+            out = out.select(
+                "*", *[v.alias(f"pii_{k}") for k, v in counts.items()]
+            )
+        return out.withColumn(text_col, pii_scrub(F.col(text_col)))
     if kind == "quality_signals":
         from qcardia_data_spark.functions.text import (
             doc_fingerprint,
@@ -565,14 +648,26 @@ def _apply(
     if kind == "media_near_dup":
         from qcardia_data_spark.sources import multimodal as MM
 
-        # {"op": "media_near_dup", "modality": "image"|"audio"|"video",
+        # {"op": "media_near_dup",
+        #  "modality": "image"|"audio"|"video"|"text",
         #  "max_hamming": 3, image: "fmt"; audio/video: "min_share";
-        #  video: "keep_frames"} — REPLACES the binaryFile frame with the
-        # near-duplicate pair table of the modality's perceptual
-        # signature family (pHash / Haitsma-Kalker / frame-pHash), all on
-        # the shared Manku blocking engine.
+        #  video: "keep_frames"; text: "id_col"/"text_col"} — REPLACES
+        # the frame (binaryFile for media; a documents frame for text)
+        # with the near-duplicate pair table of the modality's signature
+        # family (pHash / Haitsma-Kalker / frame-pHash / 64-bit SimHash),
+        # all four on the shared Manku blocking engine. text max_hamming
+        # must satisfy the engine's block rule (k in 1, 3, 7, 15, 31).
         modality = op.get("modality", "image")
         mh = int(op.get("max_hamming", 3))
+        if modality == "text":
+            from qcardia_data_spark.functions.dedup import (
+                simhash_near_pairs64,
+            )
+
+            return simhash_near_pairs64(
+                df, op.get("id_col", "doc_id"),
+                op.get("text_col", "text"), max_hamming=mh,
+            )
         if modality == "image":
             return MM.image_near_dup_pairs(
                 df, fmt=op.get("fmt", "png"), max_hamming=mh
@@ -825,18 +920,33 @@ def _apply(
             dim=int(op.get("dim", 64)),
         )
     if kind == "bm25_topk":
-        from qcardia_data_spark.functions.retrieval import bm25_topk
+        from qcardia_data_spark.functions.retrieval import (
+            bm25_topk,
+            bm25_topk_from_index,
+        )
 
         # {"op": "bm25_topk", "terms": [...], "k": 10, "id_col": ...,
-        #  "text_col": ...} — keyword-retrieval slice: keep the top-k BM25
-        # documents with their scores attached. The k-row result broadcasts
-        # back onto the pipeline frame.
+        #  "text_col": ..., "path": ...?, "n_buckets": 64} —
+        # keyword-retrieval slice: keep the top-k BM25 documents with
+        # their scores attached. The k-row result broadcasts back onto
+        # the pipeline frame. With "path" the scores come off a standing
+        # inverted index (inverted_index_write; reads ONLY the query
+        # terms' bucket dirs — no corpus scan); without it, one scan of
+        # the frame itself.
         id_col = op.get("id_col", "doc_id")
-        sel = bm25_topk(
-            df, list(op["terms"]), k=int(op.get("k", 10)),
-            id_col=id_col, text_col=op.get("text_col", "text"),
-            k1=float(op.get("k1", 1.2)), b=float(op.get("b", 0.75)),
-        )
+        if "path" in op:
+            sel = bm25_topk_from_index(
+                spark, op["path"], list(op["terms"]),
+                k=int(op.get("k", 10)), id_col=id_col,
+                k1=float(op.get("k1", 1.2)), b=float(op.get("b", 0.75)),
+                n_buckets=int(op.get("n_buckets", 64)),
+            )
+        else:
+            sel = bm25_topk(
+                df, list(op["terms"]), k=int(op.get("k", 10)),
+                id_col=id_col, text_col=op.get("text_col", "text"),
+                k1=float(op.get("k1", 1.2)), b=float(op.get("b", 0.75)),
+            )
         return df.join(F.broadcast(sel.select(id_col, "score")), id_col)
     if kind == "dsir_weights":
         from qcardia_data_spark.functions.selection import dsir_log_weights
@@ -1030,6 +1140,21 @@ def _apply(
         return weighted_reservoir(
             df, op["key"], op["weight"], int(op["k"]), op.get("seed", 0)
         )
+    if kind == "poisson_bootstrap":
+        # {"op": "poisson_bootstrap", "key_cols": [...], "lam": 1.0,
+        #  "k_max": 8, "seed": 0, "out": "boot_k"} — deterministic
+        # Poisson bootstrap (operators/sampling.py::poisson_bootstrap,
+        # Chamandy et al. 2012): each row draws its resample multiplicity
+        # from a keyed-md5 uniform against plan-literal Poisson CDF
+        # thresholds — map-only, no shuffle, retry-reproducible.
+        # Downstream aggregates weight by the `out` column.
+        from qcardia_data_spark.operators.sampling import poisson_bootstrap
+
+        return poisson_bootstrap(
+            df, list(op["key_cols"]), lam=float(op.get("lam", 1.0)),
+            k_max=int(op.get("k_max", 8)), seed=op.get("seed", 0),
+            out=op.get("out", "boot_k"),
+        )
     if kind == "cache":
         # materialization boundary: everything upstream is built once into a
         # fingerprint-keyed parquet (or hit), downstream reads the cache —
@@ -1088,6 +1213,49 @@ def _apply(
             n_buckets=int(op.get("n_buckets", 64)),
         )
         return df
+    if kind == "positional_index_write":
+        # materialization boundary like inverted_index_write, for PHRASE
+        # retrieval: persists the term-bucket-partitioned positional
+        # postings (retrieval.py::build_positional_index — what tf
+        # postings cannot answer), passes the frame through unchanged.
+        # Probe later with phrase_search + the same path/n_buckets.
+        from qcardia_data_spark.functions.retrieval import (
+            build_positional_index,
+        )
+
+        build_positional_index(
+            df, op["path"],
+            id_col=op.get("id_col", "doc_id"),
+            text_col=op.get("text_col", "text"),
+            n_buckets=int(op.get("n_buckets", 64)),
+        )
+        return df
+    if kind == "phrase_search":
+        # {"op": "phrase_search", "phrase": ["exact", "words"],
+        #  "id_col": ..., "text_col": ..., "path": ...?, "n_buckets": 64}
+        # — exact consecutive-token phrase match counts, the bm25_topk
+        # convention: the per-doc (id, n_hits) result broadcasts back
+        # onto the pipeline frame (docs without the phrase drop). With
+        # "path" the occurrences come off a standing positional index
+        # (reads ONLY the phrase terms' bucket dirs — value-identical to
+        # the scan form); without it, one scan of the frame itself.
+        from qcardia_data_spark.functions.retrieval import (
+            phrase_occurrences,
+            phrase_occurrences_from_index,
+        )
+
+        id_col = op.get("id_col", "doc_id")
+        if "path" in op:
+            hits = phrase_occurrences_from_index(
+                spark, op["path"], list(op["phrase"]), id_col=id_col,
+                n_buckets=int(op.get("n_buckets", 64)),
+            )
+        else:
+            hits = phrase_occurrences(
+                df, list(op["phrase"]), id_col=id_col,
+                text_col=op.get("text_col", "text"),
+            )
+        return df.join(F.broadcast(hits), id_col)
     if kind == "ann_index_write":
         # materialization boundary like inverted_index_write: persist the
         # current frame as a standing ANN index (a side artifact probed
@@ -1620,7 +1788,7 @@ def _apply(
         return read_upsert_as_of(spark, op["path"],
                                  tiebreak=op.get("tiebreak"))
     if kind in ("pagerank", "triangle_count", "connected_components",
-                "bfs_hops"):
+                "bfs_hops", "sssp", "kcore"):
         # Graph family (functions/graph.py) over an edge-shaped frame:
         #   {"op": "pagerank", "src": "src", "dst": "dst",
         #    "damping": 0.875, "iters": 3}       -> (node, rank)
@@ -1644,26 +1812,48 @@ def _apply(
                 df, src_c, dst_c,
                 max_rounds=int(op.get("max_rounds", 40)),
             )
-        if kind == "bfs_hops":
+        if kind in ("bfs_hops", "sssp"):
             #   {"op": "bfs_hops", "src": ..., "dst": ...,
             #    "sources_where": "node % 97 = 0", "max_hops": 6}
             #                                      -> (node, hops)
             #       multi-source shortest hop counts; sources_where is a
             #       SQL predicate over the derived `node` column
+            #   {"op": "sssp", "src": ..., "dst": ..., "weight": "w",
+            #    "sources_where": ..., "rounds": 6}  -> (node, cost)
+            #       the WEIGHTED twin (bounded Bellman-Ford relaxations;
+            #       graph.py::sssp_rounds — integer weights for
+            #       engine-exact costs, negative weights refused)
             nodes = (
                 df.select(F.col(src_c).alias("node"))
                 .unionByName(df.select(F.col(dst_c).alias("node")))
                 .distinct()
             )
             srcs = nodes.filter(F.expr(op["sources_where"]))
+            if kind == "sssp":
+                return _G.sssp_rounds(
+                    df, srcs, src_c, dst_c,
+                    weight=op.get("weight", "w"),
+                    rounds=int(op.get("rounds", 6)),
+                )
             return _G.bfs_hops(
                 df, srcs, src_c, dst_c,
                 max_hops=int(op.get("max_hops", 6)),
             )
+        if kind == "kcore":
+            #   {"op": "kcore", "src": ..., "dst": ..., "k": 2,
+            #    "rounds": 6}                      -> (node, degree)
+            #       bounded k-core peel over the canonicalized simple
+            #       graph (graph.py::kcore_rounds; R-round peel = the
+            #       core once the peel stabilizes — bounded rounds are
+            #       the contract, the PageRank/BFS/SSSP idiom)
+            return _G.kcore_rounds(
+                df, k=int(op.get("k", 2)), src=src_c, dst=dst_c,
+                rounds=int(op.get("rounds", 6)),
+            )
         return _G.triangle_count(df, src_c, dst_c)
     if kind in (
         "gapfill_interpolate", "trend_stats", "value_histogram",
-        "heartbeat_uptime", "lttb_downsample",
+        "heartbeat_uptime", "lttb_downsample", "mad_outliers", "ewma",
     ):
         # Time-series hyperfunction family (operators/timeseries.py) —
         # each REPLACES the frame with the operator's result table, like
@@ -1689,9 +1879,33 @@ def _apply(
                 bin_width_cents=int(op.get("bin_width_cents", 2000)),
                 n_bins=int(op.get("n_bins", 25)),
             )
+        if kind == "mad_outliers":
+            #   {"op": "mad_outliers", "key": ..., "value_col": ...,
+            #    "id_col": "event_id", "cutoff": 3.5}
+            #       -> (id, score, is_outlier); robust MAD z-scores
+            #       (timeseries.py::mad_outliers — discrete lower
+            #       medians, MAD=0 keys emit nothing; no ts column: the
+            #       score is order-free)
+            return _TS.mad_outliers(
+                df, key, op.get("value_col", "value"),
+                op.get("id_col", "event_id"),
+                cutoff=float(op.get("cutoff", 3.5)),
+            )
         ts_s = op.get("ts_s", "s")
         if kind == "trend_stats":
             return _TS.trend_stats(df, key, ts_s, op.get("value_col", "value"))
+        if kind == "ewma":
+            #   {"op": "ewma", "key": ..., "ts_s": ..., "value_col": ...,
+            #    "alpha": 0.5, "lags": 8, "tiebreak": ...?}
+            #       -> frame + `ewma` column (KEEPS the frame, like
+            #       window); truncated K-term EWMA — one window exchange,
+            #       plan-literal weights (timeseries.py::ewma_truncated)
+            return _TS.ewma_truncated(
+                df, key, ts_s, op.get("value_col", "value"),
+                alpha=float(op.get("alpha", 0.5)),
+                lags=int(op.get("lags", 8)),
+                tiebreak=op.get("tiebreak"),
+            )
         tb = op.get("tiebreak", "event_id")
         if kind == "heartbeat_uptime":
             return _TS.heartbeat_uptime(

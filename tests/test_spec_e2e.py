@@ -504,3 +504,326 @@ def test_cdc_time_travel_example_runs(spark, sf_dir, tmp_path):
     assert sorted(
         (r["c_custkey"], r["c_acctbal"]) for r in folded.collect()
     ) == cur_rows
+
+
+# ---------------------------------------------------------------------------
+# r11 spec-dialect completeness sweep (VERDICT r10 stretch #8): the ops added
+# to close coverage-table gaps must compile to EXACTLY the module calls.
+
+
+def _canon(df):
+    return sorted(
+        tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_spec_winnow_near_pairs_matches_module(spark, sf_dir, tmp_path):
+    # tiered ladder op: winnow candidates -> exact set-form Jaccard verify
+    from qcardia_data_spark.functions.dedup import winnow_near_pairs
+
+    base = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail words appended")).alias("text"),
+    )
+    corpus_dir = str(tmp_path / "clone_docs")
+    base.unionByName(clones).write.parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+
+    src = [{"op": "source", "path": corpus_dir}]
+    got = compile_pipeline(
+        spark,
+        src + [{"op": "winnow_near_pairs", "max_df": 100,
+                "pairs_only": True}],
+        sf_dir,
+    )
+    want = winnow_near_pairs(docs, "doc_id", "text", max_df=100)
+    gw = _canon(want)
+    assert _canon(got) == gw and len(gw) > 0
+
+    # default form drops the larger id of every verified pair (the
+    # winnow_dedup convention)
+    kept = compile_pipeline(
+        spark, src + [{"op": "winnow_near_pairs", "max_df": 100}], sf_dir
+    )
+    losers = {r["b"] for r in want.collect()}
+    assert {r["doc_id"] for r in kept.collect()} == (
+        {r["doc_id"] for r in docs.collect()} - losers
+    )
+
+
+def test_spec_cms_sketch_and_lookup_match_module(spark, sf_dir):
+    from qcardia_data_spark.functions import sketches as SK
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = [{"op": "source", "table": "events"}]
+
+    got_sk = compile_pipeline(
+        spark,
+        base + [{"op": "cms_sketch", "keys": ["event_type"],
+                 "value_col": "user_id"}],
+        sf_dir,
+    )
+    want_sk = SK.cms_table(ev, ["event_type"], "user_id")
+    assert _canon(got_sk) == _canon(want_sk) and got_sk.count() > 0
+
+    got_m = compile_pipeline(
+        spark,
+        base + [{"op": "cms_sketch", "keys": ["event_type"],
+                 "value_col": "user_id", "merge_to": {"scope": "all"}}],
+        sf_dir,
+    )
+    want_m = SK.cms_merge(want_sk, {"scope": "all"})
+    assert _canon(got_m) == _canon(want_m)
+
+    probe_ops = [
+        {"op": "source", "table": "events"},
+        {"op": "select", "cols": ["event_type", "user_id"]},
+        {"op": "distinct"},
+        {"op": "sort", "by": ["event_type", "user_id"]},
+        {"op": "limit", "n": 20},
+    ]
+    got_lk = compile_pipeline(
+        spark,
+        base + [
+            {"op": "cms_sketch", "keys": ["event_type"],
+             "value_col": "user_id"},
+            {"op": "cms_lookup", "keys": ["event_type"],
+             "value_col": "user_id", "probes": {"pipeline": probe_ops}},
+        ],
+        sf_dir,
+    )
+    probes = compile_pipeline(spark, probe_ops, sf_dir)
+    want_lk = SK.cms_lookup(want_sk, probes, ["event_type"], "user_id")
+    assert _canon(got_lk) == _canon(want_lk) and got_lk.count() > 0
+    # CMS contract: never an underestimate vs the true counts
+    true_n = ev.groupBy("event_type", "user_id").count()
+    low = got_lk.join(true_n, ["event_type", "user_id"]).filter(
+        F.col("est_n") < F.col("count")
+    )
+    assert low.count() == 0
+
+
+def test_spec_graph_sssp_kcore_match_module(spark, sf_dir):
+    from qcardia_data_spark.functions import graph as G
+
+    edge_ops = [
+        {"op": "source", "table": "events"},
+        {"op": "with_columns", "cols": {"s": "unix_timestamp(ts)"}},
+        {"op": "window", "cols": {"prev_user": "lag(user_id)"},
+         "partition_by": ["event_type"], "order_by": ["s", "event_id"]},
+        {"op": "filter",
+         "expr": "prev_user IS NOT NULL AND prev_user <> user_id"},
+        {"op": "select", "cols": ["prev_user AS src", "user_id AS dst"]},
+        {"op": "with_columns", "cols": {"w": "pmod(src + dst, 5) + 1"}},
+    ]
+    edges = compile_pipeline(spark, edge_ops, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = nodes.filter("node % 97 = 0")
+
+    got = compile_pipeline(
+        spark,
+        edge_ops + [{"op": "sssp", "sources_where": "node % 97 = 0",
+                     "rounds": 4}],
+        sf_dir,
+    )
+    want = G.sssp_rounds(edges, srcs, rounds=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert want.count() > 0
+
+    got_k = compile_pipeline(
+        spark, edge_ops + [{"op": "kcore", "k": 2, "rounds": 4}], sf_dir
+    )
+    want_k = G.kcore_rounds(edges, k=2, rounds=4)
+    assert sorted(map(tuple, got_k.collect())) == \
+        sorted(map(tuple, want_k.collect()))
+    assert want_k.count() > 0
+
+
+def test_spec_mad_outliers_and_ewma_match_module(spark, sf_dir):
+    from qcardia_data_spark.operators import timeseries as TS
+
+    base = [
+        {"op": "source", "table": "events"},
+        {"op": "with_columns", "cols": {"s": "unix_timestamp(ts)"}},
+    ]
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+        "s", F.unix_timestamp("ts")
+    )
+
+    got = compile_pipeline(
+        spark,
+        base + [{"op": "mad_outliers", "key": "user_id",
+                 "value_col": "value", "id_col": "event_id"}],
+        sf_dir,
+    )
+    want = TS.mad_outliers(ev, "user_id", "value", "event_id")
+    assert _canon(got) == _canon(want) and got.count() > 0
+
+    got_e = compile_pipeline(
+        spark,
+        base + [{"op": "ewma", "key": "user_id", "tiebreak": "event_id"}],
+        sf_dir,
+    )
+    want_e = TS.ewma_truncated(ev, "user_id", "s", "value",
+                               tiebreak="event_id")
+    # ewma KEEPS the frame; compare the doubles bitwise via repr, keyed
+    assert sorted(
+        (r["event_id"], repr(r["ewma"])) for r in got_e.collect()
+    ) == sorted((r["event_id"], repr(r["ewma"])) for r in want_e.collect())
+
+
+def test_spec_poisson_bootstrap_matches_module(spark, sf_dir):
+    from qcardia_data_spark.operators.sampling import poisson_bootstrap
+
+    base = [{"op": "source", "table": "events"}]
+    got = compile_pipeline(
+        spark,
+        base + [{"op": "poisson_bootstrap", "key_cols": ["event_id"],
+                 "seed": 7}],
+        sf_dir,
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = poisson_bootstrap(ev, ["event_id"], seed=7)
+    gk = sorted((r["event_id"], r["boot_k"]) for r in got.collect())
+    wk = sorted((r["event_id"], r["boot_k"]) for r in want.collect())
+    assert gk == wk and len(gk) > 0
+    ks = [k for _, k in gk]
+    assert all(0 <= k <= 8 for k in ks) and any(k > 0 for k in ks)
+
+
+def test_spec_positional_index_phrase_search(spark, sf_dir, tmp_path):
+    from qcardia_data_spark.functions.text import word_tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # a phrase that certainly occurs: the first two tokens of the first
+    # doc, extracted through the SAME tokenizer the ops use
+    toks = (
+        docs.orderBy("doc_id")
+        .select(word_tokens(F.col("text")).alias("t"))
+        .first()["t"]
+    )
+    phrase = list(toks[:2])
+    assert len(phrase) == 2
+
+    base = [{"op": "source", "table": "documents"}]
+    scan = compile_pipeline(
+        spark, base + [{"op": "phrase_search", "phrase": phrase}], sf_dir
+    )
+    idx = str(tmp_path / "pos_idx")
+    probed = compile_pipeline(
+        spark,
+        base + [
+            {"op": "positional_index_write", "path": idx},
+            {"op": "phrase_search", "phrase": phrase, "path": idx},
+        ],
+        sf_dir,
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["n_hits"]) for r in df.collect()
+    )
+    assert canon(scan) == canon(probed) and len(canon(scan)) > 0
+    # join-back keeps the frame's columns alongside n_hits
+    assert set(docs.columns) <= set(scan.columns)
+
+
+def test_spec_bm25_topk_from_index_path(spark, sf_dir, tmp_path):
+    # the "path" knob must score off the standing inverted index and be
+    # value-identical to the scan form
+    from qcardia_data_spark.functions.text import word_tokens
+
+    idx = str(tmp_path / "bm25_idx")
+    base = [{"op": "source", "table": "documents"}]
+    toks = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .orderBy("doc_id")
+        .select(word_tokens(F.col("text")).alias("t"))
+        .first()["t"]
+    )
+    terms = list(dict.fromkeys(toks))[:2]  # distinct, engine-tokenized
+    scan = compile_pipeline(
+        spark, base + [{"op": "bm25_topk", "terms": terms, "k": 5}], sf_dir
+    )
+    probed = compile_pipeline(
+        spark,
+        base + [
+            {"op": "inverted_index_write", "path": idx},
+            {"op": "bm25_topk", "terms": terms, "k": 5, "path": idx},
+        ],
+        sf_dir,
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], repr(r["score"])) for r in df.collect()
+    )
+    assert canon(scan) == canon(probed) and len(canon(scan)) > 0
+
+
+def test_spec_media_near_dup_text_modality(spark, sf_dir, tmp_path):
+    # the text modality rides the same Manku engine: spec == module
+    from qcardia_data_spark.functions.dedup import simhash_near_pairs64
+
+    base = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    clones = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    )
+    corpus_dir = str(tmp_path / "sim_docs")
+    base.unionByName(clones).write.parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
+
+    got = compile_pipeline(
+        spark,
+        [{"op": "source", "path": corpus_dir},
+         {"op": "media_near_dup", "modality": "text", "max_hamming": 3}],
+        sf_dir,
+    )
+    want = simhash_near_pairs64(docs, "doc_id", "text", max_hamming=3)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert want.count() > 0
+
+
+def test_spec_pii_scrub_matches_module(spark, sf_dir):
+    from qcardia_data_spark.functions.text import pii_counts, pii_scrub
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" mail a@b.io at 10.0.0.1 or 555-123-4567")
+        ).alias("text"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus = os.path.join(d, "pii_docs")
+        docs.write.parquet(corpus)
+        got = compile_pipeline(
+            spark,
+            [{"op": "source", "path": corpus},
+             {"op": "pii_scrub", "audit": True}],
+            sf_dir,
+        )
+        rows = got.collect()
+        assert rows and {"pii_email", "pii_ipv4", "pii_phone"} <= set(
+            got.columns
+        )
+        # audit counts measured BEFORE the scrub; text is redacted after
+        assert all(r["pii_email"] >= 1 and r["pii_ipv4"] >= 1 for r in rows)
+        assert all("a@b.io" not in r["text"] for r in rows)
+        # scrubbed text == the module call on the original
+        want = docs.select(
+            "doc_id", pii_scrub(F.col("text")).alias("text")
+        )
+        assert sorted((r["doc_id"], r["text"]) for r in rows) == \
+            sorted(map(tuple, want.collect()))
