@@ -349,12 +349,18 @@ def build_positional_index(
     from qcardia_data_spark.sources.readers import read_meta_json
 
     spark = docs.sparkSession
-    if read_meta_json(spark, f"{path}/_idx_kind") is not None or _stats_exists(
-        spark, path
+    # same-kind rebuild is allowed (retry-safe, the build_inverted_index
+    # stance); only a DIFFERENT kind at the path refuses — both kinds
+    # write {path}/postings with incompatible schemas, so a cross-kind
+    # overwrite would silently clobber it
+    marker = read_meta_json(spark, f"{path}/_idx_kind")
+    if (marker is not None and marker["kind"] != "positional") or (
+        marker is None and _stats_exists(spark, path)
     ):
+        kind = marker["kind"] if marker is not None else "bm25"
         raise ValueError(
-            f"build_positional_index: {path!r} already holds an index — "
-            f"both index kinds write {path + '/postings'!r} with "
+            f"build_positional_index: {path!r} already holds a {kind} "
+            f"index — both index kinds write {path + '/postings'!r} with "
             "incompatible schemas, so an overwrite would silently clobber "
             "it; use a fresh path"
         )

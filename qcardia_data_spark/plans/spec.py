@@ -304,6 +304,20 @@ def _cols(exprs: Sequence[str]) -> list[Column]:
     return [F.expr(e) for e in exprs]
 
 
+def _pair_dedup_epilogue(
+    df: DataFrame, pairs: DataFrame, id_col: str, op: dict, drop: str = "b",
+) -> DataFrame:
+    """Shared tail of the exact-pair dedup ops (ngram_jaccard /
+    containment / winnow / winnow_near_pairs): ``pairs_only`` returns the
+    auditable pair list; otherwise anti-join away the ``drop`` side of
+    every qualifying pair ("b" = the larger id; containment passes "a" —
+    the contained smaller doc)."""
+    if op.get("pairs_only", False):
+        return pairs
+    losers = pairs.select(F.col(drop).alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def _apply(
     spark: SparkSession, df: DataFrame, op: dict, sf_dir: str | None,
     prior_ops: Sequence[dict] = (),
@@ -433,10 +447,7 @@ def _apply(
             threshold=float(op.get("threshold", 0.6)),
             shingle_n=int(op.get("shingle_n", 3)),
         )
-        if op.get("pairs_only", False):
-            return pairs
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
-        return df.join(losers, id_col, "left_anti")
+        return _pair_dedup_epilogue(df, pairs, id_col, op)
     if kind == "containment_dedup":
         from qcardia_data_spark.functions.dedup import containment_join
 
@@ -452,10 +463,7 @@ def _apply(
             threshold=float(op.get("threshold", 0.8)),
             shingle_n=int(op.get("shingle_n", 3)),
         )
-        if op.get("pairs_only", False):
-            return pairs
-        contained = pairs.select(F.col("a").alias(id_col)).distinct()
-        return df.join(contained, id_col, "left_anti")
+        return _pair_dedup_epilogue(df, pairs, id_col, op, drop="a")
     if kind == "winnow_dedup":
         from qcardia_data_spark.functions.dedup import winnow_share_pairs
 
@@ -472,10 +480,7 @@ def _apply(
             min_shared=int(op.get("min_shared", 2)),
             max_df=int(op.get("max_df", 20)),
         )
-        if op.get("pairs_only", False):
-            return pairs
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
-        return df.join(losers, id_col, "left_anti")
+        return _pair_dedup_epilogue(df, pairs, id_col, op)
     if kind == "winnow_near_pairs":
         from qcardia_data_spark.functions.dedup import winnow_near_pairs
 
@@ -497,10 +502,7 @@ def _apply(
             max_df=int(op.get("max_df", 20)),
             threshold=float(op.get("threshold", 0.25)),
         )
-        if op.get("pairs_only", False):
-            return pairs
-        losers = pairs.select(F.col("b").alias(id_col)).distinct()
-        return df.join(losers, id_col, "left_anti")
+        return _pair_dedup_epilogue(df, pairs, id_col, op)
     if kind == "hll_registers":
         from qcardia_data_spark.functions import sketches as _SK
 
@@ -545,8 +547,10 @@ def _apply(
         # cell table (the cms_sketch op's output shape): min over the
         # depth rows of the probed value's buckets, est_n = 0 for values
         # the sketch never saw. width must equal the sketch's build
-        # width (the bucket derivation replays it). The probe side is
-        # the small side — cms_lookup broadcasts it internally.
+        # width (the bucket derivation replays it). Keep the probe side
+        # small: it is expanded ×depth (broadcast depth-row cross) and
+        # the estimate join is a key-partitioned equi-join on the
+        # expanded probes.
         probes = _side(spark, op["probes"], sf_dir)
         return _SK.cms_lookup(
             df, probes, list(op.get("keys", [])), op["value_col"],
@@ -1896,15 +1900,18 @@ def _apply(
             return _TS.trend_stats(df, key, ts_s, op.get("value_col", "value"))
         if kind == "ewma":
             #   {"op": "ewma", "key": ..., "ts_s": ..., "value_col": ...,
-            #    "alpha": 0.5, "lags": 8, "tiebreak": ...?}
+            #    "alpha": 0.5, "lags": 8, "tiebreak": "event_id"}
             #       -> frame + `ewma` column (KEEPS the frame, like
             #       window); truncated K-term EWMA — one window exchange,
-            #       plan-literal weights (timeseries.py::ewma_truncated)
+            #       plan-literal weights (timeseries.py::ewma_truncated).
+            #       tiebreak defaults to event_id like the sibling ts ops:
+            #       tied timestamps without a total order make the lag
+            #       chain nondeterministic run-to-run
             return _TS.ewma_truncated(
                 df, key, ts_s, op.get("value_col", "value"),
                 alpha=float(op.get("alpha", 0.5)),
                 lags=int(op.get("lags", 8)),
-                tiebreak=op.get("tiebreak"),
+                tiebreak=op.get("tiebreak", "event_id"),
             )
         tb = op.get("tiebreak", "event_id")
         if kind == "heartbeat_uptime":

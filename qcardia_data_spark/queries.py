@@ -9334,16 +9334,19 @@ _PRIORITY = [
     # ROUND-11 WINDOW -- executes VERDICT r10 "Next round" #1 exactly as
     # written at the end of r10 (the former _NEXT_IN_LINE queue, verbatim):
     # 1 anchor + the 36 remaining r6-stale rows (these include the
-    # j2/q3/q5/a4 flagships -- 4 rounds without a driver row, cleared
-    # here) + the 13 oldest r7-stale (alphabetical within vintage, the
-    # grade_window.py sort) = 50 exactly. After this window: r6-stale = 0.
+    # j2/q3/q5 flagships -- 4 rounds without a driver row, cleared here;
+    # a4_quantile_summary is NOT in this window: it was already re-graded
+    # green in the r10 window, per GRADE_WINDOW.json -- the r10 verdict's
+    # "j2/q3/q5/a4" phrasing over-counted by one) + the 13 oldest
+    # r7-stale (alphabetical within vintage, the grade_window.py sort)
+    # = 50 exactly. After this window: r6-stale = 0.
     #
     # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4): registry FROZEN
     # at 225 -- net-new queries only for code-touched paths, each
     # justified by a code-touch citation. 225 / 50 slots = ~4.5 rounds
     # per full sweep; flagship anchors q1/j2/q3/q5/a4 get a <=3-round
-    # refresh via reserved slots (satisfied this round: all four ride in
-    # with the r6-stale batch).
+    # refresh via reserved slots (satisfied: j2/q3/q5 ride in with the
+    # r6-stale batch; a4 is fresh from r10; q1 is the every-round anchor).
     #
     # ROUND-12 ROTATION PLAN: anchor + the 36 remaining r7-stale + the
     # 13 oldest r8-vintage rows = 50; _NEXT_IN_LINE below IS that queue.

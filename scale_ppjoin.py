@@ -53,8 +53,13 @@ def _build(scale: int, perms: list[str]) -> str:
     """Replica blocks 0..scale-1; block r = 1x corpus under perms[r],
     doc ids offset by r * 100M (above the 25M-wide 1x id space)."""
     out = os.path.join(SCALED, f"docs_{scale}x.parquet")
-    if os.path.isdir(out):
+    done = os.path.join(out, "_complete")
+    # completion marker, not bare isdir: an interrupted build leaves a
+    # partial dir that a rerun must rebuild, not silently reuse (a half
+    # corpus labeled 4x would publish wrong scaling numbers, no error)
+    if os.path.exists(done):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -70,6 +75,7 @@ def _build(scale: int, perms: list[str]) -> str:
             """
         )
     con.close()
+    open(done, "w").close()
     return out
 
 

@@ -493,7 +493,7 @@ def test_index_kind_collision_refused(spark, sf_dir, tmp_path):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     p1 = str(tmp_path / "bm25_idx")
     build_inverted_index(docs, p1)
-    with pytest.raises(ValueError, match="already holds an index"):
+    with pytest.raises(ValueError, match="already holds a bm25 index"):
         build_positional_index(docs, p1)
     p2 = str(tmp_path / "pos_idx")
     build_positional_index(docs, p2)

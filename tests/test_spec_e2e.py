@@ -732,6 +732,27 @@ def test_spec_positional_index_phrase_search(spark, sf_dir, tmp_path):
     assert canon(scan) == canon(probed) and len(canon(scan)) > 0
     # join-back keeps the frame's columns alongside n_hits
     assert set(docs.columns) <= set(scan.columns)
+    # same-kind rebuild is retry-safe (the build_inverted_index stance)
+    rebuilt = compile_pipeline(
+        spark,
+        base + [
+            {"op": "positional_index_write", "path": idx},
+            {"op": "phrase_search", "phrase": phrase, "path": idx},
+        ],
+        sf_dir,
+    )
+    assert canon(rebuilt) == canon(probed)
+    # a cross-kind overwrite still refuses
+    from qcardia_data_spark.functions.retrieval import (
+        build_inverted_index,
+        build_positional_index,
+    )
+
+    clash = str(tmp_path / "bm25_clash")
+    build_inverted_index(docs.limit(5), clash)
+    with pytest.raises(ValueError, match="bm25"):
+        build_positional_index(docs, clash)
+        
 
 
 def test_spec_bm25_topk_from_index_path(spark, sf_dir, tmp_path):
