@@ -174,6 +174,7 @@ Spec grammar (one dict per op, applied in order):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1187,6 +1188,15 @@ def _apply(
     if kind == "dropDuplicates":
         return df.dropDuplicates(op.get("cols"))
     if kind == "sort":
+        # refuse-loudly: "col DESC" parses as the column ALIASED 'DESC'
+        # (ascending, no error) — the silent mis-sort an r11 example hit.
+        # Descending in this dialect is "-col" (numeric negation).
+        for e in op["by"]:
+            if isinstance(e, str) and re.search(r"(?i)\s+(asc|desc)\s*$", e):
+                raise SpecError(
+                    f"sort: {e!r} — SQL ASC/DESC suffixes are silently "
+                    "ignored by expr(); use \"-col\" for descending"
+                )
         return df.orderBy(*_cols(op["by"]))
     if kind == "limit":
         return df.limit(int(op["n"]))
@@ -1957,11 +1967,11 @@ def compile_stream_pipeline(
        "how": "inner"}   # stream-stream join; watermarks + time-bound
                          # condition required (state expiry)
       ...plus every STATELESS batch op (select / filter / with_columns /
-      rename / drop / explode / quality_filter / gopher_rules / chunk) — reused
-      verbatim from the batch compiler, which is the point: one spec
-      dialect, two execution modes. The two text gates are map-only
-      expressions, so a crawl STREAM can run the same quality spec ops
-      the batch corpus-prep chain uses.
+      rename / drop / explode / quality_filter / gopher_rules / chunk /
+      pii_scrub) — reused verbatim from the batch compiler, which is the
+      point: one spec dialect, two execution modes. The text gates and
+      the PII redactor are map-only expressions, so a crawl STREAM can
+      run the same quality spec ops the batch corpus-prep chain uses.
 
     Stateful batch-only ops (join to static is allowed by Spark, but
     group_agg/sort/limit/sample are not meaningful mid-stream) raise
@@ -1969,7 +1979,7 @@ def compile_stream_pipeline(
     """
     _STATELESS = {
         "select", "filter", "with_columns", "rename", "drop", "explode",
-        "quality_filter", "gopher_rules", "chunk",
+        "quality_filter", "gopher_rules", "chunk", "pii_scrub",
     }
     df: DataFrame | None = None
     prior_ops: list[dict] = []

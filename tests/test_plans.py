@@ -1417,3 +1417,57 @@ def test_spec_cache_identity_includes_sf_dir(spark, sf_dir, tmp_path):
     )
     b = compile_pipeline(spark, ops, sub).count()
     assert a == 5 and b == 2
+
+
+def test_spec_stream_pii_scrub_matches_batch(spark, sf_dir, tmp_path):
+    """pii_scrub is map-only, so the SAME spec op runs in the streaming
+    subset: scrubbed stream output equals the batch twin (r11)."""
+    import pyspark.sql.functions as F
+
+    from qcardia_data_spark.catalog import load_table
+    from qcardia_data_spark.plans.spec import (
+        compile_pipeline,
+        compile_stream_pipeline,
+    )
+    from qcardia_data_spark.streaming.events import run_to_memory
+
+    src = tmp_path / "pii_docs"
+    (
+        load_table(spark, sf_dir, "documents").limit(50)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" reach me at a@b.io / 10.0.0.1")
+            ).alias("text"),
+        )
+        .coalesce(1).write.parquet(str(src))
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = compile_stream_pipeline(spark, [
+        {"op": "stream_source", "path": str(src) + "/*.parquet",
+         "schema": schema},
+        {"op": "pii_scrub", "audit": True},
+        {"op": "select", "cols": ["doc_id", "text", "pii_email"]},
+    ])
+    got = sorted(map(tuple, run_to_memory(stream).collect()))
+    batch = compile_pipeline(spark, [
+        {"op": "source", "path": str(src)},
+        {"op": "pii_scrub", "audit": True},
+        {"op": "select", "cols": ["doc_id", "text", "pii_email"]},
+    ], None)
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) == 50
+    assert all("a@b.io" not in t for _, t, _ in got)
+    assert all(n >= 1 for _, _, n in got)
+
+
+def test_spec_sort_refuses_sql_desc_suffix(spark, sf_dir):
+    """'col DESC' parses as the column aliased 'DESC' (silently
+    ascending) — the dialect refuses it and points at '-col' (r11)."""
+    from qcardia_data_spark.plans.spec import SpecError, compile_pipeline
+
+    with pytest.raises(SpecError, match="-col"):
+        compile_pipeline(spark, [
+            {"op": "source", "table": "events"},
+            {"op": "sort", "by": ["value DESC"]},
+        ], sf_dir)

@@ -848,3 +848,17 @@ def test_spec_pii_scrub_matches_module(spark, sf_dir):
         )
         assert sorted((r["doc_id"], r["text"]) for r in rows) == \
             sorted(map(tuple, want.collect()))
+
+
+def test_anomaly_monitor_example_runs(spark, sf_dir):
+    # the shipped r11 example must compile and produce flagged outliers,
+    # worst first, with the documented columns
+    spec = json.load(open("examples/anomaly_monitor.json"))
+    out = compile_pipeline(spark, spec["pipeline"], sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 50
+    assert {"event_id", "score", "is_outlier", "abs_score"} <= set(out.columns)
+    assert all(r["is_outlier"] for r in rows)
+    scores = [r["abs_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 3.5 for s in scores)
