@@ -519,6 +519,16 @@ def _apply(
         if "merge_to" in op:
             return _SK.hll_merge(regs, dict(op["merge_to"]))
         return regs
+    if kind == "hll_estimate":
+        from qcardia_data_spark.functions import sketches as _SK
+
+        # {"op": "hll_estimate", "keys": [...], "p": 4} — distinct-count
+        # estimates off the frame, which must BE a register table (the
+        # hll_registers op's output shape); p must equal the build p (the
+        # estimator's m = 2^p replays it). The register table stays the
+        # exact oracle-checkable artifact; this is the consumption end.
+        return _SK.hll_estimate(df, list(op.get("keys", [])),
+                                p=int(op.get("p", 4)))
     if kind == "cms_sketch":
         from qcardia_data_spark.functions import sketches as _SK
 

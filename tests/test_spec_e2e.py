@@ -862,3 +862,23 @@ def test_anomaly_monitor_example_runs(spark, sf_dir):
     scores = [r["abs_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 3.5 for s in scores)
+
+
+def test_spec_hll_estimate_matches_module(spark, sf_dir):
+    from qcardia_data_spark.functions import sketches as SK
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = compile_pipeline(spark, [
+        {"op": "source", "table": "events"},
+        {"op": "hll_registers", "keys": ["event_type"],
+         "value_col": "user_id", "p": 4},
+        {"op": "hll_estimate", "keys": ["event_type"], "p": 4},
+    ], sf_dir)
+    want = SK.hll_estimate(
+        SK.hll_registers(ev, ["event_type"], "user_id", p=4),
+        ["event_type"], p=4,
+    )
+    key = lambda r: (r["event_type"], repr(r["estimate"]))  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    rows = got.collect()
+    assert rows and all(r["estimate"] > 0 for r in rows)
