@@ -1471,3 +1471,30 @@ def test_spec_sort_refuses_sql_desc_suffix(spark, sf_dir):
             {"op": "source", "table": "events"},
             {"op": "sort", "by": ["value DESC"]},
         ], sf_dir)
+
+
+def test_spec_pii_scrub_plan_is_exchange_free(spark, sf_dir):
+    """pii_scrub is the map-only PII pass: the compiled plan must carry
+    ZERO exchanges past the scan (the 100 TB claim, plan-asserted)."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    out = compile_pipeline(spark, [
+        {"op": "source", "table": "documents"},
+        {"op": "pii_scrub", "audit": True},
+    ], sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_spec_phrase_search_joinback_is_broadcast(spark, sf_dir):
+    """phrase_search joins the per-doc hit counts back onto the frame via
+    an explicit broadcast — the k-row side must plan as BroadcastHashJoin,
+    never a corpus-wide SortMergeJoin."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    out = compile_pipeline(spark, [
+        {"op": "source", "table": "documents"},
+        {"op": "phrase_search", "phrase": ["the"]},
+    ], sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
