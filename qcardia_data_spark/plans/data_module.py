@@ -47,7 +47,12 @@ class DataModule:
             self.spark,
             build=lambda: compile_pipeline(self.spark, cfg["pipeline"], cfg.get("sf_dir")),
             cache_root=cfg["cache_root"],
-            spec={"pipeline": cfg["pipeline"]},
+            # cache identity = pipeline AND the data directory it compiles
+            # against — without sf_dir the same pipeline at two scales
+            # collided on one cache path and silently served the other's
+            # data (the spec-level "cache" op fixed this in r10; r11
+            # review found the DataModule twin)
+            spec={"pipeline": cfg["pipeline"], "sf_dir": cfg.get("sf_dir")},
         )
         records = read_cache(self.spark, self.cache_path)
         assignment = self._resolve_split(records)
@@ -173,9 +178,21 @@ class DataModule:
         df = self.frame(split)
         subject = self.config["subject_col"]
         if shuffle_seed is not None:
+            # hash key = subject + EVERY simple-typed column: the old
+            # (subject, first-column) pair tied whenever several records
+            # shared it, and tie order fell back to partition-internal
+            # arrival order — breaking the (seed, epoch) ⇒ same-order
+            # contract (r11 review). Array/binary payloads stay out of
+            # the md5 (hashing megabyte pixels per row); rows still tied
+            # are identical in every scalar column, so any order of them
+            # yields the same batch contents.
+            complex_prefixes = ("array", "struct", "map", "binary")
             key_cols = [F.col(subject)] + [
-                F.col(c) for c in df.columns if c not in (subject, "split")
-            ][:1]
+                F.col(c)
+                for c, t in df.dtypes
+                if c not in (subject, "split")
+                and not t.startswith(complex_prefixes)
+            ]
             order = [keyed_rand(f"{shuffle_seed}|{epoch}", *key_cols)] + key_cols
         else:
             order = [F.col(subject)]

@@ -21,11 +21,18 @@ def normalize_spec(spec: Any) -> Any:
     coerce tuples to lists (mirrors the reference's key-pair normalization,
     ``process_key_pairs``, pipeline/utils.py:9-24)."""
     if isinstance(spec, dict):
-        return {
-            k: normalize_spec(v)
-            for k, v in sorted(spec.items())
-            if v is not None and v != {} and v != []
-        }
+        # normalize children FIRST, then drop the empties: a value that
+        # only becomes empty after normalization ({"x": None} → {}) must
+        # fingerprint identically to an already-empty one, or two
+        # semantically identical specs miss each other's cache (r11
+        # review)
+        out = {}
+        for k, v in sorted(spec.items()):
+            nv = normalize_spec(v)
+            if nv is None or nv == {} or nv == []:
+                continue
+            out[k] = nv
+        return out
     if isinstance(spec, (list, tuple)):
         return [normalize_spec(v) for v in spec]
     if isinstance(spec, float) and spec.is_integer():

@@ -95,7 +95,13 @@ def zorder_write(
     import math
 
     widths = [bits] * len(buckets) if isinstance(bits, int) else list(bits)
-    prefix_bits = max(int(math.ceil(math.log2(max(n_files, 2)))), 1)
+    # clamp: more prefix bits than the curve has would shift by a
+    # NEGATIVE count (Java masks it to 63 ⇒ _zb = 0 for every row),
+    # silently degrading the grid-snapped boundaries to raw-_z ranges —
+    # the exact failure the prefix exists to prevent (r11 review)
+    prefix_bits = min(
+        max(int(math.ceil(math.log2(max(n_files, 2)))), 1), sum(widths)
+    )
     z = z_value(list(buckets.values()), bits)
     (
         df.withColumn("_z", z)
@@ -143,10 +149,22 @@ def compact_files(
     files = reader.inputFiles()
     if not files:
         raise ValueError(f"compact_files: no parquet files under {src!r}")
-    total = sum(
-        os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-        for f in files
-    )
+
+    def _size(uri: str) -> int:
+        # local fast path; any other scheme (s3a/hdfs/abfs) goes through
+        # the Hadoop FileSystem API — os.path.getsize on a scheme URI
+        # raised FileNotFoundError and killed the op on a real cluster
+        # (r11 review)
+        if uri.startswith("file:"):
+            return os.path.getsize(uri[len("file:"):])
+        if "://" not in uri:
+            return os.path.getsize(uri)
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.getFileStatus(p).getLen()
+
+    total = sum(_size(f) for f in files)
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     if order_by:
         out = reader.repartitionByRange(n_files, *order_by).sortWithinPartitions(

@@ -370,13 +370,32 @@ def _apply(
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(*op.get("partition_by", []))
+        w_rank = None
         if op.get("order_by"):
-            w = w.orderBy(*_cols(op["order_by"]))
+            w_rank = w.orderBy(*_cols(op["order_by"]))
             if op.get("running", False):
-                w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                w = w_rank.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            else:
+                # an ordered window's IMPLICIT frame is RANGE-cumulative,
+                # so plain aggregates next to a row_number()/lag() would
+                # silently become RUNNING aggregates despite running:
+                # false (r11 review). Aggregates get an explicit
+                # whole-partition frame; ranking/offset functions (which
+                # refuse custom frames) keep the bare ordered spec.
+                w = w_rank.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+        _RANKING = (
+            "row_number", "rank", "dense_rank", "percent_rank", "ntile",
+            "cume_dist", "lag", "lead", "nth_value",
+        )
         out = df
         for name, e in op["cols"].items():
-            out = out.withColumn(name, F.expr(e).over(w))
+            head = e.split("(", 1)[0].strip().lower()
+            spec_w = w_rank if (w_rank is not None and head in _RANKING) else w
+            out = out.withColumn(name, F.expr(e).over(spec_w))
         return out
     if kind == "explode":
         from qcardia_data_spark.operators.generators import explode_with_position
@@ -575,13 +594,19 @@ def _apply(
         # rule-based quality gate; with drop_failing the rule columns are
         # gate-only (never materialized), otherwise every metric + rule
         # boolean is appended under "<out>_" prefixes for auditing.
+        from qcardia_data_spark.operators.joins import fresh_name
+
         text_col = op.get("text_col", "text")
         out = op.get("out", "gopher_keep")
+        # fresh working column: a user column literally named "_gtoks"
+        # (any case) would be replaced and then dropped — silent data
+        # loss (r11 review; the quality_filter op already does this)
+        gtoks = fresh_name("_gtoks", df.columns)
         tok = df.withColumn(
-            "_gtoks", F.explode(F.array(word_tokens(F.col(text_col))))
+            gtoks, F.explode(F.array(word_tokens(F.col(text_col))))
         )
         g = gopher_rules(
-            F.col("_gtoks"), F.col(text_col),
+            F.col(gtoks), F.col(text_col),
             min_words=int(op.get("min_words", 50)),
             max_words=int(op.get("max_words", 100_000)),
             min_mean_len=float(op.get("min_mean_len", 3.0)),
@@ -591,12 +616,12 @@ def _apply(
             min_stop_hits=int(op.get("min_stop_hits", 2)),
         )
         if op.get("drop_failing", False):
-            return tok.filter(g["keep"]).drop("_gtoks")
+            return tok.filter(g["keep"]).drop(gtoks)
         audited = tok.select(
             "*", *[v.alias(f"{out}_{k}") for k, v in g.items() if k != "keep"],
             g["keep"].alias(out),
         )
-        return audited.drop("_gtoks")
+        return audited.drop(gtoks)
     if kind == "pii_scrub":
         from qcardia_data_spark.functions.text import pii_counts, pii_scrub
 
@@ -630,14 +655,17 @@ def _apply(
         # (filter / gopher_rules / quality_classifier) against the
         # materialized signals instead of re-deriving them per gate. One
         # token barrier feeds every signal family; zero exchanges.
+        from qcardia_data_spark.operators.joins import fresh_name
+
         text_col = op.get("text_col", "text")
         p = op.get("prefix", "qs")
+        qstoks = fresh_name("_qstoks", df.columns)  # r11: no silent clobber
         tok = df.withColumn(
-            "_qstoks", F.explode(F.array(word_tokens(F.col(text_col))))
+            qstoks, F.explode(F.array(word_tokens(F.col(text_col))))
         )
-        q = quality_scores(F.col(text_col), toks=F.col("_qstoks"))
-        r = repetition_scores(F.col("_qstoks"))
-        g = gopher_rules(F.col("_qstoks"), F.col(text_col))
+        q = quality_scores(F.col(text_col), toks=F.col(qstoks))
+        r = repetition_scores(F.col(qstoks))
+        g = gopher_rules(F.col(qstoks), F.col(text_col))
         sig = {
             "n_chars": q["n_chars"],
             "n_tokens": q["n_tokens"],
@@ -653,13 +681,13 @@ def _apply(
             "stop_hits": g["stop_hits"],
             "symbol_ratio": g["symbol_ratio"],
             "gopher_keep": g["keep"],
-            "lang_pred": lang_id(F.col(text_col), toks=F.col("_qstoks")),
+            "lang_pred": lang_id(F.col(text_col), toks=F.col(qstoks)),
             "fingerprint": doc_fingerprint(F.col(text_col)),
         }
         out = tok.select(
             "*", *[v.alias(f"{p}_{k}") for k, v in sig.items()]
         )
-        return out.drop("_qstoks")
+        return out.drop(qstoks)
     if kind == "media_near_dup":
         from qcardia_data_spark.sources import multimodal as MM
 
@@ -735,14 +763,17 @@ def _apply(
         # ellipsis-ended lines drops the page) over newline-split text.
         # Unlike c4_clean this gate never rewrites the text — Gopher
         # drops pages, it does not edit them.
+        from qcardia_data_spark.operators.joins import fresh_name
+
         text_col = op.get("text_col", "text")
         out = op.get("out", "line_format_ok")
+        gll = fresh_name("_gllines", df.columns)  # r11: no silent clobber
         lined = df.withColumn(
-            "_gllines", F.explode(F.array(F.split(F.col(text_col), "\n")))
+            gll, F.explode(F.array(F.split(F.col(text_col), "\n")))
         )
-        s = line_format_scores(F.col("_gllines"))
+        s = line_format_scores(F.col(gll))
         if op.get("drop_failing", True):
-            return lined.filter(s["line_format_ok"]).drop("_gllines")
+            return lined.filter(s["line_format_ok"]).drop(gll)
         audited = lined.select(
             "*",
             s["n_lines"].alias(f"{out}_n_lines"),
@@ -750,7 +781,7 @@ def _apply(
             s["ellipsis_line_frac"].alias(f"{out}_ellipsis_frac"),
             s["line_format_ok"].alias(out),
         )
-        return audited.drop("_gllines")
+        return audited.drop(gll)
     if kind == "c4_clean":
         from qcardia_data_spark.functions.text import c4_rules
 
@@ -762,13 +793,16 @@ def _apply(
         # ipsum, '{'). With drop_failing failing pages drop and text_col
         # is rewritten to the cleaned text; otherwise the gate boolean
         # and audit counts are appended and the text left untouched.
+        from qcardia_data_spark.operators.joins import fresh_name
+
         text_col = op.get("text_col", "text")
         out = op.get("out", "c4_keep")
+        c4l = fresh_name("_c4lines", df.columns)  # r11: no silent clobber
         lined = df.withColumn(
-            "_c4lines", F.explode(F.array(F.split(F.col(text_col), "\n")))
+            c4l, F.explode(F.array(F.split(F.col(text_col), "\n")))
         )
         c = c4_rules(
-            F.col("_c4lines"),
+            F.col(c4l),
             min_words_per_line=int(op.get("min_words_per_line", 5)),
             min_sentences=int(op.get("min_sentences", 3)),
         )
@@ -776,7 +810,7 @@ def _apply(
             cleaned = lined.filter(c["keep"]).withColumn(
                 text_col, F.array_join(c["kept_lines"], "\n")
             )
-            return cleaned.drop("_c4lines")
+            return cleaned.drop(c4l)
         audited = lined.select(
             "*",
             c["n_lines"].alias(f"{out}_n_lines"),
@@ -785,7 +819,7 @@ def _apply(
             c["has_brace"].alias(f"{out}_has_brace"),
             c["keep"].alias(out),
         )
-        return audited.drop("_c4lines")
+        return audited.drop(c4l)
     if kind == "fuzzy_join":
         from qcardia_data_spark.functions.dedup import fuzzy_string_join
 
@@ -949,6 +983,14 @@ def _apply(
         # terms' bucket dirs — no corpus scan); without it, one scan of
         # the frame itself.
         id_col = op.get("id_col", "doc_id")
+        # refuse-loudly: the op appends a fixed 'score' column; joining
+        # it onto a frame that already has one yields an AMBIGUOUS
+        # duplicate that only explodes downstream (r11 review)
+        if any(c.casefold() == "score" for c in df.columns):
+            raise SpecError(
+                "bm25_topk: the frame already has a 'score' column — "
+                "rename it upstream (the op appends its own)"
+            )
         if "path" in op:
             sel = bm25_topk_from_index(
                 spark, op["path"], list(op["terms"]),
@@ -1269,6 +1311,12 @@ def _apply(
         )
 
         id_col = op.get("id_col", "doc_id")
+        # same refuse-loudly rule as bm25_topk's 'score' carry
+        if any(c.casefold() == "n_hits" for c in df.columns):
+            raise SpecError(
+                "phrase_search: the frame already has an 'n_hits' column "
+                "— rename it upstream (the op appends its own)"
+            )
         if "path" in op:
             hits = phrase_occurrences_from_index(
                 spark, op["path"], list(op["phrase"]), id_col=id_col,

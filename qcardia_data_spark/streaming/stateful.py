@@ -259,11 +259,20 @@ def streaming_trend_stats(
                 x0 = b0
             x = s - x0
             n += len(pdf)
-            sx += int(x.sum())
-            sy += int(yc.sum())
-            sxy += int((x * yc).sum())
-            sx2 += int((x * x).sum())
-            sy2 += int((yc * yc).sum())
+            # Python-int accumulation: numpy int64 products ((x*x).sum())
+            # silently WRAP past 2^63 (x ≈ 6.3e7 s for a 2-year span →
+            # x² ≈ 4e15; ~2300 such rows overflow a batch sum) and would
+            # corrupt the exact statistics with no error (r11 review).
+            # Arbitrary-precision ints keep the sums exact; if a sum ever
+            # exceeds the int64 STATE schema, state.update raises loudly
+            # instead of wrapping.
+            xs = x.tolist()
+            ys = yc.tolist()
+            sx += sum(xs)
+            sy += sum(ys)
+            sxy += sum(a * b for a, b in zip(xs, ys))
+            sx2 += sum(a * a for a in xs)
+            sy2 += sum(b * b for b in ys)
         state.update((x0, n, sx, sy, sxy, sx2, sy2))
         num = n * sxy - sx * sy
         den = n * sx2 - sx * sx
@@ -346,9 +355,12 @@ def streaming_gapfill_locf(
     Requires a UTC session time zone (enforced): bucket labels and the
     finalization cut compare pandas-naive event epochs against the
     engine's true-epoch watermark. Per-user scalars persist for the
-    stream's lifetime (NoTimeout) — the LOCF value must survive quiet
-    periods to fill their buckets; only the event buffer is
-    horizon-bounded."""
+    stream's lifetime — the LOCF value must survive quiet periods to
+    fill their buckets; only the event buffer is horizon-bounded. Quiet
+    keys with pending buckets carry an EventTimeTimeout armed at the
+    next pending close, so the watermark advancing finalizes them
+    WITHOUT new input for the key (r11: NoTimeout silently withheld a
+    quiet user's tail buckets until their next event)."""
     try:
         from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     except ImportError as e:  # pragma: no cover
@@ -406,6 +418,20 @@ def streaming_gapfill_locf(
             int(max_s),
             [x[0] for x in buf], [x[1] for x in buf], [x[2] for x in buf],
         ))
+        # QUIET-KEY FLUSH (r11 review): with NoTimeout, update() only ran
+        # when a key received NEW rows, so a user whose span was not yet
+        # finalized and who then went quiet never emitted their remaining
+        # buckets even as the watermark advanced — contradicting the
+        # "every (user, bucket) ... emitted exactly once" contract. With
+        # EventTimeTimeout, whenever buckets remain pending we arm a
+        # timeout at the next pending bucket's close; the watermark
+        # passing it re-invokes update (empty input) and the same
+        # finalization loop emits them.
+        if (started or buf) and next_b <= max_s // bucket_s:
+            ts_ms = max(
+                (next_b * bucket_s + bucket_s) * 1000, (wm_s + 1) * 1000
+            )
+            state.setTimeoutTimestamp(ts_ms)
         if out_b:
             yield pd.DataFrame(
                 {"user_id": [key[0]] * len(out_b), "bucket_hour": out_b,
@@ -422,6 +448,6 @@ def streaming_gapfill_locf(
             outputStructType=GAPFILL_OUTPUT_SCHEMA,
             stateStructType=GAPFILL_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -161,3 +161,25 @@ def test_compact_files_coalesce_and_range_layouts(spark, sf_dir, tmp_path):
 
     # missing/empty sources: spark.read.parquet itself refuses loudly
     # (AnalysisException) before the file-count guard is reached
+
+
+def test_zorder_prefix_clamped_when_bits_exhausted(spark, sf_dir, tmp_path):
+    """r11: n_files demanding more prefix bits than the curve has used to
+    shift by a NEGATIVE count (Java masks to 63 => every _zb = 0,
+    boundaries degrade to raw-z). Clamped now: the write must succeed and
+    preserve rows with 2x1-bit buckets and n_files=8."""
+    import pyspark.sql.functions as F
+
+    from qcardia_data_spark.plans.layout import zorder_write
+
+    df = (
+        spark.read.parquet(sf_dir + "/events.parquet")
+        .limit(1000)
+        .withColumn("b1", (F.col("user_id") % 2).cast("long"))
+        .withColumn("b2", (F.col("event_id") % 2).cast("long"))
+    )
+    out = str(tmp_path / "z_clamped")
+    zorder_write(df, out, {"b1": F.col("b1"), "b2": F.col("b2")},
+                 bits=[1, 1], n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()

@@ -1498,3 +1498,86 @@ def test_spec_phrase_search_joinback_is_broadcast(spark, sf_dir):
     ], sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_normalize_spec_post_normalization_empties_agree():
+    """r11: a dict that only becomes empty AFTER normalization must
+    fingerprint identically to an already-empty (dropped) one."""
+    from qcardia_data_spark.plans.fingerprint import spec_fingerprint
+
+    base = {"pipeline": [{"op": "source", "table": "events"}]}
+    a = dict(base, opts={"x": None})
+    b = dict(base, opts={})
+    c = dict(base)
+    assert spec_fingerprint(a) == spec_fingerprint(b) == spec_fingerprint(c)
+    # nested: a list value emptied by child normalization stays positional
+    d = dict(base, opts={"x": None, "y": 1})
+    assert spec_fingerprint(d) != spec_fingerprint(c)
+
+
+def test_spec_window_ordered_aggregate_is_whole_partition(spark, sf_dir):
+    """r11: with order_by and running:false, a plain aggregate must be the
+    WHOLE-partition value on every row (the implicit RANGE-cumulative
+    frame silently made it a running aggregate), while row_number in the
+    same op stays ordered."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    out = compile_pipeline(spark, [
+        {"op": "source", "table": "events"},
+        {"op": "limit", "n": 500},
+        {"op": "window", "partition_by": ["user_id"],
+         "order_by": ["ts", "event_id"],
+         "cols": {"n_total": "count(*)", "rn": "row_number()"}},
+    ], sf_dir)
+    rows = out.select("user_id", "n_total", "rn").collect()
+    per_user: dict = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["rn"], r["n_total"]))
+    assert per_user
+    for vals in per_user.values():
+        n = len(vals)
+        # every row carries the full partition count, not its running rank
+        assert all(t == n for _, t in vals), vals
+        assert sorted(rn for rn, _ in vals) == list(range(1, n + 1))
+
+
+def test_spec_quality_ops_survive_reserved_working_columns(spark, sf_dir):
+    """r11: frames that already carry columns named like the handlers'
+    working columns (_gtoks/_qstoks/_gllines/_c4lines) must pass through
+    un-clobbered (fresh_name everywhere)."""
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    pre = [
+        {"op": "source", "table": "documents"},
+        {"op": "limit", "n": 20},
+        {"op": "with_columns", "cols": {
+            "_gtoks": "'keep1'", "_qstoks": "'keep2'",
+            "_gllines": "'keep3'", "_c4lines": "'keep4'",
+        }},
+    ]
+    for tail in (
+        {"op": "gopher_rules", "drop_failing": False},
+        {"op": "quality_signals"},
+        {"op": "gopher_line_rules", "drop_failing": False},
+        {"op": "c4_clean", "drop_failing": False},
+    ):
+        out = compile_pipeline(spark, pre + [tail], sf_dir)
+        row = out.select("_gtoks", "_qstoks", "_gllines", "_c4lines").first()
+        assert tuple(row) == ("keep1", "keep2", "keep3", "keep4"), tail["op"]
+
+
+def test_spec_bm25_and_phrase_refuse_output_column_collision(spark, sf_dir):
+    from qcardia_data_spark.plans.spec import SpecError, compile_pipeline
+
+    with pytest.raises(SpecError, match="'score'"):
+        compile_pipeline(spark, [
+            {"op": "source", "table": "documents"},
+            {"op": "with_columns", "cols": {"score": "1"}},
+            {"op": "bm25_topk", "terms": ["data"]},
+        ], sf_dir)
+    with pytest.raises(SpecError, match="'n_hits'"):
+        compile_pipeline(spark, [
+            {"op": "source", "table": "documents"},
+            {"op": "with_columns", "cols": {"n_hits": "1"}},
+            {"op": "phrase_search", "phrase": ["data"]},
+        ], sf_dir)

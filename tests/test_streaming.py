@@ -854,9 +854,16 @@ def test_streaming_gapfill_locf_hand_timeline(spark, tmp_path):
     out = S.run_to_memory(streaming_gapfill_locf(stream, "1 hour"), "append")
     h10 = int(dt.datetime(2024, 6, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp()) // 3600
     got = {(r["user_id"], r["bucket_hour"], r["value"]) for r in out.collect()}
-    # final batch sees wm = 14:05 - 1h = 13:05 -> H10..H12 finalized; the
-    # empty H11/H12 carry the 10:30 value; H13+ awaits more watermark
-    assert got == {(1, h10, 1.0), (1, h10 + 1, 1.0), (1, h10 + 2, 1.0)}
+    # the last DATA batch sees wm = 14:05 - 1h = 13:05 -> H10..H12; the
+    # armed event-time timeout then fires as wm reaches 18:20 - 1h =
+    # 17:20 and flushes H13..H16 WITHOUT new input (r11: quiet-key
+    # finalization). H13 closes before 14:05 so it still carries 1.0;
+    # H17 closes 17:59:59 > wm and stays unemitted.
+    assert got == {
+        (1, h10, 1.0), (1, h10 + 1, 1.0), (1, h10 + 2, 1.0),
+        (1, h10 + 3, 1.0), (1, h10 + 4, 2.0), (1, h10 + 5, 2.0),
+        (1, h10 + 6, 2.0),
+    }
 
 
 def test_streaming_gapfill_locf_prefix_matches_batch_query(spark, tmp_path):
@@ -1121,3 +1128,49 @@ def test_run_to_memory_releases_temp_view(spark, sf_dir):
     assert out.count() > 0
     after = {t.name for t in spark.catalog.listTables()}
     assert not {n for n in after - before if n.startswith("qds_mem_")}
+
+
+def test_streaming_gapfill_locf_quiet_key_flushes_on_watermark(spark, tmp_path):
+    """r11 regression: a user who goes QUIET must still have their
+    finalized buckets emitted as OTHER users' events advance the
+    watermark (the EventTimeTimeout flush; under NoTimeout these rows
+    were withheld until the quiet user's next event — possibly forever)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from qcardia_data_spark.streaming.stateful import streaming_gapfill_locf
+
+    src = tmp_path / "stream_q"
+    src.mkdir()
+    rows = [
+        # user 1: two events spanning H10..H12, then silence
+        [(0, dt.datetime(2024, 6, 1, 10, 30), 1, 1.0),
+         (1, dt.datetime(2024, 6, 1, 12, 40), 1, 5.0)],
+        # user 2 only: advances the watermark past user 1's whole span
+        [(2, dt.datetime(2024, 6, 1, 16, 10), 2, 9.0)],
+        [(3, dt.datetime(2024, 6, 1, 20, 30), 2, 9.5)],
+    ]
+    for i, rs in enumerate(rows):
+        df = spark.createDataFrame(rs, ["event_id", "ts", "user_id", "value"])
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp_q" / str(i))
+        )
+        part = glob.glob(str(tmp_path / "tmp_q" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+    schema = spark.createDataFrame(
+        rows[0], ["event_id", "ts", "user_id", "value"]
+    ).schema
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", schema)
+    out = S.run_to_memory(streaming_gapfill_locf(stream, "1 hour"), "append")
+    h10 = int(
+        dt.datetime(2024, 6, 1, 10, 0, tzinfo=dt.timezone.utc).timestamp()
+    ) // 3600
+    got1 = {
+        (r["bucket_hour"], r["value"])
+        for r in out.collect() if r["user_id"] == 1
+    }
+    # user 1's span is H10..H12 (max_s bound); the final watermark
+    # (20:30 - 1h = 19:30) finalizes all three via the timeout even
+    # though user 1 received no rows after the first batch
+    assert got1 == {(h10, 1.0), (h10 + 1, 1.0), (h10 + 2, 5.0)}
