@@ -9331,89 +9331,26 @@ def x7_weighted_reservoir(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-11 WINDOW -- executes VERDICT r10 "Next round" #1 exactly as
-    # written at the end of r10 (the former _NEXT_IN_LINE queue, verbatim):
-    # 1 anchor + the 36 remaining r6-stale rows (these include the
-    # j2/q3/q5 flagships -- 4 rounds without a driver row, cleared here;
-    # a4_quantile_summary is NOT in this window: it was already re-graded
-    # green in the r10 window, per GRADE_WINDOW.json -- the r10 verdict's
-    # "j2/q3/q5/a4" phrasing over-counted by one) + the 13 oldest
-    # r7-stale (alphabetical within vintage, the grade_window.py sort)
-    # = 50 exactly. After this window: r6-stale = 0.
+    # ROUND-12 WINDOW -- executes VERDICT r11 "Next round" #1 exactly as
+    # written at the end of r11 (the former _NEXT_IN_LINE queue, verbatim):
+    # 1 anchor + the 36 remaining r7-stale rows + the 13 oldest r8-vintage
+    # (alphabetical within vintage, the grade_window.py sort) = 50 exactly.
+    # After this window: r7-stale = 0.
     #
-    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4): registry FROZEN
-    # at 225 -- net-new queries only for code-touched paths, each
+    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4): registry
+    # FROZEN at 225 -- net-new queries only for code-touched paths, each
     # justified by a code-touch citation. 225 / 50 slots = ~4.5 rounds
     # per full sweep; flagship anchors q1/j2/q3/q5/a4 get a <=3-round
-    # refresh via reserved slots (satisfied: j2/q3/q5 ride in with the
-    # r6-stale batch; a4 is fresh from r10; q1 is the every-round anchor).
+    # refresh via reserved slots (satisfied: j2/q3/q5 fresh from r11,
+    # a4 fresh from r10; q1 is the every-round anchor).
     #
-    # ROUND-12 ROTATION PLAN: anchor + the 36 remaining r7-stale + the
-    # 13 oldest r8-vintage rows = 50; _NEXT_IN_LINE below IS that queue.
-    # (The r10-era sketch said "13 oldest r9-vintage" -- a vintage typo:
-    # after r11 the oldest ungraded-longest cohort is r8 (49 rows, one
-    # round older than r9's 41). grade_window.py sorts by (round, name),
-    # so r8 rows are first in line; the queue below follows the data.)
-    # Round 13 then takes the 36 r8-stale remainder + 13 oldest r9.
+    # ROUND-13 ROTATION PLAN: anchor + the 36 remaining r8-stale + the
+    # 13 oldest r9-vintage rows = 50; _NEXT_IN_LINE below IS that queue
+    # (computed from GRADE_WINDOW.json after the r11 grade: r8 cohort is
+    # 49 rows, 13 consumed in this window, 36 remain; r9 cohort is 41,
+    # oldest 13 ride along). Round 14 then takes the 28 r9-stale
+    # remainder + the oldest r10/r11 rows to fill 50.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    "f11_enclosing_circle",
-    "f16_md5_fingerprint",
-    "f19_overlay_rgb",
-    "f20_softmax",
-    "f22_unit_conversion",
-    "f3_standardize",
-    "g6_flatten",
-    "j2_broadcast_star_join",
-    "j3_anti_join",
-    "j4_semi_join",
-    "o4_seeded_sample_k",
-    "p2_drop_columns",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "s4_scan_project_filter",
-    "sim_ann_join",
-    "sim_diversity_sample",
-    "sim_lsh_topk",
-    "text_alpha_mix",
-    "text_bm25_topk",
-    "text_bpe_tokens",
-    "text_ccnet_buckets",
-    "text_corpus_report",
-    "text_decontaminate_bloom",
-    "text_dsir_weights",
-    "text_lm_score",
-    "text_ngram_novelty",
-    "text_unimax_mix",
-    "w5_first_match_over",
-    "w6_time_range_frame",
-    "w7_analytic_functions",
-    "x4_weighted_sample",
-    "a10_two_level_agg",
-    "a11_rollup",
-    "a14_grouping_sets",
-    "a1_group_weights_nullsafe",
-    "a3_summary_stats",
-    "a5_distinct_set_per_group",
-    "a6_argmax_per_group",
-    "a7_count_if",
-    "a8_histogram_cdf",
-    "a9_grouped_counts",
-    "dedup_cluster_best",
-    "dedup_fuzzy_keys",
-    "dedup_fuzzy_keys_short",
-]
-
-
-# Queued for the ROUND-12 window (registry positions 51+, in order): the
-# 36 remaining r7-stale rows, then the 13 oldest r8-vintage (alphabetical,
-# the grade_window.py sort) -- anchor + these 49 = the written r12 plan.
-# Keeping them immediately after the window makes "first in line" a
-# property of the registry itself, not a comment.
-_NEXT_IN_LINE = [
     # --- r7-stale remainder (alphabetical, grade_window.py sort) ---
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
@@ -9465,6 +9402,66 @@ _NEXT_IN_LINE = [
     "ev_attribution_join",
     "ev_funnel_depth",
     "ev_session_window",
+]
+
+
+# Queued for the ROUND-13 window (registry positions 51+, in order): the
+# 36 remaining r8-stale rows, then the 13 oldest r9-vintage (alphabetical,
+# the grade_window.py sort) -- anchor + these 49 = the written r13 plan.
+# Keeping them immediately after the window makes "first in line" a
+# property of the registry itself, not a comment.
+_NEXT_IN_LINE = [
+    # --- r8-stale remainder (alphabetical, grade_window.py sort) ---
+    "ev_sessionize",
+    "ev_sliding_window",
+    "ev_tumbling_window",
+    "ev_zorder_value",
+    "f18_histogram_equalize",
+    "f2_floor_to_zero",
+    "f4_minmax_normalize",
+    "f6_rand_solarize",
+    "f7_rand_resample_2d",
+    "f8_invertible_resample_roundtrip",
+    "g1_posexplode",
+    "g2_token_explode",
+    "g3_explode_2d",
+    "o1_top_k",
+    "o2_natural_sort",
+    "o3_dense_rank_desc",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "text_corpus_mix",
+    "text_decontaminate",
+    "text_heavy_hitters",
+    "text_jaccard_pairs",
+    "text_lang_id",
+    "text_pack_sequences",
+    "text_pii_scan",
+    "text_quality_filter",
+    "text_rolling_fingerprint",
+    "text_term_freq",
+    "text_tfidf",
+    "text_token_stats",
+    "text_url_domains",
+    "u1_union_by_name",
+    "u2b_except_all",
+    "u3_intersect",
+    "x1_subject_level_split",
+    "x6_subject_kfold",
+    # --- oldest 13 of the 41 r9-vintage ---
+    "dedup_containment",
+    "dim_upsert_asof",
+    "dim_upsert_latest",
+    "emb_chunk_bucket_counts",
+    "ev_drift_ks",
+    "ev_gapfill_interpolate",
+    "ev_gapfill_locf",
+    "ev_handoff_pagerank",
+    "ev_handoff_triangles",
+    "ev_lttb_downsample",
+    "ev_ohlc_hourly",
+    "ev_retention_cohorts",
+    "ev_scd2_user_state",
 ]
 
 
