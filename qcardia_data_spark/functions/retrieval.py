@@ -188,7 +188,14 @@ def build_inverted_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
     )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+    # force STATIC partition overwrite: under the session-level
+    # partitionOverwriteMode=dynamic, a same-kind rebuild from a
+    # smaller corpus would leave the prior build's extra term_bucket
+    # partitions in place, silently mixing old and new postings
+    # (ADVICE r11). Static drops the whole postings dir first.
+    postings.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
     docs.select(F.size(word_tokens(F.col(text_col))).alias("_dl")).agg(
@@ -371,7 +378,14 @@ def build_positional_index(
     postings = tok.select(
         id_col, F.posexplode("toks").alias("pos", "term")
     ).withColumn("term_bucket", term_bucket(F.col("term"), n_buckets))
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+    # force STATIC partition overwrite: under the session-level
+    # partitionOverwriteMode=dynamic, a same-kind rebuild from a
+    # smaller corpus would leave the prior build's extra term_bucket
+    # partitions in place, silently mixing old and new postings
+    # (ADVICE r11). Static drops the whole postings dir first.
+    postings.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
     spark.createDataFrame([("positional",)], ["kind"]).coalesce(1).write.mode(

@@ -182,17 +182,24 @@ class DataModule:
             # (subject, first-column) pair tied whenever several records
             # shared it, and tie order fell back to partition-internal
             # arrival order — breaking the (seed, epoch) ⇒ same-order
-            # contract (r11 review). Array/binary payloads stay out of
-            # the md5 (hashing megabyte pixels per row); rows still tied
-            # are identical in every scalar column, so any order of them
-            # yields the same batch contents.
+            # contract (r11 review). Complex payloads (array/struct/map/
+            # binary) enter the key through a cheap JVM xxhash64 digest
+            # rather than the md5 string path (ADVICE r11: rows identical
+            # in every scalar can still differ in a payload column, and
+            # their placement across a batch boundary must not depend on
+            # arrival order). Map-bearing types go through to_json first
+            # — Spark's hash family refuses MapType directly.
             complex_prefixes = ("array", "struct", "map", "binary")
-            key_cols = [F.col(subject)] + [
-                F.col(c)
-                for c, t in df.dtypes
-                if c not in (subject, "split")
-                and not t.startswith(complex_prefixes)
-            ]
+            key_cols = [F.col(subject)]
+            for c, t in df.dtypes:
+                if c in (subject, "split"):
+                    continue
+                if not t.startswith(complex_prefixes):
+                    key_cols.append(F.col(c))
+                elif "map<" in t:
+                    key_cols.append(F.xxhash64(F.to_json(F.col(c))))
+                else:
+                    key_cols.append(F.xxhash64(F.col(c)))
             order = [keyed_rand(f"{shuffle_seed}|{epoch}", *key_cols)] + key_cols
         else:
             order = [F.col(subject)]

@@ -391,9 +391,28 @@ def _apply(
             "row_number", "rank", "dense_rank", "percent_rank", "ntile",
             "cume_dist", "lag", "lead", "nth_value",
         )
+        # Ranking/offset calls must be TOP-LEVEL in a window col: Spark's
+        # .over() attaches the spec to the OUTERMOST expression, so a
+        # nested call ("coalesce(lag(x), 0)") is unexpressible however we
+        # pick the frame — the engine rejects it with a confusing
+        # WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE. Refuse at the spec level
+        # with guidance instead (ADVICE r11).
+        _rank_call = re.compile(
+            r"\b(" + "|".join(_RANKING) + r")\s*\(", re.IGNORECASE
+        )
         out = df
         for name, e in op["cols"].items():
             head = e.split("(", 1)[0].strip().lower()
+            if head not in _RANKING and _rank_call.search(e) is not None:
+                fn = _rank_call.search(e).group(1)
+                raise SpecError(
+                    f"window col {name!r}: ranking/offset call {fn}() is "
+                    "nested inside a wrapper expression — Spark can only "
+                    "attach the window spec to the outermost call. Make it "
+                    "top-level (offset functions take a default: "
+                    "lag(x, 1, <default>)) or compute the window column "
+                    "first and derive the wrapper in a follow-up op"
+                )
             spec_w = w_rank if (w_rank is not None and head in _RANKING) else w
             out = out.withColumn(name, F.expr(e).over(spec_w))
         return out
@@ -634,6 +653,16 @@ def _apply(
         out = df
         if op.get("audit", False):
             counts = pii_counts(F.col(text_col))
+            # refuse-loudly on audit-column collisions: appending a second
+            # pii_<category> column would only fail ambiguously downstream
+            # (same guard family as bm25_topk 'score' / phrase_search
+            # 'n_hits' -- ADVICE r11).
+            taken = [f"pii_{k}" for k in counts if f"pii_{k}" in df.columns]
+            if taken:
+                raise SpecError(
+                    f"pii_scrub: audit column(s) {taken} already exist on "
+                    "the frame — rename or drop them before auditing"
+                )
             out = out.select(
                 "*", *[v.alias(f"pii_{k}") for k, v in counts.items()]
             )

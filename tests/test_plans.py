@@ -1581,3 +1581,44 @@ def test_spec_bm25_and_phrase_refuse_output_column_collision(spark, sf_dir):
             {"op": "with_columns", "cols": {"n_hits": "1"}},
             {"op": "phrase_search", "phrase": ["data"]},
         ], sf_dir)
+
+
+def test_serving_shuffle_order_is_content_determined_for_complex_payloads(
+    spark, tmp_path
+):
+    """ADVICE r11: rows identical in every scalar column can still differ
+    in a complex payload (array/map/binary); their batch placement must be
+    a function of (seed, epoch, row content), not partition-internal
+    arrival order. The shuffle key now folds an xxhash64 digest of each
+    complex column in, so writing the SAME rows in two different file
+    orders must serve the SAME batch sequence."""
+    rows = [
+        # subject and scalar identical on every row — only the array and
+        # map payloads distinguish them
+        ("s1", 1, [float(i), float(i * i)], {"k": i})
+        for i in range(12)
+    ]
+    cols = ["subj", "flag", "emb", "meta"]
+
+    def serve(order, tag):
+        path = str(tmp_path / f"payload_{tag}")
+        df = spark.createDataFrame(order, cols).coalesce(1)
+        df.write.parquet(path)
+        config = {
+            "cache_root": str(tmp_path / f"cache_{tag}"),
+            "pipeline": [{"op": "source", "path": path}],
+            "subject_col": "subj",
+            "split": {"assignments": {"s1": "valid"}},
+        }
+        dm = DataModule(spark, config).setup()
+        return [
+            [r["k"] for r in b["meta"]]
+            for b in dm.iter_pandas_batches(
+                "valid", batch_size=4, shuffle_seed=7
+            )
+        ]
+
+    fwd = serve(rows, "fwd")
+    rev = serve(list(reversed(rows)), "rev")
+    assert sum(map(len, fwd)) == 12 and len(fwd) == 3
+    assert fwd == rev, "batch placement depended on arrival order"

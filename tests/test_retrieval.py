@@ -510,3 +510,49 @@ def test_reserved_id_col_refused(spark):
         bm25_scores(docs, ["a"], id_col="term")
     with pytest.raises(ValueError, match="collide"):
         hashed_gram_rows(docs.withColumnRenamed("term", "gram"), "gram", "text")
+
+
+def test_positional_rebuild_drops_stale_buckets_under_dynamic_mode(
+    spark, tmp_path
+):
+    """ADVICE r11: with the session set to dynamic partition overwrite, a
+    same-kind rebuild from a smaller corpus used to leave the prior
+    build's extra term_bucket partitions in place, silently mixing old
+    and new postings. The writes force static mode, so a rebuild must
+    fully replace the postings."""
+    from qcardia_data_spark.functions.retrieval import (
+        build_inverted_index,
+        build_positional_index,
+    )
+
+    big = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta epsilon zeta"),
+         ("d2", "eta theta iota kappa lambda mu")],
+        ["doc_id", "text"],
+    )
+    small = spark.createDataFrame([("d3", "alpha beta")], ["doc_id", "text"])
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        pos = str(tmp_path / "pos_rebuild")
+        build_positional_index(big, pos, n_buckets=8)
+        build_positional_index(small, pos, n_buckets=8)
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{pos}/postings")
+            .select("doc_id").distinct().collect()
+        }
+        assert ids == {"d3"}, f"stale postings survived the rebuild: {ids}"
+
+        bm = str(tmp_path / "bm25_rebuild")
+        build_inverted_index(big, bm, n_buckets=8)
+        build_inverted_index(small, bm, n_buckets=8)
+        ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{bm}/postings")
+            .select("doc_id").distinct().collect()
+        }
+        assert ids == {"d3"}, f"stale postings survived the rebuild: {ids}"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -882,3 +882,83 @@ def test_spec_hll_estimate_matches_module(spark, sf_dir):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     rows = got.collect()
     assert rows and all(r["estimate"] > 0 for r in rows)
+
+
+def test_spec_pii_scrub_audit_refuses_column_collision(spark, sf_dir):
+    # ADVICE r11: audit:true appends fixed pii_<category> columns; a frame
+    # already carrying one must refuse loudly (the bm25_topk 'score' /
+    # phrase_search 'n_hits' guard family), not duplicate the column.
+    from qcardia_data_spark.plans.spec import SpecError
+
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [("d1", "mail a@b.io", 7)], ["doc_id", "text", "pii_email"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        corpus = os.path.join(d, "pii_coll")
+        docs.write.parquet(corpus)
+        with pytest.raises(SpecError, match="pii_email"):
+            compile_pipeline(
+                spark,
+                [{"op": "source", "path": corpus},
+                 {"op": "pii_scrub", "audit": True}],
+                sf_dir,
+            ).collect()
+        # without audit there is no column append — still fine
+        out = compile_pipeline(
+            spark,
+            [{"op": "source", "path": corpus},
+             {"op": "pii_scrub", "audit": False}],
+            sf_dir,
+        )
+        assert out.collect()[0]["text"] == "mail <EMAIL>"
+
+
+def test_spec_window_nested_offset_refused_with_guidance(spark, sf_dir):
+    # ADVICE r11: a ranking/offset call NESTED in a wrapper
+    # ("coalesce(lag(x), 0)") is unexpressible via .over() — the old
+    # head-only classifier let it through to a confusing engine-level
+    # WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE. The spec must refuse loudly
+    # with guidance; the equivalent top-level form (lag default arg)
+    # must keep working.
+    import tempfile
+
+    from qcardia_data_spark.plans.spec import SpecError
+
+    rows = [("u1", i, float(i * 10)) for i in range(1, 5)] + [
+        ("u2", i, float(i * 100)) for i in range(1, 3)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w_nested")
+        df.write.parquet(path)
+        with pytest.raises(SpecError, match="lag.*top-level|top-level"):
+            compile_pipeline(
+                spark,
+                [{"op": "source", "path": path},
+                 {"op": "window", "partition_by": ["user_id"],
+                  "order_by": ["seq"],
+                  "cols": {"prev_or_zero":
+                           "coalesce(lag(value), cast(0.0 as double))"}}],
+                sf_dir,
+            )
+        # the guided rewrite: top-level offset call with a default, next
+        # to a plain aggregate that must STAY whole-partition
+        out = compile_pipeline(
+            spark,
+            [{"op": "source", "path": path},
+             {"op": "window", "partition_by": ["user_id"],
+              "order_by": ["seq"],
+              "cols": {
+                  "prev_or_zero": "lag(value, 1, cast(0.0 as double))",
+                  "total": "sum(value)",
+              }}],
+            sf_dir,
+        ).collect()
+        by = {(r["user_id"], r["seq"]): r for r in out}
+        assert by[("u1", 1)]["prev_or_zero"] == 0.0
+        assert by[("u1", 3)]["prev_or_zero"] == 20.0
+        # whole-partition aggregate: identical on every row of the group
+        assert {by[("u1", s)]["total"] for s in (1, 2, 3, 4)} == {100.0}
+        assert {by[("u2", s)]["total"] for s in (1, 2)} == {300.0}
