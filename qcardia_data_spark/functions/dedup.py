@@ -232,7 +232,9 @@ def _ceil_loose(x):
     return F.ceil(x - x * F.lit(1e-12) - F.lit(1e-9))
 
 
-def _ranked_encoded_shingles(sh: DataFrame, id_col: str):
+def _ranked_encoded_shingles(
+    sh: DataFrame, id_col: str, reliable_dir: str | None = None
+):
     """One materialized pass shared by the exact set-similarity joins:
     join the shingle rows to the corpus frequency table ONCE, rank each
     doc's shingles by the global ``(df asc, shingle asc)`` total order,
@@ -256,28 +258,39 @@ def _ranked_encoded_shingles(sh: DataFrame, id_col: str):
     fixed-width columns."""
     from pyspark.sql.window import Window
 
+    spark = sh.sparkSession
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     # monotonically_increasing_id is nondeterministic across RECOMPUTATION,
-    # which is safe here ONLY because the eager localCheckpoint freezes the
-    # assignment: downstream stages read checkpointed blocks, and a lost
-    # executor fails the job loudly instead of silently re-encoding with
-    # different ids. The 100 TB upgrade path is reliable `checkpoint()`
-    # (or a persisted dict table) so the lineage survives executor loss.
+    # which is safe here ONLY because the materialization below freezes the
+    # assignment before anything reads it. Default: eager localCheckpoint —
+    # downstream stages read checkpointed blocks, and a lost executor fails
+    # the job loudly instead of silently re-encoding with different ids.
+    # ``reliable_dir`` (VERDICT r11 #8) is the 100 TB upgrade path: persist
+    # the dictionary and ranked tables as parquet under a caller-supplied
+    # path, so the frozen assignment survives executor loss (the read-back
+    # lineage is the files, recomputable on any executor).
     dic = freq.select(
         "shingle", F.monotonically_increasing_id().alias("_sid"), "_df"
-    ).localCheckpoint(eager=True)
+    )
+    if reliable_dir is not None:
+        dpath = f"{reliable_dir}/shingle_dict"
+        dic.write.mode("overwrite").parquet(dpath)
+        dic = spark.read.parquet(dpath)
+    else:
+        dic = dic.localCheckpoint(eager=True)
     w = Window.partitionBy(id_col).orderBy(
         F.col("_df").asc(), F.col("shingle").asc()
     )
-    return (
-        sh.join(dic, "shingle")
-        .select(
-            id_col, "_sid",
-            F.row_number().over(w).alias("_rn"),
-            F.count("*").over(Window.partitionBy(id_col)).alias("_sz"),
-        )
-        .localCheckpoint(eager=True)
+    ranked = sh.join(dic, "shingle").select(
+        id_col, "_sid",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("_sz"),
     )
+    if reliable_dir is not None:
+        rpath = f"{reliable_dir}/ranked"
+        ranked.write.mode("overwrite").parquet(rpath)
+        return spark.read.parquet(rpath)
+    return ranked.localCheckpoint(eager=True)
 
 
 def jaccard_verify_sets(
@@ -332,6 +345,7 @@ def jaccard_verify_sets(
 def ngram_jaccard_join(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.6, shingle_n: int = 3,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """[ext] EXACT n-gram Jaccard similarity self-join via lossless PREFIX
     FILTERING (All-Pairs, Bayardo et al. WWW'07; PPJoin, Xiao et al.
@@ -381,8 +395,10 @@ def ngram_jaccard_join(
     try:
         # ONE materialized sh×freq pass: per-doc global-order rank + size
         # + int64-encoded shingle (see _ranked_encoded_shingles) feeds
-        # prefix selection, the candidate join AND the verify sets
-        ranked = _ranked_encoded_shingles(sh, id_col)
+        # prefix selection, the candidate join AND the verify sets.
+        # reliable_dir swaps the localCheckpoint for persisted parquet so
+        # executor loss cannot fail the job at scale (VERDICT r11 #8)
+        ranked = _ranked_encoded_shingles(sh, id_col, reliable_dir)
         pref = ranked.filter(
             F.col("_rn")
             <= F.col("_sz") - _ceil_loose(F.lit(t) * F.col("_sz")) + 1
@@ -452,6 +468,7 @@ def ngram_jaccard_join(
 def containment_join(
     df: DataFrame, id_col: str, text_col: str,
     threshold: float = 0.8, shingle_n: int = 3,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """[ext] EXACT shingle-set CONTAINMENT self-join — the asymmetric
     sibling of :func:`ngram_jaccard_join` for SUB-DOCUMENT duplication:
@@ -492,8 +509,10 @@ def containment_join(
         # ONE materialized sh×freq pass (see _ranked_encoded_shingles):
         # the prefix rows, the full-side rows AND the verify sets all
         # read the same int64-encoded checkpoint — this also replaces the
-        # former per-doc sizes groupBy+join (the rank window carries _sz)
-        ranked = _ranked_encoded_shingles(sh, id_col)
+        # former per-doc sizes groupBy+join (the rank window carries
+        # _sz); reliable_dir as in ngram_jaccard_join (persisted tables
+        # instead of localCheckpoint — VERDICT r11 #8)
+        ranked = _ranked_encoded_shingles(sh, id_col, reliable_dir)
         pref = ranked.filter(
             F.col("_rn")
             <= F.col("_sz") - _ceil_loose(F.lit(t) * F.col("_sz")) + 1

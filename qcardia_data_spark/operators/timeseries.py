@@ -183,9 +183,15 @@ def trend_stats(
         F.sum(F.col("x") * F.col("x")).alias("sx2"),
         F.sum(F.col("yc") * F.col("yc")).alias("sy2"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    # derived second-moment terms in DECIMAL(38,0): the SUMS are int64 by
+    # the data-domain contract above, but n*sxy / sx*sy can reach ~1e29
+    # near the boundary — long arithmetic raised ARITHMETIC_OVERFLOW under
+    # ANSI where the streaming twin's Python-int path was exact (r12 soak).
+    # Decimal keeps the integer core exact and both engines identical.
+    _d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = _d(F.col("n")) * _d(F.col("sxy")) - _d(F.col("sx")) * _d(F.col("sy"))
+    den = _d(F.col("n")) * _d(F.col("sx2")) - _d(F.col("sx")) * _d(F.col("sx"))
+    deny = _d(F.col("n")) * _d(F.col("sy2")) - _d(F.col("sy")) * _d(F.col("sy"))
     slope = num.cast("double") / den.cast("double")  # cents per second
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")

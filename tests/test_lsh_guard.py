@@ -544,3 +544,55 @@ def test_containment_join_property_hypothesis(shared_spark):
         assert got == naive(rows, threshold)
 
     check()
+
+
+def test_ngram_jaccard_reliable_dir_equals_localcheckpoint_path(spark, tmp_path):
+    """VERDICT r11 #8: reliable_dir swaps the eager localCheckpoint for
+    persisted parquet dictionary/ranked tables (executor-loss-safe at
+    scale) — the results must be identical to the default path, for both
+    the Jaccard join and its containment sibling."""
+    from qcardia_data_spark.functions.dedup import (
+        containment_join,
+        ngram_jaccard_join,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "pack my box with five dozen liquor jugs right now"),
+        (5, "pack my box with five dozen liquor jugs right here"),
+        (6, "sphinx of black quartz judge my vow quickly and well"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    want = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_join(df, "doc_id", "text", 0.5).collect()
+    )
+    got = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_join(
+            df, "doc_id", "text", 0.5,
+            reliable_dir=str(tmp_path / "rel_j"),
+        ).collect()
+    )
+    assert got == want and want
+
+    want_c = sorted(
+        (r["a"], r["b"], round(r["containment"], 9))
+        for r in containment_join(df, "doc_id", "text", 0.6).collect()
+    )
+    got_c = sorted(
+        (r["a"], r["b"], round(r["containment"], 9))
+        for r in containment_join(
+            df, "doc_id", "text", 0.6,
+            reliable_dir=str(tmp_path / "rel_c"),
+        ).collect()
+    )
+    assert got_c == want_c and want_c
+    # the persisted tables exist where the caller pointed
+    import os as _os
+
+    assert _os.path.isdir(str(tmp_path / "rel_j" / "shingle_dict"))
+    assert _os.path.isdir(str(tmp_path / "rel_j" / "ranked"))

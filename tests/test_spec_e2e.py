@@ -962,3 +962,134 @@ def test_spec_window_nested_offset_refused_with_guidance(spark, sf_dir):
         # whole-partition aggregate: identical on every row of the group
         assert {by[("u1", s)]["total"] for s in (1, 2, 3, 4)} == {100.0}
         assert {by[("u2", s)]["total"] for s in (1, 2)} == {300.0}
+
+
+def test_retrieval_search_example_runs(spark, sf_dir, tmp_path):
+    # the shipped r12 example: build both standing indexes once, then
+    # phrase-filter + BM25-rank off the indexes without a corpus rescan
+    spec = json.load(open("examples/retrieval_search.json"))
+    subst = {
+        "{phrase_idx}": str(tmp_path / "phrase_idx"),
+        "{bm25_idx}": str(tmp_path / "bm25_idx"),
+    }
+
+    def patch(ops):
+        out = []
+        for op in ops:
+            op = dict(op)
+            if op.get("path") in subst:
+                op["path"] = subst[op["path"]]
+            out.append(op)
+        return out
+
+    compile_pipeline(
+        spark, patch(spec["pipelines"]["build_indexes"]), sf_dir
+    ).count()  # materialization boundary: force the index writes
+    out = compile_pipeline(
+        spark, patch(spec["pipelines"]["phrase_and_rank"]), sf_dir
+    )
+    rows = out.collect()
+    assert out.columns == ["doc_id", "n_hits", "score"]
+    assert 0 < len(rows) <= 100
+    assert all(r["n_hits"] >= 1 for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # index-path probe == scan-form result on the same frame
+    from qcardia_data_spark.functions.retrieval import (
+        bm25_topk,
+        phrase_occurrences,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    hits = phrase_occurrences(docs, ["query", "line", "value"])
+    top = bm25_topk(docs, ["query", "line", "value"], k=100)
+    want = sorted(
+        (r["doc_id"], r["n_hits"], r["score"])
+        for r in hits.join(top.select("doc_id", "score"), "doc_id").collect()
+    )
+    assert sorted((r["doc_id"], r["n_hits"], r["score"]) for r in rows) == want
+
+
+def test_media_dedup_example_runs_all_modalities(spark, sf_dir, tmp_path):
+    # the shipped r12 example: all four modalities through media_near_dup
+    # on synthetic corpora built with the repo's own pure-stdlib codecs
+    import numpy as np
+
+    from qcardia_data_spark.sources.audio import encode_wav
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg
+    from qcardia_data_spark.sources.png import encode_png
+
+    spec = json.load(open("examples/media_dedup.json"))
+    rng = np.random.RandomState(12)
+
+    imgs = tmp_path / "imgs"; imgs.mkdir()
+    coarse = rng.randint(0, 200, size=(8, 6)).astype(np.float64)
+    base = np.kron(coarse, np.ones((8, 8)))[:64, :48].astype(np.uint8)
+    (imgs / "base.png").write_bytes(encode_png(base))
+    (imgs / "bright.png").write_bytes(encode_png((base + 20).astype(np.uint8)))
+    (imgs / "noise.png").write_bytes(
+        encode_png(rng.randint(0, 255, size=(64, 48)).astype(np.uint8))
+    )
+
+    aud = tmp_path / "aud"; aud.mkdir()
+    rate = 8000
+    t = np.arange(int(rate * 4.0)) / rate
+    sig = 0.02 * rng.randn(len(t))
+    for _ in range(8):
+        f0 = rng.uniform(100, 3500)
+        am = 0.3 + 0.7 * np.sin(2 * np.pi * rng.uniform(0.2, 1.0) * t)
+        sig += 0.1 * am * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 6))
+    sig = 0.6 * sig / np.abs(sig).max()
+    other = 0.02 * rng.randn(len(t))
+    for _ in range(8):
+        other += 0.1 * np.sin(2 * np.pi * rng.uniform(100, 3500) * t
+                              + rng.uniform(0, 6))
+    other = 0.6 * other / np.abs(other).max()
+    (aud / "base.wav").write_bytes(encode_wav(sig, rate))
+    (aud / "quiet.wav").write_bytes(encode_wav(0.4 * sig, rate))
+    (aud / "other.wav").write_bytes(encode_wav(other, rate))
+
+    vid = tmp_path / "vid"; vid.mkdir()
+    frames = [
+        np.kron(rng.randint(0, 200, size=(8, 8)), np.ones((8, 8))).astype(np.uint8)
+        for _ in range(4)
+    ]
+    (vid / "a.avi").write_bytes(encode_avi_mjpeg(frames))
+    (vid / "bright.avi").write_bytes(
+        encode_avi_mjpeg([(f + 15).astype(np.uint8) for f in frames])
+    )
+    (vid / "other.avi").write_bytes(encode_avi_mjpeg([
+        np.kron(rng.randint(0, 200, size=(8, 8)), np.ones((8, 8))).astype(np.uint8)
+        for _ in range(4)
+    ]))
+
+    subst = {"{images}": str(imgs), "{audio}": str(aud), "{video}": str(vid)}
+
+    def run(name):
+        ops = []
+        for op in spec["pipelines"][name]:
+            op = dict(op)
+            if op.get("path") in subst:
+                op["path"] = subst[op["path"]]
+            ops.append(op)
+        return compile_pipeline(spark, ops, sf_dir)
+
+    # text: pair table over the documents table, SimHash64 engine
+    text_pairs = run("text")
+    assert {"a", "b"} <= set(text_pairs.columns)
+    assert text_pairs.count() >= 0  # runs; density depends on sf
+
+    got = {(r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1])
+           for r in run("image").collect()}
+    assert ("base.png", "bright.png") in got
+    assert not any("noise" in a or "noise" in b for a, b in got)
+
+    got = {(r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1])
+           for r in run("audio").collect()}
+    assert ("base.wav", "quiet.wav") in got
+    assert not any("other" in a or "other" in b for a, b in got)
+
+    got = {(r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1])
+           for r in run("video").collect()}
+    assert ("a.avi", "bright.avi") in got
+    assert not any("other" in a or "other" in b for a, b in got)

@@ -1174,3 +1174,161 @@ def test_streaming_gapfill_locf_quiet_key_flushes_on_watermark(spark, tmp_path):
     # (20:30 - 1h = 19:30) finalizes all three via the timeout even
     # though user 1 received no rows after the first batch
     assert got1 == {(h10, 1.0), (h10 + 1, 1.0), (h10 + 2, 5.0)}
+
+
+def test_streaming_gapfill_locf_randomized_multikey_soak(spark, tmp_path):
+    """VERDICT r11 #6 soak: random event gaps and quiet periods over many
+    keys — every emitted (user, bucket) appears EXACTLY ONCE, equals the
+    batch twin's row, and forms a contiguous prefix of the batch row set
+    from the user's first bucket. Exercises the EventTimeTimeout flush
+    under arbitrary interleavings (some users go quiet mid-stream and
+    only other users' events advance the watermark past their span)."""
+    import datetime as dt
+    import glob
+    import random
+    import shutil
+
+    from qcardia_data_spark.queries import QUERIES
+    from qcardia_data_spark.streaming.stateful import streaming_gapfill_locf
+
+    rng = random.Random(0xC0FFEE)
+    t0 = int(dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc).timestamp())
+    rows = []
+    eid = 0
+    for user in range(1, 7):
+        # each user: 2-4 activity clusters separated by multi-hour quiet
+        # gaps; users START at different times and STOP at different
+        # times, so late users' events finalize early users' tails
+        t = t0 + rng.randrange(0, 48) * 3600
+        for _ in range(rng.randrange(2, 5)):
+            for _ in range(rng.randrange(1, 6)):
+                rows.append((eid, dt.datetime.fromtimestamp(
+                    t, dt.timezone.utc).replace(tzinfo=None),
+                    user, round(rng.uniform(-50, 50), 2)))
+                eid += 1
+                t += rng.randrange(60, 7200)
+            t += rng.randrange(2, 30) * 3600  # quiet gap
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+
+    # batch twin over the same rows, via the graded query on a tmp sf_dir
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ev.write.parquet(str(sf / "events.parquet"))
+    batch = QUERIES["ev_gapfill_locf"][0](spark, str(sf))
+    want = {(r["user_id"], r["bucket_hour"]): r["value"] for r in batch.collect()}
+
+    # stream the same rows in chronological files (event time order)
+    src = tmp_path / "stream_soak"
+    src.mkdir()
+    ordered = sorted(rows, key=lambda r: r[1])
+    n_files = 7
+    per = (len(ordered) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = ordered[i * per:(i + 1) * per]
+        if not chunk:
+            continue
+        df = spark.createDataFrame(chunk, ["event_id", "ts", "user_id", "value"])
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp_soak" / str(i))
+        )
+        part = glob.glob(str(tmp_path / "tmp_soak" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i:02}.parquet"))
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", ev.schema)
+    out = S.run_to_memory(streaming_gapfill_locf(stream, "1 hour"), "append")
+    emitted = [(r["user_id"], r["bucket_hour"], r["value"]) for r in out.collect()]
+    assert emitted
+
+    # exactly once: no (user, bucket) appears twice
+    keys = [(u, b) for (u, b, _) in emitted]
+    assert len(keys) == len(set(keys)), "duplicate bucket emission"
+    # every emitted row equals the batch twin's row
+    for (u, b, v) in emitted:
+        assert (u, b) in want and v == want[(u, b)], (u, b, v)
+    # contiguous prefix per user from the user's first batch bucket
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for (u, b) in keys:
+        by_user[u].append(b)
+    want_h0 = collections.defaultdict(lambda: 1 << 62)
+    for (u, b) in want:
+        want_h0[u] = min(want_h0[u], b)
+    for u, bs in by_user.items():
+        bs.sort()
+        assert bs[0] == want_h0[u], f"user {u} prefix starts late"
+        assert bs == list(range(bs[0], bs[0] + len(bs))), f"user {u} gap"
+    # the quiet-key flush must have finalized EVERY user's span up to the
+    # final watermark (max event time - 1h), not just users with late rows
+    final_wm_s = int(max(r[1] for r in rows).replace(
+        tzinfo=dt.timezone.utc).timestamp()) - 3600
+    for u in by_user:
+        span_hi = max(b for (uu, b) in want if uu == u)
+        expect_hi = min((final_wm_s - 3600) // 3600, span_hi)
+        assert max(by_user[u]) >= expect_hi, f"user {u} tail withheld"
+
+
+def test_streaming_trend_stats_large_magnitude_soak(spark, tmp_path):
+    """VERDICT r11 #6 soak: random large-magnitude values with sufficient
+    statistics NEAR the int64 boundary (sy2 within ~25% of 2^63), random
+    multi-file arrival exercising the origin-shift merge — the final
+    streamed fit must equal the batch trend_stats int-for-int."""
+    import datetime as dt
+    import glob
+    import random
+    import shutil
+
+    from qcardia_data_spark.operators.timeseries import trend_stats
+    from qcardia_data_spark.streaming.stateful import streaming_trend_stats
+
+    rng = random.Random(0xBEEF)
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    span = 2 * 365 * 24 * 3600  # x up to ~6.3e7: x^2 ~ 4e15 per row
+    rows = []
+    eid = 0
+    for user in range(1, 5):
+        # 300 rows x (1.5e8 cents)^2 = 6.75e18 ~ 73% of 2^63: the sums
+        # stay representable, but any silent wrap would corrupt them
+        for _ in range(300):
+            s = t0 + rng.randrange(0, span)
+            v = rng.uniform(-1.5e6, 1.5e6)
+            rows.append((eid, dt.datetime.fromtimestamp(
+                s, dt.timezone.utc).replace(tzinfo=None), user, v))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+
+    src = tmp_path / "stream_mag"
+    src.mkdir()
+    shuffled = rows[:]
+    rng.shuffle(shuffled)  # non-chronological files: origin shifts fire
+    n_files = 5
+    per = (len(shuffled) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = shuffled[i * per:(i + 1) * per]
+        df = spark.createDataFrame(chunk, ["event_id", "ts", "user_id", "value"])
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "tmp_mag" / str(i))
+        )
+        part = glob.glob(str(tmp_path / "tmp_mag" / str(i) / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i}.parquet"))
+    stream = S.stream_from_dir(spark, str(src) + "/*.parquet", ev.schema)
+    out = S.run_to_memory(
+        streaming_trend_stats(stream, watermark="10000 days"), "update"
+    )
+    final = (
+        out.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    batch = trend_stats(
+        ev.withColumn("s", F.unix_timestamp("ts")), "user_id", "s", "value"
+    )
+    got = sorted(tuple(r) for r in final.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) == 4
