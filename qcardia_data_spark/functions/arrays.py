@@ -94,8 +94,16 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity via sequential folds (same op order as the DuckDB
-    oracle restatement)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    oracle restatement).
+
+    Zero-norm guard (r12 review): the raw quotient is NaN for a zero
+    vector, and Spark orders NaN GREATER than every double — one zero
+    embedding in a corpus would claim rank 1 of every cosine top-k.
+    Zero-norm pairs score -1.0 (worst possible cosine) instead, so they
+    rank last; on corpora with no zero vectors the expression is
+    value-identical to the raw quotient the oracles replay."""
+    prod = l2_norm(a) * l2_norm(b)
+    return F.when(prod > 0, dot(a, b) / prod).otherwise(F.lit(-1.0))
 
 
 def array_stats(arr: Column) -> Column:

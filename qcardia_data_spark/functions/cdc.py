@@ -99,8 +99,13 @@ def scd2_from_changes(
         differs = d if differs is None else (differs | d)
     # first row per key: lag is NULL for every attr, but an attr that is
     # itself NULL would null-safe-match — mark the first row explicitly.
+    # Fresh working name (r12 review): a user column literally named
+    # _chg would be silently overwritten by the withColumn.
+    from qcardia_data_spark.operators.joins import fresh_name
+
     is_first = F.row_number().over(w) == 1
-    pts = changes.withColumn("_chg", is_first | differs).filter(F.col("_chg"))
+    chg = fresh_name("_chg", changes.columns)
+    pts = changes.withColumn(chg, is_first | differs).filter(F.col(chg))
 
     valid_to = F.lead(ts).over(w)
     return pts.select(
@@ -328,7 +333,15 @@ def upsert_lookup(
     if not keys:
         raise ValueError("upsert_lookup: empty key list")
     key, n_buckets = meta["key"], int(meta["n_buckets"])
-    kdf = spark.createDataFrame([(k,) for k in keys], [key])
+    # cast probe keys to the TABLE's key type (r12 review): an int probe
+    # against a string-keyed table would md5-bucket consistently (the
+    # bucket fn casts to string) but the semi join would go through
+    # Spark's implicit numeric coercion — int 5 matching "05"/"5.0"-style
+    # rows differently than the merge path did. ANSI cast fails loudly on
+    # a genuinely unconvertible probe.
+    kdf = spark.createDataFrame([(k,) for k in keys], [key]).select(
+        F.col(key).cast(meta["key_type"]).alias(key)
+    )
     buckets = sorted(
         {
             r[0]

@@ -225,10 +225,18 @@ def _assign_to_centroids(embeddings: DataFrame, cents: list[list[float]], vec_co
     # one nested-array literal + index lambda instead of n_cells × dim
     # F.lit calls — same driver-side py4j economics as hyperplane_bucket
     cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    # dim guard (r12 review, the _dim_checked class): a vector whose
+    # length differs from the centroids' zip_with-null-pads in the dot,
+    # the cosine NULL-folds, and the row silently lands in an arbitrary
+    # cell — refuse loudly instead
+    d = _dim_checked(
+        F.col(vec_col).cast("array<double>"), len(cents[0]),
+        "_assign_to_centroids",
+    )
     scored = F.transform(
         cent_arr,
         lambda c, i: F.struct(
-            (-cosine(F.col(vec_col), c)).alias("neg"),
+            (-cosine(d, c)).alias("neg"),
             i.cast("int").alias("cell"),
         ),
     )
@@ -764,9 +772,14 @@ def pq_encode(
         raise ValueError(f"pq_encode: dim {d} not divisible by m={m}")
     d_sub = d // m
 
+    # dim guard (r12 review): a shorter vector's slices silently come up
+    # short, every codeword distance NULL-folds, and the row gets
+    # arbitrary codes — refuse loudly like the LSH/_assign paths
+    dvec = _dim_checked(
+        F.col(vec_col).cast("array<double>"), d, "pq_encode"
+    )
     slices = F.array(*[
-        F.slice(F.col(vec_col).cast("array<double>"), s * d_sub + 1, d_sub)
-        for s in range(m)
+        F.slice(dvec, s * d_sub + 1, d_sub) for s in range(m)
     ])
     sub_rows = embeddings.select(
         F.col(id_col), F.posexplode(slices).alias("sub", "sd")
@@ -845,9 +858,11 @@ def pq_encode_with_codebooks(
         raise ValueError(
             f"pq_encode_with_codebooks: dim {d} != m*d_sub = {m}*{d_sub}"
         )
+    dvec = _dim_checked(
+        F.col(vec_col).cast("array<double>"), d, "pq_encode_with_codebooks"
+    )
     slices = F.array(*[
-        F.slice(F.col(vec_col).cast("array<double>"), s * d_sub + 1, d_sub)
-        for s in range(m)
+        F.slice(dvec, s * d_sub + 1, d_sub) for s in range(m)
     ])
     sub_rows = embeddings.select(
         F.col(id_col), F.posexplode(slices).alias("sub", "sd")
@@ -1126,7 +1141,14 @@ def _topk_pair_scores(
         )
         .select(
             id_left, id_right,
-            (F.col("_dot") / (F.col("_nl") * F.col("_nr"))).alias("score"),
+            # zero-norm guard, matching arrays.cosine (r12 review): the
+            # raw quotient is NaN for a zero vector and NaN sorts FIRST
+            # under desc — one zero embedding would top every left row's
+            # list. Score -1.0 instead (ranks last).
+            F.when(
+                F.col("_nl") * F.col("_nr") > 0,
+                F.col("_dot") / (F.col("_nl") * F.col("_nr")),
+            ).otherwise(F.lit(-1.0)).alias("score"),
         )
     )
     w = Window.partitionBy(id_left).orderBy(F.desc("score"), F.col(id_right))

@@ -542,3 +542,45 @@ def test_upsert_reserved_columns_refused(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="collide"):
         merge_upsert_partitioned(spark, path, bad)
+
+
+def test_upsert_lookup_coerces_probe_key_type(spark, tmp_path):
+    """r12 review: probe keys are cast to the TABLE's key type before
+    bucketing + semi join, so an int probe against a string-keyed table
+    matches exactly the rows the merge path would have bucketed — not
+    whatever Spark's implicit numeric coercion decides."""
+    from qcardia_data_spark.functions.cdc import (
+        upsert_lookup,
+        upsert_write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [("1", 10, "a"), ("2", 20, "b"), ("05", 5, "c")],
+        ["k", "ts", "v"],
+    )
+    path = str(tmp_path / "up_types")
+    upsert_write_partitioned(df, path, key="k", ts="ts", n_buckets=8)
+    got = {r["k"]: r["v"] for r in upsert_lookup(spark, path, [1, 2]).collect()}
+    assert got == {"1": "a", "2": "b"}
+    # "05" is a DIFFERENT string key than int 5's cast "5": no match,
+    # consistently with how the merge path buckets it
+    assert upsert_lookup(spark, path, [5]).count() == 0
+    assert upsert_lookup(spark, path, ["05"]).count() == 1
+
+
+def test_scd2_tolerates_chg_named_column(spark):
+    """r12 review: the change-point working column is fresh-named, so a
+    user column literally named _chg survives — including as a tracked
+    attribute."""
+    from qcardia_data_spark.functions.cdc import scd2_from_changes
+
+    rows = [
+        (1, 1, "x"), (1, 2, "x"), (1, 3, "y"),
+        (2, 1, "p"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "_chg"])
+    out = scd2_from_changes(df, "k", "ts", ["_chg"]).collect()
+    by = {(r["k"], r["version"]): r for r in out}
+    assert by[(1, 1)]["_chg"] == "x" and by[(1, 1)]["valid_to"] == 3
+    assert by[(1, 2)]["_chg"] == "y" and by[(1, 2)]["is_current"]
+    assert by[(2, 1)]["_chg"] == "p" and by[(2, 1)]["is_current"]

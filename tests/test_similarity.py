@@ -905,3 +905,62 @@ def test_normalize_vectors_preserves_schema_and_tolerates_nrm_column(spark):
     assert abs(row["embedding"][0] - 0.6) < 1e-12
     assert abs(row["embedding"][1] - 0.8) < 1e-12
     assert row["_nrm"] == 9.9
+
+
+def test_zero_norm_vector_ranks_last_not_first(spark):
+    """r12 review: a zero embedding used to score NaN, and NaN sorts
+    GREATER than every double — one zero vector claimed rank 1 of every
+    cosine top-k. The guard scores zero-norm pairs -1.0 (ranks last), in
+    both the cosine() scan path and the precomputed-norm pair path."""
+    from qcardia_data_spark.functions.similarity import (
+        cosine_topk,
+        pairwise_topk_join,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=4).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 4, 3]
+    assert got[-1]["score"] == -1.0  # the zero vector, ranked last
+
+    pairs = pairwise_topk_join(
+        emb.withColumnRenamed("vec_id", "a"),
+        emb.withColumnRenamed("vec_id", "b"),
+        k=3, n_planes=1, dim=4,
+    ).collect()
+    assert pairs
+    import math
+
+    assert not any(math.isnan(r["score"]) for r in pairs)
+    for r in pairs:
+        if r["a"] == 3 or r["b"] == 3:
+            assert r["score"] == -1.0
+
+
+def test_mixed_dim_vectors_refused_in_ivf_and_pq(spark):
+    """r12 review (the _dim_checked class, extended to IVF/PQ): a vector
+    whose length differs from the centroids'/codebooks' used to NULL-fold
+    every distance and silently land in an arbitrary cell / get arbitrary
+    codes. Both paths must refuse loudly."""
+    import pytest
+
+    from qcardia_data_spark.functions.similarity import (
+        ivf_assign,
+        pq_encode_with_codebooks,
+    )
+
+    good = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(8)]
+    bad = good + [(99, [1.0, 2.0])]  # wrong-dim straggler
+    emb = spark.createDataFrame(bad, ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="dim"):
+        a, _ = ivf_assign(emb, n_cells=2, seed=1)
+        a.collect()
+
+    cb = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, d_sub=2
+    with pytest.raises(Exception, match="dim"):
+        pq_encode_with_codebooks(emb, cb).collect()
