@@ -15,6 +15,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _safe_component(value, who: str) -> str:
+    """File-name component from a record id/subject — refuse loudly on
+    path separators or traversal (r12 review: an id like "../x" written
+    through the per-record sinks would land OUTSIDE the output dir)."""
+    s = str(value)
+    if not s or "/" in s or "\\" in s or s in (".", "..") or "\x00" in s:
+        raise ValueError(
+            f"{who}: record id {s!r} is not a safe file-name component "
+            "(empty, path separator, or traversal) — sanitize ids upstream"
+        )
+    return s
+
+
 def write_records(
     df: DataFrame, path: str, order_by: Sequence[str],
     partition_by: Sequence[str] = (), mode: str = "overwrite",
@@ -73,7 +86,8 @@ def write_npy_records(
             arr = np.asarray(r[array_col], dtype=np.float32)
             if shape_names:
                 arr = arr.reshape(*[int(r[c]) for c in shape_names])
-            np.save(os.path.join(out_dir, f"{r[id_col]}.npy"), arr)
+            name = _safe_component(r[id_col], "write_npy_records")
+            np.save(os.path.join(out_dir, f"{name}.npy"), arr)
 
     df.select(*cols).foreachPartition(write_partition)
 
@@ -106,7 +120,7 @@ def write_nifti_records(
                 if affine_col
                 else np.eye(4)
             )
-            subj = str(r[subject_col])
+            subj = _safe_component(r[subject_col], "write_nifti_records")
             folder = os.path.join(out_dir, subj)
             os.makedirs(folder, exist_ok=True)
             name = f"{subj}_{suffix}.nii" + (".gz" if compress else "")
@@ -141,9 +155,12 @@ def write_png_slices(
             h, w = int(r[h_col]), int(r[w_col])
             a = np.asarray(r[array_col], dtype=np.float64)
             img = a.reshape(h, w) if channels == 1 else a.reshape(channels, h, w).transpose(1, 2, 0)
-            folder = os.path.join(out_dir, str(r[folder_col]))
+            folder = os.path.join(
+                out_dir, _safe_component(r[folder_col], "write_png_slices")
+            )
             os.makedirs(folder, exist_ok=True)
-            with open(os.path.join(folder, f"{r[name_col]}.png"), "wb") as f:
+            nm = _safe_component(r[name_col], "write_png_slices")
+            with open(os.path.join(folder, f"{nm}.png"), "wb") as f:
                 f.write(encode_png((img * 255.0).astype(np.uint8)))
 
     df.select(*cols).foreachPartition(write_partition)
@@ -190,6 +207,12 @@ def write_jsonl_shards(
     ``path/shard=*/*.json``."""
     from pyspark.sql import functions as F
 
+    if "shard" in df.columns:
+        raise ValueError(
+            "write_jsonl_shards: the frame already has a 'shard' column — "
+            "the sink derives its own shard assignment and partitions on "
+            "it; rename the input column (r12 review)"
+        )
     shard = F.pmod(
         F.conv(
             F.substring(F.md5(F.col(shard_col).cast("string")), 1, 8), 16, 10

@@ -125,3 +125,33 @@ def test_jsonl_shard_export_roundtrip(spark, sf_dir, tmp_path):
         b = spark.read.json(f"{p2}/{d}/*.json").select("doc_id")
         assert sorted(r["doc_id"] for r in a.collect()) == \
             sorted(r["doc_id"] for r in b.collect())
+
+
+def test_per_record_sinks_refuse_unsafe_id_components(spark, tmp_path):
+    """r12 review: ids interpolated into file names must refuse path
+    separators/traversal — an id like '../x' through write_npy_records
+    used to write OUTSIDE the output directory."""
+    import pytest
+
+    from qcardia_data_spark.sources.writers import (
+        write_jsonl_shards,
+        write_npy_records,
+    )
+
+    df = spark.createDataFrame(
+        [("../escape", [1.0, 2.0])], ["rec_id", "arr"]
+    ).coalesce(1)
+    out = tmp_path / "npy"
+    with pytest.raises(Exception, match="safe file-name component"):
+        write_npy_records(df, str(out), "rec_id", "arr")
+    assert not (tmp_path / "escape.npy").exists()
+
+    good = spark.createDataFrame([("r1", [1.0])], ["rec_id", "arr"]).coalesce(1)
+    write_npy_records(good, str(out), "rec_id", "arr")
+    assert (out / "r1.npy").exists()
+
+    # jsonl sharder refuses a pre-existing 'shard' column instead of
+    # silently overwriting it
+    with_shard = spark.createDataFrame([(1, "t", 9)], ["doc_id", "text", "shard"])
+    with pytest.raises(ValueError, match="'shard' column"):
+        write_jsonl_shards(with_shard, str(tmp_path / "js"), "doc_id")
