@@ -434,8 +434,12 @@ def decode_video_frames(
     from qcardia_data_spark.sources.avi import decode_avi_frame, parse_avi
 
     keep = sorted(set(int(k) for k in keep_frames))
-    if any(k < 0 or k >= n_frames for k in keep):
-        raise ValueError(f"keep_frames out of range for n_frames={n_frames}")
+    if any(k < 0 for k in keep):
+        raise ValueError(f"keep_frames must be >= 0, got {keep}")
+    # NB: the ``n_frames`` bound applies only to the FAKE (non-AVI) path —
+    # real AVI files carry their own frame count and validate per file
+    # below. Checking it at build time rejected keep_frames a real file
+    # could serve whenever the caller left the stub default (r12 review).
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -465,6 +469,12 @@ def decode_video_frames(
                             "payload_bytes": len(content),
                         })
                     continue
+                bad = [k for k in keep if k >= n_frames]
+                if bad:
+                    raise ValueError(
+                        f"{path}: keep_frames {bad} out of range for the "
+                        f"stub codec's n_frames={n_frames}"
+                    )
                 vol = _fake_decode(content, height, width, n_frames)
                 for k in keep:
                     rows.append({
@@ -541,6 +551,13 @@ def phash_images(binary_df: DataFrame, fmt: str = "png") -> DataFrame:
     decode-after-predicate (filter on path/length upstream)."""
     from qcardia_data_spark.sources.png import decode_png
 
+    # a missing codec fails the PLAN, not the first task (the decode_image
+    # stance — r12 review moved this out of the per-row loop)
+    if fmt not in ("png", "fake"):
+        raise NotImplementedError(
+            f"phash_images: unsupported fmt {fmt!r} (png, fake)"
+        )
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -548,12 +565,8 @@ def phash_images(binary_df: DataFrame, fmt: str = "png") -> DataFrame:
                 raw = bytes(content)
                 if fmt == "png":
                     img = decode_png(raw)
-                elif fmt == "fake":
-                    img = _fake_decode(raw)[:, :, 0]
                 else:
-                    raise NotImplementedError(
-                        f"phash_images: unsupported fmt {fmt!r} (png, fake)"
-                    )
+                    img = _fake_decode(raw)[:, :, 0]
                 v = _phash64(img)
                 rows.append({
                     "path": path,

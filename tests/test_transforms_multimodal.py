@@ -338,8 +338,11 @@ def test_spark_video_frame_sample_stub(spark):
 
     import pytest
 
-    with pytest.raises(ValueError, match="out of range"):
-        decode_video_frames(df, keep_frames=[9], n_frames=8)
+    # r12: the stub n_frames bound is enforced PER FILE at execution (a
+    # real AVI validates against its own header instead — build-time
+    # enforcement rejected keep_frames real files could serve)
+    with pytest.raises(Exception, match="out of range"):
+        decode_video_frames(df, keep_frames=[9], n_frames=8).collect()
 
 
 # ---------------------------------------------------------------------------
@@ -775,3 +778,49 @@ def test_media_near_dup_spec_op_image(spark, tmp_path):
     key = lambda r: (r["a"].rsplit("/", 1)[-1], r["b"].rsplit("/", 1)[-1], r["hamming"])  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() > 0
+
+
+def test_video_keep_frames_bound_is_per_codec(spark):
+    """r12 review: the stub codec's n_frames bound used to be enforced at
+    BUILD time, rejecting keep_frames a real AVI could serve. Now: real
+    AVI validates against its own header; only the fake path enforces the
+    stub's n_frames (per file, loudly); negative indices still refuse at
+    build."""
+    import numpy as np
+    import pytest
+
+    from qcardia_data_spark.sources.avi import encode_avi_mjpeg
+    from qcardia_data_spark.sources.multimodal import decode_video_frames
+
+    rng = np.random.RandomState(3)
+    frames = [
+        np.kron(rng.randint(0, 200, size=(8, 8)), np.ones((8, 8))).astype(np.uint8)
+        for _ in range(12)
+    ]
+    avi = spark.createDataFrame(
+        [("v.avi", bytearray(encode_avi_mjpeg(frames)))], ["path", "content"]
+    )
+    # frame 9 exceeds the stub default n_frames=8 but the real AVI has 12
+    got = decode_video_frames(avi, [0, 9]).collect()
+    assert sorted(r["frame_nr"] for r in got) == [0, 9]
+
+    with pytest.raises(ValueError, match=">= 0"):
+        decode_video_frames(avi, [-1])
+
+    # the fake path still refuses per file, naming the stub bound
+    fake = spark.createDataFrame(
+        [("blob.bin", bytearray(b"not-a-riff"))], ["path", "content"]
+    )
+    with pytest.raises(Exception, match="stub codec"):
+        decode_video_frames(fake, [9]).collect()
+
+
+def test_phash_unsupported_fmt_fails_at_build(spark):
+    """r12 review: a bad fmt must fail the plan, not the first task."""
+    import pytest
+
+    from qcardia_data_spark.sources.multimodal import phash_images
+
+    df = spark.createDataFrame([("p", bytearray(b"x"))], ["path", "content"])
+    with pytest.raises(NotImplementedError, match="unsupported fmt"):
+        phash_images(df, fmt="jpeg2000")
