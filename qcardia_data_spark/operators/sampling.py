@@ -67,17 +67,22 @@ def weighted_sample(
     frequency weighting), drawn as its keyed_rand-first rows. Groups smaller
     than the share contribute all rows.
     """
-    from pyspark.sql.window import Window
-
-    n_groups = Window.partitionBy()
-    share = F.ceil(
-        F.lit(target_per_group_total)
-        / F.size(F.collect_set(F.struct(*group)).over(n_groups))
+    # group count as a 1-row broadcast aggregate, NOT an unpartitioned
+    # window (r12 review: Window.partitionBy() funnels every row through
+    # ONE task — the round-1 serving-iterator hazard class). Same values,
+    # distributed plan: the rank window still runs per group.
+    n_g = df.select(*group).distinct().agg(
+        F.count(F.lit(1)).alias("_n_groups")
     )
     ranked = row_number_per_group(
-        df, group, [keyed_rand(seed, F.col(key)), F.col(key)], out="_rn"
-    ).withColumn("_share", share)
-    return ranked.filter(F.col("_rn") <= F.col("_share")).drop("_rn", "_share")
+        df.join(F.broadcast(n_g)), group,
+        [keyed_rand(seed, F.col(key)), F.col(key)], out="_rn",
+    ).withColumn(
+        "_share", F.ceil(F.lit(target_per_group_total) / F.col("_n_groups"))
+    )
+    return ranked.filter(F.col("_rn") <= F.col("_share")).drop(
+        "_rn", "_share", "_n_groups"
+    )
 
 
 def weighted_rejection_sample(
@@ -93,19 +98,20 @@ def weighted_rejection_sample(
     k× more frequent at ``accept_scale/k`` — expected output is balanced
     across groups. Fully deterministic under retry (keyed uniform).
     """
-    from pyspark.sql.window import Window
-
     from qcardia_data_spark.functions.transforms import keyed_uniform
 
-    w = Window.partitionBy(*group)
-    total = Window.partitionBy()
-    weighted = df.withColumn(
-        "_w", F.count(F.lit(1)).over(total).cast("double") / F.count(F.lit(1)).over(w)
-    ).withColumn("_maxw", F.max("_w").over(total))
+    # totals as broadcast aggregates, NOT unpartitioned windows (r12
+    # review — Window.partitionBy() is a one-task global funnel). Same
+    # values: _w = total/group_cnt, max_w = total/min group_cnt, so the
+    # accept ratio _w/_maxw = min_gc/gc never even needs the total.
+    gc = df.groupBy(*group).agg(F.count(F.lit(1)).alias("_gc"))
+    min_gc = gc.agg(F.min("_gc").alias("_min_gc"))
+    weighted = df.join(gc, on=list(group)).join(F.broadcast(min_gc))
     accept = keyed_uniform(seed, "wsample", F.col(key)) < (
-        F.lit(accept_scale) * F.col("_w") / F.col("_maxw")
+        F.lit(accept_scale)
+        * F.col("_min_gc").cast("double") / F.col("_gc")
     )
-    return weighted.filter(accept).drop("_w", "_maxw")
+    return weighted.filter(accept).drop("_gc", "_min_gc")
 
 
 def random_subset(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:

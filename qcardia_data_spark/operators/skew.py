@@ -56,6 +56,16 @@ def salted_join(
     across all salts, join on (key, salt). Correct for any equi-join where
     ``small`` has unique join keys or duplicates are acceptable exactly as
     in the unsalted join (replication is per-salt, not per-row)."""
+    # right/full joins are WRONG under salting: the small side is
+    # replicated n_salts x, so its unmatched rows would surface once per
+    # salt — refuse loudly instead of silently multiplying (r12 review).
+    # left/inner/semi/anti preserve the unsalted semantics exactly.
+    if how.replace("_outer", "") in ("right", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} would emit each unmatched small-side "
+            f"row {n_salts}x (the small side is replicated per salt) — use "
+            "an unsalted join or swap the sides"
+        )
     src = salt_source or on
     b = big.withColumn("_salt", salt_column(F.col(src), n_salts))
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

@@ -52,3 +52,22 @@ def test_salted_join_matches_direct(spark):
     direct = big.join(small, "k").groupBy("tag").count()
     salted = salted_join(big, small, "k", n_salts=8, salt_source="row_id").groupBy("tag").count()
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_salted_join_refuses_right_and_full(spark):
+    """r12 review: the small side is replicated n_salts x, so right/full
+    joins would emit each unmatched small-side row once per salt — refuse
+    loudly; left/inner keep unsalted semantics."""
+    import pytest
+
+    from qcardia_data_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "w"])
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unmatched small-side"):
+            salted_join(big, small, "k", n_salts=4, how=how)
+    # left join: unmatched BIG rows survive exactly once
+    big2 = spark.createDataFrame([(1, "x"), (3, "y")], ["k", "v"])
+    out = salted_join(big2, small, "k", n_salts=4, how="left").collect()
+    assert sorted((r["k"], r["w"]) for r in out) == [(1, "a"), (3, None)]

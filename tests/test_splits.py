@@ -194,3 +194,34 @@ def test_poisson_bootstrap_distribution_and_determinism(spark):
     assert b.collect() == again.collect()          # deterministic
     other = poisson_bootstrap(df, ["id"], lam=1.0, seed=8)
     assert b.collect() != other.collect()          # seed matters
+
+
+def test_weighted_samplers_have_no_single_task_global_window(spark):
+    """r12 review: the group-count/total terms are broadcast 1-row
+    aggregates now — no WINDOW runs over an unpartitioned spec (the
+    one-task global funnel the old Window.partitionBy() form planned).
+    Single-partition exchanges over 1-row aggregate outputs remain, and
+    are the allowed driver-small class."""
+    import re
+
+    from qcardia_data_spark.operators.sampling import (
+        weighted_rejection_sample,
+        weighted_sample,
+    )
+
+    rows = [("g%d" % (i % 4), i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+
+    # equalizer: the only window is the per-group rank — partitioned by g
+    plan = weighted_sample(
+        df, ["g"], "k", 20, seed=1
+    )._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:1500]
+    assert all(s.lstrip().startswith("g#") for s in specs), specs
+
+    # rejection sampler: no window at all (joins + broadcast aggregates)
+    plan2 = weighted_rejection_sample(
+        df, ["g"], "k", seed=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" not in plan2, plan2[:1500]
