@@ -642,6 +642,7 @@ def near_dedup_minhash(
     df: DataFrame, id_col: str, text_col: str,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
     max_bucket_size: int | None = 1000, star_rounds: int = 2,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → greedy keep-min-id.
 
@@ -700,9 +701,18 @@ def near_dedup_minhash(
         # join needs.
         # (shared with the incremental index — _band_signature_frame keeps
         # index and full-run signatures bit-identical by construction)
-        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(
-            eager=True
-        )
+        sigs = _band_signature_frame(sh, id_col, n_bands)
+        if reliable_dir is not None:
+            # the reliable twin of the localCheckpoint below (VERDICT r11
+            # #8, extended r12): persist the signature table as parquet
+            # under a caller path so executor loss cannot fail the job —
+            # signatures are md5-deterministic, so unlike the shingle
+            # dictionary this is purely an availability upgrade
+            spath = f"{reliable_dir}/signatures"
+            sigs.write.mode("overwrite").parquet(spath)
+            sigs = df.sparkSession.read.parquet(spath)
+        else:
+            sigs = sigs.localCheckpoint(eager=True)
         cands = lsh_candidate_pairs(
             sigs, id_col, max_bucket_size=max_bucket_size,
             hub_ranks=(

@@ -470,6 +470,9 @@ def _apply(
                 else int(op.get("max_bucket_size", 1000))
             ),
             star_rounds=int(op.get("star_rounds", 2)),
+            # optional executor-loss-safe materialization: persist the
+            # signature table under this path instead of localCheckpoint
+            reliable_dir=op.get("reliable_dir"),
         )
     if kind == "ngram_jaccard_dedup":
         from qcardia_data_spark.functions.dedup import ngram_jaccard_join
@@ -485,6 +488,7 @@ def _apply(
             df, id_col, op.get("text_col", "text"),
             threshold=float(op.get("threshold", 0.6)),
             shingle_n=int(op.get("shingle_n", 3)),
+            reliable_dir=op.get("reliable_dir"),
         )
         return _pair_dedup_epilogue(df, pairs, id_col, op)
     if kind == "containment_dedup":
@@ -501,6 +505,7 @@ def _apply(
             df, id_col, op.get("text_col", "text"),
             threshold=float(op.get("threshold", 0.8)),
             shingle_n=int(op.get("shingle_n", 3)),
+            reliable_dir=op.get("reliable_dir"),
         )
         return _pair_dedup_epilogue(df, pairs, id_col, op, drop="a")
     if kind == "winnow_dedup":

@@ -596,3 +596,49 @@ def test_ngram_jaccard_reliable_dir_equals_localcheckpoint_path(spark, tmp_path)
 
     assert _os.path.isdir(str(tmp_path / "rel_j" / "shingle_dict"))
     assert _os.path.isdir(str(tmp_path / "rel_j" / "ranked"))
+
+
+def test_near_dedup_minhash_reliable_dir_equals_default(spark, tmp_path):
+    """r12 extension of the reliable-checkpoint option: near_dedup_minhash
+    with reliable_dir persists the signature table as parquet and must
+    return exactly the default path's survivors; the spec near_dedup /
+    ngram_jaccard_dedup ops expose the knob."""
+    from qcardia_data_spark.functions.dedup import near_dedup_minhash
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog %s" % suffix)
+        for i, suffix in enumerate(
+            ["today", "today", "tonight", "entirely different text here now",
+             "today again and again", "tonight"]
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(
+        r["doc_id"] for r in near_dedup_minhash(df, "doc_id", "text").collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_minhash(
+            df, "doc_id", "text", reliable_dir=str(tmp_path / "rel_m")
+        ).collect()
+    )
+    assert got == want
+    import os as _os
+
+    assert _os.path.isdir(str(tmp_path / "rel_m" / "signatures"))
+
+    # spec knob: same result through the dialect
+    corpus = str(tmp_path / "docs")
+    df.write.parquet(corpus)
+    spec_got = sorted(
+        r["doc_id"]
+        for r in compile_pipeline(
+            spark,
+            [{"op": "source", "path": corpus},
+             {"op": "near_dedup", "id_col": "doc_id", "text_col": "text",
+              "reliable_dir": str(tmp_path / "rel_spec")}],
+            None,
+        ).collect()
+    )
+    assert spec_got == want
