@@ -720,6 +720,19 @@ def token_entropy_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _check_mix_reserved(df, who: str) -> None:
+    """Refuse frames whose columns collide with the mix family's working
+    names — withColumn/join would silently overwrite them and the final
+    drop would delete the user's column (r12 review; the cdc
+    _check_reserved / carry-clash rule)."""
+    clash = {"_budget", "_cum_before", "_n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{who}: column(s) {sorted(clash)} collide with the corpus-mix "
+            "machinery's working names — rename them upstream"
+        )
+
+
 def corpus_mix(
     df, token_col: str, key_col: str, by: str,
     weights: dict[str, float], total_budget: int, seed: int = 0,
@@ -740,6 +753,7 @@ def corpus_mix(
     sources drop), but the plan stays O(1) in expression size however many
     sources a real corpus mix declares.
     """
+    _check_mix_reserved(df, "corpus_mix")
     if len(weights) <= 64:
         budget = None
         for src, wgt in weights.items():
@@ -811,6 +825,7 @@ def alpha_mix(
     correctly-rounded, bit-identical in Spark and DuckDB) rather than
     ``pow``, whose libm implementations may differ in the last ulp.
     """
+    _check_mix_reserved(df, "alpha_mix")
     n = F.col("_n")
     powered = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
     counts = df.groupBy(by).agg(F.sum(token_col).cast("double").alias("_n"))
@@ -1086,6 +1101,7 @@ def unimax_mix(
     the split-dict collect, documented in PERF.md); budgets join back as a
     broadcast table.
     """
+    _check_mix_reserved(df, "unimax_mix")
     counts_rows = df.groupBy(by).agg(F.sum(token_col).alias("_n")).collect()
     counts = {r[by]: float(r["_n"]) for r in counts_rows if r["_n"] is not None}
     budgets = unimax_budgets(counts, float(total_budget), max_epochs)

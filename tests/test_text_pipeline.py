@@ -900,3 +900,27 @@ def test_winnow_guarantee_property(shared_spark):
         )
 
     check()
+
+
+def test_corpus_mix_family_refuses_reserved_columns(spark):
+    """r12 review: the mix family's working columns (_budget/_cum_before/
+    _n) used to silently clobber same-named user columns — refuse loudly
+    (the cdc carry-clash rule)."""
+    import pytest
+
+    from qcardia_data_spark.functions.text import (
+        alpha_mix,
+        corpus_mix,
+        unimax_mix,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10, 99.0)], ["src", "doc_id", "n_tok", "_budget"]
+    )
+    for fn, args in (
+        (corpus_mix, ("n_tok", "doc_id", "src", {"a": 1.0}, 100)),
+        (alpha_mix, ("n_tok", "doc_id", "src", 0.5, 100)),
+        (unimax_mix, ("n_tok", "doc_id", "src", 100)),
+    ):
+        with pytest.raises(ValueError, match="_budget"):
+            fn(df, *args)
