@@ -9344,6 +9344,16 @@ _PRIORITY = [
     # refresh via reserved slots (satisfied: j2/q3/q5 fresh from r11,
     # a4 fresh from r10; q1 is the every-round anchor).
     #
+    # R12 CODE-TOUCH NOTE: this round's sweep touched paths behind four
+    # queries OUTSIDE this frozen window — x4_weighted_sample (sampler
+    # rewrite: broadcast aggregates replace the unpartitioned window),
+    # ev_trend_slope (decimal derived terms), sim_bruteforce_topk and
+    # sim_ivf_topk (cosine zero-norm guard). All four — and the full 225 —
+    # passed the local strict driver_sim re-run on the final r12 tree
+    # (0 failures); x4/ev_trend_slope/sim_bruteforce/sim_ivf were also
+    # individually value-compared post-change. sim_bruteforce_topk and
+    # sim_ivf_topk ride in the r13 queue below for their driver rows.
+    #
     # ROUND-13 ROTATION PLAN: anchor + the 36 remaining r8-stale + the
     # 13 oldest r9-vintage rows = 50; _NEXT_IN_LINE below IS that queue
     # (computed from GRADE_WINDOW.json after the r11 grade: r8 cohort is
