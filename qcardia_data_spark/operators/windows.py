@@ -39,7 +39,8 @@ def count_over(df: DataFrame, partition: Sequence[str], out: str = "cnt") -> Dat
 
 def seeded_split(
     df: DataFrame, key: str, valid_fraction: float, seed: str | int = 0,
-    out: str = "split",
+    out: str = "split", scale_safe: bool = False,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """W2/X1 — seeded shuffle + ranked split: order rows by keyed_rand, first
     ``round(n·p)`` → 'valid', rest → 'train' (reference data_split.py:73-78).
@@ -47,8 +48,41 @@ def seeded_split(
     Subject-level semantics: apply to a *distinct-key* frame and join back
     (see sampling.subject_level_split) — never to raw rows, which would leak
     a subject across splits (SURVEY §7.3).
+
+    KEY-GRANULARITY CONTRACT (the :func:`cumulative_sum` pattern, r12): the
+    default form ranks through ONE unpartitioned window — a single sort
+    task over the whole subject frame, fine at test SF and a ceiling at
+    hundreds of millions of subjects. ``scale_safe=True`` computes the
+    SAME global rank as a two-phase distributed prefix sum over
+    ``num_ranges`` range splits plus a broadcast 1-row total — identical
+    assignments (rank and threshold are exact integers), parallelism =
+    ``num_ranges``. Costs one extra exchange; don't pay it for small
+    subject frames.
     """
-    w = Window.orderBy(keyed_rand(seed, F.col(key)), F.col(key))
+    rnd = keyed_rand(seed, F.col(key))
+    if scale_safe:
+        from qcardia_data_spark.operators.joins import fresh_name
+
+        one = fresh_name("_one", df.columns)
+        rk = fresh_name("_rk", [*df.columns, one])
+        nt = fresh_name("_n_total", [*df.columns, one, rk])
+        ranked = _cumulative_sum_ranged(
+            df.withColumn(one, F.lit(1)), [], [rnd, F.col(key)],
+            one, rk, num_ranges,
+        )
+        total_1row = df.agg(F.count(F.lit(1)).alias(nt))
+        return (
+            ranked.join(F.broadcast(total_1row))
+            .withColumn(
+                out,
+                F.when(
+                    F.col(rk) <= F.round(F.col(nt) * valid_fraction),
+                    F.lit("valid"),
+                ).otherwise(F.lit("train")),
+            )
+            .drop(one, rk, nt)
+        )
+    w = Window.orderBy(rnd, F.col(key))
     total = Window.partitionBy()
     ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(total)

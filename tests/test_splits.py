@@ -225,3 +225,34 @@ def test_weighted_samplers_have_no_single_task_global_window(spark):
         df, ["g"], "k", seed=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition" not in plan2, plan2[:1500]
+
+
+def test_seeded_split_scale_safe_equals_window_form(spark):
+    """r12 (the cumulative_sum key-granularity pattern, extended to the
+    split primitive): the default seeded_split ranks through one
+    unpartitioned window — a single-task sort over the whole subject
+    frame. scale_safe=True computes the identical assignment via the
+    two-phase distributed prefix rank; this pins assignment equality and
+    the distributed plan shape."""
+    from qcardia_data_spark.operators.windows import seeded_split
+
+    subjects = spark.createDataFrame(
+        [("s%04d" % i,) for i in range(500)], ["subject_id"]
+    )
+    want = {
+        r["subject_id"]: r["split"]
+        for r in seeded_split(subjects, "subject_id", 0.25, seed="sw").collect()
+    }
+    ss = seeded_split(
+        subjects, "subject_id", 0.25, seed="sw", scale_safe=True,
+        num_ranges=8,
+    )
+    got = {r["subject_id"]: r["split"] for r in ss.collect()}
+    assert got == want
+    assert sum(v == "valid" for v in got.values()) == 125
+
+    # plan shape: the only row_number windows are per range-split (the
+    # local phase); no unpartitioned data window remains (the ≤num_ranges
+    # subtotal window is the allowed driver-small class)
+    plan = ss._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan, plan[:1500]
