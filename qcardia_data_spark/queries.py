@@ -9331,96 +9331,33 @@ def x7_weighted_reservoir(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-12 WINDOW -- executes VERDICT r11 "Next round" #1 exactly as
-    # written at the end of r11 (the former _NEXT_IN_LINE queue, verbatim):
-    # 1 anchor + the 36 remaining r7-stale rows + the 13 oldest r8-vintage
-    # (alphabetical within vintage, the grade_window.py sort) = 50 exactly.
-    # After this window: r7-stale = 0.
+    # ROUND-13 WINDOW -- executes VERDICT r12 "Next round" #1: the committed
+    # r13 rotation (anchor + the 36 remaining r8-stale + oldest r9-vintage)
+    # WITH the two code-touched swaps the judge ordered: x4_weighted_sample
+    # (r12 sampler rewrite: broadcast aggregates replaced the unpartitioned
+    # window) and ev_trend_slope (r12 decimal derived terms) jump the
+    # rotation, displacing the two youngest queued r9 rows
+    # (ev_retention_cohorts, ev_scd2_user_state -- now first in the r14
+    # queue below). After this window: r8-stale = 0.
     #
-    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4): registry
-    # FROZEN at 225 -- net-new queries only for code-touched paths, each
-    # justified by a code-touch citation. 225 / 50 slots = ~4.5 rounds
-    # per full sweep; flagship anchors q1/j2/q3/q5/a4 get a <=3-round
-    # refresh via reserved slots (satisfied: j2/q3/q5 fresh from r11,
-    # a4 fresh from r10; q1 is the every-round anchor).
+    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5):
+    # registry FROZEN at 225 -- net-new queries only for code-touched
+    # paths, each justified by a code-touch citation. 225 / 50 slots =
+    # ~4.5 rounds per full sweep.
     #
-    # R12 CODE-TOUCH NOTE: this round's sweep touched paths behind four
-    # queries OUTSIDE this frozen window — x4_weighted_sample (sampler
-    # rewrite: broadcast aggregates replace the unpartitioned window),
-    # ev_trend_slope (decimal derived terms), sim_bruteforce_topk and
-    # sim_ivf_topk (cosine zero-norm guard). All four — and the full 225 —
-    # passed the local strict driver_sim re-run on the final r12 tree
-    # (0 failures); x4/ev_trend_slope/sim_bruteforce/sim_ivf were also
-    # individually value-compared post-change. sim_bruteforce_topk and
-    # sim_ivf_topk ride in the r13 queue below for their driver rows.
+    # FLAGSHIP VINTAGE CHECK (r12 #5): anchors q1/j2/q3/q5/a4 get a
+    # <=3-round refresh. As of the r12 grade: q1 r12 (every-round anchor),
+    # j2/q3/q5 r11, a4_quantile_summary r10 -- all four non-anchor
+    # flagships are DUE BY R14 and hold reserved slots in _NEXT_IN_LINE
+    # below (verified present by tests/test_grade_window.py).
     #
-    # ROUND-13 ROTATION PLAN: anchor + the 36 remaining r8-stale + the
-    # 13 oldest r9-vintage rows = 50; _NEXT_IN_LINE below IS that queue
-    # (computed from GRADE_WINDOW.json after the r11 grade: r8 cohort is
-    # 49 rows, 13 consumed in this window, 36 remain; r9 cohort is 41,
-    # oldest 13 ride along). Round 14 then takes the 28 r9-stale
-    # remainder + the oldest r10/r11 rows to fill 50.
+    # ROUND-14 ROTATION PLAN: anchor + the 29 remaining r9-stale + the
+    # four reserved flagships + the 16 oldest r10-vintage = 50;
+    # _NEXT_IN_LINE below IS that queue (computed from GRADE_WINDOW.json
+    # after the r12 grade: r9 cohort 41, 12 consumed this window
+    # [11 oldest + ev_trend_slope], 29 remain). Round 15 then takes the
+    # r10 remainder (33 rows) + the oldest r11 rows to fill 50.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- r7-stale remainder (alphabetical, grade_window.py sort) ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "emb_quantize_int8",
-    "ev_hypertable_rollup",
-    "ev_monthly_rollup",
-    "ev_range_join_views_before_purchase",
-    "ev_value_delta",
-    "f17_file_id",
-    "f5_clamp",
-    "f9_intensity_augs",
-    "g5_replicate_rows",
-    "j1_weight_join",
-    "j5_first_match",
-    "o5_first_k_preview",
-    "p10_cyclic_renumber",
-    "p11_nullify_placeholders",
-    "p12_composite_key_roundtrip",
-    "p1_reorder_columns",
-    "p3_rename_columns",
-    "p4_eq_filter",
-    "p5_in_list",
-    "p6_conditional_skip",
-    "p7_orphan_check",
-    "p8_string_normalize",
-    "p9_derived_flags",
-    "sim_ann_join_md5",
-    "sim_lsh_md5_topk",
-    "sim_pq_topk",
-    "text_gopher_rules",
-    "text_quality_classifier",
-    "text_repetition_filter",
-    "u2_except",
-    "w1_count_over_partition",
-    "w2_seeded_split",
-    "w3_rownum_per_group",
-    "w4_cumulative_sum",
-    # --- oldest 13 of the 49 r8-vintage ---
-    "dedup_duplicate_clusters",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs64",
-    "ev_anomaly_zscore",
-    "ev_asof_last_view",
-    "ev_asof_next_purchase",
-    "ev_attribution_join",
-    "ev_funnel_depth",
-    "ev_session_window",
-]
-
-
-# Queued for the ROUND-13 window (registry positions 51+, in order): the
-# 36 remaining r8-stale rows, then the 13 oldest r9-vintage (alphabetical,
-# the grade_window.py sort) -- anchor + these 49 = the written r13 plan.
-# Keeping them immediately after the window makes "first in line" a
-# property of the registry itself, not a comment.
-_NEXT_IN_LINE = [
     # --- r8-stale remainder (alphabetical, grade_window.py sort) ---
     "ev_sessionize",
     "ev_sliding_window",
@@ -9458,7 +9395,7 @@ _NEXT_IN_LINE = [
     "u3_intersect",
     "x1_subject_level_split",
     "x6_subject_kfold",
-    # --- oldest 13 of the 41 r9-vintage ---
+    # --- 11 oldest r9-vintage (alphabetical; positions 12-13 displaced) ---
     "dedup_containment",
     "dim_upsert_asof",
     "dim_upsert_latest",
@@ -9470,8 +9407,73 @@ _NEXT_IN_LINE = [
     "ev_handoff_triangles",
     "ev_lttb_downsample",
     "ev_ohlc_hourly",
+    # --- CODE-TOUCHED SWAPS (VERDICT r12 #1): r12 changed these queries'
+    # code outside the frozen window; a driver row on the new code closes
+    # the loop ---
+    "ev_trend_slope",      # r9 vintage; timeseries.py:186 decimal terms
+    "x4_weighted_sample",  # r11 vintage; sampling.py:58-115 rewrite
+]
+
+
+# Queued for the ROUND-14 window (registry positions 51+, in order):
+# the 29 remaining r9-stale rows, the four reserved flagship slots
+# (due-by-r14 per the cadence policy above), then the 16 oldest
+# r10-vintage (alphabetical, the grade_window.py sort) -- anchor +
+# these 49 = the written r14 plan. Keeping them immediately after the
+# window makes "first in line" a property of the registry itself.
+_NEXT_IN_LINE = [
+    # --- r9-stale remainder (alphabetical, grade_window.py sort) ---
     "ev_retention_cohorts",
     "ev_scd2_user_state",
+    "ev_session_overlap_pairs",
+    "ev_time_weighted_avg",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "sim_ivfpq_incremental",
+    "sim_ivfpq_residual_topk",
+    "sim_ivfpq_topk",
+    "sim_lsh_multiprobe_topk",
+    "text_c4_rules",
+    "text_chunk_windows",
+    "text_gopher_line_rules",
+    "text_token_entropy",
+    "text_winnowing",
+    "x7_weighted_reservoir",
+    # --- RESERVED FLAGSHIP SLOTS (cadence: due by r14) ---
+    "a4_quantile_summary",
+    "j2_broadcast_star_join",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # --- 16 oldest remaining r10-vintage (alphabetical) ---
+    "a12_approx_count_distinct",
+    "a13_cube",
+    "a15_hll_rollup",
+    "a15b_hll_estimate_bound",
+    "a16_cms_rollup",
+    "a17_pivot_event_counts",
+    "a18_unpivot_roundtrip",
+    "a19_discrete_quantiles",
+    "a20_pearson_corr",
+    "a22_numeric_profile",
+    "a2_stratified_sample",
+    "a4b_exploration_frame",
+    "dedup_semantic",
+    "dedup_simhash_incremental",
+    "dedup_span_removal",
+    "dedup_winnow_incremental",
 ]
 
 

@@ -22,6 +22,22 @@ def test_priority_window_shape():
     assert list(QUERIES)[:50] == _PRIORITY
 
 
+def test_flagship_slots_reserved():
+    # Cadence policy (VERDICT r12 #5): the four non-anchor flagships are
+    # due by r14, so the committed r14 queue must carry them. The window
+    # header in queries.py points here as the enforcement.
+    from qcardia_data_spark.queries import _NEXT_IN_LINE, _PRIORITY
+
+    flagships = {
+        "a4_quantile_summary",
+        "j2_broadcast_star_join",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+    }
+    covered = flagships & (set(_PRIORITY) | set(_NEXT_IN_LINE))
+    assert covered == flagships, f"flagships missing a reserved slot: {flagships - covered}"
+
+
 def test_registry_contract():
     import __spark_entry__ as E
 
