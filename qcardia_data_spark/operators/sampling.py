@@ -99,19 +99,29 @@ def weighted_rejection_sample(
     across groups. Fully deterministic under retry (keyed uniform).
     """
     from qcardia_data_spark.functions.transforms import keyed_uniform
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
 
     # totals as broadcast aggregates, NOT unpartitioned windows (r12
     # review — Window.partitionBy() is a one-task global funnel). Same
     # values: _w = total/group_cnt, max_w = total/min group_cnt, so the
     # accept ratio _w/_maxw = min_gc/gc never even needs the total.
+    # The count join-back is NULL-SAFE (ADVICE r12): groupBy treats NULL
+    # as a legitimate group (as the old Window.partitionBy form did), so
+    # a plain equi-join would silently drop every NULL-group row — the
+    # exact hazard null_safe_equi_join exists for.
     gc = df.groupBy(*group).agg(F.count(F.lit(1)).alias("_gc"))
     min_gc = gc.agg(F.min("_gc").alias("_min_gc"))
-    weighted = df.join(gc, on=list(group)).join(F.broadcast(min_gc))
+    weighted = null_safe_equi_join(
+        df, gc, nullsafe_keys=list(group), carry=["_gc"]
+    ).join(F.broadcast(min_gc))
     accept = keyed_uniform(seed, "wsample", F.col(key)) < (
         F.lit(accept_scale)
         * F.col("_min_gc").cast("double") / F.col("_gc")
     )
-    return weighted.filter(accept).drop("_gc", "_min_gc")
+    # preserve the caller's column order (ADVICE r12: the string-list
+    # equi-join moved group keys to the front, unlike the old
+    # withColumn-only form)
+    return weighted.filter(accept).select(*df.columns)
 
 
 def random_subset(df: DataFrame, key: str, k: int, seed: str | int = 0) -> DataFrame:

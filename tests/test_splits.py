@@ -227,6 +227,31 @@ def test_weighted_samplers_have_no_single_task_global_window(spark):
     assert "windowspecdefinition" not in plan2, plan2[:1500]
 
 
+def test_weighted_rejection_sample_keeps_null_groups_and_column_order(spark):
+    """ADVICE r12 (medium): the r12 rewrite joined group counts back with
+    a plain equi-join, which silently DROPPED every NULL-group row (the
+    old Window.partitionBy form treated NULL as a legitimate group, and
+    the sibling weighted_sample still does). The join is null-safe now;
+    this pins (a) NULL-group rows survive at the same accept rate as any
+    other group of their size, and (b) the output schema keeps the
+    caller's column order (the equi-join had moved group keys first)."""
+    from qcardia_data_spark.operators.sampling import weighted_rejection_sample
+
+    rows = [(("g%d" % (i % 2)) if i % 3 else None, i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "k"]).select("k", "g")  # k first
+
+    out = weighted_rejection_sample(df, ["g"], "k", accept_scale=1.0, seed=3)
+    assert out.columns == ["k", "g"], out.columns
+    got = out.collect()
+    null_in = sum(1 for g, _ in rows if g is None)
+    null_out = sum(1 for r in got if r["g"] is None)
+    # 100 NULL-group rows vs 100-row named groups: all three groups have
+    # equal counts, so accept_scale=1.0 keeps EVERY row — any drop of the
+    # NULL group is the silent-loss bug.
+    assert null_in == 100 and null_out == 100, (null_in, null_out)
+    assert len(got) == 300
+
+
 def test_seeded_split_scale_safe_equals_window_form(spark):
     """r12 (the cumulative_sum key-granularity pattern, extended to the
     split primitive): the default seeded_split ranks through one
