@@ -101,9 +101,18 @@ def cosine(a: Column, b: Column) -> Column:
     embedding in a corpus would claim rank 1 of every cosine top-k.
     Zero-norm pairs score -1.0 (worst possible cosine) instead, so they
     rank last; on corpora with no zero vectors the expression is
-    value-identical to the raw quotient the oracles replay."""
+    value-identical to the raw quotient the oracles replay.
+
+    NULL propagation (ADVICE r12): a NULL embedding must stay NULL — the
+    raw quotient propagated it and ``desc`` ordering sorts nulls last, so
+    collapsing NULL into the -1.0 arm would silently promote a missing
+    vector into a tie with zero vectors. Only a present-but-zero norm
+    takes the -1.0 branch."""
     prod = l2_norm(a) * l2_norm(b)
-    return F.when(prod > 0, dot(a, b) / prod).otherwise(F.lit(-1.0))
+    return (
+        F.when(prod > 0, dot(a, b) / prod)
+        .when(prod.isNotNull(), F.lit(-1.0))
+    )
 
 
 def array_stats(arr: Column) -> Column:

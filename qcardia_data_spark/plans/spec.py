@@ -400,11 +400,17 @@ def _apply(
         _rank_call = re.compile(
             r"\b(" + "|".join(_RANKING) + r")\s*\(", re.IGNORECASE
         )
+        # the guard scans expression TEXT, so quoted string literals must
+        # not trip it ("concat(col, 'lag(')" contains no nested call —
+        # ADVICE r12). SQL string literals: single-quoted, '' escapes a
+        # quote; double-quoted identifiers can't contain calls either.
+        _strip_literals = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"")
         out = df
         for name, e in op["cols"].items():
             head = e.split("(", 1)[0].strip().lower()
-            if head not in _RANKING and _rank_call.search(e) is not None:
-                fn = _rank_call.search(e).group(1)
+            scan = _strip_literals.sub("''", e)
+            if head not in _RANKING and _rank_call.search(scan) is not None:
+                fn = _rank_call.search(scan).group(1)
                 raise SpecError(
                     f"window col {name!r}: ranking/offset call {fn}() is "
                     "nested inside a wrapper expression — Spark can only "

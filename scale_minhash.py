@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from scale_ppjoin import BASE, _build, _perms
@@ -100,4 +99,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-    shutil.rmtree("/tmp/qds_ppjoin_scale_v1", ignore_errors=True)
+    # Deliberately NO cleanup of /tmp/qds_ppjoin_scale_v1 (ADVICE r12):
+    # that replica-corpus cache is OWNED by scale_ppjoin.py — deleting it
+    # here silently forced the ppjoin yardstick to rebuild its corpora on
+    # the next run. This script writes no artifacts of its own; the shared
+    # cache is rebuilt lazily by whichever yardstick needs it.

@@ -942,6 +942,55 @@ def test_zero_norm_vector_ranks_last_not_first(spark):
             assert r["score"] == -1.0
 
 
+def test_null_embedding_cosine_stays_null(spark):
+    """ADVICE r12: the zero-norm guard's plain otherwise(-1.0) also fired
+    when the norm PRODUCT was NULL (a NULL embedding), silently promoting
+    a missing vector into a tie with zero vectors. NULL inputs must
+    propagate — desc ordering already sorts nulls last, and a -1.0 for
+    "missing" would be indistinguishable from "present but orthogonal-
+    opposite"."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from qcardia_data_spark.functions.arrays import cosine
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),   # zero vector: -1.0
+        (3, None),         # missing vector: NULL stays NULL
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    got = {
+        r["vec_id"]: r["score"]
+        for r in emb.select(
+            "vec_id",
+            cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("score"),
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == -1.0
+    assert got[3] is None
+    # and desc ordering puts the NULL after even the zero vector
+    order = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("score"),
+        ).orderBy(F.col("score").desc(), "vec_id").collect()
+    ]
+    assert order == [1, 2, 3]
+
+
 def test_mixed_dim_vectors_refused_in_ivf_and_pq(spark):
     """r12 review (the _dim_checked class, extended to IVF/PQ): a vector
     whose length differs from the centroids'/codebooks' used to NULL-fold

@@ -962,6 +962,19 @@ def test_spec_window_nested_offset_refused_with_guidance(spark, sf_dir):
         # whole-partition aggregate: identical on every row of the group
         assert {by[("u1", s)]["total"] for s in (1, 2, 3, 4)} == {100.0}
         assert {by[("u2", s)]["total"] for s in (1, 2)} == {300.0}
+        # ADVICE r12: a ranking-function NAME inside a string LITERAL is
+        # not a nested call — the guard must not fire on it (the regex
+        # now strips quoted literals, incl. ''-escaped quotes, first)
+        lit = compile_pipeline(
+            spark,
+            [{"op": "source", "path": path},
+             {"op": "window", "partition_by": ["user_id"],
+              "order_by": ["seq"],
+              "cols": {"tagged":
+                       "max(concat('lag(', '''rank(', cast(value as string)))"}}],
+            sf_dir,
+        ).collect()
+        assert all(r["tagged"].startswith("lag('rank(") for r in lit)
 
 
 def test_retrieval_search_example_runs(spark, sf_dir, tmp_path):
