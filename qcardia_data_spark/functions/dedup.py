@@ -734,6 +734,7 @@ def near_dedup_keep_best(
     score: Column | None = None,
     n_bands: int = 8, shingle_n: int = 3, threshold: float = 0.6,
     max_bucket_size: int | None = 1000, star_rounds: int = 2,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """[ext] Quality-aware canonical selection: full transitive duplicate
     CLUSTERS (LSH candidates → Jaccard verify → connected components),
@@ -749,6 +750,13 @@ def near_dedup_keep_best(
     fixpoint (iterations bounded by cluster diameter, edges are the
     sparse verified-pair set) and one window over cluster members —
     cluster-partitioned, never corpus-wide.
+
+    ``reliable_dir`` (VERDICT r12 #4): with r12's upgrade the SIGNATURE
+    table survived executor loss but the clustering fixpoint after it did
+    not — an end-to-end availability hole. The flag now covers the whole
+    job: signatures persisted as parquet (the near_dedup_minhash idiom)
+    AND the CC rounds' edge/label frames (see
+    :func:`connected_components`). Values identical either way.
     """
     from pyspark.sql.window import Window
 
@@ -757,7 +765,13 @@ def near_dedup_keep_best(
     score_col = score if score is not None else F.size(word_tokens(F.col(text_col)))
     sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
     try:
-        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(eager=True)
+        sigs = _band_signature_frame(sh, id_col, n_bands)
+        if reliable_dir is not None:
+            spath = f"{reliable_dir}/signatures"
+            sigs.write.mode("overwrite").parquet(spath)
+            sigs = df.sparkSession.read.parquet(spath)
+        else:
+            sigs = sigs.localCheckpoint(eager=True)
         cands = lsh_candidate_pairs(
             sigs, id_col, max_bucket_size=max_bucket_size,
             hub_ranks=(
@@ -765,7 +779,8 @@ def near_dedup_keep_best(
             ),
         )
         dups = jaccard_verify_sets(cands, sh, id_col, threshold)
-        cc = connected_components(dups)  # (node, component), clustered docs only
+        # (node, component), clustered docs only
+        cc = connected_components(dups, reliable_dir=reliable_dir)
         scored = df.select(F.col(id_col).alias("node"), score_col.alias("_score"))
         w = Window.partitionBy("component").orderBy(
             F.desc("_score"), F.col("node").asc()
@@ -815,7 +830,10 @@ def near_dedup_minhash_ml(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 20,
+    reliable_dir: str | None = None,
+) -> DataFrame:
     """Transitive closure of the duplicate-pair graph: (node, component)
     with component = min node id reachable — turns pairwise near-dup hits
     into duplicate *clusters* (the full version of the single-pass keep-min
@@ -826,13 +844,37 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
     rounds (near-dup graphs are shallow — a handful of rounds in practice).
     Each iteration is one shuffle; labels are checkpointed per round to cut
     the lineage chain (mandatory for iterative algorithms on Spark).
+
+    ``reliable_dir`` (VERDICT r12 #4 — the dedup tables got this in r12;
+    the fixpoint AFTER them still rode executor blocks): persist the edge
+    frame once and each round's labels as parquet under the caller path,
+    so executor loss mid-fixpoint re-reads files instead of killing the
+    job. Labels alternate between two subpaths — Spark must never
+    overwrite the files a round is still reading from. Same values either
+    way (labels are a pure function of the edge set).
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .union(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .distinct()
-        .persist()
     )
+    if reliable_dir is not None:
+        epath = f"{reliable_dir}/cc_edges"
+        edges.write.mode("overwrite").parquet(epath)
+        edges = spark.read.parquet(epath)
+        persisted_edges = None
+    else:
+        edges = edges.persist()
+        persisted_edges = edges
+
+    def _materialize(d: DataFrame, rnd: int) -> DataFrame:
+        if reliable_dir is None:
+            return d.localCheckpoint(eager=True)
+        lpath = f"{reliable_dir}/cc_labels_{rnd % 2}"
+        d.write.mode("overwrite").parquet(lpath)
+        return spark.read.parquet(lpath)
+
     labels = (
         edges.select(F.col("x").alias("node"))
         .distinct()
@@ -840,21 +882,21 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             neighbor_min = (
                 edges.join(labels, edges["y"] == labels["node"])
                 .groupBy("x")
                 .agg(F.min("component").alias("nbr_comp"))
             )
-            new_labels = (
+            new_labels = _materialize(
                 labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
                 .select(
                     "node",
                     F.least(
                         F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                     ).alias("component"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                i,
             )
             changed = (
                 new_labels.alias("n")
@@ -868,7 +910,8 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b", max_iter:
                 break
         return labels
     finally:
-        edges.unpersist()
+        if persisted_edges is not None:
+            persisted_edges.unpersist()
 
 
 def simhash64(text: Column) -> Column:

@@ -286,6 +286,8 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 40,
+    reliable_dir: str | None = None,
+    reliable_every: int = 1,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -307,12 +309,35 @@ def connected_components_star(
     no all-pairs stage; ``localCheckpoint`` per round keeps lineage O(1).
     Convergence = edge multiset stable (count + xor-ish hash checksum,
     two 1-row aggregates).
+
+    ``reliable_dir`` (VERDICT r12 #4): the per-round edge frame — the
+    fixpoint's ONLY state — lives on executor blocks under
+    localCheckpoint, so one lost executor kills a long CC job. With a
+    caller path, every ``reliable_every``-th round persists the edge
+    frame as parquet (alternating between two subpaths — never overwrite
+    files a round still reads); intermediate rounds keep the cheap
+    localCheckpoint, bounding replay-on-loss to < ``reliable_every``
+    rounds. Values identical either way.
     """
-    e = (
+    if reliable_every < 1:
+        raise ValueError(
+            f"connected_components_star: reliable_every must be >= 1, "
+            f"got {reliable_every}"
+        )
+    spark = edges.sparkSession
+
+    def _materialize(d: DataFrame, rnd: int) -> DataFrame:
+        if reliable_dir is not None and rnd % reliable_every == 0:
+            path = f"{reliable_dir}/cc_star_edges_{(rnd // reliable_every) % 2}"
+            d.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return d.localCheckpoint(eager=True)
+
+    e = _materialize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        0,
     )
     if not e.take(1):
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -356,8 +381,8 @@ def connected_components_star(
 
     sig = _sig(e)
     converged = False
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    for i in range(max_rounds):
+        e = _materialize(_small_star(_large_star(e)), i + 1)
         new_sig = _sig(e)
         if new_sig == sig:
             converged = True

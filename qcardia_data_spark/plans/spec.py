@@ -467,6 +467,8 @@ def _apply(
                 n_bands=int(op.get("n_bands", 8)),
                 shingle_n=int(op.get("shingle_n", 3)),
                 threshold=float(op.get("threshold", 0.6)),
+                # r13: covers the signature table AND the CC fixpoint
+                reliable_dir=op.get("reliable_dir"),
                 max_bucket_size=(
                     None if op.get("max_bucket_size", 1000) is None
                     else int(op.get("max_bucket_size", 1000))
@@ -1948,9 +1950,14 @@ def _apply(
                 iters=int(op.get("iters", 3)),
             )
         if kind == "connected_components":
+            # reliable_dir / reliable_every (r13): persist the per-round
+            # edge frame as parquet every k rounds so the fixpoint
+            # survives executor loss (bounded replay between persists)
             return _G.connected_components_star(
                 df, src_c, dst_c,
                 max_rounds=int(op.get("max_rounds", 40)),
+                reliable_dir=op.get("reliable_dir"),
+                reliable_every=int(op.get("reliable_every", 1)),
             )
         if kind in ("bfs_hops", "sssp"):
             #   {"op": "bfs_hops", "src": ..., "dst": ...,

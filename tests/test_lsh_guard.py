@@ -642,3 +642,111 @@ def test_near_dedup_minhash_reliable_dir_equals_default(spark, tmp_path):
         ).collect()
     )
     assert spec_got == want
+
+
+def test_reliable_dir_covers_cc_fixpoint_end_to_end(spark, tmp_path):
+    """VERDICT r12 #4: reliable_dir stopped at the materialized tables —
+    the CC fixpoint after them still rode localCheckpoint, so executor
+    loss past the signature stage killed an end-to-end keep_best job.
+    Pins: (a) near_dedup_keep_best(reliable_dir=) == the default path's
+    survivors AND persists both the signatures and the CC round frames,
+    (b) connected_components(reliable_dir=) == the localCheckpoint path,
+    (c) connected_components_star with reliable_dir/reliable_every
+    matches the default labeling, (d) the spec knobs reach both."""
+    import os as _os
+
+    from qcardia_data_spark.functions.dedup import (
+        connected_components,
+        near_dedup_keep_best,
+    )
+    from qcardia_data_spark.functions.graph import connected_components_star
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog %s" % suffix)
+        for i, suffix in enumerate(
+            ["today", "today", "tonight", "entirely different text here now",
+             "today again and again", "tonight", "today", "unrelated words"]
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # (a) end-to-end keep_best
+    want = sorted(
+        r["doc_id"] for r in near_dedup_keep_best(df, "doc_id", "text").collect()
+    )
+    rel = str(tmp_path / "rel_kb")
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep_best(
+            df, "doc_id", "text", reliable_dir=rel
+        ).collect()
+    )
+    assert got == want
+    assert _os.path.isdir(_os.path.join(rel, "signatures"))
+    assert _os.path.isdir(_os.path.join(rel, "cc_edges"))
+    assert any(
+        d.startswith("cc_labels_") for d in _os.listdir(rel)
+    ), _os.listdir(rel)
+
+    # (b) the min-label CC primitive, identical labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], ["a", "b"]
+    )
+    want_cc = sorted(
+        map(tuple, connected_components(pairs).collect())
+    )
+    got_cc = sorted(
+        map(tuple, connected_components(
+            pairs, reliable_dir=str(tmp_path / "rel_cc")
+        ).collect())
+    )
+    assert got_cc == want_cc
+
+    # (c) the star-alternation CC, including reliable_every > 1
+    # (a path graph: worst diameter, several alternation rounds)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    want_star = sorted(
+        map(tuple, connected_components_star(edges, "src", "dst").collect())
+    )
+    for every in (1, 3):
+        got_star = sorted(
+            map(tuple, connected_components_star(
+                edges, "src", "dst",
+                reliable_dir=str(tmp_path / f"rel_star_{every}"),
+                reliable_every=every,
+            ).collect())
+        )
+        assert got_star == want_star, f"reliable_every={every}"
+
+    # (d) spec knobs: keep_best near_dedup + the graph op
+    corpus = str(tmp_path / "docs_kb")
+    df.write.parquet(corpus)
+    spec_got = sorted(
+        r["doc_id"]
+        for r in compile_pipeline(
+            spark,
+            [{"op": "source", "path": corpus},
+             {"op": "near_dedup", "id_col": "doc_id", "text_col": "text",
+              "keep_best": True,
+              "reliable_dir": str(tmp_path / "rel_kb_spec")}],
+            None,
+        ).collect()
+    )
+    assert spec_got == want
+    assert _os.path.isdir(str(tmp_path / "rel_kb_spec" / "cc_edges"))
+    epath = str(tmp_path / "edges_p")
+    edges.write.parquet(epath)
+    spec_star = sorted(
+        map(tuple, compile_pipeline(
+            spark,
+            [{"op": "source", "path": epath},
+             {"op": "connected_components", "src": "src", "dst": "dst",
+              "reliable_dir": str(tmp_path / "rel_star_spec"),
+              "reliable_every": 2}],
+            None,
+        ).collect())
+    )
+    assert spec_star == want_star
