@@ -316,8 +316,12 @@ def connected_components_star(
     caller path, every ``reliable_every``-th round persists the edge
     frame as parquet (alternating between two subpaths — never overwrite
     files a round still reads); intermediate rounds keep the cheap
-    localCheckpoint, bounding replay-on-loss to < ``reliable_every``
-    rounds. Values identical either way.
+    localCheckpoint. ``reliable_every=1`` (default) = every round's
+    state is file-backed, executor loss never kills the job; k>1 trades
+    write cost for a risk window — a loss during the k−1 intermediate
+    rounds still fails the job (localCheckpoint blocks are not
+    recomputable; rerun required), it is an availability/cost knob, not
+    a resume protocol. Values identical either way.
     """
     if reliable_every < 1:
         raise ValueError(

@@ -2,7 +2,7 @@
 """Incremental-path scaling yardstick (VERDICT r12 stretch #7): measure
 the STANDING-INDEX append paths — `near_dedup_incremental` against a
 persisted signature index and `ann_index_append` against a persisted LSH
-index — at 1x/2x/4x the standing corpus with a FIXED batch. The batch
+index — at 1x/2x/4x the standing corpus with FIXED batches. The batch
 dedup/ANN families all carry measured 1x/2x/4x tables (winnow r8, PPJoin
 r11, MinHash-LSH + ANN pairwise r12); the append paths had only the
 probe-identical-to-full-build equality proofs. The claim to verify:
@@ -14,26 +14,30 @@ Corpora are the existing yardsticks' replicas, reused verbatim:
   satisfies the incremental path's monotone-id ratchet at every scale).
 - embeddings: scale_ann._build (Rademacher sign-pattern replicas).
 
-The FIXED batch is derived from the 1x base (identity permutation /
-identity signs), so its true-duplicate relationship to the index is the
-SAME at every scale (its near-dups live in replica block 0, present in
-all three indexes) — growth in append time can then only come from index
-size, which is exactly the variable under test.
+The FIXED batches derive from the 1x base (identity permutation /
+identity signs), so their true-duplicate relationship to the index is
+the SAME at every scale (near-dups live in replica block 0, present in
+all three indexes) — growth in append time/read volume can then only
+come from index size, the variable under test.
 
-Instrumentation (same helpers as the production paths, replayed):
-- dedup: index signature rows inside the batch's probed sig_buckets —
-  the true read volume after partition pruning — plus buckets probed /
-  total. With a FIXED n_sig_buckets a large-enough batch touches every
-  directory, so read volume grows O(index) even though the probe is
-  "pruned"; the yardstick prints the touched fraction so the knob's
-  100 TB sizing rule (n_sig_buckets grows with the corpus, like
-  auto_n_planes) is evidence, not prose.
-- ANN: index rows inside the batch's bucket directories (the existence
-  anti-join's read volume), in BOTH plane modes: fixed n_planes=6 (the
-  hazard: occupancy grows with the corpus) and auto_n_planes at build
-  (the 100 TB path: occupancy ~flat, so append read volume ~flat).
+TWO panels per family, because partition pruning has a geometry:
+- BIG batch (2000 docs / 5000 vecs) against default-bucket indexes —
+  the batch's signatures touch EVERY partition directory, so the probe's
+  read volume is O(index) no matter how "pruned" the scan is. This
+  panel measures the O(batch) work term and makes the saturation
+  honest (buckets_probed == buckets_total in the output).
+- SMALL batch (8 docs / 64 vecs) against indexes whose bucket count
+  GROWS with the corpus (n_sig_buckets = 512·scale; ANN auto_n_planes)
+  — the 100 TB sizing rule. Per-bucket occupancy is then ~constant and
+  the batch touches a bounded set of directories, so the absolute read
+  volume should be FLAT across 1x/2x/4x. That flatness IS the measured
+  form of "append cost is independent of standing-index size".
 
-Prints one JSON line per (family, scale, mode) and a final summary.
+Instrumentation replays the production paths' own bucket derivations
+(same helpers) and counts index rows inside the probed partitions — the
+true post-pruning read volume.
+
+Prints one JSON line per (family, panel, scale) and a final summary.
 Run idle (bench_common load guard); run bench_ext.py once first.
 """
 
@@ -50,8 +54,8 @@ from scale_ppjoin import _perms
 
 EMB_BASE = "/tmp/qds_ext_corpus_v1/embeddings.parquet"
 WORK = "/tmp/qds_incr_scale_v1"
-DOC_BATCH = 2000
-VEC_BATCH = 5000
+DOC_BATCH_BIG, DOC_BATCH_SMALL = 2000, 8
+VEC_BATCH_BIG, VEC_BATCH_SMALL = 5000, 64
 N_BANDS = 8
 SHINGLE_N = 3
 
@@ -83,46 +87,51 @@ def main() -> None:
     spark = get_spark(app_name="qds-incr-scale")
     results = []
 
-    # fixed batches, identical at every scale
-    doc_batch = (
-        spark.read.parquet(DOC_BASE)
-        .orderBy("doc_id")
-        .limit(DOC_BATCH)
-        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
-        .localCheckpoint(eager=True)
-    )
-    vec_batch = (
-        spark.read.parquet(EMB_BASE)
-        .orderBy("vec_id")
-        .limit(VEC_BATCH)
-        .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding")
-        .localCheckpoint(eager=True)
-    )
+    def _doc_batch(n):
+        return (
+            spark.read.parquet(DOC_BASE)
+            .orderBy("doc_id")
+            .limit(n)
+            .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
 
-    for scale in (1, 2, 4):
-        # ---------------- dedup signature-index append ----------------
-        docs = spark.read.parquet(_build_docs(scale, perms))
-        n_docs = docs.count()
-        idx = os.path.join(WORK, f"sigidx_{scale}x")
+    def _vec_batch(n):
+        return (
+            spark.read.parquet(EMB_BASE)
+            .orderBy("vec_id")
+            .limit(n)
+            .select((F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                    "embedding")
+            .localCheckpoint(eager=True)
+        )
+
+    batches = {
+        "doc_big": _doc_batch(DOC_BATCH_BIG),
+        "doc_small": _doc_batch(DOC_BATCH_SMALL),
+        "vec_big": _vec_batch(VEC_BATCH_BIG),
+        "vec_small": _vec_batch(VEC_BATCH_SMALL),
+    }
+
+    def _dedup_row(scale, n_docs, docs, panel, batch, batch_n, n_sig_buckets):
+        idx = os.path.join(WORK, f"sigidx_{scale}x_{panel}")
         shutil.rmtree(idx, ignore_errors=True)  # fresh build per run
         t0 = time.perf_counter()
         write_signature_index(
             docs, "doc_id", "text", idx,
             n_bands=N_BANDS, shingle_n=SHINGLE_N,
+            n_sig_buckets=n_sig_buckets,
         )
         build_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         survivors = near_dedup_incremental(
-            doc_batch, idx, "doc_id", "text", update_index=False
+            batch, idx, "doc_id", "text", update_index=False
         ).count()
         probe_sec = time.perf_counter() - t0
-        # read-volume instrumentation: index sig rows inside the batch's
-        # probed sig_bucket partitions (the same bucket derivation the
-        # production probe uses)
         bsigs = _band_signature_frame(
-            shingle_rows(doc_batch, "doc_id", "text", SHINGLE_N),
+            shingle_rows(batch, "doc_id", "text", SHINGLE_N),
             "doc_id", N_BANDS,
-        ).withColumn("sig_bucket", _sig_bucket(F.col("sig"), 64))
+        ).withColumn("sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets))
         probed = [r["sig_bucket"] for r in
                   bsigs.select("sig_bucket").distinct().collect()]
         read_rows = (
@@ -130,64 +139,82 @@ def main() -> None:
             .filter(F.col("sig_bucket").isin(probed))
             .count()
         )
-        row = {
-            "family": "dedup_incremental", "scale": scale,
-            "index_docs": n_docs, "batch_docs": DOC_BATCH,
+        return {
+            "family": "dedup_incremental", "panel": panel, "scale": scale,
+            "index_docs": n_docs, "batch_docs": batch_n,
+            "n_sig_buckets": n_sig_buckets,
             "build_sec": round(build_sec, 2),
             "append_sec": round(probe_sec, 2),
             "survivors": survivors,
-            "ms_per_batch_doc": round(1000.0 * probe_sec / DOC_BATCH, 3),
             "index_rows_in_probed_buckets": read_rows,
-            "buckets_probed": len(probed), "buckets_total": 64,
+            "buckets_probed": len(probed), "buckets_total": n_sig_buckets,
         }
+
+    def _ann_row(scale, n_vecs, emb, panel, batch, batch_n, planes):
+        idx = os.path.join(WORK, f"annidx_{scale}x_{panel}")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        lsh_write_partitioned(emb, idx, n_planes=planes, seed=0)
+        build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        appended = ann_index_append(batch, idx)
+        append_sec = time.perf_counter() - t0
+        bb = [
+            r["bucket"]
+            for r in batch.select(
+                hyperplane_bucket(F.col("embedding"), planes, 0, 64)
+                .alias("bucket")
+            ).distinct().collect()
+        ]
+        # count BEFORE-append rows in the probed dirs: exclude the batch's
+        # own just-appended ids so the metric is the existence-check's
+        # read volume against the standing index
+        aread = (
+            spark.read.parquet(idx)
+            .filter(F.col("bucket").isin(bb))
+            .filter(F.col("vec_id") < 1_000_000_000)
+            .count()
+        )
+        return {
+            "family": "ann_index_append", "panel": panel, "scale": scale,
+            "index_vecs": n_vecs, "batch_vecs": batch_n, "n_planes": planes,
+            "build_sec": round(build_sec, 2),
+            "append_sec": round(append_sec, 2),
+            "appended": appended,
+            "index_rows_in_probed_buckets": aread,
+            "buckets_probed": len(bb), "buckets_total": 2 ** planes,
+        }
+
+    for scale in (1, 2, 4):
+        docs = spark.read.parquet(_build_docs(scale, perms))
+        n_docs = docs.count()
+        emb = spark.read.parquet(_build_emb(spark, scale))
+        n_vecs = emb.count()
+
+        # BIG panel: default buckets — O(batch) work term, saturation honest
+        row = _dedup_row(scale, n_docs, docs, "big",
+                         batches["doc_big"], DOC_BATCH_BIG, 64)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        row = _ann_row(scale, n_vecs, emb, "big",
+                       batches["vec_big"], VEC_BATCH_BIG, 6)
         results.append(row)
         print(json.dumps(row), flush=True)
 
-        # ---------------- ANN LSH-index append ----------------
-        emb = spark.read.parquet(_build_emb(spark, scale))
-        n_vecs = emb.count()
-        for mode, planes in (
-            ("fixed6", 6),
-            ("auto", auto_n_planes(n_vecs)),
-        ):
-            annidx = os.path.join(WORK, f"annidx_{scale}x_{mode}")
-            shutil.rmtree(annidx, ignore_errors=True)
-            t0 = time.perf_counter()
-            lsh_write_partitioned(emb, annidx, n_planes=planes, seed=0)
-            abuild_sec = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            appended = ann_index_append(vec_batch, annidx)
-            append_sec = time.perf_counter() - t0
-            bb = [
-                r["bucket"]
-                for r in vec_batch.select(
-                    hyperplane_bucket(
-                        F.col("embedding"), planes, 0, 64
-                    ).alias("bucket")
-                ).distinct().collect()
-            ]
-            aread = (
-                spark.read.parquet(annidx)
-                .filter(F.col("bucket").isin(bb))
-                .count()
-            )
-            arow = {
-                "family": "ann_index_append", "scale": scale, "mode": mode,
-                "index_vecs": n_vecs, "batch_vecs": VEC_BATCH,
-                "n_planes": planes,
-                "build_sec": round(abuild_sec, 2),
-                "append_sec": round(append_sec, 2),
-                "appended": appended,
-                "ms_per_batch_vec": round(1000.0 * append_sec / VEC_BATCH, 3),
-                "index_rows_in_probed_buckets": aread,
-                "buckets_probed": len(bb), "buckets_total": 2 ** planes,
-            }
-            results.append(arow)
-            print(json.dumps(arow), flush=True)
+        # SMALL panel: buckets grow with the corpus (the 100 TB sizing
+        # rule) — absolute read volume should be FLAT across scales
+        row = _dedup_row(scale, n_docs, docs, "small",
+                         batches["doc_small"], DOC_BATCH_SMALL, 512 * scale)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        row = _ann_row(scale, n_vecs, emb, "small",
+                       batches["vec_small"], VEC_BATCH_SMALL,
+                       auto_n_planes(n_vecs))
+        results.append(row)
+        print(json.dumps(row), flush=True)
 
     print(json.dumps({
         "metric": "incremental_append_scaling",
-        "doc_batch": DOC_BATCH, "vec_batch": VEC_BATCH,
         "host": {"before": host_before, "load_guard": guard},
         "rows": results,
     }))
