@@ -192,8 +192,13 @@ def upsert_write_partitioned(
     for c in (key, ts):
         if c not in df.columns:
             raise ValueError(f"upsert_write_partitioned: no column {c!r}")
-    if _BUCKET in df.columns:
-        raise ValueError(f"upsert_write_partitioned: reserved column {_BUCKET!r}")
+    # FULL reserved set, not just the bucket column (r13 review): a base
+    # table carrying a `_batch`/`_src`/`_rn` data column would survive
+    # this write, then read_upsert_as_of's withColumn("_batch", 0) /
+    # the merge's withColumn("_src", ...) would silently OVERWRITE the
+    # user's column and the terminal drop would delete it — the r10
+    # carry-clash loss class, one layer earlier.
+    _check_reserved(df, "upsert_write_partitioned")
     key_type = dict(df.dtypes)[key]
     (
         df.withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
@@ -220,8 +225,8 @@ def _check_reserved(df: DataFrame, who: str) -> None:
     if clash:
         raise ValueError(
             f"{who}: column(s) {sorted(clash)} collide with the upsert "
-            f"machinery's internal names {sorted(_RESERVED_COLS)} — "
-            "rename them before writing"
+            f"machinery's reserved internal names {sorted(_RESERVED_COLS)} "
+            "— rename them before writing"
         )
 
 
@@ -413,6 +418,11 @@ def upsert_append_batch(
     id 0 is the base table.
     """
     meta = _require_meta(spark, path, "upsert_append_batch")
+    # r13 review: the append path had NO reserved-name check, so a batch
+    # with its own `_batch` column was silently overwritten by the
+    # partition-id withColumn below (the merge path refused the same
+    # frame loudly — the two intake paths must agree)
+    _check_reserved(updates, "upsert_append_batch")
     key, ts, n_buckets = meta["key"], meta["ts"], int(meta["n_buckets"])
     for c in (key, ts):
         if c not in updates.columns:

@@ -543,6 +543,27 @@ def test_upsert_reserved_columns_refused(spark, tmp_path):
     with _pytest.raises(ValueError, match="collide"):
         merge_upsert_partitioned(spark, path, bad)
 
+    # r13 review: the INIT and APPEND paths must refuse the same names.
+    # A base table carrying a `_batch` data column used to pass init,
+    # then read_upsert_as_of's withColumn("_batch", 0) silently replaced
+    # the user's column and the terminal drop deleted it; an appended
+    # batch with `_batch` was overwritten by the partition id the same
+    # way while merge refused the identical frame loudly.
+    from qcardia_data_spark.functions.cdc import upsert_append_batch
+
+    with _pytest.raises(ValueError, match="collide"):
+        upsert_write_partitioned(
+            spark.createDataFrame([(1, 1, 7)], "k int, ts int, _batch int"),
+            str(tmp_path / "resv_init"), key="k", ts="ts",
+        )
+    with _pytest.raises(ValueError, match="collide"):
+        upsert_append_batch(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 3, "z", 9)], "k int, ts int, v string, _batch int"
+            ),
+        )
+
 
 def test_upsert_lookup_coerces_probe_key_type(spark, tmp_path):
     """r12 review: probe keys are cast to the TABLE's key type before
