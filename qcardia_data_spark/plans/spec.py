@@ -256,6 +256,10 @@ def _push_filters_below_explode(ops: Sequence[dict]) -> list[dict]:
             and op.get("keep_positions") is None
             and isinstance(nxt, dict)
             and nxt.get("op") == "filter"
+            # a filter carrying BOTH keys executes its 'expr' (the filter
+            # op's precedence rule) — fusing on col/in would silently drop
+            # that predicate (r13 review)
+            and "expr" not in nxt
             and nxt.get("col") == op.get("pos", "pos")
             and isinstance(nxt.get("in"), list)
             # fusion must be a pure optimization (r10 review): never fuse

@@ -1379,6 +1379,11 @@ def test_explode_filter_fusion_is_semantics_preserving(spark, sf_dir):
     flt_ok = {"op": "filter", "col": "pos", "in": [0, 2]}
     fused = _push_filters_below_explode([ex, flt_ok])
     assert fused[0]["keep_positions"] == [0, 2] and len(fused) == 1
+    # r13 review: a filter carrying BOTH 'expr' and ('col','in') executes
+    # its expr (the filter op's precedence rule) — fusing on col/in would
+    # silently drop that predicate, so the peephole must skip it
+    flt_expr = {"op": "filter", "expr": "val > 5", "col": "pos", "in": [0]}
+    assert _push_filters_below_explode([ex, flt_expr]) == [ex, flt_expr]
 
 
 def test_spec_second_source_refused(spark, sf_dir):
