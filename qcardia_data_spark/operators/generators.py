@@ -44,10 +44,13 @@ def explode_with_position(
         # under ANSI past the array end and on index 0); the bound filter
         # keeps the fused form row-identical to posexplode + isin — an
         # out-of-range or negative position matches NOTHING instead of
-        # emitting a phantom NULL row (r10 review)
+        # emitting a phantom NULL row (r10 review). Deduplicate + sort
+        # (r13 review): a repeated position in the list emitted its
+        # element TWICE where the isin form keeps one row, and posexplode
+        # emits ascending ordinals — set+sort restores exact row-identity.
         pairs = F.array(*[
             F.struct(F.lit(int(p)).alias(pos_out), F.get(arr, int(p)).alias(val_out))
-            for p in keep_positions
+            for p in sorted({int(p) for p in keep_positions})
         ])
         exploded = df.select(*others, F.size(arr).alias(f"total_{pos_out}"), F.explode(pairs).alias("_pv"))
         return exploded.select(

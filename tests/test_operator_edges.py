@@ -51,6 +51,13 @@ def test_explode_keep_positions_prefilters(spark):
     got = {(r["pos"], r["val"]) for r in out.collect()}
     assert got == {(0, 10.0), (2, 30.0)}
     assert out.collect()[0]["total_pos"] == 4  # total reflects pre-filter axis
+    # r13 review: a repeated/unsorted position list must stay row-identical
+    # to the posexplode + isin form — one row per matching ordinal,
+    # ascending, never a duplicate emission
+    dup = gen.explode_with_position(
+        df, "arr", keep_positions=[2, 0, 2, 2], keep_other=["k"]
+    ).collect()
+    assert [(r["pos"], r["val"]) for r in dup] == [(0, 10.0), (2, 30.0)]
 
 
 def test_union_by_name_missing_columns_null(spark):
