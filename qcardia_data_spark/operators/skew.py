@@ -55,7 +55,15 @@ def salted_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salts, join on (key, salt). Correct for any equi-join where
     ``small`` has unique join keys or duplicates are acceptable exactly as
-    in the unsalted join (replication is per-salt, not per-row)."""
+    in the unsalted join (replication is per-salt, not per-row).
+
+    ``salt_source`` should be a ROW-unique (or near-unique) big-side
+    column: the salt must vary WITHIN the hot key or the scatter does
+    nothing. When omitted, the salt hashes ALL big-side columns (r13
+    review — the old default hashed the join key itself, so every hot-key
+    row landed on ONE salt and the mitigation silently no-opped; rows
+    that are full duplicates still share a salt, which only matters if
+    the skew IS duplicate rows — pass a unique id then)."""
     # right/full joins are WRONG under salting: the small side is
     # replicated n_salts x, so its unmatched rows would surface once per
     # salt — refuse loudly instead of silently multiplying (r12 review).
@@ -66,7 +74,12 @@ def salted_join(
             f"row {n_salts}x (the small side is replicated per salt) — use "
             "an unsalted join or swap the sides"
         )
-    src = salt_source or on
-    b = big.withColumn("_salt", salt_column(F.col(src), n_salts))
+    if salt_source is not None:
+        salt = salt_column(F.col(salt_source), n_salts)
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        )
+    b = big.withColumn("_salt", salt)
     s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return b.join(s, on=[on, "_salt"], how=how).drop("_salt")

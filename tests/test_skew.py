@@ -71,3 +71,30 @@ def test_salted_join_refuses_right_and_full(spark):
     big2 = spark.createDataFrame([(1, "x"), (3, "y")], ["k", "v"])
     out = salted_join(big2, small, "k", n_salts=4, how="left").collect()
     assert sorted((r["k"], r["w"]) for r in out) == [(1, "a"), (3, None)]
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """r13 review: the old default salted by the JOIN KEY, so a hot key's
+    rows all hashed to ONE salt and the scatter silently no-opped. The
+    default now hashes every big-side column; a hot key with varying
+    payload must occupy many salts, and results stay identical to the
+    unsalted join."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(400)] + [(2, 7)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "tag"])
+    out = salted_join(big, small, "k", n_salts=8)
+    got = out.groupBy("tag").count().collect()
+    assert {(r["tag"], r["count"]) for r in got} == {("hot", 400), ("cold", 1)}
+    # distribution check: replay the default salt expression on the hot key
+    n_salts_used = (
+        big.filter(F.col("k") == 1)
+        .select(F.pmod(F.xxhash64("k", "payload"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_used >= 6, n_salts_used  # 400 rows over 8 salts
