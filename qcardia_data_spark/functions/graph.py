@@ -30,12 +30,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _RoundMaterializer:
+    """Per-round state materialization for the iterative families
+    (VERDICT r12 #4, extended r13 from the CC fixpoint to every loop):
+    ``localCheckpoint`` by default; with a ``reliable_dir``, each
+    materialization persists to parquet under the caller path so executor
+    loss mid-loop re-reads files instead of killing the job.
+
+    Each named STREAM of state (a loop may carry more than one — BFS
+    materializes both the frontier and the distance table every level)
+    alternates between two subpaths of its own: Spark must never
+    overwrite the files the round's input is still being read from, and
+    a stream's previous write is always the OTHER subpath by the time
+    the next lands."""
+
+    def __init__(self, spark, reliable_dir: str | None):
+        self._spark = spark
+        self._dir = reliable_dir
+        self._counts: dict[str, int] = {}
+
+    def __call__(self, df: DataFrame, tag: str) -> DataFrame:
+        if self._dir is None:
+            return df.localCheckpoint(eager=True)
+        n = self._counts.get(tag, 0)
+        self._counts[tag] = n + 1
+        path = f"{self._dir}/{tag}_{n % 2}"
+        df.write.mode("overwrite").parquet(path)
+        return self._spark.read.parquet(path)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     damping: float = 0.875,
     iters: int = 3,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed multigraph of (src, dst) edge rows.
 
@@ -68,8 +98,9 @@ def pagerank(
     ranks = nodes.join(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    mat = _RoundMaterializer(edges.sparkSession, reliable_dir)
     try:
-        return _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters)
+        return _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters, mat)
     finally:
         # unpersist like the bfs/sssp/kcore siblings — the returned ranks
         # frame is localCheckpoint-ed (every loop round ends in one, and
@@ -80,12 +111,12 @@ def pagerank(
         nodes.unpersist()
 
 
-def _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters):
+def _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters, mat):
     if iters <= 0:
         # the initial uniform frame has no checkpoint of its own; without
         # one, every action after the finally-unpersist would recompute
         # the whole edge derivation
-        return ranks.localCheckpoint()
+        return mat(ranks, "ranks")
     for _ in range(iters):
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["od_node"], "left"
@@ -115,8 +146,8 @@ def _pagerank_rounds(e, nodes, outdeg, nn, ranks, damping, iters):
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()  # O(1) lineage per round, the CC idiom
         )
+        ranks = mat(ranks, "ranks")  # O(1) lineage per round, the CC idiom
     return ranks
 
 
@@ -126,6 +157,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 6,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop count from any source node, bounded
     at ``max_hops`` — the fourth iterative family (single-source /
@@ -150,26 +182,27 @@ def bfs_hops(
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
     ).persist()
+    mat = _RoundMaterializer(edges.sparkSession, reliable_dir)
     try:
-        dist = (
+        dist = mat(
             sources.select(F.col("node"))
             .distinct()
-            .withColumn("hops", F.lit(0).cast("int"))
-            .localCheckpoint()
+            .withColumn("hops", F.lit(0).cast("int")),
+            "dist",
         )
         frontier = dist.select("node")
         for h in range(1, max_hops + 1):
-            nxt = (
+            nxt = mat(
                 frontier.join(e, frontier["node"] == e["e_src"])
                 .select(F.col("e_dst").alias("node"))
                 .distinct()
                 .join(dist.select("node"), "node", "left_anti")
-                .withColumn("hops", F.lit(h).cast("int"))
-                .localCheckpoint()
+                .withColumn("hops", F.lit(h).cast("int")),
+                "frontier",
             )
             if not nxt.take(1):
                 break
-            dist = dist.unionByName(nxt).localCheckpoint()
+            dist = mat(dist.unionByName(nxt), "dist")
             frontier = nxt.select("node")
         return dist
     finally:
@@ -183,6 +216,7 @@ def sssp_rounds(
     dst: str = "dst",
     weight: str = "w",
     rounds: int = 6,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source single-source-shortest-path by ``rounds`` Bellman-Ford
     relaxations — the WEIGHTED twin of :func:`bfs_hops`. After R rounds
@@ -205,14 +239,15 @@ def sssp_rounds(
         F.col(dst).alias("e_dst"),
         F.col(weight).alias("e_w"),
     ).persist()
+    mat = _RoundMaterializer(edges.sparkSession, reliable_dir)
     try:
         if e.filter(F.col("e_w") < 0).take(1):
             raise ValueError("sssp_rounds: negative edge weights")
-        dist = (
+        dist = mat(
             sources.select(F.col("node"))
             .distinct()
-            .withColumn("cost", F.lit(0).cast("long"))
-            .localCheckpoint(eager=True)
+            .withColumn("cost", F.lit(0).cast("long")),
+            "dist",
         )
         for _ in range(rounds):
             relaxed = (
@@ -222,11 +257,11 @@ def sssp_rounds(
                     (F.col("cost") + F.col("e_w")).alias("cost"),
                 )
             )
-            dist = (
+            dist = mat(
                 dist.unionByName(relaxed)
                 .groupBy("node")
-                .agg(F.min("cost").alias("cost"))
-                .localCheckpoint(eager=True)
+                .agg(F.min("cost").alias("cost")),
+                "dist",
             )
         return dist
     finally:
@@ -416,6 +451,7 @@ def kcore_rounds(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 6,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Bounded k-core peeling: ``rounds`` iterations of "keep nodes with
     undirected degree >= k among the survivors" over the canonicalized
@@ -445,11 +481,12 @@ def kcore_rounds(
     sym = und.select(F.col("a").alias("node"), F.col("b").alias("other")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("other"))
     ).persist()
+    mat = _RoundMaterializer(edges.sparkSession, reliable_dir)
     try:
-        kept = sym.select("node").distinct().localCheckpoint(eager=True)
+        kept = mat(sym.select("node").distinct(), "kept")
         deg = None
         for _ in range(rounds):
-            deg = (
+            deg = mat(
                 sym.join(kept, "node", "left_semi")
                 .join(
                     kept.select(F.col("node").alias("other")),
@@ -458,8 +495,8 @@ def kcore_rounds(
                 )
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).alias("degree"))
-                .filter(F.col("degree") >= k)
-                .localCheckpoint(eager=True)
+                .filter(F.col("degree") >= k),
+                "deg",
             )
             kept = deg.select("node")
         return deg

@@ -1952,6 +1952,7 @@ def _apply(
                 df, src_c, dst_c,
                 damping=float(op.get("damping", 0.875)),
                 iters=int(op.get("iters", 3)),
+                reliable_dir=op.get("reliable_dir"),
             )
         if kind == "connected_components":
             # reliable_dir / reliable_every (r13): persist the per-round
@@ -1985,10 +1986,12 @@ def _apply(
                     df, srcs, src_c, dst_c,
                     weight=op.get("weight", "w"),
                     rounds=int(op.get("rounds", 6)),
+                    reliable_dir=op.get("reliable_dir"),
                 )
             return _G.bfs_hops(
                 df, srcs, src_c, dst_c,
                 max_hops=int(op.get("max_hops", 6)),
+                reliable_dir=op.get("reliable_dir"),
             )
         if kind == "kcore":
             #   {"op": "kcore", "src": ..., "dst": ..., "k": 2,
@@ -1999,6 +2002,7 @@ def _apply(
             #       the contract, the PageRank/BFS/SSSP idiom)
             return _G.kcore_rounds(
                 df, k=int(op.get("k", 2)), src=src_c, dst=dst_c,
+                reliable_dir=op.get("reliable_dir"),
                 rounds=int(op.get("rounds", 6)),
             )
         return _G.triangle_count(df, src_c, dst_c)

@@ -291,3 +291,58 @@ def test_kcore_empty_when_no_core(spark):
 
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert kcore_rounds(chain, k=2, rounds=6).count() == 0
+
+
+def test_reliable_dir_equals_localcheckpoint_on_every_loop(spark, tmp_path):
+    """r13 (VERDICT r12 #4 extended past the CC fixpoint): every iterative
+    family's per-round state can persist to parquet under a caller path
+    instead of executor-block localCheckpoints — values identical. The
+    BFS case matters most: it materializes TWO state streams per level
+    (frontier + distance table), so each stream alternates its own
+    subpath pair (a shared pair would overwrite files still being read)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.graph import (
+        bfs_hops,
+        kcore_rounds,
+        pagerank,
+        sssp_rounds,
+    )
+    from qcardia_data_spark.plans.spec import compile_pipeline
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)] + [(5, 0), (12, 3), (20, 7)],
+        ["src", "dst"],
+    )
+    srcs = edges.select(F.col("src").alias("node")).filter("node % 10 = 0").distinct()
+    wedges = edges.withColumn("w", (F.col("src") % 5 + 1).cast("long"))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert canon(pagerank(edges, iters=3, reliable_dir=str(tmp_path / "pr"))) == \
+        canon(pagerank(edges, iters=3))
+    assert canon(bfs_hops(edges, srcs, max_hops=6,
+                          reliable_dir=str(tmp_path / "bfs"))) == \
+        canon(bfs_hops(edges, srcs, max_hops=6))
+    assert canon(sssp_rounds(wedges, srcs, rounds=5,
+                             reliable_dir=str(tmp_path / "sssp"))) == \
+        canon(sssp_rounds(wedges, srcs, rounds=5))
+    assert canon(kcore_rounds(edges, k=2, rounds=4,
+                              reliable_dir=str(tmp_path / "kc"))) == \
+        canon(kcore_rounds(edges, k=2, rounds=4))
+
+    # spec knob reaches the module (pagerank as the representative)
+    epath = str(tmp_path / "edges_rel")
+    edges.write.parquet(epath)
+    spec_pr = compile_pipeline(
+        spark,
+        [{"op": "source", "path": epath},
+         {"op": "pagerank", "src": "src", "dst": "dst", "iters": 3,
+          "reliable_dir": str(tmp_path / "pr_spec")}],
+        None,
+    )
+    assert canon(spec_pr) == canon(pagerank(edges, iters=3))
+    import os as _os
+
+    assert _os.path.isdir(str(tmp_path / "pr_spec" / "ranks_0"))
