@@ -201,9 +201,42 @@ def build_inverted_index(
     docs.select(F.size(word_tokens(F.col(text_col))).alias("_dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
     ).write.mode("overwrite").parquet(f"{path}/_stats")
-    docs.sparkSession.createDataFrame([("bm25",)], ["kind"]).coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/_idx_kind")
+    # the marker carries the LAYOUT geometry too (r13 review): probes
+    # must bucket with the index's own n_buckets — a caller-supplied
+    # count that differs from the build reads the WRONG partition
+    # directories with no error signal (the _cms_meta drift class)
+    docs.sparkSession.createDataFrame(
+        [("bm25", int(n_buckets))], ["kind", "n_buckets"]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_idx_kind")
+
+
+def _resolve_index_buckets(
+    spark: SparkSession, path: str, caller: int | None, who: str
+) -> int:
+    """Bucket count for probing the index at ``path``: the index's OWN
+    ``_idx_kind`` geometry when recorded (r13 — the ``_cms_meta``
+    store-contract pattern), with an explicitly-passed caller value
+    VALIDATED against it (mismatch refuses loudly: probing with a
+    different count reads the wrong partition directories silently).
+    Pre-r13 markers lack the field; they fall back to the caller's value
+    or the module default — exactly the old behavior."""
+    from qcardia_data_spark.sources.readers import read_meta_json
+
+    marker = read_meta_json(spark, f"{path}/_idx_kind")
+    meta_n = None
+    if marker is not None and "n_buckets" in marker.__fields__:
+        v = marker["n_buckets"]
+        meta_n = int(v) if v is not None else None
+    if meta_n is not None:
+        if caller is not None and int(caller) != meta_n:
+            raise ValueError(
+                f"{who}: n_buckets={caller} differs from the index's own "
+                f"layout at {path!r} (built with n_buckets={meta_n}) — "
+                "pass None to use the index's value; probing with a "
+                "different count reads the wrong partitions silently"
+            )
+        return meta_n
+    return int(caller) if caller is not None else N_TERM_BUCKETS
 
 
 def _stats_exists(spark: SparkSession, path: str) -> bool:
@@ -230,7 +263,7 @@ def bm25_topk_from_index(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = N_TERM_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over a persisted inverted index — no corpus scan.
 
@@ -242,6 +275,9 @@ def bm25_topk_from_index(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     _check_id_col(id_col, "bm25_topk_from_index")
+    n_buckets = _resolve_index_buckets(
+        spark, path, n_buckets, "bm25_topk_from_index"
+    )
     query_terms = sorted({t.lower() for t in query_terms})  # postings are lowercase
     # bucket ids via the index's OWN bucketing expression (the
     # phrase_occurrences_from_index stance): a hand-rolled driver-side
@@ -388,9 +424,9 @@ def build_positional_index(
     ).partitionBy("term_bucket").parquet(
         f"{path}/postings"
     )
-    spark.createDataFrame([("positional",)], ["kind"]).coalesce(1).write.mode(
-        "overwrite"
-    ).json(f"{path}/_idx_kind")
+    spark.createDataFrame(
+        [("positional", int(n_buckets))], ["kind", "n_buckets"]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_idx_kind")
 
 
 def phrase_occurrences_from_index(
@@ -398,7 +434,7 @@ def phrase_occurrences_from_index(
     path: str,
     phrase: list[str],
     id_col: str = "doc_id",
-    n_buckets: int = N_TERM_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Phrase search off the positional index: reads only the phrase
     terms' bucket directories (partition filter), then the same
@@ -408,6 +444,9 @@ def phrase_occurrences_from_index(
     if not phrase:
         raise ValueError("phrase_occurrences_from_index: phrase is empty")
     _check_id_col(id_col, "phrase_occurrences_from_index")
+    n_buckets = _resolve_index_buckets(
+        spark, path, n_buckets, "phrase_occurrences_from_index"
+    )
     phrase = [t.lower() for t in phrase]  # postings are lowercase
     ph = spark.createDataFrame(
         [(j, t) for j, t in enumerate(phrase)], ["j", "term"]

@@ -1049,7 +1049,11 @@ def _apply(
                 spark, op["path"], list(op["terms"]),
                 k=int(op.get("k", 10)), id_col=id_col,
                 k1=float(op.get("k1", 1.2)), b=float(op.get("b", 0.75)),
-                n_buckets=int(op.get("n_buckets", 64)),
+                # None = the index's own recorded layout (r13); an
+                # explicit spec value is validated against it
+                n_buckets=(
+                    int(op["n_buckets"]) if "n_buckets" in op else None
+                ),
             )
         else:
             sel = bm25_topk(
@@ -1394,7 +1398,9 @@ def _apply(
         if "path" in op:
             hits = phrase_occurrences_from_index(
                 spark, op["path"], list(op["phrase"]), id_col=id_col,
-                n_buckets=int(op.get("n_buckets", 64)),
+                n_buckets=(
+                    int(op["n_buckets"]) if "n_buckets" in op else None
+                ),
             )
         else:
             hits = phrase_occurrences(

@@ -556,3 +556,47 @@ def test_positional_rebuild_drops_stale_buckets_under_dynamic_mode(
         assert ids == {"d3"}, f"stale postings survived the rebuild: {ids}"
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_index_probes_resolve_n_buckets_from_marker(spark, tmp_path):
+    """r13 review (the _cms_meta drift class, found in the BM25/phrase
+    probes): the index marker now records n_buckets, a probe with the
+    knob omitted buckets with the INDEX's layout, and an explicitly
+    mismatched value refuses loudly — previously a default-bucket probe
+    against a non-default index silently read the wrong partition
+    directories and returned wrong/empty results."""
+    import pytest
+
+    from qcardia_data_spark.functions.retrieval import (
+        bm25_topk_from_index,
+        build_inverted_index,
+        build_positional_index,
+        phrase_occurrences_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data across the cluster"),
+         (2, "the cluster runs spark"),
+         (3, "unrelated words entirely")],
+        ["doc_id", "text"],
+    )
+    bm25 = str(tmp_path / "bm25_nb")
+    build_inverted_index(docs, bm25, n_buckets=7)  # non-default layout
+    got = {r["doc_id"] for r in
+           bm25_topk_from_index(spark, bm25, ["spark", "cluster"], k=3).collect()}
+    assert got == {1, 2}
+    # explicit matching value still accepted; mismatch refuses loudly
+    assert bm25_topk_from_index(
+        spark, bm25, ["spark"], k=3, n_buckets=7
+    ).count() == 2
+    with pytest.raises(ValueError, match="built with n_buckets=7"):
+        bm25_topk_from_index(spark, bm25, ["spark"], k=3, n_buckets=64)
+
+    pos = str(tmp_path / "pos_nb")
+    build_positional_index(docs, pos, n_buckets=5)
+    hits = phrase_occurrences_from_index(spark, pos, ["the", "cluster"])
+    assert {r["doc_id"] for r in hits.collect()} == {1, 2}
+    with pytest.raises(ValueError, match="built with n_buckets=5"):
+        phrase_occurrences_from_index(
+            spark, pos, ["the", "cluster"], n_buckets=64
+        )
