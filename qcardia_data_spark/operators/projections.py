@@ -84,8 +84,15 @@ def decode_composite_key(df: DataFrame, key: str, outs: Sequence[str], sep: str 
 
     Splits on the FIRST ``sep`` occurrences only (limit = len(outs)), matching
     the reference's ``split("-", 1)`` semantics for subjects containing dashes.
+
+    ``sep`` is taken LITERALLY (regex-escaped before F.split — r13 review:
+    the encode side concatenates it literally, so a regex-meta separator
+    like "." or "|" silently decoded every character as a split point,
+    breaking the documented encode→decode roundtrip).
     """
-    parts = F.split(F.col(key), sep, len(outs))
+    import re as _re
+
+    parts = F.split(F.col(key), _re.escape(sep), len(outs))
     out = df
     for i, name in enumerate(outs):
         out = out.withColumn(name, parts.getItem(i))

@@ -85,6 +85,13 @@ def test_composite_key_roundtrip_property(shared_spark, pairs):
     dec = P.decode_composite_key(enc, "key", ["d2", "s2"])
     for r in dec.collect():
         assert (r["d2"], r["s2"]) == (r["dataset"], r["subject"])
+    # r13 review: a regex-meta separator must roundtrip too — the encode
+    # side is literal, so the decode split must escape it (unescaped,
+    # "." split on every character)
+    enc2 = P.encode_composite_key(df, "key2", ["dataset", "subject"], sep=".")
+    dec2 = P.decode_composite_key(enc2, "key2", ["d3", "s3"], sep=".")
+    for r in dec2.collect():
+        assert (r["d3"], r["s3"]) == (r["dataset"], r["subject"])
 
 
 @settings(max_examples=20, deadline=None)
