@@ -758,9 +758,12 @@ def corpus_mix(
         budget = None
         for src, wgt in weights.items():
             b = F.lit(float(wgt) * total_budget)
-            budget = F.when(F.col(by) == src, b) if budget is None else budget.when(
-                F.col(by) == src, b
-            )
+            # eqNullSafe (r13 review): plain == makes an explicitly-listed
+            # NULL source unreachable (the comparison is NULL, never true)
+            # — "unlisted sources drop" must not silently extend to a
+            # LISTED NULL group
+            cond = F.col(by).eqNullSafe(F.lit(src))
+            budget = F.when(cond, b) if budget is None else budget.when(cond, b)
         budget = budget.otherwise(F.lit(0.0))
         df = df.withColumn("_budget", budget).filter(F.col("_budget") > 0)
     else:
@@ -777,7 +780,15 @@ def corpus_mix(
                 StructField("_budget", DoubleType(), False),
             ]),
         )
-        df = df.join(F.broadcast(wdf), by, "inner")
+        # null-safe (r13 review): same reason as the CASE path — a listed
+        # NULL source must match its NULL rows; unlisted sources still
+        # drop (inner join semantics preserved for non-NULL keys)
+        from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+        df = null_safe_equi_join(
+            df, wdf, nullsafe_keys=[by], carry=["_budget"],
+            broadcast_right=True,
+        )
     return _budget_ranked_sample(df, token_col, key_col, by, seed)
 
 
@@ -833,9 +844,18 @@ def alpha_mix(
     wdf = counts.crossJoin(F.broadcast(z)).select(
         by, (powered / F.col("_z") * total_budget).alias("_budget")
     )
-    return _budget_ranked_sample(
-        df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
+    # null-safe join-back (r13 review): alpha_mix has no weights dict —
+    # EVERY group in the data earns a budget share, including a NULL
+    # group (lang-ID failures are a real corpus slice). The old plain
+    # inner join silently dropped the NULL group's rows while its count
+    # still deflated every other group's normalized share through _z —
+    # doubly wrong.
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+    joined = null_safe_equi_join(
+        df, wdf, nullsafe_keys=[by], carry=["_budget"], broadcast_right=True
     )
+    return _budget_ranked_sample(joined, token_col, key_col, by, seed)
 
 
 def decontaminate(

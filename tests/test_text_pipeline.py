@@ -924,3 +924,61 @@ def test_corpus_mix_family_refuses_reserved_columns(spark):
     ):
         with pytest.raises(ValueError, match="_budget"):
             fn(df, *args)
+
+
+def test_mix_family_keeps_null_groups(spark):
+    """r13 review: alpha_mix has no weights dict — every group in the data
+    earns a budget share, including a NULL group (lang-ID failures are a
+    real corpus slice). The old plain inner join-back dropped the NULL
+    group's rows while its count still deflated every other group's
+    normalized share. corpus_mix: an explicitly-LISTED NULL source must
+    match its rows too (both the <=64 CASE path and the broadcast-join
+    path); unlisted sources still drop."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_tokens", IntegerType()),
+    ])
+    rows = (
+        [(i, "en", 10) for i in range(40)]
+        + [(100 + i, None, 10) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # alpha=1: natural proportions — both groups equal, budget 400+400
+    out = T.alpha_mix(df, "n_tokens", "doc_id", "lang", alpha=1.0,
+                      total_budget=800)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang.get(None) == 40, by_lang  # NULL group fully budgeted
+    assert by_lang.get("en") == 40, by_lang  # and en NOT deflated
+
+    # corpus_mix CASE path: listed NULL source matches
+    out2 = T.corpus_mix(df, "n_tokens", "doc_id", "lang",
+                        {None: 0.5, "en": 0.5}, total_budget=400)
+    by2 = {
+        r["lang"]: r["n"]
+        for r in out2.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by2.get(None) == 20 and by2.get("en") == 20, by2
+
+    # corpus_mix broadcast-join path (>64 sources forces the join form)
+    weights = {None: 0.5, "en": 0.5}
+    weights.update({f"pad{i}": 0.0 for i in range(70)})
+    out3 = T.corpus_mix(df, "n_tokens", "doc_id", "lang", weights,
+                        total_budget=400)
+    by3 = {
+        r["lang"]: r["n"]
+        for r in out3.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by3.get(None) == 20 and by3.get("en") == 20, by3
