@@ -9415,12 +9415,24 @@ _PRIORITY = [
 ]
 
 
+# R13 CODE-TOUCH NOTE: this round's review sweep changed code behind
+# queries OUTSIDE the frozen window -- text_alpha_mix (null-safe budget
+# join-back), text_bm25_topk (probe resolves n_buckets from the index
+# marker), p12_composite_key_roundtrip (literal-escaped decode sep --
+# behavior-identical for its "-" separator). All were value-verified
+# against their oracles on the final r13 tree (strict compare at
+# sf0.01, this session). text_alpha_mix and text_bm25_topk take the two
+# code-touch priority slots in the r14 queue below (displacing the two
+# youngest r10 fill rows); p12 is r12-fresh and its change is a no-op
+# for the graded data, so it keeps its natural rotation position.
+#
 # Queued for the ROUND-14 window (registry positions 51+, in order):
 # the 29 remaining r9-stale rows, the four reserved flagship slots
-# (due-by-r14 per the cadence policy above), then the 16 oldest
-# r10-vintage (alphabetical, the grade_window.py sort) -- anchor +
-# these 49 = the written r14 plan. Keeping them immediately after the
-# window makes "first in line" a property of the registry itself.
+# (due-by-r14 per the cadence policy above), the two code-touched
+# swaps, then the 14 oldest r10-vintage (alphabetical, the
+# grade_window.py sort) -- anchor + these 49 = the written r14 plan.
+# Keeping them immediately after the window makes "first in line" a
+# property of the registry itself.
 _NEXT_IN_LINE = [
     # --- r9-stale remainder (alphabetical, grade_window.py sort) ---
     "ev_retention_cohorts",
@@ -9457,7 +9469,10 @@ _NEXT_IN_LINE = [
     "j2_broadcast_star_join",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- 16 oldest remaining r10-vintage (alphabetical) ---
+    # --- CODE-TOUCHED SWAPS (r13 review sweep; see note above) ---
+    "text_alpha_mix",
+    "text_bm25_topk",
+    # --- 14 oldest remaining r10-vintage (alphabetical) ---
     "a12_approx_count_distinct",
     "a13_cube",
     "a15_hll_rollup",
@@ -9472,8 +9487,6 @@ _NEXT_IN_LINE = [
     "a4b_exploration_frame",
     "dedup_semantic",
     "dedup_simhash_incremental",
-    "dedup_span_removal",
-    "dedup_winnow_incremental",
 ]
 
 
