@@ -1167,3 +1167,49 @@ def test_spec_scale_safe_split_and_cumsum_match_module(spark, sf_dir, tmp_path):
         assert got_cum.keys() == want_cum.keys()
         for k, v in want_cum.items():
             assert abs(got_cum[k] - v) < 1e-6, (k, got_cum[k], v)
+
+
+def test_reliable_corpus_prep_example_runs(spark, sf_dir, tmp_path):
+    """examples/reliable_corpus_prep.json — the r13 knobs in one spec:
+    keep_best near-dedup with reliable_dir (signatures AND the CC
+    fixpoint file-backed) + scale_safe distributed split. Must equal the
+    same chain with the knobs OFF (the knobs change where state lives
+    and how the rank is computed, never the answer), and must leave the
+    reliable artifacts on disk."""
+    import json as _json
+
+    spec = _json.load(open("examples/reliable_corpus_prep.json"))
+    corpus = str(tmp_path / "docs")
+    rel = str(tmp_path / "rel")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text").limit(400).write.parquet(corpus)
+    )
+
+    def resolve(ops, drop_knobs=False):
+        out = []
+        for op in ops:
+            op = dict(op)
+            for k, v in list(op.items()):
+                if isinstance(v, str):
+                    op[k] = v.replace("{corpus}", corpus).replace(
+                        "{reliable_dir}", rel
+                    )
+            if drop_knobs:
+                op.pop("reliable_dir", None)
+                op.pop("scale_safe", None)
+                op.pop("num_ranges", None)
+            out.append(op)
+        return out
+
+    got = compile_pipeline(spark, resolve(spec["pipeline"]), sf_dir)
+    want = compile_pipeline(
+        spark, resolve(spec["pipeline"], drop_knobs=True), sf_dir
+    )
+    key = lambda r: (r["doc_id"], r["split"])  # noqa: E731
+    got_rows = sorted(map(key, got.collect()))
+    assert got_rows == sorted(map(key, want.collect()))
+    assert got_rows, "pipeline selected nothing"
+    assert {s for _, s in got_rows} == {"train", "valid"}
+    assert os.path.isdir(os.path.join(rel, "signatures"))
+    assert os.path.isdir(os.path.join(rel, "cc_edges"))
