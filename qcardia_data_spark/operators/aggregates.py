@@ -211,14 +211,30 @@ def discrete_quantiles(
     pcts = [int(p) for p in pcts]
     if not pcts or any(p < 1 or p > 100 for p in pcts):
         raise ValueError("discrete_quantiles: pcts must be in 1..100")
+    if "pct" in (key, value):
+        # the OUTPUT contract is (key, pct, value) — a key/value named
+        # "pct" would make the result ambiguous; refuse loudly
+        raise ValueError(
+            "discrete_quantiles: key/value may not be named 'pct' (the "
+            "output's percentile column) — rename upstream"
+        )
+    # fresh working names (r13 review, the carry-clash rule): a key or
+    # value column literally named _rn/_n/pct was silently overwritten
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    rn = fresh_name("_rn", [key, value])
+    nn = fresh_name("_n", [key, value, rn])
+    pc = fresh_name("pct", [key, value, rn, nn])
     w = Window.partitionBy(key).orderBy(value)
     wc = Window.partitionBy(key)
     r = df.select(key, value).withColumn(
-        "_rn", F.row_number().over(w)
-    ).withColumn("_n", F.count(F.lit(1)).over(wc))
+        rn, F.row_number().over(w)
+    ).withColumn(nn, F.count(F.lit(1)).over(wc))
     e = r.select(
-        key, value, "_rn", "_n",
-        F.explode(F.array(*[F.lit(p) for p in pcts])).alias("pct"),
+        key, value, rn, nn,
+        F.explode(F.array(*[F.lit(p) for p in pcts])).alias(pc),
     )
-    target = F.floor((F.col("pct") * F.col("_n") + 99) / 100)
-    return e.filter(F.col("_rn") == target).select(key, "pct", value)
+    target = F.floor((F.col(pc) * F.col(nn) + 99) / 100)
+    return e.filter(F.col(rn) == target).select(
+        key, F.col(pc).alias("pct"), value
+    )

@@ -1627,3 +1627,22 @@ def test_serving_shuffle_order_is_content_determined_for_complex_payloads(
     rev = serve(list(reversed(rows)), "rev")
     assert sum(map(len, fwd)) == 12 and len(fwd) == 3
     assert fwd == rev, "batch placement depended on arrival order"
+
+
+def test_discrete_quantiles_working_name_collisions(spark):
+    """r13 review (the carry-clash rule): a value column literally named
+    _rn/_n was silently overwritten by the rank/count working columns;
+    and a key/value named 'pct' would make the (key, pct, value) output
+    ambiguous — fresh names for the former, loud refusal for the latter."""
+    import pytest
+
+    from qcardia_data_spark.operators.aggregates import discrete_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 11)], ["k", "_n"]
+    )
+    got = {(r["pct"], r["_n"])
+           for r in discrete_quantiles(df, "k", "_n", (50,)).collect()}
+    assert got == {(50, 5.0)}
+    with pytest.raises(ValueError, match="pct"):
+        discrete_quantiles(df.withColumnRenamed("_n", "pct"), "k", "pct")
