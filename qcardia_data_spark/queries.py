@@ -9321,6 +9321,42 @@ def x7_weighted_reservoir(spark, sf_dir):
     )
 
 
+@_q(
+    "x9_weighted_rejection",
+    """
+    WITH gc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT MIN(c) AS mc FROM gc)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN gc ON d.lang IS NOT DISTINCT FROM gc.lang CROSS JOIN m
+    WHERE CAST('0x' || substr(md5(concat_ws('|', '7', 'wsample',
+            CAST(d.doc_id AS VARCHAR))), 1, 13) AS BIGINT)
+          / 4503599627370496.0
+          < 0.8 * m.mc / gc.c
+    """,
+)
+def x9_weighted_rejection(spark, sf_dir):
+    """[ext] X4 faithful form — inverse-frequency REJECTION sampling
+    (operators/sampling.py::weighted_rejection_sample): accept a document
+    iff its keyed-md5 uniform falls below accept_scale * min_gc/gc for
+    its lang group — the rarest group keeps ~accept_scale of its rows, a
+    k-times-more-frequent group ~accept_scale/k. NET-NEW registry row
+    under the code-touch policy: this path's code changed in r12 (the
+    broadcast-aggregate rewrite of the one-task global windows) AND r13
+    (null-safe count join-back + stable column order) yet had no oracle —
+    tests-only. The oracle replays the exact keyed_uniform draw (md5
+    52-bit fraction, the x7 idiom), the group counts, and the broadcast
+    min as plain SQL; the group join is null-safe on both sides. Plan:
+    two broadcast aggregates + one map-side filter — no window, no
+    single-task stage (plan-asserted in test_splits.py)."""
+    from qcardia_data_spark.operators.sampling import weighted_rejection_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_rejection_sample(
+        docs, ["lang"], "doc_id", accept_scale=0.8, seed=7,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order. The driver's correctness gate grades a leading window of
 # the registry (~50 entries in round 1), so the front of the dict must span
@@ -9472,6 +9508,7 @@ _NEXT_IN_LINE = [
     # --- CODE-TOUCHED SWAPS (r13 review sweep; see note above) ---
     "text_alpha_mix",
     "text_bm25_topk",
+    "x9_weighted_rejection",  # NET-NEW (code-touch policy): r12+r13 touched path, was oracle-less
     # --- 14 oldest remaining r10-vintage (alphabetical) ---
     "a12_approx_count_distinct",
     "a13_cube",
@@ -9486,7 +9523,6 @@ _NEXT_IN_LINE = [
     "a2_stratified_sample",
     "a4b_exploration_frame",
     "dedup_semantic",
-    "dedup_simhash_incremental",
 ]
 
 
