@@ -9377,9 +9377,11 @@ _PRIORITY = [
     # queue below). After this window: r8-stale = 0.
     #
     # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5):
-    # registry FROZEN at 225 -- net-new queries only for code-touched
-    # paths, each justified by a code-touch citation. 225 / 50 slots =
-    # ~4.5 rounds per full sweep.
+    # registry FROZEN -- net-new queries only for code-touched paths,
+    # each justified by a code-touch citation. r13 exercised the
+    # exception once: x9_weighted_rejection (the rejection sampler's
+    # code changed in r12 AND r13 with no oracle row), 225 -> 226.
+    # 226 / 50 slots = ~4.5 rounds per full sweep.
     #
     # FLAGSHIP VINTAGE CHECK (r12 #5): anchors q1/j2/q3/q5/a4 get a
     # <=3-round refresh. As of the r12 grade: q1 r12 (every-round anchor),
