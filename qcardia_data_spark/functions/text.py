@@ -1093,8 +1093,13 @@ def unimax_budgets(
     larger ones. Pure driver-side float math over the bounded per-group
     count table — deterministic, and replayable in SQL as a recursive CTE
     (the oracle for text_unimax_mix does exactly that, so the arithmetic
-    ORDER here is contractual: share first, then min, then subtract)."""
-    langs = sorted(counts, key=lambda g: (counts[g], g))
+    ORDER here is contractual: share first, then min, then subtract).
+
+    A ``None`` group key (lang-ID failure slice) is legitimate: it sorts
+    AFTER every named group at the same count — replaying the oracle's
+    ``ORDER BY n, lang`` NULLS LAST tie-break — instead of raising
+    ``TypeError`` from a ``None < str`` comparison."""
+    langs = sorted(counts, key=lambda g: (counts[g], g is None, g or ""))
     remaining = float(total_budget)
     out: dict[str, float] = {}
     for idx, g in enumerate(langs):
@@ -1143,6 +1148,14 @@ def unimax_mix(
             ]
         ),
     )
-    return _budget_ranked_sample(
-        df.join(F.broadcast(wdf), by, "inner"), token_col, key_col, by, seed
+    # null-safe join-back (r14 review — the alpha_mix/corpus_mix twin):
+    # the waterfill allocates a budget to EVERY group in the data,
+    # including a NULL group (the collected counts dict keeps key None),
+    # but the old plain inner join silently dropped the NULL group's rows
+    # — its allocated share was simply lost instead of flowing to anyone.
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
+    joined = null_safe_equi_join(
+        df, wdf, nullsafe_keys=[by], carry=["_budget"], broadcast_right=True
     )
+    return _budget_ranked_sample(joined, token_col, key_col, by, seed)

@@ -3696,7 +3696,7 @@ def text_corpus_mix(spark, sf_dir):
     w AS (SELECT lang, sqrt(n.n) / z.z * 30000 AS budget FROM n CROSS JOIN z),
     b AS (SELECT t.doc_id, t.lang, t.n_tokens, w.budget,
                  md5(concat_ws('|', '7', CAST(t.doc_id AS VARCHAR))) AS rnd
-          FROM t JOIN w USING (lang)),
+          FROM t JOIN w ON t.lang IS NOT DISTINCT FROM w.lang),
     c AS (SELECT doc_id, lang, n_tokens, budget,
                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
                                      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
@@ -3856,7 +3856,7 @@ def text_corpus_report(spark, sf_dir):
     w AS (SELECT lang, budget FROM alloc WHERE rk > 0 AND budget > 0),
     b AS (SELECT t.doc_id, t.lang, t.n_tokens, w.budget,
                  md5(concat_ws('|', '9', CAST(t.doc_id AS VARCHAR))) AS rnd
-          FROM t JOIN w USING (lang)),
+          FROM t JOIN w ON t.lang IS NOT DISTINCT FROM w.lang),
     c AS (SELECT doc_id, lang, n_tokens, budget,
                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnd, doc_id
                                      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
@@ -9367,111 +9367,37 @@ def x9_weighted_rejection(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-13 WINDOW -- executes VERDICT r12 "Next round" #1: the committed
-    # r13 rotation (anchor + the 36 remaining r8-stale + oldest r9-vintage)
-    # WITH the two code-touched swaps the judge ordered: x4_weighted_sample
-    # (r12 sampler rewrite: broadcast aggregates replaced the unpartitioned
-    # window) and ev_trend_slope (r12 decimal derived terms) jump the
-    # rotation, displacing the two youngest queued r9 rows
-    # (ev_retention_cohorts, ev_scd2_user_state -- now first in the r14
-    # queue below). After this window: r8-stale = 0.
+    # ROUND-14 WINDOW -- executes VERDICT r13 "Next round" #1: the committed
+    # r14 rotation exactly as queued last round (the r13 _NEXT_IN_LINE,
+    # promoted verbatim): anchor + the 29 remaining r9-stale + the four
+    # reserved flagship slots (a4/j2/q3/q5 -- all due by r14 per the
+    # cadence policy) + the three code-touch slots (text_alpha_mix,
+    # text_bm25_topk, and x9_weighted_rejection's FIRST-EVER driver row,
+    # the registry's only never-graded entry) + the 13 oldest r10-vintage.
+    # After this window: r9-stale = 0, never_graded = 0, and every
+    # flagship vintage is r14.
     #
-    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5):
-    # registry FROZEN -- net-new queries only for code-touched paths,
-    # each justified by a code-touch citation. r13 exercised the
-    # exception once: x9_weighted_rejection (the rejection sampler's
-    # code changed in r12 AND r13 with no oracle row), 225 -> 226.
-    # 226 / 50 slots = ~4.5 rounds per full sweep.
+    # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5 /
+    # r13 #5): registry FROZEN at 226 -- net-new queries only for
+    # code-touched paths, each justified by a code-touch citation (the r13
+    # x9_weighted_rejection precedent is the template: justified,
+    # oracle-bearing, queued). r14 adds ZERO net-new rows. 226 / 50 slots
+    # = ~4.5 rounds per full sweep.
     #
     # FLAGSHIP VINTAGE CHECK (r12 #5): anchors q1/j2/q3/q5/a4 get a
-    # <=3-round refresh. As of the r12 grade: q1 r12 (every-round anchor),
-    # j2/q3/q5 r11, a4_quantile_summary r10 -- all four non-anchor
-    # flagships are DUE BY R14 and hold reserved slots in _NEXT_IN_LINE
-    # below (verified present by tests/test_grade_window.py).
+    # <=3-round refresh. All four non-anchor flagships are graded IN THIS
+    # WINDOW, so after the r14 grade every flagship vintage is r14 and
+    # the next refresh is due by r17 (tests/test_grade_window.py enforces
+    # the reserved slots).
     #
-    # ROUND-14 ROTATION PLAN: anchor + the 29 remaining r9-stale + the
-    # four reserved flagships + the 16 oldest r10-vintage = 50;
-    # _NEXT_IN_LINE below IS that queue (computed from GRADE_WINDOW.json
-    # after the r12 grade: r9 cohort 41, 12 consumed this window
-    # [11 oldest + ev_trend_slope], 29 remain). Round 15 then takes the
-    # r10 remainder (33 rows) + the oldest r11 rows to fill 50.
+    # ROUND-15 ROTATION PLAN: anchor + the 35 remaining r10-vintage + the
+    # 14 oldest r11-vintage = 50; _NEXT_IN_LINE below IS that queue
+    # (recomputed from GRADE_WINDOW.json after the r13 grade this round:
+    # r10 cohort 49, 14 consumed by this window [13 fill rows +
+    # a4_quantile_summary], 35 remain -- VERDICT r13's "33" was an
+    # estimate, this is the measured count). Round 16 then takes the r11
+    # remainder (29 rows) + the oldest r12 rows to fill 50.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- r8-stale remainder (alphabetical, grade_window.py sort) ---
-    "ev_sessionize",
-    "ev_sliding_window",
-    "ev_tumbling_window",
-    "ev_zorder_value",
-    "f18_histogram_equalize",
-    "f2_floor_to_zero",
-    "f4_minmax_normalize",
-    "f6_rand_solarize",
-    "f7_rand_resample_2d",
-    "f8_invertible_resample_roundtrip",
-    "g1_posexplode",
-    "g2_token_explode",
-    "g3_explode_2d",
-    "o1_top_k",
-    "o2_natural_sort",
-    "o3_dense_rank_desc",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "text_corpus_mix",
-    "text_decontaminate",
-    "text_heavy_hitters",
-    "text_jaccard_pairs",
-    "text_lang_id",
-    "text_pack_sequences",
-    "text_pii_scan",
-    "text_quality_filter",
-    "text_rolling_fingerprint",
-    "text_term_freq",
-    "text_tfidf",
-    "text_token_stats",
-    "text_url_domains",
-    "u1_union_by_name",
-    "u2b_except_all",
-    "u3_intersect",
-    "x1_subject_level_split",
-    "x6_subject_kfold",
-    # --- 11 oldest r9-vintage (alphabetical; positions 12-13 displaced) ---
-    "dedup_containment",
-    "dim_upsert_asof",
-    "dim_upsert_latest",
-    "emb_chunk_bucket_counts",
-    "ev_drift_ks",
-    "ev_gapfill_interpolate",
-    "ev_gapfill_locf",
-    "ev_handoff_pagerank",
-    "ev_handoff_triangles",
-    "ev_lttb_downsample",
-    "ev_ohlc_hourly",
-    # --- CODE-TOUCHED SWAPS (VERDICT r12 #1): r12 changed these queries'
-    # code outside the frozen window; a driver row on the new code closes
-    # the loop ---
-    "ev_trend_slope",      # r9 vintage; timeseries.py:186 decimal terms
-    "x4_weighted_sample",  # r11 vintage; sampling.py:58-115 rewrite
-]
-
-
-# R13 CODE-TOUCH NOTE: this round's review sweep changed code behind
-# queries OUTSIDE the frozen window -- text_alpha_mix (null-safe budget
-# join-back), text_bm25_topk (probe resolves n_buckets from the index
-# marker), p12_composite_key_roundtrip (literal-escaped decode sep --
-# behavior-identical for its "-" separator). All were value-verified
-# against their oracles on the final r13 tree (strict compare at
-# sf0.01, this session). text_alpha_mix and text_bm25_topk take the two
-# code-touch priority slots in the r14 queue below (displacing the two
-# youngest r10 fill rows); p12 is r12-fresh and its change is a no-op
-# for the graded data, so it keeps its natural rotation position.
-#
-# Queued for the ROUND-14 window (registry positions 51+, in order):
-# the 29 remaining r9-stale rows, the four reserved flagship slots
-# (due-by-r14 per the cadence policy above), the two code-touched
-# swaps, then the 14 oldest r10-vintage (alphabetical, the
-# grade_window.py sort) -- anchor + these 49 = the written r14 plan.
-# Keeping them immediately after the window makes "first in line" a
-# property of the registry itself.
-_NEXT_IN_LINE = [
     # --- r9-stale remainder (alphabetical, grade_window.py sort) ---
     "ev_retention_cohorts",
     "ev_scd2_user_state",
@@ -9502,16 +9428,17 @@ _NEXT_IN_LINE = [
     "text_token_entropy",
     "text_winnowing",
     "x7_weighted_reservoir",
-    # --- RESERVED FLAGSHIP SLOTS (cadence: due by r14) ---
+    # --- RESERVED FLAGSHIP SLOTS (cadence: due by r14 -- executed here) ---
     "a4_quantile_summary",
     "j2_broadcast_star_join",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # --- CODE-TOUCHED SWAPS (r13 review sweep; see note above) ---
+    # --- CODE-TOUCHED SLOTS (r13 review sweep; driver row on the new
+    # code closes the loop; x9 is the registry's first-ever grade) ---
     "text_alpha_mix",
     "text_bm25_topk",
-    "x9_weighted_rejection",  # NET-NEW (code-touch policy): r12+r13 touched path, was oracle-less
-    # --- 14 oldest remaining r10-vintage (alphabetical) ---
+    "x9_weighted_rejection",
+    # --- 13 oldest r10-vintage (alphabetical, grade_window.py sort) ---
     "a12_approx_count_distinct",
     "a13_cube",
     "a15_hll_rollup",
@@ -9525,6 +9452,86 @@ _NEXT_IN_LINE = [
     "a2_stratified_sample",
     "a4b_exploration_frame",
     "dedup_semantic",
+]
+
+
+# R14 CODE-TOUCH NOTE: this round touched code behind queries OUTSIDE the
+# frozen window only where VERDICT/ADVICE r13 ordered it or where the
+# ordered fix exposed a twin bug:
+#   * text_alpha_mix ORACLE join became null-safe (IS NOT DISTINCT FROM,
+#     ADVICE r13; the Spark side was already null-safe since r13, and
+#     text_alpha_mix is graded IN this window -- no displacement needed);
+#   * text_unimax_mix (r11 vintage): the r13 null-group sweep MISSED its
+#     twin -- unimax's waterfill allocates a budget to a NULL group (the
+#     collected counts dict keeps key None) but the plain inner join-back
+#     dropped that group's rows, silently losing its share; and the
+#     driver-side sort raised TypeError on a None key. Fixed null-safe
+#     (functions/text.py::unimax_mix + unimax_budgets NULLS-LAST
+#     tie-break), oracle join updated to IS NOT DISTINCT FROM,
+#     regression-tested. Takes the code-touch slot below, displacing the
+#     youngest r11 fill row (f11_enclosing_circle -> r16);
+#   * the standing dedup-index writers gained n_*_buckets="auto"
+#     (additive default-preserving knob; the graded probe queries resolve
+#     bucket geometry from the index marker, unchanged).
+#
+# Queued for the ROUND-15 window (registry positions 51+, in order): the
+# 35 remaining r10-vintage rows, the code-touch slot, then the 13 oldest
+# r11-vintage (alphabetical, the grade_window.py sort) -- anchor + these
+# 49 = the written r15 plan. Keeping them immediately after the window
+# makes "first in line" a property of the registry itself.
+_NEXT_IN_LINE = [
+    # --- r10-vintage remainder (alphabetical, grade_window.py sort) ---
+    "dedup_simhash_incremental",
+    "dedup_span_removal",
+    "dedup_winnow_incremental",
+    "dedup_winnow_verified",
+    "dedup_winnowing_pairs",
+    "dim_table_diff",
+    "doc_hygiene_audit",
+    "emb_hygiene_audit",
+    "emb_matryoshka_topk",
+    "emb_random_projection",
+    "ev_anomaly_mad",
+    "ev_asof_last_view_1h",
+    "ev_asof_nearest_purchase",
+    "ev_counter_agg",
+    "ev_drift_chisq",
+    "ev_drift_psi",
+    "ev_ewma",
+    "ev_handoff_bfs_hops",
+    "ev_handoff_cheapest_path",
+    "ev_handoff_kcore",
+    "ev_heartbeat_uptime",
+    "ev_latest_dedup",
+    "ev_pattern_view_run_length",
+    "ev_pattern_view_view_purchase",
+    "ev_props_json",
+    "ev_scd2_point_in_time",
+    "ev_state_durations",
+    "ev_value_histogram",
+    "f10_one_hot",
+    "f24_map_functions",
+    "text_phrase_index_probe",
+    "text_phrase_search",
+    "text_url_canonical",
+    "w4b_cumulative_sum_distributed",
+    "x8_bootstrap_poisson",
+    # --- CODE-TOUCHED SLOT (r14 review sweep; see note above) ---
+    "text_unimax_mix",  # r11 vintage; null-safe join-back + NULLS-LAST sort
+    # --- 13 oldest r11-vintage (alphabetical) ---
+    "a10_two_level_agg",
+    "a11_rollup",
+    "a14_grouping_sets",
+    "a1_group_weights_nullsafe",
+    "a3_summary_stats",
+    "a5_distinct_set_per_group",
+    "a6_argmax_per_group",
+    "a7_count_if",
+    "a8_histogram_cdf",
+    "a9_grouped_counts",
+    "dedup_cluster_best",
+    "dedup_fuzzy_keys",
+    "dedup_fuzzy_keys_short",
 ]
 
 

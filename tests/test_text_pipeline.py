@@ -982,3 +982,42 @@ def test_mix_family_keeps_null_groups(spark):
         for r in out3.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert by3.get(None) == 20 and by3.get("en") == 20, by3
+
+
+def test_unimax_mix_keeps_null_group(spark):
+    """r14 review — the alpha_mix/corpus_mix twin that r13 missed: the
+    unimax waterfill allocates a budget to EVERY group in the collected
+    counts dict (key None included), but the old plain inner join-back
+    dropped the NULL group's rows, so its allocated share was silently
+    lost instead of flowing to anyone. Also pins the driver-side sort:
+    unimax_budgets must not raise TypeError on a None key and must
+    tie-break None AFTER named groups (the oracle's ORDER BY n, lang
+    NULLS LAST)."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    from qcardia_data_spark.functions.text import unimax_budgets
+
+    # None key: no TypeError, NULLS-LAST tie-break replayed
+    b = unimax_budgets({"en": 400.0, None: 400.0}, 400.0, max_epochs=1.0)
+    assert b == {"en": 200.0, None: 200.0}
+    assert list(b) == ["en", None]  # en walks first at equal count
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_tokens", IntegerType()),
+    ])
+    rows = (
+        [(i, "en", 10) for i in range(40)]
+        + [(100 + i, None, 10) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = T.unimax_mix(df, "n_tokens", "doc_id", "lang",
+                       total_budget=400, max_epochs=1.0)
+    by = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by.get(None) == 20, by  # NULL group's 200-token budget spent
+    assert by.get("en") == 20, by  # en's share untouched
+    assert out.columns == ["doc_id", "lang", "n_tokens"]
