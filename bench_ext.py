@@ -247,7 +247,15 @@ def main() -> None:
         "winnow_incremental_batch": q_winnow_incremental_batch,
     }
 
+    # same-session host calibration (VERDICT r13 #3 — bench.py grew this
+    # in r13; the EXT floors had to borrow the headline band by hand):
+    # the SAME frozen workload and reference constant, so host_factor is
+    # directly comparable across the two benches and the per-key floor
+    # verdicts divide by it instead of a hand-computed session ratio.
+    from bench import CALIBRATION_REF_SEC, calibration_sec
+
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    calib_before = calibration_sec(spark)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -263,9 +271,14 @@ def main() -> None:
         except Exception as e:
             errors[name] = str(e).splitlines()[0][:200]
 
+    calib_after = calibration_sec(spark)
+    total = round(sum(timings.values()), 3)
+    host_factor = round(
+        max(calib_before, calib_after) / CALIBRATION_REF_SEC, 3
+    )
     out = {
         "metric": "bench_ext_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": runs,
@@ -273,6 +286,14 @@ def main() -> None:
         "setup": setup,
         "host": {"before": host_before, "after": _host_state()},
         "load_guard": guard,
+        "calibration": {
+            "workload": "range20M_md5_hashagg_x32",
+            "ref_sec": CALIBRATION_REF_SEC,
+            "before_sec": calib_before,
+            "after_sec": calib_after,
+            "host_factor": host_factor,
+            "value_normalized": round(total / host_factor, 3),
+        },
     }
     if errors:
         out["errors"] = errors

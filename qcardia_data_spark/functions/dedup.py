@@ -273,7 +273,12 @@ def _ranked_encoded_shingles(
         "shingle", F.monotonically_increasing_id().alias("_sid"), "_df"
     )
     if reliable_dir is not None:
-        dpath = f"{reliable_dir}/shingle_dict"
+        # per-invocation namespace (ADVICE r13): a shared reliable_dir
+        # must not let a second op overwrite this run's frozen tables
+        from qcardia_data_spark.functions.graph import fresh_run_namespace
+
+        _ns = fresh_run_namespace()
+        dpath = f"{reliable_dir}/{_ns}/shingle_dict"
         dic.write.mode("overwrite").parquet(dpath)
         dic = spark.read.parquet(dpath)
     else:
@@ -287,7 +292,7 @@ def _ranked_encoded_shingles(
         F.count("*").over(Window.partitionBy(id_col)).alias("_sz"),
     )
     if reliable_dir is not None:
-        rpath = f"{reliable_dir}/ranked"
+        rpath = f"{reliable_dir}/{_ns}/ranked"
         ranked.write.mode("overwrite").parquet(rpath)
         return spark.read.parquet(rpath)
     return ranked.localCheckpoint(eager=True)
@@ -708,7 +713,11 @@ def near_dedup_minhash(
             # under a caller path so executor loss cannot fail the job —
             # signatures are md5-deterministic, so unlike the shingle
             # dictionary this is purely an availability upgrade
-            spath = f"{reliable_dir}/signatures"
+            from qcardia_data_spark.functions.graph import (
+                fresh_run_namespace,
+            )
+
+            spath = f"{reliable_dir}/{fresh_run_namespace()}/signatures"
             sigs.write.mode("overwrite").parquet(spath)
             sigs = df.sparkSession.read.parquet(spath)
         else:
@@ -767,7 +776,11 @@ def near_dedup_keep_best(
     try:
         sigs = _band_signature_frame(sh, id_col, n_bands)
         if reliable_dir is not None:
-            spath = f"{reliable_dir}/signatures"
+            from qcardia_data_spark.functions.graph import (
+                fresh_run_namespace,
+            )
+
+            spath = f"{reliable_dir}/{fresh_run_namespace()}/signatures"
             sigs.write.mode("overwrite").parquet(spath)
             sigs = df.sparkSession.read.parquet(spath)
         else:
@@ -860,7 +873,12 @@ def connected_components(
         .distinct()
     )
     if reliable_dir is not None:
-        epath = f"{reliable_dir}/cc_edges"
+        # per-invocation namespace (ADVICE r13): two CC runs sharing a
+        # reliable_dir must not clobber each other's edges/labels
+        from qcardia_data_spark.functions.graph import fresh_run_namespace
+
+        _ns = fresh_run_namespace()
+        epath = f"{reliable_dir}/{_ns}/cc_edges"
         edges.write.mode("overwrite").parquet(epath)
         edges = spark.read.parquet(epath)
         persisted_edges = None
@@ -871,7 +889,7 @@ def connected_components(
     def _materialize(d: DataFrame, rnd: int) -> DataFrame:
         if reliable_dir is None:
             return d.localCheckpoint(eager=True)
-        lpath = f"{reliable_dir}/cc_labels_{rnd % 2}"
+        lpath = f"{reliable_dir}/{_ns}/cc_labels_{rnd % 2}"
         d.write.mode("overwrite").parquet(lpath)
         return spark.read.parquet(lpath)
 
@@ -1587,6 +1605,60 @@ def _id_bucket(col: Column, n_buckets: int) -> Column:
     return _sig_bucket(col.cast("string"), n_buckets)
 
 
+def auto_index_buckets(n_rows: int, target_rows: int = 2048) -> int:
+    """Corpus-sized partition-bucket count for a standing index — the
+    operating rule the r13 append-scaling panel measured (PERF.md
+    "Standing-index append scaling"): per-bucket occupancy stays
+    ~``target_rows``, so a fixed-size batch's expected bucket coverage
+    SHRINKS as the corpus grows and append read volume is bounded by the
+    batch, not the index (flat 117k→126k sig rows across a 4× index in
+    the panel; the 64-bucket big panel shows the saturated alternative
+    reading O(index)). Power of two, floor 8 (tiny corpora should not
+    shatter into per-row directories), capped at 2^20 — past ~2 G rows
+    the occupancy grows instead of the directory count (a million
+    partition directories is the filesystem-listing comfort limit; at
+    100 TB that trades a bounded constant factor, not the asymptote).
+
+    The panel's manual sizing replays exactly: 125k docs × 8 bands =
+    1 M sig rows → 512; 2 M → 1,024; 4 M → 2,048.
+    """
+    import math
+
+    if n_rows <= target_rows * 8:
+        return 8
+    return min(1 << 20, 2 ** math.ceil(math.log2(n_rows / target_rows)))
+
+
+def _resolve_auto_buckets(
+    value, resolved_rows: int | None, old_meta: dict | None, meta_key: str,
+    fn_name: str, target_rows: int = 2048,
+) -> int:
+    """Resolve an ``"auto"`` bucket-count knob on a standing-index writer.
+
+    - fresh build (``old_meta`` None, overwrite): size from the rows
+      about to be written via :func:`auto_index_buckets`;
+    - append onto an existing index: the layout is frozen at build time —
+      ``"auto"`` resolves to the index's OWN meta value (re-bucketing is
+      a rebuild, never an append);
+    - append onto a legacy no-meta index: REFUSE — guessing a geometry
+      for an index whose layout is unknown is exactly the silent
+      wrong-partition class the meta files exist to prevent.
+    An explicit int passes through unchanged (and appends still validate
+    it against the meta downstream).
+    """
+    if value != "auto":
+        return int(value)
+    if old_meta is not None:
+        return int(old_meta[meta_key])
+    if resolved_rows is None:
+        raise ValueError(
+            f"{fn_name}: {meta_key}='auto' on append requires the index's "
+            "_meta (legacy no-meta index — pass the build's explicit "
+            "bucket count instead)"
+        )
+    return auto_index_buckets(resolved_rows, target_rows)
+
+
 _SIG_META_PARAMS = ("n_bands", "shingle_n", "n_sig_buckets", "n_id_buckets")
 _NUMERIC_ID_TYPES = frozenset(
     {"tinyint", "smallint", "int", "bigint", "float", "double"}
@@ -1643,7 +1715,7 @@ def _id_as_meta_comparable(raw: str | None, id_type: str):
 def write_signature_index(
     df: DataFrame, id_col: str, text_col: str, path: str,
     n_bands: int = 8, shingle_n: int = 3,
-    n_sig_buckets: int = 64, n_id_buckets: int = 64,
+    n_sig_buckets: int | str = 64, n_id_buckets: int | str = 64,
     mode: str = "overwrite",
 ) -> None:
     """Materialize the MinHash dedup index for ``df`` (normally an
@@ -1665,15 +1737,48 @@ def write_signature_index(
     index and its probes can never drift) — :func:`near_dedup_incremental`
     reads them back, validates any explicitly-passed parameters, and
     enforces the monotone-id precondition against ``max_id``. Appends
-    validate the same parameters and ratchet ``max_id`` upward."""
+    validate the same parameters and ratchet ``max_id`` upward.
+
+    ``n_sig_buckets`` / ``n_id_buckets`` accept ``"auto"`` (VERDICT r13
+    #2): the count is sized from the corpus being written via
+    :func:`auto_index_buckets` — sig table from ``n_docs × n_bands``
+    rows, shingle-set table from ``n_docs`` — the corpus-sized rule the
+    r13 append-scaling panel measured as the flat-append regime. On
+    ``mode="append"`` ``"auto"`` resolves to the index's own meta value
+    (the layout is frozen at build; re-bucketing is a rebuild). The
+    RESOLVED ints are what the meta persists, so probes and later
+    appends see concrete geometry, never the sentinel. For a corpus
+    that will grow far past its initial size, size the initial build
+    for the anticipated steady state (pass the explicit count) or
+    rebuild when occupancy drifts — an append can never re-bucket."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
+    old = _read_sig_meta(spark, path) if mode == "append" else None
+    n_docs = None
+    batch_max = None
+    if "auto" in (n_sig_buckets, n_id_buckets) and old is None:
+        if mode == "append":
+            raise ValueError(
+                "write_signature_index: n_sig_buckets/n_id_buckets='auto' "
+                "on append requires the index's _sig_meta (legacy no-meta "
+                "index — pass the build's explicit bucket counts instead)"
+            )
+        stats = df.agg(
+            F.count(F.lit(1)).alias("_n"), F.max(id_col).alias("_mx")
+        ).first()
+        n_docs, batch_max = int(stats["_n"]), stats["_mx"]
+    n_sig_buckets = _resolve_auto_buckets(
+        n_sig_buckets, None if n_docs is None else n_docs * int(n_bands),
+        old, "n_sig_buckets", "write_signature_index",
+    )
+    n_id_buckets = _resolve_auto_buckets(
+        n_id_buckets, n_docs, old, "n_id_buckets", "write_signature_index",
+    )
     params = {
         "n_bands": int(n_bands), "shingle_n": int(shingle_n),
-        "n_sig_buckets": int(n_sig_buckets), "n_id_buckets": int(n_id_buckets),
+        "n_sig_buckets": n_sig_buckets, "n_id_buckets": n_id_buckets,
         "id_col": id_col, "id_type": id_type,
     }
-    old = _read_sig_meta(spark, path) if mode == "append" else None
     if old is not None:
         drift = {
             k: (old[k], params[k])
@@ -1701,7 +1806,8 @@ def write_signature_index(
         )
     finally:
         sh.unpersist()
-    batch_max = df.agg(F.max(id_col)).first()[0]  # bounded: one scalar
+    if batch_max is None:
+        batch_max = df.agg(F.max(id_col)).first()[0]  # bounded: one scalar
     if mode == "append" and old is None and batch_max is not None:
         # legacy no-meta index being appended to: recover the true corpus
         # max from the index itself (one-column scan, one-time upgrade)
@@ -1987,7 +2093,7 @@ def _write_win_meta(spark, path: str, meta: dict) -> None:
 
 def write_winnow_index(
     df: DataFrame, id_col: str, text_col: str, path: str,
-    k: int = 3, w: int = 4, n_fp_buckets: int = 64,
+    k: int = 3, w: int = 4, n_fp_buckets: int | str = 64,
     mode: str = "overwrite",
 ) -> None:
     """Materialize the winnowing fingerprint index for ``df`` as ONE
@@ -1997,16 +2103,43 @@ def write_winnow_index(
     frozen in ``path/_win_meta``, appends validate params and ratchet
     ``max_id``. Because winnowing samples ~2/(w+1) of grams, this index
     is ~5x smaller than the signature index's shingle sets for the same
-    detection guarantee class."""
+    detection guarantee class.
+
+    ``n_fp_buckets`` accepts ``"auto"`` (VERDICT r13 #2): sized from the
+    EXACT distinct (id, fp) row count being written (the fp frame is
+    persisted across the count and the write — one fingerprint pass)
+    via :func:`auto_index_buckets`, the corpus-sized flat-append rule.
+    Appends resolve ``"auto"`` to the index's own meta value; the meta
+    persists the resolved int."""
     from qcardia_data_spark.functions.text import winnow_fingerprints
 
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
+    old = _read_win_meta(spark, path) if mode == "append" else None
+    if n_fp_buckets == "auto" and old is None and mode == "append":
+        raise ValueError(
+            "write_winnow_index: n_fp_buckets='auto' on append requires "
+            "the index's _win_meta (legacy no-meta index — pass the "
+            "build's explicit bucket count instead)"
+        )
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    if n_fp_buckets == "auto" and old is None:
+        fps = fps.persist()
+        n_fp_buckets = _resolve_auto_buckets(
+            "auto", fps.count(), None, "n_fp_buckets", "write_winnow_index"
+        )
+    else:
+        n_fp_buckets = _resolve_auto_buckets(
+            n_fp_buckets, None, old, "n_fp_buckets", "write_winnow_index"
+        )
     params = {
-        "k": int(k), "w": int(w), "n_fp_buckets": int(n_fp_buckets),
+        "k": int(k), "w": int(w), "n_fp_buckets": n_fp_buckets,
         "id_col": id_col, "id_type": id_type,
     }
-    old = _read_win_meta(spark, path) if mode == "append" else None
     if old is not None:
         drift = {
             kk: (old[kk], params[kk])
@@ -2018,15 +2151,13 @@ def write_winnow_index(
                 f"write_winnow_index(mode='append'): parameters differ "
                 f"from the index at {path!r} (meta vs caller): {drift}"
             )
-    fps = (
-        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-        .select(id_col, "fp")
-        .distinct()
-    )
-    (
-        fps.withColumn("fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets))
-        .write.mode(mode).partitionBy("fp_bucket").parquet(f"{path}/fps")
-    )
+    try:
+        (
+            fps.withColumn("fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets))
+            .write.mode(mode).partitionBy("fp_bucket").parquet(f"{path}/fps")
+        )
+    finally:
+        fps.unpersist()
     batch_max = df.agg(F.max(id_col)).first()[0]
     max_id = str(batch_max) if batch_max is not None else None
     if old is not None and old.get("max_id") is not None:
@@ -2237,7 +2368,7 @@ def _h64_kb(k: int, n_key_buckets: int) -> Column:
 
 def write_hamming64_index(
     sig: DataFrame, path: str, id_col: str = "doc_id",
-    max_hamming: int = 3, n_key_buckets: int = 64,
+    max_hamming: int = 3, n_key_buckets: int | str = 64,
     mode: str = "overwrite",
 ) -> None:
     """Materialize the Manku blocking index for a 64-bit signature table
@@ -2247,7 +2378,13 @@ def write_hamming64_index(
     block-value) with lo/hi carried for the verify, partitioned by
     ``kb = md5(block#value) mod n`` so a probe reads ONLY the key
     buckets its own blocks hash into. Params + id type + corpus max_id
-    frozen in ``_h64_meta`` (drift refuses, appends ratchet)."""
+    frozen in ``_h64_meta`` (drift refuses, appends ratchet).
+
+    ``n_key_buckets`` accepts ``"auto"`` (VERDICT r13 #2): sized from
+    the block-table row count — exactly ``n_sigs × (max_hamming + 1)``
+    blocks — via :func:`auto_index_buckets`, the corpus-sized
+    flat-append rule. Appends resolve ``"auto"`` to the index's own
+    meta value; the meta persists the resolved int."""
     spark = sig.sparkSession
     k = int(max_hamming)
     if 64 % (k + 1) != 0 or 32 % (64 // (k + 1)) != 0:
@@ -2255,11 +2392,28 @@ def write_hamming64_index(
             "write_hamming64_index: max_hamming must be in 1, 3, 7, 15, 31"
         )
     id_type = sig.schema[id_col].dataType.simpleString()
+    old = _read_h64_meta(spark, path) if mode == "append" else None
+    n_sigs = None
+    batch_max = None
+    if n_key_buckets == "auto" and old is None:
+        if mode == "append":
+            raise ValueError(
+                "write_hamming64_index: n_key_buckets='auto' on append "
+                "requires the index's _h64_meta (legacy no-meta index — "
+                "pass the build's explicit bucket count instead)"
+            )
+        stats = sig.agg(
+            F.count(F.lit(1)).alias("_n"), F.max(id_col).alias("_mx")
+        ).first()
+        n_sigs, batch_max = int(stats["_n"]), stats["_mx"]
+    n_key_buckets = _resolve_auto_buckets(
+        n_key_buckets, None if n_sigs is None else n_sigs * (k + 1),
+        old, "n_key_buckets", "write_hamming64_index",
+    )
     params = {
-        "max_hamming": k, "n_key_buckets": int(n_key_buckets),
+        "max_hamming": k, "n_key_buckets": n_key_buckets,
         "id_col": id_col, "id_type": id_type,
     }
-    old = _read_h64_meta(spark, path) if mode == "append" else None
     if old is not None:
         drift = {
             kk: (old[kk], params[kk])
@@ -2275,7 +2429,8 @@ def write_hamming64_index(
         "kb", _h64_kb(k, n_key_buckets)
     )
     blocks.write.mode(mode).partitionBy("kb").parquet(f"{path}/blocks")
-    batch_max = sig.agg(F.max(id_col)).first()[0]
+    if batch_max is None:
+        batch_max = sig.agg(F.max(id_col)).first()[0]
     max_id = str(batch_max) if batch_max is not None else None
     if old is not None and old.get("max_id") is not None:
         if max_id is None or _id_as_meta_comparable(

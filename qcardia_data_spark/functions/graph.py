@@ -30,6 +30,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fresh_run_namespace() -> str:
+    """Unique-per-invocation subdirectory name under a ``reliable_dir``
+    (ADVICE r13): the reliable materializers used to write FIXED subpath
+    names (``{tag}_{n%2}``, ``cc_labels_{i%2}``, ``cc_edges``,
+    ``signatures``), so two ops sharing one reliable_dir — or the same
+    op invoked twice, with the first result still an unconsumed lazy
+    parquet read — silently overwrote each other's state. Every
+    invocation now writes under its own ``run_<hex>`` namespace, so a
+    shared reliable_dir composes safely. The caller owns cleanup of the
+    dir (each run leaves its final-round parquet behind — that is the
+    availability artifact, not garbage)."""
+    import uuid
+
+    return f"run_{uuid.uuid4().hex[:12]}"
+
+
 class _RoundMaterializer:
     """Per-round state materialization for the iterative families
     (VERDICT r12 #4, extended r13 from the CC fixpoint to every loop):
@@ -42,11 +58,14 @@ class _RoundMaterializer:
     alternates between two subpaths of its own: Spark must never
     overwrite the files the round's input is still being read from, and
     a stream's previous write is always the OTHER subpath by the time
-    the next lands."""
+    the next lands. All streams live under a per-invocation
+    :func:`fresh_run_namespace` so concurrent or repeated ops may share
+    one reliable_dir without clobbering each other (ADVICE r13)."""
 
     def __init__(self, spark, reliable_dir: str | None):
         self._spark = spark
         self._dir = reliable_dir
+        self._ns = None if reliable_dir is None else fresh_run_namespace()
         self._counts: dict[str, int] = {}
 
     def __call__(self, df: DataFrame, tag: str) -> DataFrame:
@@ -54,7 +73,7 @@ class _RoundMaterializer:
             return df.localCheckpoint(eager=True)
         n = self._counts.get(tag, 0)
         self._counts[tag] = n + 1
-        path = f"{self._dir}/{tag}_{n % 2}"
+        path = f"{self._dir}/{self._ns}/{tag}_{n % 2}"
         df.write.mode("overwrite").parquet(path)
         return self._spark.read.parquet(path)
 
@@ -364,10 +383,14 @@ def connected_components_star(
             f"got {reliable_every}"
         )
     spark = edges.sparkSession
+    ns = None if reliable_dir is None else fresh_run_namespace()
 
     def _materialize(d: DataFrame, rnd: int) -> DataFrame:
         if reliable_dir is not None and rnd % reliable_every == 0:
-            path = f"{reliable_dir}/cc_star_edges_{(rnd // reliable_every) % 2}"
+            path = (
+                f"{reliable_dir}/{ns}/"
+                f"cc_star_edges_{(rnd // reliable_every) % 2}"
+            )
             d.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
         return d.localCheckpoint(eager=True)

@@ -219,7 +219,15 @@ def _resolve_index_buckets(
     VALIDATED against it (mismatch refuses loudly: probing with a
     different count reads the wrong partition directories silently).
     Pre-r13 markers lack the field; they fall back to the caller's value
-    or the module default — exactly the old behavior."""
+    or — with a ``UserWarning``, ADVICE r13 — the module default: a
+    legacy index built with a NON-default count and probed with no
+    explicit value is the one residual silent-wrong-partition case this
+    contract can't close from the probe side (the marker simply doesn't
+    say), so the fallback is made loud instead of silent. Rebuilding the
+    index (or one explicit-n_buckets probe after checking the build) is
+    the permanent fix; new builds always write the geometry."""
+    import warnings
+
     from qcardia_data_spark.sources.readers import read_meta_json
 
     marker = read_meta_json(spark, f"{path}/_idx_kind")
@@ -236,6 +244,17 @@ def _resolve_index_buckets(
                 "different count reads the wrong partitions silently"
             )
         return meta_n
+    if caller is None:
+        warnings.warn(
+            f"{who}: the index at {path!r} predates the n_buckets layout "
+            f"marker and no explicit count was passed — assuming the "
+            f"module default ({N_TERM_BUCKETS}). If the index was built "
+            "with a different count this probe reads the WRONG partition "
+            "directories; pass the build's n_buckets explicitly or "
+            "rebuild the index to persist its geometry.",
+            UserWarning,
+            stacklevel=3,
+        )
     return int(caller) if caller is not None else N_TERM_BUCKETS
 
 

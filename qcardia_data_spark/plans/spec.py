@@ -203,6 +203,17 @@ _FRAME_INITIALIZERS = frozenset(
 )
 
 
+
+def _bucket_knob(op: dict, key: str, default: int = 64):
+    """Bucket-count knob for the standing-index write ops: an int, or the
+    literal string "auto" (r14, VERDICT r13 #2) which the writer resolves
+    to a corpus-sized count (auto_index_buckets) and persists resolved."""
+    v = op.get(key, default)
+    if v == "auto":
+        return "auto"
+    return int(v)
+
+
 def compile_pipeline(
     spark: SparkSession, ops: Sequence[dict], sf_dir: str | None = None,
 ) -> DataFrame:
@@ -413,9 +424,11 @@ def _apply(
         )
         # the guard scans expression TEXT, so quoted string literals must
         # not trip it ("concat(col, 'lag(')" contains no nested call —
-        # ADVICE r12). SQL string literals: single-quoted, '' escapes a
-        # quote; double-quoted identifiers can't contain calls either.
-        _strip_literals = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"")
+        # ADVICE r12). SQL string literals: single-quoted, with '' OR \'
+        # escaping a quote (Spark accepts both — ADVICE r13: a backslash
+        # escape must be consumed as one unit or it desynchronizes the
+        # scanner); double-quoted identifiers can't contain calls either.
+        _strip_literals = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"")
         out = df
         for name, e in op["cols"].items():
             head = e.split("(", 1)[0].strip().lower()
@@ -1559,7 +1572,7 @@ def _apply(
             df, op.get("id_col", "doc_id"), op.get("text_col", "text"),
             op["path"],
             k=int(op.get("k", 3)), w=int(op.get("w", 4)),
-            n_fp_buckets=int(op.get("n_fp_buckets", 64)),
+            n_fp_buckets=_bucket_knob(op, "n_fp_buckets"),
             mode=op.get("mode", "overwrite"),
         )
         return df
@@ -1597,7 +1610,7 @@ def _apply(
         write_hamming64_index(
             sig, op["path"], id_col=op.get("id_col", "doc_id"),
             max_hamming=int(op.get("max_hamming", 3)),
-            n_key_buckets=int(op.get("n_key_buckets", 64)),
+            n_key_buckets=_bucket_knob(op, "n_key_buckets"),
             mode=op.get("mode", "overwrite"),
         )
         return df
@@ -1643,8 +1656,8 @@ def _apply(
             op["path"],
             n_bands=int(op.get("n_bands", 8)),
             shingle_n=int(op.get("shingle_n", 3)),
-            n_sig_buckets=int(op.get("n_sig_buckets", 64)),
-            n_id_buckets=int(op.get("n_id_buckets", 64)),
+            n_sig_buckets=_bucket_knob(op, "n_sig_buckets"),
+            n_id_buckets=_bucket_knob(op, "n_id_buckets"),
             mode=op.get("mode", "overwrite"),
         )
         return df

@@ -27,7 +27,9 @@ TWO panels per family, because partition pruning has a geometry:
   panel measures the O(batch) work term and makes the saturation
   honest (buckets_probed == buckets_total in the output).
 - SMALL batch (8 docs / 64 vecs) against indexes whose bucket count
-  GROWS with the corpus (n_sig_buckets = 512·scale; ANN auto_n_planes)
+  GROWS with the corpus (n_sig_buckets="auto" — the writer's own
+  corpus-sized knob since r14, which resolves to the r13 panel's manual
+  512·scale geometry at these corpora; ANN auto_n_planes)
   — the 100 TB sizing rule. Per-bucket occupancy is then ~constant and
   the batch touches a bounded set of directories, so the absolute read
   volume should be FLAT across 1x/2x/4x. That flatness IS the measured
@@ -67,6 +69,7 @@ def main() -> None:
     from qcardia_data_spark import get_spark
     from qcardia_data_spark.functions.dedup import (
         _band_signature_frame,
+        _read_sig_meta,
         _sig_bucket,
         near_dedup_incremental,
         shingle_rows,
@@ -123,6 +126,9 @@ def main() -> None:
             n_sig_buckets=n_sig_buckets,
         )
         build_sec = time.perf_counter() - t0
+        requested = n_sig_buckets
+        if n_sig_buckets == "auto":  # r14: the writer sizes; read it back
+            n_sig_buckets = _read_sig_meta(spark, idx)["n_sig_buckets"]
         t0 = time.perf_counter()
         survivors = near_dedup_incremental(
             batch, idx, "doc_id", "text", update_index=False
@@ -142,7 +148,7 @@ def main() -> None:
         return {
             "family": "dedup_incremental", "panel": panel, "scale": scale,
             "index_docs": n_docs, "batch_docs": batch_n,
-            "n_sig_buckets": n_sig_buckets,
+            "n_sig_buckets": n_sig_buckets, "buckets_requested": requested,
             "build_sec": round(build_sec, 2),
             "append_sec": round(probe_sec, 2),
             "survivors": survivors,
@@ -203,8 +209,11 @@ def main() -> None:
 
         # SMALL panel: buckets grow with the corpus (the 100 TB sizing
         # rule) — absolute read volume should be FLAT across scales
+        # r14 (VERDICT r13 #2): the sizing rule is now the writer's own
+        # "auto" knob — at this corpus it must resolve to the r13 panel's
+        # manual 512*scale geometry (auto_index_buckets replays it)
         row = _dedup_row(scale, n_docs, docs, "small",
-                         batches["doc_small"], DOC_BATCH_SMALL, 512 * scale)
+                         batches["doc_small"], DOC_BATCH_SMALL, "auto")
         results.append(row)
         print(json.dumps(row), flush=True)
         row = _ann_row(scale, n_vecs, emb, "small",

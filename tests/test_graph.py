@@ -343,6 +343,8 @@ def test_reliable_dir_equals_localcheckpoint_on_every_loop(spark, tmp_path):
         None,
     )
     assert canon(spec_pr) == canon(pagerank(edges, iters=3))
+    import glob as _glob
     import os as _os
 
-    assert _os.path.isdir(str(tmp_path / "pr_spec" / "ranks_0"))
+    # per-invocation run_* namespace since r14 (ADVICE r13)
+    assert _glob.glob(str(tmp_path / "pr_spec" / "run_*" / "ranks_0"))

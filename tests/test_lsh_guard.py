@@ -36,6 +36,15 @@ def _adversarial(spark, n_dupes=300):
     return spark.createDataFrame(rows, "doc_id long, body string")
 
 
+
+def _rel_artifact(root, name):
+    """reliable_dir artifacts live under per-invocation run_* namespaces
+    since r14 (ADVICE r13) — true when any run wrote `name` under root."""
+    import glob as _glob
+    import os as _os
+
+    return bool(_glob.glob(_os.path.join(str(root), "run_*", name)))
+
 def test_adversarial_corpus_candidates_bounded(spark):
     """300 identical docs × 4 bands: uncapped would emit ~45k distinct pairs;
     the star guard emits exactly n−1 edges, all anchored at the min id."""
@@ -594,8 +603,8 @@ def test_ngram_jaccard_reliable_dir_equals_localcheckpoint_path(spark, tmp_path)
     # the persisted tables exist where the caller pointed
     import os as _os
 
-    assert _os.path.isdir(str(tmp_path / "rel_j" / "shingle_dict"))
-    assert _os.path.isdir(str(tmp_path / "rel_j" / "ranked"))
+    assert _rel_artifact(tmp_path / "rel_j", "shingle_dict")
+    assert _rel_artifact(tmp_path / "rel_j", "ranked")
 
 
 def test_near_dedup_minhash_reliable_dir_equals_default(spark, tmp_path):
@@ -626,7 +635,7 @@ def test_near_dedup_minhash_reliable_dir_equals_default(spark, tmp_path):
     assert got == want
     import os as _os
 
-    assert _os.path.isdir(str(tmp_path / "rel_m" / "signatures"))
+    assert _rel_artifact(tmp_path / "rel_m", "signatures")
 
     # spec knob: same result through the dialect
     corpus = str(tmp_path / "docs")
@@ -683,11 +692,9 @@ def test_reliable_dir_covers_cc_fixpoint_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert got == want
-    assert _os.path.isdir(_os.path.join(rel, "signatures"))
-    assert _os.path.isdir(_os.path.join(rel, "cc_edges"))
-    assert any(
-        d.startswith("cc_labels_") for d in _os.listdir(rel)
-    ), _os.listdir(rel)
+    assert _rel_artifact(rel, "signatures")
+    assert _rel_artifact(rel, "cc_edges")
+    assert _rel_artifact(rel, "cc_labels_*"), _os.listdir(rel)
 
     # (b) the min-label CC primitive, identical labels
     pairs = spark.createDataFrame(
@@ -736,7 +743,7 @@ def test_reliable_dir_covers_cc_fixpoint_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert spec_got == want
-    assert _os.path.isdir(str(tmp_path / "rel_kb_spec" / "cc_edges"))
+    assert _rel_artifact(tmp_path / "rel_kb_spec", "cc_edges")
     epath = str(tmp_path / "edges_p")
     edges.write.parquet(epath)
     spec_star = sorted(
@@ -750,3 +757,24 @@ def test_reliable_dir_covers_cc_fixpoint_end_to_end(spark, tmp_path):
         ).collect())
     )
     assert spec_star == want_star
+
+
+def test_shared_reliable_dir_invocations_do_not_clobber(spark, tmp_path):
+    """ADVICE r13: the reliable materializers wrote FIXED subpath names,
+    so a second op sharing the reliable_dir overwrote the first's state
+    — and the first RESULT is a lazy parquet read, so consuming it after
+    the second run returned the second run's data silently. Per-run
+    namespaces (run_*) make a shared dir compose; this pins the exact
+    hazard: consume run 1's result only AFTER run 2 has written."""
+    from qcardia_data_spark.functions.dedup import connected_components
+
+    rel = str(tmp_path / "shared_rel")
+    p1 = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    p2 = spark.createDataFrame([(10, 20)], ["a", "b"])
+    lazy1 = connected_components(p1, reliable_dir=rel)
+    got2 = sorted(
+        map(tuple, connected_components(p2, reliable_dir=rel).collect())
+    )
+    got1 = sorted(map(tuple, lazy1.collect()))  # AFTER run 2's writes
+    assert got1 == [(1, 1), (2, 1), (3, 1)], got1
+    assert got2 == [(10, 10), (20, 10)], got2

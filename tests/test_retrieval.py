@@ -600,3 +600,39 @@ def test_index_probes_resolve_n_buckets_from_marker(spark, tmp_path):
         phrase_occurrences_from_index(
             spark, pos, ["the", "cluster"], n_buckets=64
         )
+
+
+def test_legacy_markerless_index_probe_warns(spark, tmp_path):
+    """ADVICE r13: a pre-r13 index (marker without n_buckets) probed with
+    caller=None is the residual silent-wrong-partition case — the
+    fallback to the module default must be LOUD. Built at the default
+    here, so results stay correct; the warning is the contract."""
+    import shutil
+
+    import pytest
+
+    from qcardia_data_spark.functions.retrieval import (
+        bm25_topk_from_index,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "the cluster runs spark")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "legacy_bm25")
+    build_inverted_index(docs, idx)  # default layout
+    shutil.rmtree(f"{idx}/_idx_kind")  # simulate the pre-r13 index
+    # legacy _stats detection path: recreate the pre-marker shape
+    with pytest.warns(UserWarning, match="predates the n_buckets"):
+        got = bm25_topk_from_index(spark, idx, ["spark"], k=3).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    # explicit caller value: no warning, same result
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        got2 = bm25_topk_from_index(
+            spark, idx, ["spark"], k=3, n_buckets=64
+        ).collect()
+    assert {r["doc_id"] for r in got2} == {1, 2}

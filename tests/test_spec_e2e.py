@@ -975,6 +975,31 @@ def test_spec_window_nested_offset_refused_with_guidance(spark, sf_dir):
             sf_dir,
         ).collect()
         assert all(r["tagged"].startswith("lag('rank(") for r in lit)
+        # ADVICE r13: Spark also accepts BACKSLASH-escaped quotes inside
+        # string literals ('it\'s'); the scanner must consume the escape
+        # as one unit or it desynchronizes — a literal containing \' then
+        # 'lag(' was falsely refused before this fix
+        esc = compile_pipeline(
+            spark,
+            [{"op": "source", "path": path},
+             {"op": "window", "partition_by": ["user_id"],
+              "order_by": ["seq"],
+              "cols": {"tagged2":
+                       r"max(concat('it\'s lag(', cast(value as string)))"}}],
+            sf_dir,
+        ).collect()
+        assert all(r["tagged2"].startswith("it's lag(") for r in esc)
+        # ...and a GENUINELY nested call after such a literal still refuses
+        with pytest.raises(SpecError, match="top-level"):
+            compile_pipeline(
+                spark,
+                [{"op": "source", "path": path},
+                 {"op": "window", "partition_by": ["user_id"],
+                  "order_by": ["seq"],
+                  "cols": {"bad":
+                           r"coalesce(concat('it\'s', ''), lag(value))"}}],
+                sf_dir,
+            )
 
 
 def test_retrieval_search_example_runs(spark, sf_dir, tmp_path):
@@ -1211,5 +1236,8 @@ def test_reliable_corpus_prep_example_runs(spark, sf_dir, tmp_path):
     assert got_rows == sorted(map(key, want.collect()))
     assert got_rows, "pipeline selected nothing"
     assert {s for _, s in got_rows} == {"train", "valid"}
-    assert os.path.isdir(os.path.join(rel, "signatures"))
-    assert os.path.isdir(os.path.join(rel, "cc_edges"))
+    import glob as _glob
+
+    # artifacts live under per-invocation run_* namespaces (ADVICE r13)
+    assert _glob.glob(os.path.join(rel, "run_*", "signatures"))
+    assert _glob.glob(os.path.join(rel, "run_*", "cc_edges"))
