@@ -250,11 +250,17 @@ def bucketed_range_join(
     (distinct names across the two frames)."""
     if how != "inner":
         raise ValueError("bucketed_range_join supports inner joins")
+    # fresh working name (r14 review — the asof ADVICE-r9 class): a user
+    # column literally named "_bucket" was silently overwritten and then
+    # dropped from the output
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    b_c = fresh_name("_bucket", list(points.columns) + list(intervals.columns))
     pb = points.withColumn(
-        "_bucket", (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
+        b_c, (F.unix_timestamp(F.col(point_ts)) / bucket_seconds).cast("long")
     )
     ib = intervals.withColumn(
-        "_bucket",
+        b_c,
         F.explode(
             F.sequence(
                 (F.unix_timestamp(F.col(start_ts)) / bucket_seconds).cast("long"),
@@ -262,10 +268,10 @@ def bucketed_range_join(
             )
         ),
     )
-    joined = pb.join(ib, "_bucket").filter(
+    joined = pb.join(ib, b_c).filter(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
-    return joined.drop("_bucket")
+    return joined.drop(b_c)
 
 
 def interval_overlap_join(
@@ -292,9 +298,15 @@ def interval_overlap_join(
     ``bucket_seconds`` ≈ the median interval length so the explode
     factor stays O(1). Column names must be disjoint across the two
     frames (caller disambiguates)."""
+    # fresh working name (r14 review): same silent-overwrite class as
+    # bucketed_range_join above
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    b_c = fresh_name("_bucket", list(left.columns) + list(right.columns))
+
     def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
-            "_bucket",
+            b_c,
             F.explode(
                 F.sequence(
                     F.floor(F.col(s) / bucket_seconds),
@@ -304,12 +316,12 @@ def interval_overlap_join(
         )
 
     joined = buckets(left, start_l, end_l).join(
-        buckets(right, start_r, end_r), "_bucket"
+        buckets(right, start_r, end_r), b_c
     ).filter(
         (F.col(end_l) >= F.col(start_r)) & (F.col(end_r) >= F.col(start_l))
         & (
-            F.col("_bucket")
+            F.col(b_c)
             == F.floor(F.greatest(F.col(start_l), F.col(start_r)) / bucket_seconds)
         )
     )
-    return joined.drop("_bucket")
+    return joined.drop(b_c)

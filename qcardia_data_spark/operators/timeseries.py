@@ -409,6 +409,12 @@ def mad_outliers(
     # DuckDB ranks them LAST, so an unfiltered NULL shifts which row is
     # the discrete median differently per engine (and a NULL median nulls
     # every score) — the same guard _tag_union applies (r10 review)
+    # null-safe join-backs (r14 review — the alpha_mix/unimax twin): the
+    # window passes compute a median/MAD for a NULL key group (NULL is a
+    # legitimate partition), but the old plain equi-join dropped that
+    # group's rows from the output silently
+    from qcardia_data_spark.operators.joins import null_safe_equi_join
+
     e = df.filter(F.col(value_col).isNotNull()).select(
         id_col, key, F.col(value_col).alias("_v")
     )
@@ -420,7 +426,8 @@ def mad_outliers(
     med = r1.filter(
         F.col("_rn") == lower_med_rank(F.col("_n"))
     ).select(key, F.col("_v").alias("_med"))
-    d = e.join(med, key).withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
+    d = null_safe_equi_join(e, med, nullsafe_keys=[key], carry=["_med"])
+    d = d.withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
     w2 = Window.partitionBy(key).orderBy("_dev", id_col)
     r2 = d.withColumn("_rn", F.row_number().over(w2)).withColumn(
         "_n", F.count(F.lit(1)).over(wc)
@@ -432,7 +439,7 @@ def mad_outliers(
         F.lit(consistency) * (F.col("_v") - F.col("_med")) / F.col("_mad"), 6
     )
     return (
-        d.join(mad, key)
+        null_safe_equi_join(d, mad, nullsafe_keys=[key], carry=["_mad"])
         .filter(F.col("_mad") > 0)
         .select(
             id_col,

@@ -6007,14 +6007,15 @@ def ev_anomaly_zscore(spark, sf_dir):
     med AS (SELECT user_id, value AS med FROM r1 WHERE rn = (n + 1) // 2),
     d AS (SELECT e.event_id, e.user_id, e.value, med.med,
                  abs(e.value - med.med) AS dev
-          FROM e JOIN med USING (user_id)),
+          FROM e JOIN med ON e.user_id IS NOT DISTINCT FROM med.user_id),
     r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id
                                         ORDER BY dev, event_id) AS rn,
                   count(*) OVER (PARTITION BY user_id) AS n
            FROM d),
     mad AS (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
     j AS (SELECT d.event_id, d.value, d.med, mad.mad
-          FROM d JOIN mad USING (user_id) WHERE mad.mad > 0)
+          FROM d JOIN mad ON d.user_id IS NOT DISTINCT FROM mad.user_id
+          WHERE mad.mad > 0)
     SELECT event_id,
            round(0.6745 * (value - med) / mad, 6) AS score,
            abs(round(0.6745 * (value - med) / mad, 6)) > 3.5 AS is_outlier
@@ -9472,7 +9473,18 @@ _PRIORITY = [
 #     youngest r11 fill row (f11_enclosing_circle -> r16);
 #   * the standing dedup-index writers gained n_*_buckets="auto"
 #     (additive default-preserving knob; the graded probe queries resolve
-#     bucket geometry from the index marker, unchanged).
+#     bucket geometry from the index marker, unchanged);
+#   * mad_outliers (ev_anomaly_mad, r10 vintage): null-safe median/MAD
+#     join-backs (the same NULL-group class; a NULL key's rows were
+#     silently dropped) + oracle updated to IS NOT DISTINCT FROM —
+#     ev_anomaly_mad is already FIRST in the r15 r10-remainder queue, so
+#     it takes its driver row on the new code next round by position;
+#   * bucketed_range_join / interval_overlap_join: fresh-named "_bucket"
+#     working column (a user column named _bucket was overwritten then
+#     dropped) — behavior-identical for the graded queries' data
+#     (ev_range_join_views_before_purchase r12-fresh keeps its natural
+#     rotation, the p12 precedent; ev_session_overlap_pairs is graded IN
+#     this window on the new code). All re-verified strict at sf0.01.
 #
 # Queued for the ROUND-15 window (registry positions 51+, in order): the
 # 35 remaining r10-vintage rows, the code-touch slot, then the 13 oldest

@@ -531,3 +531,37 @@ def test_asof_join_case_variant_reserved_names(spark):
         ).collect()
         assert len(rows) == 2, direction
         assert {r["_T"] for r in rows} == {"L1", "L2"}, direction
+
+
+def test_range_joins_keep_user_bucket_column(spark):
+    """r14 review (the asof ADVICE-r9 fresh-name class): both range joins
+    used a FIXED "_bucket" working name — a user column literally named
+    _bucket was silently overwritten and then dropped from the output."""
+    from datetime import datetime
+
+    from qcardia_data_spark.operators.temporal import (
+        bucketed_range_join,
+        interval_overlap_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30), "keep-me")],
+        ["pid", "ts", "_bucket"],
+    )
+    iv = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0))],
+        ["iid", "start", "end"],
+    )
+    out = bucketed_range_join(pts, iv, "ts", "start", "end")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert "_bucket" in out.columns and rows[0]["_bucket"] == "keep-me"
+
+    l = spark.createDataFrame([(1, 0, 100, "keep-l")],
+                              ["lid", "ls", "le", "_bucket"])
+    r = spark.createDataFrame([(2, 50, 150)], ["rid", "rs", "re"])
+    out2 = interval_overlap_join(l, r, "ls", "le", "rs", "re",
+                                 bucket_seconds=60)
+    rows2 = out2.collect()
+    assert len(rows2) == 1
+    assert rows2[0]["_bucket"] == "keep-l"

@@ -233,3 +233,25 @@ def test_ewma_validation(spark):
         ewma_truncated(df, "user_id", "s", "value", alpha=0.0)
     with _pytest.raises(ValueError, match="lags"):
         ewma_truncated(df, "user_id", "s", "value", lags=0)
+
+
+def test_mad_outliers_keeps_null_key_group(spark):
+    """r14 review (the alpha_mix/unimax null-group twin): the window
+    passes compute a median/MAD for a NULL key partition, but the old
+    plain equi-join-backs dropped that group's rows from the output
+    silently. A NULL key (attribution failures, anonymous users) is a
+    legitimate group and must score like any other."""
+    from qcardia_data_spark.operators.timeseries import mad_outliers
+
+    rows = (
+        [(i, "u1", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        + [(100 + i, None, float(v)) for i, v in enumerate([10, 20, 30, 40, 9999])]
+    )
+    df = spark.createDataFrame(rows, "event_id LONG, user_id STRING, value DOUBLE")
+    out = mad_outliers(df, key="user_id", value_col="value", id_col="event_id")
+    got = {r["event_id"]: r["is_outlier"] for r in out.collect()}
+    # both groups fully present (5 rows each)
+    assert len(got) == 10, sorted(got)
+    assert got[4] is True     # 100 in the u1 group
+    assert got[104] is True   # 9999 in the NULL group
+    assert got[0] is False and got[100] is False
