@@ -82,16 +82,24 @@ def seeded_split(
             )
             .drop(one, rk, nt)
         )
+    # fresh working names (r14 review): the plain path's fixed "_rn"/"_n"
+    # silently overwrote (then dropped) user columns of those names — the
+    # scale_safe branch above already fresh-names for exactly this reason
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    rn_c = fresh_name("_rn", df.columns)
+    n_c = fresh_name("_n", [*df.columns, rn_c])
     w = Window.orderBy(rnd, F.col(key))
     total = Window.partitionBy()
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(total)
+    ranked = df.withColumn(rn_c, F.row_number().over(w)).withColumn(
+        n_c, F.count(F.lit(1)).over(total)
     )
     return ranked.withColumn(
         out,
-        F.when(F.col("_rn") <= F.round(F.col("_n") * valid_fraction), F.lit("valid"))
-        .otherwise(F.lit("train")),
-    ).drop("_rn", "_n")
+        F.when(
+            F.col(rn_c) <= F.round(F.col(n_c) * valid_fraction), F.lit("valid")
+        ).otherwise(F.lit("train")),
+    ).drop(rn_c, n_c)
 
 
 def row_number_per_group(

@@ -9479,6 +9479,10 @@ _PRIORITY = [
 #     silently dropped) + oracle updated to IS NOT DISTINCT FROM —
 #     ev_anomaly_mad is already FIRST in the r15 r10-remainder queue, so
 #     it takes its driver row on the new code next round by position;
+#   * seeded_split plain path: fresh-named "_rn"/"_n" working columns
+#     (user columns of those names were overwritten then dropped) —
+#     behavior-identical for x1/w2's distinct-key frames (x1 r13-fresh,
+#     keeps natural rotation; re-verified strict at sf0.01);
 #   * bucketed_range_join / interval_overlap_join: fresh-named "_bucket"
 #     working column (a user column named _bucket was overwritten then
 #     dropped) — behavior-identical for the graded queries' data
