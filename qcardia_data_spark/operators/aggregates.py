@@ -93,10 +93,16 @@ def argmax_per_group(df: DataFrame, group: Sequence[str], order_by: Sequence[Col
     ``max_by`` is nondeterministic under ties; a full ordering (caller passes
     tie-breaker columns) + row_number makes retries reproducible.
     """
+    # fresh working name (r14 review): with a user column named "_rn" in
+    # ``keep``, the fixed name silently returned row numbers instead of
+    # the user's data
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    rn = fresh_name("_rn", df.columns)
     w = Window.partitionBy(*group).orderBy(*order_by)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
         .select(*group, *keep)
     )
 

@@ -39,8 +39,14 @@ def salted_group_agg(
     ``aggs``: name → phase-1 aggregate over raw rows.
     ``merges``: name → phase-2 aggregate over the phase-1 columns.
     """
-    salted = df.withColumn("_salt", salt_column(F.col(salt_source), n_salts))
-    phase1 = salted.groupBy(*group, "_salt").agg(
+    # fresh working name (r14 review): a user column named "_salt" was
+    # silently overwritten — and if referenced by ``aggs`` expressions,
+    # they aggregated the salt instead of the user's data
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    salt_c = fresh_name("_salt", df.columns)
+    salted = df.withColumn(salt_c, salt_column(F.col(salt_source), n_salts))
+    phase1 = salted.groupBy(*group, salt_c).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
     return phase1.groupBy(*group).agg(
@@ -80,6 +86,13 @@ def salted_join(
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
         )
-    b = big.withColumn("_salt", salt)
-    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-    return b.join(s, on=[on, "_salt"], how=how).drop("_salt")
+    # fresh working name (r14 review): a user "_salt" column on either
+    # side was silently overwritten and dropped from the output
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    salt_c = fresh_name("_salt", list(big.columns) + list(small.columns))
+    b = big.withColumn(salt_c, salt)
+    s = small.withColumn(
+        salt_c, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, on=[on, salt_c], how=how).drop(salt_c)

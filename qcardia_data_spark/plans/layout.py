@@ -103,12 +103,18 @@ def zorder_write(
         max(int(math.ceil(math.log2(max(n_files, 2)))), 1), sum(widths)
     )
     z = z_value(list(buckets.values()), bits)
+    # fresh working names (r14 review): user "_z"/"_zb" columns were
+    # silently overwritten and dropped from the written table
+    from qcardia_data_spark.operators.joins import fresh_name
+
+    z_c = fresh_name("_z", df.columns)
+    zb_c = fresh_name("_zb", [*df.columns, z_c])
     (
-        df.withColumn("_z", z)
-        .withColumn("_zb", F.shiftright(F.col("_z"), sum(widths) - prefix_bits))
-        .repartitionByRange(n_files, "_zb", "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", "_zb")
+        df.withColumn(z_c, z)
+        .withColumn(zb_c, F.shiftright(F.col(z_c), sum(widths) - prefix_bits))
+        .repartitionByRange(n_files, zb_c, z_c)
+        .sortWithinPartitions(z_c)
+        .drop(z_c, zb_c)
         .write.mode("overwrite")
         .parquet(path)
     )

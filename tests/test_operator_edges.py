@@ -371,3 +371,62 @@ def test_null_safe_equi_join_refuses_carry_clash(spark):
     right = spark.createDataFrame([("a", 2)], ["k", "x"])
     with _pytest.raises(ValueError, match="already.*exist|ambiguous"):
         null_safe_equi_join(left, right, ["k"], carry=["x"])
+
+
+def test_fixed_working_names_do_not_clobber_user_columns(spark):
+    """r14 review sweep, the fresh-name class across four more public
+    fronts: argmax_per_group (keep includes a user '_rn'), salted_join /
+    salted_group_agg (user '_salt'), write_zorder (user '_z')."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.operators.aggregates import argmax_per_group
+    from qcardia_data_spark.operators.skew import salted_group_agg, salted_join
+
+    df = spark.createDataFrame(
+        [("g1", 5, "keep-a"), ("g1", 9, "keep-b"), ("g2", 1, "keep-c")],
+        ["g", "v", "_rn"],
+    )
+    top = argmax_per_group(
+        df, ["g"], [F.desc("v"), F.col("_rn")], keep=["v", "_rn"]
+    )
+    got = {r["g"]: (r["v"], r["_rn"]) for r in top.collect()}
+    assert got == {"g1": (9, "keep-b"), "g2": (1, "keep-c")}, got
+
+    big = spark.createDataFrame(
+        [(1, i, f"s{i}") for i in range(6)], ["k", "uid", "_salt"]
+    )
+    small = spark.createDataFrame([(1, "dim")], ["k", "name"])
+    j = salted_join(big, small, on="k", n_salts=4, salt_source="uid")
+    rows = j.collect()
+    assert len(rows) == 6
+    assert {r["_salt"] for r in rows} == {f"s{i}" for i in range(6)}
+
+    agg = salted_group_agg(
+        big.withColumnRenamed("_salt", "_tmp").withColumn(
+            "_salt", F.col("uid") * 10
+        ),
+        ["k"], "uid",
+        aggs={"s1": F.sum("_salt")},
+        merges={"total": F.sum("s1")},
+    )
+    # sum of uid*10 over uid 0..5 = 150 — NOT a sum of internal salts
+    assert agg.collect()[0]["total"] == 150
+
+    from qcardia_data_spark.plans.layout import zorder_write
+
+    zdf = spark.createDataFrame(
+        [(i, i % 4, f"z{i}") for i in range(20)], ["a", "b", "_z"]
+    )
+    path = "/tmp/qds_test_zorder_userz"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    zorder_write(
+        zdf, path, {"a": F.col("a"), "b": F.col("b")}, bits=8, n_files=2
+    )
+    back = spark.read.parquet(path)
+    assert "_z" in back.columns and back.count() == 20
+    assert {r["_z"] for r in back.collect()} == {f"z{i}" for i in range(20)}
+    shutil.rmtree(path, ignore_errors=True)
