@@ -179,7 +179,7 @@ def upsert_write_partitioned(
     path: str,
     key: str,
     ts: str,
-    n_buckets: int = 64,
+    n_buckets: int | str = 64,
 ) -> None:
     """Initialize a merge-upsert table: rows hash-bucketed on ``key`` into
     ``n_buckets`` partition directories, params frozen in ``_merge_meta``.
@@ -187,11 +187,21 @@ def upsert_write_partitioned(
     ``n_buckets`` bounds later merges' driver-side bucket collection and
     sets the pruning grain: a batch touching k distinct keys reads at most
     min(k, n_buckets) directories. Size it so one bucket of the dimension
-    fits an executor's working memory at the target scale.
+    fits an executor's working memory at the target scale — or pass
+    ``"auto"`` (r14, the dedup-index writers' corpus-sized rule applied
+    to the dimension): :func:`~qcardia_data_spark.functions.dedup.\
+auto_index_buckets` sizes the count from the initial row count so
+    per-bucket occupancy stays bounded; the resolved int is what the
+    meta freezes (merges/lookups always derive from the meta, so the
+    sizing choice is build-time only).
     """
     for c in (key, ts):
         if c not in df.columns:
             raise ValueError(f"upsert_write_partitioned: no column {c!r}")
+    if n_buckets == "auto":
+        from qcardia_data_spark.functions.dedup import auto_index_buckets
+
+        n_buckets = auto_index_buckets(df.count())
     # FULL reserved set, not just the bucket column (r13 review): a base
     # table carrying a `_batch`/`_src`/`_rn` data column would survive
     # this write, then read_upsert_as_of's withColumn("_batch", 0) /

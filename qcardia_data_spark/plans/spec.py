@@ -1853,7 +1853,7 @@ def _apply(
 
         upsert_write_partitioned(
             df, op["path"], key=op["key"], ts=op["ts"],
-            n_buckets=int(op.get("n_buckets", 64)),
+            n_buckets=_bucket_knob(op, "n_buckets"),
         )
         return df
     if kind == "merge_upsert":

@@ -605,3 +605,27 @@ def test_scd2_tolerates_chg_named_column(spark):
     assert by[(1, 1)]["_chg"] == "x" and by[(1, 1)]["valid_to"] == 3
     assert by[(1, 2)]["_chg"] == "y" and by[(1, 2)]["is_current"]
     assert by[(2, 1)]["_chg"] == "p" and by[(2, 1)]["is_current"]
+
+
+def test_upsert_write_auto_buckets(spark, tmp_path):
+    """r14: the dimension writer takes the same corpus-sized "auto"
+    bucket rule as the dedup-index writers; the meta freezes the
+    resolved int and merges derive from it unchanged."""
+    from qcardia_data_spark.functions.cdc import (
+        _read_merge_meta,
+        merge_upsert_partitioned,
+        read_upsert_table,
+        upsert_write_partitioned,
+    )
+
+    path = str(tmp_path / "dim_auto")
+    base = spark.createDataFrame(
+        [(i, i, f"v{i}") for i in range(100)], ["k", "ts", "val"]
+    )
+    upsert_write_partitioned(base, path, "k", "ts", n_buckets="auto")
+    meta = _read_merge_meta(spark, path)
+    assert isinstance(meta["n_buckets"], int) and meta["n_buckets"] == 8
+    batch = spark.createDataFrame([(1, 10, "new")], ["k", "ts", "val"])
+    merge_upsert_partitioned(spark, path, batch)
+    got = {r["k"]: r["val"] for r in read_upsert_table(spark, path).collect()}
+    assert got[1] == "new" and len(got) == 100
