@@ -70,10 +70,13 @@ def main() -> None:
     from qcardia_data_spark.functions.dedup import (
         _band_signature_frame,
         _read_sig_meta,
+        _read_win_meta,
         _sig_bucket,
         near_dedup_incremental,
         shingle_rows,
+        winnow_incremental,
         write_signature_index,
+        write_winnow_index,
     )
     from qcardia_data_spark.functions.similarity import (
         ann_index_append,
@@ -156,6 +159,46 @@ def main() -> None:
             "buckets_probed": len(probed), "buckets_total": n_sig_buckets,
         }
 
+    def _winnow_row(scale, n_docs, docs, batch, batch_n):
+        # r14: the MOSS-tier standing index's append path, measured under
+        # the writer's own "auto" bucket sizing (the signature panel's
+        # twin — fp buckets grow with the corpus, so the fixed batch's
+        # probed read volume should stay flat across 1x/2x/4x)
+        from qcardia_data_spark.functions.text import winnow_fingerprints
+
+        idx = os.path.join(WORK, f"winidx_{scale}x")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        write_winnow_index(docs, "doc_id", "text", idx, n_fp_buckets="auto")
+        build_sec = time.perf_counter() - t0
+        n_fp_buckets = int(_read_win_meta(spark, idx)["n_fp_buckets"])
+        t0 = time.perf_counter()
+        survivors = winnow_incremental(
+            batch, idx, "doc_id", "text", update_index=False
+        ).count()
+        probe_sec = time.perf_counter() - t0
+        bfps = (
+            winnow_fingerprints(batch, "doc_id", "text")
+            .select(_sig_bucket(F.col("fp"), n_fp_buckets).alias("fp_bucket"))
+            .distinct()
+        )
+        probed = [r["fp_bucket"] for r in bfps.collect()]
+        read_rows = (
+            spark.read.parquet(f"{idx}/fps")
+            .filter(F.col("fp_bucket").isin(probed))
+            .count()
+        )
+        return {
+            "family": "winnow_incremental", "panel": "small", "scale": scale,
+            "index_docs": n_docs, "batch_docs": batch_n,
+            "n_fp_buckets": n_fp_buckets, "buckets_requested": "auto",
+            "build_sec": round(build_sec, 2),
+            "append_sec": round(probe_sec, 2),
+            "survivors": survivors,
+            "index_rows_in_probed_buckets": read_rows,
+            "buckets_probed": len(probed), "buckets_total": n_fp_buckets,
+        }
+
     def _ann_row(scale, n_vecs, emb, panel, batch, batch_n, planes):
         idx = os.path.join(WORK, f"annidx_{scale}x_{panel}")
         shutil.rmtree(idx, ignore_errors=True)
@@ -219,6 +262,10 @@ def main() -> None:
         row = _ann_row(scale, n_vecs, emb, "small",
                        batches["vec_small"], VEC_BATCH_SMALL,
                        auto_n_planes(n_vecs))
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        row = _winnow_row(scale, n_docs, docs, batches["doc_small"],
+                          DOC_BATCH_SMALL)
         results.append(row)
         print(json.dumps(row), flush=True)
 
