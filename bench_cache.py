@@ -50,6 +50,12 @@ def make_subject(path: str, i: int) -> None:
 
 def main() -> None:
     n_subjects = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    # load guard + host snapshot (r14 — bench.py/bench_ext.py got these in
+    # r9; this bench could still record a loaded-host artifact silently:
+    # a 0.47 subjects/s reading at loadavg ~20 looked like a regression)
+    from bench_common import host_state, wait_for_idle_host
+
+    host_before, guard = wait_for_idle_host(host_state())
     work = tempfile.mkdtemp(prefix="qds_cache_bench_")
     raw = os.path.join(work, "raw")
     out = os.path.join(work, "cache")
@@ -83,6 +89,8 @@ def main() -> None:
             "frames_per_subject": N_FRAMES,
             "reference_subjects_per_s": 0.70,
             "reference_records_per_s": 15.9,
+            "host": {"before": host_before, "after": host_state()},
+            "load_guard": guard,
         }))
         spark.stop()
     finally:
