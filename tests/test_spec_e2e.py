@@ -1241,3 +1241,51 @@ def test_reliable_corpus_prep_example_runs(spark, sf_dir, tmp_path):
     # artifacts live under per-invocation run_* namespaces (ADVICE r13)
     assert _glob.glob(os.path.join(rel, "run_*", "signatures"))
     assert _glob.glob(os.path.join(rel, "run_*", "cc_edges"))
+
+
+def test_standing_index_lifecycle_example_runs(spark, sf_dir, tmp_path):
+    """examples/standing_index_lifecycle.json — the r14 'auto' geometry
+    knob end to end: build both text standing indexes with corpus-sized
+    buckets, then run a monotone-id weekly batch through BOTH incremental
+    dedup ops with update_index; the metas must hold resolved ints and
+    the batch survivors must flow through."""
+    spec = json.load(open("examples/standing_index_lifecycle.json"))
+    subst = {
+        "{corpus}": str(tmp_path / "corpus"),
+        "{batch}": str(tmp_path / "batch"),
+        "{sig_idx}": str(tmp_path / "sig_idx"),
+        "{win_idx}": str(tmp_path / "win_idx"),
+    }
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    docs.filter(F.col("doc_id") < 60).write.parquet(subst["{corpus}"])
+    docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)).write.parquet(
+        subst["{batch}"]
+    )
+
+    def patch(ops):
+        out = []
+        for op in ops:
+            op = dict(op)
+            for k, v in list(op.items()):
+                if isinstance(v, str) and v in subst:
+                    op[k] = subst[v]
+            out.append(op)
+        return out
+
+    compile_pipeline(spark, patch(spec["pipelines"]["build_indexes"]), None).count()
+    from qcardia_data_spark.functions.dedup import _read_sig_meta, _read_win_meta
+
+    sig_meta = _read_sig_meta(spark, subst["{sig_idx}"])
+    win_meta = _read_win_meta(spark, subst["{win_idx}"])
+    assert isinstance(sig_meta["n_sig_buckets"], int)
+    assert isinstance(win_meta["n_fp_buckets"], int)
+
+    out = compile_pipeline(spark, patch(spec["pipelines"]["weekly_batch"]), None)
+    n = out.count()
+    assert 0 < n <= 30
+    # update_index ratcheted both metas' max_id to the batch's ids
+    assert int(_read_sig_meta(spark, subst["{sig_idx}"])["max_id"]) >= 60
+    assert int(_read_win_meta(spark, subst["{win_idx}"])["max_id"]) >= 60
