@@ -16,6 +16,7 @@ prove the Spark decode path end-to-end without any imaging library.
 from __future__ import annotations
 
 import gzip
+import math
 import struct
 
 import numpy as np
@@ -96,8 +97,24 @@ def decode_nifti1(data: bytes) -> tuple[np.ndarray, np.ndarray, dict]:
     srow = np.array(struct.unpack_from(f"{end}12f", data, 280)).reshape(3, 4)
 
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(end)
-    n = int(np.prod(shape))
+    # Bounds-check every header-derived size/offset BEFORE it reaches numpy:
+    # a corrupt vox_offset float (NaN/inf/huge) or the 7x int16 dim product
+    # (up to ~4.7e31) would otherwise escape as a raw OverflowError from
+    # np.frombuffer's C ssize_t conversion. Python ints are unbounded, so the
+    # product and comparisons below are exact.
+    n = 1
+    for d in shape:
+        n *= int(d)
+    if not math.isfinite(vox_offset) or vox_offset < 0:
+        raise ValueError(f"bad vox_offset {vox_offset!r}")
     off = int(vox_offset) if vox_offset else _HDR_SIZE + 4
+    if off < _HDR_SIZE or off > len(data):
+        raise ValueError(f"vox_offset {off} outside file of {len(data)} bytes")
+    if n * dt.itemsize > len(data) - off:
+        raise ValueError(
+            f"voxel block out of bounds: dim {shape} x {dt.itemsize}B needs "
+            f"{n * dt.itemsize} bytes at offset {off}, file has {len(data)}"
+        )
     vol = np.frombuffer(data, dt, n, off).reshape(shape, order="F").astype(np.float64)
     if scl_slope not in (0.0, 1.0) or (scl_slope == 1.0 and scl_inter != 0.0):
         vol = vol * scl_slope + scl_inter

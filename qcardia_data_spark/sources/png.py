@@ -99,6 +99,13 @@ def _decode_png_inner(data: bytes):
     nch = 1 if color_type == 0 else 3
     stride = w * nch
     raw = zlib.decompress(idat)
+    # w/h are CRC-protected, but a stream that decompresses short of the
+    # header's geometry must not reach the per-row indexing (raw IndexError)
+    # or allocate h*stride from a lying header — check BEFORE np.empty
+    if len(raw) < h * (stride + 1):
+        raise ValueError(
+            f"IDAT decompresses to {len(raw)} bytes, header needs {h * (stride + 1)}"
+        )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

@@ -71,6 +71,38 @@ def test_rejects_garbage():
         decode_nifti1(bytes(bad))
 
 
+def test_rejects_out_of_bounds_header_geometry():
+    """r15 bounds guard: corrupt header sizes/offsets must raise ValueError,
+    never escape as a raw OverflowError from np.frombuffer's ssize_t
+    conversion (the r14 fuzz-found bug, byte 111 = vox_offset high byte)."""
+    base = encode_nifti1(np.zeros((4, 4, 2), dtype=np.float32), np.eye(4))
+
+    # vox_offset inflated to a huge float (the fuzz falsifying class)
+    bad = bytearray(base)
+    struct.pack_into("<f", bad, 108, 1e30)
+    with pytest.raises(ValueError, match="vox_offset"):
+        decode_nifti1(bytes(bad))
+
+    # vox_offset NaN / negative
+    for v in (float("nan"), float("inf"), -4.0):
+        bad = bytearray(base)
+        struct.pack_into("<f", bad, 108, v)
+        with pytest.raises(ValueError, match="vox_offset"):
+            decode_nifti1(bytes(bad))
+
+    # dim product past ssize_t: 7 x int16 32767 => n ~ 4.7e31
+    bad = bytearray(base)
+    struct.pack_into("<8h", bad, 40, 7, *([32767] * 7))
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_nifti1(bytes(bad))
+
+    # plain short buffer: one dim doubled so the voxel block overruns
+    bad = bytearray(base)
+    struct.pack_into("<h", bad, 42, 8)  # dim[1]: 4 -> 8
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_nifti1(bytes(bad))
+
+
 def test_orientation_identity_is_noop():
     ornt = io_orientation(np.eye(4))
     assert np.array_equal(ornt, np.array([[0, 1.0], [1, 1.0], [2, 1.0]]))
