@@ -194,6 +194,15 @@ auto_index_buckets` sizes the count from the initial row count so
     per-bucket occupancy stays bounded; the resolved int is what the
     meta freezes (merges/lookups always derive from the meta, so the
     sizing choice is build-time only).
+
+    COST NOTE (ADVICE r14): ``"auto"`` runs one extra ``df.count()``
+    action before the write re-evaluates ``df`` — for an expensive or
+    non-deterministic upstream plan, ``.persist()`` (or localCheckpoint)
+    the frame first, or pass an explicit int. Sizing is approximate, so
+    a count/write row drift on a non-deterministic plan affects only
+    occupancy, never correctness. The same applies to the dedup-index
+    writers' ``"auto"`` knobs (write_signature_index /
+    write_winnow_index / write_hamming64_index).
     """
     for c in (key, ts):
         if c not in df.columns:

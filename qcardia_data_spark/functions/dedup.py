@@ -1750,7 +1750,13 @@ def write_signature_index(
     appends see concrete geometry, never the sentinel. For a corpus
     that will grow far past its initial size, size the initial build
     for the anticipated steady state (pass the explicit count) or
-    rebuild when occupancy drifts — an append can never re-bucket."""
+    rebuild when occupancy drifts — an append can never re-bucket.
+
+    COST NOTE (ADVICE r14): a fresh-build ``"auto"`` runs one extra
+    count/max aggregation over ``df`` before the write re-evaluates it;
+    for an expensive or non-deterministic upstream plan, ``.persist()``
+    the frame first or pass explicit counts (sizing is approximate, so
+    drift affects occupancy only, never correctness)."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     old = _read_sig_meta(spark, path) if mode == "append" else None
@@ -2384,7 +2390,10 @@ def write_hamming64_index(
     the block-table row count — exactly ``n_sigs × (max_hamming + 1)``
     blocks — via :func:`auto_index_buckets`, the corpus-sized
     flat-append rule. Appends resolve ``"auto"`` to the index's own
-    meta value; the meta persists the resolved int."""
+    meta value; the meta persists the resolved int. COST NOTE (ADVICE
+    r14): a fresh-build ``"auto"`` runs one extra count/max aggregation
+    over ``sig`` before the write re-evaluates it — persist an
+    expensive upstream plan first or pass an explicit count."""
     spark = sig.sparkSession
     k = int(max_hamming)
     if 64 % (k + 1) != 0 or 32 % (64 // (k + 1)) != 0:

@@ -1098,8 +1098,13 @@ def unimax_budgets(
     A ``None`` group key (lang-ID failure slice) is legitimate: it sorts
     AFTER every named group at the same count — replaying the oracle's
     ``ORDER BY n, lang`` NULLS LAST tie-break — instead of raising
-    ``TypeError`` from a ``None < str`` comparison."""
-    langs = sorted(counts, key=lambda g: (counts[g], g is None, g or ""))
+    ``TypeError`` from a ``None < str`` comparison. The tie-break's third
+    element is the key itself (NOT ``g or ""``, which coerced falsy keys
+    like 0/False/"" to the empty string — a numeric ``by`` column with a
+    count tie between 0 and another key then compared str vs int): the
+    ``g is None`` element guarantees the single None entry never reaches
+    a cross-type comparison."""
+    langs = sorted(counts, key=lambda g: (counts[g], g is None, g))
     remaining = float(total_budget)
     out: dict[str, float] = {}
     for idx, g in enumerate(langs):

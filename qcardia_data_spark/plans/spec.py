@@ -427,8 +427,13 @@ def _apply(
         # ADVICE r12). SQL string literals: single-quoted, with '' OR \'
         # escaping a quote (Spark accepts both — ADVICE r13: a backslash
         # escape must be consumed as one unit or it desynchronizes the
-        # scanner); double-quoted identifiers can't contain calls either.
-        _strip_literals = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"[^\"]*\"")
+        # scanner). Double-quoted tokens are string LITERALS too in
+        # Spark's default non-ANSI mode (identifiers use backticks), so
+        # they take the same backslash-escape alternative (ADVICE r14:
+        # "it\"s" must not desynchronize the scanner either).
+        _strip_literals = re.compile(
+            r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\""
+        )
         out = df
         for name, e in op["cols"].items():
             head = e.split("(", 1)[0].strip().lower()

@@ -9368,134 +9368,36 @@ def x9_weighted_rejection(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-14 WINDOW -- executes VERDICT r13 "Next round" #1: the committed
-    # r14 rotation exactly as queued last round (the r13 _NEXT_IN_LINE,
-    # promoted verbatim): anchor + the 29 remaining r9-stale + the four
-    # reserved flagship slots (a4/j2/q3/q5 -- all due by r14 per the
-    # cadence policy) + the three code-touch slots (text_alpha_mix,
-    # text_bm25_topk, and x9_weighted_rejection's FIRST-EVER driver row,
-    # the registry's only never-graded entry) + the 13 oldest r10-vintage.
-    # After this window: r9-stale = 0, never_graded = 0, and every
-    # flagship vintage is r14.
+    # ROUND-15 WINDOW -- executes VERDICT r14 "Next round" #2: the committed
+    # r15 rotation exactly as queued last round (the r14 _NEXT_IN_LINE,
+    # promoted verbatim): anchor + the 35 remaining r10-vintage (includes
+    # ev_anomaly_mad, whose driver row lands on r14's null-safe median/MAD
+    # join-back rewrite by position) + the text_unimax_mix code-touch slot
+    # (r14's null-safe waterfill + NULLS-LAST tie-break) + the 13 oldest
+    # r11-vintage. After this window: r10-stale = 0.
     #
     # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5 /
-    # r13 #5): registry FROZEN at 226 -- net-new queries only for
+    # r13 #5 / r14 #6): registry FROZEN at 226 -- net-new queries only for
     # code-touched paths, each justified by a code-touch citation (the r13
     # x9_weighted_rejection precedent is the template: justified,
-    # oracle-bearing, queued). r14 adds ZERO net-new rows. 226 / 50 slots
+    # oracle-bearing, queued). r15 adds ZERO net-new rows. 226 / 50 slots
     # = ~4.5 rounds per full sweep.
     #
     # FLAGSHIP VINTAGE CHECK (r12 #5): anchors q1/j2/q3/q5/a4 get a
-    # <=3-round refresh. All four non-anchor flagships are graded IN THIS
-    # WINDOW, so after the r14 grade every flagship vintage is r14 and
-    # the next refresh is due by r17 (tests/test_grade_window.py enforces
-    # the reserved slots).
+    # <=3-round refresh. All four non-anchor flagships were graded r14, so
+    # the next refresh is due by r17: neither this window nor the r16
+    # queue needs reserved slots, and the r17 window MUST carry all four
+    # (tests/test_grade_window.py::test_flagship_slots_reserved encodes
+    # the due-date math from GRADE_WINDOW.json).
     #
-    # ROUND-15 ROTATION PLAN: anchor + the 35 remaining r10-vintage + the
-    # 14 oldest r11-vintage = 50; _NEXT_IN_LINE below IS that queue
-    # (recomputed from GRADE_WINDOW.json after the r13 grade this round:
-    # r10 cohort 49, 14 consumed by this window [13 fill rows +
-    # a4_quantile_summary], 35 remain -- VERDICT r13's "33" was an
-    # estimate, this is the measured count). Round 16 then takes the r11
-    # remainder (29 rows) + the oldest r12 rows to fill 50.
+    # ROUND-16 ROTATION PLAN: anchor + the 29 remaining r11-vintage + the
+    # 20 oldest r12-vintage = 50; _NEXT_IN_LINE below IS that queue
+    # (recomputed from GRADE_WINDOW.json after the r14 grade this round:
+    # r11 cohort 43, 14 consumed by this window [13 fill rows +
+    # text_unimax_mix], 29 remain). Round 17 then takes the r12 remainder
+    # (29 rows) + the four flagship refresh slots + the oldest r13 rows
+    # to fill 50.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- r9-stale remainder (alphabetical, grade_window.py sort) ---
-    "ev_retention_cohorts",
-    "ev_scd2_user_state",
-    "ev_session_overlap_pairs",
-    "ev_time_weighted_avg",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q20_excess_stock_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "sim_ivfpq_incremental",
-    "sim_ivfpq_residual_topk",
-    "sim_ivfpq_topk",
-    "sim_lsh_multiprobe_topk",
-    "text_c4_rules",
-    "text_chunk_windows",
-    "text_gopher_line_rules",
-    "text_token_entropy",
-    "text_winnowing",
-    "x7_weighted_reservoir",
-    # --- RESERVED FLAGSHIP SLOTS (cadence: due by r14 -- executed here) ---
-    "a4_quantile_summary",
-    "j2_broadcast_star_join",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    # --- CODE-TOUCHED SLOTS (r13 review sweep; driver row on the new
-    # code closes the loop; x9 is the registry's first-ever grade) ---
-    "text_alpha_mix",
-    "text_bm25_topk",
-    "x9_weighted_rejection",
-    # --- 13 oldest r10-vintage (alphabetical, grade_window.py sort) ---
-    "a12_approx_count_distinct",
-    "a13_cube",
-    "a15_hll_rollup",
-    "a15b_hll_estimate_bound",
-    "a16_cms_rollup",
-    "a17_pivot_event_counts",
-    "a18_unpivot_roundtrip",
-    "a19_discrete_quantiles",
-    "a20_pearson_corr",
-    "a22_numeric_profile",
-    "a2_stratified_sample",
-    "a4b_exploration_frame",
-    "dedup_semantic",
-]
-
-
-# R14 CODE-TOUCH NOTE: this round touched code behind queries OUTSIDE the
-# frozen window only where VERDICT/ADVICE r13 ordered it or where the
-# ordered fix exposed a twin bug:
-#   * text_alpha_mix ORACLE join became null-safe (IS NOT DISTINCT FROM,
-#     ADVICE r13; the Spark side was already null-safe since r13, and
-#     text_alpha_mix is graded IN this window -- no displacement needed);
-#   * text_unimax_mix (r11 vintage): the r13 null-group sweep MISSED its
-#     twin -- unimax's waterfill allocates a budget to a NULL group (the
-#     collected counts dict keeps key None) but the plain inner join-back
-#     dropped that group's rows, silently losing its share; and the
-#     driver-side sort raised TypeError on a None key. Fixed null-safe
-#     (functions/text.py::unimax_mix + unimax_budgets NULLS-LAST
-#     tie-break), oracle join updated to IS NOT DISTINCT FROM,
-#     regression-tested. Takes the code-touch slot below, displacing the
-#     youngest r11 fill row (f11_enclosing_circle -> r16);
-#   * the standing dedup-index writers gained n_*_buckets="auto"
-#     (additive default-preserving knob; the graded probe queries resolve
-#     bucket geometry from the index marker, unchanged);
-#   * mad_outliers (ev_anomaly_mad, r10 vintage): null-safe median/MAD
-#     join-backs (the same NULL-group class; a NULL key's rows were
-#     silently dropped) + oracle updated to IS NOT DISTINCT FROM —
-#     ev_anomaly_mad is already FIRST in the r15 r10-remainder queue, so
-#     it takes its driver row on the new code next round by position;
-#   * seeded_split plain path: fresh-named "_rn"/"_n" working columns
-#     (user columns of those names were overwritten then dropped) —
-#     behavior-identical for x1/w2's distinct-key frames (x1 r13-fresh,
-#     keeps natural rotation; re-verified strict at sf0.01);
-#   * bucketed_range_join / interval_overlap_join: fresh-named "_bucket"
-#     working column (a user column named _bucket was overwritten then
-#     dropped) — behavior-identical for the graded queries' data
-#     (ev_range_join_views_before_purchase r12-fresh keeps its natural
-#     rotation, the p12 precedent; ev_session_overlap_pairs is graded IN
-#     this window on the new code). All re-verified strict at sf0.01.
-#
-# Queued for the ROUND-15 window (registry positions 51+, in order): the
-# 35 remaining r10-vintage rows, the code-touch slot, then the 13 oldest
-# r11-vintage (alphabetical, the grade_window.py sort) -- anchor + these
-# 49 = the written r15 plan. Keeping them immediately after the window
-# makes "first in line" a property of the registry itself.
-_NEXT_IN_LINE = [
     # --- r10-vintage remainder (alphabetical, grade_window.py sort) ---
     "dedup_simhash_incremental",
     "dedup_span_removal",
@@ -9532,9 +9434,10 @@ _NEXT_IN_LINE = [
     "text_url_canonical",
     "w4b_cumulative_sum_distributed",
     "x8_bootstrap_poisson",
-    # --- CODE-TOUCHED SLOT (r14 review sweep; see note above) ---
-    "text_unimax_mix",  # r11 vintage; null-safe join-back + NULLS-LAST sort
-    # --- 13 oldest r11-vintage (alphabetical) ---
+    # --- CODE-TOUCHED SLOT (r14 review sweep; driver row on the
+    # null-safe unimax waterfill closes the loop) ---
+    "text_unimax_mix",
+    # --- 13 oldest r11-vintage (alphabetical, grade_window.py sort) ---
     "a10_two_level_agg",
     "a11_rollup",
     "a14_grouping_sets",
@@ -9548,6 +9451,83 @@ _NEXT_IN_LINE = [
     "dedup_cluster_best",
     "dedup_fuzzy_keys",
     "dedup_fuzzy_keys_short",
+]
+
+
+# R15 CODE-TOUCH NOTE: this round touched code behind queries OUTSIDE the
+# frozen window only where VERDICT/ADVICE r14 ordered it:
+#   * decode_nifti1 bounds guard (VERDICT r14 #1) + PNG IDAT-length guard:
+#     codec/file-IO paths, tests-only by nature -- no registry row exists
+#     or is owed (S2's coverage is pytest, per the §2.1 table);
+#   * unimax_budgets sort key (ADVICE r14): tie-break now
+#     (count, g is None, g) instead of coercing falsy keys to "" --
+#     driver-side ordering fix inside text_unimax_mix's already-committed
+#     code-touch slot (graded IN this window; no displacement);
+#   * standing-index manifests (VERDICT r14 #4): additive `_manifest`
+#     parquet on the four index families; probes resolve files from it
+#     when present, falling back to listing -- graded probe queries'
+#     results unchanged (equality-tested);
+#   * reliable_dir list_runs/prune_runs helpers (VERDICT r14 #5 /
+#     ADVICE r14): new API, no graded path touched.
+#
+# Queued for the ROUND-16 window (registry positions 51+, in order): the
+# 29 remaining r11-vintage rows, then the 20 oldest r12-vintage
+# (alphabetical, the grade_window.py sort) -- anchor + these 49 = the
+# written r16 plan. Keeping them immediately after the window makes
+# "first in line" a property of the registry itself. The four non-anchor
+# flagships (vintage r14, due r17) enter the r17 window, not this queue.
+_NEXT_IN_LINE = [
+    # --- r11-vintage remainder (alphabetical, grade_window.py sort) ---
+    "f11_enclosing_circle",
+    "f16_md5_fingerprint",
+    "f19_overlay_rgb",
+    "f20_softmax",
+    "f22_unit_conversion",
+    "f3_standardize",
+    "g6_flatten",
+    "j3_anti_join",
+    "j4_semi_join",
+    "o4_seeded_sample_k",
+    "p2_drop_columns",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "s4_scan_project_filter",
+    "sim_ann_join",
+    "sim_diversity_sample",
+    "sim_lsh_topk",
+    "text_bpe_tokens",
+    "text_ccnet_buckets",
+    "text_corpus_report",
+    "text_decontaminate_bloom",
+    "text_dsir_weights",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "w5_first_match_over",
+    "w6_time_range_frame",
+    "w7_analytic_functions",
+    # --- 20 oldest r12-vintage (alphabetical, grade_window.py sort) ---
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs64",
+    "emb_quantize_int8",
+    "ev_anomaly_zscore",
+    "ev_asof_last_view",
+    "ev_asof_next_purchase",
+    "ev_attribution_join",
+    "ev_funnel_depth",
+    "ev_hypertable_rollup",
+    "ev_monthly_rollup",
+    "ev_range_join_views_before_purchase",
+    "ev_session_window",
+    "ev_value_delta",
 ]
 
 

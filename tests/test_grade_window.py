@@ -23,9 +23,12 @@ def test_priority_window_shape():
 
 
 def test_flagship_slots_reserved():
-    # Cadence policy (VERDICT r12 #5): the four non-anchor flagships are
-    # due by r14, so the committed r14 queue must carry them. The window
-    # header in queries.py points here as the enforcement.
+    # Cadence policy (VERDICT r12 #5): the four non-anchor flagships get a
+    # <=3-round refresh. Encode the due-date math from GRADE_WINDOW.json
+    # instead of a hardcoded round: a flagship due NEXT round (vintage+3 ==
+    # as_of_round+1) must sit in _PRIORITY; one due the round after must
+    # already be queued in _PRIORITY or _NEXT_IN_LINE. (r14 graded all
+    # four, so they are due r17 and the r15/r16 queues need no slots.)
     from qcardia_data_spark.queries import _NEXT_IN_LINE, _PRIORITY
 
     flagships = {
@@ -34,8 +37,16 @@ def test_flagship_slots_reserved():
         "q3_shipping_priority",
         "q5_local_supplier_volume",
     }
-    covered = flagships & (set(_PRIORITY) | set(_NEXT_IN_LINE))
-    assert covered == flagships, f"flagships missing a reserved slot: {flagships - covered}"
+    d = json.load(open("GRADE_WINDOW.json"))
+    current = d["as_of_round"]
+    for name in sorted(flagships):
+        due = d["latest_round"][name] + 3
+        if due <= current + 1:
+            assert name in _PRIORITY, f"{name} due r{due}: needs a window slot"
+        elif due == current + 2:
+            assert name in _PRIORITY or name in _NEXT_IN_LINE, (
+                f"{name} due r{due}: must be queued for the next window"
+            )
 
 
 def test_registry_contract():

