@@ -135,11 +135,28 @@ def lsh_candidate_pairs(
     instead of r windows + r joins + a unionByName — bit-identical to the
     union of the per-``hub_rank`` calls (measured ~2× on the candidate
     stage at sf0.1). When given, ``hub_rank`` is ignored."""
+    # The pair-dedup exchange doubles as the VERIFY stage's distribution:
+    # an implicit distinct() exchange gets AQE-coalesced by BYTES (candidate
+    # rows are two ids — a few hundred KB at bench scale), but the stage
+    # reading it performs the per-pair shingle-set intersection, whose cost
+    # per byte is orders of magnitude above a scan's. The r15 profile
+    # measured the whole verify serialized onto ONE task (1.1 s of the
+    # 3 s pipeline). An explicit-numPartitions repartition on the dedup key
+    # is exempt from coalescing (the _topk_pair_scores idiom) and sized by
+    # spark.sql.shuffle.partitions, so it stays scale-adaptive. Same rows,
+    # same exchange count — dropDuplicates reuses the explicit partitioning.
+    n_parts = int(
+        sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
     if max_bucket_size is None:
         pairs = a.join(b, on=["band", "sig"]).filter(F.col("a") < F.col("b"))
-        return pairs.select("a", "b").distinct()
+        return (
+            pairs.select("a", "b")
+            .repartition(n_parts, "a", "b")
+            .dropDuplicates()
+        )
 
     from pyspark.sql.window import Window
 
@@ -167,7 +184,11 @@ def lsh_candidate_pairs(
             F.greatest(F.col("_hub"), F.col(id_col)).alias("b"),
         )
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    return (
+        small_pairs.unionByName(star_pairs)
+        .repartition(n_parts, "a", "b")
+        .dropDuplicates()
+    )
 
 
 def oversized_lsh_buckets(

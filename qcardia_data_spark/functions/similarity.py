@@ -195,6 +195,33 @@ def multiprobe_buckets(
     return F.concat(F.array(bucket), flips)
 
 
+def hyperplane_bucket_py(
+    vec: Sequence[float], n_planes: int = 8, seed: int = 0, dim: int = 64,
+) -> int:
+    """Driver-side twin of :func:`hyperplane_bucket` for a SINGLE vector
+    (the query side of a probe). Bit-identical to the Spark expression:
+    the per-plane dot is the same left-to-right IEEE-double fold
+    (``acc = (acc + v[j]*sign)`` in element order) the ``aggregate``
+    lambda performs, and the sign test / bit weights are the same. Using
+    it for the query vector removes one whole Spark job (a
+    ``spark.range(1)`` + collect round-trip) from every probe — the
+    bucket of one vector is driver-scale work by definition."""
+    if len(vec) != dim:
+        raise ValueError(
+            f"hyperplane_bucket_py: vector dim {len(vec)} != configured dim {dim}"
+        )
+    signs = hyperplane_signs(n_planes, dim, seed)
+    bucket = 0
+    for p in range(n_planes):
+        acc = 0.0
+        row = signs[p]
+        for j in range(dim):
+            acc = acc + float(vec[j]) * row[j]
+        if acc > 0.0:
+            bucket += 1 << p
+    return bucket
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, query_vec: Sequence[float], k: int = 10,
     n_planes: int = 8, seed: int = 0,
@@ -207,11 +234,11 @@ def ann_lsh_topk(
     At scale: persist ``bucket`` as a partition/bucketing column of the
     embedding table so a probe is a partition-pruned scan, not a full pass.
     """
-    spark = embeddings.sparkSession
     q = F.lit([float(x) for x in query_vec])
     bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim))
-    qrow = spark.range(1).select(hyperplane_bucket(q, n_planes, seed, dim).alias("qb")).collect()
-    qb = qrow[0]["qb"]
+    # query bucket computed driver-side (bit-identical fold) — saves the
+    # spark.range(1)+collect job the old form paid per probe
+    qb = hyperplane_bucket_py(query_vec, n_planes, seed, dim)
     # multi-probe: exact bucket + single-bit flips
     probes = [qb] + [qb ^ (1 << p) for p in range(n_planes)]
     cand = bucketed.filter(F.col("bucket").isin(probes))

@@ -34,11 +34,26 @@ def group_weights_window(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """W1 variant of A1 — attach the weight to every row without a join:
     ``count(*) over (partition by cols)`` (reference pipeline/utils.py:130-134
     does a merge; the window form avoids materializing + joining).
+
+    The whole-frame total is a 1-row aggregate attached via broadcast
+    nested-loop join, NOT ``count(*) over ()``: an empty window spec
+    compiles to ``Exchange SinglePartition`` of the ENTIRE frame, which
+    also drags the per-group window onto that one task — the r15 plan
+    audit measured the whole query serialized on a single core (and at
+    100 TB it would simply not run). The agg side costs one extra
+    column-pruned scan whose partial counts combine map-side; results are
+    identical (exact integer count either way).
     """
+    from qcardia_data_spark.operators.joins import fresh_name
+
     w = Window.partitionBy(*[F.col(c) for c in cols])
-    total = Window.partitionBy()  # whole-frame count
-    return df.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
-        "weight", F.count(F.lit(1)).over(total).cast("double") / F.col("cnt")
+    tot = fresh_name("_total", [*df.columns, "cnt", "weight"])
+    total_1row = df.agg(F.count(F.lit(1)).alias(tot))
+    return (
+        df.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(total_1row))
+        .withColumn("weight", F.col(tot).cast("double") / F.col("cnt"))
+        .drop(tot)
     )
 
 
