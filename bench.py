@@ -94,6 +94,25 @@ RAW_OVERRIDES = {
 CALIBRATION_REF_SEC = 0.95
 
 
+def io_probe_sec(spark, sf_dir: str, repeats: int = 2) -> float:
+    """I/O-weighted calibration probe (VERDICT r14 #3): a full-column noop
+    scan of the largest input table. The frozen CPU workload above missed
+    whatever moved the r14 window (same host_factor, +21% wall) — this
+    second term is sensitive to page-cache / memory-bandwidth / disk
+    contention that pure CPU hashing is not. Emitted RAW alongside the CPU
+    samples (no reference constant yet — the series starts r15); the
+    normalization formula is unchanged for comparability."""
+    import os as _os
+
+    samples = []
+    df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return min(samples)
+
+
 def calibration_sec(spark, repeats: int = 3) -> float:
     from pyspark.sql import functions as F
 
@@ -150,10 +169,14 @@ def main() -> None:
     # per-run spread is kept in the JSON so a noisy host is visible.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     calib_before = calibration_sec(spark)
+    io_before = io_probe_sec(spark, sf_dir)
+    calib_mid = None  # VERDICT r14 #3: one cheap sample inside the loop
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            calib_mid = calibration_sec(spark, repeats=1)
         fn = RAW_OVERRIDES.get(name) or QUERIES[name][0]
         try:
             samples = []
@@ -171,6 +194,7 @@ def main() -> None:
             errors[name] = str(e).splitlines()[0][:200]
 
     calib_after = calibration_sec(spark)
+    io_after = io_probe_sec(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     host_factor = round(
         max(calib_before, calib_after) / CALIBRATION_REF_SEC, 3
@@ -190,7 +214,16 @@ def main() -> None:
             "workload": "range20M_md5_hashagg_x32",
             "ref_sec": CALIBRATION_REF_SEC,
             "before_sec": calib_before,
+            # r15 (VERDICT r14 #3): a mid-loop CPU sample and an I/O-weighted
+            # probe (full-column noop scan of lineitem, min-of-2, raw sec)
+            # so a reading's noise PROFILE is in the JSON itself. The
+            # host_factor formula is UNCHANGED (max(before, after)/ref) —
+            # the new samples are diagnostic, not normalizing, to keep the
+            # r1-r14 series comparable.
+            "mid_sec": calib_mid,
             "after_sec": calib_after,
+            "io_probe_before_sec": io_before,
+            "io_probe_after_sec": io_after,
             "host_factor": host_factor,
             "value_normalized": round(total / host_factor, 3),
         },

@@ -254,8 +254,20 @@ def main() -> None:
     # verdicts divide by it instead of a hand-computed session ratio.
     from bench import CALIBRATION_REF_SEC, calibration_sec
 
+    # r15: the same I/O-weighted probe bench.py gained (VERDICT r14 #3),
+    # against the EXT corpus's own documents table — diagnostic only, the
+    # normalization formula is unchanged
+    def _io_probe() -> float:
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            docs.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        return min(samples)
+
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     calib_before = calibration_sec(spark)
+    io_before = _io_probe()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -272,6 +284,7 @@ def main() -> None:
             errors[name] = str(e).splitlines()[0][:200]
 
     calib_after = calibration_sec(spark)
+    io_after = _io_probe()
     total = round(sum(timings.values()), 3)
     host_factor = round(
         max(calib_before, calib_after) / CALIBRATION_REF_SEC, 3
@@ -291,6 +304,8 @@ def main() -> None:
             "ref_sec": CALIBRATION_REF_SEC,
             "before_sec": calib_before,
             "after_sec": calib_after,
+            "io_probe_before_sec": io_before,
+            "io_probe_after_sec": io_after,
             "host_factor": host_factor,
             "value_normalized": round(total / host_factor, 3),
         },

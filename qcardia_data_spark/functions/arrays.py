@@ -18,6 +18,34 @@ def _d(arr: Column) -> Column:
     return arr.cast("array<double>")
 
 
+def literal_double_array(values) -> Column:
+    """ONE-round-trip plan literal for a (possibly nested) list of finite
+    doubles. ``F.lit(<python list>)`` expands client-side into one py4j
+    JVM round trip per ELEMENT (a 6×64 hyperplane sign matrix = 384 round
+    trips ≈ 0.25 s of pure driver latency PER CALL — the r15 build-time
+    profile measured four such calls as HALF of sim_ann_join's timed
+    wall); a single ``F.expr`` parse builds the identical
+    CreateArray/Literal(double) tree in one round trip. ``repr()`` emits
+    the shortest decimal string that round-trips the IEEE double and the
+    SQL parser reads it back with Java's correctly-rounded parse, so
+    every value is bit-identical to the F.lit form. Non-finite values
+    (nan/inf have no SQL literal) fall back to F.lit."""
+    import math
+
+    def fmt(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError("non-finite")
+        return repr(f) + "D"
+
+    try:
+        return F.expr(fmt(values))
+    except ValueError:
+        return F.lit(values)
+
+
 def floor_to_zero(arr: Column) -> Column:
     """F2 — ``x - min(x)`` per record (``ProcessIntensityd``,
     reference transforms/utils.py:36-53)."""

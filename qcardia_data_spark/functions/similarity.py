@@ -17,7 +17,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qcardia_data_spark.functions.arrays import cosine, dot, l2_norm
+from qcardia_data_spark.functions.arrays import (
+    cosine,
+    dot,
+    l2_norm,
+    literal_double_array,
+)
 
 
 def cosine_topk(
@@ -29,7 +34,7 @@ def cosine_topk(
     The query is a literal array (broadcast into the plan); the scan is one
     narrow pass, and orderBy+limit compiles to per-partition heaps.
     """
-    q = F.lit([float(x) for x in query_vec])
+    q = literal_double_array([float(x) for x in query_vec])
     scored = embeddings.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("score"),
@@ -90,7 +95,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, seed: int = 0, dim: int = 
     index-ordered zip_with dot per plane, same >0 sign test, and
     2.0**p == 1<<p exactly for the plane counts in use."""
     signs = hyperplane_signs(n_planes, dim, seed)
-    sm = F.lit(signs)
+    sm = literal_double_array(signs)
     d = _dim_checked(vec.cast("array<double>"), dim, "hyperplane_bucket")
     bits = F.transform(
         sm,
@@ -156,7 +161,7 @@ def multiprobe_buckets(
     if not 0 <= n_flip <= n_planes:
         raise ValueError(f"need 0 <= n_flip <= n_planes, got {n_flip}")
     signs = hyperplane_signs(n_planes, dim, seed)
-    sm = F.lit(signs)
+    sm = literal_double_array(signs)
     d = _dim_checked(vec.cast("array<double>"), dim, "multiprobe_buckets")
     dots = F.transform(
         sm,
@@ -234,7 +239,7 @@ def ann_lsh_topk(
     At scale: persist ``bucket`` as a partition/bucketing column of the
     embedding table so a probe is a partition-pruned scan, not a full pass.
     """
-    q = F.lit([float(x) for x in query_vec])
+    q = literal_double_array([float(x) for x in query_vec])
     bucketed = embeddings.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim))
     # query bucket computed driver-side (bit-identical fold) — saves the
     # spark.range(1)+collect job the old form paid per probe
@@ -251,7 +256,7 @@ def _assign_to_centroids(embeddings: DataFrame, cents: list[list[float]], vec_co
     set — one narrow map pass, no shuffle."""
     # one nested-array literal + index lambda instead of n_cells × dim
     # F.lit calls — same driver-side py4j economics as hyperplane_bucket
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    cent_arr = literal_double_array([[float(x) for x in c] for c in cents])
     # dim guard (r12 review, the _dim_checked class): a vector whose
     # length differs from the centroids' zip_with-null-pads in the dot,
     # the cosine NULL-folds, and the row silently lands in an arbitrary
@@ -337,7 +342,7 @@ def ann_ivf_topk(
         embeddings, n_cells, seed, id_col=id_col, vec_col=vec_col
     )
     probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
-    qcol = F.lit([float(x) for x in query_vec])
+    qcol = literal_double_array([float(x) for x in query_vec])
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -446,7 +451,7 @@ def ann_ivf_topk_pruned(
     makes IVF work at 100 TB (same math as :func:`ann_ivf_topk`, different
     storage layout)."""
     probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
-    qcol = F.lit([float(x) for x in query_vec])
+    qcol = literal_double_array([float(x) for x in query_vec])
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -681,7 +686,7 @@ def _pq_adc_topk_residual(
         for c in centroids
     ]
     qarr = F.lit(qres)
-    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    cbl = literal_double_array([[list(map(float, c)) for c in sub] for sub in codebooks])
     qcell = F.element_at(qarr, F.col("cell") + 1)
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -746,7 +751,7 @@ def _pq_assign(sub_rows: DataFrame, codebooks: list[list[list[float]]]) -> DataF
     are ROUNDED to 6 decimals before the argmin (code-index tie-break),
     the round-before-compare pattern that keeps iterative assignments
     bit-identical across engines (cf. text_ccnet_buckets, BM25)."""
-    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    cbl = literal_double_array([[list(map(float, c)) for c in sub] for sub in codebooks])
     cands = F.element_at(cbl, F.col("sub") + 1)
     scored = F.transform(
         cands,
@@ -1012,7 +1017,7 @@ def pq_adc_topk(
     q = [float(x) for x in query_vec]
     q_slices = [q[s * d_sub:(s + 1) * d_sub] for s in range(m)]
     qarr = F.lit(q_slices)
-    cbl = F.lit([[list(map(float, c)) for c in sub] for sub in codebooks])
+    cbl = literal_double_array([[list(map(float, c)) for c in sub] for sub in codebooks])
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1309,7 +1314,7 @@ def random_projection(
     products for brute-force/IVF/LSH stages) at a bounded distortion.
     One nested-array plan literal, one narrow map pass, no shuffle."""
     signs = hyperplane_signs(out_dim, dim, seed)
-    sm = F.lit(signs)
+    sm = literal_double_array(signs)
     d = F.col(vec_col).cast("array<double>")
     inv = 1.0 / (out_dim ** 0.5)
     proj = F.transform(

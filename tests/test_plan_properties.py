@@ -219,3 +219,37 @@ def test_pattern_and_profile_queries_single_pass(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_w1_weight_window_is_not_single_partition(spark, sf_dir):
+    """r15: group_weights_window's whole-frame total must come from a
+    1-row aggregate + broadcast join, never from ``count(*) over ()`` —
+    the empty window spec compiled to Exchange SinglePartition of the
+    ENTIRE frame and serialized the per-group window onto one task."""
+    plan = _plan(spark, sf_dir, "w1_count_over_partition")
+    # no GLOBAL window (empty partition spec): a windowspecdefinition whose
+    # first argument is the frame itself means the whole frame funnels
+    # through one task. (The count-agg's own SinglePartition exchange is
+    # fine — it carries one partial-count row per task, not the frame.)
+    assert "windowspecdefinition(specifiedwindowframe" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total attachment
+    assert "Window" in plan  # per-group cnt still rides one hash window
+
+
+def test_lsh_candidate_dedup_uses_explicit_repartition(spark, sf_dir):
+    """r15: the candidate-pair dedup must be an explicit-numPartitions
+    repartition (exempt from AQE byte-based coalescing), not a bare
+    distinct() — the coalesced exchange serialized the Jaccard verify
+    stage reading it onto a single task (profiled: 1.1 s of the 3 s
+    minhash pipeline at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = D.shingle_rows(docs, "doc_id", "text")
+    sigs = D._band_signature_frame(sh, "doc_id", 8)
+    for kwargs in ({"max_bucket_size": None}, {"max_bucket_size": 1000, "hub_ranks": [0, 1]}):
+        cands = D.lsh_candidate_pairs(sigs, "doc_id", **kwargs)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, kwargs

@@ -1013,3 +1013,28 @@ def test_mixed_dim_vectors_refused_in_ivf_and_pq(spark):
     cb = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, d_sub=2
     with pytest.raises(Exception, match="dim"):
         pq_encode_with_codebooks(emb, cb).collect()
+
+
+def test_hyperplane_bucket_py_matches_spark(spark, sf_dir):
+    """r15: the driver-side query-bucket fold must stay bit-identical to
+    the Spark expression (ann_lsh_topk now computes the query side in
+    Python — same IEEE left-to-right accumulation order)."""
+    from pyspark.sql import functions as F
+
+    from qcardia_data_spark.functions.similarity import (
+        hyperplane_bucket,
+        hyperplane_bucket_py,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select(
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), 8, 0, 64).alias("b8"),
+        hyperplane_bucket(F.col("embedding"), 6, 3, 64).alias("b6s3"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert hyperplane_bucket_py(r["embedding"], 8, 0, 64) == r["b8"]
+        assert hyperplane_bucket_py(r["embedding"], 6, 3, 64) == r["b6s3"]
+    with __import__("pytest").raises(ValueError, match="dim"):
+        hyperplane_bucket_py([1.0, 2.0], 8, 0, 64)
