@@ -310,9 +310,9 @@ def merge_upsert_partitioned(
     if not touched:
         return
 
-    stored = spark.read.parquet(f"{path}/rows").filter(
-        F.col(_BUCKET).isin(touched)
-    )
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+    stored = read_pruned_partitions(spark, f"{path}/rows", _BUCKET, touched)
     order = [F.col(ts).desc()]
     if tiebreak is not None:
         order.append(F.col(tiebreak).desc())
@@ -374,9 +374,9 @@ def upsert_lookup(
             ).collect()
         }
     )
-    df = spark.read.parquet(f"{path}/rows").filter(
-        F.col(_BUCKET).isin(buckets)
-    )
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+    df = read_pruned_partitions(spark, f"{path}/rows", _BUCKET, buckets)
     vals = F.broadcast(kdf.distinct())
     return df.join(vals, key, "left_semi").drop(_BUCKET)
 

@@ -2000,9 +2000,10 @@ def near_dedup_incremental(
                 _sig_bucket(F.col("sig"), n_sig_buckets).alias("b")
             ).distinct().collect()  # bounded: ≤ n_sig_buckets rows
         ]
-        idx_sigs = (
-            spark.read.parquet(f"{index_path}/sigs")
-            .filter(F.col("sig_bucket").isin(probe_buckets))
+        from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+        idx_sigs = read_pruned_partitions(
+            spark, f"{index_path}/sigs", "sig_bucket", probe_buckets
         )
         cand_idx = (
             sigs_new.join(
@@ -2030,11 +2031,9 @@ def near_dedup_incremental(
                 _id_bucket(F.col("_idx_id"), n_id_buckets).alias("b")
             ).distinct().collect()  # bounded: ≤ n_id_buckets rows
         ]
-        idx_sets = (
-            spark.read.parquet(f"{index_path}/shingle_sets")
-            .filter(F.col("id_bucket").isin(set_buckets))
-            .select(F.col(id_col).alias("_idx_id"), F.col("shingles").alias("_sb"))
-        )
+        idx_sets = read_pruned_partitions(
+            spark, f"{index_path}/shingle_sets", "id_bucket", set_buckets
+        ).select(F.col(id_col).alias("_idx_id"), F.col("shingles").alias("_sb"))
         new_sets = sh_new.groupBy(id_col).agg(
             F.collect_list("shingle").alias("_sa")
         )
@@ -2294,11 +2293,11 @@ def winnow_incremental(
             r["fp_bucket"]
             for r in bfps.select("fp_bucket").distinct().collect()
         ]  # bounded driver collect: <= n_fp_buckets rows
-        idx = (
-            spark.read.parquet(f"{index_path}/fps")
-            .filter(F.col("fp_bucket").isin(buckets))  # partition filter
-            .select(F.col(id_col).alias("_id"), "fp")
-        )
+        from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+        idx = read_pruned_partitions(
+            spark, f"{index_path}/fps", "fp_bucket", buckets
+        ).select(F.col(id_col).alias("_id"), "fp")
         pool = idx.unionByName(bfps.select("_id", "fp")).distinct()
         ok = (
             pool.groupBy("fp").agg(F.count("*").alias("_df"))
@@ -2540,9 +2539,10 @@ def hamming64_index_probe(
         buckets = [
             r["kb"] for r in bblocks.select("kb").distinct().collect()
         ]  # bounded: <= n_key_buckets
-        idx = (
-            spark.read.parquet(f"{index_path}/blocks")
-            .filter(F.col("kb").isin(buckets))  # partition filter
+        from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+        idx = read_pruned_partitions(
+            spark, f"{index_path}/blocks", "kb", buckets
         )
         pool = idx.select(id_col, "lo", "hi", "blk", "val").unionByName(
             bblocks.select(id_col, "lo", "hi", "blk", "val")

@@ -309,11 +309,11 @@ def bm25_topk_from_index(
         .distinct()
         .collect()
     )
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(query_terms))
-    )
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+    postings = read_pruned_partitions(
+        spark, f"{path}/postings", "term_bucket", buckets
+    ).filter(F.col("term").isin(query_terms))
     stats = spark.read.parquet(f"{path}/_stats")
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -478,11 +478,11 @@ def phrase_occurrences_from_index(
             term_bucket(F.col("term"), n_buckets).alias("b")
         ).distinct().collect()
     ]
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("term_bucket").isin(buckets))  # partition filter
-        .filter(F.col("term").isin(list(set(phrase))))
-    )
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
+    postings = read_pruned_partitions(
+        spark, f"{path}/postings", "term_bucket", buckets
+    ).filter(F.col("term").isin(list(set(phrase))))
     m = postings.join(F.broadcast(ph), "term").select(
         id_col, (F.col("pos") - F.col("j")).alias("anchor"), "j"
     )

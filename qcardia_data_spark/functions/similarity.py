@@ -450,9 +450,11 @@ def ann_ivf_topk_pruned(
     probed directories — scan cost ∝ probed fraction, the property that
     makes IVF work at 100 TB (same math as :func:`ann_ivf_topk`, different
     storage layout)."""
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
     probe_cells = ivf_probe_cells(centroids, query_vec, n_probe)
     qcol = literal_double_array([float(x) for x in query_vec])
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    cand = read_pruned_partitions(spark, path, "cell", probe_cells)
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
@@ -652,8 +654,10 @@ def ann_ivfpq_topk_pruned(
         # sequential-fold normalize (NOT numpy @ — see _seq_fold_normalize)
         q = np.asarray(_seq_fold_normalize(q), dtype=np.float64)
 
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
     probe = _rank_cells(list(enumerate(cents)), q, n_probe)
-    cand = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    cand = read_pruned_partitions(spark, path, "cell", probe)
     # q, not query_vec: a normalized index must see the NORMALIZED query
     # in the ADC too, or the ranking quietly reverts to the raw metric
     if "residual" in meta.__fields__ and meta["residual"]:
@@ -989,12 +993,10 @@ def ann_index_append(
             rows = _assign_to_centroids(embeddings, cents, vec_col)
         part_col = "cell"
 
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
     parts = [r[part_col] for r in rows.select(part_col).distinct().collect()]
-    existing = (
-        spark.read.parquet(path)
-        .filter(F.col(part_col).isin(parts))
-        .select(id_col)
-    )
+    existing = read_pruned_partitions(spark, path, part_col, parts).select(id_col)
     fresh = rows.join(existing, id_col, "left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
@@ -1255,9 +1257,10 @@ def pairwise_topk_join_pruned(
     probe = [
         r["bucket"] for r in lb.select("bucket").distinct().collect()
     ]  # bounded: ≤ 2^n_planes rows
+    from qcardia_data_spark.sources.readers import read_pruned_partitions
+
     rb = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(probe))
+        read_pruned_partitions(spark, path, "bucket", probe)
         .select(
             "bucket", F.col(id_right), F.col(vec_col).alias("_vr")
         )

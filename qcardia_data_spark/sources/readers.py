@@ -165,6 +165,71 @@ def is_path_not_found(e: Exception) -> bool:
     )
 
 
+def read_pruned_partitions(
+    spark: SparkSession, root: str, part_col: str, values,
+) -> DataFrame:
+    """Read a ``part_col``-partitioned parquet table restricted to the
+    partitions in ``values``, listing ONLY those partition directories.
+
+    Equivalent to ``spark.read.parquet(root).filter(col(part_col)
+    .isin(values))`` — same rows, same schema — but the plain form makes
+    the driver list EVERY partition directory under ``root`` before
+    pruning, an O(index) term that r14's append-scaling panel measured
+    dominating standing-index probe wall time (winnow probe 9.3→27.3 s
+    across a 4× index while post-pruning read VOLUME stayed flat ±1.7%).
+    Here the probed directories — known driver-side, bounded by the
+    probe's own bucket set — are passed to the reader directly with
+    ``basePath`` set to the table root, so Spark's file index never
+    touches unprobed directories (guide §6: manifest-style metadata
+    beats directory listing at scale; the probe's bucket set IS the
+    manifest for bucket-partitioned indexes).
+
+    Existence is checked per directory against the live filesystem
+    (never a side manifest file), so a concurrent/crashed append can
+    never make this read MISS files the plain read would see. Falls back
+    to the plain read — bit-identical semantics, including the error
+    raised for a missing ``root`` — whenever ``values`` is empty, no
+    probed directory exists, a value is not a plain int (partition-path
+    escaping is only trivially correct for ints, which every engine
+    bucket column uses), or schema inference over the probed subset
+    fails (e.g. committed-but-empty directories).
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        vals = sorted(set(values))
+    except TypeError:  # unsortable mix — let the plain read adjudicate it
+        vals = list(values)
+
+    def _fallback() -> DataFrame:
+        return spark.read.parquet(root).filter(F.col(part_col).isin(vals))
+
+    if not vals or not all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vals
+    ):
+        return _fallback()
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    jroot = jpath(root)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    qroot = fs.makeQualified(jroot)
+    dirs = [
+        str(p)
+        for p in (jpath(qroot, f"{part_col}={v}") for v in vals)
+        if fs.exists(p)
+    ]
+    if not dirs:
+        return _fallback()
+    try:
+        pruned = spark.read.option("basePath", str(qroot)).parquet(*dirs)
+    except AnalysisException:
+        return _fallback()
+    # the filter is semantic-parity insurance (and keeps the plan's
+    # partition predicate visible); with the pruned listing it prunes
+    # nothing further
+    return pruned.filter(F.col(part_col).isin(vals))
+
+
 def orc_scan(spark: SparkSession, path: str) -> DataFrame:
     """[ext] ORC source — Spark's other native columnar format (built-in
     reader, no extra jar): predicate pushdown + column pruning work the
