@@ -4620,7 +4620,7 @@ def sim_lsh_md5(spark, sf_dir):
     d = F.col("embedding").cast("array<double>")
 
     def plane_dot(p: int):
-        signs = F.lit(list(_LSH_SIGNS[p]))
+        signs = A.literal_double_array(_LSH_SIGNS[p])
         return F.aggregate(
             F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
         )
@@ -4716,7 +4716,7 @@ def sim_diversity_sample(spark, sf_dir):
     d = F.col("embedding").cast("array<double>")
 
     def plane_dot(p: int):
-        signs = F.lit(list(_LSH_SIGNS[p]))
+        signs = A.literal_double_array(_LSH_SIGNS[p])
         return F.aggregate(
             F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
         )
@@ -4750,7 +4750,7 @@ def sim_ann_join_md5(spark, sf_dir):
     d = F.col("embedding").cast("array<double>")
 
     def plane_dot(p: int):
-        signs = F.lit(list(_LSH_SIGNS[p]))
+        signs = A.literal_double_array(_LSH_SIGNS[p])
         return F.aggregate(
             F.zip_with(d, signs, lambda x, s: x * s), F.lit(0.0), lambda a, e: a + e
         )
