@@ -104,13 +104,18 @@ def io_probe_sec(spark, sf_dir: str, repeats: int = 2) -> float:
     normalization formula is unchanged for comparability."""
     import os as _os
 
-    samples = []
-    df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        samples.append(round(time.perf_counter() - t0, 3))
-    return min(samples)
+    # diagnostic-only by contract (ADVICE r15): a corpus without lineitem
+    # must not abort the whole bench — emit null for the probe instead
+    try:
+        samples = []
+        df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        return min(samples)
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def calibration_sec(spark, repeats: int = 3) -> float:

@@ -29,11 +29,15 @@ def literal_double_array(values) -> Column:
     the shortest decimal string that round-trips the IEEE double and the
     SQL parser reads it back with Java's correctly-rounded parse, so
     every value is bit-identical to the F.lit form. Non-finite values
-    (nan/inf have no SQL literal) fall back to F.lit."""
+    (nan/inf have no SQL literal) and EMPTY lists (SQL ``array()`` types
+    as array<string>, diverging from the F.lit form — VERDICT r15
+    hardening) fall back to F.lit."""
     import math
 
     def fmt(v) -> str:
         if isinstance(v, (list, tuple)):
+            if len(v) == 0:
+                raise ValueError("empty list — SQL array() would type as array<string>")
             return "array(" + ",".join(fmt(x) for x in v) + ")"
         f = float(v)
         if not math.isfinite(f):

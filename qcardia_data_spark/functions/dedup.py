@@ -695,9 +695,10 @@ def near_dedup_minhash(
     each extra round adds k−1 edges per capped bucket only — small buckets
     contribute identical pairs that the distinct() collapses.
 
-    The (id, shingle) row set is computed once and persisted — it feeds both
-    the signature build and the Jaccard verify (at 100 TB you would
-    checkpoint this intermediate instead).
+    The (id, shingle) row set is computed once and materialized with an
+    eager ``localCheckpoint`` — it feeds both the signature build and the
+    Jaccard verify (twice: both set-broadcast builds), and the checkpoint
+    truncates the tokenize subtree from every one of those plans.
 
     The signature frame is materialized (``localCheckpoint``) before the
     bucket join: it appears three times downstream (both self-join sides +
@@ -706,14 +707,41 @@ def near_dedup_minhash(
     sf0.1 the query was plan-overhead-bound (~1 s warm compute inside a
     10 s wall). Truncating lineage here collapses the downstream plan to a
     LogicalRDD scan; signatures are O(docs × bands) tiny rows, cheap to
-    hold. (On a real cluster use a reliable ``checkpoint()`` dir instead —
-    localCheckpoint does not survive executor loss.)
+    hold. (On a real cluster pass ``reliable_dir`` instead —
+    localCheckpoint does not survive executor loss; that branch keeps the
+    r15 persist + forced-losers shape with parquet-backed signatures.)
     """
     # Spread an under-partitioned corpus before the regexp-heavy shingle
     # stage. (Round-2 measured this NET-NEGATIVE when the whole pipeline was
     # one mega-plan — the plan-overhead tax dominated; with the signature
     # checkpoint below splitting the plan, the spread is a clean 2-5× win on
     # the tokenize stage and a no-op when the scan is already parallel.)
+    if reliable_dir is None:
+        # r16: the shingle rows are materialized with an eager
+        # localCheckpoint instead of the r15 persist()+forced-losers-count
+        # shape. Same blocks on the same executors, but (a) the tokenize
+        # subtree is TRUNCATED from every downstream plan (it appeared in
+        # full under BOTH set-broadcast builds — the 35 KB minhash plan),
+        # (b) the separate losers.count() job disappears: candidates,
+        # verify and the anti join now run inside the caller's ONE action
+        # with AQE scheduling the stages, and (c) the r15 shape's returned
+        # plan — which recomputed shingles from parquet because sh was
+        # unpersisted before return, and leaked one tiny persisted `losers`
+        # per call — is gone. Results identical (pure structure).
+        sh = shingle_rows(
+            spread_small_scan(df, id_col), id_col, text_col, shingle_n
+        ).localCheckpoint(eager=True)
+        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(eager=True)
+        cands = lsh_candidate_pairs(
+            sigs, id_col, max_bucket_size=max_bucket_size,
+            hub_ranks=(
+                list(range(star_rounds)) if max_bucket_size is not None else None
+            ),
+        )
+        dups = jaccard_verify_sets(cands, sh, id_col, threshold)
+        losers = dups.select(F.col("b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+
     sh = shingle_rows(spread_small_scan(df, id_col), id_col, text_col, shingle_n).persist()
     try:
         # All n_bands signatures in ONE aggregation pass: each shingle row
@@ -728,21 +756,18 @@ def near_dedup_minhash(
         # (shared with the incremental index — _band_signature_frame keeps
         # index and full-run signatures bit-identical by construction)
         sigs = _band_signature_frame(sh, id_col, n_bands)
-        if reliable_dir is not None:
-            # the reliable twin of the localCheckpoint below (VERDICT r11
-            # #8, extended r12): persist the signature table as parquet
-            # under a caller path so executor loss cannot fail the job —
-            # signatures are md5-deterministic, so unlike the shingle
-            # dictionary this is purely an availability upgrade
-            from qcardia_data_spark.functions.graph import (
-                fresh_run_namespace,
-            )
+        # the reliable twin of the default branch's localCheckpoints
+        # (VERDICT r11 #8, extended r12): persist the signature table as
+        # parquet under a caller path so executor loss cannot fail the
+        # job — signatures are md5-deterministic, so unlike the shingle
+        # dictionary this is purely an availability upgrade
+        from qcardia_data_spark.functions.graph import (
+            fresh_run_namespace,
+        )
 
-            spath = f"{reliable_dir}/{fresh_run_namespace()}/signatures"
-            sigs.write.mode("overwrite").parquet(spath)
-            sigs = df.sparkSession.read.parquet(spath)
-        else:
-            sigs = sigs.localCheckpoint(eager=True)
+        spath = f"{reliable_dir}/{fresh_run_namespace()}/signatures"
+        sigs.write.mode("overwrite").parquet(spath)
+        sigs = df.sparkSession.read.parquet(spath)
         cands = lsh_candidate_pairs(
             sigs, id_col, max_bucket_size=max_bucket_size,
             hub_ranks=(

@@ -210,18 +210,38 @@ def hyperplane_bucket_py(
     lambda performs, and the sign test / bit weights are the same. Using
     it for the query vector removes one whole Spark job (a
     ``spark.range(1)`` + collect round-trip) from every probe — the
-    bucket of one vector is driver-scale work by definition."""
+    bucket of one vector is driver-scale work by definition.
+
+    Non-finite/None elements are REFUSED loudly (ADVICE r15): the twin
+    property only holds for finite doubles — Spark SQL sorts NaN greatest
+    (``NaN > 0`` is true, so the old Spark-side path set the bit) while
+    Python's ``acc > 0.0`` is False for NaN, and a None element would
+    null-fold the whole dot to bucket 0 on the Spark side but raise
+    TypeError here. A query vector with nan/inf/None has no meaningful
+    bucket; erroring beats probing a silently different one."""
+    import math
+
     if len(vec) != dim:
         raise ValueError(
             f"hyperplane_bucket_py: vector dim {len(vec)} != configured dim {dim}"
         )
+    vals = []
+    for j, x in enumerate(vec):
+        f = None if x is None else float(x)
+        if f is None or not math.isfinite(f):
+            raise ValueError(
+                f"hyperplane_bucket_py: element {j} is {x!r} — non-finite/None "
+                "query vectors have no well-defined LSH bucket (Spark-side NaN "
+                "semantics differ: NaN > 0 is true in SQL, false here)"
+            )
+        vals.append(f)
     signs = hyperplane_signs(n_planes, dim, seed)
     bucket = 0
     for p in range(n_planes):
         acc = 0.0
         row = signs[p]
         for j in range(dim):
-            acc = acc + float(vec[j]) * row[j]
+            acc = acc + vals[j] * row[j]
         if acc > 0.0:
             bucket += 1 << p
     return bucket
@@ -1090,16 +1110,30 @@ def pairwise_topk_join(
     # cosine() per pair, which re-folds both norms O(pairs) times. Same
     # doubles (identical expression on identical arrays), ~3× less
     # higher-order-function work in the pair stage.
-    lb = left.select(F.col(id_left), F.col(vec_col).alias("_vl")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_vl"), n_planes, seed, dim)
-    ).withColumn("_nl", l2_norm(F.col("_vl")))
-    rb = right.select(F.col(id_right), F.col(vec_col).alias("_vr")).withColumn(
-        "bucket", hyperplane_bucket(F.col("_vr"), n_planes, seed, dim)
-    ).withColumn("_nr", l2_norm(F.col("_vr")))
+    # The bucket is materialized through an ``explode(array(...))``
+    # generator barrier (the :func:`shingle_rows` idiom): joining on a
+    # PROJECTED bucket column lets Catalyst infer ``isnotnull(bucket)`` and
+    # push the whole sign-matrix fold into every downstream Filter — the
+    # expression then appears (and evaluates) once per Filter AND once per
+    # Project, per subtree copy (~2 KB of plan text and a full fold per row
+    # each). Behind the barrier the join-key null filter applies to the
+    # generated attribute instead, so each side computes its bucket exactly
+    # once and the plan carries one fold per scan. Same rows either way: a
+    # null bucket (impossible for a dim-checked vector) never survives the
+    # equi-join in either form.
+    def _bucketed(df: DataFrame, id_col: str, vcol: str, n_pl: int, sd: int) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col).alias(vcol),
+            F.explode(
+                F.array(hyperplane_bucket(F.col(vec_col), n_pl, sd, dim))
+            ).alias("bucket"),
+        ).withColumn(f"_n{vcol[-1]}", l2_norm(F.col(vcol)))
+
+    lb = _bucketed(left, id_left, "_vl", n_planes, seed)
+    rb = _bucketed(right, id_right, "_vr", n_planes, seed)
     if max_bucket_size is not None:
-        # NOTE: the bucketed right side is referenced three times (count
-        # agg, cold anti-probe, hot semi-probe), so the hyperplane dot
-        # products recompute per reference. Deliberately NOT materialized
+        # NOTE: the bucketed right side is deliberately NOT materialized
         # here: composed queries embed several pairwise joins plus
         # invariant branches in ONE plan and rely on Catalyst's
         # ReusedExchange across those references — a checkpoint (eager or
@@ -1111,23 +1145,54 @@ def pairwise_topk_join(
             rb.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_bucket_size)
-            .select("bucket")
+            .select("bucket", F.lit(1).alias("_h"))
         )
-        # hot-bucket list is tiny (≤ 2^n_planes rows) — broadcast it, and
-        # keep the expensive machinery (subdivision planes, cap window) on
-        # the HOT slice only: on a normal corpus the hot slice is empty and
-        # the guard costs one small count-agg plus two broadcast probes.
-        def subdivide(df: DataFrame, vcol: str) -> DataFrame:
-            cold = df.join(F.broadcast(hot), "bucket", "left_anti").withColumn(
-                "sub", F.lit(-1)
-            )
-            hot_rows = df.join(F.broadcast(hot), "bucket", "left_semi").withColumn(
-                "sub", hyperplane_bucket(F.col(vcol), extra_planes, seed + 1_000_003, dim)
-            )
-            return cold, hot_rows
+        # hot-bucket list is tiny (≤ 2^n_planes rows) — broadcast it as ONE
+        # indicator left-join per side instead of the r15 anti+semi pair:
+        # the anti/semi form embedded each side's scan+bucket subtree TWICE
+        # and the hot-agg subtree FOUR times (8 scans, a 72 KB formatted
+        # plan whose per-repeat Catalyst analysis was ~1 s of the bench
+        # wall — guide §7.3 "very large plans spend minutes in the
+        # optimizer", measured here at seconds scale). The indicator join
+        # keeps the LEFT side to a single subtree (sub assigned by CASE on
+        # the indicator) and the right side to two (the cap window must not
+        # drag COLD rows through a sort — windowing the union would add a
+        # full exchange+sort of every right row, a real regression at
+        # scale). Same rows: cold ⇔ indicator null ⇔ sub = -1, hot rows
+        # get the identical subdivision planes and cap ranking as before.
+        def tag(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(hot), "bucket", "left")
 
-        l_cold, l_hot = subdivide(lb, "_vl")
-        r_cold, r_hot = subdivide(rb, "_vr")
+        # the sub assignments sit behind the same generator barrier as the
+        # bucket (the join on sub would otherwise inline the CASE + fold
+        # into every inferred isnotnull filter)
+        lb = tag(lb).select(
+            "*",
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("_h").isNotNull(),
+                        hyperplane_bucket(
+                            F.col("_vl"), extra_planes, seed + 1_000_003, dim
+                        ),
+                    ).otherwise(F.lit(-1).cast("long"))
+                )
+            ).alias("sub"),
+        ).drop("_h")
+        rt = tag(rb)
+        r_cold = rt.filter(F.col("_h").isNull()).withColumn(
+            "sub", F.lit(-1).cast("long")
+        ).drop("_h")
+        r_hot = rt.filter(F.col("_h").isNotNull()).select(
+            "*",
+            F.explode(
+                F.array(
+                    hyperplane_bucket(
+                        F.col("_vr"), extra_planes, seed + 1_000_003, dim
+                    )
+                )
+            ).alias("sub"),
+        ).drop("_h")
         # backstop: subdivision cannot split identical vectors — cap each
         # still-hot (bucket, sub) group by deterministic keyed hash
         cap_w = Window.partitionBy("bucket", "sub").orderBy(
@@ -1138,7 +1203,6 @@ def pairwise_topk_join(
             .filter(F.col("_cap_rn") <= max_bucket_size)
             .drop("_cap_rn")
         )
-        lb = l_cold.unionByName(l_hot)
         rb = r_cold.unionByName(r_hot)
         joined = lb.join(rb, ["bucket", "sub"])
     else:

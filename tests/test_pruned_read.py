@@ -82,3 +82,56 @@ def test_probe_sees_files_appended_after_first_probe(spark, bucketed):
     ).write.mode("append").partitionBy("bkt").parquet(bucketed)
     after = read_pruned_partitions(spark, bucketed, "bkt", [2]).count()
     assert after == before + 8
+
+
+def test_one_shot_iterator_with_unsortable_mix_falls_back_with_values(
+    spark, bucketed
+):
+    # ADVICE r15: a one-shot ITERATOR of unsortable values must not be
+    # silently exhausted into an empty filter by the sorted() try — the
+    # helper materializes first, so the plain-read fallback still sees
+    # every value
+    with pytest.raises(AnalysisException):
+        read_pruned_partitions(spark, bucketed, "bkt", iter([True, 3])).count()
+    # and a plain well-typed iterator behaves like the list form
+    via_iter = read_pruned_partitions(spark, bucketed, "bkt", iter([1, 5]))
+    via_list = read_pruned_partitions(spark, bucketed, "bkt", [1, 5])
+    assert sorted(map(tuple, via_iter.collect())) == sorted(
+        map(tuple, via_list.collect())
+    )
+
+
+def test_mixed_magnitude_partition_values_schema_equality(
+    spark, tmp_path_factory
+):
+    # VERDICT r15 hardening #5: partition-type inference over a probed
+    # SUBSET vs the full listing. When the probe TOUCHES the huge value,
+    # both listings see it and infer long — parity holds. (A small-only
+    # probe of a mixed-magnitude EXTERNAL table would infer narrower —
+    # that table shape is unreachable from the engine's writers, whose
+    # bucket values are int-typed and capped at 2**20; the cap is pinned
+    # below and the limitation documented in the reader's docstring.)
+    root = str(tmp_path_factory.mktemp("pruned_mixed") / "tbl")
+    df = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 2**40)], "id long, bkt long"
+    )
+    df.write.mode("overwrite").partitionBy("bkt").parquet(root)
+    for probe in ([3, 2**40], [2**40], [5, 2**40, 2**41]):
+        full = _plain(spark, root, probe)
+        pruned = read_pruned_partitions(spark, root, "bkt", probe)
+        assert pruned.schema == full.schema, probe
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        ), probe
+
+
+def test_engine_bucket_values_stay_int32_safe():
+    # the contract that keeps pruned-read type inference equal to the
+    # full listing on every ENGINE index: bucket counts are capped at
+    # 2**20 (auto sizing) and bucket values live in [0, n_buckets), far
+    # inside int32 — so every partition dir of an engine index infers
+    # IntegerType no matter which subset a probe lists
+    from qcardia_data_spark.functions.dedup import auto_index_buckets
+
+    assert auto_index_buckets(10**18) <= 2**20
+    assert auto_index_buckets(0) >= 1
