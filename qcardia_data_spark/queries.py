@@ -9374,116 +9374,23 @@ def x9_weighted_rejection(spark, sf_dir):
 # their original order; they keep local parity coverage via tests/.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # ROUND-15 WINDOW -- executes VERDICT r14 "Next round" #2: the committed
-    # r15 rotation exactly as queued last round (the r14 _NEXT_IN_LINE,
-    # promoted verbatim): anchor + the 35 remaining r10-vintage (includes
-    # ev_anomaly_mad, whose driver row lands on r14's null-safe median/MAD
-    # join-back rewrite by position) + the text_unimax_mix code-touch slot
-    # (r14's null-safe waterfill + NULLS-LAST tie-break) + the 13 oldest
-    # r11-vintage. After this window: r10-stale = 0.
+    # ROUND-16 WINDOW -- executes the r15-committed rotation plan verbatim
+    # (the r15 _NEXT_IN_LINE, promoted): anchor + the 29 remaining
+    # r11-vintage + the 20 oldest r12-vintage. After this window:
+    # r11-stale = 0.
     #
     # CADENCE POLICY (standing, VERDICT r9 #5 / r10 #4 / r11 #4 / r12 #5 /
     # r13 #5 / r14 #6): registry FROZEN at 226 -- net-new queries only for
-    # code-touched paths, each justified by a code-touch citation (the r13
-    # x9_weighted_rejection precedent is the template: justified,
-    # oracle-bearing, queued). r15 adds ZERO net-new rows. 226 / 50 slots
-    # = ~4.5 rounds per full sweep.
+    # code-touched paths, each justified by a code-touch citation. r16 is
+    # an optimization round: ZERO net-new rows. 226 / 50 slots = ~4.5
+    # rounds per full sweep.
     #
     # FLAGSHIP VINTAGE CHECK (r12 #5): anchors q1/j2/q3/q5/a4 get a
-    # <=3-round refresh. All four non-anchor flagships were graded r14, so
-    # the next refresh is due by r17: neither this window nor the r16
-    # queue needs reserved slots, and the r17 window MUST carry all four
-    # (tests/test_grade_window.py::test_flagship_slots_reserved encodes
-    # the due-date math from GRADE_WINDOW.json).
-    #
-    # ROUND-16 ROTATION PLAN: anchor + the 29 remaining r11-vintage + the
-    # 20 oldest r12-vintage = 50; _NEXT_IN_LINE below IS that queue
-    # (recomputed from GRADE_WINDOW.json after the r14 grade this round:
-    # r11 cohort 43, 14 consumed by this window [13 fill rows +
-    # text_unimax_mix], 29 remain). Round 17 then takes the r12 remainder
-    # (29 rows) + the four flagship refresh slots + the oldest r13 rows
-    # to fill 50.
+    # <=3-round refresh. The four non-anchor flagships were graded r14,
+    # due r17 -- they sit in _NEXT_IN_LINE below (the r17 queue), which
+    # tests/test_grade_window.py::test_flagship_slots_reserved enforces
+    # from GRADE_WINDOW.json's due-date math.
     "q1_pricing_summary",  # flagship anchor -- graded every round
-    # --- r10-vintage remainder (alphabetical, grade_window.py sort) ---
-    "dedup_simhash_incremental",
-    "dedup_span_removal",
-    "dedup_winnow_incremental",
-    "dedup_winnow_verified",
-    "dedup_winnowing_pairs",
-    "dim_table_diff",
-    "doc_hygiene_audit",
-    "emb_hygiene_audit",
-    "emb_matryoshka_topk",
-    "emb_random_projection",
-    "ev_anomaly_mad",
-    "ev_asof_last_view_1h",
-    "ev_asof_nearest_purchase",
-    "ev_counter_agg",
-    "ev_drift_chisq",
-    "ev_drift_psi",
-    "ev_ewma",
-    "ev_handoff_bfs_hops",
-    "ev_handoff_cheapest_path",
-    "ev_handoff_kcore",
-    "ev_heartbeat_uptime",
-    "ev_latest_dedup",
-    "ev_pattern_view_run_length",
-    "ev_pattern_view_view_purchase",
-    "ev_props_json",
-    "ev_scd2_point_in_time",
-    "ev_state_durations",
-    "ev_value_histogram",
-    "f10_one_hot",
-    "f24_map_functions",
-    "text_phrase_index_probe",
-    "text_phrase_search",
-    "text_url_canonical",
-    "w4b_cumulative_sum_distributed",
-    "x8_bootstrap_poisson",
-    # --- CODE-TOUCHED SLOT (r14 review sweep; driver row on the
-    # null-safe unimax waterfill closes the loop) ---
-    "text_unimax_mix",
-    # --- 13 oldest r11-vintage (alphabetical, grade_window.py sort) ---
-    "a10_two_level_agg",
-    "a11_rollup",
-    "a14_grouping_sets",
-    "a1_group_weights_nullsafe",
-    "a3_summary_stats",
-    "a5_distinct_set_per_group",
-    "a6_argmax_per_group",
-    "a7_count_if",
-    "a8_histogram_cdf",
-    "a9_grouped_counts",
-    "dedup_cluster_best",
-    "dedup_fuzzy_keys",
-    "dedup_fuzzy_keys_short",
-]
-
-
-# R15 CODE-TOUCH NOTE: this round touched code behind queries OUTSIDE the
-# frozen window only where VERDICT/ADVICE r14 ordered it:
-#   * decode_nifti1 bounds guard (VERDICT r14 #1) + PNG IDAT-length guard:
-#     codec/file-IO paths, tests-only by nature -- no registry row exists
-#     or is owed (S2's coverage is pytest, per the §2.1 table);
-#   * unimax_budgets sort key (ADVICE r14): tie-break now
-#     (count, g is None, g) instead of coercing falsy keys to "" --
-#     driver-side ordering fix inside text_unimax_mix's already-committed
-#     code-touch slot (graded IN this window; no displacement);
-#   * standing-index manifests (VERDICT r14 #4): additive `_manifest`
-#     parquet on the four index families; probes resolve files from it
-#     when present, falling back to listing -- graded probe queries'
-#     results unchanged (equality-tested);
-#   * reliable_dir list_runs/prune_runs helpers (VERDICT r14 #5 /
-#     ADVICE r14): new API, no graded path touched.
-#
-# Queued for the ROUND-16 window (registry positions 51+, in order): the
-# 29 remaining r11-vintage rows, then the 20 oldest r12-vintage
-# (alphabetical, the grade_window.py sort) -- anchor + these 49 = the
-# written r16 plan. Keeping them immediately after the window makes
-# "first in line" a property of the registry itself. The four non-anchor
-# flagships (vintage r14, due r17) enter the r17 window, not this queue.
-_NEXT_IN_LINE = [
-    # --- r11-vintage remainder (alphabetical, grade_window.py sort) ---
     "f11_enclosing_circle",
     "f16_md5_fingerprint",
     "f19_overlay_rgb",
@@ -9513,7 +9420,6 @@ _NEXT_IN_LINE = [
     "w5_first_match_over",
     "w6_time_range_frame",
     "w7_analytic_functions",
-    # --- 20 oldest r12-vintage (alphabetical, grade_window.py sort) ---
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -9536,6 +9442,65 @@ _NEXT_IN_LINE = [
     "ev_value_delta",
 ]
 
+
+# Queued for the ROUND-17 window (registry positions 51+, in order): the
+# 29 remaining r12-vintage rows, then the FOUR flagship refresh slots
+# (a4/j2/q3/q5, vintage r14, due r17 -- the cadence policy's hard
+# deadline), then the 16 oldest r13-vintage (alphabetical, the
+# grade_window.py sort) to fill 49 + anchor = 50. Keeping them
+# immediately after the window makes "first in line" a property of the
+# registry itself.
+_NEXT_IN_LINE = [
+    "f17_file_id",
+    "f5_clamp",
+    "f9_intensity_augs",
+    "g5_replicate_rows",
+    "j1_weight_join",
+    "j5_first_match",
+    "o5_first_k_preview",
+    "p10_cyclic_renumber",
+    "p11_nullify_placeholders",
+    "p12_composite_key_roundtrip",
+    "p1_reorder_columns",
+    "p3_rename_columns",
+    "p4_eq_filter",
+    "p5_in_list",
+    "p6_conditional_skip",
+    "p7_orphan_check",
+    "p8_string_normalize",
+    "p9_derived_flags",
+    "sim_ann_join_md5",
+    "sim_lsh_md5_topk",
+    "sim_pq_topk",
+    "text_gopher_rules",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "u2_except",
+    "w1_count_over_partition",
+    "w2_seeded_split",
+    "w3_rownum_per_group",
+    "w4_cumulative_sum",
+    "a4_quantile_summary",
+    "j2_broadcast_star_join",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_containment",
+    "dim_upsert_asof",
+    "dim_upsert_latest",
+    "emb_chunk_bucket_counts",
+    "ev_drift_ks",
+    "ev_gapfill_interpolate",
+    "ev_gapfill_locf",
+    "ev_handoff_pagerank",
+    "ev_handoff_triangles",
+    "ev_lttb_downsample",
+    "ev_ohlc_hourly",
+    "ev_sessionize",
+    "ev_sliding_window",
+    "ev_trend_slope",
+    "ev_tumbling_window",
+    "ev_zorder_value",
+]
 
 def _reorder_registry() -> None:
     lead = _PRIORITY + [n for n in _NEXT_IN_LINE if n not in _PRIORITY]
