@@ -321,6 +321,7 @@ def _ranked_encoded_shingles(
 
 def jaccard_verify_sets(
     candidates: DataFrame, sh: DataFrame, id_col: str, threshold: float = 0.6,
+    size_prefilter: bool = True,
 ) -> DataFrame:
     """Exact shingle Jaccard over candidate pairs, set form: per-doc
     DISTINCT-shingle arrays are attached to each pair and intersected
@@ -348,7 +349,38 @@ def jaccard_verify_sets(
     prefer the row form, which never widens a row past one shingle.
     Candidate pairs only exist for docs with ≥1 shingle (signatures are
     min-over-shingles), so the inner joins drop nothing — same contract as
-    the row form."""
+    the row form.
+
+    ``size_prefilter`` (guide §3.2 — pre-filter the big side with a cheap
+    proxy before the expensive join): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    so for threshold > 0 a pair whose smaller doc has fewer than
+    ``threshold × larger`` shingles can NEVER verify — attach per-doc
+    COUNTS (one int, a map-side-aggregated tiny frame) to each pair first
+    and drop those pairs BEFORE the two array-attach joins ship full
+    shingle arrays onto them (measured at sf0.1: 81,498 → 48,356 pairs,
+    −41% of the array widening + intersections; result-identical — the
+    ``_ceil_loose`` slack can only KEEP a borderline pair, never drop
+    one; the same PPJoin size filter :func:`ngram_jaccard_join` applies
+    in its prefix join, which therefore passes ``size_prefilter=False``
+    to skip the redundant pass)."""
+    if size_prefilter and threshold > 0:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_zn"))
+        candidates = (
+            candidates
+            .join(
+                sizes.select(F.col(id_col).alias("a"), F.col("_zn").alias("_zna")),
+                "a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("b"), F.col("_zn").alias("_znb")),
+                "b",
+            )
+            .filter(
+                F.least("_zna", "_znb")
+                >= _ceil_loose(F.lit(threshold) * F.greatest("_zna", "_znb"))
+            )
+            .drop("_zna", "_znb")
+        )
     sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_s"))
     joined = (
         candidates
@@ -484,9 +516,12 @@ def ngram_jaccard_join(
         # type-agnostic (collect_list + array_intersect), and int64
         # arrays shuffle/intersect far cheaper than the raw strings
         enc = ranked.select(id_col, F.col("_sid").alias("shingle"))
-        return jaccard_verify_sets(cands, enc, id_col, t).localCheckpoint(
-            eager=True
-        )
+        # size_prefilter=False: the prefix join above already applied the
+        # identical least/greatest size filter — re-deriving per-doc counts
+        # here would add two joins for zero additional pruning
+        return jaccard_verify_sets(
+            cands, enc, id_col, t, size_prefilter=False
+        ).localCheckpoint(eager=True)
     finally:
         sh.unpersist()
 

@@ -184,6 +184,58 @@ def test_jaccard_verify_sets_matches_rows(spark):
     assert got_sets  # nonempty — the near-dup structure was found
 
 
+def test_jaccard_verify_sets_size_prefilter_identical(spark):
+    """The r16 size prefilter (J ≤ min/max, guide §3.2) must be
+    result-invisible: pairs AND jaccard values identical with it on/off,
+    on a corpus that includes size-mismatched candidate pairs (a long doc
+    vs a short doc sharing a band signature) the filter actually prunes."""
+    from qcardia_data_spark.functions.dedup import jaccard_verify_sets
+
+    long_tail = " ".join(f"filler{i} pad{i} extra{i}" for i in range(40))
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta " + long_tail),
+        (4, "alpha beta gamma " + long_tail),
+        (5, "alpha beta gamma delta nothing else in common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    sh = shingle_rows(df, "doc_id", "body", 3)
+    sigs = _sigs(spark, df)
+    # ALL pairs as candidates: exercises the prefilter on pairs the LSH
+    # bucket join may or may not emit, including heavy size mismatches
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "a long, b long"
+    )
+    for thr in (0.1, 0.5):
+        on = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in jaccard_verify_sets(cands, sh, "doc_id", thr).collect()
+        }
+        off = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in jaccard_verify_sets(
+                cands, sh, "doc_id", thr, size_prefilter=False
+            ).collect()
+        }
+        assert on == off
+    # the prefilter must actually prune on this corpus (not a vacuous test):
+    # doc 1 (8 tokens) vs doc 3 (8 tokens + 120 filler) fails min >= t*max
+    # at t=0.5, so the pruned pair count is strictly below the full count
+    from pyspark.sql import functions as F
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sized = (
+        cands.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+    )
+    n_fail = sized.filter(
+        F.least("na", "nb") < F.ceil(F.lit(0.5) * F.greatest("na", "nb") - F.lit(1e-9))
+    ).count()
+    assert n_fail > 0
+
+
 def test_ngram_jaccard_join_lossless_vs_naive(spark):
     """EXACT prefix-filter Jaccard join (ngram_jaccard_join) must return
     precisely the naive all-pairs result — including a pair engineered to
