@@ -188,9 +188,21 @@ def small_index(spark, corpus, tmp_path):
     return idx
 
 
-def test_sig_meta_written_and_authoritative(spark, corpus, small_index):
+@pytest.fixture(scope="module")
+def small_index_ro(spark, sf_dir, tmp_path_factory):
+    """Module-scoped READ-ONLY twin of ``small_index`` (same corpus slice —
+    `corpus` below 1M ids is exactly the base documents table): the guard
+    tests only probe/validate against it, so one build serves all of them.
+    Mutating tests (update_index=True) must use the fresh ``small_index``."""
+    a = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = str(tmp_path_factory.mktemp("guard_idx_ro") / "idx")
+    write_signature_index(a, "doc_id", "text", idx, **PARAMS)
+    return idx
+
+
+def test_sig_meta_written_and_authoritative(spark, corpus, small_index_ro):
     # meta carries the build params + corpus max id...
-    meta = spark.read.json(f"{small_index}/_sig_meta").collect()[0]
+    meta = spark.read.json(f"{small_index_ro}/_sig_meta").collect()[0]
     assert (meta["n_bands"], meta["shingle_n"]) == (8, 3)
     assert (meta["n_sig_buckets"], meta["n_id_buckets"]) == (64, 64)
     a = corpus.filter(F.col("doc_id") < 1_000_000)
@@ -198,24 +210,24 @@ def test_sig_meta_written_and_authoritative(spark, corpus, small_index):
     # ...and a probe with NO params picks them up from the meta (same
     # result as passing the written values explicitly)
     b = corpus.filter(F.col("doc_id") >= 1_000_000)
-    got = near_dedup_incremental(b, small_index, "doc_id", "text", threshold=0.6)
+    got = near_dedup_incremental(b, small_index_ro, "doc_id", "text", threshold=0.6)
     want = near_dedup_incremental(
-        b, small_index, "doc_id", "text", threshold=0.6, **PARAMS
+        b, small_index_ro, "doc_id", "text", threshold=0.6, **PARAMS
     )
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
         r["doc_id"] for r in want.select("doc_id").collect()
     }
 
 
-def test_probe_param_drift_refused(spark, corpus, small_index):
+def test_probe_param_drift_refused(spark, corpus, small_index_ro):
     b = corpus.filter(F.col("doc_id") >= 1_000_000)
     with pytest.raises(ValueError, match="differ from the index"):
         near_dedup_incremental(
-            b, small_index, "doc_id", "text", n_bands=4, shingle_n=3
+            b, small_index_ro, "doc_id", "text", n_bands=4, shingle_n=3
         )
     with pytest.raises(ValueError, match="differ from the index"):
         near_dedup_incremental(
-            b, small_index, "doc_id", "text", n_sig_buckets=8
+            b, small_index_ro, "doc_id", "text", n_sig_buckets=8
         )
 
 
@@ -230,22 +242,22 @@ def test_probe_missing_meta_refused(spark, corpus, tmp_path):
         )
 
 
-def test_append_param_drift_refused(spark, corpus, small_index):
+def test_append_param_drift_refused(spark, corpus, small_index_ro):
     b = corpus.filter(F.col("doc_id") >= 1_000_000)
     with pytest.raises(ValueError, match="differ from the index"):
         write_signature_index(
-            b, "doc_id", "text", small_index, n_bands=4, mode="append"
+            b, "doc_id", "text", small_index_ro, n_bands=4, mode="append"
         )
 
 
 def test_non_monotone_batch_refused_and_wrong_without_guard(
-    spark, corpus, small_index
+    spark, corpus, small_index_ro
 ):
     # index holds ids < 1M; a "batch" of LOW ids violates the monotone
     # crawl-id precondition the equivalence invariant needs
     low_batch = corpus.filter(F.col("doc_id") < 1_000_000).limit(20)
     with pytest.raises(ValueError, match="monotonic"):
-        near_dedup_incremental(low_batch, small_index, "doc_id", "text")
+        near_dedup_incremental(low_batch, small_index_ro, "doc_id", "text")
 
     # and the refusal is load-bearing, not pedantry: bypassing the guard
     # (allow_replay) with a genuinely non-monotone NEW batch produces a
@@ -258,7 +270,7 @@ def test_non_monotone_batch_refused_and_wrong_without_guard(
         (F.col("doc_id") - 1).alias("doc_id"), "text"  # SMALLER id, same text
     )
     kept = near_dedup_incremental(
-        dup_of_idx, small_index, "doc_id", "text", allow_replay=True
+        dup_of_idx, small_index_ro, "doc_id", "text", allow_replay=True
     )
     # full-corpus semantics would KEEP this doc (it has the min id of its
     # duplicate cluster); the unguarded incremental path drops it
