@@ -148,6 +148,16 @@ def lsh_candidate_pairs(
     n_parts = int(
         sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # Explicit (band, sig) distribution for the bucket window + self-join:
+    # callers hand in a materialized signature frame whose final aggregate
+    # AQE typically coalesced to ONE partition (signatures are ~1 MB at
+    # bench scale), so the planned hashpartitioning exchange above it also
+    # coalesces to one task and the whole window → hub-join → pair chain
+    # ran serially (r16 profile: 4 consecutive 1-task stages, ~0.7 s of a
+    # 2.1 s wall). REPARTITION_BY_NUM is exempt from coalescing and both
+    # the window and the (band, sig) joins reuse this one exchange. Same
+    # rows, same exchange count as the planned-but-coalesced form.
+    sigs = sigs.repartition(n_parts, "band", "sig")
     a = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("a"))
     b = sigs.select(F.col("band"), F.col("sig"), F.col(id_col).alias("b"))
     if max_bucket_size is None:
@@ -363,8 +373,14 @@ def jaccard_verify_sets(
     one; the same PPJoin size filter :func:`ngram_jaccard_join` applies
     in its prefix join, which therefore passes ``size_prefilter=False``
     to skip the redundant pass)."""
+    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_s"))
     if size_prefilter and threshold > 0:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_zn"))
+        # sizes derive from the SAME aggregate the array joins build (one
+        # F.size projection) — a separate count() over sh re-scanned the
+        # whole shingle frame (measured 2.3 s CPU at sf0.1, nearly the cost
+        # the filter saves); this way the partial-aggregate exchange is
+        # computed once and shared by all three consumers.
+        sizes = sets.select(id_col, F.size("_s").alias("_zn"))
         candidates = (
             candidates
             .join(
@@ -381,7 +397,6 @@ def jaccard_verify_sets(
             )
             .drop("_zna", "_znb")
         )
-    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("_s"))
     joined = (
         candidates
         .join(sets.select(F.col(id_col).alias("a"), F.col("_s").alias("_sa")), "a")
@@ -766,7 +781,17 @@ def near_dedup_minhash(
         sh = shingle_rows(
             spread_small_scan(df, id_col), id_col, text_col, shingle_n
         ).localCheckpoint(eager=True)
-        sigs = _band_signature_frame(sh, id_col, n_bands).localCheckpoint(eager=True)
+        # r16: the signature frame is NO LONGER checkpointed here — the
+        # explicit (band, sig) repartition inside lsh_candidate_pairs now
+        # gives its three consumers (window + both self-join sides) ONE
+        # shared exchange to read, so the md5 signature compute runs once
+        # either way and the eager checkpoint only added a driver-blocking
+        # job (A/B min-of-4 at sf0.1: 2.25 s without vs 2.33 s with; the
+        # r15 re-optimize-per-reference problem the checkpoint fixed was
+        # solved by the exchange, not the materialization). The shingle
+        # checkpoint stays: dropping it re-runs the 3-regex tokenizer in
+        # both the signature and set-build subtrees (measured 2.57 s).
+        sigs = _band_signature_frame(sh, id_col, n_bands)
         cands = lsh_candidate_pairs(
             sigs, id_col, max_bucket_size=max_bucket_size,
             hub_ranks=(
