@@ -29,6 +29,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-(application, path) parquet SCHEMA cache (r16, guide §5/§6): without
+#: it every `spark.read.parquet` at query-BUILD time runs one footer-read
+#: job for schema inference — the r16 job timeline showed q5 spending
+#: ~380 ms on six sequential ~35 ms footer jobs before planning even
+#: started, on tables whose schema never changes within a session. This is
+#: exactly the metadata a real catalog (Hive/Iceberg/Delta) persists with
+#: the table. METADATA only — never rows, never derived results — keyed by
+#: applicationId so a fresh session (potentially different reader confs,
+#: e.g. nanosAsLong) re-infers from the files.
+_SCHEMA_CACHE: dict = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -44,7 +55,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # correct reads — nanos timestamps (events) and UTC literal parsing.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong): truncate to micros.
         # Integer `div` keeps full precision (nanos exceed double's 2^53).
