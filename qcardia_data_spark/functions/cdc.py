@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from qcardia_data_spark.sources.writers import cluster_for_partitioned_write
+
 __all__ = [
     "scd2_from_changes",
     "upsert_write_partitioned",
@@ -220,7 +222,9 @@ auto_index_buckets` sizes the count from the initial row count so
     _check_reserved(df, "upsert_write_partitioned")
     key_type = dict(df.dtypes)[key]
     (
-        df.withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
+        cluster_for_partitioned_write(
+            df.withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets)), _BUCKET
+        )
         .write.mode("overwrite")
         .partitionBy(_BUCKET)
         .parquet(f"{path}/rows")
@@ -330,9 +334,9 @@ def merge_upsert_partitioned(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(
-            f"{path}/rows"
-        )
+        cluster_for_partitioned_write(merged, _BUCKET).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET).parquet(f"{path}/rows")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -472,8 +476,11 @@ def upsert_append_batch(
     elif batch_id in existing:
         return batch_id  # pinned replay: already landed, no-op
     (
-        updates.withColumn("_batch", F.lit(int(batch_id)))
-        .withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets))
+        cluster_for_partitioned_write(
+            updates.withColumn("_batch", F.lit(int(batch_id)))
+            .withColumn(_BUCKET, _bucket_of(F.col(key), n_buckets)),
+            _BUCKET,
+        )
         .write.mode("append")
         .partitionBy("_batch", _BUCKET)
         .parquet(log_dir)

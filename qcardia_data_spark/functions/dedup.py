@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qcardia_data_spark.functions.text import doc_fingerprint, shingles, word_tokens
+from qcardia_data_spark.sources.writers import cluster_for_partitioned_write
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1929,13 +1930,26 @@ def write_signature_index(
     ).persist()
     try:
         sigs = _band_signature_frame(sh, id_col, n_bands)
+        # cluster on the partition column before every bucket write (r16,
+        # guide §6): one file per touched directory, created in parallel —
+        # see sources.writers.cluster_for_partitioned_write
         (
-            sigs.withColumn("sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets))
+            cluster_for_partitioned_write(
+                sigs.withColumn(
+                    "sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets)
+                ),
+                "sig_bucket",
+            )
             .write.mode(mode).partitionBy("sig_bucket").parquet(f"{path}/sigs")
         )
         sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("shingles"))
         (
-            sets.withColumn("id_bucket", _id_bucket(F.col(id_col), n_id_buckets))
+            cluster_for_partitioned_write(
+                sets.withColumn(
+                    "id_bucket", _id_bucket(F.col(id_col), n_id_buckets)
+                ),
+                "id_bucket",
+            )
             .write.mode(mode).partitionBy("id_bucket").parquet(f"{path}/shingle_sets")
         )
     finally:
@@ -2173,15 +2187,25 @@ def near_dedup_incremental(
                 )
             kept_ids = kept.select(id_col)
             (
-                sigs_new.join(kept_ids, id_col, "left_semi")
-                .withColumn("sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets))
+                cluster_for_partitioned_write(
+                    sigs_new.join(kept_ids, id_col, "left_semi")
+                    .withColumn(
+                        "sig_bucket", _sig_bucket(F.col("sig"), n_sig_buckets)
+                    ),
+                    "sig_bucket",
+                )
                 .write.mode("append").partitionBy("sig_bucket")
                 .parquet(f"{index_path}/sigs")
             )
             (
-                new_sets.join(kept_ids, id_col, "left_semi")
-                .select(F.col(id_col), F.col("_sa").alias("shingles"))
-                .withColumn("id_bucket", _id_bucket(F.col(id_col), n_id_buckets))
+                cluster_for_partitioned_write(
+                    new_sets.join(kept_ids, id_col, "left_semi")
+                    .select(F.col(id_col), F.col("_sa").alias("shingles"))
+                    .withColumn(
+                        "id_bucket", _id_bucket(F.col(id_col), n_id_buckets)
+                    ),
+                    "id_bucket",
+                )
                 .write.mode("append").partitionBy("id_bucket")
                 .parquet(f"{index_path}/shingle_sets")
             )
@@ -2286,7 +2310,12 @@ def write_winnow_index(
             )
     try:
         (
-            fps.withColumn("fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets))
+            cluster_for_partitioned_write(
+                fps.withColumn(
+                    "fp_bucket", _sig_bucket(F.col("fp"), n_fp_buckets)
+                ),
+                "fp_bucket",
+            )
             .write.mode(mode).partitionBy("fp_bucket").parquet(f"{path}/fps")
         )
     finally:
@@ -2410,9 +2439,9 @@ def winnow_incremental(
                 .select(F.col("_id").alias(id_col), "fp", "fp_bucket")
                 .localCheckpoint(eager=True)  # sever the index-read lineage
             )
-            kept_fps.write.mode("append").partitionBy("fp_bucket").parquet(
-                f"{index_path}/fps"
-            )
+            cluster_for_partitioned_write(kept_fps, "fp_bucket").write.mode(
+                "append"
+            ).partitionBy("fp_bucket").parquet(f"{index_path}/fps")
             batch_max = new_docs.agg(F.max(id_col)).first()[0]
             max_id = meta.get("max_id")
             if batch_max is not None and (
@@ -2564,7 +2593,9 @@ def write_hamming64_index(
     blocks = _h64_blocks(sig, id_col, k).withColumn(
         "kb", _h64_kb(k, n_key_buckets)
     )
-    blocks.write.mode(mode).partitionBy("kb").parquet(f"{path}/blocks")
+    cluster_for_partitioned_write(blocks, "kb").write.mode(mode).partitionBy(
+        "kb"
+    ).parquet(f"{path}/blocks")
     if batch_max is None:
         batch_max = sig.agg(F.max(id_col)).first()[0]
     max_id = str(batch_max) if batch_max is not None else None
@@ -2655,9 +2686,9 @@ def hamming64_index_probe(
         )
         if update_index:
             to_append = bblocks.localCheckpoint(eager=True)
-            to_append.write.mode("append").partitionBy("kb").parquet(
-                f"{index_path}/blocks"
-            )
+            cluster_for_partitioned_write(to_append, "kb").write.mode(
+                "append"
+            ).partitionBy("kb").parquet(f"{index_path}/blocks")
             batch_max = batch_sig.agg(F.max(id_col)).first()[0]
             max_id = meta.get("max_id")
             if batch_max is not None and (

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qcardia_data_spark.functions.text import word_tokens
+from qcardia_data_spark.sources.writers import cluster_for_partitioned_write
 
 
 _RESERVED_INTERNAL = frozenset(
@@ -193,7 +194,9 @@ def build_inverted_index(
     # smaller corpus would leave the prior build's extra term_bucket
     # partitions in place, silently mixing old and new postings
     # (ADVICE r11). Static drops the whole postings dir first.
-    postings.write.mode("overwrite").option(
+    cluster_for_partitioned_write(postings, "term_bucket").write.mode(
+        "overwrite"
+    ).option(
         "partitionOverwriteMode", "static"
     ).partitionBy("term_bucket").parquet(
         f"{path}/postings"
@@ -438,7 +441,9 @@ def build_positional_index(
     # smaller corpus would leave the prior build's extra term_bucket
     # partitions in place, silently mixing old and new postings
     # (ADVICE r11). Static drops the whole postings dir first.
-    postings.write.mode("overwrite").option(
+    cluster_for_partitioned_write(postings, "term_bucket").write.mode(
+        "overwrite"
+    ).option(
         "partitionOverwriteMode", "static"
     ).partitionBy("term_bucket").parquet(
         f"{path}/postings"

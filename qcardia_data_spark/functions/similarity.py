@@ -17,6 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qcardia_data_spark.sources.writers import cluster_for_partitioned_write
 from qcardia_data_spark.functions.arrays import (
     cosine,
     dot,
@@ -387,7 +388,9 @@ def ivf_write_partitioned(
     assigned, centroids = ivf_assign(
         embeddings, n_cells, seed, n_refine, id_col=id_col, vec_col=vec_col
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cluster_for_partitioned_write(assigned, "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
     cents = [
         [float(x) for x in r["centroid"]]
         for r in sorted(centroids.collect(), key=lambda r: r["cell"])
@@ -598,8 +601,9 @@ def ivfpq_write_partitioned(
         id_col=id_col, vec_col=vec_col,
     )
     (
-        assigned.select(id_col, "cell")
-        .join(codes, id_col)
+        cluster_for_partitioned_write(
+            assigned.select(id_col, "cell").join(codes, id_col), "cell"
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -1020,7 +1024,9 @@ def ann_index_append(
     fresh = rows.join(existing, id_col, "left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").partitionBy(part_col).parquet(path)
+        cluster_for_partitioned_write(fresh, part_col).write.mode(
+            "append"
+        ).partitionBy(part_col).parquet(path)
     return n
 
 
@@ -1270,7 +1276,9 @@ def lsh_write_partitioned(
     rb = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", hyperplane_bucket(F.col(vec_col), n_planes, seed, dim)
     )
-    rb.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    cluster_for_partitioned_write(rb, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
     meta = embeddings.sparkSession.createDataFrame(
         [(int(n_planes), int(seed), int(dim))], ["n_planes", "seed", "dim"]
     )

@@ -28,6 +28,29 @@ def _safe_component(value, who: str) -> str:
     return s
 
 
+def cluster_for_partitioned_write(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-cluster rows on the partition column(s) before a
+    ``partitionBy`` parquet write (r16, guide §6 output file sizing).
+
+    Without it a bucket-partitioned write creates up to
+    (tasks × buckets-touched) files — every task opens a file in every
+    bucket directory it holds rows for — and, when the frame arrives as
+    ONE partition (a materialized batch), a single task creates every
+    file serially (measured: a 16k-row append into 2,048 bucket dirs took
+    29.4 s from one task at ~14 ms per file create/close; the same write
+    hash-clustered over 32 tasks took 5.9 s). Clustering puts each bucket
+    wholly in one task: exactly one file per touched directory, created
+    with full parallelism, and probes later open the minimum file count.
+
+    Explicit numPartitions (`spark.sql.shuffle.partitions`, the engine's
+    scale-adaptive knob) so AQE byte-coalescing cannot fold the tiny
+    batch back onto one task. ONLY for writes whose partition column has
+    many values (bucket layouts); a low-cardinality partitioning (e.g.
+    one `_batch` value per write) would serialize the write instead."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def write_records(
     df: DataFrame, path: str, order_by: Sequence[str],
     partition_by: Sequence[str] = (), mode: str = "overwrite",
